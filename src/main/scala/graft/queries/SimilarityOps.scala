@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.core.Tables
+
+/** Similarity search over `embeddings.embedding: array<float>`.
+  *
+  * Numeric determinism: vectors are cast float→double (exact), then the
+  * dot product is a strict left-fold `aggregate(zip_with(a,b,_*_))` in
+  * array order — bit-identical to DuckDB's `list_dot_product` on
+  * DOUBLE[], so raw (unrounded) similarities hash-match the oracle.
+  * All of it stays inside whole-stage codegen (no UDFs).
+  *
+  * Scale path: brute force (s1/s2) is the exactness baseline —
+  * O(Q·N) with the query side broadcast, no shuffle of the corpus.
+  * Sign-LSH bucketing (s3/s4) prunes the candidate set by hashing
+  * vectors on fixed anchor hyperplanes; at 100 TB the bucket index is
+  * a pre-partitioned table and each query probes one bucket.
+  */
+object SimilarityOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Strict left-fold dot product — deterministic in array order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+
+  /** Brute-force cosine top-k for a single query vector (vec_id 0). */
+  val s1CosineTopK: Q = Q(
+    "s1_cosine_topk",
+    "brute-force cosine top-10 vs query vector (vec_id=0)",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id AS vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY sim DESC, vec_id
+      LIMIT 10
+      """))
+
+  /** Batch kNN: top-3 neighbors for every label-0 query vector.
+    * Query side broadcast; ranking via partitioned window. */
+  val s2KnnBatch: Q = Q(
+    "s2_knn_batch",
+    "brute-force kNN: top-3 cosine neighbors per label-0 query",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("label") === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("neighbor_id"))
+      e.select(col("vec_id").as("neighbor_id"), col("v"))
+        .crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("q_id"))
+        .select(col("q_id"), col("neighbor_id"), cosine(col("v"), col("qv")).as("sim"))
+        .withColumn("rank_pos", row_number().over(w).cast(LongType))
+        .filter(col("rank_pos") <= 3)
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE label = 0),
+      sims AS (
+        SELECT q.q_id AS q_id, e.vec_id AS neighbor_id,
+               list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+        FROM sims)
+      SELECT q_id, neighbor_id, sim, CAST(rn AS BIGINT) AS rank_pos
+      FROM ranked WHERE rn <= 3
+      """),
+    headline = true)
+
+  /** Sign-LSH signature: bit j = [dot(v, anchor_j) ≥ 0] for 8 fixed
+    * anchor vectors (vec_id < 8) — a deterministic, data-derived
+    * hyperplane family (IVF-style anchors without kmeans). */
+  private def lshSignatures(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast(IntegerType).as("a_id"), col("v").as("av"))
+    e.crossJoin(broadcast(anchors))
+      .select(
+        col("vec_id"),
+        when(dot(col("v"), col("av")) >= 0,
+          expr("cast(shiftleft(cast(1 as bigint), a_id) as bigint)"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).as("bucket"))
+  }
+
+  /** LSH bucket histogram — the index-build side of ANN. */
+  val s3LshBuckets: Q = Q(
+    "s3_lsh_buckets",
+    "sign-LSH bucketing on 8 anchor hyperplanes: bucket histogram",
+    (s, d) =>
+      lshSignatures(s, d)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec")),
+    Some("""
+      WITH a AS (SELECT CAST(vec_id AS INTEGER) AS a_id, embedding::DOUBLE[] AS av
+                 FROM embeddings WHERE vec_id < 8),
+      bits AS (
+        SELECT e.vec_id AS vec_id,
+               CASE WHEN list_dot_product(e.embedding::DOUBLE[], a.av) >= 0
+                    THEN (CAST(1 AS BIGINT) << a.a_id) ELSE CAST(0 AS BIGINT) END AS bit
+        FROM embeddings e, a),
+      sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)
+      SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec
+      FROM sig GROUP BY bucket
+      """))
+
+  /** ANN query through the LSH index: probe the query's bucket only,
+    * then exact cosine rank within it. */
+  val s4AnnQuery: Q = Q(
+    "s4_ann_query",
+    "ANN: probe query's LSH bucket, exact cosine top-5 within bucket",
+    (s, d) => {
+      val sig = lshSignatures(s, d)
+      val e = emb(s, d)
+      val qBucket = sig.filter(col("vec_id") === 0).select(col("bucket").as("qb"))
+      val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      sig.filter(col("vec_id") =!= 0)
+        .join(broadcast(qBucket), col("bucket") === col("qb"))
+        .join(e, Seq("vec_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(5)
+    },
+    Some("""
+      WITH a AS (SELECT CAST(vec_id AS INTEGER) AS a_id, embedding::DOUBLE[] AS av
+                 FROM embeddings WHERE vec_id < 8),
+      bits AS (
+        SELECT e.vec_id AS vec_id,
+               CASE WHEN list_dot_product(e.embedding::DOUBLE[], a.av) >= 0
+                    THEN (CAST(1 AS BIGINT) << a.a_id) ELSE CAST(0 AS BIGINT) END AS bit
+        FROM embeddings e, a),
+      sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+      qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      qb AS (SELECT bucket AS qb FROM sig WHERE vec_id = 0)
+      SELECT e.vec_id AS vec_id,
+             list_dot_product(e.embedding::DOUBLE[], qv.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv.qv, qv.qv))) AS sim
+      FROM sig JOIN qb ON sig.bucket = qb.qb
+        JOIN embeddings e ON e.vec_id = sig.vec_id
+        CROSS JOIN qv
+      WHERE e.vec_id <> 0
+      ORDER BY sim DESC, vec_id
+      LIMIT 5
+      """))
+
+  /** Per-label centroids (flat (label, dim, value) output): exact-decimal
+    * mean per dimension — order-independent, so identical on any
+    * partitioning. */
+  val s5Centroids: Q = Q(
+    "s5_label_centroids",
+    "per-label embedding centroid via posexplode + exact-decimal mean",
+    (s, d) =>
+      emb(s, d)
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "dimval")))
+        .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim_pos"))
+        .agg((sum(col("dimval").cast(DecimalType(38, 8))).cast(DoubleType) / count(lit(1)))
+          .as("centroid")),
+    Some("""
+      SELECT label, CAST(i + 1 AS BIGINT) AS dim_pos,
+             CAST(SUM(CAST(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE)
+               / COUNT(*) AS centroid
+      FROM embeddings, range(64) t(i)
+      GROUP BY 1, 2
+      """))
+
+  val all: Seq[Q] = Seq(s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids)
+}

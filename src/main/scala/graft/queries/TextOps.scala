@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.core.Tables
+import graft.operators.{MinHashDedup, SimHash}
+
+/** Text-analysis and deduplication operators over the `documents` table —
+  * the LLM-training-pipeline surface: exact dedup, content fingerprinting,
+  * token statistics, quality scoring, language-ID heuristics, and n-gram
+  * Jaccard near-dup pairs (with MinHash-LSH and SimHash as the
+  * at-scale candidate-generation variants).
+  *
+  * Oracle notes: DuckDB `regexp_replace` needs the 'g' flag to match
+  * Spark's replace-all semantics; patterns stay within the Java∩RE2
+  * common subset (no backrefs, no lookaround, ASCII classes).
+  */
+object TextOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Whitespace-normalized lowercase text — the dedup key. */
+  private def norm(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  private val normSql = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+  /** Exact dedup: hash-groupBy on normalized content, keep min doc_id.
+    * One shuffle on the group key; at 100 TB group on a fingerprint
+    * (d2) instead of the full text to cut shuffle width. */
+  val d1DedupExact: Q = Q(
+    "d1_dedup_exact",
+    "exact dedup via groupBy(normalized text) → keeper + copy count",
+    (s, d) =>
+      t(s, d, "documents")
+        .groupBy(norm(col("text")).as("__k"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies")),
+    Some(s"""
+      SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY $normSql
+      """))
+
+  /** Content fingerprint: md5 of normalized text. The narrow (32-char)
+    * dedup key — group/join on this at scale, not on raw text. */
+  val d2Fingerprint: Q = Q(
+    "d2_fingerprint",
+    "document fingerprint: md5 over normalized content",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(norm(col("text")).cast(BinaryType)).as("fingerprint")),
+    Some(s"""
+      SELECT doc_id, md5($normSql) AS fingerprint
+      FROM documents
+      """))
+
+  /** Token counting + length stats (whitespace tokenizer). */
+  val d3TokenStats: Q = Q(
+    "d3_token_stats",
+    "token count, alpha chars, avg token length per document",
+    (s, d) => {
+      val nTokens = regexp_count(col("text"), lit("\\S+")).cast(LongType)
+      val nAlpha = length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast(LongType)
+      val nNonSpace = length(regexp_replace(col("text"), "\\s", "")).cast(LongType)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        col("n_chars"),
+        nTokens.as("n_tokens"),
+        nAlpha.as("n_alpha"),
+        (nNonSpace / nTokens).as("avg_token_len"))
+    },
+    Some("""
+      SELECT doc_id, n_chars,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+               / CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS avg_token_len
+      FROM documents
+      """))
+
+  /** Quality scoring: length / stopword / punctuation heuristics
+    * combined into one deterministic [0,1] score. */
+  val d4QualityScore: Q = Q(
+    "d4_quality_score",
+    "document quality score from length/stopword/punctuation ratios",
+    (s, d) => {
+      val nTokens = regexp_count(col("text"), lit("\\S+")).cast(LongType)
+      val stopHits = regexp_count(
+        lower(col("text")),
+        lit("\\b(the|a|of|and|to|in|is|it|that|was)\\b")).cast(LongType)
+      val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast(LongType)
+      val stopRatio = stopHits / nTokens
+      val punctRatio = punct / col("n_chars")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        stopHits.as("stopword_hits"),
+        punct.as("punct_chars"),
+        (least(nTokens / lit(50.0), lit(1.0)) * lit(0.5)
+          + least(stopRatio * lit(4.0), lit(1.0)) * lit(0.3)
+          + (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2))
+          .as("quality_score"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|was)\b')) AS BIGINT) AS stopword_hits,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS punct_chars,
+               n_chars
+        FROM documents)
+      SELECT doc_id, n_tokens, stopword_hits, punct_chars,
+             LEAST(n_tokens / 50.0, 1.0) * 0.5
+               + LEAST((stopword_hits / n_tokens) * 4.0, 1.0) * 0.3
+               + (1.0 - LEAST((punct_chars / n_chars) * 10.0, 1.0)) * 0.2 AS quality_score
+      FROM f
+      """))
+
+  private val langMarkers = Seq(
+    "en" -> "\\b(the|and|of|to|is|in|it)\\b",
+    "es" -> "\\b(el|la|los|de|que|y|en)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "fr" -> "\\b(le|les|des|et|est|une)\\b")
+
+  /** Language-ID heuristic: stopword-marker votes with deterministic
+    * priority tie-break (en > es > de > fr). */
+  val d5LangId: Q = Q(
+    "d5_lang_id",
+    "n-gram/stopword language-ID heuristic with marker-hit votes",
+    (s, d) => {
+      val hits = langMarkers.map { case (l, p) =>
+        l -> regexp_count(lower(col("text")), lit(p)).cast(LongType)
+      }
+      val hm = hits.toMap
+      val predicted =
+        when(hm("en") >= hm("es") && hm("en") >= hm("de") && hm("en") >= hm("fr"), "en")
+          .when(hm("es") >= hm("de") && hm("es") >= hm("fr"), "es")
+          .when(hm("de") >= hm("fr"), "de")
+          .otherwise("fr")
+      t(s, d, "documents").select(
+        Seq(col("doc_id")) ++
+          hits.map { case (l, c) => c.as(s"${l}_hits") } ++
+          Seq(
+            predicted.as("predicted_lang"),
+            col("lang").as("actual_lang"),
+            (predicted === col("lang")).cast(LongType).as("is_match")): _*)
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|it)\b')) AS BIGINT) AS en_hits,
+               CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y|en)\b')) AS BIGINT) AS es_hits,
+               CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS BIGINT) AS de_hits,
+               CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|et|est|une)\b')) AS BIGINT) AS fr_hits
+        FROM documents),
+      p AS (
+        SELECT *,
+               CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                    WHEN de_hits >= fr_hits THEN 'de'
+                    ELSE 'fr' END AS predicted_lang
+        FROM h)
+      SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+             predicted_lang, lang AS actual_lang,
+             CAST(predicted_lang = lang AS BIGINT) AS is_match
+      FROM p
+      """))
+
+  /** Word-trigram shingle sets per document (shared by d6/d7). */
+  private[graft] def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(norm(col("text")), " ").as("w"))
+      .select(
+        col("doc_id"),
+        array_distinct(
+          when(size(col("w")) >= 3,
+            expr("""transform(sequence(1, size(w) - 2),
+                    i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"""))
+            .otherwise(array(concat_ws(" ", col("w"))))).as("sh"))
+
+  private val shinglesSql = """
+      docs AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+               FROM documents),
+      sh AS (SELECT doc_id,
+                    CASE WHEN len(w) >= 3
+                         THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                         ELSE [array_to_string(w, ' ')] END AS shingles
+             FROM docs),
+      e AS (SELECT doc_id, unnest(shingles) AS s FROM sh)"""
+
+  /** Exact n-gram Jaccard near-dup pairs: explode shingles, equi-join on
+    * shingle (the *only* shuffle key — no all-pairs cartesian), count
+    * intersections, Jaccard = |∩| / (|A|+|B|−|∩|). Hot shingles fan out
+    * quadratically — at scale drop stop-shingles above a document-
+    * frequency cap first (standard trick); MinHash-LSH (d7) is the
+    * probabilistic alternative. */
+  val d6NgramJaccard: Q = Q(
+    "d6_ngram_jaccard",
+    "near-dup pairs by word-trigram Jaccard ≥ 0.5 via shingle equi-join",
+    (s, d) => {
+      val e = shingles(t(s, d, "documents"))
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val cnt = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = e.as("a")
+        .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+        .select(
+          col("doc_a"), col("doc_b"), col("n_common"),
+          (col("n_common") / (col("ca.n") + col("cb.n") - col("n_common"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common,
+             n_common / (ca.n + cb.n - n_common) AS jaccard
+      FROM inter
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+      WHERE n_common / (ca.n + cb.n - n_common) >= 0.5
+      """),
+    headline = true)
+
+  /** MinHash-LSH candidate pairs (no SQL oracle: murmur3 signature is
+    * Spark-specific — driver records the weaker rows-only check). */
+  val d7MinHashLsh: Q = Q(
+    "d7_minhash_lsh",
+    "MinHash signatures + LSH banding → near-dup candidate pairs",
+    (s, d) => MinHashDedup.candidatePairs(shingles(t(s, d, "documents"))),
+    None)
+
+  /** SimHash 64-bit signatures (no SQL oracle: xxhash64-based). */
+  val d8SimHash: Q = Q(
+    "d8_simhash",
+    "64-bit SimHash signature per document",
+    (s, d) =>
+      SimHash.signatures(
+        t(s, d, "documents").select(col("doc_id"), split(norm(col("text")), " ").as("w"))),
+    None)
+
+  val all: Seq[Q] = Seq(
+    d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
+    d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash)
+}

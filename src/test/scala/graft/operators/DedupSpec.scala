@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (4L, "completely different text about distributed query engines and columnar formats here"),
+    (5L, "yet another unrelated document mentioning spark catalyst optimizer rules only")
+  ).toDF("doc_id", "text")
+
+  private def shingled = graft.queries.TextOps.shingles(docs)
+
+  test("MinHash signatures: identical docs get identical signatures") {
+    val sigs = MinHashDedup.signatures(shingled).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("MinHash LSH candidate pairs include the exact dup pair, not unrelated docs") {
+    val pairs = MinHashDedup.candidatePairs(shingled).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("SimHash: identical docs equal; near-dups closer than unrelated docs") {
+    val tok = docs.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val sig = SimHash.signatures(tok).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sig(1L) == sig(2L))
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
+  }
+}

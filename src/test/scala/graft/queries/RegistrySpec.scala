@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Registry, SparkEntry, SparkSpec}
+import graft.core.Tables
+
+/** Smoke + invariant checks over the full query registry at sf0.001.
+  * (Value-level correctness is the DuckDB-oracle harness; these tests
+  * pin structural invariants that hold independent of scale.) */
+class RegistrySpec extends SparkSpec {
+
+  test("registry names are unique and every query has a doc") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(Registry.all.forall(_.doc.nonEmpty))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query executes at sf0.001 and returns rows (or is a valid empty diff)") {
+    val mayBeEmpty = Set("q14_customers_without_orders", "q18_except")
+    Registry.all.foreach { q =>
+      val n = q.build(spark, sfDir).count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("semi + anti join partition the left table") {
+    val c = Tables(spark, sfDir, "customer").count()
+    val semi = Registry.byName("q13_customers_with_orders").build(spark, sfDir).count()
+    val anti = Registry.byName("q14_customers_without_orders").build(spark, sfDir).count()
+    assert(semi + anti == c)
+  }
+
+  test("union_all row count is the sum of its inputs") {
+    val c = Tables(spark, sfDir, "customer").count()
+    val s = Tables(spark, sfDir, "supplier").count()
+    assert(Registry.byName("q16_union_all").build(spark, sfDir).count() == c + s)
+  }
+
+  test("exact dedup keeps every distinct normalized document") {
+    val docs = Tables(spark, sfDir, "documents")
+    val distinctNorm = docs
+      .select(regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+      .distinct().count()
+    val dedup = Registry.byName("d1_dedup_exact").build(spark, sfDir)
+    assert(dedup.count() == distinctNorm)
+    // keeper copies sum back to the corpus size
+    val total = dedup.agg(sum(col("n_copies"))).collect()(0).getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("top-k queries respect their limits") {
+    assert(Registry.byName("q2_top_customers").build(spark, sfDir).count() <= 10)
+    assert(Registry.byName("q23_top_lineitems").build(spark, sfDir).count() == 20)
+    assert(Registry.byName("s1_cosine_topk").build(spark, sfDir).count() == 10)
+  }
+
+  test("cosine similarity values stay in [-1, 1]") {
+    val sims = Registry.byName("s1_cosine_topk").build(spark, sfDir)
+      .select(col("sim")).collect().map(_.getDouble(0))
+    assert(sims.forall(s => s >= -1.0000001 && s <= 1.0000001))
+  }
+
+  test("every oracle references only known table names") {
+    val known = Tables.names.toSet
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val lower = sql.toLowerCase
+      assert(known.exists(lower.contains), s"$name oracle references no known table")
+    }
+  }
+}
