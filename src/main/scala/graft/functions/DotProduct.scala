@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst dot product over two `array<double>` columns.
+  *
+  * The composable formulation — `aggregate(zip_with(a, b, _*_), 0d, _+_)` —
+  * is correct but runs the lambda interpreter per element: Spark's
+  * higher-order functions don't participate in whole-stage codegen, so a
+  * 64-dim dot product costs ~128 boxed lambda invocations per row. This
+  * expression generates a tight primitive loop instead (one `getDouble`
+  * pair + fused multiply-add per dimension) and stays inside the
+  * WholeStageCodegen span — on the brute-force kNN path that's the entire
+  * inner loop of an O(Q·N) scan, where interpretation overhead multiplies.
+  *
+  * Accumulation order is the same strict left fold as the composable
+  * version, so results are bit-identical to it (and to DuckDB's
+  * `list_dot_product` on DOUBLE[]) — it can swap in under oracle-checked
+  * queries without changing a single hash.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for graft's native expressions. */
+object GraftFunctions {
+  val DotName = "graft_dot"
+
+  /** Idempotent per-session registration via the function registry —
+    * the expression then resolves in both the Column DSL
+    * ([[dot]] below) and plain SQL text. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName,
+      { exprs => DotProduct(exprs(0), exprs(1)) },
+      "built-in")
+
+  /** Codegen'd dot product (requires [[register]] on the session). */
+  def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+}

@@ -45,9 +45,12 @@ object MinHashDedup {
         hash((j * bandSize until (j + 1) * bandSize).map(i => col(s"m$i")): _*)
           .as("band_hash"))
     }
+    // persisted: both sides of the bucket self-join read this — without
+    // the barrier the whole shingle→hash→minhash pipeline runs twice
     val exploded = sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+      .persist()
     exploded.as("x")
       .join(exploded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

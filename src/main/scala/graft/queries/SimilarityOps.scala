@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Q
 import graft.core.Tables
+import graft.functions.GraftFunctions
 
 /** Similarity search over `embeddings.embedding: array<float>`.
   *
@@ -26,16 +27,18 @@ object SimilarityOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  /** Strict left-fold dot product — deterministic in array order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Strict left-fold dot product, codegen'd ([[graft.functions.DotProduct]]);
+    * bit-identical to the composable `aggregate(zip_with(...))` fold. */
+  def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+  }
 
   /** Brute-force cosine top-k for a single query vector (vec_id 0). */
   val s1CosineTopK: Q = Q(
@@ -111,6 +114,8 @@ object SimilarityOps {
           .otherwise(lit(0L)).as("bit"))
       .groupBy(col("vec_id"))
       .agg(sum(col("bit")).as("bucket"))
+      // persisted: s4 probes this index twice (query bucket + corpus side)
+      .persist()
   }
 
   /** LSH bucket histogram — the index-build side of ANN. */

@@ -170,10 +170,23 @@ object TextOps {
       FROM p
       """))
 
-  /** Word-trigram shingle sets per document (shared by d6/d7). */
+  /** Word-trigram shingle sets per document (shared by d6/d7).
+    *
+    * The input is hash-repartitioned first: shingling is the compute-heavy
+    * step (regex normalize + HOF transform, interpreted — not codegen'd),
+    * and a single-file scan would otherwise run it on one core. At 100 TB
+    * the scan parallelizes by file and the repartition becomes a cheap
+    * rebalance of raw text ahead of a large fan-out. */
   private[graft] def shingles(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(norm(col("text")), " ").as("w"))
+      .repartition(col("doc_id"))
+      // The explode-of-1-element-array is a deliberate Generate barrier:
+      // without it CollapseProject inlines the split into every element of
+      // the transform lambda below (re-running the regex per shingle), and
+      // InferFiltersFromGenerate pushes that whole interpreted expression
+      // below the repartition onto the single-partition scan. The barrier
+      // evaluates the tokenization exactly once per document.
+      .select(col("doc_id"), explode(array(split(norm(col("text")), " "))).as("w"))
       .select(
         col("doc_id"),
         array_distinct(
@@ -181,6 +194,17 @@ object TextOps {
             expr("""transform(sequence(1, size(w) - 2),
                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"""))
             .otherwise(array(concat_ws(" ", col("w"))))).as("sh"))
+
+  /** Exploded (doc_id, shingle) pairs, persisted: d6 consumes this from
+    * four plan subtrees (two join sides + two count sides). Without the
+    * persist barrier Catalyst re-derives the shingling into each subtree
+    * — worse, the join's implicit `isnotnull` pushes down THROUGH the
+    * explode and re-evaluates the whole interpreted transform per filter
+    * check. One materialization, four cheap scans. */
+  private[graft] def explodedShingles(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .persist()
 
   private val shinglesSql = """
       docs AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
@@ -203,8 +227,7 @@ object TextOps {
     "d6_ngram_jaccard",
     "near-dup pairs by word-trigram Jaccard ≥ 0.5 via shingle equi-join",
     (s, d) => {
-      val e = shingles(t(s, d, "documents"))
-        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val e = explodedShingles(t(s, d, "documents"))
       val cnt = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = e.as("a")
         .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
