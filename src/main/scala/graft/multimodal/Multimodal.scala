@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, plus the decode / feature-extract / resize /
+  * frame-sample stages a training-data pipeline hangs off them.
+  *
+  * Spark-side design (all real and tested): a stable struct schema, the
+  * batched per-partition execution shape, and typed Dataset plumbing. The
+  * *codec* itself is a [[Decoder]] plug point whose default is a
+  * DETERMINISTIC FAKE — this container has no image/audio libraries, so
+  * the stub derives features from the raw bytes reproducibly; swapping in
+  * a real JNI/ffmpeg-backed decoder changes no plumbing.
+  *
+  * Execution model: `mapPartitions` with an internal micro-batch (the
+  * JVM analog of `mapInPandas`' Arrow batches) — the decoder sees
+  * `Seq[MediaRow]` of bounded size, amortizing any per-batch codec setup
+  * and keeping peak memory at `batchSize × payload`, never a whole
+  * partition. Partition-count is inherited from the upstream relation;
+  * repartition first when payloads are large and skewed.
+  */
+object Multimodal {
+
+  /** Stable column convention for a multimodal payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),   // image | audio | video
+    StructField("uri", StringType, nullable = true),     // provenance
+    StructField("data", BinaryType, nullable = true),    // opaque payload
+    StructField("meta", StructType(Seq(                  // typed metadata
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("codec", StringType, nullable = true))), nullable = true)))
+
+  final case class MediaMeta(
+      width: Option[Int], height: Option[Int],
+      duration_ms: Option[Long], codec: Option[String])
+
+  final case class MediaRow(
+      media_id: Long, kind: String, uri: Option[String],
+      data: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      features: Array[Float], ok: Boolean)
+
+  final case class Frame(
+      media_id: Long, frame_idx: Int, offset_ms: Long, data: Array[Byte])
+
+  /** Codec plug point. Implementations must be deterministic per input. */
+  trait Decoder extends Serializable {
+    /** Decode a micro-batch of payloads into fixed-width feature vectors. */
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures]
+  }
+
+  /** STUB — deterministic fake decoder (no media libs in this
+    * environment). Features are a folded byte histogram: reproducible,
+    * content-sensitive, and shaped like a real embedding (`dim` floats).
+    * Replace with a real codec-backed Decoder in production. */
+  final class FakeDecoder(dim: Int = 16) extends Decoder {
+    override def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] =
+      rows.map { r =>
+        if (r.data == null || r.data.isEmpty)
+          MediaFeatures(r.media_id, r.kind, 0L, Array.fill(dim)(0f), ok = false)
+        else {
+          val acc = new Array[Float](dim)
+          var i = 0
+          while (i < r.data.length) {
+            acc(java.lang.Byte.toUnsignedInt(r.data(i)) % dim) += 1f
+            i += 1
+          }
+          val n = r.data.length.toFloat
+          MediaFeatures(r.media_id, r.kind, r.data.length.toLong,
+            acc.map(_ / n), ok = true)
+        }
+      }
+  }
+
+  /** Batched decode over a typed Dataset — the `mapInPandas`-shaped
+    * stage: bounded micro-batches per partition through the decoder. */
+  def decodeFeatures(
+      media: Dataset[MediaRow],
+      decoder: Decoder = new FakeDecoder(),
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(batch => decoder.decodeBatch(batch))
+    }
+  }
+
+  /** Resize metadata transform: pure column algebra on the typed meta
+    * struct (the pixel work lives in the Decoder; the schema contract —
+    * aspect-preserving target dims — is enforced here, codegen'd). */
+  def resizePlan(df: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width").cast(DoubleType)
+    val h = col("meta.height").cast(DoubleType)
+    val scale = least(lit(1.0), lit(maxSide) / greatest(w, h))
+    df.withColumn("target_width", ceil(w * scale).cast(IntegerType))
+      .withColumn("target_height", ceil(h * scale).cast(IntegerType))
+  }
+
+  /** Frame sampling: deterministic evenly-spaced offsets from duration
+    * metadata; the per-frame payload extraction is stubbed (slices of the
+    * container bytes stand in for decoded frames). */
+  def sampleFrames(
+      media: Dataset[MediaRow], nFrames: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val dur = r.meta.duration_ms.getOrElse(0L)
+      if (r.kind != "video" || dur <= 0 || r.data == null || r.data.isEmpty) Iterator.empty
+      else {
+        val span = r.data.length.max(nFrames)
+        (0 until nFrames).iterator.map { i =>
+          val offsetMs = dur * i / nFrames
+          val sliceStart = (span * i / nFrames).min(r.data.length - 1)
+          val sliceEnd = (span * (i + 1) / nFrames).min(r.data.length)
+          // STUB: a real implementation decodes the frame at offsetMs;
+          // the slice keeps the plumbing shape (bytes per frame) honest.
+          Frame(r.media_id, i, offsetMs, r.data.slice(sliceStart, sliceEnd))
+        }
+      }
+    }
+  }
+}

@@ -200,5 +200,44 @@ object SimilarityOps {
       GROUP BY 1, 2
       """))
 
-  val all: Seq[Q] = Seq(s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids)
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: candidate pairs come
+    * ONLY from shared sign-LSH buckets (the scale path — no all-pairs
+    * cartesian; bucket sizes bound the fan-out), then the exact cosine
+    * filter verifies. The oracle replicates the bucket+verify semantics. */
+  val s6EmbedNearDup: Q = Q(
+    "s6_embed_neardup",
+    "embedding near-dup pairs: same LSH bucket + cosine >= 0.35",
+    (s, d) => {
+      val sig = lshSignatures(s, d)
+      val e = emb(s, d)
+      val withVec = sig.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      withVec.as("a")
+        .join(withVec.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cosine(col("a.v"), col("b.v")).as("sim"))
+        .filter(col("sim") >= 0.35)
+    },
+    Some("""
+      WITH a AS (SELECT CAST(vec_id AS INTEGER) AS a_id, embedding::DOUBLE[] AS av
+                 FROM embeddings WHERE vec_id < 8),
+      bits AS (
+        SELECT e.vec_id AS vec_id,
+               CASE WHEN list_dot_product(e.embedding::DOUBLE[], a.av) >= 0
+                    THEN (CAST(1 AS BIGINT) << a.a_id) ELSE CAST(0 AS BIGINT) END AS bit
+        FROM embeddings e, a),
+      sig AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+      wv AS (SELECT s.vec_id AS vec_id, s.bucket AS bucket, e.embedding::DOUBLE[] AS v
+             FROM sig s JOIN embeddings e ON e.vec_id = s.vec_id)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+      """))
+
+  val all: Seq[Q] = Seq(
+    s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids, s6EmbedNearDup)
 }

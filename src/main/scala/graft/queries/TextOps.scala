@@ -273,7 +273,63 @@ object TextOps {
         t(s, d, "documents").select(col("doc_id"), split(norm(col("text")), " ").as("w"))),
     None)
 
+  /** BPE-ish tokenizer pattern: contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs, whitespace — the GPT-2
+    * shape without lookarounds (Java regex ∩ RE2 common subset). */
+  private val bpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9']+|\\s+"
+
+  /** Token counting with a BPE-ish regex vs plain whitespace — the
+    * pretraining-cost estimator over the corpus. */
+  val d9BpeTokens: Q = Q(
+    "d9_bpe_tokens",
+    "BPE-ish regex token count vs whitespace token count per doc",
+    (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(bpePattern)).cast(LongType).as("n_bpe_tokens"),
+        regexp_count(col("text"), lit("\\S+")).cast(LongType).as("n_ws_tokens")),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '${bpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens
+      FROM documents
+      """))
+
+  /** Multimodal plumbing over the corpus: documents' bytes as opaque
+    * media payloads through the batched decode stage
+    * ([[graft.multimodal.Multimodal]]). No SQL oracle — the driver
+    * records the rows-only check (decode features are engine-side). */
+  val m1MediaFeatures: Q = Q(
+    "m1_media_features",
+    "binary media column -> batched (fake-)decode -> feature vectors",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, d, "documents")
+        .repartition(col("doc_id"))
+        .select(
+          col("doc_id").as("media_id"),
+          lit("image").as("kind"),
+          concat(lit("doc://"), col("doc_id")).as("uri"),
+          encode(col("text"), "UTF-8").as("data"),
+          struct(
+            lit(null).cast(IntegerType).as("width"),
+            lit(null).cast(IntegerType).as("height"),
+            lit(null).cast(LongType).as("duration_ms"),
+            lit("utf8").as("codec")).as("meta"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeFeatures(media)
+        .toDF()
+        .select(
+          col("media_id"), col("n_bytes"),
+          element_at(col("features"), 1).as("f0"),
+          col("ok"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
-    d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash)
+    d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
+    m1MediaFeatures)
 }

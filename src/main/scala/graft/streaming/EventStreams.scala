@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` shape.
+  *
+  * The reference is batch *triggered by* events (S3 `_READY` →
+  * EventBridge → Step Function, ref `infrastructure/main.tf:812-850`;
+  * SURVEY.md §2.9) — its incremental folder reads are exactly the file
+  * source's model, so the same transforms run as a stream with zero
+  * operator changes. These are the streaming analogs of the batch
+  * queries (q21 ↔ [[windowedCounts]]) plus the stateful surface Spark
+  * adds: watermarked tumbling windows and session windows via
+  * `flatMapGroupsWithState`.
+  *
+  * Scale: state is keyed by (window, event_type) / user — bounded by the
+  * watermark horizon, not stream length; the state store shards across
+  * executors with the shuffle partitioning.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionUpdate(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Per-user session accumulator (public: the state encoder's generated
+    * code needs constructor access). */
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** File-source stream over an events directory (schema-locked; the
+    * batch and stream plans are the same operators). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
+    * streaming analog of q21_hourly_events. Append mode: a window only
+    * emits once the watermark passes its end (exactly-once per window). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Event-time sessionization: per-user sessions that close after
+    * `gapMinutes` of inactivity, implemented with
+    * `flatMapGroupsWithState` + event-time timeout. Emits one row per
+    * closed session. State per user is O(1) (start/last/count/sum). */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionUpdate] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionUpdate(
+          userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[SessionUpdate]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
+            case Some(s) =>
+              closed ::= SessionUpdate(
+                userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Run any streaming transform of the events table to completion over
+    * existing files (Trigger.AvailableNow semantics via
+    * processAllAvailable) into an in-memory sink; returns the result. */
+  def runToMemory(
+      spark: SparkSession,
+      streamed: DataFrame,
+      queryName: String): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkMedia(id: Long, kind: String, bytes: Array[Byte],
+      w: Option[Int] = None, h: Option[Int] = None,
+      dur: Option[Long] = None): MediaRow =
+    MediaRow(id, kind, Some(s"mem://$id"), bytes, MediaMeta(w, h, dur, Some("fake")))
+
+  private val media = Seq(
+    mkMedia(1, "image", Array.tabulate(256)(_.toByte), w = Some(1920), h = Some(1080)),
+    mkMedia(2, "image", Array.tabulate(64)(i => (i * 3).toByte), w = Some(640), h = Some(480)),
+    mkMedia(3, "audio", Array.tabulate(1000)(i => (i % 7).toByte), dur = Some(5000L)),
+    mkMedia(4, "video", Array.tabulate(4096)(i => (i % 251).toByte),
+      w = Some(1280), h = Some(720), dur = Some(60000L)),
+    mkMedia(5, "image", Array.emptyByteArray))
+
+  test("decodeFeatures: batched, deterministic, fixed-width, empty payload flagged") {
+    val ds = spark.createDataset(media).repartition(3)
+    val out1 = decodeFeatures(ds, batchSize = 2).collect().sortBy(_.media_id)
+    val out2 = decodeFeatures(ds, batchSize = 64).collect().sortBy(_.media_id)
+    assert(out1.length == 5)
+    assert(out1.forall(_.features.length == 16))
+    // batch size must not affect results (pure per-row semantics)
+    assert(out1.zip(out2).forall { case (a, b) =>
+      a.media_id == b.media_id && a.features.sameElements(b.features) })
+    val empty = out1.find(_.media_id == 5).get
+    assert(!empty.ok && empty.n_bytes == 0)
+    // histogram features are normalized: sum ≈ 1 for non-empty
+    val f1 = out1.find(_.media_id == 1).get
+    assert(math.abs(f1.features.sum - 1.0f) < 1e-5)
+  }
+
+  test("resizePlan preserves aspect ratio and never upscales") {
+    val df = spark.createDataset(media).toDF()
+    val out = resizePlan(df, maxSide = 512)
+      .select(col("media_id"), col("target_width"), col("target_height"))
+      .collect().map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+    assert(out(1L) == ((512, 288)))   // 1920x1080 -> 512x288
+    assert(out(2L) == ((512, 384)))   // 640x480 -> 512x384
+    assert(out(3L) == ((null, null))) // no dims -> null passthrough
+  }
+
+  test("sampleFrames: only video, deterministic evenly-spaced offsets") {
+    val ds = spark.createDataset(media)
+    val frames = sampleFrames(ds, nFrames = 4).collect().sortBy(_.frame_idx)
+    assert(frames.forall(_.media_id == 4L))
+    assert(frames.map(_.offset_ms).toSeq == Seq(0L, 15000L, 30000L, 45000L))
+    assert(frames.map(_.data.length).sum == 4096) // slices cover the payload
+  }
+
+  test("media struct schema round-trips through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    val df = spark.createDataset(media).toDF()
+      .withColumn("media", struct(
+        col("kind"), col("uri"), col("data"),
+        struct(col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"), col("meta.codec").as("codec")).as("meta")))
+      .select(col("media_id"), col("media"))
+    df.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // parquet round-trip loosens nullability; compare the type shape
+    assert(back.schema("media").dataType.catalogString == Multimodal.mediaSchema.catalogString)
+    assert(back.count() == 5)
+  }
+}

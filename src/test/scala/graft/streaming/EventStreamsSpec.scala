@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.streaming.EventStreams.{Event, SessionUpdate}
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed stream over files equals the batch aggregation up to the watermark") {
+    // stage events (with µs timestamps) as a parquet dir for the file source
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    val batch = Tables(spark, sfDir, "events")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val streamed = EventStreams.windowedCounts(EventStreams.readEventStream(spark, dir))
+    val got = EventStreams.runToMemory(spark, streamed, "win_counts")
+
+    // append mode only emits windows whose end <= final watermark
+    val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val watermark = maxTs - 2 * 3600 * 1000L
+    val expected = batch
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .filter(col("w.end").cast("long") * 1000 <= watermark)
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+    assert(got.count() > 0)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
+  test("sessionize closes sessions on inactivity gap and emits on watermark advance") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("sessions").start()
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    try {
+      // user 1: two bursts 90min apart (-> 2 sessions); user 2: one burst
+      input.addData(
+        Event(1, t(0), 1L, "view", 1.0),
+        Event(2, t(10), 1L, "click", 2.0),
+        Event(3, t(100), 1L, "view", 3.0),
+        Event(4, t(5), 2L, "view", 5.0))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past every timeout
+      input.addData(Event(9, t(100000), 3L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10, t(200000), 3L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sessions").as[SessionUpdate].collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.n_events, s.total_value)).toSet
+    // user 1 burst A: events 1,2 (gap 10min); burst B: event 3 (90min later)
+    assert(got.contains((1L, t(0).getTime, 2L, 3.0)))
+    assert(got.contains((1L, t(100).getTime, 1L, 3.0)))
+    assert(got.contains((2L, t(5).getTime, 1L, 5.0)))
+  }
+}
