@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{DotProduct, RollingHash}
+
+/** Spark extension entry point: makes graft's native expressions part of
+  * the session at startup, cluster-wide —
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — so SQL text and
+  * the Column DSL resolve them with no per-session registration call.
+  * (Interactive/test sessions can use [[functions.GraftFunctions.register]]
+  * instead; both routes bind the same expressions.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      exprs => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      exprs => RollingHash(exprs.head)))
+  }
+}

@@ -80,16 +80,22 @@ case class DotProduct(left: Expression, right: Expression)
 /** Session registration for graft's native expressions. */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val RollingHashName = "graft_rolling_hash"
 
   /** Idempotent per-session registration via the function registry —
-    * the expression then resolves in both the Column DSL
-    * ([[dot]] below) and plain SQL text. */
-  def register(spark: SparkSession): Unit =
+    * the expressions then resolve in both the Column DSL and plain SQL
+    * text. (For cluster deploys, [[graft.GraftExtensions]] injects the
+    * same set through spark.sql.extensions.) */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName,
-      { exprs => DotProduct(exprs(0), exprs(1)) },
-      "built-in")
+      DotName, { exprs => DotProduct(exprs(0), exprs(1)) }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      RollingHashName, { exprs => RollingHash(exprs.head) }, "built-in")
+  }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Codegen'd rolling-hash fingerprint (requires [[register]]). */
+  def rollingHash(c: Column): Column = call_function(RollingHashName, c)
 }

@@ -328,8 +328,30 @@ object TextOps {
     },
     None)
 
+  /** Rolling-hash fingerprint (custom codegen'd expression
+    * [[graft.functions.RollingHash]]); engine-portable definition the
+    * oracle reproduces codepoint-by-codepoint. */
+  val d10RollingHash: Q = Q(
+    "d10_rolling_hash",
+    "polynomial rolling-hash fingerprint per document (native expression)",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.GraftFunctions.rollingHash(norm(col("text"))).as("fp"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(length($normSql)),
+                   i -> CAST(unicode(substr($normSql, CAST(i+1 AS INTEGER), 1)) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      FROM documents
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
-    m1MediaFeatures)
+    d10RollingHash, m1MediaFeatures)
 }
