@@ -615,11 +615,48 @@ object Relational {
       ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       """))
 
+  /** Range join without an equi key ([[graft.operators.RangeJoin]]):
+    * bucketed time-proximity self-join — hash join + bounded 3× explode
+    * instead of the nested-loop cartesian the theta join would plan.
+    * The oracle states the naive theta semantics; results are identical. */
+  val q27ProximityPairs: Q = Q(
+    "q27_proximity_pairs",
+    "bucketed range join: event pairs within 30s of each other",
+    (s, d) =>
+      graft.operators.RangeJoin.proximityPairs(
+        t(s, d, "events").repartition(col("event_id")),
+        idCol = "event_id", tsCol = "ts", toleranceMs = 30000L)
+      .select(
+        col("id_a").as("event_a"), col("id_b").as("event_b"), col("delta_ms")),
+    Some("""
+      SELECT a.event_id AS event_a, b.event_id AS event_b,
+             epoch_ms(CAST(b.ts AS TIMESTAMP)) - epoch_ms(CAST(a.ts AS TIMESTAMP)) AS delta_ms
+      FROM events a JOIN events b
+        ON a.event_id < b.event_id
+       AND abs(epoch_ms(CAST(a.ts AS TIMESTAMP)) - epoch_ms(CAST(b.ts AS TIMESTAMP))) <= 30000
+      """))
+
+  /** CUBE grouping sets (all 4 subtotal combinations). */
+  val q28Cube: Q = Q(
+    "q28_cube",
+    "GROUP BY CUBE(returnflag, linestatus)",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), dsumD(col("l_quantity")).as("total_qty")),
+    Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      """))
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q2TopCustomers, q3DailySummary, q4ScalarCounts,
     q5RangeCheck, q6MultiDistinct, q7StatusPivot, q8SupplierRanking,
     q9Distinct, q10RowNumber, q11RankInNation, q12RunningTotal,
     q13SemiJoin, q14AntiJoin, q15FullOuter, q16UnionAll, q17Intersect,
     q18Except, q19RegionRevenue, q20JsonGroup, q21HourlyEvents,
-    q22ScalarExpr, q23TopLineitems, q24CteReport, q25Rollup, q26AsOf)
+    q22ScalarExpr, q23TopLineitems, q24CteReport, q25Rollup, q26AsOf,
+    q27ProximityPairs, q28Cube)
 }
