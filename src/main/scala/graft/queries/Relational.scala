@@ -651,6 +651,68 @@ object Relational {
       GROUP BY CUBE(l_returnflag, l_linestatus)
       """))
 
+  /** Ordered string aggregation (LISTAGG semantics): deterministic via
+    * sort_array over the collected list — collect_list alone is
+    * partition-order-dependent and would never hash-match. */
+  val q29StringAgg: Q = Q(
+    "q29_string_agg",
+    "per-segment ordered string aggregation (LISTAGG)",
+    (s, d) =>
+      t(s, d, "customer")
+        .filter(col("c_custkey") <= 100)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          array_join(sort_array(collect_list(col("c_name"))), ",").as("names")),
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+             string_agg(c_name, ',' ORDER BY c_name) AS names
+      FROM customer WHERE c_custkey <= 100
+      GROUP BY c_mktsegment
+      """))
+
+  /** Array/higher-order-function surface over the embedding column:
+    * element count, strict-fold norm, conditional element count. */
+  val q30ArrayOps: Q = Q(
+    "q30_array_ops",
+    "array HOFs: size, L2 norm via fold, positive-element count",
+    (s, d) => {
+      val v = col("embedding").cast(ArrayType(DoubleType))
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(v).cast(LongType).as("dim"),
+        sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)).as("l2_norm"),
+        filter(v, _ > 0).cast(ArrayType(DoubleType)).alias("__p")).select(
+        col("vec_id"), col("dim"), col("l2_norm"),
+        size(col("__p")).cast(LongType).as("n_positive"))
+    },
+    Some("""
+      SELECT vec_id,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding::DOUBLE[], x -> x * x)), (a, b) -> a + b)) AS l2_norm,
+             CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT) AS n_positive
+      FROM embeddings
+      """))
+
+  /** Two-phase exact distinct count — the skew-safe rewrite: phase 1
+    * dedupes on (key, value) [shuffle spread over the full pair domain],
+    * phase 2 counts per key. Equivalent to COUNT(DISTINCT) but never
+    * concentrates one hot key's values in one task's hash set; this is
+    * the hand-written form of what Catalyst's Expand does for single
+    * distinct aggs, kept explicit as the 100 TB-safe pattern. */
+  val q31TwoPhaseDistinct: Q = Q(
+    "q31_two_phase_distinct",
+    "skew-safe two-phase COUNT(DISTINCT user) per event_type",
+    (s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_distinct_users")),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+      FROM events GROUP BY event_type
+      """))
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q2TopCustomers, q3DailySummary, q4ScalarCounts,
     q5RangeCheck, q6MultiDistinct, q7StatusPivot, q8SupplierRanking,
@@ -658,5 +720,6 @@ object Relational {
     q13SemiJoin, q14AntiJoin, q15FullOuter, q16UnionAll, q17Intersect,
     q18Except, q19RegionRevenue, q20JsonGroup, q21HourlyEvents,
     q22ScalarExpr, q23TopLineitems, q24CteReport, q25Rollup, q26AsOf,
-    q27ProximityPairs, q28Cube)
+    q27ProximityPairs, q28Cube, q29StringAgg, q30ArrayOps,
+    q31TwoPhaseDistinct)
 }
