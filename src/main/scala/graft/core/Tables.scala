@@ -20,9 +20,26 @@ object Tables {
     // to a microsecond timestamp — lossless here (corpus carries no sub-µs
     // components) and identical to DuckDB's ns→µs cast.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events") raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+
+    // The test corpus ships one single-row-group file per table, so the
+    // scan yields ONE input partition and everything upstream of the
+    // first exchange runs on one core. Rebalance only when the scan's
+    // parallelism is far below the session's — with a real multi-file
+    // (100 TB) layout the condition is false and this is a no-op, which
+    // is exactly right: there a blanket repartition would be a needless
+    // full-table shuffle.
+    val scanParts = df.rdd.getNumPartitions
+    val target = spark.sparkContext.defaultParallelism
+    if (factTables(name) && scanParts * 4 < target) df.repartition(target) else df
   }
+
+  /** Tables large enough that downstream compute wants full parallelism;
+    * the dimension tables stay as-scanned (they broadcast anyway, and 32
+    * near-empty tasks per tiny dim would be pure overhead). */
+  private val factTables =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
 }
