@@ -713,6 +713,45 @@ object Relational {
       FROM events GROUP BY event_type
       """))
 
+  /** Deterministic per-key sampling via the [[graft.operators.BottomKSample]]
+    * typed Aggregator: bottom-5 by rolling-hash priority per event_type.
+    * O(k) state per group (map-side partial agg), stable across
+    * partitionings and engines — the oracle draws the same sample. */
+  val q32BottomKSample: Q = Q(
+    "q32_bottomk_sample",
+    "per-key deterministic sample: bottom-5 by hash priority (Aggregator)",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      import graft.operators.{BottomKSample, Prioritized}
+      val prio = graft.functions.GraftFunctions.rollingHash(
+        concat(col("event_id").cast(StringType), lit(":42")))
+      t(s, d, "events")
+        .select(
+          col("event_type"),
+          struct(
+            prio.as("priority"),
+            col("event_id").cast(StringType).as("payload")).as("p"))
+        .as[(String, Prioritized)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new BottomKSample(5).toColumn.name("sample"))
+        .flatMap { case (et, ps) => ps.map(p => (et, p.payload, p.priority)) }
+        .toDF("event_type", "event_id", "priority")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_type, CAST(event_id AS VARCHAR) AS payload,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(length(CAST(event_id AS VARCHAR) || ':42')),
+                   i -> CAST(unicode(substr(CAST(event_id AS VARCHAR) || ':42', CAST(i+1 AS INTEGER), 1)) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS priority
+        FROM events),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY priority, payload) AS rn
+            FROM p)
+      SELECT event_type, payload AS event_id, priority FROM r WHERE rn <= 5
+      """))
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q2TopCustomers, q3DailySummary, q4ScalarCounts,
     q5RangeCheck, q6MultiDistinct, q7StatusPivot, q8SupplierRanking,
@@ -721,5 +760,5 @@ object Relational {
     q18Except, q19RegionRevenue, q20JsonGroup, q21HourlyEvents,
     q22ScalarExpr, q23TopLineitems, q24CteReport, q25Rollup, q26AsOf,
     q27ProximityPairs, q28Cube, q29StringAgg, q30ArrayOps,
-    q31TwoPhaseDistinct)
+    q31TwoPhaseDistinct, q32BottomKSample)
 }
