@@ -42,8 +42,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // nullable even for non-null inputs: a null ELEMENT yields null
+  override def nullable: Boolean =
+    super.nullable || Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
+
   override def prettyName: String = "graft_dot"
 
+  // A null ELEMENT nulls the whole product — matching the composable
+  // `aggregate(zip_with(a,b,_*_), 0d, _+_)` fold, which the optimizer
+  // rule graft.plans.NativeDotRewrite substitutes this expression for.
+  // The per-element null check is a predictable branch; throughput is
+  // unchanged on null-free data.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -51,6 +63,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -66,6 +79,7 @@ case class DotProduct(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;

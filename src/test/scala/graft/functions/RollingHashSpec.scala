@@ -32,22 +32,12 @@ class RollingHashSpec extends SparkSpec {
   }
 
   test("extensions class injects both functions at session build") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    try {
-      // fresh session sharing the context: functions resolve without register()
-      val r = s2.sql(
-        "SELECT graft_rolling_hash('abc') h, graft_dot(array(1d,2d), array(3d,4d)) d")
-        .collect()(0)
-      assert(r.getLong(0) == 96354L && r.getDouble(1) == 11.0)
-    } finally {
-      // do NOT s2.stop(): it would kill the SparkContext shared with
-      // every other suite in this JVM
-      SparkSession.setDefaultSession(spark)
-      SparkSession.setActiveSession(spark)
-    }
+    // fresh session over the shared context (NOT stopped afterwards —
+    // that would kill the context for every other suite in this JVM)
+    val s2 = graft.GraftSessions.withExtensions(spark)
+    val r = s2.sql(
+      "SELECT graft_rolling_hash('abc') h, graft_dot(array(1d,2d), array(3d,4d)) d")
+      .collect()(0)
+    assert(r.getLong(0) == 96354L && r.getDouble(1) == 11.0)
   }
 }
