@@ -28,9 +28,10 @@ object Bench {
       q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
 
     headliners.foreach(q => try run(q) catch { case _: Throwable => () }) // warmup
-    // best-of-2: one timed sample is vulnerable to transient host noise
+    // best-of-3: single samples are hostage to transient host noise
+    // (loadavg spikes >20 observed from outside this JVM)
     val results = headliners.map { q =>
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { run(q); (System.nanoTime() - t0) / 1e9 } catch { case _: Throwable => -1.0 }
       }
