@@ -105,6 +105,28 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-stream interval join: pair each left event with right events
+    * of the same user within `toleranceMinutes` AFTER it. Both sides
+    * watermarked — Spark bounds the join state buffer by the watermark +
+    * interval, so state is O(rate × horizon), not stream length. The
+    * batch analog is q27's bucketed range join. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, toleranceMinutes: Int): DataFrame = {
+    val l = left.select(
+      col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", "2 hours")
+    val r = right.select(
+      col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", "2 hours")
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $toleranceMinutes MINUTES") &&
+        col("l_id") =!= col("r_id"))
+      .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
+        (col("r_ts").cast("long") - col("l_ts").cast("long")).as("delta_s"))
+  }
+
   /** Run any streaming transform of the events table to completion over
     * existing files (Trigger.AvailableNow semantics via
     * processAllAvailable) into an in-memory sink; returns the result. */

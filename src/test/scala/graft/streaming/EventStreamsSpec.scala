@@ -66,4 +66,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((1L, t(100).getTime, 1L, 3.0)))
     assert(got.contains((2L, t(5).getTime, 1L, 5.0)))
   }
+
+  test("stream-stream interval join pairs same-user events within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    val joined = EventStreams.intervalJoin(lIn.toDF(), rIn.toDF(), toleranceMinutes = 10)
+
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("ivjoin").start()
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    try {
+      lIn.addData(
+        Event(1, t(0), 1L, "view", 1.0),
+        Event(2, t(0), 2L, "view", 1.0))
+      rIn.addData(
+        Event(10, t(5), 1L, "click", 1.0),   // within 10min of event 1 (user 1)
+        Event(11, t(30), 1L, "click", 1.0),  // outside window
+        Event(12, t(4), 3L, "click", 1.0))   // different user
+      q.processAllAvailable()
+      // advance both watermarks so results flush (distinct users so the
+      // flush events can't join each other)
+      lIn.addData(Event(98, t(100000), 8L, "view", 0.0))
+      rIn.addData(Event(99, t(100000), 9L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("ivjoin")
+      .select(col("l_id"), col("r_id"), col("delta_s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 300L)))
+  }
 }
