@@ -752,7 +752,35 @@ object Relational {
       SELECT event_type, payload AS event_id, priority FROM r WHERE rn <= 5
       """))
 
+  /** Native session windows (batch): per-user sessions that close after
+    * 30 min of inactivity. Spark's session_window end is EXCLUSIVE — an
+    * event exactly `gap` after the last one opens a new session — so the
+    * oracle's gaps-and-islands break uses `>= gap`. */
+  val q33SessionAgg: Q = Q(
+    "q33_session_agg",
+    "session_window(ts, 30 min) per user: start, size, exact value sum",
+    (s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsumD(col("value")).as("total_value"))
+        .select(
+          col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("total_value")),
+    Some("""
+      WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      m AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_s
+            FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      g AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+      FROM g GROUP BY user_id, sid
+      """))
+
   val all: Seq[Q] = Seq(
+    q33SessionAgg,
     q1PricingSummary, q2TopCustomers, q3DailySummary, q4ScalarCounts,
     q5RangeCheck, q6MultiDistinct, q7StatusPivot, q8SupplierRanking,
     q9Distinct, q10RowNumber, q11RankInNation, q12RunningTotal,
