@@ -779,8 +779,35 @@ object Relational {
       FROM g GROUP BY user_id, sid
       """))
 
+  /** Salted two-stage aggregation ([[graft.operators.SaltedAgg]]): the
+    * skew-safe form of groupBy(hot key).agg — exact decimal math makes
+    * the salted result bit-identical to the plain plan the oracle runs. */
+  val q34SaltedAgg: Q = Q(
+    "q34_salted_agg",
+    "skew-safe salted sum/count per event_type (two-stage agg)",
+    (s, d) =>
+      graft.operators.SaltedAgg.sumCount(
+        t(s, d, "events"), Seq("event_type"), "value")
+        .select(col("event_type"), col("n_rows"), col("total")),
+    Some("""
+      SELECT event_type, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM events GROUP BY event_type
+      """))
+
+  /** Sketch surface: HLL distinct approximation (no oracle — estimator is
+    * engine-specific; accuracy pinned by ApproxSpec instead). */
+  val q35ApproxDistinct: Q = Q(
+    "q35_approx_distinct",
+    "approx_count_distinct (HLL++) per event_type",
+    (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users")),
+    None)
+
   val all: Seq[Q] = Seq(
-    q33SessionAgg,
+    q33SessionAgg, q34SaltedAgg, q35ApproxDistinct,
     q1PricingSummary, q2TopCustomers, q3DailySummary, q4ScalarCounts,
     q5RangeCheck, q6MultiDistinct, q7StatusPivot, q8SupplierRanking,
     q9Distinct, q10RowNumber, q11RankInNation, q12RunningTotal,
