@@ -127,6 +127,24 @@ object EventStreams {
         (col("r_ts").cast("long") - col("l_ts").cast("long")).as("delta_s"))
   }
 
+  /** Continuous Bronze→Silver: stream events into day-partitioned parquet
+    * with a checkpoint. The file sink + checkpoint give exactly-once
+    * delivery across restarts — the streaming form of the reference's
+    * incremental folder batches (`_READY`-triggered reruns can't
+    * double-ingest). */
+  def toPartitionedParquet(
+      events: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("event_day", to_date(col("ts")))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_day")
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .start(outDir)
+
   /** Run any streaming transform of the events table to completion over
     * existing files (Trigger.AvailableNow semantics via
     * processAllAvailable) into an in-memory sink; returns the result. */

@@ -97,4 +97,39 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 10L, 300L)))
   }
+
+  test("parquet file sink with checkpoint: exactly-once across restart") {
+    val inDir = Files.createTempDirectory("graft_ckpt_in").toString
+    val outDir = Files.createTempDirectory("graft_ckpt_out").toString + "/silver"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+
+    val events = Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val total = events.count()
+    val half = events.filter(col("event_id") % 2 === 0)
+
+    // batch 1: half the data, run to completion, stop
+    half.write.mode("overwrite").parquet(s"$inDir/b1")
+    def stream() = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$inDir/*")
+    val q1 = EventStreams.toPartitionedParquet(stream(), outDir, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    val afterB1 = spark.read.parquet(outDir).count()
+    assert(afterB1 == half.count())
+
+    // batch 2 arrives; RESTART from the same checkpoint
+    events.filter(col("event_id") % 2 =!= 0).write.mode("overwrite").parquet(s"$inDir/b2")
+    val q2 = EventStreams.toPartitionedParquet(stream(), outDir, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == total, "restart must pick up only the new batch")
+    assert(out.select("event_id").distinct().count() == total, "no duplicates")
+    // day-partitioned layout on disk
+    val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_ == "_spark_metadata")
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_day=")))
+  }
 }
