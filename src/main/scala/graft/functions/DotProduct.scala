@@ -70,16 +70,33 @@ case class DotProduct(left: Expression, right: Expression)
     acc
   }
 
+  private def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    })
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // When the expression is non-nullable, nullSafeCodeGen replaces
+      // ev.isNull with FalseLiteral and never declares it — referencing it
+      // would fail janino compilation (and silently fall back to the
+      // interpreted path). Only elementsNullable inputs can produce a null
+      // here, and elementsNullable implies nullable, so the guarded branch
+      // below references ev.isNull only when it exists; null-free schemas
+      // also drop the per-element branch from the loop entirely.
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;

@@ -26,9 +26,15 @@ object MinHashDedup {
       .select(col("doc_id"), explode(col("sh")).as("s"))
       // murmur3 → non-negative 31-bit base hash
       .select(col("doc_id"), (hash(col("s")).cast(LongType).bitwiseAND(lit(0x7fffffffL))).as("h"))
+    // (a_i, b_i) drawn from a seeded PRNG — deterministic across runs but
+    // pairwise-independent-looking, so band collision probabilities track
+    // the 1−(1−j^r)^b model. Tiny sequential multipliers (1,3,5,…) would
+    // correlate the permutations (a=1 is the identity) and skew LSH
+    // recall/precision.
+    val rng = new scala.util.Random(0x6d696e68L) // "minh"
     val perms = (0 until numPerm).map { i =>
-      val a = 2L * i + 1 // odd multipliers
-      val b = 7919L * i + 1
+      val a = (math.floorMod(rng.nextLong(), (Prime - 1) / 2)) * 2 + 1 // odd in [1, Prime)
+      val b = math.floorMod(rng.nextLong(), Prime)
       min((col("h") * a + b) % Prime).as(s"m$i")
     }
     hashed.groupBy(col("doc_id")).agg(perms.head, perms.tail: _*)
