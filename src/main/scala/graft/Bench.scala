@@ -28,14 +28,21 @@ object Bench {
       q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
 
     headliners.foreach(q => try run(q) catch { case _: Throwable => () }) // warmup
-    // best-of-3: single samples are hostage to transient host noise
-    // (loadavg spikes >20 observed from outside this JVM)
-    val results = headliners.map { q =>
-      val samples = (1 to 3).map { _ =>
+    // Best-of-3, sampled round-robin ACROSS queries: this host shares CPU
+    // with external load (observed loadavg spikes >20, minutes long), so
+    // three back-to-back samples of one query can all land inside a noise
+    // window — round 1 recorded 29.9s for a query that runs in 1.3s warm.
+    // Interleaving means a noise window inflates one full pass, and the
+    // per-query min is taken across passes spread over the whole run.
+    val samples = (1 to 3).map { _ =>
+      headliners.map { q =>
         val t0 = System.nanoTime()
         try { run(q); (System.nanoTime() - t0) / 1e9 } catch { case _: Throwable => -1.0 }
       }
-      q.name -> (if (samples.forall(_ < 0)) -1.0 else samples.filter(_ >= 0).min)
+    }
+    val results = headliners.zipWithIndex.map { case (q, i) =>
+      val qs = samples.map(_(i)).filter(_ >= 0)
+      q.name -> (if (qs.isEmpty) -1.0 else qs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

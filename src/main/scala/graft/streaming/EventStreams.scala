@@ -35,6 +35,11 @@ object EventStreams {
     * code needs constructor access). */
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
+  /** All live (not-yet-watermark-closed) sessions of one user, disjoint
+    * intervals. Plural because out-of-order arrival within the watermark
+    * horizon can keep several open sessions per key at once. */
+  final case class SessionBuffer(sessions: Seq[SessionState])
+
   /** File-source stream over an events directory (schema-locked; the
     * batch and stream plans are the same operators). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
@@ -56,46 +61,61 @@ object EventStreams {
 
   /** Event-time sessionization: per-user sessions that close after
     * `gapMinutes` of inactivity, implemented with
-    * `flatMapGroupsWithState` + event-time timeout. Emits one row per
-    * closed session. State per user is O(1) (start/last/count/sum). */
+    * `flatMapGroupsWithState` + event-time timeout.
+    *
+    * Robust to out-of-order arrival within the watermark horizon: state is
+    * a set of disjoint session intervals per user, and each event merges
+    * every session it touches (an early-arriving event extends
+    * session_start backwards; a late bridge event fuses two sessions into
+    * one). A session is emitted ONLY once the watermark passes
+    * `last + gap` — at that point no admissible event can still merge with
+    * it, so emission is final (append-mode safe). Eager emission on a
+    * newer event would be wrong: a late bridge inside the allowed lateness
+    * could retroactively extend the "closed" session.
+    *
+    * Gap boundary matches batch `session_window` (q33): the end is
+    * exclusive, an event exactly `gap` after the last one opens a NEW
+    * session. That exclusivity is also what makes watermark-close final:
+    * events with ts ≥ watermark ≥ last+gap cannot merge.
+    *
+    * State per user is O(sessions in the watermark horizon), each O(1) —
+    * bounded by lateness horizon / gap, not stream length. */
   def sessionize(
       events: Dataset[Event],
       gapMinutes: Int = 30): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
 
+    // Merge one event into the disjoint session set: absorb every session
+    // whose gap-extended OPEN interval (start-gap, last+gap) contains t.
+    // Interval-union is order-independent, so arrival order never matters.
+    def absorb(sessions: List[SessionState], t: Long, v: Double): List[SessionState] = {
+      val (touch, rest) = sessions.partition(s => t > s.start - gapMs && t < s.last + gapMs)
+      val merged = SessionState(
+        start = (t :: touch.map(_.start)).min,
+        last = (t :: touch.map(_.last)).max,
+        n = touch.map(_.n).sum + 1,
+        total = touch.map(_.total).sum + v)
+      merged :: rest
+    }
+
     def update(
         userId: Long,
         rows: Iterator[Event],
-        state: GroupState[SessionState]): Iterator[SessionUpdate] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator(SessionUpdate(
-          userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
-      } else {
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
-        var closed = List.empty[SessionUpdate]
-        var cur = state.getOption
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t - s.last <= gapMs =>
-              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
-            case Some(s) =>
-              closed ::= SessionUpdate(
-                userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
-        }
-        closed.reverseIterator
-      }
+        state: GroupState[SessionBuffer]): Iterator[SessionUpdate] = {
+      var sessions = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+      rows.foreach(e => sessions = absorb(sessions, e.ts.getTime, e.value))
+
+      val wm = state.getCurrentWatermarkMs()
+      val (due, live) = sessions.partition(_.last + gapMs <= wm)
+      if (live.nonEmpty) {
+        state.update(SessionBuffer(live))
+        // next closure candidate; must stay strictly above the watermark
+        state.setTimeoutTimestamp(math.max(live.map(_.last + gapMs).min, wm + 1))
+      } else state.remove()
+
+      due.sortBy(_.start).iterator.map(s =>
+        SessionUpdate(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
     }
 
     events

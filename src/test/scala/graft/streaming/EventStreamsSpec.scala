@@ -67,6 +67,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.contains((2L, t(5).getTime, 1L, 5.0)))
   }
 
+  test("sessionize merges out-of-order and bridging events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("sessions_ooo").start()
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    try {
+      // batch 1 — user 1: two bursts 50min apart (would be 2 sessions);
+      // user 2: one event at t(5)
+      input.addData(
+        Event(1, t(0), 1L, "view", 1.0),
+        Event(2, t(50), 1L, "view", 2.0),
+        Event(3, t(5), 2L, "view", 5.0))
+      q.processAllAvailable()
+      // batch 2 — LATE arrivals (watermark still far behind):
+      // a bridge at t(25) (25min to both bursts, < gap) fuses user 1's
+      // two sessions into one;
+      // an earlier event at t(-10) extends user 2's session_start backwards
+      input.addData(
+        Event(4, t(25), 1L, "view", 4.0),
+        Event(5, t(-10), 2L, "view", 7.0))
+      q.processAllAvailable()
+      // flush: push the watermark past every timeout
+      input.addData(Event(9, t(100000), 3L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10, t(200000), 3L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sessions_ooo").as[SessionUpdate].collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events, s.total_value)).toSet
+    // user 1: ONE fused session t(0)..t(50) with all 3 events
+    assert(got.contains((1L, t(0).getTime, t(50).getTime, 3L, 7.0)))
+    // user 2: start moved back to the late-but-earlier event
+    assert(got.contains((2L, t(-10).getTime, t(5).getTime, 2L, 12.0)))
+    assert(!got.exists(s => s._1 == 1L && s._4 < 3L), "no eagerly-closed partial session for user 1")
+  }
+
   test("stream-stream interval join pairs same-user events within the window") {
     implicit val sqlCtx = spark.sqlContext
     val lIn = MemoryStream[Event]
