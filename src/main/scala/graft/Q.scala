@@ -19,7 +19,8 @@ final case class Q(
 /** All queries the engine declares, from every module. */
 object Registry {
   lazy val all: Seq[Q] =
-    queries.Relational.all ++ queries.TextOps.all ++ queries.SimilarityOps.all
+    queries.Relational.all ++ queries.Relational2.all ++
+      queries.TextOps.all ++ queries.SimilarityOps.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

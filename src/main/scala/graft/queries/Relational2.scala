@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.core.{Num, Tables}
+
+/** Second wave of relational surface (round 2): exact percentiles,
+  * correlated subqueries, lateral explode, PIVOT, the distribution
+  * window functions (ntile / percent_rank / cume_dist / first / last /
+  * nth), explicit GROUPING SETS, datetime scalars, struct-max argmax,
+  * null-handling scalars, histogram bucketing, regex/string scalars,
+  * and multiset (ALL) set operations.
+  *
+  * Everything here follows the same determinism contract as
+  * [[Relational]]: exact decimal sums ([[graft.core.Num]]), unique-key
+  * tie-breaks on every window order, BIGINT casts on derived ints, and
+  * column names aliased identically in both engines.
+  *
+  * Reference anchors: the ranking/report shapes extend
+  * `qa/validate_data_fast.py:119-171` and `sql/ddl_gold.sql:22-62`
+  * (PauloZapata/logicash-etl); the rest is beyond-parity breadth over
+  * the driver corpus.
+  */
+object Relational2 {
+  import Num._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Exact interpolating percentiles per group (no approx sketch): both
+    * engines use the linear-interpolation definition at p·(n−1), and the
+    * quantity domain is small integers-as-doubles, so the interpolated
+    * values are exact in binary and hash-match bitwise. */
+  val q36Percentiles: Q = Q(
+    "q36_percentiles",
+    "exact p25/p50/p75 per returnflag (interpolating percentile agg)",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75_qty"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50_price"),
+          count(lit(1)).as("n_items")),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS p25_qty,
+             quantile_cont(l_quantity, 0.5)  AS p50_qty,
+             quantile_cont(l_quantity, 0.75) AS p75_qty,
+             quantile_cont(l_extendedprice, 0.5) AS p50_price,
+             COUNT(*) AS n_items
+      FROM lineitem
+      GROUP BY l_returnflag
+      """))
+
+  /** Correlated scalar subquery — the SAME SQL text runs on Spark (which
+    * decorrelates it into a join under the hood) and DuckDB. The inner
+    * mean is an exact decimal sum / count, so the `>` boundary is
+    * identical in both engines. */
+  private val q37Sql = """
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+                         FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+      """
+
+  val q37CorrelatedSubquery: Q = Q(
+    "q37_correlated_subquery",
+    "correlated scalar subquery (customers above their nation's mean)",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql(q37Sql)
+    },
+    Some(q37Sql))
+
+  /** Lateral explode of split text (flatten + re-aggregate): word
+    * frequencies over the documents corpus. Same tokenizer both sides
+    * (single-space split, empties dropped by the length filter). */
+  val q38WordExplode: Q = Q(
+    "q38_word_explode",
+    "explode(split(text)) -> word frequency (HAVING count >= 3)",
+    (s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 5)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") >= 3),
+    Some("""
+      SELECT word, COUNT(*) AS n_occurrences
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) >= 5
+      GROUP BY word
+      HAVING COUNT(*) >= 3
+      """))
+
+  /** Relational PIVOT (explicit value list — the scale-safe form: no
+    * extra distinct-values job, stable output schema). Ref analog: the
+    * pivoted daily balance at `sql/ddl_gold.sql:37-47`. */
+  val q39Pivot: Q = Q(
+    "q39_pivot",
+    "groupBy().pivot(status, [F,O,P]).count with explicit values",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p")),
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      FROM orders
+      GROUP BY o_orderpriority
+      """))
+
+  /** Distribution window functions: NTILE / PERCENT_RANK / CUME_DIST
+    * (default frame) and FIRST/LAST/NTH value over the full-partition
+    * frame — last/nth NEED the explicit unbounded-following frame; the
+    * default running frame would return the current row instead. */
+  val q40WindowSuite: Q = Q(
+    "q40_window_suite",
+    "ntile/percent_rank/cume_dist + first/last/nth over full frame",
+    (s, d) => {
+      val w1 = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      val w2 = w1.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "customer").select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w1).cast(LongType).as("quartile"),
+        percent_rank().over(w1).as("pct_rank"),
+        cume_dist().over(w1).as("cume"),
+        first(col("c_custkey")).over(w2).as("richest_cust"),
+        last(col("c_custkey")).over(w2).as("poorest_cust"),
+        nth_value(col("c_custkey"), 3).over(w2).as("third_cust"))
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(NTILE(4) OVER w1 AS BIGINT) AS quartile,
+             PERCENT_RANK() OVER w1 AS pct_rank,
+             CUME_DIST() OVER w1 AS cume,
+             FIRST_VALUE(c_custkey) OVER w2 AS richest_cust,
+             LAST_VALUE(c_custkey) OVER w2 AS poorest_cust,
+             NTH_VALUE(c_custkey, 3) OVER w2 AS third_cust
+      FROM customer
+      WINDOW w1 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+             w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      """))
+
+  /** Explicit GROUPING SETS (beyond q25's ROLLUP / q28's CUBE): a
+    * hand-picked set list incl. the grand total, with GROUPING() markers
+    * to disambiguate real NULL groups from subtotal rows. Same SQL text
+    * on both engines. */
+  private val q41Sql = """
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+      """
+
+  val q41GroupingSets: Q = Q(
+    "q41_grouping_sets",
+    "explicit GROUPING SETS with GROUPING() subtotal markers",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(q41Sql)
+    },
+    Some(q41Sql))
+
+  /** Datetime scalar surface: dow/doy/week/quarter extraction, last_day,
+    * month truncation, date offset arithmetic, day difference to a fixed
+    * pin. DuckDB's dayofweek is 0=Sunday vs Spark's 1=Sunday — the
+    * oracle shifts by one to align. */
+  val q42DatetimeScalars: Q = Q(
+    "q42_datetime_scalars",
+    "dayofweek/doy/week/quarter, last_day, trunc month, date_add, datediff",
+    (s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        dayofweek(col("o_orderdate")).cast(LongType).as("dow"),
+        dayofyear(col("o_orderdate")).cast(LongType).as("doy"),
+        weekofyear(col("o_orderdate")).cast(LongType).as("iso_week"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+        last_day(col("o_orderdate")).as("month_end"),
+        trunc(col("o_orderdate"), "month").as("month_start"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        datediff(lit("1998-01-01").cast(DateType), to_date(col("o_orderdate")))
+          .cast(LongType).as("days_to_98")),
+    Some("""
+      SELECT o_orderkey,
+             CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+             CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+             CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+             CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+             CAST(o_orderdate AS DATE) + 30 AS due_date,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+      FROM orders
+      """))
+
+  /** Deterministic argmax via struct-max: latest order per customer in
+    * ONE ordinary max aggregate (map-side partial agg, no window shuffle
+    * + sort) — the scale-preferred form of the q26/q43 "latest row"
+    * pattern. Lexicographic (date, orderkey) max is total because
+    * orderkey is unique. */
+  val q43ArgmaxStruct: Q = Q(
+    "q43_latest_order_argmax",
+    "argmax via max(struct(date, key, price)) — one-pass latest-row",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(
+          to_date(col("o_orderdate")).as("d"),
+          col("o_orderkey").as("k"),
+          col("o_totalprice").as("p"))).as("m"))
+        .select(
+          col("o_custkey"),
+          col("m.d").as("last_order_date"),
+          col("m.k").as("last_order_key"),
+          col("m.p").as("last_price")),
+    Some("""
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS last_order_date,
+             o_orderkey AS last_order_key,
+             o_totalprice AS last_price
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                         ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+            FROM orders)
+      WHERE rn = 1
+      """))
+
+  /** Null-handling scalar surface over the events table (user_id and
+    * props carry injected NULLs): COALESCE, NULLIF, NVL2-style presence
+    * flag, GREATEST/LEAST. */
+  val q44NullScalars: Q = Q(
+    "q44_null_scalars",
+    "coalesce/nullif/presence-flag/greatest/least over nullable columns",
+    (s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        coalesce(col("user_id"), lit(-1L)).as("user_or_default"),
+        expr("nullif(event_type, 'click')").as("type_unless_click"),
+        when(col("props").isNotNull, 1L).otherwise(0L).as("has_props"),
+        greatest(col("value"), lit(0.5)).as("value_floor"),
+        least(col("value"), lit(0.5)).as("value_cap")),
+    Some("""
+      SELECT event_id,
+             COALESCE(user_id, -1) AS user_or_default,
+             NULLIF(event_type, 'click') AS type_unless_click,
+             CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END AS has_props,
+             GREATEST(value, 0.5) AS value_floor,
+             LEAST(value, 0.5) AS value_cap
+      FROM events
+      """))
+
+  /** Fixed-width histogram bucketing (floor division — exact on doubles,
+    * no boundary drift): order count + price range per 50k bucket. */
+  val q45Histogram: Q = Q(
+    "q45_histogram",
+    "fixed-width price histogram via floor(price/50000)",
+    (s, d) =>
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast(LongType).as("price_bin"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("bin_min"),
+          max(col("o_totalprice")).as("bin_max")),
+    Some("""
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bin,
+             COUNT(*) AS n_orders,
+             MIN(o_totalprice) AS bin_min,
+             MAX(o_totalprice) AS bin_max
+      FROM orders
+      GROUP BY 1
+      """))
+
+  /** Regex + string scalar surface: group extraction, global
+    * replacement (Spark replaces all matches by default; DuckDB needs
+    * the 'g' flag), position, padding, char translation, split-part. */
+  val q46RegexStrings: Q = Q(
+    "q46_regex_strings",
+    "regexp_extract/replace, instr, lpad, translate, substring_index",
+    (s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"),
+        instr(col("p_name"), "a").cast(LongType).as("first_a"),
+        lpad(col("p_brand"), 12, "_").as("brand_padded"),
+        translate(col("p_type"), " ", "_").as("type_snake"),
+        substring_index(col("p_type"), " ", 1).as("type_head")),
+    Some("""
+      SELECT p_partkey,
+             regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+             regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+             CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+             lpad(p_brand, 12, '_') AS brand_padded,
+             replace(p_type, ' ', '_') AS type_snake,
+             string_split(p_type, ' ')[1] AS type_head
+      FROM part
+      """))
+
+  /** Multiset set operations (ALL variants — bag semantics, duplicates
+    * preserved; q17/q18 cover the DISTINCT forms). */
+  val q47IntersectAll: Q = Q(
+    "q47_intersect_all",
+    "INTERSECT ALL (bag semantics) of nation-key multisets",
+    (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersectAll(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+      """))
+
+  val q48ExceptAll: Q = Q(
+    "q48_except_all",
+    "EXCEPT ALL (bag semantics) of nation-key multisets",
+    (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+      """))
+
+  val all: Seq[Q] = Seq(
+    q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
+    q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
+    q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
+    q48ExceptAll)
+}
