@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions
+
+/** IVF (inverted-file) coarse quantizer for ANN search: a deterministic
+  * Lloyd's k-means over the embedding corpus, built entirely from
+  * DataFrame ops.
+  *
+  * Design for scale (the point of IVF at 100 TB):
+  *   - centroids are O(k·dim) — vanishingly small next to the corpus —
+  *     so each refined centroid set is collected once and re-broadcast;
+  *     the corpus itself is only ever scanned, never collected (same
+  *     collect-tiny/broadcast pattern MLlib's KMeans uses). Collecting
+  *     also keeps the plan flat: k iterations chain k scans, not a
+  *     k-deep recursive lineage.
+  *   - assignment is corpus ⨯ broadcast(centroids) with a map-side
+  *     `min(struct(d2, cid))` argmin — one partial-aggregated shuffle by
+  *     vec_id, no window sort over the corpus.
+  *   - centroid update is posexplode → exact-decimal per-(cell, dim)
+  *     mean — order-independent, so results are identical on any
+  *     partitioning (and to the DuckDB oracle).
+  *
+  * Determinism contract (shared with the oracle SQL): seeds are
+  * `vec_id < k`; squared distance is `dot(v,v) + dot(c,c) − 2·dot(v,c)`
+  * with the strict-fold dot product on both engines (bit-identical);
+  * argmin ties break on cell id; means are exact decimal sums / count.
+  */
+object IvfIndex {
+
+  private def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
+
+  /** Squared L2 distance with a fixed expression shape — the same tree
+    * `(dot(v,v) + dot(c,c)) − 2·dot(v,c)` is evaluated by DuckDB, so the
+    * doubles round identically. */
+  def dist2(v: Column, c: Column): Column =
+    dot(v, v) + dot(c, c) - lit(2) * dot(v, c)
+
+  /** Nearest-centroid assignment: (vec_id, cid). Broadcast the (tiny)
+    * centroid set; argmin via `min(struct(d2, cid))` — partial-aggregable,
+    * deterministic (cid tie-break). */
+  def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cid"), dist2(col("v"), col("cv")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+
+  /** `iters` Lloyd refinements from the deterministic seed set
+    * (vec_id < k). Returns the final centroids (cid, cv). */
+  def centroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var cent = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+    (1 to iters).foreach { _ =>
+      val updated = assign(vecs, cent)
+        .join(vecs, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(38, 8))).cast(DoubleType) / count(lit(1)))
+          .as("mu"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("mu")))),
+          _.getField("mu")).as("cv"))
+      // k·dim doubles — collect the tiny centroid set and rebuild a local
+      // relation so iteration i+1 broadcasts data, not a deeper plan
+      val rows = updated.select(col("cid"), col("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      cent = rows.toSeq.toDF("cid", "cv")
+    }
+    cent
+  }
+}

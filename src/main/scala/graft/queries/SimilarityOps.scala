@@ -238,6 +238,110 @@ object SimilarityOps {
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
       """))
 
+  // ---- IVF (inverted-file) ANN — the k-means scale path beside sign-LSH ----
+
+  /** The oracle replicates [[graft.operators.IvfIndex]] exactly: seeds =
+    * vec_id < 16, two unrolled Lloyd iterations, strict-fold dot products,
+    * exact-decimal centroid means, (d2, cid) argmin tie-break. */
+  private val ivfOracleCtes = """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM v WHERE vec_id < 16),
+      a0 AS (SELECT v.vec_id AS vec_id, c0.cid AS cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                      list_dot_product(v.v, v.v) + list_dot_product(c0.cv, c0.cv)
+                        - 2 * list_dot_product(v.v, c0.cv), c0.cid) AS rn
+             FROM v, c0),
+      s0 AS (SELECT vec_id, cid FROM a0 WHERE rn = 1),
+      m0 AS (SELECT s0.cid AS cid, t.i AS pos,
+                    CAST(SUM(CAST(v.v[CAST(t.i + 1 AS INTEGER)] AS DECIMAL(38,8))) AS DOUBLE)
+                      / COUNT(*) AS mu
+             FROM s0 JOIN v USING (vec_id), range(64) t(i)
+             GROUP BY 1, 2),
+      c1 AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM m0 GROUP BY cid),
+      a1 AS (SELECT v.vec_id AS vec_id, c1.cid AS cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                      list_dot_product(v.v, v.v) + list_dot_product(c1.cv, c1.cv)
+                        - 2 * list_dot_product(v.v, c1.cv), c1.cid) AS rn
+             FROM v, c1),
+      s1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+      m1 AS (SELECT s1.cid AS cid, t.i AS pos,
+                    CAST(SUM(CAST(v.v[CAST(t.i + 1 AS INTEGER)] AS DECIMAL(38,8))) AS DOUBLE)
+                      / COUNT(*) AS mu
+             FROM s1 JOIN v USING (vec_id), range(64) t(i)
+             GROUP BY 1, 2),
+      c2 AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+      a2 AS (SELECT v.vec_id AS vec_id, c2.cid AS cid,
+                    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                      list_dot_product(v.v, v.v) + list_dot_product(c2.cv, c2.cv)
+                        - 2 * list_dot_product(v.v, c2.cv), c2.cid) AS rn
+             FROM v, c2),
+      s2 AS (SELECT vec_id, cid FROM a2 WHERE rn = 1)"""
+
+  private def ivfParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val vecs = emb(s, d).select(col("vec_id"), col("v"))
+    val cent = graft.operators.IvfIndex.centroids(vecs, k = 16, iters = 2)
+    (vecs, cent)
+  }
+
+  /** IVF index build: per-cell histogram of the final assignment. */
+  val s7IvfCells: Q = Q(
+    "s7_ivf_cells",
+    "IVF coarse quantizer (k=16, 2 Lloyd iters): cell occupancy",
+    (s, d) => {
+      val (vecs, cent) = ivfParts(s, d)
+      graft.operators.IvfIndex.assign(vecs, cent)
+        .groupBy(col("cid").as("cell"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
+        .select(col("cell"), col("n_vectors"), col("min_vec"))
+    },
+    Some(ivfOracleCtes + """
+      SELECT cid AS cell, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec
+      FROM s2 GROUP BY cid
+      """))
+
+  /** IVF ANN query: probe the nprobe=2 nearest cells, exact cosine top-5
+    * within them — the corpus outside the probed cells is never touched
+    * (at 100 TB the assignment is a cell-partitioned table and the probe
+    * reads 2 partitions). */
+  val s8IvfQuery: Q = Q(
+    "s8_ivf_query",
+    "IVF ANN: probe 2 nearest cells, exact cosine top-5 within",
+    (s, d) => {
+      val (vecs, cent) = ivfParts(s, d)
+      val qv = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val nearCells = cent.crossJoin(broadcast(qv))
+        .select(col("cid"), graft.operators.IvfIndex.dist2(col("qv"), col("cv")).as("d2"))
+        .orderBy(col("d2"), col("cid"))
+        .limit(2)
+        .select(col("cid"))
+      graft.operators.IvfIndex.assign(vecs, cent)
+        .join(broadcast(nearCells), Seq("cid"))
+        .filter(col("vec_id") =!= 0)
+        .join(vecs, Seq("vec_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(5)
+    },
+    Some(ivfOracleCtes + """,
+      qv AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+      nc AS (SELECT c2.cid AS cid
+             FROM c2, qv
+             ORDER BY list_dot_product(qv.qv, qv.qv) + list_dot_product(c2.cv, c2.cv)
+                        - 2 * list_dot_product(qv.qv, c2.cv), c2.cid
+             LIMIT 2)
+      SELECT e.vec_id AS vec_id,
+             list_dot_product(e.v, qv.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.qv, qv.qv))) AS sim
+      FROM s2 JOIN nc ON s2.cid = nc.cid
+        JOIN v e ON e.vec_id = s2.vec_id
+        CROSS JOIN qv
+      WHERE e.vec_id <> 0
+      ORDER BY sim DESC, vec_id
+      LIMIT 5
+      """))
+
   val all: Seq[Q] = Seq(
-    s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids, s6EmbedNearDup)
+    s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
+    s6EmbedNearDup, s7IvfCells, s8IvfQuery)
 }

@@ -125,6 +125,23 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming exact dedup — the streaming form of the batch d1
+    * operator for a continuously-ingesting pipeline. Emits the first
+    * arrival of each key immediately (append mode) and suppresses
+    * re-arrivals; `dropDuplicatesWithinWatermark` bounds the seen-keys
+    * state store by the watermark horizon instead of stream length
+    * (plain dropDuplicates on a stream would accumulate state forever).
+    * Duplicates farther apart than the lateness horizon are beyond any
+    * watermarked operator's contract — dedupe those in a batch
+    * compaction pass (d1). */
+  def dedupStream(
+      events: DataFrame,
+      idCols: Seq[String] = Seq("event_id"),
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Stream-stream interval join: pair each left event with right events
     * of the same user within `toleranceMinutes` AFTER it. Both sides
     * watermarked — Spark bounds the join state buffer by the watermark +

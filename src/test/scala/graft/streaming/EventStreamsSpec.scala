@@ -108,6 +108,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(!got.exists(s => s._1 == 1L && s._4 < 3L), "no eagerly-closed partial session for user 1")
   }
 
+  test("streaming dedup emits each key once, suppressing dups across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = EventStreams.dedupStream(input.toDF())
+
+    val q = deduped.writeStream
+      .outputMode("append").format("memory").queryName("dedup_stream").start()
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    try {
+      // batch 1: event 1 twice (same batch), event 2 once
+      input.addData(
+        Event(1, t(0), 1L, "view", 1.0),
+        Event(1, t(0), 1L, "view", 1.0),
+        Event(2, t(5), 2L, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: event 1 AGAIN (cross-batch dup, within watermark) + fresh event 3
+      input.addData(
+        Event(1, t(0), 1L, "view", 1.0),
+        Event(3, t(10), 3L, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L), s"each key exactly once, got $ids")
+  }
+
   test("stream-stream interval join pairs same-user events within the window") {
     implicit val sqlCtx = spark.sqlContext
     val lIn = MemoryStream[Event]
