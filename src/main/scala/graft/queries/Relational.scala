@@ -613,7 +613,8 @@ object Relational {
              o.o_orderkey AS last_order_key, o.o_totalprice AS last_order_total
       FROM events e
       ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-      """))
+      """),
+    headline = true)
 
   /** Range join without an equi key ([[graft.operators.RangeJoin]]):
     * bucketed time-proximity self-join — hash join + bounded 3× explode
@@ -777,7 +778,8 @@ object Relational {
       SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
       FROM g GROUP BY user_id, sid
-      """))
+      """),
+    headline = true)
 
   /** Salted two-stage aggregation ([[graft.operators.SaltedAgg]]): the
     * skew-safe form of groupBy(hot key).agg — exact decimal math makes

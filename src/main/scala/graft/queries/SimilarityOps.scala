@@ -236,7 +236,8 @@ object SimilarityOps {
       FROM wv a JOIN wv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
-      """))
+      """),
+    headline = true)
 
   // ---- IVF (inverted-file) ANN — the k-means scale path beside sign-LSH ----
 

@@ -262,7 +262,8 @@ object TextOps {
     "d7_minhash_lsh",
     "MinHash signatures + LSH banding → near-dup candidate pairs",
     (s, d) => MinHashDedup.candidatePairs(shingles(t(s, d, "documents"))),
-    None)
+    None,
+    headline = true)
 
   /** SimHash 64-bit signatures (no SQL oracle: xxhash64-based). */
   val d8SimHash: Q = Q(
