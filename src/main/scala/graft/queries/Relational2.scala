@@ -341,9 +341,28 @@ object Relational2 {
       SELECT s_nationkey AS nationkey FROM supplier
       """))
 
+  /** Skew-safe salted equi-join ([[graft.operators.SaltedJoin]]): the
+    * hot-key-proof form of the shuffle join — bag-identical to the plain
+    * join the oracle runs. */
+  val q49SaltedJoin: Q = Q(
+    "q49_salted_join",
+    "salted equi-join events⋈customer (skew-safe, 8 salts)",
+    (s, d) =>
+      graft.operators.SaltedJoin.inner(
+        t(s, d, "events").select(col("event_id"), col("user_id"), col("value")),
+        t(s, d, "customer").select(
+          col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment")),
+        keys = Seq("user_id"), salts = 8)
+        .select(col("event_id"), col("user_id"), col("c_name"), col("value")),
+    Some("""
+      SELECT e.event_id AS event_id, e.user_id AS user_id,
+             c.c_name AS c_name, e.value AS value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
-    q48ExceptAll)
+    q48ExceptAll, q49SaltedJoin)
 }
