@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -351,8 +352,57 @@ object TextOps {
       FROM documents
       """))
 
+  /** TF-IDF term ranking, integer-rational scoring: score =
+    * (tf · N) / df — deliberately NOT log-damped, because ln() is not
+    * bit-reproducible across libm implementations and the raw rational
+    * ranks terms identically for a fixed corpus. tf/df are plain count
+    * aggs (one shuffle each); the doc-count scalar broadcasts. Top-3
+    * terms per doc by (score, term) tie-break.
+    * At 100 TB: df is the heavy side (vocabulary-wide agg) — it stays a
+    * shuffle join on term; never broadcast the vocabulary. */
+  val d11TfIdf: Q = Q(
+    "d11_tfidf",
+    "TF-IDF top-3 terms per document (rational score, log-free)",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val terms = docs
+        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
+        .filter(length(col("term")) >= 3)
+      val tfs = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfs = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), col("term"))
+      tfs.join(dfs, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n_docs")) / col("df"))
+        .withColumn("rank_pos", row_number().over(w).cast(LongType))
+        .filter(col("rank_pos") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rank_pos"))
+    },
+    Some(s"""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+        FROM documents),
+      t2 AS (SELECT doc_id, term FROM terms WHERE length(term) >= 3),
+      tfs AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+      dfs AS (SELECT term, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, term FROM t2) GROUP BY 1),
+      n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      sc AS (SELECT tfs.doc_id AS doc_id, tfs.term AS term, tfs.tf AS tf,
+                    dfs.df AS df, (tfs.tf * n.n_docs) / dfs.df AS score
+             FROM tfs JOIN dfs USING (term), n),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term) AS rn
+            FROM sc)
+      SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rank_pos
+      FROM r WHERE rn <= 3
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
-    d10RollingHash, m1MediaFeatures)
+    d10RollingHash, d11TfIdf, m1MediaFeatures)
 }

@@ -25,13 +25,25 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val q = Registry.byName(name)
-    val df = q.build(spark, sfDir)
-    if (explain) df.explain("formatted")
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime()
-      df.write.mode("overwrite").format("noop").save()
-      println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    // "ALL" sweeps every registered query once (warm, after one untimed
+    // build+run) and flags the slow tail — the per-round pathology scan.
+    val targets =
+      if (name == "ALL") Registry.all.map(_.name) else Seq(name)
+    targets.foreach { n =>
+      val q = Registry.byName(n)
+      try {
+        val df = q.build(spark, sfDir)
+        if (explain) df.explain("formatted")
+        val runs = if (name == "ALL") 2 else 3
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probe] $n best: ${times.min}%.2fs  (${times.map(t => f"$t%.2f").mkString(", ")})")
+      } catch {
+        case e: Throwable => println(s"[probe] $n FAILED: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
