@@ -164,6 +164,21 @@ object EventStreams {
         (col("r_ts").cast("long") - col("l_ts").cast("long")).as("delta_s"))
   }
 
+  /** Stream-static enrichment join: every micro-batch of the stream
+    * joins the static dimension — stateless (no watermark needed; the
+    * static side is re-planned per batch, so dim updates between
+    * batches are picked up). With a small dim Catalyst broadcasts it,
+    * i.e. the streaming form of the reference's fact ⟕ broadcast(dim)
+    * join (`glue_jobs/etl_job.py:68-71`). */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey), "left")
+
   /** Continuous Bronze→Silver: stream events into day-partitioned parquet
     * with a checkpoint. The file sink + checkpoint give exactly-once
     * delivery across restarts — the streaming form of the reference's

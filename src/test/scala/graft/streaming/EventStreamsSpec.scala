@@ -166,6 +166,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 300L)))
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    val dir = Files.createTempDirectory("graft_enrich_in").toString
+    val events = Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir)
+    val dim = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(dir)
+    val enriched = EventStreams.enrichWithDim(stream, dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("c_name"))
+    val got = EventStreams.runToMemory(spark, enriched, "enriched")
+
+    val expected = events.join(dim, events("user_id") === dim("c_custkey"), "left")
+      .select(col("event_id"), col("c_name"))
+    assert(got.count() == events.count(), "left join keeps every event")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("parquet file sink with checkpoint: exactly-once across restart") {
     val inDir = Files.createTempDirectory("graft_ckpt_in").toString
     val outDir = Files.createTempDirectory("graft_ckpt_out").toString + "/silver"
