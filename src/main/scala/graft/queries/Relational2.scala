@@ -360,9 +360,30 @@ object Relational2 {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       """))
 
+  /** UNPIVOT / melt (the inverse of q39's PIVOT): wide measure columns
+    * to long (metric, value) rows — Spark's native unpivot plans a
+    * single Expand (one pass, no self-union re-scan). */
+  val q50Unpivot: Q = Q(
+    "q50_unpivot",
+    "unpivot wide measures to long (metric, metric_value) rows",
+    (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_size").cast(DoubleType).as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(
+          ids = Array(col("p_partkey")),
+          values = Array(col("size"), col("retailprice")),
+          variableColumnName = "metric",
+          valueColumnName = "metric_value"),
+    Some("""
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS metric_value FROM part
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
-    q48ExceptAll, q49SaltedJoin)
+    q48ExceptAll, q49SaltedJoin, q50Unpivot)
 }
