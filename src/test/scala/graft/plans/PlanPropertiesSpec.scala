@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.{Registry, SparkSpec}
+
+/** Plan-shape regression guards: the scale properties PLANS.md claims,
+  * asserted against the AQE-final physical plan so a future edit that
+  * quietly adds a shuffle or drops a broadcast fails CI instead of
+  * surfacing as a 100 TB incident.
+  *
+  * Exchange counting excludes the corpus-artifact rebalance
+  * (REPARTITION_BY_NUM from `core.Tables` on the single-row-group test
+  * files) — only ENSURE_REQUIREMENTS exchanges are plan-intrinsic.
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private def finalPlan(name: String): String = {
+    val df = Registry.byName(name).build(spark, sfDir)
+    df.write.mode("overwrite").format("noop").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def count(plan: String, token: String): Int =
+    plan.sliding(token.length).count(_ == token)
+
+  test("q1: single intrinsic shuffle, partial agg before it") {
+    val p = finalPlan("q1_pricing_summary")
+    assert(count(p, "ENSURE_REQUIREMENTS") == 1, p)
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+  }
+
+  test("q2: dim joins broadcast — no sort-merge join anywhere") {
+    val p = finalPlan("q2_top_customers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dim must broadcast, not shuffle")
+  }
+
+  test("q19: only the fact-to-fact join shuffles; all dims broadcast") {
+    val p = finalPlan("q19_region_revenue")
+    assert(count(p, "BroadcastHashJoin") >= 3, "region/nation/customer broadcast")
+    // lineitem⋈orders is the one join allowed to exchange (plus its agg)
+    assert(count(p, "ENSURE_REQUIREMENTS") <= 3, p)
+  }
+
+  test("q43: argmax is a pure aggregate — one shuffle, partial agg, no window") {
+    val p = finalPlan("q43_latest_order_argmax")
+    assert(count(p, "ENSURE_REQUIREMENTS") == 1, p)
+    assert(!p.contains("Window"), "struct-max must not plan a window")
+    // struct buffers aren't hash-aggregable: Spark plans SortAggregate
+    // (per-partition sort by group key) — the partial agg still runs
+    // map-side, so the exchange carries one struct per key per task
+    assert(p.contains("partial_max"), "map-side partial max expected")
+  }
+
+  test("s2: corpus never shuffles — broadcast nested loop + one window exchange") {
+    val p = finalPlan("s2_knn_batch")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(count(p, "ENSURE_REQUIREMENTS") <= 1, "only the per-query ranking may exchange")
+  }
+
+  test("q49: salted join broadcasts the replicated right side at this scale") {
+    val p = finalPlan("q49_salted_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), "salting must stay an equi-join")
+  }
+}
