@@ -381,9 +381,86 @@ object Relational2 {
       SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS metric_value FROM part
       """))
 
+  /** Time-series densification (gap fill): a generated hour × type grid
+    * LEFT-joined against the actual hourly aggregate, missing buckets
+    * zero-filled. The grid is sequence()-generated — rows the source
+    * never had, which no plain GROUP BY can produce. Scale note: the
+    * grid side is calendar-bounded (hours × types), tiny next to the
+    * fact side, and broadcasts. */
+  val q51GapFill: Q = Q(
+    "q51_gap_fill",
+    "hourly gap-fill: generated time grid left-joined to event counts",
+    (s, d) => {
+      val startTs = lit("2024-01-08 00:00:00").cast(TimestampType)
+      val endTs = lit("2024-01-15 00:00:00").cast(TimestampType)
+      val ev = t(s, d, "events")
+      val hours = ev.sparkSession.range(1).select(
+        explode(sequence(startTs, endTs, expr("interval 1 hour"))).as("hour_ts"))
+      val types = ev.select(col("event_type")).distinct()
+      val actual = ev
+        .filter(col("ts") >= startTs && col("ts") < endTs)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumD(col("value")).as("total"))
+      broadcast(hours.crossJoin(types))
+        .join(actual, Seq("hour_ts", "event_type"), "left")
+        .select(
+          col("hour_ts"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("total"), lit(0.0)).as("total_value"))
+    },
+    Some("""
+      WITH hours AS (SELECT ts AS hour_ts
+                     FROM generate_series(TIMESTAMP '2024-01-08 00:00:00',
+                                          TIMESTAMP '2024-01-15 00:00:00',
+                                          INTERVAL 1 HOUR) t(ts)),
+      types AS (SELECT DISTINCT event_type FROM events),
+      actual AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+                        COUNT(*) AS n,
+                        CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total
+                 FROM events
+                 WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+                   AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-15 00:00:00'
+                 GROUP BY 1, 2)
+      SELECT h.hour_ts AS hour_ts, ty.event_type AS event_type,
+             COALESCE(a.n, 0) AS n_events,
+             COALESCE(a.total, 0.0) AS total_value
+      FROM hours h CROSS JOIN types ty
+      LEFT JOIN actual a ON a.hour_ts = h.hour_ts AND a.event_type = ty.event_type
+      """))
+
+  /** Map-type scalar surface: literal map construction, key lookup,
+    * cardinality, key listing (scalar outputs only — map-typed columns
+    * canonicalize differently across engines' parquet writers). */
+  val q52MapOps: Q = Q(
+    "q52_map_ops",
+    "map construction + element_at + size + map_keys",
+    (s, d) => {
+      val m = map(
+        lit("size"), col("p_size").cast(DoubleType),
+        lit("price"), col("p_retailprice"))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        element_at(m, "size").as("size_val"),
+        element_at(m, "price").as("price_val"),
+        size(m).cast(LongType).as("n_entries"),
+        array_join(map_keys(m), ",").as("keys"))
+    },
+    Some("""
+      WITH mm AS (SELECT p_partkey,
+                         map(['size','price'],
+                             [CAST(p_size AS DOUBLE), p_retailprice]) AS m
+                  FROM part)
+      SELECT p_partkey,
+             m['size'][1] AS size_val,
+             m['price'][1] AS price_val,
+             CAST(cardinality(m) AS BIGINT) AS n_entries,
+             array_to_string(map_keys(m), ',') AS keys
+      FROM mm
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
-    q48ExceptAll, q49SaltedJoin, q50Unpivot)
+    q48ExceptAll, q49SaltedJoin, q50Unpivot, q51GapFill, q52MapOps)
 }
