@@ -111,6 +111,7 @@ case class DotProduct(left: Expression, right: Expression)
 /** Session registration for graft's native expressions. */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val CosineName = "graft_cosine"
   val RollingHashName = "graft_rolling_hash"
 
   /** Idempotent per-session registration via the function registry —
@@ -121,11 +122,17 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, { exprs => DotProduct(exprs(0), exprs(1)) }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CosineName, { exprs => CosineSim(exprs(0), exprs(1)) }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       RollingHashName, { exprs => RollingHash(exprs.head) }, "built-in")
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Fused one-pass cosine similarity (requires [[register]]);
+    * bit-identical to dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))). */
+  def cosine(a: Column, b: Column): Column = call_function(CosineName, a, b)
 
   /** Codegen'd rolling-hash fingerprint (requires [[register]]). */
   def rollingHash(c: Column): Column = call_function(RollingHashName, c)

@@ -31,8 +31,10 @@ object SimilarityOps {
     * bit-identical to the composable `aggregate(zip_with(...))` fold. */
   def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Fused one-pass cosine ([[graft.functions.CosineSim]]) — one array
+    * scan instead of three; bit-identical to the composed
+    * dot/(sqrt·sqrt) form (same fold order, same combine tree). */
+  def cosine(a: Column, b: Column): Column = GraftFunctions.cosine(a, b)
 
   private def emb(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
