@@ -16,6 +16,7 @@ import graft.functions.{CosineSim, DotProduct, RollingHash}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.CosineFuseRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

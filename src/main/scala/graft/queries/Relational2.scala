@@ -458,9 +458,35 @@ object Relational2 {
       FROM mm
       """))
 
+  /** Forward fill (LOCF — last observation carried forward): nulls in
+    * an ordered series take the most recent non-null value. One
+    * partitioned window, running frame, `last(ignoreNulls)` — the same
+    * primitive the as-of join (q26) builds on. */
+  val q53ForwardFill: Q = Q(
+    "q53_forward_fill",
+    "LOCF forward fill of null user_id per event_type, event-time order",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events").select(
+        col("event_id"),
+        col("event_type"),
+        col("user_id"),
+        last(col("user_id"), ignoreNulls = true).over(w).as("user_filled"))
+    },
+    Some("""
+      SELECT event_id, event_type, user_id,
+             last_value(user_id IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS user_filled
+      FROM events
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
-    q48ExceptAll, q49SaltedJoin, q50Unpivot, q51GapFill, q52MapOps)
+    q48ExceptAll, q49SaltedJoin, q50Unpivot, q51GapFill, q52MapOps,
+    q53ForwardFill)
 }
