@@ -14,6 +14,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Scan-parallelism probe cache: `df.rdd.getNumPartitions` runs full
+  // analysis + physical planning on the driver — paying that once per
+  // (path, table) instead of on every query build shaves serial driver
+  // latency off every multi-table query. File layout per path is stable
+  // within a run, so the cached value stays correct.
+  private val scanPartsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects outright
     // (PARQUET_TYPE_ILLEGAL). Read it as a long of epoch-nanos and convert
@@ -32,7 +40,8 @@ object Tables {
     // (100 TB) layout the condition is false and this is a no-op, which
     // is exactly right: there a blanket repartition would be a needless
     // full-table shuffle.
-    val scanParts = df.rdd.getNumPartitions
+    val scanParts: Int = scanPartsCache.computeIfAbsent(
+      s"$dir/$name", _ => df.rdd.getNumPartitions)
     val target = spark.sparkContext.defaultParallelism
     if (factTables(name) && scanParts * 4 < target) df.repartition(target) else df
   }
