@@ -80,17 +80,31 @@ object EventStreams {
     *
     * State per user is O(sessions in the watermark horizon), each O(1) —
     * bounded by lateness horizon / gap, not stream length. */
+  /** Timestamp ↔ epoch-MICROsecond conversions: `Timestamp.getTime` is
+    * milliseconds and would truncate the corpus's µs components —
+    * session boundaries and emitted starts must match batch
+    * `session_window` (µs-exact), so all state arithmetic runs in µs. */
+  private def toMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def toTimestamp(us: Long): Timestamp = {
+    val secs = Math.floorDiv(us, 1000000L)
+    val ts = new Timestamp(secs * 1000L)
+    ts.setNanos(((us - secs * 1000000L) * 1000L).toInt)
+    ts
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapMinutes: Int = 30): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
 
     // Merge one event into the disjoint session set: absorb every session
     // whose gap-extended OPEN interval (start-gap, last+gap) contains t.
     // Interval-union is order-independent, so arrival order never matters.
     def absorb(sessions: List[SessionState], t: Long, v: Double): List[SessionState] = {
-      val (touch, rest) = sessions.partition(s => t > s.start - gapMs && t < s.last + gapMs)
+      val (touch, rest) = sessions.partition(s => t > s.start - gapUs && t < s.last + gapUs)
       val merged = SessionState(
         start = (t :: touch.map(_.start)).min,
         last = (t :: touch.map(_.last)).max,
@@ -104,18 +118,22 @@ object EventStreams {
         rows: Iterator[Event],
         state: GroupState[SessionBuffer]): Iterator[SessionUpdate] = {
       var sessions = state.getOption.map(_.sessions.toList).getOrElse(Nil)
-      rows.foreach(e => sessions = absorb(sessions, e.ts.getTime, e.value))
+      rows.foreach(e => sessions = absorb(sessions, toMicros(e.ts), e.value))
 
-      val wm = state.getCurrentWatermarkMs()
-      val (due, live) = sessions.partition(_.last + gapMs <= wm)
+      // Spark's watermark advances in ms; admitted events have
+      // ts_us >= wm_ms*1000, so a session is safely final once
+      // last + gap <= wm_ms*1000 (exclusive gap ⇒ no further merge).
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (due, live) = sessions.partition(_.last + gapUs <= wmUs)
       if (live.nonEmpty) {
         state.update(SessionBuffer(live))
-        // next closure candidate; must stay strictly above the watermark
-        state.setTimeoutTimestamp(math.max(live.map(_.last + gapMs).min, wm + 1))
+        // next closure candidate (ms, rounded up); strictly above the watermark
+        val nextMs = (live.map(_.last + gapUs).min + 999L) / 1000L
+        state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1))
       } else state.remove()
 
       due.sortBy(_.start).iterator.map(s =>
-        SessionUpdate(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+        SessionUpdate(userId, toTimestamp(s.start), toTimestamp(s.last), s.n, s.total))
     }
 
     events

@@ -108,6 +108,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(!got.exists(s => s._1 == 1L && s._4 < 3L), "no eagerly-closed partial session for user 1")
   }
 
+  test("sessionize over the real corpus equals batch session_window for closed sessions") {
+    val dir = Files.createTempDirectory("graft_sess_in").toString
+    val batch = Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(dir)
+      .filter(col("user_id").isNotNull)
+      .as[Event]
+    val got = EventStreams.runToMemory(
+      spark, EventStreams.sessionize(stream, gapMinutes = 30).toDF(), "sess_corpus")
+
+    // batch truth: native session_window (same exclusive-gap semantics),
+    // restricted to sessions the final watermark (max ts - 2h) closed
+    val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val watermark = maxTs - 2 * 3600 * 1000L
+    val expected = batch.filter(col("user_id").isNotNull)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .filter(unix_micros(col("last_ts")) + lit(30L * 60 * 1000000) <= lit(watermark) * 1000)
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+    val gotKeyed = got.select(col("user_id"), col("session_start"), col("n_events"))
+    assert(gotKeyed.count() > 100, s"expected many closed sessions, got ${gotKeyed.count()}")
+    assert(gotKeyed.except(expected).isEmpty && expected.except(gotKeyed).isEmpty,
+      "streamed sessions diverge from batch session_window")
+  }
+
   test("streaming dedup emits each key once, suppressing dups across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
