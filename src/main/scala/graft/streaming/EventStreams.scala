@@ -94,31 +94,35 @@ object EventStreams {
     ts
   }
 
+  /** Merge one event into the disjoint session set: absorb every session
+    * whose gap-extended OPEN interval (start−gap, last+gap) contains t —
+    * possibly several (a bridge event fuses them). Interval-union is
+    * order-independent: any arrival order of the same events yields the
+    * same session set (property-tested in GraftProps). Package-visible
+    * for exactly that test. */
+  private[streaming] def absorb(
+      sessions: List[SessionState], t: Long, v: Double, gapUs: Long): List[SessionState] = {
+    val (touch, rest) = sessions.partition(s => t > s.start - gapUs && t < s.last + gapUs)
+    val merged = SessionState(
+      start = (t :: touch.map(_.start)).min,
+      last = (t :: touch.map(_.last)).max,
+      n = touch.map(_.n).sum + 1,
+      total = touch.map(_.total).sum + v)
+    merged :: rest
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapMinutes: Int = 30): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    // Merge one event into the disjoint session set: absorb every session
-    // whose gap-extended OPEN interval (start-gap, last+gap) contains t.
-    // Interval-union is order-independent, so arrival order never matters.
-    def absorb(sessions: List[SessionState], t: Long, v: Double): List[SessionState] = {
-      val (touch, rest) = sessions.partition(s => t > s.start - gapUs && t < s.last + gapUs)
-      val merged = SessionState(
-        start = (t :: touch.map(_.start)).min,
-        last = (t :: touch.map(_.last)).max,
-        n = touch.map(_.n).sum + 1,
-        total = touch.map(_.total).sum + v)
-      merged :: rest
-    }
-
     def update(
         userId: Long,
         rows: Iterator[Event],
         state: GroupState[SessionBuffer]): Iterator[SessionUpdate] = {
       var sessions = state.getOption.map(_.sessions.toList).getOrElse(Nil)
-      rows.foreach(e => sessions = absorb(sessions, toMicros(e.ts), e.value))
+      rows.foreach(e => sessions = absorb(sessions, toMicros(e.ts), e.value, gapUs))
 
       // Spark's watermark advances in ms; admitted events have
       // ts_us >= wm_ms*1000, so a session is safely final once
