@@ -33,4 +33,29 @@ object Num {
   /** Deterministic mean: exact decimal sum → double, / count. */
   def davgD(c: Column, scale: Int = 4): Column =
     dsum(c, scale).cast(DoubleType) / count(lit(1))
+
+  /** Exact net price: price × (1 − rate), factors cast to NARROW exact
+    * decimals BEFORE the multiply. Casting the double *product* to
+    * decimal is engine-divergent at scale: the product's binary error
+    * (~half-ulp, ≈4e-12 at 1e4 magnitude) straddles the 1e-8 decimal
+    * grid often enough that Spark (rounds the shortest string repr) and
+    * DuckDB (rounds the exact binary) disagree on ~1e-4 of rows —
+    * invisible at sf0.01, a hash mismatch at sf0.1. The FACTORS are
+    * 2-dp money/rate values whose binary error (≪ grid) can't reach a
+    * boundary, so their casts agree everywhere and the decimal multiply
+    * is exact: DECIMAL(18,4) × (1 − DECIMAL(8,6)) → DECIMAL(28,10),
+    * within both engines' 38-digit exact range.
+    * Oracle form: CAST(price AS DECIMAL(18,4)) *
+    * (CAST(1 AS DECIMAL(8,6)) - CAST(rate AS DECIMAL(8,6))).
+    *
+    * Surfacing a netD SUM as DOUBLE: rescale to DECIMAL(38,4) FIRST.
+    * The (·,10)-scaled sum's integer form exceeds 2^53, and DuckDB's
+    * decimal→double cast converts the int128 to double BEFORE dividing
+    * — not correctly rounded (Spark's BigDecimal path is), so the final
+    * doubles disagree in the last bit on ~unlucky group sums. At scale
+    * 4 the integer form stays under 2^53 for corpus-scale sums and both
+    * engines' casts are exact. */
+  def netD(price: Column, rate: Column): Column =
+    price.cast(DecimalType(18, 4)) *
+      (lit(1).cast(DecimalType(8, 6)) - rate.cast(DecimalType(8, 6)))
 }

@@ -46,8 +46,8 @@ object Relational {
           count(lit(1)).as("count_order"),
           dsumD(col("l_quantity")).as("sum_qty"),
           dsumD(col("l_extendedprice")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(38, 8))).cast(DoubleType).as("sum_disc_price"),
+          sum(netD(col("l_extendedprice"), col("l_discount")))
+            .cast(DecimalType(38, 4)).cast(DoubleType).as("sum_disc_price"),
           davgD(col("l_quantity")).as("avg_qty"),
           davgD(col("l_discount"), 6).as("avg_disc"))
     },
@@ -56,7 +56,7 @@ object Relational {
              COUNT(*) AS count_order,
              CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
              CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
              CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc
       FROM lineitem
@@ -217,14 +217,14 @@ object Relational {
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(
           count(lit(1)).as("n_items"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(38, 8))).cast(DoubleType).as("total_revenue"))
+          sum(netD(col("l_extendedprice"), col("l_discount")))
+            .cast(DecimalType(38, 4)).cast(DoubleType).as("total_revenue"))
         .orderBy(desc("total_revenue"), col("s_suppkey"))
     },
     Some("""
       SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name,
              COUNT(*) AS n_items,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS total_revenue
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
       ORDER BY total_revenue DESC, s_suppkey
@@ -424,13 +424,13 @@ object Relational {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(38, 8))).cast(DoubleType).as("revenue"),
+          sum(netD(col("l_extendedprice"), col("l_discount")))
+            .cast(DecimalType(38, 4)).cast(DoubleType).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
     },
     Some("""
       SELECT r_name, n_name,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
              COUNT(DISTINCT o_orderkey) AS n_orders
       FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
