@@ -483,10 +483,32 @@ object Relational2 {
       FROM events
       """))
 
+  /** Percent-of-total (ratio_to_report): a whole-partition aggregate
+    * window (no ORDER BY ⇒ unbounded frame) dividing each row's measure
+    * by its group total. The share is a ratio of two exact-decimal-
+    * derived doubles — deterministic on any partitioning. */
+  val q54PercentOfTotal: Q = Q(
+    "q54_percent_of_total",
+    "share of nation total per customer (whole-partition window agg)",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+      t(s, d, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        (dec(col("c_acctbal")).cast(DoubleType) /
+          sum(dec(col("c_acctbal"))).over(w).cast(DoubleType)).as("bal_share"))
+    },
+    Some("""
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             CAST(CAST(c_acctbal AS DECIMAL(38,4)) AS DOUBLE) /
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+               AS bal_share
+      FROM customer
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
     q48ExceptAll, q49SaltedJoin, q50Unpivot, q51GapFill, q52MapOps,
-    q53ForwardFill)
+    q53ForwardFill, q54PercentOfTotal)
 }

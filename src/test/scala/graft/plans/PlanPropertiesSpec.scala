@@ -57,6 +57,12 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(count(p, "ENSURE_REQUIREMENTS") <= 1, "only the per-query ranking may exchange")
   }
 
+  test("q51: the generated calendar grid broadcasts; no cartesian product") {
+    val p = finalPlan("q51_gap_fill")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), "grid side must broadcast")
+  }
+
   test("q49: salted join broadcasts the replicated right side at this scale") {
     val p = finalPlan("q49_salted_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
