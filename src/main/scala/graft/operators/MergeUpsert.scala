@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE (upsert) semantics as a batch operator: apply a change set to a
+  * base table on a unique key — matched rows are replaced by the change
+  * row, unmatched change rows are inserted, untouched base rows pass
+  * through. The incremental-refresh primitive the reference approximates
+  * with full-overwrite reloads (`sql/ddl_staging.sql:40-43` TRUNCATE+COPY;
+  * our engine gives the row-level form).
+  *
+  * Each side is packed into ONE struct before the full-outer join and the
+  * winning row is picked whole — per-column `coalesce` would silently mix
+  * rows when a change row carries a genuine NULL (same failure mode as
+  * the as-of join payload, see [[AsOfJoin]]); the struct pick preserves
+  * intentional NULL updates.
+  *
+  * Scale: one shuffle (hash partition both sides on the key), streaming
+  * full-outer merge join or hash join per Catalyst's choice; no driver
+  * collection, no row multiplication. For repeated merges at 100 TB,
+  * bucket the base table on the key so only the (small) change set
+  * shuffles per batch.
+  *
+  * Precondition: `key` is unique on both sides (dedupe the change set
+  * with a latest-wins window first if it isn't).
+  */
+object MergeUpsert {
+
+  /** @return base.columns plus `merge_action` ∈ {update, insert, keep} */
+  def apply(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val cols = base.columns.toSeq
+    val b = base.select(col(key).as("__bk"), struct(cols.map(col): _*).as("__b"))
+    val c = changes.select(col(key).as("__ck"), struct(cols.map(col): _*).as("__c"))
+    val picked = when(col("__ck").isNotNull, col("__c")).otherwise(col("__b"))
+    b.join(c, col("__bk") === col("__ck"), "full_outer")
+      .select(
+        cols.map(n => picked.getField(n).as(n)) :+
+          when(col("__ck").isNotNull && col("__bk").isNotNull, "update")
+            .when(col("__bk").isNull, "insert")
+            .otherwise("keep").as("merge_action"): _*)
+  }
+}

@@ -505,10 +505,114 @@ object Relational2 {
       FROM customer
       """))
 
+  /** RANGE window frame: trailing 90-day order total per customer. The
+    * frame is value-based (days), not row-based — all peers of a day are
+    * in or out together, so no tie-break is needed for determinism. The
+    * order key is a plain BIGINT day number: numeric RANGE frames are the
+    * engine-portable form (interval frames differ across engines). */
+  val q55TrailingWindow: Q = Q(
+    "q55_trailing_window",
+    "RANGE BETWEEN 89 PRECEDING: trailing 90-day sum/count per customer",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+        .rangeBetween(-89, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn(
+          "day_num",
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+            .cast(LongType))
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("day_num"),
+          sum(dec(col("o_totalprice"))).over(w).cast(DoubleType)
+            .as("trailing_90d_total"),
+          count(lit(1)).over(w).cast(LongType).as("trailing_90d_orders"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS DOUBLE) AS trailing_90d_total,
+             CAST(COUNT(*) OVER w AS BIGINT) AS trailing_90d_orders
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+      """))
+
+  /** Deterministic hash sampling — the engine-portable TABLESAMPLE.
+    * Bernoulli/row-position sampling is engine-private (never
+    * reproducible across engines or partitionings); keying the decision
+    * on a content hash ([[graft.functions.RollingHash]], oracle-
+    * replicable) gives a stable ~5% sample: same rows on any engine, any
+    * partition count, any day. The filter is a pushed-down scan predicate
+    * — no shuffle, no sort, O(n) scan as TABLESAMPLE would be. */
+  val q56HashSample: Q = Q(
+    "q56_hash_sample",
+    "deterministic ~5% sample via content-hash mod (portable TABLESAMPLE)",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val h = graft.functions.GraftFunctions.rollingHash(
+        concat(col("event_id").cast(StringType), lit(":sample")))
+      t(s, d, "events")
+        .filter(h % 20 === 0)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, event_type, user_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(length(CAST(event_id AS VARCHAR) || ':sample')),
+                   i -> CAST(unicode(substr(CAST(event_id AS VARCHAR) || ':sample', CAST(i+1 AS INTEGER), 1)) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS h
+        FROM events)
+      SELECT event_id, event_type, user_id FROM p WHERE h % 20 = 0
+      """))
+
+  /** MERGE upsert ([[graft.operators.MergeUpsert]]): a deterministic
+    * change set (updates for keys ≡ 0 mod 7, inserts re-keyed past the
+    * base domain for keys ≡ 0 mod 97) applied to orders — update-else-
+    * insert with pass-through, tagged per row. */
+  val q57MergeUpsert: Q = Q(
+    "q57_merge_upsert",
+    "MERGE (upsert): full-outer struct-pick apply of a change set",
+    (s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val updates = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+          lit("U").as("o_orderstatus"))
+      val inserts = base.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit("N").as("o_orderstatus"))
+      graft.operators.MergeUpsert(base, updates.union(inserts), "o_orderkey")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+      changes AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
+               'U' AS o_orderstatus
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'N'
+        FROM base WHERE o_orderkey % 97 = 0)
+      SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN c.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN 'update'
+                  WHEN b.o_orderkey IS NULL THEN 'insert'
+                  ELSE 'keep' END AS merge_action
+      FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
     q48ExceptAll, q49SaltedJoin, q50Unpivot, q51GapFill, q52MapOps,
-    q53ForwardFill, q54PercentOfTotal)
+    q53ForwardFill, q54PercentOfTotal, q55TrailingWindow, q56HashSample,
+    q57MergeUpsert)
 }

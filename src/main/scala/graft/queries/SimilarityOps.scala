@@ -344,7 +344,47 @@ object SimilarityOps {
       LIMIT 5
       """))
 
+  /** Pre-normalized unit vectors: compute each vector's norm ONCE, store
+    * the unit vector, and answer cosine queries with a bare dot product —
+    * the at-scale layout for a cosine index (the corpus-side sqrt/norm
+    * work moves from every query to a single build pass; at 100 TB that's
+    * the difference between O(Q·N) and O(N) norm computations). The
+    * explode-of-1-element-array is the usual Generate barrier: without it
+    * CollapseProject inlines the norm into the transform lambda and
+    * re-evaluates the full dot product per element (64× the work). */
+  val s9UnitVecTopK: Q = Q(
+    "s9_unitvec_topk",
+    "pre-normalized unit vectors: dot-only cosine top-10 (norm stored once)",
+    (s, d) => {
+      val e = emb(s, d)
+      val unit = e
+        .select(col("vec_id"), col("v"),
+          explode(array(sqrt(dot(col("v"), col("v"))))).as("nrm"))
+        .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+        // persisted: the query row and the corpus side both read this
+        .persist()
+      val q = unit.filter(col("vec_id") === 0).select(col("u").as("qu"))
+      unit.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), dot(col("u"), col("qu")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH u AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                 x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+        FROM embeddings),
+      q AS (SELECT u AS qu FROM u WHERE vec_id = 0)
+      SELECT t.vec_id AS vec_id, list_dot_product(t.u, q.qu) AS sim
+      FROM u t, q
+      WHERE t.vec_id <> 0
+      ORDER BY sim DESC, vec_id
+      LIMIT 10
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
-    s6EmbedNearDup, s7IvfCells, s8IvfQuery)
+    s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK)
 }

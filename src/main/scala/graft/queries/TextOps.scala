@@ -401,8 +401,159 @@ object TextOps {
       FROM r WHERE rn <= 3
       """))
 
+  /** Dedup clusters: connected components over the d6 near-dup pairs
+    * ([[graft.operators.ConnectedComponents]], iterative hash-min) — the
+    * keep-one-per-cluster decision of a dedup pipeline. Every document
+    * gets a cluster id (singletons are their own cluster); the minimum
+    * doc_id of a component is its keeper. The oracle computes the same
+    * transitive closure with a recursive CTE. */
+  val d12DedupClusters: Q = Q(
+    "d12_dedup_clusters",
+    "connected-component dedup clusters over Jaccard ≥ 0.5 pairs",
+    (s, d) => {
+      val pairs = d6NgramJaccard.build(s, d)
+      val lbl = graft.operators.ConnectedComponents.labels(pairs, "doc_a", "doc_b")
+      t(s, d, "documents").select(col("doc_id"))
+        .join(lbl, col("doc_id") === col("node"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_keeper", (col("doc_id") === col("cluster_id")).cast(LongType))
+    },
+    Some(s"""
+      WITH RECURSIVE $shinglesSql,
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+          JOIN cnt ca ON ca.doc_id = doc_a
+          JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE n_common / (ca.n + cb.n - n_common) >= 0.5),
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      lbl AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a)
+      SELECT d.doc_id AS doc_id,
+             COALESCE(l.label, d.doc_id) AS cluster_id,
+             CAST(COALESCE(l.label, d.doc_id) = d.doc_id AS BIGINT) AS is_keeper
+      FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
+      """))
+
+  /** PII scrubbing: redact emails, then URLs, then long digit runs
+    * (order matters — emails/URLs contain digits). The corpus text is
+    * punctuation-free word salad, so deterministic PII is appended per
+    * document (derived from doc_id — identical strings in both engines)
+    * to make the masking genuinely exercised. Narrow output: per-class
+    * hit counts plus an md5 of the redacted text (the verifier never
+    * ships the full scrubbed corpus). One projection pass, fully
+    * codegen'd; patterns stay in the Java∩RE2 subset. */
+  val d13PiiRedact: Q = Q(
+    "d13_pii_redact",
+    "PII redaction: email/URL/long-number masking + hit counts",
+    (s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[^\\s]+"
+      val num = "[0-9]{6,}"
+      val idStr = col("doc_id").cast(StringType)
+      val withPii = concat(
+        col("text"),
+        lit(" contact u"), idStr, lit("@mail.example.com ref #"),
+        (col("doc_id") * 104729).cast(StringType),
+        lit(" https://ex.com/d/"), idStr)
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(withPii, email, "<EMAIL>"),
+          url, "<URL>"),
+        num, "<NUM>")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_count(withPii, lit(email)).cast(LongType).as("n_emails"),
+        regexp_count(withPii, lit(url)).cast(LongType).as("n_urls"),
+        regexp_count(withPii, lit(num)).cast(LongType).as("n_longnums"),
+        md5(redacted.cast(BinaryType)).as("redacted_fp"),
+        length(redacted).cast(LongType).as("n_chars_redacted"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com ref #'
+                    || CAST(doc_id * 104729 AS VARCHAR) || ' https://ex.com/d/'
+                    || CAST(doc_id AS VARCHAR) AS t
+        FROM documents),
+      r AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+                 '[0-9]{6,}', '<NUM>', 'g') AS red
+        FROM w)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+             md5(red) AS redacted_fp,
+             CAST(length(red) AS BIGINT) AS n_chars_redacted
+      FROM r
+      """))
+
+  /** Sentence segmentation with per-sentence stats: split on terminal
+    * punctuation runs, drop empties, renumber by original position
+    * (posexplode keeps it), then token/char counts per sentence. The
+    * corpus text carries no punctuation, so sentence boundaries are
+    * synthesized deterministically (fixed-width chunks re-joined with
+    * '.', '!', '?') — both engines build the identical punctuated string,
+    * and the splitter sees all three terminators plus a consecutive-
+    * delimiter edge when a chunk is empty. */
+  val d14Sentences: Q = Q(
+    "d14_sentences",
+    "sentence split (posexplode) + per-sentence token/char stats",
+    (s, d) => {
+      val punctuated = concat(
+        substring(col("text"), 1, 80), lit(". "),
+        substring(col("text"), 81, 80), lit("! "),
+        substring(col("text"), 161, 80), lit("? tail end."))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          posexplode(split(punctuated, "[.!?]+(?:\\s+|$)")).as(Seq("pos", "sent")))
+        .filter(length(trim(col("sent"))) > 0)
+        .select(
+          col("doc_id"),
+          row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+            .cast(LongType).as("sent_idx"),
+          regexp_count(trim(col("sent")), lit("\\S+")).cast(LongType).as("n_tokens"),
+          length(trim(col("sent"))).cast(LongType).as("n_chars"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                 substr(text, 1, 80) || '. ' || substr(text, 81, 80) || '! '
+                   || substr(text, 161, 80) || '? tail end.',
+                 '[.!?]+(?:\s+|$)') AS l
+        FROM documents),
+      x AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS sent FROM s),
+      f AS (SELECT doc_id, pos, trim(sent) AS sent FROM x
+            WHERE length(trim(sent)) > 0),
+      r AS (SELECT doc_id, sent,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS sent_idx
+            FROM f)
+      SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+             CAST(len(regexp_extract_all(sent, '\S+')) AS BIGINT) AS n_tokens,
+             CAST(length(sent) AS BIGINT) AS n_chars
+      FROM r
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
-    d10RollingHash, d11TfIdf, m1MediaFeatures)
+    d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
+    d14Sentences, m1MediaFeatures)
 }
