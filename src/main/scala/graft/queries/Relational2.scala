@@ -608,11 +608,122 @@ object Relational2 {
       FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
       """))
 
+  /** Correlated LATERAL subquery with per-row LIMIT — the SQL-level
+    * top-k-per-group. The SAME SQL text runs on Spark (which decorrelates
+    * the lateral into a ranked join) and DuckDB; q32/q43 are the
+    * DataFrame-level forms of the same shape. */
+  private val q58Sql = """
+      SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+             o.o_totalprice AS o_totalprice, o.rn AS rank_pos
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice,
+                      ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               FROM orders WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      WHERE c.c_custkey <= 300
+      """
+
+  val q58Lateral: Q = Q(
+    "q58_lateral_topk",
+    "LATERAL correlated subquery with LIMIT; identical SQL both engines",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(q58Sql)
+    },
+    Some(q58Sql))
+
+  /** Distinct aggregate over a window: Spark has no COUNT(DISTINCT) OVER,
+    * so the idiomatic form is size(collect_set() OVER) — set state is
+    * bounded by the distinct-value cardinality of the partition, not its
+    * row count. The oracle uses the native COUNT(DISTINCT) OVER. */
+  val q59WindowDistinct: Q = Q(
+    "q59_window_distinct",
+    "distinct count over a window via collect_set (COUNT DISTINCT OVER)",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+      t(s, d, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        size(collect_set(col("c_mktsegment")).over(w)).cast(LongType)
+          .as("n_segments_in_nation"))
+    },
+    Some("""
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(COUNT(DISTINCT c_mktsegment)
+                    OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_segments_in_nation
+      FROM customer
+      """))
+
+  /** Time-series linear interpolation: deterministic nulls are punched
+    * into the value series (event_id ≡ 0 mod 5), then each gap is filled
+    * linearly between the bracketing known points; edges fall back to
+    * nearest-known (LOCF / back-fill). The bracketing (ts, value) pairs
+    * travel as single structs under IGNORE NULLS windows — the same
+    * whole-row trick as the as-of join, so a gap's anchors are always one
+    * consistent row. Extends q53's LOCF to the interpolating resampler of
+    * a time-series feature pipeline. */
+  val q60Interpolate: Q = Q(
+    "q60_interpolate",
+    "linear interpolation across punched gaps (IGNORE NULLS windows)",
+    (s, d) => {
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val known = when(col("v").isNotNull, struct(col("ts_us"), col("v")))
+      val base = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          when(col("event_id") % 5 =!= 0, col("value")).as("v"))
+      val prevK = last(known, ignoreNulls = true).over(wPrev)
+      val nextK = first(known, ignoreNulls = true).over(wNext)
+      base
+        .withColumn("p", prevK)
+        .withColumn("n", nextK)
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"),
+          col("v").isNull.cast(LongType).as("was_null"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("p").isNotNull && col("n").isNotNull,
+              col("p.v") + (col("n.v") - col("p.v")) *
+                ((col("ts_us") - col("p.ts_us")).cast(DoubleType) /
+                  (col("n.ts_us") - col("p.ts_us")).cast(DoubleType)))
+            .when(col("p").isNotNull, col("p.v"))
+            .otherwise(col("n.v")).as("v_interp"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CASE WHEN event_id % 5 <> 0 THEN value END AS v
+        FROM events),
+      anch AS (
+        SELECT *,
+               last_value(CASE WHEN v IS NOT NULL THEN struct_pack(ts_us := ts_us, v := v) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+               first_value(CASE WHEN v IS NOT NULL THEN struct_pack(ts_us := ts_us, v := v) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n
+        FROM base)
+      SELECT event_id, user_id, ts_us,
+             CAST(v IS NULL AS BIGINT) AS was_null,
+             CASE WHEN v IS NOT NULL THEN v
+                  WHEN p IS NOT NULL AND n IS NOT NULL
+                    THEN p.v + (n.v - p.v) *
+                         (CAST(ts_us - p.ts_us AS DOUBLE) / CAST(n.ts_us - p.ts_us AS DOUBLE))
+                  WHEN p IS NOT NULL THEN p.v
+                  ELSE n.v END AS v_interp
+      FROM anch
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
     q48ExceptAll, q49SaltedJoin, q50Unpivot, q51GapFill, q52MapOps,
     q53ForwardFill, q54PercentOfTotal, q55TrailingWindow, q56HashSample,
-    q57MergeUpsert)
+    q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate)
 }

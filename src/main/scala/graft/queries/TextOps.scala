@@ -551,9 +551,40 @@ object TextOps {
       FROM r
       """))
 
+  /** Vocabulary build: the tokenizer-training primitive — distinct terms
+    * with dense ids plus document/collection frequencies. The heavy work
+    * (term explode + two count aggs) is fully distributed; only the id
+    * assignment is a global ordered window over the DISTINCT vocabulary,
+    * which Heaps' law keeps sublinear in corpus size (≪ token count). At
+    * 100 TB, shard the id space first (hash-bucket the vocab, offset ids
+    * per bucket) if even the vocabulary outgrows one task's sort. */
+  val d15VocabBuild: Q = Q(
+    "d15_vocab_build",
+    "vocabulary: dense term ids + doc/collection frequencies",
+    (s, d) => {
+      val terms = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
+        .filter(length(col("term")) >= 2)
+      terms.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+        .withColumn("term_id",
+          row_number().over(Window.orderBy(col("term"))).cast(LongType))
+        .select(col("term_id"), col("term"), col("df"), col("cf"))
+    },
+    Some(s"""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+        FROM documents),
+      f AS (SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+            FROM terms WHERE length(term) >= 2 GROUP BY term)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY term) AS BIGINT) AS term_id,
+             term, df, cf
+      FROM f
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
-    d14Sentences, m1MediaFeatures)
+    d14Sentences, d15VocabBuild, m1MediaFeatures)
 }

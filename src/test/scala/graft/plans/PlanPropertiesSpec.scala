@@ -68,4 +68,35 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), "salting must stay an equi-join")
   }
+
+  test("q55: RANGE frame plans one window over one intrinsic exchange") {
+    val p = finalPlan("q55_trailing_window")
+    assert(p.contains("RangeFrame"), "value-based frame expected")
+    assert(count(p, "ENSURE_REQUIREMENTS") == 1, p)
+  }
+
+  test("q56: hash sample is a pure scan filter — no shuffle, no sort, no window") {
+    val p = finalPlan("q56_hash_sample")
+    assert(count(p, "ENSURE_REQUIREMENTS") == 0, p)
+    assert(!p.contains("Window") && !p.contains("Sort"), p)
+  }
+
+  test("q57: merge upsert is one join — no row multiplication operators") {
+    val p = finalPlan("q57_merge_upsert")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter") || p.contains("full_outer") || p.contains("FULL OUTER"), p)
+  }
+
+  test("s9: unit-vector corpus never shuffles — query side broadcasts") {
+    val p = finalPlan("s9_unitvec_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(count(p, "ENSURE_REQUIREMENTS") == 0,
+      "top-k must be TakeOrderedAndProject, not a global sort exchange")
+  }
+
+  test("q59: window distinct set agg stays a single exchange") {
+    val p = finalPlan("q59_window_distinct")
+    assert(p.contains("Window"), p)
+    assert(count(p, "ENSURE_REQUIREMENTS") == 1, p)
+  }
 }
