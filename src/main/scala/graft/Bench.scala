@@ -28,13 +28,14 @@ object Bench {
       q.build(spark, sfDir).write.mode("overwrite").format("noop").save()
 
     headliners.foreach(q => try run(q) catch { case _: Throwable => () }) // warmup
-    // Best-of-3, sampled round-robin ACROSS queries: this host shares CPU
+    // Best-of-4, sampled round-robin ACROSS queries: this host shares CPU
     // with external load (observed loadavg spikes >20, minutes long), so
-    // three back-to-back samples of one query can all land inside a noise
-    // window — round 1 recorded 29.9s for a query that runs in 1.3s warm.
-    // Interleaving means a noise window inflates one full pass, and the
-    // per-query min is taken across passes spread over the whole run.
-    val samples = (1 to 3).map { _ =>
+    // back-to-back samples of one query can all land inside a noise
+    // window — round 1 recorded 29.9s for a query that runs in 1.3s warm,
+    // round 2 a 5.9s sample of a 1.2s query. Interleaving means a noise
+    // window inflates one full pass, and the per-query min is taken
+    // across passes spread over the whole run.
+    val samples = (1 to 4).map { _ =>
       headliners.map { q =>
         val t0 = System.nanoTime()
         try { run(q); (System.nanoTime() - t0) / 1e9 } catch { case _: Throwable => -1.0 }

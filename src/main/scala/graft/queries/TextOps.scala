@@ -582,9 +582,95 @@ object TextOps {
       FROM f
       """))
 
+  /** SimHash near-dup pairs — the probe stage completing d8: 16-bit band
+    * buckets generate candidates (by pigeonhole, any pair within Hamming
+    * distance 3 of a 64-bit signature shares at least one of 4 exact
+    * 16-bit bands — exact recall at this radius), then bit_count(xor)
+    * verifies. The only join key is the band bucket — never all pairs.
+    * No SQL oracle (xxhash64 signatures are Spark-specific, like d8);
+    * DedupSpec pins the semantics instead. */
+  val d16SimHashPairs: Q = Q(
+    "d16_simhash_pairs",
+    "SimHash near-dup pairs: 4×16-bit band buckets + Hamming ≤ 3 verify",
+    (s, d) => {
+      val sigs = SimHash.signatures(
+        t(s, d, "documents")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), split(norm(col("text")), " ").as("w")))
+      val bands = (0 until 4).map { j =>
+        struct(
+          lit(j).as("band_idx"),
+          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xffffL)).as("band_key"))
+      }
+      // persisted: both sides of the bucket self-join read this
+      val exploded = sigs
+        .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_key"))
+        .persist()
+      exploded.as("x")
+        .join(exploded.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+            .cast(LongType).as("hamming"))
+        .distinct() // a pair may collide in several bands
+        .filter(col("hamming") <= 3)
+    },
+    None)
+
+  /** Frame-sampling plumbing as a checkable query: the stub "decode"
+    * slices the container bytes at deterministic evenly-spaced offsets
+    * ([[graft.multimodal.Multimodal.sampleFrames]]), so frame offsets
+    * and byte counts are pure integer arithmetic on (duration, length)
+    * — which the oracle reproduces exactly. A real codec swaps in
+    * behind the same Decoder seam without touching the distributed
+    * shape (typed flatMap, no shuffle, no driver collection). */
+  val m2FrameSample: Q = Q(
+    "m2_frame_sample",
+    "video frame sampling: deterministic offsets + per-frame byte counts",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, d, "documents")
+        .repartition(col("doc_id"))
+        .select(
+          col("doc_id").as("media_id"),
+          lit("video").as("kind"),
+          concat(lit("doc://"), col("doc_id")).as("uri"),
+          encode(col("text"), "UTF-8").as("data"),
+          struct(
+            lit(null).cast(IntegerType).as("width"),
+            lit(null).cast(IntegerType).as("height"),
+            (col("n_chars") * 40L).as("duration_ms"),
+            lit("fake").as("codec")).as("meta"))
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(media, nFrames = 4)
+        .map(f => (f.media_id, f.frame_idx.toLong, f.offset_ms, f.data.length.toLong))
+        .toDF("media_id", "frame_idx", "offset_ms", "n_bytes")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS len,
+               n_chars * 40 AS dur
+        FROM documents),
+      g AS (SELECT media_id, len, dur, unnest([0, 1, 2, 3]) AS i FROM f),
+      c AS (SELECT media_id, i, dur, len, GREATEST(len, 4) AS span FROM g)
+      SELECT media_id,
+             CAST(i AS BIGINT) AS frame_idx,
+             CAST(dur * i // 4 AS BIGINT) AS offset_ms,
+             CAST(LEAST(span * (i + 1) // 4, len)
+                    - LEAST(span * i // 4, len - 1) AS BIGINT) AS n_bytes
+      FROM c
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
-    d14Sentences, d15VocabBuild, m1MediaFeatures)
+    d14Sentences, d15VocabBuild, d16SimHashPairs, m1MediaFeatures,
+    m2FrameSample)
 }

@@ -38,4 +38,24 @@ class DedupSpec extends SparkSpec {
     assert(sig(1L) == sig(2L))
     assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
   }
+
+  test("d16 band bucketing recalls EXACTLY the brute-force Hamming ≤ 3 pairs") {
+    // pigeonhole: ≤3 differing bits cannot touch all 4 16-bit bands, so
+    // every qualifying pair shares an exact band — banded recall == 1
+    // at this radius; the hamming filter removes band-collision noise.
+    val corpus = graft.core.Tables(spark, sfDir, "documents")
+    val banded = graft.queries.TextOps.d16SimHashPairs
+      .build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tok = corpus.select(
+      col("doc_id"),
+      split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
+    val sig = SimHash.signatures(tok).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sig; (b, sb) <- sig
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(banded == brute)
+  }
 }
