@@ -28,6 +28,11 @@ object Verify {
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // queries persist intermediates (shingles, LSH signatures, unit
+        // vectors); across the full registry those caches would pile up
+        // in storage memory — drop them between queries
+        spark.sharedState.cacheManager.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` shape.
   *
@@ -145,6 +145,68 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** The same sessionization on the `transformWithState` API (Spark 4's
+    * arbitrary-stateful-processing successor to flatMapGroupsWithState):
+    * typed `ValueState` holds the open-session intervals, and emission
+    * moves to explicit event-time TIMERS — `handleInputRows` only absorbs
+    * and (re)arms a timer at the earliest possible close, and sessions
+    * are emitted from `handleExpiredTimer` once the watermark passes
+    * `last + gap`. Same watermark-close-only semantics as [[sessionize]]
+    * (proven equal in EventStreamsSpec), but state lives in the RocksDB
+    * state store (`spark.sql.streaming.stateStore.providerClass` must be
+    * RocksDBStateStoreProvider — transformWithState requires it), which
+    * is the at-scale store: state spills off-heap and snapshots
+    * incrementally instead of living on the JVM heap. */
+  private class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Event, SessionUpdate] {
+    @transient private var buf: ValueState[SessionBuffer] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[SessionBuffer](
+        "sessions", Encoders.product[SessionBuffer], TTLConfig.NONE)
+
+    private def live: List[SessionState] =
+      if (buf.exists()) buf.get().sessions.toList else Nil
+
+    private def armTimer(sessions: List[SessionState], tv: TimerValues): Unit = {
+      // next closure candidate (ms, rounded up); strictly above the watermark
+      val nextMs = (sessions.map(_.last + gapUs).min + 999L) / 1000L
+      getHandle.registerTimer(math.max(nextMs, tv.getCurrentWatermarkInMs + 1))
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event], tv: TimerValues): Iterator[SessionUpdate] = {
+      var sessions = live
+      rows.foreach(e => sessions = absorb(sessions, toMicros(e.ts), e.value, gapUs))
+      buf.update(SessionBuffer(sessions))
+      armTimer(sessions, tv)
+      Iterator.empty // emission is timer-driven only
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[SessionUpdate] = {
+      val wmUs = tv.getCurrentWatermarkInMs * 1000L
+      val (due, open) = live.partition(_.last + gapUs <= wmUs)
+      if (open.nonEmpty) { buf.update(SessionBuffer(open)); armTimer(open, tv) }
+      else buf.clear()
+      due.sortBy(_.start).iterator.map(s =>
+        SessionUpdate(key, toTimestamp(s.start), toTimestamp(s.last), s.n, s.total))
+    }
+  }
+
+  def sessionizeTws(
+      events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor(gapMinutes * 60L * 1000000L),
+        TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Streaming exact dedup — the streaming form of the batch d1

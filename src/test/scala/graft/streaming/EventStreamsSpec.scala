@@ -138,6 +138,38 @@ class EventStreamsSpec extends SparkSpec {
       "streamed sessions diverge from batch session_window")
   }
 
+  test("transformWithState sessionizer (RocksDB store) equals flatMapGroupsWithState") {
+    val dir = Files.createTempDirectory("graft_tws_in").toString
+    val batch = Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batch.write.mode("overwrite").parquet(dir)
+
+    def streamIn = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(dir)
+      .filter(col("user_id").isNotNull)
+      .as[Event]
+
+    val fmgws = EventStreams.runToMemory(
+      spark, EventStreams.sessionize(streamIn, gapMinutes = 30).toDF(), "sess_fmgws")
+      .collect().map(_.toSeq).toSet
+
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tws = EventStreams.runToMemory(
+        spark, EventStreams.sessionizeTws(streamIn, gapMinutes = 30).toDF(), "sess_tws")
+        .collect().map(_.toSeq).toSet
+      assert(tws.size > 100, s"expected many closed sessions, got ${tws.size}")
+      assert(tws == fmgws, "timer-driven TWS sessions diverge from flatMapGroupsWithState")
+    } finally saved match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming dedup emits each key once, suppressing dups across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
