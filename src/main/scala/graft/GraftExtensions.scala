@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSim, DotProduct, RollingHash}
+import graft.functions.{CosineSim, DotProduct, NfcNormalize, RollingHash}
 
 /** Spark extension entry point: makes graft's native expressions part of
   * the session at startup, cluster-wide —
@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       exprs => RollingHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      exprs => NfcNormalize(exprs.head)))
   }
 }

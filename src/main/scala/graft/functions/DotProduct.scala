@@ -113,6 +113,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val CosineName = "graft_cosine"
   val RollingHashName = "graft_rolling_hash"
+  val NfcName = "graft_nfc"
 
   /** Idempotent per-session registration via the function registry —
     * the expressions then resolve in both the Column DSL and plain SQL
@@ -125,6 +126,8 @@ object GraftFunctions {
       CosineName, { exprs => CosineSim(exprs(0), exprs(1)) }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       RollingHashName, { exprs => RollingHash(exprs.head) }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NfcName, { exprs => NfcNormalize(exprs.head) }, "built-in")
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
@@ -136,4 +139,7 @@ object GraftFunctions {
 
   /** Codegen'd rolling-hash fingerprint (requires [[register]]). */
   def rollingHash(c: Column): Column = call_function(RollingHashName, c)
+
+  /** Codegen'd Unicode NFC normalization (requires [[register]]). */
+  def nfc(c: Column): Column = call_function(NfcName, c)
 }

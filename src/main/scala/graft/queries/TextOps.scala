@@ -667,10 +667,46 @@ object TextOps {
       FROM c
       """))
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], native
+    * codegen'd expression — Spark has no built-in): combining-mark
+    * sequences that render identically to precomposed codepoints break
+    * exact dedup and shingling, so canonical composition is the standard
+    * first step of a text pipeline. The corpus is ASCII (already NFC), so
+    * decomposed sequences are appended deterministically — both engines
+    * build identical bytes, normalize (JDK Normalizer ↔ DuckDB
+    * nfc_normalize implement the same Unicode algorithm), and must agree
+    * byte-for-byte (md5) and codepoint-for-codepoint (lengths). */
+  val d17NfcNormalize: Q = Q(
+    "d17_nfc_normalize",
+    "Unicode NFC normalization via native expression + md5 proof",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val denorm = concat(col("text"), lit(" café über Å"))
+      val nfc = graft.functions.GraftFunctions.nfc(denorm)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        length(denorm).cast(LongType).as("len_raw"),
+        length(nfc).cast(LongType).as("len_nfc"),
+        md5(nfc.cast(BinaryType)).as("nfc_fp"),
+        (nfc =!= denorm).cast(LongType).as("changed"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber A' || chr(778) AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS len_raw,
+             CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc,
+             md5(nfc_normalize(t)) AS nfc_fp,
+             CAST(nfc_normalize(t) <> t AS BIGINT) AS changed
+      FROM w
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
-    d14Sentences, d15VocabBuild, d16SimHashPairs, m1MediaFeatures,
-    m2FrameSample)
+    d14Sentences, d15VocabBuild, d16SimHashPairs, d17NfcNormalize,
+    m1MediaFeatures, m2FrameSample)
 }
