@@ -52,4 +52,59 @@ class BucketingSpec extends SparkSpec {
     plain.count()
     assert(countExchanges(plain.queryExecution.executedPlan) > 0)
   }
+
+  test("full q19 shape on bucketed facts: only the final agg exchanges") {
+    // the q19_region_revenue plan at 100 TB: lineitem⋈orders is the one
+    // shuffle — pre-bucketing both facts on the order key removes it,
+    // leaving broadcast dim joins + the (tiny) group-by exchange
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS bq_orders")
+      spark.sql("DROP TABLE IF EXISTS bq_lineitem")
+      Bucketing.writeBucketed(
+        Tables(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        "bq_orders", "o_orderkey", 4)
+      Bucketing.writeBucketed(
+        Tables(spark, sfDir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_extendedprice"), col("l_discount")),
+        "bq_lineitem", "o_orderkey", 4)
+
+      val c = Tables(spark, sfDir, "customer")
+      val n = Tables(spark, sfDir, "nation")
+      val joined = spark.table("bq_lineitem")
+        .join(spark.table("bq_orders"), "o_orderkey")
+        .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(graft.core.Num.netD(col("l_extendedprice"), col("l_discount")))
+          .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+      joined.count()
+      // broadcasts are free by design here — count only SHUFFLE exchanges
+      val shuffles = (joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.size
+      assert(shuffles == 1,
+        s"bucketed q19 shape must shuffle only for the agg, found $shuffles:\n" +
+          joined.queryExecution.executedPlan)
+
+      // same revenue as the unbucketed plan (decimal sums are exact)
+      val li = Tables(spark, sfDir, "lineitem")
+      val o = Tables(spark, sfDir, "orders")
+      val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(graft.core.Num.netD(col("l_extendedprice"), col("l_discount")))
+          .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
+      val a = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val b = plain.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
