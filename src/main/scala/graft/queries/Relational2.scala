@@ -719,11 +719,49 @@ object Relational2 {
       FROM anch
       """))
 
+  /** Null-safe equality join (`<=>` ↔ IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the join form for keys
+    * where NULL is a real category (unattributed events, unknown
+    * dimensions). Both sides pre-aggregate to one row per key, so the
+    * NULL buckets meet 1:1; a plain equi-join would silently drop them.
+    * Catalyst still plans a HASH join (null-safe compares lower to a
+    * coalesce-keyed equality), not a nested loop. */
+  val q61NullSafeJoin: Q = Q(
+    "q61_nullsafe_join",
+    "null-safe equality join of two aggregates with NULL key buckets",
+    (s, d) => {
+      val ek = when(col("user_id") % 7 =!= 0, col("user_id") % 100)
+      val ok = when(col("o_custkey") % 7 =!= 0, col("o_custkey") % 100)
+      val a = t(s, d, "events").groupBy(ek.as("k"))
+        .agg(count(lit(1)).as("n_events"))
+      val b = t(s, d, "orders").groupBy(ok.as("k"))
+        .agg(count(lit(1)).as("n_orders"))
+      a.join(b, a("k") <=> b("k"), "full_outer")
+        .select(coalesce(a("k"), b("k")).as("k"),
+          (a("k").isNull && b("k").isNull).cast(LongType).as("is_null_bucket"),
+          col("n_events"), col("n_orders"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT CASE WHEN user_id % 7 <> 0 THEN user_id % 100 END AS k,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1),
+      b AS (
+        SELECT CASE WHEN o_custkey % 7 <> 0 THEN o_custkey % 100 END AS k,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1)
+      SELECT COALESCE(a.k, b.k) AS k,
+             CAST(a.k IS NULL AND b.k IS NULL AS BIGINT) AS is_null_bucket,
+             n_events, n_orders
+      FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
     q48ExceptAll, q49SaltedJoin, q50Unpivot, q51GapFill, q52MapOps,
     q53ForwardFill, q54PercentOfTotal, q55TrailingWindow, q56HashSample,
-    q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate)
+    q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
+    q61NullSafeJoin)
 }
