@@ -257,13 +257,48 @@ object TextOps {
       """),
     headline = true)
 
-  /** MinHash-LSH candidate pairs (no SQL oracle: murmur3 signature is
-    * Spark-specific — driver records the weaker rows-only check). */
+  /** MinHash-LSH candidate pairs — oracle-checked END TO END: the base
+    * hash is the portable rolling hash (not Spark-private murmur3), the
+    * permutation constants are public on [[MinHashDedup.perms]], and the
+    * oracle SQL below is GENERATED from those same constants, so DuckDB
+    * reproduces signatures, banding, and the candidate set exactly. */
+  private val d7OracleSql: String = {
+    val p = MinHashDedup.Prime
+    val nPerm = MinHashDedup.DefaultNumPerm
+    val bandSize = MinHashDedup.DefaultBandSize
+    val minsSql = MinHashDedup.perms.take(nPerm).zipWithIndex.map {
+      case ((a, b), i) => s"MIN((h * $a + $b) % $p) AS m$i"
+    }.mkString(",\n             ")
+    val bandsSql = (0 until nPerm / bandSize).map { j =>
+      val vs = (0 until bandSize).map(k => s"m${j * bandSize + k} AS v$k").mkString(", ")
+      s"SELECT doc_id, $j AS band_idx, $vs FROM sig"
+    }.mkString("\n      UNION ALL\n      ")
+    val vEq = (0 until bandSize).map(k => s"x.v$k = y.v$k").mkString(" AND ")
+    s"""
+      WITH $shinglesSql,
+      h AS (SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(length(s)),
+                       i -> CAST(unicode(substr(s, CAST(i+1 AS INTEGER), 1)) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007) AS h
+            FROM e),
+      sig AS (SELECT doc_id,
+             $minsSql
+              FROM h GROUP BY doc_id),
+      bx AS (
+      $bandsSql)
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_bands
+      FROM bx x JOIN bx y
+        ON x.band_idx = y.band_idx AND $vEq AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+      """
+  }
+
   val d7MinHashLsh: Q = Q(
     "d7_minhash_lsh",
     "MinHash signatures + LSH banding → near-dup candidate pairs",
     (s, d) => MinHashDedup.candidatePairs(shingles(t(s, d, "documents"))),
-    None,
+    Some(d7OracleSql),
     headline = true)
 
   /** SimHash 64-bit signatures (no SQL oracle: xxhash64-based). */
