@@ -301,14 +301,48 @@ object TextOps {
     Some(d7OracleSql),
     headline = true)
 
-  /** SimHash 64-bit signatures (no SQL oracle: xxhash64-based). */
+  /** The d10 rolling hash as oracle SQL over an arbitrary string expr. */
+  private def rhSql(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(length($expr)),
+                   i -> CAST(unicode(substr($expr, CAST(i+1 AS INTEGER), 1)) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007)"""
+
+  /** Shared CTEs reproducing [[SimHash.signatures]] in SQL: tokenize,
+    * 60-bit double rolling hash, 60 signed bit-sums, signature fold. */
+  private val simhashCtes: String = {
+    val sums = (0 until SimHash.Bits).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n             ")
+    val sig = (0 until SimHash.Bits).map(i =>
+      s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END")
+      .mkString("\n             + ")
+    s"""wdocs AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+      tok AS (SELECT doc_id, unnest(w) AS t FROM wdocs),
+      h AS (SELECT doc_id,
+                   (${rhSql("t")} << 30) | ${rhSql("('g2:' || t)")} AS h
+            FROM tok),
+      bsum AS (SELECT doc_id,
+             $sums
+              FROM h GROUP BY doc_id),
+      sig AS (SELECT doc_id,
+             $sig AS simhash
+              FROM bsum)"""
+  }
+
+  /** SimHash signatures — oracle-checked since r3: the portable 60-bit
+    * double rolling hash replaces xxhash64, and the oracle SQL is
+    * generated from the same bit-width constants. */
   val d8SimHash: Q = Q(
     "d8_simhash",
-    "64-bit SimHash signature per document",
+    "60-bit SimHash signature per document (portable token hash)",
     (s, d) =>
       SimHash.signatures(
         t(s, d, "documents").select(col("doc_id"), split(norm(col("text")), " ").as("w"))),
-    None)
+    Some(s"""
+      WITH $simhashCtes
+      SELECT doc_id, simhash FROM sig
+      """))
 
   /** BPE-ish tokenizer pattern: contraction suffixes, space-prefixed
     * letter runs, digit runs, punctuation runs, whitespace — the GPT-2
@@ -617,16 +651,16 @@ object TextOps {
       FROM f
       """))
 
-  /** SimHash near-dup pairs — the probe stage completing d8: 16-bit band
+  /** SimHash near-dup pairs — the probe stage completing d8: 15-bit band
     * buckets generate candidates (by pigeonhole, any pair within Hamming
-    * distance 3 of a 64-bit signature shares at least one of 4 exact
-    * 16-bit bands — exact recall at this radius), then bit_count(xor)
+    * distance 3 of a 60-bit signature shares at least one of 4 exact
+    * 15-bit bands — exact recall at this radius), then bit_count(xor)
     * verifies. The only join key is the band bucket — never all pairs.
-    * No SQL oracle (xxhash64 signatures are Spark-specific, like d8);
-    * DedupSpec pins the semantics instead. */
+    * Oracle-checked since r3 (portable signatures); DedupSpec pins the
+    * pigeonhole-recall property against brute force independently. */
   val d16SimHashPairs: Q = Q(
     "d16_simhash_pairs",
-    "SimHash near-dup pairs: 4×16-bit band buckets + Hamming ≤ 3 verify",
+    "SimHash near-dup pairs: 4×15-bit band buckets + Hamming ≤ 3 verify",
     (s, d) => {
       val sigs = SimHash.signatures(
         t(s, d, "documents")
@@ -635,7 +669,7 @@ object TextOps {
       val bands = (0 until 4).map { j =>
         struct(
           lit(j).as("band_idx"),
-          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xffffL)).as("band_key"))
+          shiftright(col("simhash"), j * 15).bitwiseAND(lit(0x7fffL)).as("band_key"))
       }
       // persisted: both sides of the bucket self-join read this
       val exploded = sigs
@@ -654,7 +688,23 @@ object TextOps {
         .distinct() // a pair may collide in several bands
         .filter(col("hamming") <= 3)
     },
-    None)
+    Some {
+      val bandsSql = (0 until 4).map(j =>
+        s"SELECT doc_id, simhash, $j AS band_idx, (simhash >> ${j * 15}) & 32767 AS band_key FROM sig")
+        .mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH $simhashCtes,
+      bx AS (
+      $bandsSql),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        FROM bx x JOIN bx y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+      """
+    })
 
   /** Frame-sampling plumbing as a checkable query: the stub "decode"
     * slices the container bytes at deterministic evenly-spaced offsets
