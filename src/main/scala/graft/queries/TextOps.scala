@@ -369,8 +369,12 @@ object TextOps {
 
   /** Multimodal plumbing over the corpus: documents' bytes as opaque
     * media payloads through the batched decode stage
-    * ([[graft.multimodal.Multimodal]]). No SQL oracle — the driver
-    * records the rows-only check (decode features are engine-side). */
+    * ([[graft.multimodal.Multimodal]]). Oracle-checked since r3: the
+    * stub decoder's feature fold is a normalized byte histogram, and on
+    * this pure-ASCII corpus bytes == codepoints, so DuckDB reproduces
+    * f0 = |{b : b mod 16 = 0}| / n exactly (float32 division on both
+    * sides). A real codec would return the check to rows-only — the
+    * oracle verifies the distributed plumbing, not a codec. */
   val m1MediaFeatures: Q = Q(
     "m1_media_features",
     "binary media column -> batched (fake-)decode -> feature vectors",
@@ -397,7 +401,21 @@ object TextOps {
           element_at(col("features"), 1).as("f0"),
           col("ok"))
     },
-    None)
+    Some("""
+      WITH b AS (
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n,
+               len(list_filter(
+                 list_transform(range(length(text)),
+                   i -> unicode(substr(text, CAST(i+1 AS INTEGER), 1))),
+                 c -> c % 16 = 0)) AS c0
+        FROM documents)
+      SELECT media_id,
+             CAST(n AS BIGINT) AS n_bytes,
+             CAST(c0 AS FLOAT) / CAST(n AS FLOAT) AS f0,
+             TRUE AS ok
+      FROM b
+      """))
 
   /** Rolling-hash fingerprint (custom codegen'd expression
     * [[graft.functions.RollingHash]]); engine-portable definition the
