@@ -756,6 +756,29 @@ object Relational2 {
       FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
       """))
 
+  /** GROUP BY ALL / ORDER BY ALL (the modern SQL ergonomics both Spark 4
+    * and DuckDB implement): every non-aggregate select item becomes a
+    * group key, and the ordering covers all output columns — the same
+    * SQL text runs verbatim on both engines. ORDER BY ALL also makes the
+    * result order fully deterministic without naming a tie-break. */
+  private val q62Sql = """
+      SELECT o_orderstatus, o_orderpriority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price
+      FROM orders
+      GROUP BY ALL
+      ORDER BY ALL
+      """
+
+  val q62GroupByAll: Q = Q(
+    "q62_group_by_all",
+    "GROUP BY ALL / ORDER BY ALL; identical SQL text both engines",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(q62Sql)
+    },
+    Some(q62Sql))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -763,5 +786,5 @@ object Relational2 {
     q48ExceptAll, q49SaltedJoin, q50Unpivot, q51GapFill, q52MapOps,
     q53ForwardFill, q54PercentOfTotal, q55TrailingWindow, q56HashSample,
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
-    q61NullSafeJoin)
+    q61NullSafeJoin, q62GroupByAll)
 }
