@@ -56,8 +56,9 @@ object ConnectedComponents {
       .select(col("node"), col("node").as("label")).localCheckpoint()
     // labels only ever decrease, so the total strictly drops iff any
     // label changed — one tiny agg instead of a join-compare
+    // (coalesce guards the zero-row frame: sum over no rows is NULL)
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head.getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var prevSum = labelSum(lbl)
 
     var i = 0
@@ -77,6 +78,11 @@ object ConnectedComponents {
       i += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge within $maxIter rounds — " +
+          "the graph's diameter exceeds the iteration cap; raise maxIter " +
+          "or switch to large-star/small-star for long-chain graphs")
     lbl
   }
 }

@@ -760,7 +760,10 @@ object TextOps {
                octet_length(encode(text)) AS len,
                n_chars * 40 AS dur
         FROM documents),
-      g AS (SELECT media_id, len, dur, unnest([0, 1, 2, 3]) AS i FROM f),
+      -- len/dur guards mirror Multimodal.sampleFrames, which emits no
+      -- frames for empty data or non-positive duration
+      g AS (SELECT media_id, len, dur, unnest([0, 1, 2, 3]) AS i FROM f
+            WHERE len > 0 AND dur > 0),
       c AS (SELECT media_id, i, dur, len, GREATEST(len, 4) AS span FROM g)
       SELECT media_id,
              CAST(i AS BIGINT) AS frame_idx,
@@ -784,7 +787,11 @@ object TextOps {
     "Unicode NFC normalization via native expression + md5 proof",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val denorm = concat(col("text"), lit(" café über Å"))
+      // Decomposed combining marks built from explicit \uXXXX escapes so an
+      // NFC-normalizing editor/formatter can never silently recompose the
+      // source literal (which would make 'changed'=0 and diverge from the
+      // oracle's chr(769)/chr(776)/chr(778) construction).
+      val denorm = concat(col("text"), lit(" cafe\u0301 u\u0308ber A\u030A"))
       val nfc = graft.functions.GraftFunctions.nfc(denorm)
       t(s, d, "documents").select(
         col("doc_id"),

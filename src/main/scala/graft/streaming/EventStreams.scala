@@ -162,10 +162,18 @@ object EventStreams {
   private class SessionProcessor(gapUs: Long)
       extends StatefulProcessor[Long, Event, SessionUpdate] {
     @transient private var buf: ValueState[SessionBuffer] = _
+    // the timestamp of the currently-armed timer, so re-arming can delete
+    // the superseded one — otherwise stale timers accumulate per key in
+    // the state store (one per batch that touched the key), each firing a
+    // no-op handleExpiredTimer
+    @transient private var armed: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getValueState[SessionBuffer](
         "sessions", Encoders.product[SessionBuffer], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long](
+        "armedTimer", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     private def live: List[SessionState] =
       if (buf.exists()) buf.get().sessions.toList else Nil
@@ -173,7 +181,13 @@ object EventStreams {
     private def armTimer(sessions: List[SessionState], tv: TimerValues): Unit = {
       // next closure candidate (ms, rounded up); strictly above the watermark
       val nextMs = (sessions.map(_.last + gapUs).min + 999L) / 1000L
-      getHandle.registerTimer(math.max(nextMs, tv.getCurrentWatermarkInMs + 1))
+      val target = math.max(nextMs, tv.getCurrentWatermarkInMs + 1)
+      val prev = if (armed.exists()) Some(armed.get()) else None
+      if (!prev.contains(target)) {
+        prev.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(target)
+        armed.update(target)
+      }
     }
 
     override def handleInputRows(
@@ -187,10 +201,12 @@ object EventStreams {
 
     override def handleExpiredTimer(
         key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[SessionUpdate] = {
+      // the firing timer is gone from the store; forget it before re-arming
+      if (armed.exists() && armed.get() == info.getExpiryTimeInMs) armed.clear()
       val wmUs = tv.getCurrentWatermarkInMs * 1000L
       val (due, open) = live.partition(_.last + gapUs <= wmUs)
       if (open.nonEmpty) { buf.update(SessionBuffer(open)); armTimer(open, tv) }
-      else buf.clear()
+      else { buf.clear(); armed.clear() }
       due.sortBy(_.start).iterator.map(s =>
         SessionUpdate(key, toTimestamp(s.start), toTimestamp(s.last), s.n, s.total))
     }
