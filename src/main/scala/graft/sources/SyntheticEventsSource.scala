@@ -103,12 +103,19 @@ private class SyntheticScanBuilder(rows: Long, partitions: Int)
           LessThanOrEqual("id", _: Long) => true
       case _ => false
     }
+    // `v + 1` overflows at Long.MaxValue (wraps negative) — saturate:
+    // `id <= MaxValue` is vacuously true (hi unchanged); `id > MaxValue`
+    // matches nothing (lo = MaxValue empties [lo, hi) since hi <= rows);
+    // `id = MaxValue` needs only the lower bound (ids are < rows <= MaxValue).
     accepted.foreach {
-      case EqualTo("id", v: Long) => lo = lo.max(v); hi = hi.min(v + 1)
-      case GreaterThan("id", v: Long) => lo = lo.max(v + 1)
+      case EqualTo("id", v: Long) =>
+        lo = lo.max(v); if (v != Long.MaxValue) hi = hi.min(v + 1)
+      case GreaterThan("id", v: Long) =>
+        if (v == Long.MaxValue) lo = Long.MaxValue else lo = lo.max(v + 1)
       case GreaterThanOrEqual("id", v: Long) => lo = lo.max(v)
       case LessThan("id", v: Long) => hi = hi.min(v)
-      case LessThanOrEqual("id", v: Long) => hi = hi.min(v + 1)
+      case LessThanOrEqual("id", v: Long) =>
+        if (v != Long.MaxValue) hi = hi.min(v + 1)
       case _ => ()
     }
     pushed = accepted

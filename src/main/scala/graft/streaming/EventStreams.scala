@@ -183,10 +183,20 @@ object EventStreams {
       val nextMs = (sessions.map(_.last + gapUs).min + 999L) / 1000L
       val target = math.max(nextMs, tv.getCurrentWatermarkInMs + 1)
       val prev = if (armed.exists()) Some(armed.get()) else None
-      if (!prev.contains(target)) {
-        prev.foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(target)
-        armed.update(target)
+      prev match {
+        // An already-due timer (<= watermark) has NOT fired yet when input
+        // rows are being processed — transformWithState handles input rows
+        // before expired timers. Deleting it here would replace it with one
+        // at watermark+1 that cannot fire this batch; a key receiving
+        // events every micro-batch would then starve session emission
+        // forever. Leave it: handleExpiredTimer emits the due sessions,
+        // clears `armed`, and re-arms for whatever stays open.
+        case Some(p) if p <= tv.getCurrentWatermarkInMs => ()
+        case Some(p) if p == target => ()
+        case _ =>
+          prev.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(target)
+          armed.update(target)
       }
     }
 

@@ -58,4 +58,23 @@ class SyntheticSourceSpec extends SparkSpec {
     val row = one.collect().head
     assert(row.getLong(0) == 77777L)
   }
+
+  test("Long.MaxValue bounds don't overflow: saturating pushdown stays correct") {
+    // id <= MaxValue is vacuously true — must return ALL rows (the old
+    // hi.min(v+1) wrapped negative and silently returned an empty scan
+    // with the filter still reported as fully pushed)
+    val le = read().filter(col("id") <= Long.MaxValue)
+    assert(le.count() == 1000, "id <= Long.MaxValue must keep every row")
+    assert(le.queryExecution.executedPlan.toString.contains("PushedFilters: ["),
+      "filter must still be pushed")
+    // id = MaxValue matches nothing (ids < rows <= MaxValue)
+    assert(read().filter(col("id") === Long.MaxValue).count() == 0)
+    // id > MaxValue matches nothing (lo.max(v+1) used to wrap and keep all)
+    assert(read().filter(col("id") > Long.MaxValue).count() == 0)
+    // id >= MaxValue: no overflow path, still empty
+    assert(read().filter(col("id") >= Long.MaxValue).count() == 0)
+    // combined with a real bound the saturated filter stays a no-op
+    val both = read().filter(col("id") <= Long.MaxValue && col("id") < 10L)
+    assert(both.count() == 10)
+  }
 }

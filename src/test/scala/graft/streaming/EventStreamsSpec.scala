@@ -170,6 +170,62 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState emits due sessions for keys receiving events every batch") {
+    // Regression: armTimer used to delete a timer that was already due
+    // (<= watermark) but had not fired yet — input rows are processed
+    // before expired timers — and re-arm at watermark+1, which cannot fire
+    // in the same batch. A key receiving events every micro-batch then
+    // never emits its watermark-closed sessions.
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    // no-data batches (default on) mask the bug: the wrongly re-armed
+    // timer fires in the empty follow-up batch. At scale a busy key sees
+    // data EVERY batch — model that by disabling them.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val saved = spark.conf.getOption(provKey)
+    val savedNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(noDataKey, "false")
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionizeTws(input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName("tws_starve").start()
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    try {
+      // batch 1: user 1 opens a session at t(0); user 3 pushes the
+      // watermark (for batch 2) far past t(0)+gap
+      input.addData(
+        Event(1, t(0), 1L, "view", 1.0),
+        Event(90, t(100000), 3L, "wm", 0.0))
+      q.processAllAvailable()
+      // batches 2..4: user 1 keeps receiving events EVERY batch while its
+      // old session is due; watermark keeps advancing
+      for (i <- 1 to 3) {
+        input.addData(
+          Event(i + 1L, t(100000L + i * 100000L), 1L, "view", 1.0),
+          Event(90 + i.toLong, t(100000L + (i + 1) * 100000L), 3L, "wm", 0.0))
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      savedNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None => spark.conf.unset(noDataKey)
+      }
+    }
+
+    val got = spark.table("tws_starve").as[SessionUpdate].collect()
+      .filter(_.user_id == 1L).map(s => (s.session_start.getTime, s.n_events)).toSet
+    assert(got.contains((t(0).getTime, 1L)),
+      s"user 1's t(0) session must emit despite events arriving every batch; got $got")
+    assert(got.size >= 3, s"later watermark-closed sessions must emit too; got $got")
+  }
+
   test("streaming dedup emits each key once, suppressing dups across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
