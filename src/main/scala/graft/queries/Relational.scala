@@ -797,16 +797,32 @@ object Relational {
       FROM events GROUP BY event_type
       """))
 
-  /** Sketch surface: HLL distinct approximation (no oracle — estimator is
-    * engine-specific; accuracy pinned by ApproxSpec instead). */
+  /** Sketch surface: HLL++ distinct approximation. The sketch estimate
+    * itself is engine-private (no cross-engine oracle exists for HLL
+    * internals), so the oracle-checkable output is the EXACT
+    * `COUNT(DISTINCT)` (hash-matched against DuckDB) plus `within_bound`,
+    * the in-engine relative-error assertion |approx−exact|/exact ≤ 5×rsd
+    * computed from the sketch in the same pass — the oracle emits TRUE,
+    * so an out-of-spec estimate fails the hash compare. rsd=0.01 keeps
+    * the bound tight; both distincts share one shuffle (Expand). */
   val q35ApproxDistinct: Q = Q(
     "q35_approx_distinct",
-    "approx_count_distinct (HLL++) per event_type",
+    "exact vs approx_count_distinct (HLL++) per event_type with error bound",
     (s, d) =>
       t(s, d, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users")),
-    None)
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .select(
+          col("event_type"), col("n_users"),
+          (abs(col("approx_users") - col("n_users")).cast("double") /
+            col("n_users") <= 0.05).as("within_bound")),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+             TRUE AS within_bound
+      FROM events GROUP BY event_type
+      """))
 
   val all: Seq[Q] = Seq(
     q33SessionAgg, q34SaltedAgg, q35ApproxDistinct,
