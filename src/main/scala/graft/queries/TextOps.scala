@@ -196,16 +196,52 @@ object TextOps {
                     i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"""))
             .otherwise(array(concat_ws(" ", col("w"))))).as("sh"))
 
-  /** Exploded (doc_id, shingle) pairs, persisted: d6 consumes this from
-    * four plan subtrees (two join sides + two count sides). Without the
-    * persist barrier Catalyst re-derives the shingling into each subtree
-    * — worse, the join's implicit `isnotnull` pushes down THROUGH the
-    * explode and re-evaluates the whole interpreted transform per filter
-    * check. One materialization, four cheap scans. */
-  private[graft] def explodedShingles(docs: DataFrame): DataFrame =
-    shingles(docs)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .persist()
+  /** Default stop-shingle document-frequency cap for [[jaccardPairs]]. */
+  private[graft] val DefaultDfCap = 50L
+
+  /** Exact n-gram Jaccard near-dup pairs with a stop-shingle cap.
+    *
+    * Two phases:
+    *   1. **Candidate generation** — explode shingles and equi-join on the
+    *      shingle, but only through shingles whose document frequency is
+    *      ≤ `dfCap`. A hot "stop shingle" appearing in df documents fans
+    *      out df² pairs; capping bounds the join at dfCap·Σdf instead of
+    *      Σdf² — the difference between linear and quadratic at 100 TB.
+    *   2. **Exact verify** — candidates join back to the FULL per-doc
+    *      shingle arrays and Jaccard is computed with `array_intersect`
+    *      over the complete sets, so capped-out shingles still count
+    *      toward similarity; the cap only affects which pairs are
+    *      *considered*. A pair sharing ONLY stop-shingles is below any
+    *      useful Jaccard threshold anyway (its union is ≥ the hot df
+    *      co-members' sets), so the ≥ 0.5 result set is unchanged —
+    *      DedupSpec proves equivalence on a hot-shingle corpus.
+    *
+    * The shingle ARRAY is the persisted barrier: the interpreted
+    * normalize+transform runs once per document, and candidate
+    * generation, counts, and verify all scan the materialized arrays. */
+  private[graft] def jaccardPairs(docs: DataFrame, dfCap: Long): DataFrame = {
+    val sh = shingles(docs).persist()
+    val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rareS = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("s"))
+    val rare = e.join(rareS, "s")
+    val cand = rare.as("a")
+      .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(LongType).as("n_common"),
+        size(col("sa.sh")).cast(LongType).as("na"),
+        size(col("sb.sh")).cast(LongType).as("nb"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
 
   private val shinglesSql = """
       docs AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
@@ -218,42 +254,30 @@ object TextOps {
              FROM docs),
       e AS (SELECT doc_id, unnest(shingles) AS s FROM sh)"""
 
-  /** Exact n-gram Jaccard near-dup pairs: explode shingles, equi-join on
-    * shingle (the *only* shuffle key — no all-pairs cartesian), count
-    * intersections, Jaccard = |∩| / (|A|+|B|−|∩|). Hot shingles fan out
-    * quadratically — at scale drop stop-shingles above a document-
-    * frequency cap first (standard trick); MinHash-LSH (d7) is the
-    * probabilistic alternative. */
+  /** Exact n-gram Jaccard near-dup pairs via [[jaccardPairs]]: shingle
+    * equi-join candidate generation (no all-pairs cartesian) with a
+    * stop-shingle df cap, then exact verification over the full shingle
+    * sets. The oracle applies the SAME cap in the same two-phase shape. */
   val d6NgramJaccard: Q = Q(
     "d6_ngram_jaccard",
-    "near-dup pairs by word-trigram Jaccard ≥ 0.5 via shingle equi-join",
-    (s, d) => {
-      val e = explodedShingles(t(s, d, "documents"))
-      val cnt = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = e.as("a")
-        .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      inter
-        .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-        .select(
-          col("doc_a"), col("doc_b"), col("n_common"),
-          (col("n_common") / (col("ca.n") + col("cb.n") - col("n_common"))).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-    },
+    "near-dup pairs by word-trigram Jaccard ≥ 0.5 via capped shingle equi-join",
+    (s, d) => jaccardPairs(t(s, d, "documents"), DefaultDfCap),
     Some(s"""
       WITH $shinglesSql,
-      cnt AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
-      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
+      rare AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) <= $DefaultDfCap),
+      re AS (SELECT e.doc_id, e.s FROM e JOIN rare USING (s)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM re a JOIN re b ON a.s = b.s AND a.doc_id < b.doc_id),
+      v AS (SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_common,
+                   CAST(len(sa.shingles) AS BIGINT) AS na,
+                   CAST(len(sb.shingles) AS BIGINT) AS nb
+            FROM cand
+              JOIN sh sa ON sa.doc_id = doc_a
+              JOIN sh sb ON sb.doc_id = doc_b)
       SELECT doc_a, doc_b, n_common,
-             n_common / (ca.n + cb.n - n_common) AS jaccard
-      FROM inter
-        JOIN cnt ca ON ca.doc_id = doc_a
-        JOIN cnt cb ON cb.doc_id = doc_b
-      WHERE n_common / (ca.n + cb.n - n_common) >= 0.5
+             n_common / (na + nb - n_common) AS jaccard
+      FROM v WHERE n_common / (na + nb - n_common) >= 0.5
       """),
     headline = true)
 

@@ -39,6 +39,38 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)))
   }
 
+  test("stop-shingle df cap leaves the Jaccard ≥ 0.5 result set unchanged") {
+    import graft.queries.TextOps.jaccardPairs
+    // corpus with a HOT boilerplate opening: the trigrams of the shared
+    // prefix appear in every document (df = 8 > cap), while each
+    // near-dup pair shares plenty of rare shingles
+    val boiler = "subscribe to our newsletter for updates and exclusive offers today"
+    val hot = Seq(
+      (1L, s"$boiler the quick brown fox jumps over the lazy dog near the river"),
+      (2L, s"$boiler the quick brown fox jumps over the lazy dog near the creek"),
+      (3L, s"$boiler completely different text about distributed query engines and columnar formats"),
+      (4L, s"$boiler completely different text about distributed query engines and row formats"),
+      (5L, s"$boiler unrelated musings on compiler construction parsing tables and register allocation"),
+      (6L, s"$boiler unrelated musings on compiler construction parsing tables and stack allocation"),
+      (7L, s"$boiler a seventh document of entirely distinct words regarding sailing boats harbors"),
+      (8L, s"$boiler an eighth text that shares nothing except the boilerplate prefix fragment")
+    ).toDF("doc_id", "text")
+
+    def pairs(cap: Long) = jaccardPairs(hot, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val capped = pairs(4L) // boilerplate trigrams (df=8) are excluded
+    val uncapped = pairs(Long.MaxValue)
+    assert(capped == uncapped,
+      s"cap changed the result set: capped=$capped uncapped=$uncapped")
+    assert(capped.exists(p => p._1 == 1L && p._2 == 2L), "near-dup pair 1-2 found")
+    assert(capped.exists(p => p._1 == 3L && p._2 == 4L), "near-dup pair 3-4 found")
+    // n_common still counts the hot shingles (exact verify on full sets)
+    val boilerShingleCount = boiler.split(" ").length - 2
+    assert(capped.find(p => p._1 == 1L && p._2 == 2L).get._3 > boilerShingleCount,
+      "intersection must include capped-out hot shingles")
+  }
+
   test("d16 band bucketing recalls EXACTLY the brute-force Hamming ≤ 3 pairs") {
     // pigeonhole: ≤3 differing bits cannot touch all 4 16-bit bands, so
     // every qualifying pair shares an exact band — banded recall == 1
