@@ -9,80 +9,118 @@ import org.apache.spark.sql.types._
   * component is one duplicate cluster, and the minimum doc id in the
   * component becomes the cluster's canonical "keeper".
   *
-  * Algorithm: iterative min-label propagation (hash-min). Every node
-  * starts labeled with itself; each round replaces a node's label with
-  * the minimum over its own and its neighbors' labels; fixpoint when no
-  * label changes. Each round is one shuffle join (edges ⋈ labels on the
-  * neighbor key) + one hash agg — no driver-side data, only the scalar
-  * convergence check crosses to the driver.
+  * Algorithm: large-star/small-star alternation (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) —
+  * O(log² n) rounds on ANY graph shape, vs the O(diameter) rounds of
+  * naive min-label propagation (which a long-chain graph turns into
+  * thousands of shuffles):
   *
-  * Scale: rounds = graph diameter. Dedup graphs are dense little clique
-  * clusters (diameter 2-3), so hash-min converges in a handful of
-  * rounds; for adversarial long-chain graphs switch to the
-  * large-star/small-star alternation (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", SoCC'14) which is O(log n)
-  * rounds with the same join-agg building blocks. Each round ends in an
-  * eager `localCheckpoint`: the next label table references the previous
-  * one TWICE (directly and through the propagation join), so without
-  * lineage truncation the logical plan doubles per round and Catalyst
-  * re-analysis goes exponential — caching alone does not help, the
-  * optimizer still walks the full plan. (On a cluster with a checkpoint
-  * dir, reliable `checkpoint` gives the same truncation plus executor-
-  * loss tolerance.) The monotone label sum makes the convergence test a
-  * cheap scalar agg instead of a full-table compare.
+  *   - **large-star** (per node u over the symmetric neighborhood):
+  *     connect every strictly-larger neighbor v > u to
+  *     m = min(Γ(u) ∪ {u}) — long chains fold toward small ids from
+  *     every node at once, doubling label reach per round.
+  *   - **small-star** (per node u over its smaller neighbors, edges
+  *     kept hi→lo): connect u and all of N = {v ∈ Γ(u), v < u} to
+  *     min(N) — flattens local trees into stars.
+  *
+  * At the fixpoint the edge set IS the answer: one star per component,
+  * every node pointing at the component minimum. Each round is two
+  * join+agg passes — no driver-side data; only the O(1) convergence
+  * signature (edge count + hash sum) crosses to the driver.
+  *
+  * Each round ends in an eager `localCheckpoint`: the alternation
+  * references the previous edge set through several operators, and
+  * without lineage truncation the logical plan grows per round and
+  * Catalyst re-analysis goes super-linear — caching alone does not
+  * help, the optimizer still walks the full plan. (On a cluster with a
+  * checkpoint dir, reliable `checkpoint` gives the same truncation plus
+  * executor-loss tolerance.)
   */
 object ConnectedComponents {
+
+  /** One large-star + small-star alternation over a canonical (hi → lo)
+    * edge set; output is again canonical, self-loop-free, distinct. */
+  private def alternate(e: DataFrame): DataFrame = {
+    // large-star over the symmetric neighborhood of every node
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val minsL = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+      .select(col("a"), least(col("a"), col("mb")).as("m"))
+    // (v, m(u)) for v ∈ Γ(u), v > u; v > u ≥ m keeps hi→lo orientation
+    val large = sym.join(minsL, "a")
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+    // small-star: per hi endpoint u, N = {b} are exactly the smaller
+    // neighbors; connect u and N \ {min} to min(N)
+    val minsS = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+    large.join(minsS, "a")
+      .select(col("b").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b"))
+      .union(minsS.select(col("a"), col("m").as("b")))
+      .distinct()
+  }
 
   /** Label every node of the (undirected) edge list with the minimum
     * node id reachable from it.
     *
     * @param edges one row per edge; endpoints castable to long
+    * @param maxIter cap on star alternations; O(log² n) are needed, so
+    *                the default 50 covers graphs far beyond any real
+    *                corpus (a 10k-node path converges in well under 10)
     * @return (node: long, label: long) — label = min id in the component
+    * @throws IllegalStateException if the alternation has not reached
+    *         its fixpoint within `maxIter` rounds (non-converged labels
+    *         would silently split dedup clusters; callers like the d12
+    *         dedup-cluster path fail the job rather than degrade)
     */
   def labels(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       maxIter: Int = 50): DataFrame = {
-    val e = edges.select(
+    val e0 = edges.select(
       col(srcCol).cast(LongType).as("a"),
       col(dstCol).cast(LongType).as("b"))
-    // symmetric closure: propagate both directions with one join per round
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
+      .filter(col("a") =!= col("b"))
+    val nodes = e0.select(col("a")).union(e0.select(col("b")))
+      .distinct().select(col("a").as("node"))
 
-    // eager localCheckpoint: materializes AND truncates lineage
-    var lbl = sym.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).localCheckpoint()
-    // labels only ever decrease, so the total strictly drops iff any
-    // label changed — one tiny agg instead of a join-compare
-    // (coalesce guards the zero-row frame: sum over no rows is NULL)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(lbl)
+    // canonical hi → lo orientation
+    var e = e0.select(
+      greatest(col("a"), col("b")).as("a"),
+      least(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+
+    // convergence signature: (count, 64-bit hash XOR) — set-equality
+    // check in one tiny agg instead of a per-round anti-join (XOR, not
+    // SUM: uniform 64-bit hashes overflow an ANSI sum; the edge set is
+    // distinct so XOR cancellation can't occur)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = sig(e)
 
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val prop = sym.join(lbl, sym("b") === lbl("node"))
-        .groupBy(sym("a").as("pnode")).agg(min(col("label")).as("nl"))
-      val next = lbl.join(prop, lbl("node") === prop("pnode"), "left")
-        .select(
-          col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      lbl = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      val next = alternate(e).localCheckpoint()
+      val nextSig = sig(next)
+      e = next
+      converged = nextSig == prev
+      prev = nextSig
       i += 1
     }
-    sym.unpersist()
-    if (!converged)
+    if (!converged) {
       throw new IllegalStateException(
-        s"ConnectedComponents did not converge within $maxIter rounds — " +
-          "the graph's diameter exceeds the iteration cap; raise maxIter " +
-          "or switch to large-star/small-star for long-chain graphs")
-    lbl
+        s"ConnectedComponents did not converge within $maxIter star rounds — " +
+          "pathological input (the alternation needs O(log² n) rounds); " +
+          "raise maxIter")
+    }
+    // fixpoint edge set = stars (node → component min); roots label themselves
+    nodes.join(e, nodes("node") === e("a"), "left")
+      .select(col("node"), coalesce(col("b"), col("node")).as("label"))
   }
 }

@@ -36,4 +36,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     val scrambled = run(Seq((7L, 6L), (6L, 5L), (5L, 6L), (6L, 7L)))
     assert(forward == scrambled)
   }
+
+  test("10k-node path graph converges well under the round cap") {
+    // the adversarial shape for min-label propagation: diameter 9 999.
+    // star alternation must finish in O(log² n) rounds — maxIter 15
+    // proves it is nowhere near the O(diameter) regime (hash-min would
+    // need ~10 000 rounds and throw here).
+    val n = 10000L
+    val edges = spark.range(1, n)
+      .selectExpr("id AS src", "id + 1 AS dst")
+    val lbl = ConnectedComponents.labels(edges, "src", "dst", maxIter = 15)
+      .agg(countDistinct(col("label")), count(lit(1)), min(col("label"))).head
+    assert(lbl.getLong(0) == 1L, "one component")
+    assert(lbl.getLong(1) == n, "all nodes labeled")
+    assert(lbl.getLong(2) == 1L, "label is the component min")
+  }
+
+  test("two interleaved long chains stay separate components") {
+    // odd chain 1-3-5-…, even chain 2-4-6-… — interleaved ids rule out
+    // any accidental id-locality shortcut in the star alternation
+    val odd = (1L to 997L by 2).map(i => (i, i + 2))
+    val even = (2L to 998L by 2).map(i => (i, i + 2))
+    val lbl = run(scala.util.Random.shuffle(odd ++ even))
+    assert((1L to 999L by 2).forall(lbl(_) == 1L), "odd chain labels = 1")
+    assert((2L to 1000L by 2).forall(lbl(_) == 2L), "even chain labels = 2")
+  }
 }
