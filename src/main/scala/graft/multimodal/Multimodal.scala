@@ -79,6 +79,46 @@ object Multimodal {
       }
   }
 
+  /** REAL image codec behind the same seam: JDK `javax.imageio` decode
+    * (PNG/JPEG/BMP/GIF — whatever readers the JVM registers) producing
+    * [width, height, meanR, meanG, meanB] features. No external
+    * dependency; undecodable/empty payloads degrade to `ok = false`
+    * rather than failing the task (a 100 TB corpus always contains
+    * corrupt blobs — poison-pill rows must not kill the job). The
+    * oracle-checked m1 query keeps [[FakeDecoder]] (cross-engine
+    * determinism needs byte arithmetic DuckDB can reproduce); this is
+    * the production path, exercised by MultimodalSpec on real encoded
+    * fixtures. */
+  final class ImageIoDecoder extends Decoder {
+    override def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] =
+      rows.map { r =>
+        val nBytes = if (r.data == null) 0L else r.data.length.toLong
+        val img =
+          if (nBytes == 0L) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+            catch { case _: java.io.IOException | _: RuntimeException => null }
+        if (img == null)
+          MediaFeatures(r.media_id, r.kind, nBytes, Array.empty[Float], ok = false)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          // one bulk grab instead of per-pixel getRGB calls
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
+          }
+          val n = (w.toLong * h).toFloat
+          MediaFeatures(r.media_id, r.kind, nBytes,
+            Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n), ok = true)
+        }
+      }
+  }
+
   /** Batched decode over a typed Dataset — the `mapInPandas`-shaped
     * stage: bounded micro-batches per partition through the decoder. */
   def decodeFeatures(

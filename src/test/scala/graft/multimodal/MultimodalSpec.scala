@@ -37,6 +37,43 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f1.features.sum - 1.0f) < 1e-5)
   }
 
+  test("ImageIoDecoder decodes real PNG and JPEG fixtures through the seam") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+
+    def encode(fmt: String, w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer registered")
+      bos.toByteArray
+    }
+    // solid orange PNG (lossless → exact channel means) + a JPEG gradient
+    // (lossy → approximate means) + a corrupt payload (poison pill)
+    val png = encode("png", 8, 6)((_, _) => 0xff8020)
+    val jpg = encode("jpg", 16, 12)((x, _) => (x * 16) << 16)
+    val rows = Seq(
+      mkMedia(10, "image", png),
+      mkMedia(11, "image", jpg),
+      mkMedia(12, "image", Array.tabulate(100)(_.toByte))) // not an image
+    val ds = spark.createDataset(rows).repartition(2)
+    val out = decodeFeatures(ds, new ImageIoDecoder, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+
+    val p = out(10L)
+    assert(p.ok && p.n_bytes == png.length)
+    assert(p.features(0) == 8f && p.features(1) == 6f, "decoded dimensions")
+    assert(p.features(2) == 0xff.toFloat && p.features(3) == 0x80.toFloat &&
+      p.features(4) == 0x20.toFloat, s"exact channel means: ${p.features.toSeq}")
+    val j = out(11L)
+    assert(j.ok && j.features(0) == 16f && j.features(1) == 12f)
+    // gradient mean red = avg(x*16) = 120; JPEG is lossy → loose bound
+    assert(math.abs(j.features(2) - 120f) < 16f, s"jpeg red mean ${j.features(2)}")
+    assert(!out(12L).ok && out(12L).features.isEmpty,
+      "corrupt payload degrades to ok=false, not a task failure")
+  }
+
   test("resizePlan preserves aspect ratio and never upscales") {
     val df = spark.createDataset(media).toDF()
     val out = resizePlan(df, maxSide = 512)
