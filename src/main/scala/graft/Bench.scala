@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
@@ -9,8 +12,70 @@ import org.apache.spark.sql.SparkSession
   * materialization — `count()` would let Catalyst prune most of the
   * plan). One untimed warmup pass amortizes JIT/codegen compilation so
   * the numbers reflect steady-state throughput.
+  *
+  * Besides the per-query best (`queries`), the line carries the
+  * credibility data a "within 2× of baseline" claim needs:
+  *   - `samples`: every raw per-pass timing (the host shares CPU with
+  *     external load; spread reveals which numbers sat in a noise window)
+  *   - `spread`: per-query max/min ratio across samples
+  *   - `oracle_sec`: single-node DuckDB wall-time of the SAME oracle SQL
+  *     the correctness gate uses, over the same parquet — measured by
+  *     shelling out to the host's python3+duckdb (the gate's own
+  *     toolchain; skipped silently when unavailable)
+  *   - `ratio`: spark_best / oracle_sec per query
   */
 object Bench {
+
+  /** Time each oracle SQL in DuckDB (best of 2) via the host python3;
+    * returns name → seconds, or empty on any failure. */
+  private def oracleTimes(
+      sfDir: String, queries: Seq[(String, String)]): Map[String, Double] =
+    try {
+      val spec = queries.map { case (n, sql) =>
+        s""""$n": ${jsonStr(sql)}"""
+      }.mkString("{", ",", "}")
+      val specFile = Files.createTempFile("graft_bench_oracle", ".json")
+      Files.write(specFile, spec.getBytes(StandardCharsets.UTF_8))
+      val script =
+        s"""
+import json, sys, time
+try:
+    import duckdb
+except ImportError:
+    print("{}"); sys.exit(0)
+sf = "$sfDir"
+tables = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+con = duckdb.connect()
+for t in tables:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+out = {}
+for name, sql in json.load(open(sys.argv[1])).items():
+    best = None
+    try:
+        for _ in range(2):
+            t0 = time.time()
+            con.sql(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 4)
+    except Exception:
+        pass
+print(json.dumps(out))
+"""
+      val scriptFile = Files.createTempFile("graft_bench_oracle", ".py")
+      Files.write(scriptFile, script.getBytes(StandardCharsets.UTF_8))
+      val out = scala.sys.process.Process(
+        Seq("python3", scriptFile.toString, specFile.toString)).!!.trim
+      // minimal flat {"name": num, ...} parse — no JSON lib on the classpath
+      "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+        .findAllMatchIn(out).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Exception => Map.empty }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "").replace("\t", "\\t") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,13 +106,38 @@ object Bench {
         try { run(q); (System.nanoTime() - t0) / 1e9 } catch { case _: Throwable => -1.0 }
       }
     }
-    val results = headliners.zipWithIndex.map { case (q, i) =>
-      val qs = samples.map(_(i)).filter(_ >= 0)
-      q.name -> (if (qs.isEmpty) -1.0 else qs.min)
+    val perQuery = headliners.zipWithIndex.map { case (q, i) =>
+      q.name -> samples.map(_(i)).filter(_ >= 0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = perQuery.map { case (n, qs) =>
+      n -> (if (qs.isEmpty) -1.0 else qs.min)
+    }
+    val oracle = oracleTimes(
+      sfDir, headliners.flatMap(q => q.oracle.map(q.name -> _)))
+
+    def fmt(d: Double): String = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def obj(m: Seq[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    val qs = obj(results.map { case (k, v) => k -> fmt(v) })
+    val sampleJson = obj(perQuery.map { case (k, v) =>
+      k -> v.map(fmt).mkString("[", ",", "]")
+    })
+    val spread = obj(perQuery.collect { case (k, v) if v.nonEmpty && v.min > 0 =>
+      k -> fmt(v.max / v.min)
+    })
+    val oracleJson = obj(
+      results.collect { case (k, _) if oracle.contains(k) => k -> fmt(oracle(k)) })
+    val ratio = obj(results.collect {
+      case (k, v) if v > 0 && oracle.get(k).exists(_ > 0) =>
+        k -> fmt(v / oracle(k))
+    })
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""samples":$sampleJson,"spread":$spread,""" +
+        s""""oracle_sec":$oracleJson,"ratio":$ratio,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
