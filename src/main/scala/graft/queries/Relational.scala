@@ -809,10 +809,17 @@ object Relational {
     "q35_approx_distinct",
     "exact vs approx_count_distinct (HLL++) per event_type with error bound",
     (s, d) =>
+      // two-phase distinct (no Expand, skew-safe): dedup (type, user)
+      // with a partial-agged shuffle, then count exactly AND sketch over
+      // the already-distinct pairs — the HLL registers are identical on
+      // a deduplicated input, so the estimate is unchanged
       t(s, d, "events")
+        // COUNT(DISTINCT) semantics: NULL user_ids don't count
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"), col("user_id")).agg(lit(1).as("__one"))
         .groupBy(col("event_type"))
         .agg(
-          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_users"),
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .select(
           col("event_type"), col("n_users"),

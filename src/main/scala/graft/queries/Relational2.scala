@@ -779,6 +779,42 @@ object Relational2 {
     },
     Some(q62Sql))
 
+  /** Approximate-quantile sketch surface — the partner of q35's HLL
+    * check, same pattern: the sketch internals (GK/KLL-style) are
+    * engine-private, so the oracle-checkable output is the EXACT
+    * interpolated percentile (quantile_cont parity proven by q36) plus
+    * `within_bound`, the in-engine assertion that the
+    * `approx_percentile` estimate lands within 1% of the exact value
+    * (accuracy 10000 ⇒ rank error ≤ N/10000 — a handful of rows per
+    * group at any SF — and the price distribution is dense, so value
+    * error is far inside 1%). The oracle emits TRUE: an out-of-spec
+    * sketch fails the hash compare. At 100 TB approx_percentile is the
+    * one that matters: exact percentile sorts every group, the sketch
+    * is one mergeable pass. */
+  val q63ApproxQuantiles: Q = Q(
+    "q63_approx_quantiles",
+    "exact vs approx_percentile (sketch) per returnflag with error bound",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50_exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          count(lit(1)).as("n_items"))
+        .select(
+          col("l_returnflag"), col("p50_exact"), col("n_items"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") <= 0.01)
+            .as("within_bound")),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+             COUNT(*) AS n_items,
+             TRUE AS within_bound
+      FROM lineitem
+      GROUP BY l_returnflag
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -786,5 +822,5 @@ object Relational2 {
     q48ExceptAll, q49SaltedJoin, q50Unpivot, q51GapFill, q52MapOps,
     q53ForwardFill, q54PercentOfTotal, q55TrailingWindow, q56HashSample,
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
-    q61NullSafeJoin, q62GroupByAll)
+    q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles)
 }

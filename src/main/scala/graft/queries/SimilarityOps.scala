@@ -384,7 +384,53 @@ object SimilarityOps {
       LIMIT 10
       """))
 
+  /** Seeded ±1 sign matrix for the s10 JL projection: JlK rows × JlDim
+    * cols from a public LCG — the same constants are embedded verbatim
+    * into the oracle SQL, so DuckDB reproduces the projection exactly. */
+  private[graft] val JlK = 8
+  private[graft] val JlDim = 64
+  private[graft] val jlSigns: Array[Array[Double]] = {
+    var state = 0x9E3779B97F4A7C15L
+    Array.fill(JlK, JlDim) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      if (state >= 0) 1.0 else -1.0
+    }
+  }
+
+  /** Random sign projection (Johnson–Lindenstrauss style): 64-dim
+    * embeddings down to 8 dims via a fixed seeded ±1 matrix. The scale
+    * story: dimensionality reduction is the cheapest ANN accelerator —
+    * distances survive (E[y_a·y_b] = k·(a·b) for sign matrices), the
+    * projected table is dim/k× smaller to shuffle/store, and the whole
+    * projection is map-only (k codegen'd dot products per row against
+    * broadcast-literal rows — no shuffle, no driver traffic). Candidate
+    * search runs on the 8-dim table, exact verify on the original. */
+  val s10RandomProjection: Q = Q(
+    "s10_random_projection",
+    "seeded sign random projection (JL): 64-dim embeddings → 8 dims, map-only",
+    (s, d) => {
+      val e = emb(s, d)
+      val projCols = jlSigns.zipWithIndex.map { case (row, j) =>
+        dot(col("v"), typedlit(row.toSeq)).as(s"p$j")
+      }
+      e.filter(size(col("v")) === JlDim)
+        .select(col("vec_id") +: projCols.toSeq: _*)
+    },
+    Some {
+      val cols = jlSigns.zipWithIndex.map { case (row, j) =>
+        val lit = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"list_dot_product(embedding::DOUBLE[], $lit) AS p$j"
+      }.mkString(",\n             ")
+      s"""
+      SELECT vec_id,
+             $cols
+      FROM embeddings
+      WHERE len(embedding) = $JlDim
+      """
+    })
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
-    s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK)
+    s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
+    s10RandomProjection)
 }

@@ -222,13 +222,20 @@ object TextOps {
   private[graft] def jaccardPairs(docs: DataFrame, dfCap: Long): DataFrame = {
     val sh = shingles(docs).persist()
     val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rareS = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("s"))
-    val rare = e.join(rareS, "s")
+    // The STOP-LIST is what's small (shingles with df > cap are the
+    // Zipf head — a handful even at corpus scale), so exclude them with
+    // a broadcast ANTI join: e itself never shuffles for the cap, and
+    // the df agg reads only the pruned shingle column
+    val stopS = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("s"))
+    val rare = e.join(broadcast(stopS), Seq("s"), "left_anti")
     val cand = rare.as("a")
       .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // exact verify: candidate pairs can still be numerous (any two docs
+    // sharing one rare shingle) — shuffle joins against the compact
+    // shingle-array table, not broadcasts
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -513,11 +520,13 @@ object TextOps {
       """))
 
   /** Dedup clusters: connected components over the d6 near-dup pairs
-    * ([[graft.operators.ConnectedComponents]], iterative hash-min) — the
-    * keep-one-per-cluster decision of a dedup pipeline. Every document
-    * gets a cluster id (singletons are their own cluster); the minimum
-    * doc_id of a component is its keeper. The oracle computes the same
-    * transitive closure with a recursive CTE. */
+    * ([[graft.operators.ConnectedComponents]], large-star/small-star
+    * alternation) — the keep-one-per-cluster decision of a dedup
+    * pipeline. Every document gets a cluster id (singletons are their
+    * own cluster); the minimum doc_id of a component is its keeper. The
+    * oracle computes the same transitive closure with a recursive CTE
+    * over an INDEPENDENTLY-derived (uncapped) pair set — it passes
+    * precisely because the d6 stop-shingle cap is result-preserving. */
   val d12DedupClusters: Q = Q(
     "d12_dedup_clusters",
     "connected-component dedup clusters over Jaccard ≥ 0.5 pairs",
@@ -837,10 +846,60 @@ object TextOps {
       FROM w
       """))
 
+  /** Within-document repetition — the Gopher-rule quality signal (Rae
+    * et al. 2021 §A1.1: drop documents whose most frequent n-gram
+    * covers too much of the text; boilerplate and SEO spam score high).
+    * RAW trigram counts here, not the dedup shingle SET (d6): repetition
+    * is exactly what array_distinct would erase. Map side: tokenize once
+    * behind the usual Generate barrier, explode, then two partial-agged
+    * groupBys keyed on doc_id — one shuffle family, no joins. */
+  val d18Repetition: Q = Q(
+    "d18_repetition",
+    "within-doc top-trigram repetition ratio (Gopher-style quality rule)",
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(array(split(norm(col("text")), " "))).as("w"))
+        .select(
+          col("doc_id"),
+          when(size(col("w")) >= 3,
+            expr("""transform(sequence(1, size(w) - 2),
+                    i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"""))
+            .otherwise(array(concat_ws(" ", col("w")))).as("tg"))
+      toks
+        .select(col("doc_id"), size(col("tg")).cast(LongType).as("n_trigrams"),
+          explode(col("tg")).as("t"))
+        .groupBy(col("doc_id"), col("n_trigrams"), col("t"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_trigrams"))
+        .agg(max(col("c")).as("max_count"))
+        .select(
+          col("doc_id"), col("n_trigrams"), col("max_count"),
+          (col("max_count") / col("n_trigrams")).as("repetition_ratio"))
+    },
+    Some(s"""
+      WITH docs AS (SELECT doc_id, string_split($normSql, ' ') AS w
+                    FROM documents),
+      tg AS (SELECT doc_id,
+                    CASE WHEN len(w) >= 3
+                         THEN list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                         ELSE [array_to_string(w, ' ')] END AS tg
+             FROM docs),
+      e AS (SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_trigrams,
+                   unnest(tg) AS t
+            FROM tg),
+      c AS (SELECT doc_id, n_trigrams, t, COUNT(*) AS c
+            FROM e GROUP BY 1, 2, 3)
+      SELECT doc_id, n_trigrams, MAX(c) AS max_count,
+             MAX(c) / n_trigrams AS repetition_ratio
+      FROM c GROUP BY doc_id, n_trigrams
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
     d14Sentences, d15VocabBuild, d16SimHashPairs, d17NfcNormalize,
-    m1MediaFeatures, m2FrameSample)
+    d18Repetition, m1MediaFeatures, m2FrameSample)
 }

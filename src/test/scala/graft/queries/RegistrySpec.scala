@@ -53,6 +53,21 @@ class RegistrySpec extends SparkSpec {
     assert(total == docs.count())
   }
 
+  test("s10 sign projection preserves norms in expectation (JL property)") {
+    graft.functions.GraftFunctions.register(spark)
+    val proj = Registry.byName("s10_random_projection").build(spark, sfDir)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // E[|Sv|²] = k·|v|² for ±1 sign matrices → |Sv|²/(k·|v|²) ≈ 1
+    val p2 = (0 until 8).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _)
+    val ratios = proj.join(e, "vec_id")
+      .select((p2 / lit(8.0) / expr("graft_dot(v, v)")).as("ratio"))
+    val mean = ratios.agg(avg(col("ratio"))).head.getDouble(0)
+    assert(mean > 0.85 && mean < 1.15, s"norm-preservation mean ratio $mean")
+    val med = ratios.stat.approxQuantile("ratio", Array(0.5), 0.01).head
+    assert(med > 0.5 && med < 2.0, s"median ratio $med")
+  }
+
   test("top-k queries respect their limits") {
     assert(Registry.byName("q2_top_customers").build(spark, sfDir).count() <= 10)
     assert(Registry.byName("q23_top_lineitems").build(spark, sfDir).count() == 20)
