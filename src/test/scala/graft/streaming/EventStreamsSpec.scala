@@ -305,6 +305,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("streaming upsert merges each micro-batch into the parquet base table") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_upsert").toString + "/base"
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    val input = MemoryStream[Event]
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+    val q = EventStreams.streamingUpsert(
+      input.toDF(), base, key = "user_id", orderCol = "ts", checkpointDir = ckpt)
+    try {
+      // batch 1: three users; user 2 appears twice (latest-in-batch wins)
+      input.addData(
+        Event(1, t(0), 1L, "a", 10.0),
+        Event(2, t(0), 2L, "a", 20.0),
+        Event(3, t(5), 2L, "b", 25.0),
+        Event(4, t(0), 3L, "a", 30.0))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(base)
+        .select("user_id", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(after1 == Set((1L, "a", 10.0), (2L, "b", 25.0), (3L, "a", 30.0)))
+
+      // batch 2: update user 2 again, insert user 4, user 1/3 untouched
+      input.addData(
+        Event(5, t(10), 2L, "c", 29.0),
+        Event(6, t(10), 4L, "a", 40.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val finalRows = spark.read.parquet(base)
+      .select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(finalRows == Set(
+      (1L, "a", 10.0), (2L, "c", 29.0), (3L, "a", 30.0), (4L, "a", 40.0)),
+      s"upserted table wrong: $finalRows")
+  }
+
   test("parquet file sink with checkpoint: exactly-once across restart") {
     val inDir = Files.createTempDirectory("graft_ckpt_in").toString
     val outDir = Files.createTempDirectory("graft_ckpt_out").toString + "/silver"
