@@ -52,6 +52,40 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(lbl.getLong(2) == 1L, "label is the component min")
   }
 
+  test("random graphs agree with a reference union-find") {
+    // seeded random topologies vs a trivially-correct driver-side
+    // union-find — guards the star alternation against shape-specific
+    // bugs the hand-picked fixtures might miss
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(60)
+      val ids = (1 to n).map(_ => rnd.nextInt(1000).toLong + 1).distinct
+      val edges = (1 to n).map { _ =>
+        (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size)))
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra.max(rb)) = ra.min(rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical label = min id per root group
+        val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+          val m = members.min
+          members.map(_ -> m)
+        }.toMap
+        val got = run(edges)
+        assert(got == expected, s"trial $trial (n=$n): $got vs $expected")
+      }
+    }
+  }
+
   test("two interleaved long chains stay separate components") {
     // odd chain 1-3-5-…, even chain 2-4-6-… — interleaved ids rule out
     // any accidental id-locality shortcut in the star alternation
