@@ -99,4 +99,29 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(count(p, "ENSURE_REQUIREMENTS") == 1, p)
   }
+
+  test("d6: stop-list excluded via broadcast anti join; no cartesian anywhere") {
+    val p = finalPlan("d6_ngram_jaccard")
+    // the df>cap stop-list must broadcast (tiny Zipf head) — the
+    // exploded table itself must never shuffle just to apply the cap
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "near-dup pairs must come from the shingle equi-join, never all-pairs")
+    assert(p.contains("InMemoryTableScan"),
+      "shingle arrays must come from the persist barrier")
+  }
+
+  test("s10: random projection is map-only — zero intrinsic exchanges") {
+    val p = finalPlan("s10_random_projection")
+    assert(count(p, "ENSURE_REQUIREMENTS") == 0,
+      "projection must not shuffle: k dot products against literal rows")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q35: two-phase distinct — no Expand, partial agg both phases") {
+    val p = finalPlan("q35_approx_distinct")
+    assert(!p.contains("Expand"),
+      "multi-distinct must use the two-phase form, not Expand row doubling")
+    assert(p.contains("partial_"), p)
+  }
 }
