@@ -114,6 +114,8 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val RollingHashName = "graft_rolling_hash"
   val NfcName = "graft_nfc"
+  val BloomAggName = "graft_bloom_agg"
+  val BloomContainName = "graft_might_contain"
 
   /** Idempotent per-session registration via the function registry —
     * the expressions then resolve in both the Column DSL and plain SQL
@@ -128,6 +130,22 @@ object GraftFunctions {
       RollingHashName, { exprs => RollingHash(exprs.head) }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NfcName, { exprs => NfcNormalize(exprs.head) }, "built-in")
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // runtime-filter rule but does not register them as SQL functions;
+    // surfacing them gives pipelines the explicit build-once/probe-later
+    // bloom semi-join (cross-job pruning the optimizer rule can't do).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomAggName,
+      { exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head).toAggregateExpression()
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BloomContainName,
+      { exprs =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1))
+      }, "built-in")
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */

@@ -844,6 +844,59 @@ object Relational2 {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       """))
 
+  /** Bloom-filter pre-filtered semi-join — the 100 TB shuffle-join
+    * accelerator in explicit (non-optimizer) form: build a bloom over
+    * the build side's keys (`bloom_filter_agg`, one partial-agged pass,
+    * result is one broadcastable binary blob), probe the other side
+    * with `might_contain`, and only bloom-hits enter the real join.
+    * Complements RuntimeFilterSpec (Catalyst's automatic injection):
+    * this is the hand-rolled version a pipeline uses when the filter
+    * must cross a stage/job boundary (e.g. persist the bloom, prune
+    * tomorrow's scan).
+    *
+    * Oracle-checkable via the q35 pattern: exact membership counts
+    * hash-match DuckDB; the bloom's contract rides as assertions —
+    * `false_negatives` must be 0 (bloom guarantee) and the measured
+    * false-positive rate must sit under the bound (default
+    * bloom_filter_agg sizing gives ~0.03 worst-case; bound at 0.05). */
+  val q65BloomSemiJoin: Q = Q(
+    "q65_bloom_semijoin",
+    "bloom-prefiltered semi-join: exact counts + in-engine FPR bound",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        WITH probe AS (
+          SELECT c.c_custkey,
+                 graft_might_contain(
+                   (SELECT graft_bloom_agg(o_custkey) FROM orders_v),
+                   c.c_custkey) AS bloom_hit,
+                 EXISTS (SELECT 1 FROM orders_v o
+                         WHERE o.o_custkey = c.c_custkey) AS exact_hit
+          FROM customer_v c)
+        SELECT COUNT(*) AS n_customers,
+               SUM(CAST(exact_hit AS BIGINT)) AS n_with_orders,
+               SUM(CASE WHEN exact_hit AND NOT bloom_hit THEN 1 ELSE 0 END)
+                 AS false_negatives,
+               (SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END)
+                  <= GREATEST(CAST(0.05 * SUM(CASE WHEN NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT), 1))
+                 AS fpr_ok
+        FROM probe""")
+    },
+    Some("""
+      WITH probe AS (
+        SELECT c.c_custkey,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey) AS exact_hit
+        FROM customer c)
+      SELECT COUNT(*) AS n_customers,
+             CAST(SUM(CAST(exact_hit AS BIGINT)) AS BIGINT) AS n_with_orders,
+             CAST(0 AS BIGINT) AS false_negatives,
+             TRUE AS fpr_ok
+      FROM probe
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -851,5 +904,6 @@ object Relational2 {
     q48ExceptAll, q49SaltedJoin, q50Unpivot, q51GapFill, q52MapOps,
     q53ForwardFill, q54PercentOfTotal, q55TrailingWindow, q56HashSample,
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
-    q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2)
+    q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
+    q65BloomSemiJoin)
 }

@@ -43,6 +43,17 @@ class NativeDotRewriteSpec extends SparkSpec {
     assert(df.collect()(0).isNullAt(0))
   }
 
+  test("bloom functions resolve through the extensions path (SQL text)") {
+    import ext.implicits._
+    Seq(1L, 2L, 3L, 4L, 5L).toDF("k").createOrReplaceTempView("bloom_keys")
+    val hits = ext.sql("""
+      SELECT k, graft_might_contain(
+               (SELECT graft_bloom_agg(k) FROM bloom_keys WHERE k <= 3), k) AS hit
+      FROM bloom_keys""").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // no false negatives, ever (members 1..3 must hit)
+    assert(Seq(1L, 2L, 3L).forall(hits(_)), s"bloom false negative: $hits")
+  }
+
   test("rewrite preserves values bit-for-bit vs the strict left fold") {
     import ext.implicits._
     val data = Seq.tabulate(50)(i => Seq.tabulate(16)(j => (i * 17 + j) / 7.0))
