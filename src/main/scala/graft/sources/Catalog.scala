@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.File
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -22,7 +22,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Schema evolution mirrors the crawler's `UPDATE_IN_DATABASE` policy
   * (ref `main.tf:170-173`): a re-crawl replaces a table whose on-disk
   * schema drifted from the registered one (new columns appear; the
-  * table definition follows the files).
+  * table definition follows the files). Partition evolution is handled
+  * the same way: every crawl of a partitioned layout re-runs
+  * `MSCK REPAIR TABLE`, so partition directories that appeared since the
+  * table was registered (the common incremental case — a new `fecha_dia`
+  * day landing) become visible to name-based reads without dropping the
+  * table.
+  *
+  * All filesystem access goes through the Hadoop [[FileSystem]] API
+  * resolved from the root path's scheme, so the same crawl works on
+  * `file://`, HDFS, and S3A object stores — the reference's crawler is
+  * S3-native, and a crawler that can only walk a local disk would be
+  * useless on the warehouses it models.
   *
   * Scale: registration is metadata-only — no data is read beyond parquet
   * footers for schema inference, and partitioned layouts keep partition
@@ -32,15 +43,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
 
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def listDir(fs: FileSystem, p: Path): Array[FileStatus] =
+    if (fs.exists(p)) fs.listStatus(p) else Array.empty
+
   /** Directories that hold a readable parquet table: contain at least one
     * `.parquet` file directly or inside Hive-style `key=value` partition
     * subdirs. */
-  private def isTableDir(dir: File): Boolean = {
-    def scan(d: File, depth: Int): Boolean = {
-      val entries = Option(d.listFiles()).getOrElse(Array.empty)
-      entries.exists(f => f.isFile && f.getName.endsWith(".parquet")) ||
+  private def isTableDir(fs: FileSystem, dir: Path): Boolean = {
+    def scan(d: Path, depth: Int): Boolean = {
+      val entries = listDir(fs, d)
+      entries.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")) ||
       (depth > 0 && entries.exists(f =>
-        f.isDirectory && f.getName.contains("=") && scan(f, depth - 1)))
+        f.isDirectory && f.getPath.getName.contains("=") &&
+          scan(f.getPath, depth - 1)))
     }
     scan(dir, 3)
   }
@@ -53,7 +71,9 @@ object Catalog {
   /** Register one external parquet table by location; schema and
     * partition columns are inferred from the layout. Replaces an
     * existing definition when the on-disk schema drifted
-    * (`UPDATE_IN_DATABASE`). Returns the qualified table name. */
+    * (`UPDATE_IN_DATABASE`); refreshes partition metadata on EVERY call
+    * for partitioned layouts, so partitions added since registration are
+    * discovered by re-crawls. Returns the qualified table name. */
   def registerExternal(
       spark: SparkSession, db: String, name: String, path: String): String = {
     val qualified = s"$db.$name"
@@ -64,29 +84,35 @@ object Catalog {
     if (!spark.catalog.tableExists(qualified)) {
       spark.sql(
         s"CREATE TABLE IF NOT EXISTS $qualified USING parquet LOCATION '$path'")
-      // partitioned layouts: load partition metadata into the catalog so
-      // partition pruning works on name-based reads
-      if (partitionedLayout(new File(path)))
-        spark.sql(s"MSCK REPAIR TABLE $qualified")
     }
+    // Partitioned layouts: (re)load partition metadata into the catalog so
+    // partition pruning works on name-based reads. Runs on every crawl, not
+    // just creation — a re-crawl must pick up partition directories that
+    // landed since the table was registered (UPDATE_IN_DATABASE semantics).
+    val p = new Path(path)
+    if (partitionedLayout(fsFor(spark, p), p))
+      spark.sql(s"MSCK REPAIR TABLE $qualified")
     qualified
   }
 
-  private def partitionedLayout(dir: File): Boolean =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .exists(f => f.isDirectory && f.getName.contains("="))
+  private def partitionedLayout(fs: FileSystem, dir: Path): Boolean =
+    listDir(fs, dir).exists(f => f.isDirectory && f.getPath.getName.contains("="))
 
   /** Crawl `root`: create database `db` if absent, register one external
     * table per qualifying first-level prefix. Idempotent; re-crawling
-    * refreshes drifted schemas and discovers new prefixes. Returns the
-    * qualified names registered, sorted. */
+    * refreshes drifted schemas, discovers new prefixes, and recovers
+    * newly-landed partitions. Returns the qualified names registered,
+    * sorted. */
   def crawl(spark: SparkSession, root: String, db: String): Seq[String] = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    val prefixes = Option(new File(root).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && isTableDir(d))
+    val rootPath = new Path(root)
+    val fs = fsFor(spark, rootPath)
+    val prefixes = listDir(fs, rootPath)
+      .filter(d => d.isDirectory && isTableDir(fs, d.getPath))
+      .map(_.getPath)
       .sortBy(_.getName)
     prefixes.map(d =>
-      registerExternal(spark, db, tableName(d.getName), d.getAbsolutePath)).toSeq
+      registerExternal(spark, db, tableName(d.getName), d.toString)).toSeq
   }
 
   /** Managed-table write: `saveAsTable` into the session warehouse — the

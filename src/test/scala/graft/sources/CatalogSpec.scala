@@ -103,6 +103,30 @@ class CatalogSpec extends SparkSpec {
       .collect().head.getDouble(0) == 30.0)
   }
 
+  test("re-crawl discovers partitions that landed after registration") {
+    val root = Files.createTempDirectory("graft_cat_part").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").withColumn("dia", lit("2026-01-01"))
+      .write.partitionBy("dia").mode("overwrite").parquet(s"$root/facts")
+    Catalog.crawl(spark, root, "incdb")
+    val before = spark.sql("SELECT COUNT(*) AS n FROM incdb.facts")
+      .collect().head.getLong(0)
+    assert(before == 2)
+    // a new day lands under the SAME table between crawls (the incremental
+    // case): the table definition is unchanged, only partitions grew
+    Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "v")
+      .withColumn("dia", lit("2026-01-02"))
+      .write.partitionBy("dia").mode("append").parquet(s"$root/facts")
+    Catalog.crawl(spark, root, "incdb")
+    val after = spark.sql("SELECT COUNT(*) AS n FROM incdb.facts")
+      .collect().head.getLong(0)
+    assert(after == 5, s"re-crawl must surface the new partition (got $after)")
+    val newDay = spark.sql(
+      "SELECT COUNT(*) AS n FROM incdb.facts WHERE dia = '2026-01-02'")
+      .collect().head.getLong(0)
+    assert(newDay == 3)
+  }
+
   test("saveAsTable managed round-trip (warehouse COPY leg)") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
