@@ -814,17 +814,20 @@ object Relational {
       // the already-distinct pairs — the HLL registers are identical on
       // a deduplicated input, so the estimate is unchanged
       t(s, d, "events")
-        // COUNT(DISTINCT) semantics: NULL user_ids don't count
-        .filter(col("user_id").isNotNull)
+        // group over ALL events (a NULL user_id row keeps its event_type
+        // group alive with n_users=0, matching COUNT(DISTINCT) semantics),
+        // then count only the non-null deduplicated pairs
         .groupBy(col("event_type"), col("user_id")).agg(lit(1).as("__one"))
         .groupBy(col("event_type"))
         .agg(
-          count(lit(1)).as("n_users"),
+          count(col("user_id")).as("n_users"),
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .select(
           col("event_type"), col("n_users"),
-          (abs(col("approx_users") - col("n_users")).cast("double") /
-            col("n_users") <= 0.05).as("within_bound")),
+          when(col("n_users") === 0, col("approx_users") === 0)
+            .otherwise(
+              abs(col("approx_users") - col("n_users")).cast("double") /
+                col("n_users") <= 0.05).as("within_bound")),
     Some("""
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
              TRUE AS within_bound

@@ -80,13 +80,20 @@ object Clustering {
         max(col(k).cast("double")).as(s"__mx_$k"))).tail: _*).head
     val nBuckets = 1 << bits
     val buckets = keys.zipWithIndex.map { case (k, i) =>
-      val (mn, mx) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-      // width_bucket yields 1..n (n+1 at max edge); clamp to 0..n-1
-      least(
-        greatest(
-          width_bucket(col(k).cast("double"), lit(mn), lit(mx), lit(nBuckets)) - 1,
-          lit(0L)),
-        lit((nBuckets - 1).toLong))
+      // all-NULL key → NULL min/max; constant key → mn == mx, where
+      // width_bucket's zero-width range yields NULL. Both degenerate to a
+      // single bucket rather than poisoning every z-value with NULL.
+      val mn = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
+      val mx = if (stats.isNullAt(2 * i + 1)) 0.0 else stats.getDouble(2 * i + 1)
+      if (mn == mx) lit(0L)
+      else
+        // width_bucket yields 1..n (n+1 at max edge); clamp to 0..n-1
+        // (greatest also skips the NULL a NULL key value produces → rank 0)
+        least(
+          greatest(
+            width_bucket(col(k).cast("double"), lit(mn), lit(mx), lit(nBuckets)) - 1,
+            lit(0L)),
+          lit((nBuckets - 1).toLong))
     }
     df.withColumn("__z", morton(buckets, bits))
       .repartitionByRange(nFiles, col("__z"))

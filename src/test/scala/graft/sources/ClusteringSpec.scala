@@ -35,6 +35,30 @@ class ClusteringSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == events.count())
   }
 
+  test("z-order degenerate keys: constant and all-NULL columns collapse to one bucket") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zdegen").toString + "/z"
+    val df = (1 to 1000).map(i => (i.toLong, 42.0, Option.empty[Double]))
+      .toDF("id", "konst", "nul")
+    // constant key (min==max) and an entirely-NULL key: neither may NPE
+    // nor poison the z-value with NULL (which would randomize placement)
+    Clustering.writeZOrdered(df, dir, Seq("id", "konst", "nul"), nFiles = 4)
+    assert(spark.read.parquet(dir).count() == 1000)
+    // the surviving real dimension still clusters: per-file id ranges
+    // are disjoint because konst/nul contribute constant-zero bits
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min(col("id")), max(col("id"))).head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(hiA <= loB, s"degenerate dims must not scatter id: $ranges")
+      case _ =>
+    }
+  }
+
   test("z-order layout keeps file stats tight on EVERY clustered dimension") {
     val base = Files.createTempDirectory("graft_zorder").toString
     val events = Tables(spark, sfDir, "events")
