@@ -201,20 +201,41 @@ object TextOps {
 
   /** Exact n-gram Jaccard near-dup pairs with a stop-shingle cap.
     *
-    * Two phases:
+    * Three phases:
     *   1. **Candidate generation** — explode shingles and equi-join on the
     *      shingle, but only through shingles whose document frequency is
     *      ≤ `dfCap`. A hot "stop shingle" appearing in df documents fans
     *      out df² pairs; capping bounds the join at dfCap·Σdf instead of
     *      Σdf² — the difference between linear and quadratic at 100 TB.
-    *   2. **Exact verify** — candidates join back to the FULL per-doc
-    *      shingle arrays and Jaccard is computed with `array_intersect`
-    *      over the complete sets, so capped-out shingles still count
-    *      toward similarity; the cap only affects which pairs are
-    *      *considered*. A pair sharing ONLY stop-shingles is below any
-    *      useful Jaccard threshold anyway (its union is ≥ the hot df
-    *      co-members' sets), so the ≥ 0.5 result set is unchanged —
-    *      DedupSpec proves equivalence on a hot-shingle corpus.
+    *      A second, cap-independent channel joins documents whose FULL
+    *      shingle sets are identical (one 128-bit fingerprint per doc):
+    *      a mass-duplication cluster bigger than the cap — 60 identical
+    *      boilerplate docs make every shingle df=60 — has no rare
+    *      shingles at all, and without the fingerprint channel its
+    *      Jaccard=1.0 pairs would vanish, exactly the case dedup exists
+    *      for. Fingerprint pairs cost one narrow self-join on a 32-char
+    *      key; within-cluster pair fan-out C(n,2) is the true output
+    *      size, not overhead.
+    *   2. **Upper-bound prefilter** — the candidate join carries the
+    *      exact shared-rare-shingle count per pair, and n_common is
+    *      bounded above by `shared_rare + min(stop_a, stop_b)` (a pair
+    *      can share at most min of the two docs' stop-shingle counts).
+    *      Jaccard is monotone in n_common, so pairs whose bound can't
+    *      reach 0.5 are dropped BEFORE the expensive full-array verify —
+    *      result-preserving by construction, and the verify joins touch
+    *      only pairs that can win.
+    *   3. **Exact verify** — surviving candidates join back to the FULL
+    *      per-doc shingle arrays and Jaccard is computed with
+    *      `array_intersect` over the complete sets, so capped-out
+    *      shingles still count toward similarity.
+    *
+    * Semantics of the cap: pairs whose shared shingles are ALL hot and
+    * whose sets differ (near- but not exactly-identical mass clusters)
+    * are not considered — that is the deliberate, scalable contract
+    * (their pair count is Ω(cluster²); no engine can emit it), and the
+    * oracle applies the same capped+fingerprint candidate rule. For the
+    * exact-duplicate mass cluster the fingerprint channel restores full
+    * recall; DedupSpec proves both properties.
     *
     * The shingle ARRAY is the persisted barrier: the interpreted
     * normalize+transform runs once per document, and candidate
@@ -229,13 +250,39 @@ object TextOps {
     val stopS = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("s"))
     val rare = e.join(broadcast(stopS), Seq("s"), "left_anti")
-    val cand = rare.as("a")
+    // per-doc set size and stop-shingle count (n_stop = n_sh − n_rare)
+    // feed the upper bound; docs with zero rare shingles fill n_rare=0
+    val docStats = sh
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_sh"))
+      .join(rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_rare"))
+      .select(col("doc_id"), col("n_sh"), (col("n_sh") - col("n_rare")).as("n_stop"))
+    // channel 1: rare-shingle equi-join with exact shared-rare count
+    val candRare = rare.as("a")
       .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // exact verify: candidate pairs can still be numerous (any two docs
-    // sharing one rare shingle) — shuffle joins against the compact
-    // shingle-array table, not broadcasts
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+    val ub = least(
+      col("n_shared_rare") + least(col("stop_a"), col("stop_b")),
+      col("na"), col("nb"))
+    val prunedRare = candRare
+      .join(docStats.select(col("doc_id").as("doc_a"),
+        col("n_sh").as("na"), col("n_stop").as("stop_a")), Seq("doc_a"))
+      .join(docStats.select(col("doc_id").as("doc_b"),
+        col("n_sh").as("nb"), col("n_stop").as("stop_b")), Seq("doc_b"))
+      .filter(ub / (col("na") + col("nb") - ub) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    // channel 2: identical full shingle sets, cap-independent (128-bit
+    // fingerprint of the sorted set; collisions are filtered by verify)
+    val fp = sh.select(col("doc_id"),
+      md5(concat_ws("\u0001", array_sort(col("sh"))).cast(BinaryType)).as("fp"))
+    val candFp = fp.as("fa")
+      .join(fp.as("fb"), col("fa.fp") === col("fb.fp") && col("fa.doc_id") < col("fb.doc_id"))
+      .select(col("fa.doc_id").as("doc_a"), col("fb.doc_id").as("doc_b"))
+    val cand = prunedRare.union(candFp).distinct()
+    // exact verify: surviving pairs can still be numerous — shuffle
+    // joins against the compact shingle-array table, not broadcasts
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -261,30 +308,46 @@ object TextOps {
              FROM docs),
       e AS (SELECT doc_id, unnest(shingles) AS s FROM sh)"""
 
-  /** Exact n-gram Jaccard near-dup pairs via [[jaccardPairs]]: shingle
-    * equi-join candidate generation (no all-pairs cartesian) with a
-    * stop-shingle df cap, then exact verification over the full shingle
-    * sets. The oracle applies the SAME cap in the same two-phase shape. */
-  val d6NgramJaccard: Q = Q(
-    "d6_ngram_jaccard",
-    "near-dup pairs by word-trigram Jaccard ≥ 0.5 via capped shingle equi-join",
-    (s, d) => jaccardPairs(t(s, d, "documents"), DefaultDfCap),
-    Some(s"""
-      WITH $shinglesSql,
-      rare AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) <= $DefaultDfCap),
+  /** The capped+fingerprint candidate pair set in DuckDB SQL — shared by
+    * the d6 and d12 oracles so both gates grade the SAME pair semantics
+    * the engine implements (rare-shingle equi-join under the df cap,
+    * plus the cap-independent identical-set channel). The upper-bound
+    * prefilter needs no mirror: it is result-preserving by construction. */
+  private def cappedPairsSql(dfCap: Long) = s"""
+      rare AS (SELECT s FROM e GROUP BY s HAVING COUNT(*) <= $dfCap),
       re AS (SELECT e.doc_id, e.s FROM e JOIN rare USING (s)),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM re a JOIN re b ON a.s = b.s AND a.doc_id < b.doc_id),
+      fpr AS (SELECT doc_id, array_to_string(list_sort(shingles), chr(1)) AS setkey FROM sh),
+      cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM re a JOIN re b ON a.s = b.s AND a.doc_id < b.doc_id
+                 UNION ALL
+                 SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b
+                 FROM fpr fa JOIN fpr fb
+                   ON fa.setkey = fb.setkey AND fa.doc_id < fb.doc_id)),
       v AS (SELECT doc_a, doc_b,
                    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_common,
                    CAST(len(sa.shingles) AS BIGINT) AS na,
                    CAST(len(sb.shingles) AS BIGINT) AS nb
             FROM cand
               JOIN sh sa ON sa.doc_id = doc_a
-              JOIN sh sb ON sb.doc_id = doc_b)
-      SELECT doc_a, doc_b, n_common,
-             n_common / (na + nb - n_common) AS jaccard
-      FROM v WHERE n_common / (na + nb - n_common) >= 0.5
+              JOIN sh sb ON sb.doc_id = doc_b),
+      jpairs AS (SELECT doc_a, doc_b, n_common,
+                        n_common / (na + nb - n_common) AS jaccard
+                 FROM v WHERE n_common / (na + nb - n_common) >= 0.5)"""
+
+  /** Exact n-gram Jaccard near-dup pairs via [[jaccardPairs]]: shingle
+    * equi-join candidate generation (no all-pairs cartesian) with a
+    * stop-shingle df cap plus an identical-set fingerprint channel, an
+    * upper-bound prefilter, then exact verification over the full
+    * shingle sets. The oracle applies the SAME candidate semantics. */
+  val d6NgramJaccard: Q = Q(
+    "d6_ngram_jaccard",
+    "near-dup pairs by word-trigram Jaccard ≥ 0.5 via capped shingle equi-join",
+    (s, d) => jaccardPairs(t(s, d, "documents"), DefaultDfCap),
+    Some(s"""
+      WITH $shinglesSql,
+      ${cappedPairsSql(DefaultDfCap)}
+      SELECT doc_a, doc_b, n_common, jaccard FROM jpairs
       """),
     headline = true)
 
@@ -525,8 +588,9 @@ object TextOps {
     * pipeline. Every document gets a cluster id (singletons are their
     * own cluster); the minimum doc_id of a component is its keeper. The
     * oracle computes the same transitive closure with a recursive CTE
-    * over an INDEPENDENTLY-derived (uncapped) pair set — it passes
-    * precisely because the d6 stop-shingle cap is result-preserving. */
+    * over the SAME capped+fingerprint pair semantics as d6
+    * ([[cappedPairsSql]]) — grading the contract the engine implements
+    * rather than an uncapped pair set it deliberately does not. */
   val d12DedupClusters: Q = Q(
     "d12_dedup_clusters",
     "connected-component dedup clusters over Jaccard ≥ 0.5 pairs",
@@ -542,18 +606,9 @@ object TextOps {
     },
     Some(s"""
       WITH RECURSIVE $shinglesSql,
-      cnt AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
-      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2),
-      pairs AS (
-        SELECT doc_a, doc_b
-        FROM inter
-          JOIN cnt ca ON ca.doc_id = doc_a
-          JOIN cnt cb ON cb.doc_id = doc_b
-        WHERE n_common / (ca.n + cb.n - n_common) >= 0.5),
-      sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+      ${cappedPairsSql(DefaultDfCap)},
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM jpairs),
       reach(a, b) AS (
         SELECT a, b FROM sym
         UNION

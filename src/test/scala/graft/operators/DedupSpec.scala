@@ -71,6 +71,37 @@ class DedupSpec extends SparkSpec {
       "intersection must include capped-out hot shingles")
   }
 
+  test("mass-duplicate cluster larger than the df cap keeps its Jaccard=1.0 pairs") {
+    import graft.queries.TextOps.jaccardPairs
+    // 60 identical boilerplate docs: every shingle has df=60 > cap=50, so
+    // the rare-shingle channel generates ZERO candidates — the identical-
+    // set fingerprint channel must recover all C(60,2) pairs (this is
+    // exactly the mass-duplication case dedup exists for)
+    val n = 60
+    val txt = "subscribe to our newsletter for updates and exclusive offers today friends"
+    val dups = (1 to n).map(i => (i.toLong, txt)) ++ Seq(
+      (100L, "a completely unrelated document about distributed query engines and formats"),
+      (101L, "another loner text mentioning catalyst optimizer rules and codegen stages"))
+    val got = jaccardPairs(dups.toDF("doc_id", "text"), 50L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got.size == n * (n - 1) / 2,
+      s"expected all C($n,2) duplicate pairs, got ${got.size}")
+    assert(got.forall(_._3 == 1.0))
+    assert(got.forall(p => p._1 <= n && p._2 <= n), "loners must not pair")
+  }
+
+  test("upper-bound prefilter is result-preserving on the near-dup corpus") {
+    import graft.queries.TextOps.jaccardPairs
+    // documents table: rich mix of near/exact/unrelated docs — the capped
+    // result must equal the uncapped one (corpus max df < cap) with the
+    // prefilter active in both
+    val corpus = graft.core.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    def run(cap: Long) = jaccardPairs(corpus, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(50L) == run(Long.MaxValue))
+  }
+
   test("d16 band bucketing recalls EXACTLY the brute-force Hamming ≤ 3 pairs") {
     // pigeonhole: ≤3 differing bits cannot touch all 4 16-bit bands, so
     // every qualifying pair shares an exact band — banded recall == 1
