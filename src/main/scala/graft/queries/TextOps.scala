@@ -951,10 +951,78 @@ object TextOps {
       FROM c GROUP BY doc_id, n_trigrams
       """))
 
+  /** REAL image codec under the correctness gate: deterministic solid-
+    * color PNGs are encoded in-engine per document (dims and RGB derived
+    * from doc_id), pushed through the SAME batched [[Multimodal.decodeFeatures]]
+    * seam with the production [[Multimodal.ImageIoDecoder]] (`javax.imageio`),
+    * and the decoded width/height/channel-means are asserted IN-ENGINE
+    * against the generating parameters — solid-color PNG is lossless, so
+    * equality is exact. Every 50th payload is truncated to 10 bytes: the
+    * poison-pill contract (ok=false, empty features, no task failure) is
+    * graded too. The oracle emits TRUE per document (q35/q63 pattern), so
+    * any decode divergence fails the hash compare. Unlike m1 (which keeps
+    * the stub for cross-engine byte arithmetic), this query puts the real
+    * codec itself under the driver's hard signal. */
+  val m3ImageDecode: Q = Q(
+    "m3_image_decode",
+    "in-engine PNG encode -> javax.imageio decode -> exact feature assertion",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, d, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 4 + (id % 13).toInt
+            val h = 3 + (id % 7).toInt
+            val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val bytes = bos.toByteArray
+            // every 50th payload is a poison pill: truncated mid-signature
+            val data = if (id % 50 == 0) bytes.take(10) else bytes
+            Multimodal.MediaRow(id, "image", Some(s"synth://$id"), data,
+              Multimodal.MediaMeta(Some(w), Some(h), None, Some("png")))
+          }
+        }
+      val id = col("media_id")
+      val expectOk = id % 50 =!= 0
+      val wantW = (id % 13 + 4).cast(FloatType)
+      val wantH = (id % 7 + 3).cast(FloatType)
+      val wantR = (id % 256).cast(FloatType)
+      val wantG = ((id * 7) % 256).cast(FloatType)
+      val wantB = ((id * 13) % 256).cast(FloatType)
+      Multimodal.decodeFeatures(media, new Multimodal.ImageIoDecoder)
+        .toDF()
+        .select(
+          id,
+          when(expectOk,
+            col("ok") &&
+              element_at(col("features"), 1) === wantW &&
+              element_at(col("features"), 2) === wantH &&
+              element_at(col("features"), 3) === wantR &&
+              element_at(col("features"), 4) === wantG &&
+              element_at(col("features"), 5) === wantB)
+            .otherwise(!col("ok") && size(col("features")) === 0)
+            .as("decode_ok"))
+    },
+    Some("""
+      SELECT doc_id AS media_id, TRUE AS decode_ok FROM documents
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
     d14Sentences, d15VocabBuild, d16SimHashPairs, d17NfcNormalize,
-    d18Repetition, m1MediaFeatures, m2FrameSample)
+    d18Repetition, m1MediaFeatures, m2FrameSample, m3ImageDecode)
 }
