@@ -78,6 +78,23 @@ print(json.dumps(out))
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n").replace("\r", "").replace("\t", "\\t") + "\""
 
+  /** 1-minute /proc/loadavg — the external-contention signal. This host
+    * shares CPU with unrelated load; recording it per pass makes drift
+    * attributable (load spike ↔ slow pass) instead of narrated. */
+  private def loadavg(): Double =
+    try Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
+  /** Cumulative JVM process CPU seconds (driver+executors in local mode).
+    * Per-pass delta vs wall time separates "we computed more" from "we
+    * waited on a loaded host": contention shows as wall ≫ cpu/cores. */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -102,11 +119,17 @@ print(json.dumps(out))
     // round 2 a 5.9s sample of a 1.2s query. Interleaving means a noise
     // window inflates one full pass, and the per-query min is taken
     // across passes spread over the whole run.
+    val passMeta = collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
     val samples = (1 to 4).map { _ =>
-      headliners.map { q =>
+      val loadAtStart = loadavg()
+      val cpu0 = processCpuSec()
+      val w0 = System.nanoTime()
+      val passTimes = headliners.map { q =>
         val t0 = System.nanoTime()
         try { run(q); (System.nanoTime() - t0) / 1e9 } catch { case _: Throwable => -1.0 }
       }
+      passMeta += ((loadAtStart, processCpuSec() - cpu0, (System.nanoTime() - w0) / 1e9))
+      passTimes
     }
     val perQuery = headliners.zipWithIndex.map { case (q, i) =>
       q.name -> samples.map(_(i)).filter(_ >= 0)
@@ -136,10 +159,15 @@ print(json.dumps(out))
         k -> fmt(v / oracle(k))
     })
     val total = results.map(_._2).filter(_ >= 0).sum
+    val passes = obj(Seq(
+      "loadavg_1m" -> passMeta.map(p => fmt(p._1)).mkString("[", ",", "]"),
+      "cpu_sec" -> passMeta.map(p => fmt(p._2)).mkString("[", ",", "]"),
+      "wall_sec" -> passMeta.map(p => fmt(p._3)).mkString("[", ",", "]")))
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""samples":$sampleJson,"spread":$spread,""" +
-        s""""oracle_sec":$oracleJson,"ratio":$ratio,"sf":"$sfDir"}""")
+        s""""oracle_sec":$oracleJson,"ratio":$ratio,""" +
+        s""""passes":$passes,"cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
