@@ -897,6 +897,58 @@ object Relational2 {
       FROM probe
       """))
 
+  /** Z-order pruning, MEASURED: write the same events slice in two
+    * layouts — z-ordered on (user_id, value) vs lexicographic
+    * (range-clustered on user_id) — then evaluate a predicate on the
+    * NON-leading dimension against each file's min/max stats, i.e.
+    * exactly what a parquet reader's footer pruning sees (the stats are
+    * derived by grouping on `input_file_name()`; a footer index carries
+    * the same numbers). Lexicographic files each cover the full `value`
+    * range, so a value predicate can skip NOTHING; z-order files cover
+    * small hyper-rectangles, so most skip. Both facts ride as graded
+    * assertions (q35 pattern — the oracle emits the expected TRUEs), so
+    * the z-order claim is measured by the correctness gate rather than
+    * asserted in prose. The scalar `.head`/`.count` calls here are
+    * metrics-row traffic (the adjudicated-legitimate class), not data
+    * collection. */
+  val q66ZOrderPruning: Q = Q(
+    "q66_zorder_pruning",
+    "z-order vs lexicographic file skipping on a non-leading-dim predicate",
+    (s, d) => {
+      import graft.sources.Clustering
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+      Clustering.writeZOrdered(ev, s"$base/z", Seq("user_id", "value"), nFiles = 16)
+      Clustering.writeRangeClustered(ev, s"$base/lin", "user_id", nFiles = 16)
+      val mm = ev.agg(min(col("value")), max(col("value"))).head
+      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+      // the middle decile of value: selective, away from either edge
+      val (lo, hi) = (mn + 0.45 * (mx - mn), mn + 0.55 * (mx - mn))
+      def fileHits(path: String) = s.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("value")).as("vmn"), max(col("value")).as("vmx"),
+          count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("files"),
+          sum(when(col("vmn") <= hi && col("vmx") >= lo, 1L).otherwise(0L)).as("hits"),
+          sum(col("n")).as("rows")).head
+      val z = fileHits(s"$base/z")
+      val l = fileHits(s"$base/lin")
+      val total = ev.count()
+      import s.implicits._
+      Seq((
+        l.getLong(1) == l.getLong(0),
+        z.getLong(1) * 2 <= z.getLong(0),
+        z.getLong(2) == total && l.getLong(2) == total
+      )).toDF("lin_matches_all", "z_skips_half", "totality_ok")
+    },
+    Some("""
+      SELECT TRUE AS lin_matches_all, TRUE AS z_skips_half, TRUE AS totality_ok
+      FROM events LIMIT 1
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -905,5 +957,5 @@ object Relational2 {
     q53ForwardFill, q54PercentOfTotal, q55TrailingWindow, q56HashSample,
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
     q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
-    q65BloomSemiJoin)
+    q65BloomSemiJoin, q66ZOrderPruning)
 }
