@@ -49,6 +49,38 @@ object IvfIndex {
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
 
+  /** IVF ANN probe — the accuracy/cost dial of the index: cosine top-`k`
+    * for query vector `queryId` among the vectors assigned to the
+    * `nprobe` centroid cells nearest the query. nprobe=1 reads one
+    * cell's worth of corpus; nprobe = #cells degenerates to exact
+    * search. Recall@k is monotone non-decreasing in nprobe BY
+    * CONSTRUCTION (more probes only widen the candidate set) and
+    * reaches 1.0 at full probe width — IvfRecallSpec measures the
+    * curve on the real corpus. At 100 TB the assignment is a
+    * cell-partitioned table and a probe reads nprobe partitions; the
+    * unprobed corpus is never touched. */
+  def probe(
+      vecs: DataFrame,
+      cent: DataFrame,
+      queryId: Long,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val qv = vecs.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val nearCells = cent.crossJoin(broadcast(qv))
+      .select(col("cid"), dist2(col("qv"), col("cv")).as("d2"))
+      .orderBy(col("d2"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+    assign(vecs, cent)
+      .join(broadcast(nearCells), Seq("cid"))
+      .filter(col("vec_id") =!= queryId)
+      .join(vecs, Seq("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), GraftFunctions.cosine(col("v"), col("qv")).as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
   /** `iters` Lloyd refinements from the deterministic seed set
     * (vec_id < k). Returns the final centroids (cid, cv). */
   def centroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {

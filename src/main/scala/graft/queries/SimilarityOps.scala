@@ -302,29 +302,18 @@ object SimilarityOps {
       FROM s2 GROUP BY cid
       """))
 
-  /** IVF ANN query: probe the nprobe=2 nearest cells, exact cosine top-5
-    * within them — the corpus outside the probed cells is never touched
-    * (at 100 TB the assignment is a cell-partitioned table and the probe
-    * reads 2 partitions). */
+  /** IVF ANN query via [[graft.operators.IvfIndex.probe]]: nprobe=2
+    * nearest cells, exact cosine top-5 within them — the corpus outside
+    * the probed cells is never touched (at 100 TB the assignment is a
+    * cell-partitioned table and the probe reads 2 partitions).
+    * IvfRecallSpec measures the recall-vs-nprobe curve of the same
+    * probe path. */
   val s8IvfQuery: Q = Q(
     "s8_ivf_query",
     "IVF ANN: probe 2 nearest cells, exact cosine top-5 within",
     (s, d) => {
       val (vecs, cent) = ivfParts(s, d)
-      val qv = vecs.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      val nearCells = cent.crossJoin(broadcast(qv))
-        .select(col("cid"), graft.operators.IvfIndex.dist2(col("qv"), col("cv")).as("d2"))
-        .orderBy(col("d2"), col("cid"))
-        .limit(2)
-        .select(col("cid"))
-      graft.operators.IvfIndex.assign(vecs, cent)
-        .join(broadcast(nearCells), Seq("cid"))
-        .filter(col("vec_id") =!= 0)
-        .join(vecs, Seq("vec_id"))
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
-        .orderBy(desc("sim"), col("vec_id"))
-        .limit(5)
+      graft.operators.IvfIndex.probe(vecs, cent, queryId = 0L, nprobe = 2, k = 5)
     },
     Some(ivfOracleCtes + """,
       qv AS (SELECT v AS qv FROM v WHERE vec_id = 0),
