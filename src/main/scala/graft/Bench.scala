@@ -140,6 +140,30 @@ print(json.dumps(out))
     val oracle = oracleTimes(
       sfDir, headliners.flatMap(q => q.oracle.map(q.name -> _)))
 
+    // micro: the two exact money-sum strategies over the same rollup —
+    // Decimal(38) partial aggregation vs scaled-long (Num.lsumD, primitive
+    // Tungsten fast path). Equality is spec-proven (ScaledLongSumSpec);
+    // this measures the throughput gap at the bench SF.
+    val micro = {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(org.apache.spark.sql.functions.col("l_returnflag"),
+          org.apache.spark.sql.functions.col("l_extendedprice"))
+      import org.apache.spark.sql.functions.col
+      def rollup(agg: org.apache.spark.sql.Column): Unit =
+        li.groupBy(col("l_returnflag")).agg(agg.as("s"))
+          .write.mode("overwrite").format("noop").save()
+      def best(agg: org.apache.spark.sql.Column): Double = {
+        rollup(agg) // warmup
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          rollup(agg); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      Seq(
+        "money_sum_decimal_sec" -> best(core.Num.dsumD(col("l_extendedprice"))),
+        "money_sum_scaledlong_sec" -> best(core.Num.lsumD(col("l_extendedprice"))))
+    }
+
     def fmt(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def obj(m: Seq[(String, String)]): String =
@@ -163,11 +187,13 @@ print(json.dumps(out))
       "loadavg_1m" -> passMeta.map(p => fmt(p._1)).mkString("[", ",", "]"),
       "cpu_sec" -> passMeta.map(p => fmt(p._2)).mkString("[", ",", "]"),
       "wall_sec" -> passMeta.map(p => fmt(p._3)).mkString("[", ",", "]")))
+    val microJson = obj(micro.map { case (k, v) => k -> fmt(v) })
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""samples":$sampleJson,"spread":$spread,""" +
         s""""oracle_sec":$oracleJson,"ratio":$ratio,""" +
-        s""""passes":$passes,"cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir"}""")
+        s""""passes":$passes,"micro":$microJson,""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

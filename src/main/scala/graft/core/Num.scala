@@ -58,4 +58,27 @@ object Num {
   def netD(price: Column, rate: Column): Column =
     price.cast(DecimalType(18, 4)) *
       (lit(1).cast(DecimalType(8, 6)) - rate.cast(DecimalType(8, 6)))
+
+  /** Scaled-long exact money sum — the vectorizable alternative to
+    * decimal aggregation for fixed-point inputs: `round(x·10^scale)`
+    * summed as a primitive LONG. Same exactness/order-independence as
+    * [[dsum]] (integer addition is associative), but the partial
+    * aggregate is a primitive in Tungsten's hash map instead of a
+    * 16-byte Decimal with per-row object arithmetic — the fast path for
+    * the hottest money rollups.
+    *
+    * Contract: inputs carry at most `scale` decimal digits (money), and
+    * group sums stay under 2^63/10^scale (9.2×10^16 at cents) — with
+    * ANSI on, overflow throws rather than wrapping. Surfaced as DOUBLE
+    * via [[lsumD]], the result is BIT-IDENTICAL to [[dsumD]] while the
+    * scaled sum is under 2^53 (the long→double cast is then exact and
+    * the ÷10^scale is correctly rounded — one rounding, same as the
+    * decimal path; ScaledLongSumSpec proves equality on the corpus). */
+  def lsum(c: Column, scale: Int = 2): Column =
+    sum(round(c * math.pow(10, scale), 0).cast(LongType))
+
+  /** Scaled-long exact SUM surfaced as DOUBLE; equals [[dsumD]] on
+    * in-contract inputs. */
+  def lsumD(c: Column, scale: Int = 2): Column =
+    lsum(c, scale).cast(DoubleType) / math.pow(10, scale)
 }
