@@ -1,7 +1,9 @@
 package graft.etl
 
-import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -31,8 +33,17 @@ final case class PipelineResult(
 
 object Pipeline {
 
-  def ready(inputRoot: String): Boolean =
-    Files.exists(Paths.get(inputRoot, "_READY"))
+  // Trigger flags travel through the Hadoop FileSystem of their path's
+  // scheme — the reference's _READY contract is S3-native (ref
+  // `main.tf:350-361`), so a local-only flag check would be dishonest.
+  // Resolving from a bare Configuration (not the session) keeps `ready`
+  // callable before a SparkSession exists, as a poll loop does.
+  private def flagPath(root: String, flag: String) = new Path(root, flag)
+
+  def ready(inputRoot: String): Boolean = {
+    val p = flagPath(inputRoot, "_READY")
+    p.getFileSystem(new Configuration()).exists(p)
+  }
 
   /** @param inputRoot  dir containing `dim_atms/` and `fact_transactions/`
     *                   CSV folders plus the `_READY` flag
@@ -46,7 +57,9 @@ object Pipeline {
       outputRoot: String,
       clock: Timestamp): PipelineResult = {
     require(ready(inputRoot), s"no _READY flag under $inputRoot")
-    Files.delete(Paths.get(inputRoot, "_READY")) // consume trigger first
+    val readyFlag = flagPath(inputRoot, "_READY")
+    readyFlag.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(readyFlag, false) // consume trigger first
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -77,7 +90,9 @@ object Pipeline {
     }
 
     val report = Validation.validate(silverBack)
-    Files.write(Paths.get(outputRoot, "_SUCCESS"), Array.emptyByteArray)
+    val success = flagPath(outputRoot, "_SUCCESS")
+    success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(success, true).close()
     PipelineResult(stats, report, silverPath, goldPaths)
   }
 }
