@@ -1019,10 +1019,60 @@ object TextOps {
       SELECT doc_id AS media_id, TRUE AS decode_ok FROM documents
       """))
 
+  /** Benchmark-contamination detection — the n-gram-collision
+    * decontamination rule every serious LLM training pipeline runs
+    * (GPT-3 appendix C / Llama style: flag a training document when its
+    * n-grams collide with an evaluation set). A deterministic 5% slice
+    * (doc_id % 20 = 0) stands in for the eval set; collisions are word
+    * trigrams via the shared [[shingles]] tokenizer.
+    *
+    * Scale shape: the eval side is DISTINCT shingles — one row per
+    * shingle regardless of its document frequency — so the inner join
+    * is linear in corpus postings (no hot-shingle fan-out: each corpus
+    * posting matches at most one eval-set row). One shuffle family:
+    * join on shingle, then a partial-agged groupBy(doc_id). At 100 TB
+    * the distinct eval-shingle set is small enough to broadcast or
+    * bloom-prefilter; the corpus side streams through either way. */
+  val d19Contamination: Q = Q(
+    "d19_contamination",
+    "eval-set n-gram contamination: shared-trigram counts per training doc",
+    (s, d) => {
+      val sh = shingles(t(s, d, "documents")).persist()
+      val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val evalShingles = e.filter(col("doc_id") % 20 === 0)
+        .select(col("s")).distinct()
+      val sizes = sh.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"))
+      e.filter(col("doc_id") % 20 =!= 0)
+        .join(evalShingles, Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes, Seq("doc_id"))
+        .select(
+          col("doc_id"), col("n_shared"), col("n_shingles"),
+          (col("n_shared") / col("n_shingles")).as("contamination_ratio"),
+          (col("n_shared") / col("n_shingles") >= 0.5).cast(LongType)
+            .as("is_contaminated"))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      ev AS (SELECT DISTINCT s FROM e WHERE doc_id % 20 = 0),
+      hits AS (SELECT e.doc_id, COUNT(*) AS n_shared
+               FROM e JOIN ev USING (s)
+               WHERE e.doc_id % 20 <> 0
+               GROUP BY e.doc_id)
+      SELECT h.doc_id AS doc_id, h.n_shared AS n_shared,
+             CAST(len(sh.shingles) AS BIGINT) AS n_shingles,
+             h.n_shared / CAST(len(sh.shingles) AS BIGINT) AS contamination_ratio,
+             CAST(h.n_shared / CAST(len(sh.shingles) AS BIGINT) >= 0.5 AS BIGINT)
+               AS is_contaminated
+      FROM hits h JOIN sh ON sh.doc_id = h.doc_id
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
     d14Sentences, d15VocabBuild, d16SimHashPairs, d17NfcNormalize,
-    d18Repetition, m1MediaFeatures, m2FrameSample, m3ImageDecode)
+    d18Repetition, d19Contamination, m1MediaFeatures, m2FrameSample,
+    m3ImageDecode)
 }
