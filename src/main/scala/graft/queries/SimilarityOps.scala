@@ -418,8 +418,69 @@ object SimilarityOps {
       """
     })
 
+  /** Product quantization ([[graft.operators.PqIndex]]): 8 subspaces ×
+    * 32 centroids compress 64 doubles (512 bytes) to 8 bytes per
+    * vector; queries run asymmetric distance (exact query against
+    * per-subspace lookup tables). Two graded assertions ride the q35
+    * pattern next to the exact corpus count:
+    *   - `adc_exact_on_recon`: ADC(q, codes(x)) equals d²(q, x̂) on the
+    *     reconstruction x̂ for EVERY vector to 1e-9 relative error —
+    *     the PQ core identity, i.e. the implementation is graded
+    *     independently of the data's cluster structure;
+    *   - `shortlist_recall_ok`: the 50-vector ADC shortlist
+    *     (retrieve-then-rerank, the production shape) recovers ≥ 20%
+    *     of the exact L2 top-10 averaged over 3 seeded queries —
+    *     conservative 3× under the measured 63–83%, and far above the
+    *     2.5% a random shortlist would draw; these synthetic iid
+    *     embeddings are PQ's worst case (near-equidistant neighbors),
+    *     so the floor is deliberately modest. PqSpec reports the
+    *     measured recalls. */
+  val s11PqAdc: Q = Q(
+    "s11_pq_adc",
+    "product quantization: 8x32 codebooks, ADC identity + shortlist recall",
+    (s, d) => {
+      import graft.operators.{IvfIndex, PqIndex}
+      val e = emb(s, d).select(col("vec_id"), col("v")).persist()
+      val dim = 64
+      val cbs = PqIndex.codebooks(e, dim, m = 8, k = 32, iters = 2)
+      val codes = PqIndex.encode(e, dim, cbs).persist()
+      // PQ identity: ADC == exact distance to the reconstruction
+      val vhat = PqIndex.decode(codes, cbs)
+      val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val d2hat = IvfIndex.dist2(col("vhat"), col("qv"))
+      val maxRelErr = PqIndex.adc(e, dim, cbs, codes, 0L)
+        .join(vhat, "vec_id")
+        .crossJoin(broadcast(qv))
+        .select((abs(col("adc") - d2hat) / greatest(d2hat, lit(1.0))).as("relerr"))
+        .agg(max(col("relerr"))).head.getDouble(0)
+      // shortlist-then-rerank recall over 3 seeded queries
+      val hits = Seq(0L, 7L, 23L).map { qid =>
+        val shortlist = PqIndex.adcTopK(e, dim, cbs, codes, qid, topK = 50)
+          .select(col("vec_id"))
+        val q = e.filter(col("vec_id") === qid).select(col("v").as("qv"))
+        val exact10 = e.filter(col("vec_id") =!= qid)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), IvfIndex.dist2(col("v"), col("qv")).as("d2"))
+          .orderBy(col("d2"), col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"))
+        shortlist.intersect(exact10).count()
+      }.sum
+      val n = e.count()
+      import s.implicits._
+      Seq((n, 8L, maxRelErr < 1e-9, hits >= 6))
+        .toDF("n_vectors", "code_bytes", "adc_exact_on_recon", "shortlist_recall_ok")
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(8 AS BIGINT) AS code_bytes,
+             TRUE AS adc_exact_on_recon,
+             TRUE AS shortlist_recall_ok
+      FROM embeddings
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
-    s10RandomProjection)
+    s10RandomProjection, s11PqAdc)
 }
