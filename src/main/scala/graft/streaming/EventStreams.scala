@@ -319,17 +319,21 @@ object EventStreams {
     *
     * Sink layout and crash safety: all filesystem access goes through
     * the Hadoop [[org.apache.hadoop.fs.FileSystem]] resolved from
-    * `basePath`, so the sink works on `file://`, HDFS and S3A alike.
-    * The swap never deletes live data before its replacement is in
-    * place: the old snapshot (or partition) is renamed aside to a
-    * dot-prefixed backup (invisible to Spark readers), the staged
-    * replacement is renamed in, and only then is the backup deleted.
-    * Every batch begins by repairing any swap a crash interrupted —
-    * a missing live dir with a surviving backup is restored, a stale
-    * backup next to a live dir is dropped — and `foreachBatch` then
-    * replays the batch, which converges because the upsert is
-    * idempotent per key: the at-least-once contract with no window in
-    * which the base table can be lost.
+    * `basePath`. The swap never deletes live data before its
+    * replacement is in place: the old snapshot (or partition) is
+    * renamed aside to a dot-prefixed backup (invisible to Spark
+    * readers), the staged replacement is renamed in, and only then is
+    * the backup deleted. Every batch begins by repairing any swap a
+    * crash interrupted — a missing live dir with a surviving backup is
+    * restored, a stale backup next to a live dir is dropped — and
+    * `foreachBatch` then replays the batch, which converges because
+    * the upsert is idempotent per key: the at-least-once contract with
+    * no window in which the base table can be lost. The no-loss
+    * guarantee is as strong as the filesystem's rename: atomic on
+    * HDFS and local filesystems; on S3A rename is a non-atomic
+    * copy+delete, so a crash mid-rename can leave a partial dir —
+    * there the honest choice is a commit-log table format
+    * (Iceberg/Delta) carrying this same merge operator.
     *
     * Scale: per batch, one shuffle of base ∪ changes on the key (bucket
     * the base at 100 TB so only the change set shuffles). With `partCol`
