@@ -119,6 +119,83 @@ object Multimodal {
       }
   }
 
+  /** REAL audio codec behind the same seam: a RIFF/WAVE PCM parser in
+    * plain JVM code (the format is a 44-byte header plus little-endian
+    * samples — no external library needed, unlike compressed codecs).
+    * Features are [sample_rate, n_channels, n_samples, mean, rms] over
+    * the normalized [-1, 1] samples. Malformed payloads (wrong magic,
+    * truncated chunks, non-PCM format) degrade to `ok = false` — the
+    * poison-pill contract, same as [[ImageIoDecoder]]. The m4 query
+    * grades this parser against in-engine-synthesized WAVs. */
+  final class PcmWavDecoder extends Decoder {
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    override def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] =
+      rows.map { r =>
+        val b = r.data
+        val nBytes = if (b == null) 0L else b.length.toLong
+        def bad = MediaFeatures(r.media_id, r.kind, nBytes, Array.empty[Float], ok = false)
+        if (b == null || b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") bad
+        else {
+          // walk chunks: need one "fmt " (PCM, 16-bit) and one "data"
+          var o = 12
+          var rate = -1; var ch = -1; var bits = -1
+          var dataOff = -1; var dataLen = -1
+          while (o + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+            val id = tag(b, o); val sz = le32(b, o + 4)
+            if (sz < 0 || o + 8 + sz > b.length) { o = b.length }
+            else {
+              if (id == "fmt " && sz >= 16) {
+                if (le16(b, o + 8) == 1) { // PCM only
+                  ch = le16(b, o + 10); rate = le32(b, o + 12)
+                  bits = le16(b, o + 22)
+                }
+              } else if (id == "data") { dataOff = o + 8; dataLen = sz }
+              o += 8 + sz + (sz & 1) // chunks are word-aligned
+            }
+          }
+          if (rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0 || dataLen % (2 * ch) != 0) bad
+          else {
+            val n = dataLen / 2
+            var i = 0; var sum = 0.0; var sumSq = 0.0
+            while (i < n) {
+              val s = le16(b, dataOff + 2 * i).toShort / 32768.0
+              sum += s; sumSq += s * s
+              i += 1
+            }
+            val frames = n / ch
+            MediaFeatures(r.media_id, r.kind, nBytes,
+              Array(rate.toFloat, ch.toFloat, frames.toFloat,
+                (sum / n).toFloat, math.sqrt(sumSq / n).toFloat),
+              ok = true)
+          }
+        }
+      }
+  }
+
+  /** Minimal PCM16 WAV writer (test-fixture/synthesis side of
+    * [[PcmWavDecoder]]): mono-or-multi-channel interleaved samples. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   /** Batched decode over a typed Dataset — the `mapInPandas`-shaped
     * stage: bounded micro-batches per partition through the decoder. */
   def decodeFeatures(

@@ -1068,11 +1068,63 @@ object TextOps {
       FROM hits h JOIN sh ON sh.doc_id = h.doc_id
       """))
 
+  /** REAL audio codec under the correctness gate — the audio analog of
+    * m3: deterministic constant-amplitude PCM16 WAVs are synthesized
+    * in-engine per document ([[Multimodal.encodeWav]]), decoded through
+    * the batched seam with the production [[Multimodal.PcmWavDecoder]]
+    * (RIFF chunk walk + sample scan), and the parsed rate/channels/
+    * frame-count/mean/RMS are asserted in-engine against the generating
+    * parameters. Constant amplitude keeps mean and RMS EXACT in float
+    * arithmetic (n·v and n·v² are exact doubles, sqrt of an exact
+    * square is exact), so the assertion is equality, not a tolerance.
+    * Every 50th payload is truncated mid-header for the poison-pill
+    * contract. Oracle emits TRUE per document. */
+  val m4AudioDecode: Q = Q(
+    "m4_audio_decode",
+    "in-engine WAV synth -> RIFF/PCM parse -> exact feature assertion",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, d, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 800 + (id % 100).toInt
+            val amp = ((id % 1000) - 500).toShort
+            val bytes = Multimodal.encodeWav(8000, 1, Array.fill(n)(amp))
+            val data = if (id % 50 == 0) bytes.take(20) else bytes
+            Multimodal.MediaRow(id, "audio", Some(s"synth://$id"), data,
+              Multimodal.MediaMeta(None, None, Some(n * 1000L / 8000), Some("pcm16")))
+          }
+        }
+      val id = col("media_id")
+      val expectOk = id % 50 =!= 0
+      val amp = (id % 1000 - 500).cast(DoubleType) / 32768.0
+      val wantFrames = (id % 100 + 800).cast(FloatType)
+      Multimodal.decodeFeatures(media, new Multimodal.PcmWavDecoder)
+        .toDF()
+        .select(
+          id,
+          when(expectOk,
+            col("ok") &&
+              element_at(col("features"), 1) === 8000f &&
+              element_at(col("features"), 2) === 1f &&
+              element_at(col("features"), 3) === wantFrames &&
+              element_at(col("features"), 4) === amp.cast(FloatType) &&
+              element_at(col("features"), 5) === abs(amp).cast(FloatType))
+            .otherwise(!col("ok") && size(col("features")) === 0)
+            .as("decode_ok"))
+    },
+    Some("""
+      SELECT doc_id AS media_id, TRUE AS decode_ok FROM documents
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
     d14Sentences, d15VocabBuild, d16SimHashPairs, d17NfcNormalize,
     d18Repetition, d19Contamination, m1MediaFeatures, m2FrameSample,
-    m3ImageDecode)
+    m3ImageDecode, m4AudioDecode)
 }

@@ -74,6 +74,34 @@ class MultimodalSpec extends SparkSpec {
       "corrupt payload degrades to ok=false, not a task failure")
   }
 
+  test("PcmWavDecoder parses real WAV bytes: stereo, sine RMS, poison pills") {
+    // stereo constant: 2 channels, mean exact
+    val stereo = encodeWav(44100, 2, Array.fill(400)(8192.toShort))
+    // mono sine over full periods: RMS ≈ amp/√2
+    val amp = 16384
+    val sine = encodeWav(8000, 1,
+      Array.tabulate(800)(i => (amp * math.sin(2 * math.Pi * i / 80)).toShort))
+    val rows = Seq(
+      mkMedia(20, "audio", stereo),
+      mkMedia(21, "audio", sine),
+      mkMedia(22, "audio", stereo.take(30)),            // truncated header
+      mkMedia(23, "audio", Array.tabulate(200)(_.toByte))) // not RIFF
+    val out = decodeFeatures(spark.createDataset(rows), new PcmWavDecoder, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+
+    val st = out(20L)
+    assert(st.ok && st.features(0) == 44100f && st.features(1) == 2f &&
+      st.features(2) == 200f, s"stereo header: ${st.features.toSeq}")
+    assert(st.features(3) == (8192.0 / 32768).toFloat, "constant mean exact")
+    val sn = out(21L)
+    assert(sn.ok && sn.features(2) == 800f)
+    val wantRms = amp / 32768.0 / math.sqrt(2)
+    assert(math.abs(sn.features(4) - wantRms) < 0.01,
+      s"sine RMS ${sn.features(4)} vs $wantRms")
+    assert(math.abs(sn.features(3)) < 0.01, "sine mean ~0")
+    assert(!out(22L).ok && !out(23L).ok, "malformed payloads degrade to ok=false")
+  }
+
   test("resizePlan preserves aspect ratio and never upscales") {
     val df = spark.createDataset(media).toDF()
     val out = resizePlan(df, maxSide = 512)
