@@ -1,0 +1,238 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A minimal commit-log table format — the Iceberg/Delta model at its
+  * irreducible core, for the CDC-upsert sink whose directory-swap
+  * variant ([[graft.streaming.EventStreams.streamingUpsert]]) is honest
+  * only where directory rename is atomic (HDFS, local FS). Layout:
+  *
+  * {{{
+  *   table/
+  *     _log/v00000000001.txt     one manifest per committed version
+  *     data/b<batch>v<ver>/p=<part>/part-*.parquet
+  * }}}
+  *
+  * A manifest is the COMPLETE list of live data files, one
+  * `partition\tfile` line each. Readers list `_log`, pick the highest
+  * version, and read exactly the files it names: a reader never sees a
+  * half-written table because data files are invisible until a manifest
+  * references them, and a manifest becomes visible atomically — it is
+  * written to a dot-temp name and renamed into place with
+  * overwrite=false. On S3 the rename is a copy of a FEW KILOBYTES (not
+  * the table), and the object becomes visible atomically; orphaned data
+  * files from a crashed commit are simply never referenced ([[vacuum]]
+  * reclaims them). Rename-refusal on an existing target doubles as
+  * optimistic concurrency: a lost race surfaces as a failed commit, and
+  * [[upsertBatch]] re-reads the new state and retries.
+  *
+  * Partition pruning happens at the MANIFEST, not the directory walk:
+  * [[readPartitions]] selects file paths by their recorded partition
+  * value before Spark ever lists anything — the Iceberg insight that
+  * makes planning O(manifest) instead of O(objects listed). Each data
+  * file holds exactly one partition's rows and carries the partition
+  * column as a real column (no Hive dir-name reconstruction needed).
+  *
+  * Scale: a manifest line is ~100 bytes per file; a 100 TB table at
+  * 1 GB files is ~10^5 lines — megabytes, read once per plan. Per
+  * upsert batch the IO is O(changed partitions) for data plus O(table
+  * files) for the manifest rewrite; production formats shard manifests
+  * per partition-subtree to cut that tail, which changes bookkeeping,
+  * not this model.
+  *
+  * Contract shared with the swap-based sink: `partCol` values must be
+  * non-null and stable per key, and their canonical string form must
+  * not contain tab or newline (they key the manifest lines). */
+object SnapshotLog {
+
+  final case class Manifest(version: Long, files: Map[String, Seq[String]]) {
+    def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
+  }
+
+  private def logDir(base: Path) = new Path(base, "_log")
+  private def vName(v: Long) = f"v$v%011d.txt"
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed version, 0 when the table does not exist yet. */
+  def currentVersion(fs: FileSystem, base: Path): Long = {
+    val dir = logDir(base)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** The manifest of the current version, if any. */
+  def readManifest(fs: FileSystem, base: Path): Option[Manifest] = {
+    val v = currentVersion(fs, base)
+    if (v == 0L) None
+    else {
+      val in = fs.open(new Path(logDir(base), vName(v)))
+      val text =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      val files = text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val Array(part, file) = line.split("\t", 2)
+        part -> file
+      }.toSeq.groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2) }
+      Some(Manifest(v, files))
+    }
+  }
+
+  /** Atomically publish `m` as version `m.version`: write to a dot-temp
+    * name, rename with overwrite=false. Returns false when that version
+    * already exists — the optimistic-concurrency conflict signal. */
+  def tryCommit(fs: FileSystem, base: Path, m: Manifest): Boolean = {
+    val dir = logDir(base)
+    fs.mkdirs(dir)
+    val target = new Path(dir, vName(m.version))
+    if (fs.exists(target)) return false
+    val text = m.files.toSeq.sortBy(_._1).flatMap { case (p, fls) =>
+      fls.sorted.map(f => s"$p\t$f")
+    }.mkString("", "\n", "\n")
+    val tmp = new Path(dir, s".${vName(m.version)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val ok = fs.rename(tmp, target)
+    if (!ok) fs.delete(tmp, false)
+    ok
+  }
+
+  /** Read the current snapshot (empty table → empty result needs a
+    * schema, so callers with no committed version must handle None). */
+  def read(spark: SparkSession, base: String): Option[DataFrame] = {
+    val bp = new Path(base)
+    readManifest(fsFor(spark, bp), bp).map { m =>
+      val files = m.allFiles.map(f => new Path(bp, f).toString)
+      spark.read.parquet(files: _*)
+    }
+  }
+
+  /** Manifest-pruned read: only the files of the named partitions are
+    * ever handed to Spark. */
+  def readPartitions(
+      spark: SparkSession, base: String, parts: Seq[String]): Option[DataFrame] = {
+    val bp = new Path(base)
+    readManifest(fsFor(spark, bp), bp).map { m =>
+      val files = parts.flatMap(p => m.files.getOrElse(p, Nil))
+        .map(f => new Path(bp, f).toString)
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*))
+    }.flatten
+  }
+
+  /** MERGE a change batch into the table on `key` (latest `orderCol`
+    * wins within the batch), rewriting ONLY the partitions the change
+    * keys touch, then committing a new manifest. Safe to replay: the
+    * merge is idempotent per key and a lost commit race re-reads and
+    * retries against the winner's state. */
+  def upsertBatch(
+      spark: SparkSession,
+      base: String,
+      changes0: DataFrame,
+      key: String,
+      orderCol: String,
+      partCol: String,
+      batchId: Long,
+      maxRetries: Int = 5): Unit = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(desc(orderCol))
+    val changes = changes0
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist()
+    val affected = changes.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+
+    var attempt = 0
+    var committed = false
+    while (!committed && attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
+      val version = m.version + 1
+      val baseSubset = {
+        val files = affected.flatMap(p => m.files.getOrElse(p, Nil))
+          .map(f => new Path(bp, f).toString)
+        if (files.isEmpty) changes.limit(0)
+        else {
+          val df = spark.read.parquet(files.toSeq: _*)
+          df.select(changes.schema.fields.toSeq
+            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        }
+      }
+      val merged = graft.operators.MergeUpsert(baseSubset, changes, key)
+        .drop("merge_action").persist()
+      // one self-describing dir per affected partition (each file holds
+      // exactly one partition's rows; the partition column stays a real
+      // column, so no Hive dir-name reconstruction on read)
+      val newFiles = affected.zipWithIndex.flatMap { case (p, i) =>
+        // dir name indexes the partition rather than embedding its value
+        // (values may contain path-hostile characters; the manifest line
+        // and the in-file column are the durable mapping)
+        val rel = s"data/b${batchId}v$version/p$i"
+        val dir = new Path(bp, rel)
+        merged.filter(col(partCol).cast("string") === p)
+          .write.mode("overwrite").parquet(dir.toString)
+        fs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet"))
+          .map(n => p -> s"$rel/$n")
+      }
+      merged.unpersist()
+      val next = Manifest(version,
+        (m.files -- affected) ++ newFiles.groupBy(_._1).map {
+          case (p, fls) => p -> fls.map(_._2).toSeq
+        })
+      committed = tryCommit(fs, bp, next)
+      attempt += 1
+    }
+    changes.unpersist()
+    if (!committed) throw new IllegalStateException(
+      s"SnapshotLog commit lost $maxRetries races on $base — raise maxRetries")
+  }
+
+  /** Delete data files no manifest version references (crashed commits
+    * leave them; they were never visible). Keeps all committed
+    * manifests' files, so time-travel reads of old versions survive. */
+  def vacuum(spark: SparkSession, base: String): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    val dir = logDir(bp)
+    if (!fs.exists(dir)) return 0L
+    val referenced = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
+      .flatMap { v =>
+        val in = fs.open(new Path(dir, vName(v)))
+        val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+        text.split("\n").filter(_.nonEmpty).map(_.split("\t", 2)(1))
+      }.toSet
+    val dataDir = new Path(bp, "data")
+    if (!fs.exists(dataDir)) return 0L
+    var removed = 0L
+    // listFiles returns scheme-qualified paths; relativize against the
+    // equally-qualified base or the prefix strip silently no-ops
+    val qBase = fs.makeQualified(bp).toString
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) {
+        val rel = st.getPath.toString.stripPrefix(qBase).stripPrefix("/")
+        if (rel.endsWith(".parquet") && !referenced.contains(rel)) {
+          fs.delete(st.getPath, false)
+          removed += 1
+        }
+      }
+    }
+    removed
+  }
+}

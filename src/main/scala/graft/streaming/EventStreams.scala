@@ -372,6 +372,30 @@ object EventStreams {
       }
       .start()
 
+  /** The commit-log variant of [[streamingUpsert]]: each micro-batch
+    * merges into a [[graft.sources.SnapshotLog]] table instead of a
+    * directory snapshot. Readers pin a manifest version, commits are a
+    * single small-file rename (atomic-visible even on object stores
+    * where directory renames are copy+delete), a crashed batch leaves
+    * only never-referenced orphans, and a replay converges because the
+    * merge is idempotent per key. Per-batch IO stays O(changed
+    * partitions). Read the result with `SnapshotLog.read`. */
+  def streamingUpsertLog(
+      events: DataFrame,
+      basePath: String,
+      key: String,
+      orderCol: String,
+      checkpointDir: String,
+      partCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.SnapshotLog.upsertBatch(
+          batch.sparkSession, basePath, batch, key, orderCol, partCol, id)
+        ()
+      }
+      .start()
+
   private val BackupPrefix = ".backup-"
 
   /** Repair any snapshot swap a crash interrupted: a live dir that went

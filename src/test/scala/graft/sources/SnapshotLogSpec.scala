@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Commit-log table contract: snapshot isolation (readers see only
+  * manifest-referenced files), O(changed partitions) per upsert,
+  * convergent replay over orphans from a crashed commit, optimistic-
+  * concurrency conflict on the version rename, and vacuum reclaiming
+  * exactly the unreferenced files. */
+class SnapshotLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  private def mkChanges(rows: (Long, Long, String, Double)*) =
+    rows.map { case (id, uid, et, v) => Event(id, t(id), uid, et, v) }
+      .toDF()
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+
+  test("upsert batches merge correctly and only touch changed partitions") {
+    val base = Files.createTempDirectory("graft_snaplog").toString + "/tbl"
+    // batch 1: two days via far-apart event ids (1440 min = 1 day)
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (2, 2, "a", 20.0), (1441, 3, "a", 30.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 1)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(m1.version == 1 && m1.files.keySet.size == 2)
+
+    // batch 2 touches only day 0 (update user 2, insert user 4)
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((3, 2, "b", 25.0), (4, 4, "a", 40.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 2)
+    val m2 = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(m2.version == 2)
+    val day1 = m1.files.keySet.max // the later day
+    assert(m2.files(day1) == m1.files(day1),
+      "untouched partition must keep its exact file list")
+    assert(m2.files(m1.files.keySet.min) != m1.files(m1.files.keySet.min))
+
+    val got = SnapshotLog.read(spark, base).get
+      .select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "b", 25.0), (3L, "a", 30.0), (4L, "a", 40.0)))
+
+    // manifest-level pruning reads only the named partition's files
+    val pruned = SnapshotLog.readPartitions(spark, base, Seq(day1)).get
+    assert(pruned.select("user_id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("orphans from a crashed commit are invisible and replay converges") {
+    val base = Files.createTempDirectory("graft_snaplog_crash").toString + "/tbl"
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (2, 2, "a", 20.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 1)
+    // simulate a crash AFTER data write, BEFORE manifest commit: data
+    // files exist under a version dir no manifest references
+    val orphanDir = s"$base/data/b99v9/p0"
+    mkChanges((5, 5, "x", 99.0)).write.mode("overwrite").parquet(orphanDir)
+    val before = SnapshotLog.read(spark, base).get.count()
+    assert(before == 2, "unreferenced files must be invisible to readers")
+    // the replayed batch commits normally on top
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((3, 2, "b", 25.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 99)
+    val got = SnapshotLog.read(spark, base).get
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 10.0), (2L, 25.0)))
+    // vacuum reclaims exactly the never-referenced orphans
+    val removed = SnapshotLog.vacuum(spark, base)
+    assert(removed >= 1, "orphan parquet files should be deleted")
+    assert(SnapshotLog.read(spark, base).get.count() == 2,
+      "vacuum must not touch referenced files")
+  }
+
+  test("version rename refuses to overwrite: lost races surface as conflicts") {
+    val base = Files.createTempDirectory("graft_snaplog_cc").toString + "/tbl"
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(SnapshotLog.tryCommit(fs, bp, SnapshotLog.Manifest(1, Map("a" -> Seq("data/x.parquet")))))
+    assert(!SnapshotLog.tryCommit(fs, bp, SnapshotLog.Manifest(1, Map("b" -> Seq("data/y.parquet")))),
+      "second writer of the same version must lose")
+    assert(SnapshotLog.readManifest(fs, bp).get.files.keySet == Set("a"))
+  }
+
+  test("streaming upsert through the commit log equals MERGE semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_snaplog_stream").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft_snaplog_ckpt").toString
+    val input = MemoryStream[Event]
+    val withDay = input.toDF().withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val q = EventStreams.streamingUpsertLog(
+      withDay, base, key = "user_id", orderCol = "ts", checkpointDir = ckpt,
+      partCol = "day")
+    try {
+      input.addData(
+        Event(1, t(0), 1L, "a", 10.0),
+        Event(2, t(0), 2L, "a", 20.0),
+        Event(3, t(5), 2L, "b", 25.0)) // latest-in-batch wins for user 2
+      q.processAllAvailable()
+      input.addData(Event(4, t(10), 2L, "c", 29.0), Event(5, t(10), 4L, "a", 40.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = SnapshotLog.read(spark, base).get
+      .select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "c", 29.0), (4L, "a", 40.0)),
+      s"commit-log streaming merge wrong: $got")
+  }
+}
