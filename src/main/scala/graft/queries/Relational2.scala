@@ -949,6 +949,60 @@ object Relational2 {
       FROM events LIMIT 1
       """))
 
+  /** The commit-log table format ([[graft.sources.SnapshotLog]]) under
+    * the correctness gate: materialize orders as a year-partitioned
+    * commit-log table (batch 1), apply q57's deterministic change set
+    * as a second MERGE batch, and emit the final snapshot read through
+    * the manifest. The oracle computes the same two-batch outcome as a
+    * single FULL OUTER merge — so manifest bookkeeping, partition-scoped
+    * rewrite, and snapshot reads are all hash-graded, not just spec'd.
+    * Partitioning by year keeps the per-batch partition loop small (7
+    * writes); `o_orderkey` serves as the within-batch order column
+    * because each batch carries unique keys. */
+  val q67CommitLogUpsert: Q = Q(
+    "q67_commitlog_upsert",
+    "sequential MERGE batches through the commit-log table format",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val base = java.nio.file.Files.createTempDirectory("graft_cl").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(
+        s, base, orders, "o_orderkey", "o_orderkey", "o_year", batchId = 1)
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("o_orderstatus", lit("U"))
+      val inserts = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderstatus", lit("N"))
+      SnapshotLog.upsertBatch(
+        s, base, updates.union(inserts), "o_orderkey", "o_orderkey", "o_year",
+        batchId = 2)
+      SnapshotLog.read(s, base).get
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_year")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      changes AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
+               'U' AS o_orderstatus, o_year
+        FROM base WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'N', o_year
+        FROM base WHERE o_orderkey % 97 = 0)
+      SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_year ELSE b.o_year END AS o_year
+      FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -957,5 +1011,5 @@ object Relational2 {
     q53ForwardFill, q54PercentOfTotal, q55TrailingWindow, q56HashSample,
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
     q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
-    q65BloomSemiJoin, q66ZOrderPruning)
+    q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert)
 }
