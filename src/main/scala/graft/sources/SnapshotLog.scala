@@ -71,11 +71,18 @@ object SnapshotLog {
   }
 
   /** The manifest of the current version, if any. */
-  def readManifest(fs: FileSystem, base: Path): Option[Manifest] = {
-    val v = currentVersion(fs, base)
-    if (v == 0L) None
+  def readManifest(fs: FileSystem, base: Path): Option[Manifest] =
+    readManifestAt(fs, base, currentVersion(fs, base))
+
+  /** The manifest of a specific committed version (time travel: every
+    * manifest is immutable once committed and [[vacuum]] keeps every
+    * committed version's files, so any historical snapshot remains
+    * readable until its manifest is explicitly expired). */
+  def readManifestAt(fs: FileSystem, base: Path, v: Long): Option[Manifest] = {
+    val target = new Path(logDir(base), vName(v))
+    if (v == 0L || !fs.exists(target)) None
     else {
-      val in = fs.open(new Path(logDir(base), vName(v)))
+      val in = fs.open(target)
       val text =
         try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
@@ -84,6 +91,15 @@ object SnapshotLog {
         part -> file
       }.toSeq.groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2) }
       Some(Manifest(v, files))
+    }
+  }
+
+  /** Time-travel read: the table exactly as of committed version `v`. */
+  def readVersion(spark: SparkSession, base: String, v: Long): Option[DataFrame] = {
+    val bp = new Path(base)
+    readManifestAt(fsFor(spark, bp), bp, v).map { m =>
+      val files = m.allFiles.map(f => new Path(bp, f).toString)
+      spark.read.parquet(files: _*)
     }
   }
 

@@ -56,6 +56,16 @@ class SnapshotLogSpec extends SparkSpec {
     // manifest-level pruning reads only the named partition's files
     val pruned = SnapshotLog.readPartitions(spark, base, Seq(day1)).get
     assert(pruned.select("user_id").collect().map(_.getLong(0)).toSet == Set(3L))
+
+    // time travel: version 1 still reads as the pre-batch-2 state, and
+    // vacuum (which keeps every committed version's files) preserves it
+    SnapshotLog.vacuum(spark, base)
+    val v1 = SnapshotLog.readVersion(spark, base, 1).get
+      .select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(v1 == Set((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0)),
+      s"time-travel read of v1 drifted: $v1")
+    assert(SnapshotLog.readVersion(spark, base, 7).isEmpty)
   }
 
   test("orphans from a crashed commit are invisible and replay converges") {
