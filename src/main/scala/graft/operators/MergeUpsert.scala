@@ -40,4 +40,31 @@ object MergeUpsert {
             .when(col("__bk").isNull, "insert")
             .otherwise("keep").as("merge_action"): _*)
   }
+
+  /** Full CDC apply — [[apply]] plus deletes, the complete change-stream
+    * contract (Debezium-style): `changes` carries `opCol` ∈ {U, D}; a
+    * D row removes its key from the result (a D for an absent key is a
+    * no-op, which at-least-once replay requires), any other op replaces
+    * or inserts the row wholesale. Same one-shuffle full-outer
+    * struct-pick shape; the delete is a post-join filter, not a second
+    * pass. Precondition as [[apply]]: unique keys per side (latest-wins
+    * dedup upstream resolves a delete-then-reinsert within one batch).
+    *
+    * @return base.columns plus `merge_action` ∈ {update, insert, keep}
+    *         (deleted keys simply do not appear) */
+  def cdc(base: DataFrame, changes: DataFrame, key: String, opCol: String): DataFrame = {
+    val cols = base.columns.toSeq
+    val b = base.select(col(key).as("__bk"), struct(cols.map(col): _*).as("__b"))
+    val c = changes.select(
+      col(key).as("__ck"), col(opCol).as("__op"),
+      struct(cols.map(col): _*).as("__c"))
+    val picked = when(col("__ck").isNotNull, col("__c")).otherwise(col("__b"))
+    b.join(c, col("__bk") === col("__ck"), "full_outer")
+      .filter(!(col("__ck").isNotNull && col("__op") === "D"))
+      .select(
+        cols.map(n => picked.getField(n).as(n)) :+
+          when(col("__ck").isNotNull && col("__bk").isNotNull, "update")
+            .when(col("__bk").isNull, "insert")
+            .otherwise("keep").as("merge_action"): _*)
+  }
 }

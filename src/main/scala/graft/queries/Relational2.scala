@@ -1003,6 +1003,66 @@ object Relational2 {
       FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
       """))
 
+  /** Full CDC apply ([[graft.operators.MergeUpsert.cdc]]): the
+    * change-stream contract with deletes — four disjoint deterministic
+    * branches exercise every path: updates (÷7 excl ÷13), inserts
+    * (÷97 re-keyed), deletes of live keys (÷13), and deletes of ABSENT
+    * keys (÷101 re-keyed past both domains), which must be no-ops —
+    * the at-least-once replay requirement. One full-outer struct-pick
+    * shuffle with a post-join delete filter; the oracle runs the same
+    * shape in SQL. */
+  val q68CdcApply: Q = Q(
+    "q68_cdc_apply",
+    "CDC merge with deletes: update/insert/delete/absent-delete branches",
+    (s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      val k = col("o_orderkey")
+      val updates = base.filter(k % 7 === 0 && k % 13 =!= 0)
+        .select(k, col("o_custkey"),
+          (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+          lit("U").as("o_orderstatus"), lit("U").as("op"))
+      val inserts = base.filter(k % 97 === 0)
+        .select((k + lit(100000000L)).as("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), lit("N").as("o_orderstatus"), lit("U").as("op"))
+      val deletes = base.filter(k % 13 === 0)
+        .select(k, col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), lit("D").as("op"))
+      val absentDeletes = base.filter(k % 101 === 0)
+        .select((k + lit(200000000L)).as("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"), lit("D").as("op"))
+      graft.operators.MergeUpsert.cdc(
+        base, updates.union(inserts).union(deletes).union(absentDeletes),
+        "o_orderkey", "op")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+      changes AS (
+        SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
+               'U' AS o_orderstatus, 'U' AS op
+        FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'N', 'U'
+        FROM base WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'D'
+        FROM base WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + 200000000, o_custkey, o_totalprice, o_orderstatus, 'D'
+        FROM base WHERE o_orderkey % 101 = 0)
+      SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+             CASE WHEN c.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN 'update'
+                  WHEN b.o_orderkey IS NULL THEN 'insert'
+                  ELSE 'keep' END AS merge_action
+      FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+      WHERE NOT (c.o_orderkey IS NOT NULL AND c.op = 'D')
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -1011,5 +1071,5 @@ object Relational2 {
     q53ForwardFill, q54PercentOfTotal, q55TrailingWindow, q56HashSample,
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
     q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
-    q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert)
+    q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply)
 }
