@@ -215,6 +215,44 @@ object SnapshotLog {
       s"SnapshotLog commit lost $maxRetries races on $base — raise maxRetries")
   }
 
+  /** Compact one partition's files into a single rewrite and commit the
+    * result as a new version — the maintenance pass every CDC sink
+    * needs (each upsert batch adds files; unchecked, read planning and
+    * open-file overhead grow per batch). Pure metadata semantics: the
+    * table's CONTENT is unchanged (spec-proven), only its file layout
+    * shrinks; old versions still time-travel to the pre-compaction
+    * layout. Returns the new version, or 0 if the partition has ≤1
+    * file (nothing to do). Runs through the same optimistic commit, so
+    * a concurrent upsert either wins (compaction retries against its
+    * state) or loses cleanly. */
+  def compactPartition(
+      spark: SparkSession,
+      base: String,
+      part: String,
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(return 0L)
+      val files = m.files.getOrElse(part, Nil)
+      if (files.size <= 1) return 0L
+      val version = m.version + 1
+      val rel = s"data/c$version/p0"
+      val dir = new Path(bp, rel)
+      spark.read.parquet(files.map(f => new Path(bp, f).toString): _*)
+        .repartition(1)
+        .write.mode("overwrite").parquet(dir.toString)
+      val newFiles = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).map(n => s"$rel/$n").toSeq
+      if (tryCommit(fs, bp, Manifest(version, m.files.updated(part, newFiles))))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"compaction lost $maxRetries commit races on $base/$part")
+  }
+
   /** Delete data files no manifest version references (crashed commits
     * leave them; they were never visible). Keeps all committed
     * manifests' files, so time-travel reads of old versions survive. */

@@ -94,6 +94,37 @@ class SnapshotLogSpec extends SparkSpec {
       "vacuum must not touch referenced files")
   }
 
+  test("compaction shrinks a partition's file list without changing content") {
+    val base = Files.createTempDirectory("graft_snaplog_compact").toString + "/tbl"
+    // three upsert batches into the same day → 3+ files in one partition
+    SnapshotLog.upsertBatch(spark, base, mkChanges((1, 1, "a", 10.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 1)
+    SnapshotLog.upsertBatch(spark, base, mkChanges((2, 2, "a", 20.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 2)
+    SnapshotLog.upsertBatch(spark, base, mkChanges((3, 3, "a", 30.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 3)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m3 = SnapshotLog.readManifest(fs, new Path(base)).get
+    val day = m3.files.keySet.head
+    val before = SnapshotLog.read(spark, base).get
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    val v = SnapshotLog.compactPartition(spark, base, day)
+    assert(v == m3.version + 1)
+    val mAfter = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(mAfter.files(day).size == 1,
+      s"compaction should leave one file, got ${mAfter.files(day)}")
+    val after = SnapshotLog.read(spark, base).get
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(after == before, "compaction must not change table content")
+    // pre-compaction version still time-travels to the old layout
+    assert(SnapshotLog.readVersion(spark, base, m3.version).get.count() == 3)
+    // nothing left to do → version 0 signals no-op
+    assert(SnapshotLog.compactPartition(spark, base, day) == 0L)
+  }
+
   test("version rename refuses to overwrite: lost races surface as conflicts") {
     val base = Files.createTempDirectory("graft_snaplog_cc").toString + "/tbl"
     val bp = new Path(base)
