@@ -111,4 +111,31 @@ object SparkAlgebraProps extends Properties("sparkAlgebra") {
         got(i.toLong) == expect
       }
     }
+
+  private val genCdcOp: Gen[(Long, Long, String)] = for {
+    k <- Gen.chooseNum(1L, 12L)
+    v <- Gen.chooseNum(0L, 999L)
+    op <- Gen.oneOf("U", "D")
+  } yield (k, v, op)
+
+  property("cdc merge matches a reference map fold (upserts + deletes)") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(0L, 999L))),
+      Gen.listOfN(10, genCdcOp)) { (baseRaw, changesRaw) =>
+      import spark.implicits._
+      // unique keys per side is the operator precondition
+      val baseRows = baseRaw.distinctBy(_._1)
+      val changeRows = changesRaw.distinctBy(_._1)
+      val base = baseRows.toDF("k", "v")
+      val changes = changeRows.map { case (k, v, op) => (k, v, op) }
+        .toDF("k", "v", "op")
+      val got = graft.operators.MergeUpsert.cdc(base, changes, "k", "op")
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: apply the change map over the base map
+      val expect = changeRows.foldLeft(baseRows.toMap) {
+        case (acc, (k, _, "D")) => acc - k
+        case (acc, (k, v, _))   => acc.updated(k, v)
+      }
+      got == expect
+    }
 }
