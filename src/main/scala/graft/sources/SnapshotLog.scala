@@ -99,7 +99,7 @@ object SnapshotLog {
     val bp = new Path(base)
     readManifestAt(fsFor(spark, bp), bp, v).map { m =>
       val files = m.allFiles.map(f => new Path(bp, f).toString)
-      spark.read.parquet(files: _*)
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
     }
   }
 
@@ -123,12 +123,15 @@ object SnapshotLog {
   }
 
   /** Read the current snapshot (empty table → empty result needs a
-    * schema, so callers with no committed version must handle None). */
+    * schema, so callers with no committed version must handle None).
+    * `mergeSchema` because partitions evolve independently: a batch
+    * that added a column rewrote only ITS partitions' files — older
+    * partitions backfill the new column with NULL at read. */
   def read(spark: SparkSession, base: String): Option[DataFrame] = {
     val bp = new Path(base)
     readManifest(fsFor(spark, bp), bp).map { m =>
       val files = m.allFiles.map(f => new Path(bp, f).toString)
-      spark.read.parquet(files: _*)
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
     }
   }
 
@@ -141,7 +144,7 @@ object SnapshotLog {
       val files = parts.flatMap(p => m.files.getOrElse(p, Nil))
         .map(f => new Path(bp, f).toString)
       if (files.isEmpty) None
-      else Some(spark.read.parquet(files: _*))
+      else Some(spark.read.option("mergeSchema", "true").parquet(files: _*))
     }.flatten
   }
 
@@ -180,9 +183,15 @@ object SnapshotLog {
           .map(f => new Path(bp, f).toString)
         if (files.isEmpty) changes.limit(0)
         else {
-          val df = spark.read.parquet(files.toSeq: _*)
-          df.select(changes.schema.fields.toSeq
-            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+          // align to the change batch's schema: columns the old files
+          // lack backfill NULL (add-column evolution), columns the batch
+          // dropped disappear (the change stream defines the live schema)
+          val df = spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*)
+          val have = df.columns.toSet
+          df.select(changes.schema.fields.toSeq.map { f =>
+            if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
         }
       }
       val merged = graft.operators.MergeUpsert(baseSubset, changes, key)

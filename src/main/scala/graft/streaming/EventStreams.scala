@@ -437,9 +437,16 @@ object EventStreams {
 
   /** Cast/reorder a read-back base to the change set's schema (partition
     * column type inference on read-back may e.g. turn a string day into
-    * a date; the merge needs both struct sides identical). */
-  private def alignTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    df.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    * a date; the merge needs both struct sides identical). Columns the
+    * base lacks backfill NULL — add-column schema evolution; columns
+    * the change stream dropped disappear. */
+  private def alignTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
 
   private def hasParquetData(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -458,7 +465,9 @@ object EventStreams {
       key: String,
       batchId: Long): Unit = {
     val baseDf =
-      if (hasParquetData(fs, base)) alignTo(sp.read.parquet(base.toString), changes.schema)
+      if (hasParquetData(fs, base))
+        alignTo(sp.read.option("mergeSchema", "true").parquet(base.toString),
+          changes.schema)
       else changes.limit(0)
     val merged = graft.operators.MergeUpsert(baseDf, changes, key).drop("merge_action")
     val staging = new org.apache.hadoop.fs.Path(
@@ -486,7 +495,8 @@ object EventStreams {
     val baseDf =
       if (hasParquetData(fs, base))
         alignTo(
-          sp.read.parquet(base.toString).filter(col(pc).isin(affected.toSeq: _*)),
+          sp.read.option("mergeSchema", "true").parquet(base.toString)
+            .filter(col(pc).isin(affected.toSeq: _*)),
           changes.schema)
       else changes.limit(0)
     val merged = graft.operators.MergeUpsert(baseDf, changes, key).drop("merge_action")

@@ -94,6 +94,27 @@ class SnapshotLogSpec extends SparkSpec {
       "vacuum must not touch referenced files")
   }
 
+  test("add-column schema evolution: old partitions backfill NULL at read") {
+    val base = Files.createTempDirectory("graft_snaplog_evo").toString + "/tbl"
+    // batch 1: original schema, two days
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (1441, 3, "a", 30.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 1)
+    // batch 2: the change stream gains a column, touching only day 0
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((2, 2, "b", 25.0)).withColumn("source", lit("cdc-v2")),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 2)
+    val got = SnapshotLog.read(spark, base).get
+      .select(col("user_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      1L -> None,           // same partition as the batch but not changed:
+                            // struct-pick keeps the base row, source backfills NULL
+      2L -> Some("cdc-v2"), // the evolved change row carries the new column
+      3L -> None),          // untouched partition: NULL backfill at read
+      s"schema evolution wrong: $got")
+  }
+
   test("compaction shrinks a partition's file list without changing content") {
     val base = Files.createTempDirectory("graft_snaplog_compact").toString + "/tbl"
     // three upsert batches into the same day → 3+ files in one partition
