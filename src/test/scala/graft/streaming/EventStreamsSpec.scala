@@ -284,6 +284,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 300L)))
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val l = lIn.toDF().select(
+      col("event_id").as("l_id"), col("ts").as("l_ts"), col("user_id").as("l_user"))
+      .withWatermark("l_ts", "10 minutes")
+    val r = rIn.toDF().select(
+      col("event_id").as("r_id"), col("ts").as("r_ts"), col("user_id").as("r_user"))
+      .withWatermark("r_ts", "10 minutes")
+    val joined = l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val q = joined.select(col("l_id"), col("r_id")).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("lojoin").start()
+    try {
+      // user 1: matched within window; user 2: never matched → must
+      // still emit (l_id, NULL) once the watermark passes its window
+      lIn.addData(Event(1, t(0), 1L, "a", 1.0), Event(2, t(0), 2L, "a", 1.0))
+      rIn.addData(Event(10, t(5), 1L, "b", 1.0))
+      q.processAllAvailable()
+      // advance both watermarks far past t(10)
+      lIn.addData(Event(98, t(1000), 8L, "x", 0.0))
+      rIn.addData(Event(99, t(1000), 9L, "x", 0.0))
+      q.processAllAvailable()
+      lIn.addData(Event(96, t(2000), 8L, "x", 0.0))
+      rIn.addData(Event(97, t(2000), 9L, "x", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("lojoin").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got.contains((1L, 10L)), s"matched pair missing: $got")
+    assert(got.contains((2L, -1L)),
+      s"unmatched left row must emit with NULL right after watermark: $got")
+  }
+
   test("stream-static enrichment join equals the batch join") {
     val dir = Files.createTempDirectory("graft_enrich_in").toString
     val events = Tables(spark, sfDir, "events")
