@@ -1063,6 +1063,58 @@ object Relational2 {
       WHERE NOT (c.o_orderkey IS NOT NULL AND c.op = 'D')
       """))
 
+  /** Point-in-time dimension lookup — the CONSUMER side of SCD2 (q64
+    * builds the validity intervals; this query reads "as of"): for every
+    * event, the order-status its user had at the event's date. The
+    * classic warehouse correctness pattern (no leakage of future
+    * attribute values into historical facts), composed from existing
+    * operators: same-day changes collapse to the surviving row
+    * (latest orderkey per (custkey, day)), then [[graft.operators.AsOfJoin]]
+    * finds the latest change ≤ event date per user — one union + one
+    * window sweep, no per-row range scan. The oracle expresses the same
+    * lookup as a LATERAL top-1, which Spark-side would plan a per-row
+    * correlated sort; the as-of union-sweep is the scalable form. */
+  val q69PitLookup: Q = Q(
+    "q69_pit_lookup",
+    "point-in-time SCD2 lookup: user's order status as of each event",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(desc("o_orderkey"))
+      val dim = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderstatus"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("d"),
+          col("o_orderstatus").as("status"))
+      val events = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast(DateType).as("event_date"))
+        .filter(col("user_id").isNotNull)
+      graft.operators.AsOfJoin.leftAsOf(
+        events, dim, "user_id", "k", "event_date", "d", Seq("status"))
+        .select(col("event_id"), col("user_id"), col("event_date"),
+          col("status").as("status_at_event"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT o_custkey AS k, o_orderdate AS d, o_orderstatus AS s,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders),
+      ivd AS (SELECT k, d, s FROM iv WHERE rn = 1)
+      SELECT e.event_id AS event_id, e.user_id AS user_id,
+             CAST(e.ts AS DATE) AS event_date,
+             best.s AS status_at_event
+      FROM events e
+      LEFT JOIN LATERAL (
+        SELECT s FROM ivd
+        WHERE ivd.k = e.user_id AND ivd.d <= CAST(e.ts AS DATE)
+        ORDER BY ivd.d DESC LIMIT 1) best ON TRUE
+      WHERE e.user_id IS NOT NULL
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -1071,5 +1123,6 @@ object Relational2 {
     q53ForwardFill, q54PercentOfTotal, q55TrailingWindow, q56HashSample,
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
     q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
-    q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply)
+    q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply,
+    q69PitLookup)
 }
