@@ -124,4 +124,24 @@ class PlanPropertiesSpec extends SparkSpec {
       "multi-distinct must use the two-phase form, not Expand row doubling")
     assert(p.contains("partial_"), p)
   }
+
+  test("q68: CDC merge keeps q57's one-join shape — deletes add no operators") {
+    val p = finalPlan("q68_cdc_apply")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter") || p.contains("full_outer") || p.contains("FULL OUTER"), p)
+  }
+
+  test("q69: point-in-time lookup is the as-of union sweep, not a per-row range scan") {
+    val p = finalPlan("q69_pit_lookup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not degrade to an all-pairs range comparison")
+    assert(p.contains("Window"), "the single window sweep is the operator core")
+  }
+
+  test("d19: contamination probe is an equi-join + partial-agged groupBy") {
+    val p = finalPlan("d19_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "eval-shingle probe must be an equi-join, never all-pairs")
+    assert(p.contains("partial_"), "per-doc counts must partial-aggregate map-side")
+  }
 }
