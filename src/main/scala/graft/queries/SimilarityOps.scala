@@ -479,8 +479,57 @@ object SimilarityOps {
       FROM embeddings
       """))
 
+  /** The full production ANN pipeline, composed: IVF probes restrict
+    * the search to 4 of 16 cells (coarse partition — at 100 TB only
+    * those cells' code shards are touched), PQ-ADC ranks the probed
+    * members from 8-byte codes (the raw vectors stay on disk), and the
+    * top-50 shortlist is re-ranked with exact distances (only 50 raw
+    * vectors read). This is the IVFPQ layout every production vector
+    * store ships. Graded: exact corpus count plus an in-engine recall
+    * floor — final top-10 vs exact top-10 summed over 3 seeded queries
+    * must clear 9/30, conservative 1.8× under the worst measured total
+    * (16/30 at sf0.1; 22–24/30 at smaller SFs — iid embeddings are the
+    * adversarial case for both stages). */
+  val s12IvfPq: Q = Q(
+    "s12_ivfpq_query",
+    "IVF+PQ+re-rank: probe 4 cells, ADC-rank 8-byte codes, exact top-10",
+    (s, d) => {
+      import graft.operators.{IvfIndex, PqIndex}
+      val e = emb(s, d).select(col("vec_id"), col("v")).persist()
+      val cent = IvfIndex.centroids(e, k = 16, iters = 2)
+      val cbs = PqIndex.codebooks(e, 64, m = 8, k = 32, iters = 2)
+      val codes = PqIndex.encode(e, 64, cbs)
+      val assign = IvfIndex.assign(e, cent).persist()
+      val hits = Seq(0L, 7L, 23L).map { qid =>
+        val qv = e.filter(col("vec_id") === qid).select(col("v").as("qv"))
+        val nearCells = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), IvfIndex.dist2(col("qv"), col("cv")).as("d2"))
+          .orderBy(col("d2"), col("cid")).limit(4).select(col("cid"))
+        val members = assign.join(broadcast(nearCells), Seq("cid"))
+          .select(col("vec_id"))
+        val shortlist = PqIndex.adc(e, 64, cbs, codes, qid)
+          .join(members, Seq("vec_id"))
+          .orderBy(col("adc"), col("vec_id")).limit(50)
+        val reranked = shortlist.select("vec_id")
+          .join(e, Seq("vec_id")).crossJoin(broadcast(qv))
+          .select(col("vec_id"), IvfIndex.dist2(col("v"), col("qv")).as("d2"))
+          .orderBy(col("d2"), col("vec_id")).limit(10).select("vec_id")
+        val exact10 = e.filter(col("vec_id") =!= qid).crossJoin(broadcast(qv))
+          .select(col("vec_id"), IvfIndex.dist2(col("v"), col("qv")).as("d2"))
+          .orderBy(col("d2"), col("vec_id")).limit(10).select("vec_id")
+        reranked.intersect(exact10).count()
+      }.sum
+      val n = e.count()
+      import s.implicits._
+      Seq((n, hits >= 9)).toDF("n_vectors", "recall_ok")
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS recall_ok
+      FROM embeddings
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
-    s10RandomProjection, s11PqAdc)
+    s10RandomProjection, s11PqAdc, s12IvfPq)
 }
