@@ -23,6 +23,11 @@ import org.apache.spark.sql.SparkSession
   *     shelling out to the host's python3+duckdb (the gate's own
   *     toolchain; skipped silently when unavailable)
   *   - `ratio`: spark_best / oracle_sec per query
+  *   - `isolated`: per-query cold-cache floor measured AFTER the
+  *     interleaved passes (JIT warm, caches cleared per trial) — the
+  *     number free of cross-query interference; `queries` minus
+  *     `isolated` is the interference each query absorbs from sharing
+  *     one heap with nine other pipelines
   */
 object Bench {
 
@@ -144,6 +149,25 @@ print(json.dumps(out))
     val results = perQuery.map { case (n, qs) =>
       n -> (if (qs.isEmpty) -1.0 else qs.min)
     }
+
+    // Isolated basis: per query, cold-cache (clearCache before every
+    // trial, so shared intermediates from OTHER queries can't help or
+    // hurt) but JIT-warm (the interleaved passes above already compiled
+    // everything). Two trials, min. This is the per-query floor free of
+    // cross-query interference — retained cache blocks, GC pressure
+    // from 10 diverse pipelines sharing one heap — which the
+    // interleaved basis deliberately includes. Both bases are shipped;
+    // divergence between them IS the interference measurement.
+    val isolated = headliners.map { q =>
+      val trials = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { run(q); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }.filter(_ >= 0)
+      q.name -> (if (trials.isEmpty) -1.0 else trials.min)
+    }
+    spark.catalog.clearCache()
     val oracle = oracleTimes(
       sfDir, headliners.flatMap(q => q.oracle.map(q.name -> _)))
 
@@ -177,6 +201,7 @@ print(json.dumps(out))
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     val qs = obj(results.map { case (k, v) => k -> fmt(v) })
+    val isolatedJson = obj(isolated.map { case (k, v) => k -> fmt(v) })
     val sampleJson = obj(perQuery.map { case (k, v) =>
       k -> v.map(fmt).mkString("[", ",", "]")
     })
@@ -197,7 +222,7 @@ print(json.dumps(out))
     val microJson = obj(micro.map { case (k, v) => k -> fmt(v) })
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""samples":$sampleJson,"spread":$spread,""" +
+        s""""samples":$sampleJson,"spread":$spread,"isolated":$isolatedJson,""" +
         s""""oracle_sec":$oracleJson,"ratio":$ratio,""" +
         s""""passes":$passes,"micro":$microJson,""" +
         s""""cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir"}""")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MERGE (upsert) semantics as a batch operator: apply a change set to a
@@ -14,7 +14,14 @@ import org.apache.spark.sql.functions._
   * winning row is picked whole — per-column `coalesce` would silently mix
   * rows when a change row carries a genuine NULL (same failure mode as
   * the as-of join payload, see [[AsOfJoin]]); the struct pick preserves
-  * intentional NULL updates.
+  * intentional NULL updates. Row presence on either side of the outer
+  * join is tested on the packed struct itself (non-null iff the row
+  * exists, even when every field inside is NULL), so the NULL-safety
+  * does not depend on any key column being non-null.
+  *
+  * Keys may be composite (`Seq[String]` — the CDC norm is a multi-column
+  * business key); the join is a conjunction of per-column equalities, so
+  * Catalyst still plans a single hash-partitioned equi-join.
   *
   * Scale: one shuffle (hash partition both sides on the key), streaming
   * full-outer merge join or hash join per Catalyst's choice; no driver
@@ -22,22 +29,31 @@ import org.apache.spark.sql.functions._
   * bucket the base table on the key so only the (small) change set
   * shuffles per batch.
   *
-  * Precondition: `key` is unique on both sides (dedupe the change set
-  * with a latest-wins window first if it isn't).
+  * Precondition: the key tuple is unique on both sides (dedupe the
+  * change set with a latest-wins window first if it isn't).
   */
 object MergeUpsert {
 
   /** @return base.columns plus `merge_action` ∈ {update, insert, keep} */
-  def apply(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+  def apply(base: DataFrame, changes: DataFrame, key: String): DataFrame =
+    apply(base, changes, Seq(key))
+
+  /** Composite-key MERGE: same contract, key = the column tuple. */
+  def apply(base: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "MergeUpsert needs at least one key column")
     val cols = base.columns.toSeq
-    val b = base.select(col(key).as("__bk"), struct(cols.map(col): _*).as("__b"))
-    val c = changes.select(col(key).as("__ck"), struct(cols.map(col): _*).as("__c"))
-    val picked = when(col("__ck").isNotNull, col("__c")).otherwise(col("__b"))
-    b.join(c, col("__bk") === col("__ck"), "full_outer")
+    val b = base.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__bk$i") } :+
+        struct(cols.map(col): _*).as("__b"): _*)
+    val c = changes.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__ck$i") } :+
+        struct(cols.map(col): _*).as("__c"): _*)
+    val picked = when(col("__c").isNotNull, col("__c")).otherwise(col("__b"))
+    b.join(c, joinCond(keys), "full_outer")
       .select(
         cols.map(n => picked.getField(n).as(n)) :+
-          when(col("__ck").isNotNull && col("__bk").isNotNull, "update")
-            .when(col("__bk").isNull, "insert")
+          when(col("__c").isNotNull && col("__b").isNotNull, "update")
+            .when(col("__b").isNull, "insert")
             .otherwise("keep").as("merge_action"): _*)
   }
 
@@ -52,19 +68,33 @@ object MergeUpsert {
     *
     * @return base.columns plus `merge_action` ∈ {update, insert, keep}
     *         (deleted keys simply do not appear) */
-  def cdc(base: DataFrame, changes: DataFrame, key: String, opCol: String): DataFrame = {
+  def cdc(base: DataFrame, changes: DataFrame, key: String, opCol: String): DataFrame =
+    cdc(base, changes, Seq(key), opCol)
+
+  /** Composite-key CDC apply. */
+  def cdc(base: DataFrame, changes: DataFrame, keys: Seq[String], opCol: String): DataFrame = {
+    require(keys.nonEmpty, "MergeUpsert.cdc needs at least one key column")
     val cols = base.columns.toSeq
-    val b = base.select(col(key).as("__bk"), struct(cols.map(col): _*).as("__b"))
+    val b = base.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__bk$i") } :+
+        struct(cols.map(col): _*).as("__b"): _*)
     val c = changes.select(
-      col(key).as("__ck"), col(opCol).as("__op"),
-      struct(cols.map(col): _*).as("__c"))
-    val picked = when(col("__ck").isNotNull, col("__c")).otherwise(col("__b"))
-    b.join(c, col("__bk") === col("__ck"), "full_outer")
-      .filter(!(col("__ck").isNotNull && col("__op") === "D"))
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__ck$i") } :+
+        col(opCol).as("__op") :+
+        struct(cols.map(col): _*).as("__c"): _*)
+    val picked = when(col("__c").isNotNull, col("__c")).otherwise(col("__b"))
+    // null-safe op compare: a NULL op (out of the documented {U, D}
+    // contract) must degrade to upsert, not make the predicate NULL and
+    // silently drop the row
+    b.join(c, joinCond(keys), "full_outer")
+      .filter(!(col("__c").isNotNull && (col("__op") <=> lit("D"))))
       .select(
         cols.map(n => picked.getField(n).as(n)) :+
-          when(col("__ck").isNotNull && col("__bk").isNotNull, "update")
-            .when(col("__bk").isNull, "insert")
+          when(col("__c").isNotNull && col("__b").isNotNull, "update")
+            .when(col("__b").isNull, "insert")
             .otherwise("keep").as("merge_action"): _*)
   }
+
+  private def joinCond(keys: Seq[String]): Column =
+    keys.indices.map(i => col(s"__bk$i") === col(s"__ck$i")).reduce(_ && _)
 }

@@ -54,13 +54,22 @@ object SnapshotLog {
     def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
   }
 
+  /** Last line of every committed manifest. A manifest missing it is
+    * in-flight (create-exclusive claimed the name but the writer has
+    * not finished, or crashed mid-write) — readers skip it and fall
+    * back to the previous complete version; writers allocate PAST it. */
+  private val Footer = "#eof"
+
   private def logDir(base: Path) = new Path(base, "_log")
   private def vName(v: Long) = f"v$v%011d.txt"
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest committed version, 0 when the table does not exist yet. */
+  /** Highest version NAME present (committed or in-flight), 0 when the
+    * table does not exist yet. Writers allocate `currentVersion + 1` so
+    * a crashed in-flight manifest never blocks the version chain;
+    * readers use [[readManifest]], which skips incomplete manifests. */
   def currentVersion(fs: FileSystem, base: Path): Long = {
     val dir = logDir(base)
     if (!fs.exists(dir)) 0L
@@ -70,9 +79,19 @@ object SnapshotLog {
       .foldLeft(0L)(math.max)
   }
 
-  /** The manifest of the current version, if any. */
-  def readManifest(fs: FileSystem, base: Path): Option[Manifest] =
-    readManifestAt(fs, base, currentVersion(fs, base))
+  /** The manifest of the newest COMPLETE version, if any — scans down
+    * past in-flight/crashed manifests (missing [[Footer]]), which were
+    * never visible as commits. */
+  def readManifest(fs: FileSystem, base: Path): Option[Manifest] = {
+    var v = currentVersion(fs, base)
+    while (v > 0L) {
+      readManifestAt(fs, base, v) match {
+        case some @ Some(_) => return some
+        case None => v -= 1
+      }
+    }
+    None
+  }
 
   /** The manifest of a specific committed version (time travel: every
     * manifest is immutable once committed and [[vacuum]] keeps every
@@ -86,11 +105,18 @@ object SnapshotLog {
       val text =
         try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
-      val files = text.split("\n").iterator.filter(_.nonEmpty).map { line =>
-        val Array(part, file) = line.split("\t", 2)
-        part -> file
-      }.toSeq.groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2) }
-      Some(Manifest(v, files))
+      // a manifest is committed only once its footer is on disk; a
+      // partially-written one (create-exclusive claimed, writer died)
+      // reads as absent
+      if (!text.endsWith(Footer + "\n")) None
+      else {
+        val files = text.split("\n").iterator
+          .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+            val Array(part, file) = line.split("\t", 2)
+            part -> file
+          }.toSeq.groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2) }
+        Some(Manifest(v, files))
+      }
     }
   }
 
@@ -103,9 +129,19 @@ object SnapshotLog {
     }
   }
 
-  /** Atomically publish `m` as version `m.version`: write to a dot-temp
-    * name, rename with overwrite=false. Returns false when that version
-    * already exists — the optimistic-concurrency conflict signal. */
+  /** Atomically publish `m` as version `m.version` by CREATE-EXCLUSIVE
+    * on the final name. Returns false when that version already exists —
+    * the optimistic-concurrency conflict signal.
+    *
+    * Why not temp-write + rename: Hadoop's `RawLocalFileSystem.rename`
+    * delegates to POSIX rename, which silently REPLACES an existing
+    * target, so two same-version committers could both "succeed" with
+    * one manifest clobbering the other. An exclusive create is atomic
+    * where it matters: O_EXCL via NIO on the local FS, the namenode's
+    * atomic create on HDFS, conditional PUT (If-None-Match) on modern
+    * object stores. The claimed file only becomes a COMMIT once its
+    * [[Footer]] line is written — readers treat a footer-less manifest
+    * as absent, so the claim-then-write gap is invisible. */
   def tryCommit(fs: FileSystem, base: Path, m: Manifest): Boolean = {
     val dir = logDir(base)
     fs.mkdirs(dir)
@@ -113,13 +149,23 @@ object SnapshotLog {
     if (fs.exists(target)) return false
     val text = m.files.toSeq.sortBy(_._1).flatMap { case (p, fls) =>
       fls.sorted.map(f => s"$p\t$f")
-    }.mkString("", "\n", "\n")
-    val tmp = new Path(dir, s".${vName(m.version)}.tmp")
-    val out = fs.create(tmp, true)
+    }.mkString("", "\n", "\n") + Footer + "\n"
+    val out: java.io.OutputStream =
+      try {
+        if (fs.getUri.getScheme == "file") {
+          // Hadoop local create(overwrite=false) is check-then-act;
+          // NIO CREATE_NEW is a single O_CREAT|O_EXCL syscall
+          java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+        } else fs.create(target, false)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => return false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+      }
     try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val ok = fs.rename(tmp, target)
-    if (!ok) fs.delete(tmp, false)
-    ok
+    true
   }
 
   /** Read the current snapshot (empty table → empty result needs a
@@ -177,7 +223,9 @@ object SnapshotLog {
     var committed = false
     while (!committed && attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
-      val version = m.version + 1
+      // allocate past any in-flight/crashed claim, not just past the
+      // newest COMPLETE manifest, or a dead claim blocks the chain
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
       val baseSubset = {
         val files = affected.flatMap(p => m.files.getOrElse(p, Nil))
           .map(f => new Path(bp, f).toString)
@@ -199,11 +247,15 @@ object SnapshotLog {
       // one self-describing dir per affected partition (each file holds
       // exactly one partition's rows; the partition column stays a real
       // column, so no Hive dir-name reconstruction on read)
+      // unique per attempt: a concurrent writer that happened to pick the
+      // same (batchId, version) must never overwrite a dir the race
+      // winner committed — the loser's orphan dir is vacuum's job
+      val tok = java.util.UUID.randomUUID.toString.take(8)
       val newFiles = affected.zipWithIndex.flatMap { case (p, i) =>
         // dir name indexes the partition rather than embedding its value
         // (values may contain path-hostile characters; the manifest line
         // and the in-file column are the durable mapping)
-        val rel = s"data/b${batchId}v$version/p$i"
+        val rel = s"data/b${batchId}v$version-$tok/p$i"
         val dir = new Path(bp, rel)
         merged.filter(col(partCol).cast("string") === p)
           .write.mode("overwrite").parquet(dir.toString)
@@ -246,8 +298,13 @@ object SnapshotLog {
       val m = readManifest(fs, bp).getOrElse(return 0L)
       val files = m.files.getOrElse(part, Nil)
       if (files.size <= 1) return 0L
-      val version = m.version + 1
-      val rel = s"data/c$version/p0"
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      // staging dir unique per attempt AND partition: two concurrent
+      // compactions reading the same manifest compute the same target
+      // version — keyed only by version they would overwrite each
+      // other's staged (possibly already-committed) files
+      val rel =
+        s"data/c$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
       val dir = new Path(bp, rel)
       spark.read.parquet(files.map(f => new Path(bp, f).toString): _*)
         .repartition(1)
@@ -264,8 +321,22 @@ object SnapshotLog {
 
   /** Delete data files no manifest version references (crashed commits
     * leave them; they were never visible). Keeps all committed
-    * manifests' files, so time-travel reads of old versions survive. */
-  def vacuum(spark: SparkSession, base: String): Long = {
+    * manifests' files, so time-travel reads of old versions survive.
+    *
+    * `retentionMs` guards concurrent writers: an in-flight
+    * `upsertBatch`/`compactPartition` has written its data files but
+    * not yet committed the manifest that references them — deleting
+    * those would make the imminent commit point at nothing. Only
+    * unreferenced files whose modification time is older than
+    * `retentionMs` are reclaimed; set it to comfortably exceed the
+    * longest possible write job (the 24h default is the
+    * Delta/Iceberg convention). `retentionMs = 0` reclaims
+    * everything unreferenced and is safe ONLY with no concurrent
+    * writers (tests, single-writer maintenance windows). */
+  def vacuum(
+      spark: SparkSession,
+      base: String,
+      retentionMs: Long = 24L * 3600 * 1000): Long = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val dir = logDir(bp)
@@ -277,11 +348,15 @@ object SnapshotLog {
         val in = fs.open(new Path(dir, vName(v)))
         val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
-        text.split("\n").filter(_.nonEmpty).map(_.split("\t", 2)(1))
+        // keep even an INCOMPLETE manifest's file references: its
+        // writer may still be alive and about to finish the commit
+        text.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(_.split("\t", 2)(1))
       }.toSet
     val dataDir = new Path(bp, "data")
     if (!fs.exists(dataDir)) return 0L
     var removed = 0L
+    val cutoff = System.currentTimeMillis() - retentionMs
     // listFiles returns scheme-qualified paths; relativize against the
     // equally-qualified base or the prefix strip silently no-ops
     val qBase = fs.makeQualified(bp).toString
@@ -290,7 +365,8 @@ object SnapshotLog {
       val st = it.next()
       if (st.isFile) {
         val rel = st.getPath.toString.stripPrefix(qBase).stripPrefix("/")
-        if (rel.endsWith(".parquet") && !referenced.contains(rel)) {
+        if (rel.endsWith(".parquet") && !referenced.contains(rel) &&
+            st.getModificationTime <= cutoff) {
           fs.delete(st.getPath, false)
           removed += 1
         }

@@ -423,15 +423,25 @@ object EventStreams {
   }
 
   /** Rename `live` aside, move `staged` in, then drop the backup — the
-    * live data is never deleted before its replacement is in place. */
+    * live data is never deleted before its replacement is in place.
+    * Every rename's boolean result is checked: Hadoop `FileSystem`
+    * reports many failures as `false`, not exceptions, and proceeding
+    * past a failed `staged → live` to the backup delete would destroy
+    * the only surviving copy. On failure the backup is left in place
+    * for [[recoverSnapshots]] to restore. */
   private def swapIn(
       fs: org.apache.hadoop.fs.FileSystem,
       staged: org.apache.hadoop.fs.Path,
       live: org.apache.hadoop.fs.Path,
       backup: org.apache.hadoop.fs.Path): Unit = {
     if (fs.exists(backup)) fs.delete(backup, true)
-    if (fs.exists(live)) fs.rename(live, backup)
-    fs.rename(staged, live)
+    if (fs.exists(live) && !fs.rename(live, backup))
+      throw new java.io.IOException(
+        s"swapIn: rename $live -> $backup failed; table untouched")
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(
+        s"swapIn: rename $staged -> $live failed; backup kept at $backup " +
+          "for recoverSnapshots")
     fs.delete(backup, true)
   }
 

@@ -27,8 +27,11 @@ object Probe {
 
     // "ALL" sweeps every registered query once (warm, after one untimed
     // build+run) and flags the slow tail — the per-round pathology scan.
+    // A comma-separated list runs those queries in sequence in ONE
+    // session (interference experiments: "d6_ngram_jaccard,q1_...").
     val targets =
-      if (name == "ALL") Registry.all.map(_.name) else Seq(name)
+      if (name == "ALL") Registry.all.map(_.name)
+      else name.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     targets.foreach { n =>
       val q = Registry.byName(n)
       try {

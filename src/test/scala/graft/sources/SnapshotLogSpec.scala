@@ -87,8 +87,13 @@ class SnapshotLogSpec extends SparkSpec {
       .select("user_id", "value").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(got == Set((1L, 10.0), (2L, 25.0)))
-    // vacuum reclaims exactly the never-referenced orphans
-    val removed = SnapshotLog.vacuum(spark, base)
+    // the default retention window protects young unreferenced files —
+    // they may belong to an in-flight writer about to commit
+    assert(SnapshotLog.vacuum(spark, base) == 0L,
+      "files younger than the retention window must survive vacuum")
+    // retention 0 (single-writer maintenance) reclaims exactly the
+    // never-referenced orphans
+    val removed = SnapshotLog.vacuum(spark, base, retentionMs = 0L)
     assert(removed >= 1, "orphan parquet files should be deleted")
     assert(SnapshotLog.read(spark, base).get.count() == 2,
       "vacuum must not touch referenced files")
@@ -154,6 +159,27 @@ class SnapshotLogSpec extends SparkSpec {
     assert(!SnapshotLog.tryCommit(fs, bp, SnapshotLog.Manifest(1, Map("b" -> Seq("data/y.parquet")))),
       "second writer of the same version must lose")
     assert(SnapshotLog.readManifest(fs, bp).get.files.keySet == Set("a"))
+  }
+
+  test("an in-flight (footer-less) manifest is invisible and never blocks the chain") {
+    val base = Files.createTempDirectory("graft_snaplog_inflight").toString + "/tbl"
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(SnapshotLog.tryCommit(fs, bp, SnapshotLog.Manifest(1, Map("a" -> Seq("data/x.parquet")))))
+    // simulate a writer that claimed v2 and died before finishing: the
+    // manifest file exists but carries no footer
+    val dead = new Path(bp, "_log/v00000000002.txt")
+    val out = fs.create(dead, false)
+    try out.write("a\tdata/half.parquet\n".getBytes("UTF-8")) finally out.close()
+    // readers fall back to the newest COMPLETE version
+    assert(SnapshotLog.readManifest(fs, bp).get.version == 1L)
+    assert(SnapshotLog.readManifestAt(fs, bp, 2L).isEmpty,
+      "a footer-less manifest must read as absent")
+    // writers allocate PAST the dead claim instead of colliding forever
+    SnapshotLog.upsertBatch(spark, base, mkChanges((1, 1, "a", 10.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 1)
+    val m = SnapshotLog.readManifest(fs, bp).get
+    assert(m.version == 3L, s"expected the new commit at v3, got v${m.version}")
   }
 
   test("streaming upsert through the commit log equals MERGE semantics") {
