@@ -1115,6 +1115,63 @@ object Relational2 {
       WHERE e.user_id IS NOT NULL
       """))
 
+  /** File-level column statistics in the commit-log manifest, MEASURED:
+    * the same events slice is committed twice through
+    * [[graft.sources.SnapshotLog]] — once z-order-clustered on
+    * (user_id, value) via `upsertBatch(clusterBy = …)`, once from the
+    * merge's natural hash distribution — both recording per-file value
+    * bounds in the manifest. A middle-decile value predicate is then
+    * planned from the MANIFEST alone (`filesForRange`): the clustered
+    * table skips at least half its files before Spark opens anything,
+    * the unclustered control skips ~nothing (every hash-distributed
+    * file spans the decile), and the stats-pruned read returns exactly
+    * the predicate's rows. q66 proved z-order layouts give tight
+    * per-file bounds a parquet FOOTER can use; q70 proves the table
+    * format lifts the same bounds into planning metadata — the Iceberg
+    * manifest model, where file skipping costs a manifest read, not an
+    * open per file. */
+  val q70StatsPruning: Q = Q(
+    "q70_statslog_pruning",
+    "commit-log manifest file bounds prune a value predicate's read set",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lit("all").as("day"))
+      val baseDir =
+        java.nio.file.Files.createTempDirectory("graft_statslog").toString
+      val (zt, ht) = (s"$baseDir/z", s"$baseDir/h")
+      SnapshotLog.upsertBatch(s, zt, ev, Seq("event_id"), "event_id", "day",
+        batchId = 1, maxRetries = 5, statsCols = Seq("user_id", "value"),
+        clusterBy = Seq("user_id", "value"), clusterFiles = 16)
+      SnapshotLog.upsertBatch(s, ht, ev, Seq("event_id"), "event_id", "day",
+        batchId = 1, maxRetries = 5, statsCols = Seq("user_id", "value"),
+        clusterBy = Nil, clusterFiles = 16)
+      val mm = ev.agg(min(col("value")), max(col("value"))).head
+      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+      val (lo, hi) = (mn + 0.45 * (mx - mn), mn + 0.55 * (mx - mn))
+      val fsys = new org.apache.hadoop.fs.Path(zt)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val mz = SnapshotLog.readManifest(fsys, new org.apache.hadoop.fs.Path(zt)).get
+      val mh = SnapshotLog.readManifest(fsys, new org.apache.hadoop.fs.Path(ht)).get
+      val zHits = SnapshotLog.filesForRange(mz, "value", lo, hi).size
+      val hHits = SnapshotLog.filesForRange(mh, "value", lo, hi).size
+      val exact = ev.filter(col("value") >= lo && col("value") <= hi).count()
+      val pruned = SnapshotLog.readRange(s, zt, "value", lo, hi).get.count()
+      import s.implicits._
+      Seq((
+        zHits * 2 <= mz.allFiles.size,
+        hHits * 5 >= mh.allFiles.size * 4,
+        pruned == exact && exact > 0L
+      )).toDF("z_skips_half", "control_matches_most", "rows_exact")
+    },
+    Some("""
+      SELECT TRUE AS z_skips_half, TRUE AS control_matches_most,
+             TRUE AS rows_exact
+      FROM events LIMIT 1
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -1124,5 +1181,5 @@ object Relational2 {
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
     q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
     q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply,
-    q69PitLookup)
+    q69PitLookup, q70StatsPruning)
 }

@@ -70,7 +70,20 @@ object Clustering {
       path: String,
       keys: Seq[String],
       nFiles: Int,
-      bits: Int = 8): Unit = {
+      bits: Int = 8): Unit =
+    withZ(df, keys, bits)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** Append the Morton interleave of `keys` as a `__z` column — the
+    * sortable z-value [[writeZOrdered]] clusters on, exposed so other
+    * writers (e.g. the commit-log staged write,
+    * [[SnapshotLog.upsertBatch]]'s `clusterBy`) can reuse the layout.
+    * The min/max collect is one scalar row. */
+  def withZ(df: DataFrame, keys: Seq[String], bits: Int = 8): DataFrame = {
     val stats = df.agg(
       keys.flatMap(k => Seq(
         min(col(k).cast("double")).as(s"__mn_$k"),
@@ -96,10 +109,5 @@ object Clustering {
           lit((nBuckets - 1).toLong))
     }
     df.withColumn("__z", morton(buckets, bits))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite)
-      .parquet(path)
   }
 }

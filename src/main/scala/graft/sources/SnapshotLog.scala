@@ -50,7 +50,16 @@ import org.apache.spark.sql.functions._
   * not contain tab or newline (they key the manifest lines). */
 object SnapshotLog {
 
-  final case class Manifest(version: Long, files: Map[String, Seq[String]]) {
+  /** @param files partition value → live data files (rel paths)
+    * @param stats  rel file path → column → (min, max) as canonical
+    *               strings — the Iceberg-manifest idea of planning from
+    *               metadata: value predicates prune FILES before Spark
+    *               lists or opens anything ([[filesForRange]]). Files
+    *               without recorded stats are never pruned. */
+  final case class Manifest(
+      version: Long,
+      files: Map[String, Seq[String]],
+      stats: Map[String, Map[String, (String, String)]] = Map.empty) {
     def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
   }
 
@@ -62,6 +71,27 @@ object SnapshotLog {
 
   private def logDir(base: Path) = new Path(base, "_log")
   private def vName(v: Long) = f"v$v%011d.txt"
+
+  /** Percent-encode exactly the characters the manifest line grammar
+    * uses (plus the escape char itself); applied to stats column names
+    * and bound values. */
+  private def enc(s: String): String = s.flatMap {
+    case c @ ('%' | ';' | ':' | '\t' | '\n' | '\r') => f"%%${c.toInt}%02X"
+    case c => c.toString
+  }
+
+  private def dec(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -110,12 +140,19 @@ object SnapshotLog {
       // reads as absent
       if (!text.endsWith(Footer + "\n")) None
       else {
-        val files = text.split("\n").iterator
-          .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
-            val Array(part, file) = line.split("\t", 2)
-            part -> file
-          }.toSeq.groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2) }
-        Some(Manifest(v, files))
+        val lines = text.split("\n").iterator
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(_.split("\t", 3)).toSeq
+        val files = lines.map(a => a(0) -> a(1))
+          .groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2) }
+        val stats = lines.collect {
+          case a if a.length == 3 && a(2).nonEmpty =>
+            a(1) -> a(2).split(";").iterator.map { entry =>
+              val Array(c, mn, mx) = entry.split(":", 3)
+              dec(c) -> (dec(mn), dec(mx))
+            }.toMap
+        }.toMap
+        Some(Manifest(v, files, stats))
       }
     }
   }
@@ -148,7 +185,16 @@ object SnapshotLog {
     val target = new Path(dir, vName(m.version))
     if (fs.exists(target)) return false
     val text = m.files.toSeq.sortBy(_._1).flatMap { case (p, fls) =>
-      fls.sorted.map(f => s"$p\t$f")
+      fls.sorted.map { f =>
+        val st = m.stats.getOrElse(f, Map.empty)
+        if (st.isEmpty) s"$p\t$f"
+        else {
+          val s = st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+            s"${enc(c)}:${enc(mn)}:${enc(mx)}"
+          }.mkString(";")
+          s"$p\t$f\t$s"
+        }
+      }
     }.mkString("", "\n", "\n") + Footer + "\n"
     val out: java.io.OutputStream =
       try {
@@ -207,11 +253,46 @@ object SnapshotLog {
       orderCol: String,
       partCol: String,
       batchId: Long,
-      maxRetries: Int = 5): Unit = {
+      maxRetries: Int = 5): Unit =
+    upsertBatch(spark, base, changes0, Seq(key), orderCol, partCol, batchId,
+      maxRetries, Nil, Nil, 16)
+
+  /** Composite-key, stats-recording MERGE into the commit log.
+    *
+    * Jobs per batch are O(1), NOT O(affected partitions): the merge
+    * result is written once with `partitionBy`, staged under a dir
+    * unique to this attempt, and the staged layout is then LISTED (no
+    * second scan) to build the manifest entries. When `statsCols` is
+    * non-empty, one extra job over just the staged files records
+    * per-file min/max bounds in the manifest — the footer stats a real
+    * table format lifts into metadata so value predicates can prune
+    * files at plan time ([[filesForRange]]/[[readRange]]).
+    *
+    * A lost commit race retries METADATA-ONLY when possible: staged
+    * data stays valid as long as the race winner didn't touch this
+    * batch's partitions, so the retry is a manifest read + compare +
+    * commit, not a data rewrite. Only when the winner rewrote an
+    * affected partition is the merge recomputed (against the winner's
+    * files); the abandoned staged dir is never referenced and vacuum
+    * reclaims it. */
+  def upsertBatch(
+      spark: SparkSession,
+      base: String,
+      changes0: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      partCol: String,
+      batchId: Long,
+      maxRetries: Int,
+      statsCols: Seq[String],
+      clusterBy: Seq[String],
+      clusterFiles: Int): Unit = {
+    // (no defaults on this overload — Scala allows default arguments on
+    // only one alternative, and the common 8-arg form keeps them)
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(desc(orderCol))
+      .partitionBy(keys.map(col): _*).orderBy(desc(orderCol))
     val changes = changes0
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -221,59 +302,169 @@ object SnapshotLog {
 
     var attempt = 0
     var committed = false
-    while (!committed && attempt < maxRetries) {
-      val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
-      // allocate past any in-flight/crashed claim, not just past the
-      // newest COMPLETE manifest, or a dead claim blocks the chain
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
-      val baseSubset = {
-        val files = affected.flatMap(p => m.files.getOrElse(p, Nil))
-          .map(f => new Path(bp, f).toString)
-        if (files.isEmpty) changes.limit(0)
-        else {
-          // align to the change batch's schema: columns the old files
-          // lack backfill NULL (add-column evolution), columns the batch
-          // dropped disappear (the change stream defines the live schema)
-          val df = spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*)
-          val have = df.columns.toSet
-          df.select(changes.schema.fields.toSeq.map { f =>
-            if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
-          }: _*)
+    // the affected partitions' file lists the staged data was merged
+    // against — while the live manifest still agrees on them, the
+    // staged files remain valid and a conflict retry is metadata-only
+    var mergedAgainst: Option[Map[String, Seq[String]]] = None
+    var staged: Seq[(String, String)] = Nil // partition -> rel file
+    var stagedStats: Map[String, Map[String, (String, String)]] = Map.empty
+    try {
+      while (!committed && attempt < maxRetries) {
+        val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
+        // allocate past any in-flight/crashed claim, not just past the
+        // newest COMPLETE manifest, or a dead claim blocks the chain
+        val version = math.max(m.version, currentVersion(fs, bp)) + 1
+        val affectedState: Map[String, Seq[String]] =
+          affected.iterator.map(p => p -> m.files.getOrElse(p, Nil)).toMap
+        if (!mergedAgainst.contains(affectedState)) {
+          val baseSubset = {
+            val files = affected.flatMap(p => m.files.getOrElse(p, Nil))
+              .map(f => new Path(bp, f).toString)
+            if (files.isEmpty) changes.limit(0)
+            else {
+              // align to the change batch's schema: columns the old files
+              // lack backfill NULL (add-column evolution), columns the batch
+              // dropped disappear (the change stream defines the live schema)
+              val df = spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*)
+              val have = df.columns.toSet
+              df.select(changes.schema.fields.toSeq.map { f =>
+                if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              }: _*)
+            }
+          }
+          val merged = graft.operators.MergeUpsert(baseSubset, changes, keys)
+            .drop("merge_action")
+          // staging dir unique per attempt: a concurrent writer that
+          // picked the same (batchId, version) must never overwrite a
+          // dir the race winner committed — a loser's orphan dir is
+          // vacuum's job. The partition column is DUPLICATED into __p
+          // for the directory layout so it survives as a real column in
+          // the data files (manifest-list reads never do Hive dir-name
+          // reconstruction).
+          val rel =
+            s"data/b${batchId}v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+          val dir = new Path(bp, rel)
+          // written from the merge's natural task distribution: every
+          // task streams its slice of each partition value in parallel
+          // (repartitioning one-task-per-value would serialize a large
+          // partition through a single writer); the resulting
+          // several-files-per-partition layout is what
+          // [[compactPartition]] exists to fold down.
+          // `clusterBy` instead range-clusters the staged write (z-order
+          // for multi-key) so each file covers a tight key range — the
+          // layout that makes the recorded `statsCols` bounds actually
+          // selective at read ([[filesForRange]]).
+          val toWrite0 = merged.withColumn("__p", col(partCol).cast("string"))
+          val toWrite =
+            if (clusterBy.isEmpty) toWrite0
+            else {
+              val (df, sortCol) =
+                if (clusterBy.size == 1) (toWrite0, col(clusterBy.head))
+                else (Clustering.withZ(toWrite0, clusterBy), col("__z"))
+              df.repartitionByRange(math.max(clusterFiles, 1), sortCol)
+                .sortWithinPartitions(sortCol)
+                .drop("__z")
+            }
+          toWrite.write.partitionBy("__p").parquet(dir.toString)
+          staged = listStaged(fs, dir, rel)
+          stagedStats =
+            if (statsCols.isEmpty) Map.empty
+            else fileStats(spark, fs, dir, rel, statsCols)
+          mergedAgainst = Some(affectedState)
         }
+        val replaced = affected.flatMap(p => m.files.getOrElse(p, Nil))
+        val next = Manifest(
+          version,
+          (m.files -- affected) ++ staged.groupBy(_._1).map {
+            case (p, fls) => p -> fls.map(_._2).sorted
+          },
+          (m.stats -- replaced) ++ stagedStats)
+        committed = tryCommit(fs, bp, next)
+        attempt += 1
       }
-      val merged = graft.operators.MergeUpsert(baseSubset, changes, key)
-        .drop("merge_action").persist()
-      // one self-describing dir per affected partition (each file holds
-      // exactly one partition's rows; the partition column stays a real
-      // column, so no Hive dir-name reconstruction on read)
-      // unique per attempt: a concurrent writer that happened to pick the
-      // same (batchId, version) must never overwrite a dir the race
-      // winner committed — the loser's orphan dir is vacuum's job
-      val tok = java.util.UUID.randomUUID.toString.take(8)
-      val newFiles = affected.zipWithIndex.flatMap { case (p, i) =>
-        // dir name indexes the partition rather than embedding its value
-        // (values may contain path-hostile characters; the manifest line
-        // and the in-file column are the durable mapping)
-        val rel = s"data/b${batchId}v$version-$tok/p$i"
-        val dir = new Path(bp, rel)
-        merged.filter(col(partCol).cast("string") === p)
-          .write.mode("overwrite").parquet(dir.toString)
-        fs.listStatus(dir).map(_.getPath.getName)
-          .filter(_.endsWith(".parquet"))
-          .map(n => p -> s"$rel/$n")
-      }
-      merged.unpersist()
-      val next = Manifest(version,
-        (m.files -- affected) ++ newFiles.groupBy(_._1).map {
-          case (p, fls) => p -> fls.map(_._2).toSeq
-        })
-      committed = tryCommit(fs, bp, next)
-      attempt += 1
-    }
-    changes.unpersist()
+    } finally changes.unpersist()
     if (!committed) throw new IllegalStateException(
       s"SnapshotLog commit lost $maxRetries races on $base — raise maxRetries")
+  }
+
+  /** Partition value → rel file path for every parquet file under a
+    * `partitionBy("__p")` staging layout — pure listing, no Spark job.
+    * Dir names carry Hive-escaped partition values; [[dec]]-compatible
+    * percent unescaping recovers the value (the table contract already
+    * bans tab/newline in canonical partition strings). */
+  private def listStaged(
+      fs: FileSystem, dir: Path, rel: String): Seq[(String, String)] =
+    fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("__p=")).flatMap { d =>
+        val value = dec(d.getPath.getName.stripPrefix("__p="))
+        fs.listStatus(d.getPath).toSeq.map(_.getPath.getName)
+          .filter(_.endsWith(".parquet"))
+          .map(n => value -> s"$rel/${d.getPath.getName}/$n")
+      }
+
+  /** One aggregation job over the staged files: per-file min/max of
+    * `statsCols`, keyed by rel path. Bounds are stored as canonical
+    * strings; NULL bounds (an all-NULL column in a file) are omitted. */
+  private def fileStats(
+      spark: SparkSession,
+      fs: FileSystem,
+      dir: Path,
+      rel: String,
+      statsCols: Seq[String]): Map[String, Map[String, (String, String)]] = {
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    val qDir = fs.makeQualified(dir).toUri.getPath
+    spark.read.parquet(dir.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+        val relFile = rel + abs.stripPrefix(qDir)
+        val bounds = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+          if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+          else Some(c -> (r.getString(mnI), r.getString(mxI)))
+        }.toMap
+        relFile -> bounds
+      }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** The current version's files whose recorded bounds for `column` can
+    * intersect [lo, hi] — numeric comparison when both bounds parse as
+    * doubles, conservative otherwise (a file with no stats, or
+    * non-numeric bounds, is never pruned). */
+  def filesForRange(
+      m: Manifest, column: String, lo: Double, hi: Double): Seq[String] =
+    m.allFiles.filter { f =>
+      m.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) =>
+          (mn.toDoubleOption, mx.toDoubleOption) match {
+            case (Some(mnD), Some(mxD)) => mxD >= lo && mnD <= hi
+            case _ => true
+          }
+        case None => true
+      }
+    }
+
+  /** Stats-pruned range read: hand Spark only the files whose manifest
+    * bounds intersect [lo, hi], then apply the exact predicate on top.
+    * None when the table is empty or no file can match. */
+  def readRange(
+      spark: SparkSession,
+      base: String,
+      column: String,
+      lo: Double,
+      hi: Double): Option[DataFrame] = {
+    val bp = new Path(base)
+    readManifest(fsFor(spark, bp), bp).flatMap { m =>
+      val files = filesForRange(m, column, lo, hi).map(f => new Path(bp, f).toString)
+      if (files.isEmpty) None
+      else Some(
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+          .filter(col(column) >= lo && col(column) <= hi))
+    }
   }
 
   /** Compact one partition's files into a single rewrite and commit the
@@ -311,12 +502,42 @@ object SnapshotLog {
         .write.mode("overwrite").parquet(dir.toString)
       val newFiles = fs.listStatus(dir).map(_.getPath.getName)
         .filter(_.endsWith(".parquet")).map(n => s"$rel/$n").toSeq
-      if (tryCommit(fs, bp, Manifest(version, m.files.updated(part, newFiles))))
+      // compacted-away files take their stats entries with them; the
+      // replacement file starts stats-less (conservative: never pruned)
+      if (tryCommit(fs, bp,
+          Manifest(version, m.files.updated(part, newFiles), m.stats -- files)))
         return version
       attempt += 1
     }
     throw new IllegalStateException(
       s"compaction lost $maxRetries commit races on $base/$part")
+  }
+
+  /** Expire every committed version older than the newest `keepLast`,
+    * deleting their manifests. Returns the expired version numbers.
+    *
+    * For a CDC sink committing per micro-batch, `_log` listing and
+    * never-reclaimable data both grow without bound otherwise: a file
+    * replaced at version N stays referenced by version N−1's manifest
+    * forever, so [[vacuum]] can never touch it. Expiry severs exactly
+    * those references; a vacuum afterwards reclaims the files ONLY
+    * expired versions referenced. Time travel to expired versions is
+    * gone by design; the retained versions (and the live read) are
+    * byte-identical before and after. The newest version is never
+    * expired (`keepLast >= 1`). */
+  def expireVersions(spark: SparkSession, base: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must retain at least the live version")
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    val dir = logDir(bp)
+    if (!fs.exists(dir)) return Nil
+    val versions = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
+      .sorted.toSeq
+    val expire = versions.dropRight(keepLast)
+    expire.foreach(v => fs.delete(new Path(dir, vName(v)), false))
+    expire
   }
 
   /** Delete data files no manifest version references (crashed commits

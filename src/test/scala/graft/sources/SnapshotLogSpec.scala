@@ -182,6 +182,82 @@ class SnapshotLogSpec extends SparkSpec {
     assert(m.version == 3L, s"expected the new commit at v3, got v${m.version}")
   }
 
+  test("file-level stats: recorded at write, prune files, readRange exact") {
+    val base = Files.createTempDirectory("graft_snaplog_stats").toString + "/tbl"
+    // two days with disjoint value ranges → per-file bounds are disjoint
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (2, 2, "a", 15.0),
+        (1441, 3, "a", 500.0), (1442, 4, "a", 510.0)),
+      keys = Seq("user_id"), orderCol = "ts", partCol = "day", batchId = 1,
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(m.allFiles.nonEmpty && m.allFiles.forall(f =>
+      m.stats.get(f).exists(_.contains("value"))),
+      s"every staged file needs value bounds: ${m.stats}")
+    // bounds survive the manifest round-trip and prune day-1's files
+    val hit = SnapshotLog.filesForRange(m, "value", 12.0, 20.0)
+    assert(hit.nonEmpty && hit.size < m.allFiles.size,
+      s"a selective range must prune some files: $hit of ${m.allFiles}")
+    assert(hit.forall(m.files(m.files.keySet.min).contains),
+      "only the low-value day's files can match [12, 20]")
+    // the pruned read returns exactly the predicate's rows
+    val got = SnapshotLog.readRange(spark, base, "value", 12.0, 20.0).get
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L), s"readRange rows wrong: $got")
+    // a range no file can match reads as None, zero files listed
+    assert(SnapshotLog.readRange(spark, base, "value", 9000.0, 9001.0).isEmpty)
+  }
+
+  test("composite-key upsert merges on the full column tuple") {
+    val base = Files.createTempDirectory("graft_snaplog_ck").toString + "/tbl"
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (2, 1, "b", 20.0)),
+      keys = Seq("user_id", "event_type"), orderCol = "ts", partCol = "day",
+      batchId = 1, maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16)
+    // same user, one event_type updated — the other must survive
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((3, 1, "b", 99.0)),
+      keys = Seq("user_id", "event_type"), orderCol = "ts", partCol = "day",
+      batchId = 2, maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16)
+    val got = SnapshotLog.read(spark, base).get
+      .select("user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 10.0), (1L, "b", 99.0)), s"composite merge wrong: $got")
+  }
+
+  test("expireVersions bounds history; vacuum then reclaims expired-only files") {
+    val base = Files.createTempDirectory("graft_snaplog_exp").toString + "/tbl"
+    // three rewrites of the same partition → three versions, three file sets
+    (1 to 3).foreach { i =>
+      SnapshotLog.upsertBatch(spark, base, mkChanges((1, 1, "a", i * 10.0)),
+        key = "user_id", orderCol = "ts", partCol = "day", batchId = i)
+    }
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Long = {
+      val it = fs.listFiles(new Path(base, "data"), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = dataFiles()
+    val liveBefore = SnapshotLog.read(spark, base).get
+      .select("user_id", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // nothing unreferenced yet: every version's files are still pinned
+    assert(SnapshotLog.vacuum(spark, base, retentionMs = 0L) == 0L)
+    val expired = SnapshotLog.expireVersions(spark, base, keepLast = 1)
+    assert(expired == Seq(1L, 2L), s"expected v1/v2 expired, got $expired")
+    // retained version still reads; expired versions are gone
+    assert(SnapshotLog.readVersion(spark, base, 3).nonEmpty)
+    assert(SnapshotLog.readVersion(spark, base, 1).isEmpty)
+    val removed = SnapshotLog.vacuum(spark, base, retentionMs = 0L)
+    assert(removed >= 2, s"vacuum must reclaim the expired versions' files, removed=$removed")
+    assert(dataFiles() < before, "storage must shrink after expiry+vacuum")
+    val liveAfter = SnapshotLog.read(spark, base).get
+      .select("user_id", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(liveAfter == liveBefore, "the live read must be unchanged by expiry")
+  }
+
   test("streaming upsert through the commit log equals MERGE semantics") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("graft_snaplog_stream").toString + "/tbl"
