@@ -81,6 +81,23 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Batched cell probe — the query-SET form of [[probe]]: every
+    * query's `nprobe` nearest cells in ONE plan, returned as
+    * (qid, cid). `queries` is (qid, qv) — Q rows of dim doubles,
+    * broadcastable for any realistic online batch; the window ranks
+    * the Q·k (query × centroid) pairs, never the corpus. Q queries
+    * cost one job, not Q driver-looped jobs — join the result to the
+    * cell assignment to get each query's candidate members. */
+  def probeBatch(queries: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+    cent.crossJoin(broadcast(queries))
+      .select(col("qid"), col("cid"), dist2(col("qv"), col("cv")).as("d2"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("qid"), col("cid"))
+  }
+
   /** `iters` Lloyd refinements from the deterministic seed set
     * (vec_id < k). Returns the final centroids (cid, cv). */
   def centroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {

@@ -89,6 +89,42 @@ object PqIndex {
       .orderBy(col("adc"), col("vec_id"))
       .limit(topK)
 
+  /** Per-subspace ADC lookup tables for a query SET (qid, qv): each is
+    * (qid, c_i, d_i) — Q·k rows per subspace, broadcastable for any
+    * realistic query batch. The batched form of the scalar LUTs in
+    * [[adc]]. */
+  def adcLutsBatch(
+      queries: DataFrame, dim: Int, cbs: Seq[(Int, DataFrame)]): Seq[(Int, DataFrame)] = {
+    val m = cbs.size
+    val sd = dim / m
+    cbs.map { case (i, cb) =>
+      val qsub = queries.select(
+        col("qid"), slice(col("qv"), i * sd + 1, sd).as("qsub"))
+      i -> cb.crossJoin(broadcast(qsub))
+        .select(col("qid"), col("cid").as(s"c$i"),
+          IvfIndex.dist2(col("qsub"), col("cv")).as(s"d$i"))
+    }
+  }
+
+  /** Batched ADC: `cands` carries (qid, vec_id, c0..c(m-1)) — each
+    * query's candidate codes (typically IVF-probed members joined to
+    * the code table) — and the result is (qid, vec_id, adc). Map-only:
+    * m broadcast lookup joins on (qid, code), one pass over the
+    * candidates; Q queries ride one plan instead of Q driver-looped
+    * jobs. */
+  def adcBatch(
+      queries: DataFrame,
+      dim: Int,
+      cbs: Seq[(Int, DataFrame)],
+      cands: DataFrame): DataFrame = {
+    val m = cbs.size
+    val joined = adcLutsBatch(queries, dim, cbs).foldLeft(cands) {
+      case (acc, (i, lut)) => acc.join(broadcast(lut), Seq("qid", s"c$i"))
+    }
+    joined.select(col("qid"), col("vec_id"),
+      (0 until m).map(i => col(s"d$i")).reduce(_ + _).as("adc"))
+  }
+
   /** Reconstruction x̂ per vector: its codes' centroids concatenated.
     * The PQ core identity — `ADC(q, codes(x)) = d²(q, x̂)` — holds by
     * construction up to float summation order; s11/PqSpec grade it
