@@ -98,6 +98,34 @@ object Catalog {
   private def partitionedLayout(fs: FileSystem, dir: Path): Boolean =
     listDir(fs, dir).exists(f => f.isDirectory && f.getPath.getName.contains("="))
 
+  /** A [[SnapshotLog]] commit-log table: a `_log/` dir holding version
+    * manifests. Its data files are a manifest-selected subset of what's
+    * on disk, so it must NOT be registered as a plain LOCATION-based
+    * external table (that would read orphans and time-travel versions). */
+  private def isSnapshotLogDir(fs: FileSystem, dir: Path): Boolean =
+    listDir(fs, new Path(dir, "_log")).exists { f =>
+      val n = f.getPath.getName
+      f.isFile && n.startsWith("v") && n.endsWith(".txt")
+    }
+
+  /** Register a commit-log table for SQL by name, PINNED at its current
+    * committed version: the view's plan embeds the manifest's exact
+    * file list, so name-based readers keep snapshot isolation — commits
+    * after the crawl stay invisible until a re-crawl re-pins (exactly
+    * the crawler-refresh model the directory tables follow). A temp
+    * view rather than a catalog table because SQL DDL cannot express a
+    * manifest-selected file list as a LOCATION. Returns the view name,
+    * `<db>_<name>` (temp views live outside databases). */
+  def registerSnapshotLog(
+      spark: SparkSession, db: String, name: String, path: String): String = {
+    val viewName = s"${db}_$name"
+    SnapshotLog.read(spark, path) match {
+      case Some(df) => df.createOrReplaceTempView(viewName)
+      case None => // claimed but never-committed table: nothing to pin
+    }
+    viewName
+  }
+
   /** Crawl `root`: create database `db` if absent, register one external
     * table per qualifying first-level prefix. Idempotent; re-crawling
     * refreshes drifted schemas, discovers new prefixes, and recovers
@@ -107,12 +135,15 @@ object Catalog {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     val rootPath = new Path(root)
     val fs = fsFor(spark, rootPath)
-    val prefixes = listDir(fs, rootPath)
-      .filter(d => d.isDirectory && isTableDir(fs, d.getPath))
-      .map(_.getPath)
-      .sortBy(_.getName)
-    prefixes.map(d =>
-      registerExternal(spark, db, tableName(d.getName), d.toString)).toSeq
+    val (logTables, plain) = listDir(fs, rootPath)
+      .filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+      .partition(isSnapshotLogDir(fs, _))
+    val registered =
+      plain.filter(isTableDir(fs, _)).map(d =>
+        registerExternal(spark, db, tableName(d.getName), d.toString)) ++
+        logTables.map(d =>
+          registerSnapshotLog(spark, db, tableName(d.getName), d.toString))
+    registered.toSeq.sorted
   }
 
   /** Managed-table write: `saveAsTable` into the session warehouse — the

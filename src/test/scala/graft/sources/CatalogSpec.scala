@@ -127,6 +127,37 @@ class CatalogSpec extends SparkSpec {
     assert(newDay == 3)
   }
 
+  test("crawl registers commit-log tables by name, pinned at the current version") {
+    val root = Files.createTempDirectory("graft_cat_snaplog").toString
+    import spark.implicits._
+    // a plain parquet table AND a SnapshotLog table under one root
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$root/plain")
+    def changes(rows: (Long, Double)*) =
+      rows.toDF("user_id", "value").withColumn("day", lit("2026-01-01"))
+    SnapshotLog.upsertBatch(spark, s"$root/ledger",
+      changes((1L, 10.0), (2L, 20.0)),
+      key = "user_id", orderCol = "user_id", partCol = "day", batchId = 1)
+    val registered = Catalog.crawl(spark, root, "snapdb")
+    assert(registered.toSet == Set("snapdb.plain", "snapdb_ledger"),
+      s"crawled: $registered")
+    // the commit-log table answers SQL by name with MERGE semantics
+    val got = spark.sql("SELECT user_id, value FROM snapdb_ledger")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 10.0), (2L, 20.0)), s"view content wrong: $got")
+    // a commit AFTER the crawl stays invisible (pinned snapshot) until
+    // a re-crawl re-pins the view at the new current version
+    SnapshotLog.upsertBatch(spark, s"$root/ledger", changes((2L, 99.0)),
+      key = "user_id", orderCol = "user_id", partCol = "day", batchId = 2)
+    val pinned = spark.sql("SELECT value FROM snapdb_ledger WHERE user_id = 2")
+      .collect().map(_.getDouble(0)).toSet
+    assert(pinned == Set(20.0), "crawled view must stay pinned at its version")
+    Catalog.crawl(spark, root, "snapdb")
+    val repinned = spark.sql("SELECT value FROM snapdb_ledger WHERE user_id = 2")
+      .collect().map(_.getDouble(0)).toSet
+    assert(repinned == Set(99.0), "re-crawl must re-pin at the new version")
+  }
+
   test("saveAsTable managed round-trip (warehouse COPY leg)") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
