@@ -481,7 +481,8 @@ object SnapshotLog {
       spark: SparkSession,
       base: String,
       part: String,
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5,
+      statsCols: Seq[String] = Nil): Long = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     var attempt = 0
@@ -503,9 +504,14 @@ object SnapshotLog {
       val newFiles = fs.listStatus(dir).map(_.getPath.getName)
         .filter(_.endsWith(".parquet")).map(n => s"$rel/$n").toSeq
       // compacted-away files take their stats entries with them; the
-      // replacement file starts stats-less (conservative: never pruned)
+      // replacement file gets fresh bounds when statsCols is passed,
+      // and is otherwise stats-less (conservative: never pruned)
+      val newStats =
+        if (statsCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
+        else fileStats(spark, fs, dir, rel, statsCols)
       if (tryCommit(fs, bp,
-          Manifest(version, m.files.updated(part, newFiles), m.stats -- files)))
+          Manifest(version, m.files.updated(part, newFiles),
+            (m.stats -- files) ++ newStats)))
         return version
       attempt += 1
     }

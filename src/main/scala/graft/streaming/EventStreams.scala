@@ -379,19 +379,26 @@ object EventStreams {
     * where directory renames are copy+delete), a crashed batch leaves
     * only never-referenced orphans, and a replay converges because the
     * merge is idempotent per key. Per-batch IO stays O(changed
-    * partitions). Read the result with `SnapshotLog.read`. */
+    * partitions). Read the result with `SnapshotLog.read`.
+    *
+    * `statsCols` flows through to the manifest's per-file min/max
+    * bounds, so a continuously-ingesting table stays range-prunable
+    * ([[graft.sources.SnapshotLog.readRange]]) with no extra pass. */
   def streamingUpsertLog(
       events: DataFrame,
       basePath: String,
       key: String,
       orderCol: String,
       checkpointDir: String,
-      partCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+      partCol: String,
+      statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.sources.SnapshotLog.upsertBatch(
-          batch.sparkSession, basePath, batch, key, orderCol, partCol, id)
+          batch.sparkSession, basePath, batch, Seq(key), orderCol, partCol, id,
+          maxRetries = 5, statsCols = statsCols, clusterBy = Nil,
+          clusterFiles = 16)
         ()
       }
       .start()

@@ -144,4 +144,32 @@ class PlanPropertiesSpec extends SparkSpec {
       "eval-shingle probe must be an equi-join, never all-pairs")
     assert(p.contains("partial_"), "per-doc counts must partial-aggregate map-side")
   }
+
+  test("s13: batched ANN core — probe + LUT joins all broadcast, no cartesian over corpus") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{IvfIndex, PqIndex}
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v")).persist()
+    val queries = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cent = IvfIndex.centroids(e, k = 16, iters = 1)
+    val cbs = PqIndex.codebooks(e, 64, m = 8, k = 16, iters = 1)
+    val codes = PqIndex.encode(e, 64, cbs)
+    val members = IvfIndex.assign(e, cent)
+      .join(broadcast(IvfIndex.probeBatch(queries, cent, nprobe = 4)), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid")).select(col("qid"), col("vec_id"))
+    val adc = PqIndex.adcBatch(queries, 64, cbs, members.join(codes, Seq("vec_id")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val df = adc.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 50)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    e.unpersist()
+    // the 8 per-subspace LUT joins + the probed-cell join must all
+    // broadcast (Q·k-row tables); the corpus may not be cartesianed
+    assert(!p.contains("CartesianProduct"), p)
+    assert(this.count(p, "BroadcastHashJoin") >= 9,
+      s"expected >= 9 broadcast joins (8 LUTs + cell probe):\n$p")
+  }
 }

@@ -226,6 +226,28 @@ class SnapshotLogSpec extends SparkSpec {
     assert(got == Set((1L, "a", 10.0), (1L, "b", 99.0)), s"composite merge wrong: $got")
   }
 
+  test("compaction with statsCols refreshes bounds so pruning survives maintenance") {
+    val base = Files.createTempDirectory("graft_snaplog_cstat").toString + "/tbl"
+    SnapshotLog.upsertBatch(spark, base, mkChanges((1, 1, "a", 10.0)),
+      keys = Seq("user_id"), orderCol = "ts", partCol = "day", batchId = 1,
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16)
+    SnapshotLog.upsertBatch(spark, base, mkChanges((2, 2, "a", 20.0)),
+      keys = Seq("user_id"), orderCol = "ts", partCol = "day", batchId = 2,
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day = SnapshotLog.readManifest(fs, new Path(base)).get.files.keySet.head
+    val v = SnapshotLog.compactPartition(spark, base, day, statsCols = Seq("value"))
+    assert(v > 0L)
+    val m = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(m.files(day).size == 1 &&
+      m.stats.get(m.files(day).head).exists(_.contains("value")),
+      s"compacted file must carry refreshed bounds: ${m.stats}")
+    // the refreshed bounds still prune: nothing matches far outside
+    assert(SnapshotLog.filesForRange(m, "value", 9000.0, 9001.0).isEmpty)
+    assert(SnapshotLog.readRange(spark, base, "value", 15.0, 25.0).get
+      .select("user_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("expireVersions bounds history; vacuum then reclaims expired-only files") {
     val base = Files.createTempDirectory("graft_snaplog_exp").toString + "/tbl"
     // three rewrites of the same partition → three versions, three file sets
@@ -266,7 +288,7 @@ class SnapshotLogSpec extends SparkSpec {
     val withDay = input.toDF().withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
     val q = EventStreams.streamingUpsertLog(
       withDay, base, key = "user_id", orderCol = "ts", checkpointDir = ckpt,
-      partCol = "day")
+      partCol = "day", statsCols = Seq("value"))
     try {
       input.addData(
         Event(1, t(0), 1L, "a", 10.0),
@@ -281,5 +303,10 @@ class SnapshotLogSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(got == Set((1L, "a", 10.0), (2L, "c", 29.0), (4L, "a", 40.0)),
       s"commit-log streaming merge wrong: $got")
+    // statsCols flowed through: every live file carries value bounds
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(m.allFiles.forall(f => m.stats.get(f).exists(_.contains("value"))),
+      s"streaming batches must record bounds: ${m.stats}")
   }
 }
