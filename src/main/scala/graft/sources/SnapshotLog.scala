@@ -15,21 +15,25 @@ import org.apache.spark.sql.functions._
   * {{{
   *   table/
   *     _log/v00000000001.txt     one manifest per committed version
-  *     data/b<batch>v<ver>/p=<part>/part-*.parquet
+  *     data/b<batch>v<ver>-<tok>/__p=<part>/part-*.parquet
   * }}}
   *
   * A manifest is the COMPLETE list of live data files, one
-  * `partition\tfile` line each. Readers list `_log`, pick the highest
-  * version, and read exactly the files it names: a reader never sees a
-  * half-written table because data files are invisible until a manifest
-  * references them, and a manifest becomes visible atomically — it is
-  * written to a dot-temp name and renamed into place with
-  * overwrite=false. On S3 the rename is a copy of a FEW KILOBYTES (not
-  * the table), and the object becomes visible atomically; orphaned data
-  * files from a crashed commit are simply never referenced ([[vacuum]]
-  * reclaims them). Rename-refusal on an existing target doubles as
-  * optimistic concurrency: a lost race surfaces as a failed commit, and
-  * [[upsertBatch]] re-reads the new state and retries.
+  * `partition\tfile[\tstats]` line each. Readers list `_log`, pick the
+  * highest COMPLETE version, and read exactly the files it names: a
+  * reader never sees a half-written table because data files are
+  * invisible until a manifest references them, and a manifest commits
+  * by CREATE-EXCLUSIVE on its final name (O_EXCL locally, the
+  * namenode's atomic create on HDFS, conditional PUT on object
+  * stores) with a footer line marking completeness — a footer-less
+  * manifest reads as absent ([[readManifest]] falls back, writers
+  * allocate past it). Orphaned data files from a crashed commit are
+  * simply never referenced ([[vacuum]] reclaims them, outside a
+  * retention window protecting in-flight writers). Create-refusal on
+  * an existing name doubles as optimistic concurrency: a lost race
+  * surfaces as a failed commit, and [[upsertBatch]] re-reads the new
+  * state and retries — metadata-only when the winner touched disjoint
+  * partitions.
   *
   * Partition pruning happens at the MANIFEST, not the directory walk:
   * [[readPartitions]] selects file paths by their recorded partition
