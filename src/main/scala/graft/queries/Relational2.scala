@@ -1172,6 +1172,55 @@ object Relational2 {
       FROM events LIMIT 1
       """))
 
+  /** Composite-key MERGE ([[graft.operators.MergeUpsert]] on a column
+    * TUPLE): lineitem's natural business key is (l_orderkey,
+    * l_linenumber) — neither column alone identifies a row, the shape
+    * every real CDC feed has. Updates hit the first two line numbers of
+    * ÷7 orders (so other line numbers of the SAME order must pass
+    * through untouched — a single-column key would clobber them),
+    * inserts re-key past the line-number domain. Same one-shuffle
+    * full-outer struct-pick as q57; the oracle joins on both columns. */
+  val q71CompositeMerge: Q = Q(
+    "q71_composite_merge",
+    "MERGE on a two-column business key (composite-key upsert)",
+    (s, d) => {
+      val base = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      val updates = base
+        .filter(col("l_orderkey") % 7 === 0 && col("l_linenumber") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") + lit(5.0)).as("l_quantity"),
+          col("l_extendedprice"))
+      val inserts = base.filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"),
+          (col("l_linenumber") + lit(10)).as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      graft.operators.MergeUpsert(
+        base, updates.union(inserts), Seq("l_orderkey", "l_linenumber"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem),
+      changes AS (
+        SELECT l_orderkey, l_linenumber, l_quantity + 5.0 AS l_quantity,
+               l_extendedprice
+        FROM base WHERE l_orderkey % 7 = 0 AND l_linenumber <= 2
+        UNION ALL
+        SELECT l_orderkey, l_linenumber + 10, l_quantity, l_extendedprice
+        FROM base WHERE l_orderkey % 97 = 0)
+      SELECT COALESCE(c.l_orderkey, b.l_orderkey) AS l_orderkey,
+             COALESCE(c.l_linenumber, b.l_linenumber) AS l_linenumber,
+             CASE WHEN c.l_orderkey IS NOT NULL THEN c.l_quantity ELSE b.l_quantity END AS l_quantity,
+             CASE WHEN c.l_orderkey IS NOT NULL THEN c.l_extendedprice ELSE b.l_extendedprice END AS l_extendedprice,
+             CASE WHEN c.l_orderkey IS NOT NULL AND b.l_orderkey IS NOT NULL THEN 'update'
+                  WHEN b.l_orderkey IS NULL THEN 'insert'
+                  ELSE 'keep' END AS merge_action
+      FROM base b FULL OUTER JOIN changes c
+        ON b.l_orderkey = c.l_orderkey AND b.l_linenumber = c.l_linenumber
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -1181,5 +1230,5 @@ object Relational2 {
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
     q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
     q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply,
-    q69PitLookup, q70StatsPruning)
+    q69PitLookup, q70StatsPruning, q71CompositeMerge)
 }
