@@ -1120,11 +1120,88 @@ object TextOps {
       SELECT doc_id AS media_id, TRUE AS decode_ok FROM documents
       """))
 
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining
+    * batcher: documents are concatenated in a deterministic order and
+    * cut into fixed token-budget context windows; each doc gets its
+    * chunk id, offset, and whether it straddles a window boundary.
+    *
+    * Scale shape: packing is a running sum, inherently sequential — so
+    * the stream is SHARDED (lang × doc_id mod 8) and each shard packs
+    * independently under one window cumsum. That is how production
+    * packers parallelize (shard-local streams, no global order), and it
+    * keeps the plan one exchange + one in-partition sort; a single
+    * global stream would serialize the corpus through one task. */
+  val d20PackChunks: Q = Q(
+    "d20_pack_chunks",
+    "concat-and-chunk packing into 512-token windows over sharded streams",
+    (s, d) => {
+      val budget = 512L
+      val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          pmod(col("doc_id"), lit(8L)).as("shard"),
+          regexp_count(col("text"), lit("\\S+")).cast(LongType).as("n_tokens"))
+        .withColumn("end_off", sum(col("n_tokens")).over(w))
+        .withColumn("start_off", col("end_off") - col("n_tokens"))
+        .select(
+          col("doc_id"), col("lang"), col("n_tokens"),
+          expr(s"start_off div $budget").as("chunk_id"),
+          pmod(col("start_off"), lit(budget)).as("chunk_offset"),
+          (col("n_tokens") > 0 &&
+            expr(s"start_off div $budget") =!= expr(s"(end_off - 1) div $budget"))
+            .as("straddles"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, doc_id % 8 AS shard,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, lang, n_tokens,
+               -- DuckDB's windowed SUM(BIGINT) is HUGEINT; pin BIGINT so
+               -- // and % stay integer-typed through the compare
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS end_off
+        FROM d)
+      SELECT doc_id, lang, n_tokens,
+             (end_off - n_tokens) // 512 AS chunk_id,
+             (end_off - n_tokens) % 512 AS chunk_offset,
+             n_tokens > 0 AND ((end_off - n_tokens) // 512) <> ((end_off - 1) // 512)
+               AS straddles
+      FROM o
+      """))
+
+  /** Quality-gated, language-rebalanced sampling — the curation op that
+    * fixes corpus composition: a length floor drops degenerate docs,
+    * then the dominant language is downsampled (¼ of `en`, all others
+    * kept) with a deterministic doc_id selector, so the sample is
+    * reproducible run-to-run and join-able back to the corpus. Map-only:
+    * a scan filter, no shuffle, no RNG state — at 100 TB it costs one
+    * pass and composes with any downstream op. (q56 is the portable
+    * content-hash variant of the selector; the modulus form here keeps
+    * per-stratum rates legible.) */
+  val d21StratifiedSample: Q = Q(
+    "d21_stratified_sample",
+    "quality floor + per-language rebalanced deterministic sample",
+    (s, d) =>
+      t(s, d, "documents")
+        .filter(col("n_chars") >= 50)
+        .filter(pmod(col("doc_id"),
+          when(col("lang") === "en", lit(4L)).otherwise(lit(1L))) === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+    Some("""
+      SELECT doc_id, lang, source, n_chars
+      FROM documents
+      WHERE n_chars >= 50
+        AND doc_id % (CASE WHEN lang = 'en' THEN 4 ELSE 1 END) = 0
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
     d14Sentences, d15VocabBuild, d16SimHashPairs, d17NfcNormalize,
-    d18Repetition, d19Contamination, m1MediaFeatures, m2FrameSample,
-    m3ImageDecode, m4AudioDecode)
+    d18Repetition, d19Contamination, d20PackChunks, d21StratifiedSample,
+    m1MediaFeatures, m2FrameSample, m3ImageDecode, m4AudioDecode)
 }
