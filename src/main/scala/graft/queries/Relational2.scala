@@ -1144,10 +1144,10 @@ object Relational2 {
       val (zt, ht) = (s"$baseDir/z", s"$baseDir/h")
       SnapshotLog.upsertBatch(s, zt, ev, Seq("event_id"), "event_id", "day",
         batchId = 1, maxRetries = 5, statsCols = Seq("user_id", "value"),
-        clusterBy = Seq("user_id", "value"), clusterFiles = 16)
+        clusterBy = Seq("user_id", "value"), clusterFiles = 16, opCol = None)
       SnapshotLog.upsertBatch(s, ht, ev, Seq("event_id"), "event_id", "day",
         batchId = 1, maxRetries = 5, statsCols = Seq("user_id", "value"),
-        clusterBy = Nil, clusterFiles = 16)
+        clusterBy = Nil, clusterFiles = 16, opCol = None)
       val mm = ev.agg(min(col("value")), max(col("value"))).head
       val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
       val (lo, hi) = (mn + 0.45 * (mx - mn), mn + 0.55 * (mx - mn))
@@ -1221,6 +1221,70 @@ object Relational2 {
         ON b.l_orderkey = c.l_orderkey AND b.l_linenumber = c.l_linenumber
       """))
 
+  /** Change-data-feed OUT of the commit log
+    * ([[graft.sources.SnapshotLog.diffVersions]]): v1 is orders as a
+    * commit-log table, v2 applies q68's full CDC change set (updates,
+    * inserts, live deletes, absent-key deletes) THROUGH the log
+    * (`upsertBatch(opCol = …)` — deletes remove keys from the table
+    * itself), and the emitted rows are the typed diff between the two
+    * pinned versions: updates/inserts carry v2 values, deletes carry
+    * v1's last values, absent-key deletes vanish (they changed
+    * nothing). No row-level event log exists anywhere — the immutable
+    * manifests are the history, so ANY version pair diffs on demand;
+    * the oracle constructs the expected feed from the change-set
+    * definition directly. */
+  val q72VersionDiff: Q = Q(
+    "q72_version_diff",
+    "change-data-feed between two commit-log versions (CDC in, CDF out)",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_cdf").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders,
+        "o_orderkey", "o_orderkey", "o_year", batchId = 1)
+      val k = col("o_orderkey")
+      val updates = orders.filter(k % 7 === 0 && k % 13 =!= 0)
+        .select(k, col("o_custkey"),
+          (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+          lit("U").as("o_orderstatus"), col("o_year"), lit("U").as("op"))
+      val inserts = orders.filter(k % 97 === 0)
+        .select((k + lit(100000000L)).as("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), lit("N").as("o_orderstatus"), col("o_year"),
+          lit("U").as("op"))
+      val deletes = orders.filter(k % 13 === 0)
+        .select(k, col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_year"), lit("D").as("op"))
+      val absentDeletes = orders.filter(k % 101 === 0)
+        .select((k + lit(200000000L)).as("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"), col("o_year"),
+          lit("D").as("op"))
+      SnapshotLog.upsertBatch(s, base,
+        updates.union(inserts).union(deletes).union(absentDeletes),
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 2,
+        maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
+        opCol = Some("op"))
+      SnapshotLog.diffVersions(s, base, Seq("o_orderkey"), 1L, 2L).get
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders)
+      SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
+             'U' AS o_orderstatus, o_year, 'update' AS change_type
+      FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'N', o_year, 'insert'
+      FROM base WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_year, 'delete'
+      FROM base WHERE o_orderkey % 13 = 0
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -1230,5 +1294,5 @@ object Relational2 {
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
     q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
     q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply,
-    q69PitLookup, q70StatsPruning, q71CompositeMerge)
+    q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff)
 }

@@ -259,7 +259,7 @@ object SnapshotLog {
       batchId: Long,
       maxRetries: Int = 5): Unit =
     upsertBatch(spark, base, changes0, Seq(key), orderCol, partCol, batchId,
-      maxRetries, Nil, Nil, 16)
+      maxRetries, Nil, Nil, 16, None)
 
   /** Composite-key, stats-recording MERGE into the commit log.
     *
@@ -290,9 +290,15 @@ object SnapshotLog {
       maxRetries: Int,
       statsCols: Seq[String],
       clusterBy: Seq[String],
-      clusterFiles: Int): Unit = {
+      clusterFiles: Int,
+      opCol: Option[String]): Unit = {
     // (no defaults on this overload — Scala allows default arguments on
     // only one alternative, and the common 8-arg form keeps them)
+    // `opCol`: when set, the batch is a FULL CDC stream — that column
+    // carries op ∈ {U, D} and D rows delete their key from the table
+    // ([[graft.operators.MergeUpsert.cdc]] semantics, absent-key
+    // deletes no-ops). A partition whose rows are all deleted vanishes
+    // from the manifest entirely.
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val w = org.apache.spark.sql.expressions.Window
@@ -321,24 +327,31 @@ object SnapshotLog {
         val affectedState: Map[String, Seq[String]] =
           affected.iterator.map(p => p -> m.files.getOrElse(p, Nil)).toMap
         if (!mergedAgainst.contains(affectedState)) {
+          // the table's live schema: the change stream's columns minus
+          // the op column (which never lands in data files)
+          val targetFields = changes.schema.fields.toSeq
+            .filterNot(f => opCol.contains(f.name))
           val baseSubset = {
             val files = affected.flatMap(p => m.files.getOrElse(p, Nil))
               .map(f => new Path(bp, f).toString)
-            if (files.isEmpty) changes.limit(0)
+            if (files.isEmpty)
+              changes.limit(0).select(targetFields.map(f => col(f.name)): _*)
             else {
               // align to the change batch's schema: columns the old files
               // lack backfill NULL (add-column evolution), columns the batch
               // dropped disappear (the change stream defines the live schema)
               val df = spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*)
               val have = df.columns.toSet
-              df.select(changes.schema.fields.toSeq.map { f =>
+              df.select(targetFields.map { f =>
                 if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
                 else lit(null).cast(f.dataType).as(f.name)
               }: _*)
             }
           }
-          val merged = graft.operators.MergeUpsert(baseSubset, changes, keys)
-            .drop("merge_action")
+          val merged = (opCol match {
+            case None => graft.operators.MergeUpsert(baseSubset, changes, keys)
+            case Some(oc) => graft.operators.MergeUpsert.cdc(baseSubset, changes, keys, oc)
+          }).drop("merge_action")
           // staging dir unique per attempt: a concurrent writer that
           // picked the same (batchId, version) must never overwrite a
           // dir the race winner committed — a loser's orphan dir is
@@ -521,6 +534,57 @@ object SnapshotLog {
     }
     throw new IllegalStateException(
       s"compaction lost $maxRetries commit races on $base/$part")
+  }
+
+  /** Change-data-feed read: every row-level change between two
+    * committed versions, typed `change_type` ∈ {insert, update,
+    * delete} — insert/update rows carry v2's values, delete rows carry
+    * v1's last values. The Delta CDF / Iceberg changelog analog,
+    * computed from two pinned manifest reads and ONE full-outer join on
+    * the key (no row-level event log is stored — the immutable
+    * manifests ARE the history, so any version pair diffs on demand).
+    * v1's rows align to v2's schema (added columns backfill NULL, the
+    * same evolution rule the writers use). None unless both versions'
+    * manifests still exist (expiry removes old ones).
+    *
+    * Scale: both sides read only their manifests' files; the join
+    * shuffles on the key like any MERGE. Diffing adjacent versions
+    * after a partition-scoped upsert touches 2× the changed partitions'
+    * bytes — a targeted variant could prune to partitions whose file
+    * lists differ between the manifests. */
+  def diffVersions(
+      spark: SparkSession,
+      base: String,
+      keys: Seq[String],
+      v1: Long,
+      v2: Long): Option[DataFrame] = {
+    for {
+      a0 <- readVersion(spark, base, v1)
+      b <- readVersion(spark, base, v2)
+    } yield {
+      val cols = b.columns.toSeq
+      val have = a0.columns.toSet
+      val a = a0.select(b.schema.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      val aS = a.select(
+        keys.zipWithIndex.map { case (k, i) => col(k).as(s"__ak$i") } :+
+          struct(cols.map(col): _*).as("__a"): _*)
+      val bS = b.select(
+        keys.zipWithIndex.map { case (k, i) => col(k).as(s"__bk$i") } :+
+          struct(cols.map(col): _*).as("__b"): _*)
+      val cond = keys.indices.map(i => col(s"__ak$i") === col(s"__bk$i"))
+        .reduce(_ && _)
+      val picked = when(col("__b").isNotNull, col("__b")).otherwise(col("__a"))
+      aS.join(bS, cond, "full_outer")
+        .withColumn("change_type",
+          when(col("__a").isNull, "insert")
+            .when(col("__b").isNull, "delete")
+            .when(!(col("__a") <=> col("__b")), "update"))
+        .filter(col("change_type").isNotNull)
+        .select(cols.map(n => picked.getField(n).as(n)) :+ col("change_type"): _*)
+    }
   }
 
   /** Expire every committed version older than the newest `keepLast`,

@@ -189,7 +189,7 @@ class SnapshotLogSpec extends SparkSpec {
       mkChanges((1, 1, "a", 10.0), (2, 2, "a", 15.0),
         (1441, 3, "a", 500.0), (1442, 4, "a", 510.0)),
       keys = Seq("user_id"), orderCol = "ts", partCol = "day", batchId = 1,
-      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16)
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16, opCol = None)
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = SnapshotLog.readManifest(fs, new Path(base)).get
     assert(m.allFiles.nonEmpty && m.allFiles.forall(f =>
@@ -214,12 +214,12 @@ class SnapshotLogSpec extends SparkSpec {
     SnapshotLog.upsertBatch(spark, base,
       mkChanges((1, 1, "a", 10.0), (2, 1, "b", 20.0)),
       keys = Seq("user_id", "event_type"), orderCol = "ts", partCol = "day",
-      batchId = 1, maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16)
+      batchId = 1, maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16, opCol = None)
     // same user, one event_type updated — the other must survive
     SnapshotLog.upsertBatch(spark, base,
       mkChanges((3, 1, "b", 99.0)),
       keys = Seq("user_id", "event_type"), orderCol = "ts", partCol = "day",
-      batchId = 2, maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16)
+      batchId = 2, maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16, opCol = None)
     val got = SnapshotLog.read(spark, base).get
       .select("user_id", "event_type", "value")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
@@ -230,10 +230,10 @@ class SnapshotLogSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft_snaplog_cstat").toString + "/tbl"
     SnapshotLog.upsertBatch(spark, base, mkChanges((1, 1, "a", 10.0)),
       keys = Seq("user_id"), orderCol = "ts", partCol = "day", batchId = 1,
-      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16)
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16, opCol = None)
     SnapshotLog.upsertBatch(spark, base, mkChanges((2, 2, "a", 20.0)),
       keys = Seq("user_id"), orderCol = "ts", partCol = "day", batchId = 2,
-      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16)
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16, opCol = None)
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val day = SnapshotLog.readManifest(fs, new Path(base)).get.files.keySet.head
     val v = SnapshotLog.compactPartition(spark, base, day, statsCols = Seq("value"))
@@ -246,6 +246,38 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.filesForRange(m, "value", 9000.0, 9001.0).isEmpty)
     assert(SnapshotLog.readRange(spark, base, "value", 15.0, 25.0).get
       .select("user_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("cdc batch deletes keys through the log; diffVersions emits the typed feed") {
+    val base = Files.createTempDirectory("graft_snaplog_cdc").toString + "/tbl"
+    // v1: two days — user 1/2 on day 0, user 3 alone on day 1
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (2, 2, "a", 20.0), (1441, 3, "a", 30.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 1)
+    // v2: CDC batch — update user 2, delete user 3 (empties day 1),
+    // delete absent user 9 (no-op)
+    val cdc = mkChanges((3, 2, "b", 25.0), (1442, 3, "a", 0.0), (4, 9, "x", 0.0))
+      .withColumn("op",
+        when(col("user_id") === 2L, "U").otherwise("D"))
+    SnapshotLog.upsertBatch(spark, base, cdc,
+      Seq("user_id"), "ts", "day", batchId = 2, maxRetries = 5,
+      statsCols = Nil, clusterBy = Nil, clusterFiles = 16, opCol = Some("op"))
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(m.files.keySet.size == 1,
+      s"day 1 lost its only key and must vanish from the manifest: ${m.files.keySet}")
+    val live = SnapshotLog.read(spark, base).get
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(live == Set((1L, 10.0), (2L, 25.0)), s"cdc-through-log wrong: $live")
+    // the change-data-feed between the two versions, typed
+    val feed = SnapshotLog.diffVersions(spark, base, Seq("user_id"), 1L, 2L).get
+      .select("user_id", "value", "change_type").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(feed == Set(
+      (2L, 25.0, "update"),  // v2 values
+      (3L, 30.0, "delete")), // v1's last values; absent-delete of 9 invisible
+      s"diff feed wrong: $feed")
   }
 
   test("expireVersions bounds history; vacuum then reclaims expired-only files") {
