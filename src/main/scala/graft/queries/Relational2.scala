@@ -1227,12 +1227,13 @@ object Relational2 {
     * inserts, live deletes, absent-key deletes) THROUGH the log
     * (`upsertBatch(opCol = …)` — deletes remove keys from the table
     * itself), and the emitted rows are the typed diff between the two
-    * pinned versions: updates/inserts carry v2 values, deletes carry
-    * v1's last values, absent-key deletes vanish (they changed
-    * nothing). No row-level event log exists anywhere — the immutable
-    * manifests are the history, so ANY version pair diffs on demand;
-    * the oracle constructs the expected feed from the change-set
-    * definition directly. */
+    * pinned versions: every update emits BOTH images (Delta CDF row
+    * contract — consumers need the pre-image to retract), inserts
+    * carry v2 values, deletes v1's last values, absent-key deletes
+    * vanish (they changed nothing). No row-level event log exists
+    * anywhere — the immutable manifests are the history, so ANY
+    * version pair diffs on demand; the oracle constructs the expected
+    * feed from the change-set definition directly. */
   val q72VersionDiff: Q = Q(
     "q72_version_diff",
     "change-data-feed between two commit-log versions (CDC in, CDF out)",
@@ -1274,8 +1275,12 @@ object Relational2 {
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
                CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
         FROM orders)
-      SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice,
-             'U' AS o_orderstatus, o_year, 'update' AS change_type
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_year,
+             'update_preimage' AS change_type
+      FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice + 100.0, 'U', o_year,
+             'update_postimage'
       FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
       UNION ALL
       SELECT o_orderkey + 100000000, o_custkey, o_totalprice, 'N', o_year, 'insert'
@@ -1283,6 +1288,87 @@ object Relational2 {
       UNION ALL
       SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_year, 'delete'
       FROM base WHERE o_orderkey % 13 = 0
+      """))
+
+  /** Incremental view maintenance off the change-data-feed: a per-year
+    * (count, exact-decimal sum) aggregate is maintained by DELTA — feed
+    * rows contribute +1/+price for insert & update_postimage and
+    * −1/−price for delete & update_preimage (this retraction is exactly
+    * why the CDF emits pre-images) — and the maintained result is
+    * hash-graded against the oracle's FROM-SCRATCH recompute of the v2
+    * state. Decimal arithmetic makes the equality exact, not
+    * approximate: base + delta ≡ recompute holds bit-for-bit. The
+    * at-scale point: the maintenance cost is O(changed rows), not
+    * O(table) — the standard streaming-materialized-view contract,
+    * here derived from the commit log's manifests alone. */
+  val q73IncrementalAgg: Q = Q(
+    "q73_incremental_agg",
+    "aggregate maintained from the CDF delta == from-scratch recompute",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_ivm").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders,
+        "o_orderkey", "o_orderkey", "o_year", batchId = 1)
+      val k = col("o_orderkey")
+      val updates = orders.filter(k % 7 === 0 && k % 13 =!= 0)
+        .select(k, col("o_custkey"),
+          (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+          lit("U").as("o_orderstatus"), col("o_year"), lit("U").as("op"))
+      val inserts = orders.filter(k % 97 === 0)
+        .select((k + lit(100000000L)).as("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), lit("N").as("o_orderstatus"), col("o_year"),
+          lit("U").as("op"))
+      val deletes = orders.filter(k % 13 === 0)
+        .select(k, col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_year"), lit("D").as("op"))
+      SnapshotLog.upsertBatch(s, base,
+        updates.union(inserts).union(deletes),
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 2,
+        maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
+        opCol = Some("op"))
+      val dec = DecimalType(38, 4)
+      val agg0 = SnapshotLog.readVersion(s, base, 1L).get
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n0"), sum(col("o_totalprice").cast(dec)).as("t0"))
+      val feed = SnapshotLog.diffVersions(s, base, Seq("o_orderkey"), 1L, 2L).get
+      val sign = when(
+        col("change_type").isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      val delta = feed.groupBy(col("o_year")).agg(
+        sum(sign).as("dn"),
+        sum(col("o_totalprice").cast(dec) * sign).as("dt"))
+      agg0.join(delta, Seq("o_year"), "full_outer")
+        .select(col("o_year"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("t0"), lit(0).cast(dec)) +
+            coalesce(col("dt"), lit(0).cast(dec)))
+            .cast(dec).cast(DoubleType).as("total_price"))
+        .filter(col("n_orders") > 0)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+                    THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+               o_year
+        FROM base WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, o_year
+        FROM base WHERE o_orderkey % 97 = 0)
+      SELECT o_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE)
+               AS total_price
+      FROM v2 GROUP BY o_year
       """))
 
   val all: Seq[Q] = Seq(
@@ -1294,5 +1380,6 @@ object Relational2 {
     q57MergeUpsert, q58Lateral, q59WindowDistinct, q60Interpolate,
     q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
     q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply,
-    q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff)
+    q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff,
+    q73IncrementalAgg)
 }

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A minimal commit-log table format — the Iceberg/Delta model at its
@@ -537,10 +537,12 @@ object SnapshotLog {
   }
 
   /** Change-data-feed read: every row-level change between two
-    * committed versions, typed `change_type` ∈ {insert, update,
-    * delete} — insert/update rows carry v2's values, delete rows carry
-    * v1's last values. The Delta CDF / Iceberg changelog analog,
-    * computed from two pinned manifest reads and ONE full-outer join on
+    * committed versions, typed `change_type` ∈ {insert, delete,
+    * update_preimage, update_postimage} — the Delta CDF row contract:
+    * inserts carry v2's values, deletes v1's last values, and every
+    * update emits BOTH images (consumers like incremental aggregate
+    * maintenance need the pre-image to retract the old contribution).
+    * Computed from two pinned manifest reads and ONE full-outer join on
     * the key (no row-level event log is stored — the immutable
     * manifests ARE the history, so any version pair diffs on demand).
     * v1's rows align to v2's schema (added columns backfill NULL, the
@@ -576,14 +578,21 @@ object SnapshotLog {
           struct(cols.map(col): _*).as("__b"): _*)
       val cond = keys.indices.map(i => col(s"__ak$i") === col(s"__bk$i"))
         .reduce(_ && _)
-      val picked = when(col("__b").isNotNull, col("__b")).otherwise(col("__a"))
+      def row(side: Column, ct: String): Column =
+        struct(cols.map(n => side.getField(n).as(n)) :+
+          lit(ct).as("change_type"): _*)
+      // one pass: each joined row explodes into 0 (unchanged — the
+      // unmatched `when` yields NULL, which explode drops), 1
+      // (insert/delete), or 2 (update pre+post) feed rows
       aS.join(bS, cond, "full_outer")
-        .withColumn("change_type",
-          when(col("__a").isNull, "insert")
-            .when(col("__b").isNull, "delete")
-            .when(!(col("__a") <=> col("__b")), "update"))
-        .filter(col("change_type").isNotNull)
-        .select(cols.map(n => picked.getField(n).as(n)) :+ col("change_type"): _*)
+        .select(explode(
+          when(col("__a").isNull, array(row(col("__b"), "insert")))
+            .when(col("__b").isNull, array(row(col("__a"), "delete")))
+            .when(!(col("__a") <=> col("__b")),
+              array(row(col("__a"), "update_preimage"),
+                row(col("__b"), "update_postimage")))).as("__r"))
+        .select(cols.map(n => col(s"__r.$n").as(n)) :+
+          col("__r.change_type").as("change_type"): _*)
     }
   }
 

@@ -275,8 +275,9 @@ class SnapshotLogSpec extends SparkSpec {
       .select("user_id", "value", "change_type").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
     assert(feed == Set(
-      (2L, 25.0, "update"),  // v2 values
-      (3L, 30.0, "delete")), // v1's last values; absent-delete of 9 invisible
+      (2L, 20.0, "update_preimage"),  // the retractable old row
+      (2L, 25.0, "update_postimage"), // the new row
+      (3L, 30.0, "delete")),          // v1's last values; absent-delete of 9 invisible
       s"diff feed wrong: $feed")
   }
 
