@@ -1144,10 +1144,10 @@ object Relational2 {
       val (zt, ht) = (s"$baseDir/z", s"$baseDir/h")
       SnapshotLog.upsertBatch(s, zt, ev, Seq("event_id"), "event_id", "day",
         batchId = 1, maxRetries = 5, statsCols = Seq("user_id", "value"),
-        clusterBy = Seq("user_id", "value"), clusterFiles = 16, opCol = None)
+        clusterBy = Seq("user_id", "value"), clusterFiles = 16, opCol = None, writeCdf = false)
       SnapshotLog.upsertBatch(s, ht, ev, Seq("event_id"), "event_id", "day",
         batchId = 1, maxRetries = 5, statsCols = Seq("user_id", "value"),
-        clusterBy = Nil, clusterFiles = 16, opCol = None)
+        clusterBy = Nil, clusterFiles = 16, opCol = None, writeCdf = false)
       val mm = ev.agg(min(col("value")), max(col("value"))).head
       val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
       val (lo, hi) = (mn + 0.45 * (mx - mn), mn + 0.55 * (mx - mn))
@@ -1267,7 +1267,7 @@ object Relational2 {
         updates.union(inserts).union(deletes).union(absentDeletes),
         Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 2,
         maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
-        opCol = Some("op"))
+        opCol = Some("op"), writeCdf = false)
       SnapshotLog.diffVersions(s, base, Seq("o_orderkey"), 1L, 2L).get
     },
     Some("""
@@ -1330,7 +1330,7 @@ object Relational2 {
         updates.union(inserts).union(deletes),
         Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 2,
         maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
-        opCol = Some("op"))
+        opCol = Some("op"), writeCdf = false)
       val dec = DecimalType(38, 4)
       val agg0 = SnapshotLog.readVersion(s, base, 1L).get
         .groupBy(col("o_year"))
@@ -1371,6 +1371,112 @@ object Relational2 {
       FROM v2 GROUP BY o_year
       """))
 
+  /** The streaming close of the CDC loop: the commit log MATERIALIZES
+    * each version's change feed at commit time (`_cdf/v*`, the Delta
+    * `_change_data` idea — derived from the affected partitions only,
+    * published by atomic rename), and a consumer tails it with the
+    * BUILT-IN parquet file streaming source — offsets, exactly-once
+    * file tracking and replay come from Structured Streaming's
+    * checkpoint, not bespoke cursor code. The consumer maintains a
+    * per-year aggregate incrementally (q73's signed-retraction deltas)
+    * in `foreachBatch`, persisting the running state between
+    * micro-batches; because the deltas commute, ANY slicing of the feed
+    * into micro-batches converges to the same state, which the oracle
+    * grades against a from-scratch recompute of the final version.
+    * At scale each micro-batch costs O(changed rows) + a join against
+    * the group-count-sized running aggregate. */
+  val q74StreamCdfTail: Q = Q(
+    "q74_stream_cdf_tail",
+    "streaming IVM off the materialized commit-log change feed",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val root = java.nio.file.Files.createTempDirectory("graft_tail").toString
+      val base = root + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders,
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 1,
+        maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
+        opCol = None, writeCdf = true)
+      val k = col("o_orderkey")
+      val updates = orders.filter(k % 11 === 0 && k % 17 =!= 0)
+        .select(k, col("o_custkey"),
+          (col("o_totalprice") + lit(50.0)).as("o_totalprice"),
+          lit("V").as("o_orderstatus"), col("o_year"), lit("U").as("op"))
+      val inserts = orders.filter(k % 89 === 0)
+        .select((k + lit(100000000L)).as("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), lit("N").as("o_orderstatus"), col("o_year"),
+          lit("U").as("op"))
+      val deletes = orders.filter(k % 17 === 0)
+        .select(k, col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_year"), lit("D").as("op"))
+      SnapshotLog.upsertBatch(s, base,
+        updates.union(inserts).union(deletes),
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 2,
+        maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
+        opCol = Some("op"), writeCdf = true)
+      val dec = DecimalType(38, 4)
+      val schema = SnapshotLog.readCdf(s, base).get.schema
+      val feed = SnapshotLog.tailCdf(s, base, schema, maxFilesPerTrigger = 64)
+      var lastAgg: Option[String] = None
+      val q = feed.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          val sign = when(
+            col("change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L)
+          val delta = batch.groupBy(col("o_year")).agg(
+            sum(sign).as("dn"),
+            sum(col("o_totalprice").cast(dec) * sign).as("dt"))
+          val acc = lastAgg match {
+            case None =>
+              delta.select(col("o_year"), col("dn").as("n"),
+                col("dt").cast(dec).as("t"))
+            case Some(p) =>
+              s.read.parquet(p).join(delta, Seq("o_year"), "full_outer")
+                .select(col("o_year"),
+                  (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                    .as("n"),
+                  (coalesce(col("t"), lit(0).cast(dec)) +
+                    coalesce(col("dt"), lit(0).cast(dec))).cast(dec).as("t"))
+          }
+          val out = s"$root/agg_b$bid"
+          acc.write.mode("overwrite").parquet(out)
+          lastAgg = Some(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(lastAgg.get)
+        .filter(col("n") > 0)
+        .select(col("o_year"),
+          col("n").as("n_orders"),
+          col("t").cast(dec).cast(DoubleType).as("total_price"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0 AND o_orderkey % 17 <> 0
+                    THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice,
+               o_year
+        FROM base WHERE o_orderkey % 17 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, o_year
+        FROM base WHERE o_orderkey % 89 = 0)
+      SELECT o_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE)
+               AS total_price
+      FROM v2 GROUP BY o_year
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -1381,5 +1487,5 @@ object Relational2 {
     q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
     q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply,
     q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff,
-    q73IncrementalAgg)
+    q73IncrementalAgg, q74StreamCdfTail)
 }

@@ -116,6 +116,17 @@ object SnapshotLog {
   /** The manifest of the newest COMPLETE version, if any — scans down
     * past in-flight/crashed manifests (missing [[Footer]]), which were
     * never visible as commits. */
+  /** All COMMITTED (footer-complete) versions, ascending. */
+  def committedVersions(fs: FileSystem, base: Path): Seq[Long] = {
+    val dir = logDir(base)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
+      .filter(v => readManifestAt(fs, base, v).isDefined)
+      .sorted
+  }
+
   def readManifest(fs: FileSystem, base: Path): Option[Manifest] = {
     var v = currentVersion(fs, base)
     while (v > 0L) {
@@ -259,7 +270,7 @@ object SnapshotLog {
       batchId: Long,
       maxRetries: Int = 5): Unit =
     upsertBatch(spark, base, changes0, Seq(key), orderCol, partCol, batchId,
-      maxRetries, Nil, Nil, 16, None)
+      maxRetries, Nil, Nil, 16, None, writeCdf = false)
 
   /** Composite-key, stats-recording MERGE into the commit log.
     *
@@ -291,7 +302,8 @@ object SnapshotLog {
       statsCols: Seq[String],
       clusterBy: Seq[String],
       clusterFiles: Int,
-      opCol: Option[String]): Unit = {
+      opCol: Option[String],
+      writeCdf: Boolean): Unit = {
     // (no defaults on this overload — Scala allows default arguments on
     // only one alternative, and the common 8-arg form keeps them)
     // `opCol`: when set, the batch is a FULL CDC stream — that column
@@ -318,6 +330,10 @@ object SnapshotLog {
     var mergedAgainst: Option[Map[String, Seq[String]]] = None
     var staged: Seq[(String, String)] = Nil // partition -> rel file
     var stagedStats: Map[String, Map[String, (String, String)]] = Map.empty
+    // (pre, post) state of the AFFECTED partitions only — the change
+    // feed derives from these, never from a full-table diff
+    var cdfPair: Option[(DataFrame, DataFrame)] = None
+    var committedVersion = -1L
     try {
       while (!committed && attempt < maxRetries) {
         val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
@@ -388,6 +404,13 @@ object SnapshotLog {
           stagedStats =
             if (statsCols.isEmpty) Map.empty
             else fileStats(spark, fs, dir, rel, statsCols)
+          if (writeCdf) {
+            // post-state re-read from the immutable staged files (not
+            // the merge plan, which would re-run the join on feed write)
+            val post = spark.read.parquet(dir.toString)
+              .select(targetFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+            cdfPair = Some((baseSubset, post))
+          }
           mergedAgainst = Some(affectedState)
         }
         val replaced = affected.flatMap(p => m.files.getOrElse(p, Nil))
@@ -398,11 +421,17 @@ object SnapshotLog {
           },
           (m.stats -- replaced) ++ stagedStats)
         committed = tryCommit(fs, bp, next)
+        if (committed) committedVersion = version
         attempt += 1
       }
     } finally changes.unpersist()
     if (!committed) throw new IllegalStateException(
       s"SnapshotLog commit lost $maxRetries races on $base — raise maxRetries")
+    if (writeCdf) cdfPair.foreach { case (pre, post) =>
+      commitCdfVersion(fs, bp, committedVersion,
+        changeFeed(pre, post, keys)
+          .withColumn("_commit_version", lit(committedVersion)))
+    }
   }
 
   /** Partition value → rel file path for every parquet file under a
@@ -570,29 +599,130 @@ object SnapshotLog {
         if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
-      val aS = a.select(
-        keys.zipWithIndex.map { case (k, i) => col(k).as(s"__ak$i") } :+
-          struct(cols.map(col): _*).as("__a"): _*)
-      val bS = b.select(
-        keys.zipWithIndex.map { case (k, i) => col(k).as(s"__bk$i") } :+
-          struct(cols.map(col): _*).as("__b"): _*)
-      val cond = keys.indices.map(i => col(s"__ak$i") === col(s"__bk$i"))
-        .reduce(_ && _)
-      def row(side: Column, ct: String): Column =
-        struct(cols.map(n => side.getField(n).as(n)) :+
-          lit(ct).as("change_type"): _*)
-      // one pass: each joined row explodes into 0 (unchanged — the
-      // unmatched `when` yields NULL, which explode drops), 1
-      // (insert/delete), or 2 (update pre+post) feed rows
-      aS.join(bS, cond, "full_outer")
-        .select(explode(
-          when(col("__a").isNull, array(row(col("__b"), "insert")))
-            .when(col("__b").isNull, array(row(col("__a"), "delete")))
-            .when(!(col("__a") <=> col("__b")),
-              array(row(col("__a"), "update_preimage"),
-                row(col("__b"), "update_postimage")))).as("__r"))
-        .select(cols.map(n => col(s"__r.$n").as(n)) :+
-          col("__r.change_type").as("change_type"): _*)
+      changeFeed(a, b, keys)
+    }
+  }
+
+  /** The CDF join: pre-state vs post-state (same schema) full-outer on
+    * the key, each joined row exploding into 0 (unchanged — the
+    * unmatched `when` yields NULL, which explode drops), 1
+    * (insert/delete), or 2 (update pre+post) feed rows. */
+  private[sources] def changeFeed(
+      a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = b.columns.toSeq
+    val aS = a.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__ak$i") } :+
+        struct(cols.map(col): _*).as("__a"): _*)
+    val bS = b.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__bk$i") } :+
+        struct(cols.map(col): _*).as("__b"): _*)
+    val cond = keys.indices.map(i => col(s"__ak$i") === col(s"__bk$i"))
+      .reduce(_ && _)
+    def row(side: Column, ct: String): Column =
+      struct(cols.map(n => side.getField(n).as(n)) :+
+        lit(ct).as("change_type"): _*)
+    aS.join(bS, cond, "full_outer")
+      .select(explode(
+        when(col("__a").isNull, array(row(col("__b"), "insert")))
+          .when(col("__b").isNull, array(row(col("__a"), "delete")))
+          .when(!(col("__a") <=> col("__b")),
+            array(row(col("__a"), "update_preimage"),
+              row(col("__b"), "update_postimage")))).as("__r"))
+      .select(cols.map(n => col(s"__r.$n").as(n)) :+
+        col("__r.change_type").as("change_type"): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Materialized change-data-feed (the Delta `_change_data` idea): each
+  // committed version's feed is written ONCE, at commit time, under
+  //   table/_cdf/v<version>/part-*.parquet   (+ a `_commit_version` col)
+  // derived from the (pre, post) state of the AFFECTED partitions only —
+  // O(changed partitions), never a full-table diff. The dir appears by
+  // atomic rename from a hidden staging name, so a tailing reader never
+  // sees a half-written version. Consumers tail it with the BUILT-IN
+  // file streaming source ([[tailCdf]]): offsets/checkpointing/replay
+  // are Structured Streaming's, not bespoke. A crash between manifest
+  // commit and feed write leaves a GAP, not corruption — [[repairCdf]]
+  // reconstructs any missing version from the manifests via
+  // [[diffVersions]] (the manifests remain the source of truth).
+  // ---------------------------------------------------------------------
+
+  private def cdfDir(base: Path) = new Path(base, "_cdf")
+  private def cdfVName(v: Long) = f"v$v%011d"
+
+  /** Versions with a materialized feed dir, ascending. */
+  def cdfVersions(fs: FileSystem, base: Path): Seq[Long] = {
+    val dir = cdfDir(base)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).sorted
+  }
+
+  /** Write one version's feed and publish it by rename; loses cleanly
+    * (keeps the existing dir) if the version is already materialized —
+    * e.g. a concurrent [[repairCdf]] got there first. */
+  private def commitCdfVersion(
+      fs: FileSystem, base: Path, v: Long, feed: DataFrame): Unit = {
+    val target = new Path(cdfDir(base), cdfVName(v))
+    if (fs.exists(target)) return
+    val tmp = new Path(cdfDir(base),
+      s".tmp-${cdfVName(v)}-${java.util.UUID.randomUUID.toString.take(8)}")
+    feed.write.parquet(tmp.toString)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, true)
+      if (!fs.exists(target)) throw new IllegalStateException(
+        s"could not publish CDF version $v under ${cdfDir(base)}")
+    }
+  }
+
+  /** Batch read of the whole materialized feed (all versions). */
+  def readCdf(spark: SparkSession, base: String): Option[DataFrame] = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    val vs = cdfVersions(fs, bp)
+    if (vs.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(
+      vs.map(v => new Path(cdfDir(bp), cdfVName(v)).toString): _*))
+  }
+
+  /** The feed as a STREAM: the built-in parquet file source tailing
+    * `_cdf/v*` — new committed versions are picked up as new files on
+    * the glob, offsets and exactly-once file tracking come from
+    * Structured Streaming's checkpoint, and downstream delta-aggregation
+    * is order-insensitive by construction (signed retractions commute).
+    * The schema is pinned by the caller (file streams require it). */
+  def tailCdf(
+      spark: SparkSession,
+      base: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    else r).parquet(new Path(cdfDir(new Path(base)), "v*").toString)
+  }
+
+  /** Reconstruct missing feed versions from the manifests. Version 1 is
+    * the initial load (all rows `insert`); later versions diff against
+    * their predecessor — impossible only if the predecessor was expired,
+    * in which case the gap is permanent and reported. Returns the
+    * versions repaired. */
+  def repairCdf(spark: SparkSession, base: String, keys: Seq[String]): Seq[Long] = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    val have = cdfVersions(fs, bp).toSet
+    val committed = committedVersions(fs, bp)
+    if (committed.isEmpty) return Nil
+    committed.filterNot(have).flatMap { v =>
+      val feed =
+        if (v == committed.min)
+          readVersion(spark, base, v).map(df =>
+            df.withColumn("change_type", lit("insert")))
+        else diffVersions(spark, base, keys, v - 1, v)
+      feed.map { f =>
+        commitCdfVersion(fs, bp, v, f.withColumn("_commit_version", lit(v)))
+        v
+      }
     }
   }
 

@@ -398,7 +398,7 @@ object EventStreams {
         graft.sources.SnapshotLog.upsertBatch(
           batch.sparkSession, basePath, batch, Seq(key), orderCol, partCol, id,
           maxRetries = 5, statsCols = statsCols, clusterBy = Nil,
-          clusterFiles = 16, opCol = None)
+          clusterFiles = 16, opCol = None, writeCdf = false)
         ()
       }
       .start()

@@ -189,7 +189,7 @@ class SnapshotLogSpec extends SparkSpec {
       mkChanges((1, 1, "a", 10.0), (2, 2, "a", 15.0),
         (1441, 3, "a", 500.0), (1442, 4, "a", 510.0)),
       keys = Seq("user_id"), orderCol = "ts", partCol = "day", batchId = 1,
-      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16, opCol = None)
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16, opCol = None, writeCdf = false)
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = SnapshotLog.readManifest(fs, new Path(base)).get
     assert(m.allFiles.nonEmpty && m.allFiles.forall(f =>
@@ -214,12 +214,12 @@ class SnapshotLogSpec extends SparkSpec {
     SnapshotLog.upsertBatch(spark, base,
       mkChanges((1, 1, "a", 10.0), (2, 1, "b", 20.0)),
       keys = Seq("user_id", "event_type"), orderCol = "ts", partCol = "day",
-      batchId = 1, maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16, opCol = None)
+      batchId = 1, maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16, opCol = None, writeCdf = false)
     // same user, one event_type updated — the other must survive
     SnapshotLog.upsertBatch(spark, base,
       mkChanges((3, 1, "b", 99.0)),
       keys = Seq("user_id", "event_type"), orderCol = "ts", partCol = "day",
-      batchId = 2, maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16, opCol = None)
+      batchId = 2, maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16, opCol = None, writeCdf = false)
     val got = SnapshotLog.read(spark, base).get
       .select("user_id", "event_type", "value")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
@@ -230,10 +230,10 @@ class SnapshotLogSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft_snaplog_cstat").toString + "/tbl"
     SnapshotLog.upsertBatch(spark, base, mkChanges((1, 1, "a", 10.0)),
       keys = Seq("user_id"), orderCol = "ts", partCol = "day", batchId = 1,
-      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16, opCol = None)
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16, opCol = None, writeCdf = false)
     SnapshotLog.upsertBatch(spark, base, mkChanges((2, 2, "a", 20.0)),
       keys = Seq("user_id"), orderCol = "ts", partCol = "day", batchId = 2,
-      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16, opCol = None)
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil, clusterFiles = 16, opCol = None, writeCdf = false)
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val day = SnapshotLog.readManifest(fs, new Path(base)).get.files.keySet.head
     val v = SnapshotLog.compactPartition(spark, base, day, statsCols = Seq("value"))
@@ -261,7 +261,7 @@ class SnapshotLogSpec extends SparkSpec {
         when(col("user_id") === 2L, "U").otherwise("D"))
     SnapshotLog.upsertBatch(spark, base, cdc,
       Seq("user_id"), "ts", "day", batchId = 2, maxRetries = 5,
-      statsCols = Nil, clusterBy = Nil, clusterFiles = 16, opCol = Some("op"))
+      statsCols = Nil, clusterBy = Nil, clusterFiles = 16, opCol = Some("op"), writeCdf = false)
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = SnapshotLog.readManifest(fs, new Path(base)).get
     assert(m.files.keySet.size == 1,
