@@ -1197,11 +1197,144 @@ object TextOps {
         AND doc_id % (CASE WHEN lang = 'en' THEN 4 ELSE 1 END) = 0
       """))
 
+  /** Temperature-based domain mixture — the multinomial smoothing that
+    * sets a training mix's per-domain sampling budget (XLM-R's
+    * p_d ∝ n_d^α with α = 0.5; GPT-3's corpus weighting is the same
+    * idea with hand-set weights): small domains are upweighted relative
+    * to their share, the head domain downweighted. Budgets use
+    * INTEGER-quantized weights (w_d = ⌊√n_d⌋, targets by BIGINT
+    * multiply-then-divide) so the arithmetic is bit-identical across
+    * engines — no float normalization whose sum order could flip a
+    * boundary. Selection within a domain is a deterministic LCG rank
+    * over doc_id (reproducible, join-able back to the corpus; a domain
+    * whose budget exceeds its size just keeps everything — sampling
+    * without replacement). Cost at scale: one tiny groupBy for the
+    * budget table (broadcast back), one window rank per domain — a
+    * single shuffle on lang, no RNG state, no driver loop. */
+  val d22DomainMixture: Q = Q(
+    "d22_domain_mixture",
+    "temperature-smoothed (α=0.5) per-language sampling budgets + deterministic pick",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val budgets = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_d"))
+        .withColumn("w_d", floor(sqrt(col("n_d"))).cast(LongType))
+      val tot = budgets.agg(
+        sum(col("n_d")).as("n_total"), sum(col("w_d")).as("w_total"))
+      val target = budgets.crossJoin(broadcast(tot))
+        .withColumn("lang_target",
+          expr("((n_total DIV 2) * w_d) DIV w_total"))
+        .select(col("lang"), col("n_d"), col("lang_target"))
+      val h = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+      val win = Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))
+      docs.withColumn("__h", h)
+        .join(broadcast(target), Seq("lang"))
+        .withColumn("sel_rank", row_number().over(win).cast(LongType))
+        .filter(col("sel_rank") <= col("lang_target"))
+        .select(col("doc_id"), col("lang"), col("n_d"),
+          col("lang_target"), col("sel_rank"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT lang, COUNT(*) AS n_d,
+               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w_d
+        FROM documents GROUP BY lang),
+      tot AS (
+        SELECT CAST(SUM(n_d) AS BIGINT) AS n_total,
+               CAST(SUM(w_d) AS BIGINT) AS w_total
+        FROM counts),
+      tgt AS (
+        SELECT lang, n_d,
+               CAST(((n_total // 2) * w_d) // w_total AS BIGINT) AS lang_target
+        FROM counts, tot),
+      ranked AS (
+        SELECT d.doc_id, d.lang, t.n_d, t.lang_target,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+                 ORDER BY (d.doc_id * 1103515245 + 12345) % 2147483648, d.doc_id)
+                 AS BIGINT) AS sel_rank
+        FROM documents d JOIN tgt t ON d.lang = t.lang)
+      SELECT doc_id, lang, n_d, lang_target, sel_rank
+      FROM ranked WHERE sel_rank <= lang_target
+      """))
+
+  /** Canonical-document selection — the step AFTER near-dup clustering
+    * that actually shrinks the corpus: within each d12 duplicate
+    * cluster keep the single best document by d4's quality score
+    * (ties broken by doc_id), discard the rest. Composes three graded
+    * ops (d6 pairs → d12 components → d4 score) into the curation
+    * decision a training pipeline ships; "keep highest quality" beats
+    * d12's "keep smallest id" when duplicates differ by boilerplate or
+    * truncation. Cost on top of d12: one broadcast-sized score join and
+    * one window over clusters — no new all-pairs work. Double-valued
+    * score comparisons are safe cross-engine because d4's scores are
+    * hash-verified bit-identical. */
+  val d23CanonicalDocs: Q = Q(
+    "d23_canonical_docs",
+    "per-duplicate-cluster keeper by quality argmax (d6+d12+d4 composed)",
+    (s, d) => {
+      val pairs = d6NgramJaccard.build(s, d)
+      val lbl = graft.operators.ConnectedComponents.labels(pairs, "doc_a", "doc_b")
+      val scores = d4QualityScore.build(s, d)
+        .select(col("doc_id"), col("quality_score"))
+      val clustered = t(s, d, "documents").select(col("doc_id"))
+        .join(lbl, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .join(scores, Seq("doc_id"))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      clustered
+        .withColumn("__rn", row_number().over(
+          byCluster.orderBy(desc("quality_score"), col("doc_id"))))
+        .withColumn("cluster_size", count(lit(1)).over(byCluster).cast(LongType))
+        .filter(col("__rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keeper_doc_id"),
+          col("cluster_size"), col("quality_score").as("keeper_quality"))
+    },
+    Some(s"""
+      WITH RECURSIVE $shinglesSql,
+      ${cappedPairsSql(DefaultDfCap)},
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM jpairs),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      lbl AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+      qf AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|it|that|was)\\b')) AS BIGINT) AS stopword_hits,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS punct_chars,
+               n_chars
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+               LEAST(n_tokens / 50.0, 1.0) * 0.5
+                 + LEAST((stopword_hits / n_tokens) * 4.0, 1.0) * 0.3
+                 + (1.0 - LEAST((punct_chars / n_chars) * 10.0, 1.0)) * 0.2 AS quality_score
+        FROM qf),
+      clustered AS (
+        SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id, q.quality_score
+        FROM documents d
+        LEFT JOIN lbl l ON d.doc_id = l.node
+        JOIN q ON q.doc_id = d.doc_id),
+      ranked AS (
+        SELECT doc_id, cluster_id, quality_score,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                 ORDER BY quality_score DESC, doc_id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        FROM clustered)
+      SELECT cluster_id, doc_id AS keeper_doc_id, cluster_size,
+             quality_score AS keeper_quality
+      FROM ranked WHERE rn = 1
+      """))
+
   val all: Seq[Q] = Seq(
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
     d14Sentences, d15VocabBuild, d16SimHashPairs, d17NfcNormalize,
     d18Repetition, d19Contamination, d20PackChunks, d21StratifiedSample,
-    m1MediaFeatures, m2FrameSample, m3ImageDecode, m4AudioDecode)
+    d22DomainMixture, d23CanonicalDocs, m1MediaFeatures, m2FrameSample,
+    m3ImageDecode, m4AudioDecode)
 }

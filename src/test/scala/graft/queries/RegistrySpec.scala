@@ -80,6 +80,49 @@ class RegistrySpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0000001 && s <= 1.0000001))
   }
 
+  test("d22 temperature mixture flattens the head domain, respects budgets") {
+    val docs = Tables(spark, sfDir, "documents")
+    val corpus = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = corpus.values.sum.toDouble
+    val kept = Registry.byName("d22_domain_mixture").build(spark, sfDir)
+    val keptBy = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // never over budget, and never more than the domain has
+    val budgets = kept.select("lang", "lang_target").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.foreach { case (l, b) =>
+      assert(keptBy(l) <= b && keptBy(l) <= corpus(l), s"$l kept=${keptBy(l)} budget=$b n=${corpus(l)}")
+    }
+    // α=0.5 smoothing: the head domain's sample share drops below its
+    // corpus share; the smallest domain's share rises
+    val head = corpus.maxBy(_._2)._1
+    val tail = corpus.minBy(_._2)._1
+    val keptTotal = keptBy.values.sum.toDouble
+    assert(keptBy(head) / keptTotal < corpus(head) / total,
+      s"head $head share must shrink")
+    assert(keptBy(tail) / keptTotal > corpus(tail) / total,
+      s"tail $tail share must grow")
+  }
+
+  test("d23 keeps exactly one doc per cluster, the quality argmax") {
+    val keepers = Registry.byName("d23_canonical_docs").build(spark, sfDir)
+    // one keeper per cluster, clusters partition the corpus
+    assert(keepers.select("cluster_id").distinct().count() == keepers.count())
+    assert(keepers.agg(sum(col("cluster_size"))).head.getLong(0) ==
+      Tables(spark, sfDir, "documents").count())
+    // keeper quality is the cluster max (re-derive membership from d12)
+    val members = Registry.byName("d12_dedup_clusters").build(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(Registry.byName("d4_quality_score").build(spark, sfDir)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+    val maxQ = members.groupBy("cluster_id")
+      .agg(max(col("quality_score")).as("max_q"))
+    val bad = keepers.join(maxQ, Seq("cluster_id"))
+      .filter(col("keeper_quality") < col("max_q")).count()
+    assert(bad == 0, s"$bad clusters kept a non-argmax doc")
+  }
+
   test("every oracle references only known table names") {
     val known = Tables.names.toSet
     SparkEntry.oracleSql.foreach { case (name, sql) =>
