@@ -589,8 +589,78 @@ object SimilarityOps {
       FROM embeddings
       """))
 
+  /** Int8 scalar quantization ([[graft.operators.SqIndex]]): the
+    * compression tier between raw vectors (512 B) and PQ codes (8 B) —
+    * 64 B/vector with a HARD per-dimension reconstruction bound
+    * |x_j − x̂_j| ≤ scale_j/2 (data-independent once the per-dim bounds
+    * are trained; PQ can't promise that). Three graded assertions ride
+    * the q35 pattern next to the exact corpus count:
+    *   - `sq_exact_on_recon`: the fused distance-from-codes fold equals
+    *     d²(q, x̂) on the explicit reconstruction to 1e-9 relative —
+    *     the SQ identity, graded on EVERY vector;
+    *   - `recon_within_bound`: the quantization guarantee holds on
+    *     every vector and dimension (max slack ≤ 1e-12);
+    *   - `shortlist_recall_ok`: the 50-vector SQ shortlist recovers
+    *     ≥ 24/30 of the exact L2 top-10 over 3 seeded queries — SQ8's
+    *     64 B preserve far more geometry than PQ's 8 B, so the floor
+    *     sits at 80% where s11's sits at 20% (measured: 30/30 at
+    *     sf0.01 and sf0.1; SqSpec reports the numbers). */
+  val s14SqInt8: Q = Q(
+    "s14_sq_int8",
+    "int8 scalar quantization: 64B codes, recon identity + bound + recall",
+    (s, d) => {
+      import graft.operators.{IvfIndex, SqIndex}
+      val e = emb(s, d).select(col("vec_id"), col("v")).persist()
+      val dim = 64
+      val (mins, scales) = SqIndex.params(e, dim)
+      val codes = SqIndex.encode(e, mins, scales).persist()
+      val vhat = SqIndex.decode(codes, mins, scales)
+      // identity: fused code distance == dist2 on explicit reconstruction
+      val qv0 = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val d2hat = IvfIndex.dist2(col("vhat"), col("qv"))
+      val maxRelErr = codes.join(vhat, "vec_id").crossJoin(broadcast(qv0))
+        .select((abs(SqIndex.dist2Codes(col("codes"), col("qv"), mins, scales)
+          - d2hat) / greatest(d2hat, lit(1.0))).as("relerr"))
+        .agg(max(col("relerr"))).head.getDouble(0)
+      // the per-dimension quantization bound, every vector and dim
+      val sc = typedlit(scales)
+      val maxSlack = e.join(vhat, "vec_id")
+        .select(aggregate(
+          transform(zip_with(col("v"), col("vhat"), (a, b) => abs(a - b)),
+            (err, i) => err - element_at(sc, i + 1) / 2),
+          lit(0.0), (acc, x) => greatest(acc, x)).as("slack"))
+        .agg(max(col("slack"))).head.getDouble(0)
+      // shortlist-then-rerank recall over 3 seeded queries
+      val hits = Seq(0L, 7L, 23L).map { qid =>
+        val q = e.filter(col("vec_id") === qid).select(col("v").as("qv"))
+        val shortlist = codes.filter(col("vec_id") =!= qid)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            SqIndex.dist2Codes(col("codes"), col("qv"), mins, scales).as("d2"))
+          .orderBy(col("d2"), col("vec_id")).limit(50).select(col("vec_id"))
+        val exact10 = e.filter(col("vec_id") =!= qid)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), IvfIndex.dist2(col("v"), col("qv")).as("d2"))
+          .orderBy(col("d2"), col("vec_id")).limit(10).select(col("vec_id"))
+        shortlist.intersect(exact10).count()
+      }.sum
+      val n = e.count()
+      import s.implicits._
+      Seq((n, 64L, maxRelErr < 1e-9, maxSlack <= 1e-12, hits >= 24))
+        .toDF("n_vectors", "code_bytes", "sq_exact_on_recon",
+          "recon_within_bound", "shortlist_recall_ok")
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(64 AS BIGINT) AS code_bytes,
+             TRUE AS sq_exact_on_recon,
+             TRUE AS recon_within_bound,
+             TRUE AS shortlist_recall_ok
+      FROM embeddings
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
-    s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch)
+    s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch, s14SqInt8)
 }
