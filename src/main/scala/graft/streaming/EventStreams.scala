@@ -383,7 +383,15 @@ object EventStreams {
     *
     * `statsCols` flows through to the manifest's per-file min/max
     * bounds, so a continuously-ingesting table stays range-prunable
-    * ([[graft.sources.SnapshotLog.readRange]]) with no extra pass. */
+    * ([[graft.sources.SnapshotLog.readRange]]) with no extra pass.
+    *
+    * `writeCdf = true` additionally materializes each committed
+    * version's change feed (`_cdf/v*`) so DOWNSTREAM streams can tail
+    * this table with [[graft.sources.SnapshotLog.tailCdf]] — chaining
+    * pipelines stream→table→stream without re-reading snapshots. A
+    * replayed micro-batch (at-least-once upstream) merges idempotently
+    * and its CDF version is simply EMPTY — downstream delta consumers
+    * are unaffected. */
   def streamingUpsertLog(
       events: DataFrame,
       basePath: String,
@@ -391,14 +399,15 @@ object EventStreams {
       orderCol: String,
       checkpointDir: String,
       partCol: String,
-      statsCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+      statsCols: Seq[String] = Nil,
+      writeCdf: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.sources.SnapshotLog.upsertBatch(
           batch.sparkSession, basePath, batch, Seq(key), orderCol, partCol, id,
           maxRetries = 5, statsCols = statsCols, clusterBy = Nil,
-          clusterFiles = 16, opCol = None, writeCdf = false)
+          clusterFiles = 16, opCol = None, writeCdf = writeCdf)
         ()
       }
       .start()

@@ -89,6 +89,49 @@ class CdfSpec extends SparkSpec {
     assert(repaired == expected)
   }
 
+  test("stream→table→stream: the streaming sink's CDF feeds a downstream tail") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("graft_chain").toString
+    val base = root + "/tbl"
+    val input = MemoryStream[Event]
+    val withDay = input.toDF().withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val up = graft.streaming.EventStreams.streamingUpsertLog(
+      withDay, base, key = "user_id", orderCol = "ts",
+      checkpointDir = s"$root/ckpt_up", partCol = "day", writeCdf = true)
+    try {
+      input.addData(Event(1, t(0), 1L, "a", 10.0), Event(2, t(0), 2L, "a", 20.0))
+      up.processAllAvailable()
+      input.addData(Event(3, t(5), 2L, "b", 25.0), Event(4, t(5), 3L, "a", 30.0))
+      up.processAllAvailable()
+    } finally up.stop()
+
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(SnapshotLog.cdfVersions(fs, new Path(base)).size == 2)
+    // downstream: maintain per-user latest value count from the feed
+    val schema = SnapshotLog.readCdf(spark, base).get.schema
+    val acc = scala.collection.mutable.Map.empty[Long, Long]
+    val down = SnapshotLog.tailCdf(spark, base, schema)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt_down")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.select(col("user_id"),
+          when(col("change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L).as("sign"))
+          .collect().foreach { r =>
+            acc(r.getLong(0)) = acc.getOrElse(r.getLong(0), 0L) + r.getLong(1)
+          }
+        ()
+      }
+      .start()
+    down.awaitTermination()
+    val live = SnapshotLog.read(spark, base).get
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(acc.filter(_._2 > 0).keySet == live,
+      s"downstream state ${acc.toMap} vs live $live")
+  }
+
   test("streaming tail converges to the live state under 1-file micro-batches") {
     val root = Files.createTempDirectory("graft_cdf_tail").toString
     val base = root + "/tbl"
