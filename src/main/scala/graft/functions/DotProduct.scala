@@ -137,8 +137,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BloomAggName,
       { exprs =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(exprs.head).toAggregateExpression()
+        // 1-arg: Spark's default sizing; 3-arg: (col, estItems, numBits)
+        // for the per-file manifest blooms (SnapshotLog.buildBlooms)
+        (if (exprs.length >= 3)
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        else
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(exprs.head)).toAggregateExpression()
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BloomContainName,

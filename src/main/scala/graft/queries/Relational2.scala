@@ -1477,6 +1477,74 @@ object Relational2 {
       FROM v2 GROUP BY o_year
       """))
 
+  /** Per-file BLOOM filters in the commit-log manifest — the
+    * point-lookup complement to q70's min/max bounds: the layout is
+    * range-clustered on `user_id` (so user_id is range-prunable), which
+    * makes `event_id` scatter across every file — min/max can prune
+    * NOTHING for an event_id equality probe. [[graft.sources.
+    * SnapshotLog.buildBlooms]] commits a metadata-only version adding a
+    * per-file bloom on event_id (Delta bloom-index / Iceberg puffin
+    * model), and the graded assertions measure what planning then
+    * skips: 8 present-key lookups touch ≤ ¼ of the file•lookup grid
+    * (each key lives in exactly 1 of 16 files; the rest are bloom
+    * negatives, which are DEFINITIVE), absent keys prune nearly
+    * everything, and every bloom-pruned read equals the full-scan
+    * answer (no false negatives — the bloom guarantee, verified not
+    * asserted). */
+  val q75BloomFileSkip: Q = Q(
+    "q75_bloom_file_skip",
+    "manifest blooms: point lookups on a non-clustered key skip files",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/tbl"
+      val ev = t(s, d, "events")
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("part", lit("all"))
+      SnapshotLog.upsertBatch(s, base, ev, Seq("event_id"), "event_id", "part",
+        batchId = 1, maxRetries = 5, statsCols = Seq("user_id"),
+        clusterBy = Seq("user_id"), clusterFiles = 16, opCol = None,
+        writeCdf = false)
+      SnapshotLog.buildBlooms(s, base, Seq("event_id"), fpp = 0.02)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val m = SnapshotLog.readManifest(fs, new org.apache.hadoop.fs.Path(base)).get
+      val total = m.allFiles.size.toLong
+      // 8 deterministic present keys spread across the id domain
+      val keys = ev.select(col("event_id")).orderBy(col("event_id")).limit(8)
+        .collect().map(_.getLong(0)).toSeq
+      val probed = keys.map(k =>
+        SnapshotLog.filesForKey(m, "event_id", k).size.toLong).sum
+      val full = SnapshotLog.read(s, base).get.persist()
+      val correct = keys.forall { k =>
+        val viaBloom = SnapshotLog.readPoint(s, base, "event_id", k)
+          .map(_.select("event_id", "user_id", "value").collect().toSet)
+          .getOrElse(Set.empty)
+        val scan = full.filter(col("event_id") === k)
+          .select("event_id", "user_id", "value").collect().toSet
+        viaBloom == scan
+      }
+      val absentProbed = (1 to 4).map(i =>
+        SnapshotLog.filesForKey(m, "event_id", -1000000L - i).size.toLong).sum
+      val n = full.count()
+      import s.implicits._
+      Seq((n, total >= 2, correct,
+        probed <= keys.size * total / 4,
+        absentProbed <= 4L * total / 4))
+        .toDF("n_events", "multi_file", "lookups_correct",
+          "bloom_skips_most", "absent_skips_most")
+    },
+    Some("""
+      SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+             TRUE AS multi_file,
+             TRUE AS lookups_correct,
+             TRUE AS bloom_skips_most,
+             TRUE AS absent_skips_most
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -1487,5 +1555,5 @@ object Relational2 {
     q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
     q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply,
     q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff,
-    q73IncrementalAgg, q74StreamCdfTail)
+    q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip)
 }

@@ -59,11 +59,18 @@ object SnapshotLog {
     *               strings — the Iceberg-manifest idea of planning from
     *               metadata: value predicates prune FILES before Spark
     *               lists or opens anything ([[filesForRange]]). Files
-    *               without recorded stats are never pruned. */
+    *               without recorded stats are never pruned.
+    * @param blooms rel file path → column → base64 Spark-sketch bloom
+    *               ([[buildBlooms]]) — the point-lookup complement to
+    *               min/max bounds: an equality probe on a
+    *               NON-clustered high-cardinality key skips every file
+    *               whose bloom proves absence ([[filesForKey]]). Files
+    *               without a bloom are never pruned. */
   final case class Manifest(
       version: Long,
       files: Map[String, Seq[String]],
-      stats: Map[String, Map[String, (String, String)]] = Map.empty) {
+      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      blooms: Map[String, Map[String, String]] = Map.empty) {
     def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
   }
 
@@ -157,17 +164,24 @@ object SnapshotLog {
       else {
         val lines = text.split("\n").iterator
           .filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(_.split("\t", 3)).toSeq
+          .map(_.split("\t", 4)).toSeq
         val files = lines.map(a => a(0) -> a(1))
           .groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2) }
         val stats = lines.collect {
-          case a if a.length == 3 && a(2).nonEmpty =>
+          case a if a.length >= 3 && a(2).nonEmpty =>
             a(1) -> a(2).split(";").iterator.map { entry =>
               val Array(c, mn, mx) = entry.split(":", 3)
               dec(c) -> (dec(mn), dec(mx))
             }.toMap
         }.toMap
-        Some(Manifest(v, files, stats))
+        val blooms = lines.collect {
+          case a if a.length == 4 && a(3).nonEmpty =>
+            a(1) -> a(3).split(";").iterator.map { entry =>
+              val Array(c, b) = entry.split(":", 2)
+              dec(c) -> b
+            }.toMap
+        }.toMap
+        Some(Manifest(v, files, stats, blooms))
       }
     }
   }
@@ -202,13 +216,17 @@ object SnapshotLog {
     val text = m.files.toSeq.sortBy(_._1).flatMap { case (p, fls) =>
       fls.sorted.map { f =>
         val st = m.stats.getOrElse(f, Map.empty)
-        if (st.isEmpty) s"$p\t$f"
-        else {
-          val s = st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-            s"${enc(c)}:${enc(mn)}:${enc(mx)}"
-          }.mkString(";")
-          s"$p\t$f\t$s"
-        }
+        val bl = m.blooms.getOrElse(f, Map.empty)
+        val stS = st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s"${enc(c)}:${enc(mn)}:${enc(mx)}"
+        }.mkString(";")
+        // base64 alphabet is disjoint from the grammar chars (tab ; :)
+        val blS = bl.toSeq.sortBy(_._1).map { case (c, b) =>
+          s"${enc(c)}:$b"
+        }.mkString(";")
+        if (bl.isEmpty && st.isEmpty) s"$p\t$f"
+        else if (bl.isEmpty) s"$p\t$f\t$stS"
+        else s"$p\t$f\t$stS\t$blS"
       }
     }.mkString("", "\n", "\n") + Footer + "\n"
     val out: java.io.OutputStream =
@@ -419,7 +437,11 @@ object SnapshotLog {
           (m.files -- affected) ++ staged.groupBy(_._1).map {
             case (p, fls) => p -> fls.map(_._2).sorted
           },
-          (m.stats -- replaced) ++ stagedStats)
+          (m.stats -- replaced) ++ stagedStats,
+          // rewritten files take their blooms with them; untouched
+          // files keep theirs (conservative: bloom-less files are
+          // never pruned, so staleness is impossible by construction)
+          m.blooms -- replaced)
         committed = tryCommit(fs, bp, next)
         if (committed) committedVersion = version
         attempt += 1
@@ -494,6 +516,101 @@ object SnapshotLog {
       }
     }
 
+  /** Build per-file bloom filters over `cols` for the CURRENT version's
+    * files and commit them as a new METADATA-ONLY version (same files,
+    * same stats, blooms added) — the explicit secondary-index pass of a
+    * real table format (Delta's bloom index, Iceberg's puffin files):
+    * a clustered layout makes ONE key range-prunable; blooms make
+    * point lookups on any OTHER high-cardinality key file-prunable,
+    * with no false negatives by construction. Sizing: one counting
+    * pass finds the largest file's row count, blooms are sized for it
+    * at `fpp` (per-file exactness matters less than the shared-size
+    * single-pass build; Spark's BloomFilterAggregate is one
+    * partial-agged pass over the corpus keyed by file). At 100 TB a
+    * manifest carrying inline blooms grows by ~bits/8 per file —
+    * production formats spill them to sidecar index files; the
+    * planning model is identical. Long keys only (hash wider types to
+    * xxhash64 first, as Spark's own runtime filter does). */
+  def buildBlooms(
+      spark: SparkSession,
+      base: String,
+      cols: Seq[String],
+      fpp: Double = 0.03,
+      maxRetries: Int = 5): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(return 0L)
+      val files = m.allFiles
+      if (files.isEmpty) return 0L
+      val byPath = files
+        .map(f => fs.makeQualified(new Path(bp, f)).toUri.getPath -> f).toMap
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => new Path(bp, f).toString): _*)
+      val maxRows = math.max(1L,
+        df.groupBy(input_file_name().as("__f")).count()
+          .agg(max(col("count"))).head.getLong(0))
+      val bits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(maxRows, fpp)
+      val aggs = cols.map(c => call_function(
+        graft.functions.GraftFunctions.BloomAggName,
+        col(c), lit(maxRows), lit(bits)).as(s"__b_$c"))
+      val built = df.groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().flatMap { r =>
+          val rel = byPath.get(
+            new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+          val bl = cols.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(i + 1)) None
+            else Some(c -> java.util.Base64.getEncoder
+              .encodeToString(r.getAs[Array[Byte]](i + 1)))
+          }.toMap
+          rel.filter(_ => bl.nonEmpty).map(_ -> bl)
+        }.toMap
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp,
+          Manifest(version, m.files, m.stats, m.blooms ++ built)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"bloom build lost $maxRetries commit races on $base")
+  }
+
+  /** The files whose bloom for `column` MAY contain `value` — plus
+    * every file without a bloom (never pruned). A bloom's negative is
+    * definitive, so the result is exact-superset-safe. */
+  def filesForKey(m: Manifest, column: String, value: Long): Seq[String] =
+    m.allFiles.filter { f =>
+      m.blooms.get(f).flatMap(_.get(column)) match {
+        case None => true
+        case Some(b64) =>
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(java.util.Base64.getDecoder.decode(b64))
+            .mightContainLong(value)
+      }
+    }
+
+  /** Bloom-pruned point read: only bloom-possible files are handed to
+    * Spark, then the exact equality predicate applies on top. None when
+    * the table is empty or every file's bloom excludes the key. */
+  def readPoint(
+      spark: SparkSession,
+      base: String,
+      column: String,
+      value: Long): Option[DataFrame] = {
+    val bp = new Path(base)
+    readManifest(fsFor(spark, bp), bp).flatMap { m =>
+      val files = filesForKey(m, column, value).map(f => new Path(bp, f).toString)
+      if (files.isEmpty) None
+      else Some(
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+          .filter(col(column) === value))
+    }
+  }
+
   /** Stats-pruned range read: hand Spark only the files whose manifest
     * bounds intersect [lo, hi], then apply the exact predicate on top.
     * None when the table is empty or no file can match. */
@@ -557,7 +674,7 @@ object SnapshotLog {
         else fileStats(spark, fs, dir, rel, statsCols)
       if (tryCommit(fs, bp,
           Manifest(version, m.files.updated(part, newFiles),
-            (m.stats -- files) ++ newStats)))
+            (m.stats -- files) ++ newStats, m.blooms -- files)))
         return version
       attempt += 1
     }

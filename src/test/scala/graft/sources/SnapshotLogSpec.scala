@@ -248,6 +248,43 @@ class SnapshotLogSpec extends SparkSpec {
       .select("user_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("bloom index: metadata-only commit, definitive negatives, dropped on rewrite") {
+    val base = Files.createTempDirectory("graft_snaplog_bloom").toString + "/tbl"
+    // two days so a later single-day rewrite leaves one bloom intact
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (2, 2, "a", 20.0), (1441, 3, "a", 30.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 1)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = SnapshotLog.readManifest(fs, new Path(base)).get
+    val v = SnapshotLog.buildBlooms(spark, base, Seq("event_id"))
+    assert(v == before.version + 1)
+    val m = SnapshotLog.readManifest(fs, new Path(base)).get
+    // metadata-only: same files, blooms on every one, round-tripped
+    // through the manifest grammar next to the stats field
+    assert(m.files == before.files)
+    assert(m.allFiles.forall(f => m.blooms.get(f).exists(_.contains("event_id"))))
+    // present keys are found; absent keys prune every file (definitive)
+    assert(SnapshotLog.readPoint(spark, base, "event_id", 1441L).get
+      .select("user_id").collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(SnapshotLog.filesForKey(m, "event_id", 777777L).isEmpty ||
+      SnapshotLog.readPoint(spark, base, "event_id", 777777L).get.count() == 0)
+    // time travel to the pre-bloom version still works
+    assert(SnapshotLog.readVersion(spark, base, before.version).get.count() == 3)
+    // rewriting day 0 drops its files' blooms (conservative — never
+    // stale), keeps day 1's
+    val day1 = m.files.keySet.max
+    SnapshotLog.upsertBatch(spark, base, mkChanges((5, 1, "b", 11.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 2)
+    val m2 = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(m2.files(day1).forall(f => m2.blooms.contains(f)),
+      "untouched partition keeps its blooms")
+    assert(m2.files(m2.files.keySet.min).forall(f => !m2.blooms.contains(f)),
+      "rewritten files must not inherit stale blooms")
+    // bloom-less files are never pruned: the new key is still found
+    assert(SnapshotLog.readPoint(spark, base, "event_id", 5L).get
+      .select("value").collect().map(_.getDouble(0)).toSet == Set(11.0))
+  }
+
   test("cdc batch deletes keys through the log; diffVersions emits the typed feed") {
     val base = Files.createTempDirectory("graft_snaplog_cdc").toString + "/tbl"
     // v1: two days — user 1/2 on day 0, user 3 alone on day 1
