@@ -1545,6 +1545,117 @@ object Relational2 {
       WHERE event_id IS NOT NULL AND user_id IS NOT NULL
       """))
 
+  /** Incremental maintenance of a JOIN view off TWO commit-log tables'
+    * change feeds — the step past q73 (single-table IVM): the per-nation
+    * revenue view V = customer ⋈ orders → groupBy is maintained by the
+    * bilinear delta rule over signed multisets,
+    *
+    *   V(A_new, B_new) = V(A_old, B_old) + V(A_old, ΔB) + V(ΔA, B_new)
+    *
+    * (updates enter as −pre/+post retraction pairs, so a customer whose
+    * nation CHANGES moves its orders' revenue between groups, and the
+    * cross-term cancellation — e.g. an order inserted for a customer
+    * deleted in the same round — falls out of the algebra, no special
+    * cases). Cost is two Δ-sided joins + group-sized combines instead
+    * of a full re-join: O(changed rows ⋈ state), the differential-
+    * dataflow contract derived purely from the manifests. Decimal
+    * arithmetic makes maintained ≡ recomputed EXACT; the oracle grades
+    * it by recomputing the final join from scratch. */
+  val q76JoinIvm: Q = Q(
+    "q76_join_ivm",
+    "join-view IVM: two tables' CDFs maintain per-nation revenue exactly",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val root = java.nio.file.Files.createTempDirectory("graft_jivm").toString
+      val (tc, to) = (root + "/cust", root + "/ord")
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .withColumn("nat", col("c_nationkey").cast(StringType))
+      val ords = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, tc, cust, "c_custkey", "c_custkey", "nat", 1)
+      SnapshotLog.upsertBatch(s, to, ords, "o_orderkey", "o_orderkey", "o_year", 1)
+      val ck = col("c_custkey")
+      val custChanges =
+        cust.filter(ck % 6 === 0 && ck % 9 =!= 0)
+          .withColumn("c_nationkey", (col("c_nationkey") + 1) % 25)
+          .withColumn("nat", col("c_nationkey").cast(StringType))
+          .withColumn("op", lit("U"))
+        .union(cust.filter(ck % 9 === 0).withColumn("op", lit("D")))
+      SnapshotLog.upsertBatch(s, tc, custChanges,
+        Seq("c_custkey"), "c_custkey", "nat", batchId = 2, maxRetries = 5,
+        statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
+        opCol = Some("op"), writeCdf = false)
+      val ok = col("o_orderkey")
+      val ordChanges =
+        ords.filter(ok % 7 === 0 && ok % 13 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+          .withColumn("op", lit("U"))
+        .union(ords.filter(ok % 97 === 0)
+          .withColumn("o_orderkey", ok + lit(100000000L))
+          .withColumn("op", lit("U")))
+        .union(ords.filter(ok % 13 === 0).withColumn("op", lit("D")))
+      SnapshotLog.upsertBatch(s, to, ordChanges,
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 2, maxRetries = 5,
+        statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
+        opCol = Some("op"), writeCdf = false)
+
+      val dec = DecimalType(38, 4)
+      val sgn = when(
+        col("change_type").isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      val aOld = SnapshotLog.readVersion(s, tc, 1L).get
+        .select(col("c_custkey"), col("c_nationkey"))
+      val bOld = SnapshotLog.readVersion(s, to, 1L).get
+        .select(col("o_custkey"), col("o_totalprice"))
+      val bNew = SnapshotLog.read(s, to).get
+        .select(col("o_custkey"), col("o_totalprice"))
+      val dA = SnapshotLog.diffVersions(s, tc, Seq("c_custkey"), 1L, 2L).get
+        .select(col("c_custkey"), col("c_nationkey"), sgn.as("s"))
+      val dB = SnapshotLog.diffVersions(s, to, Seq("o_orderkey"), 1L, 2L).get
+        .select(col("o_custkey"), col("o_totalprice"), sgn.as("s"))
+      def agg(df: DataFrame) = df
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("s")).as("dn"),
+          sum(col("o_totalprice").cast(dec) * col("s")).as("dt"))
+      val v0 = aOld.join(bOld, aOld("c_custkey") === bOld("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n0"), sum(col("o_totalprice").cast(dec)).as("t0"))
+      val d1 = agg(aOld.join(dB, aOld("c_custkey") === dB("o_custkey")))
+      val d2 = agg(dA.join(bNew, dA("c_custkey") === bNew("o_custkey")))
+      v0.join(d1, Seq("c_nationkey"), "full_outer")
+        .join(d2.withColumnRenamed("dn", "dn2").withColumnRenamed("dt", "dt2"),
+          Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)) +
+            coalesce(col("dn2"), lit(0L))).as("n_orders"),
+          (coalesce(col("t0"), lit(0).cast(dec)) +
+            coalesce(col("dt"), lit(0).cast(dec)) +
+            coalesce(col("dt2"), lit(0).cast(dec)))
+            .cast(dec).cast(DoubleType).as("total_price"))
+        .filter(col("n_orders") > 0)
+    },
+    Some("""
+      WITH cust2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 6 = 0 THEN (c_nationkey + 1) % 25
+                    ELSE c_nationkey END AS c_nationkey
+        FROM customer WHERE c_custkey % 9 <> 0),
+      ord2 AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+                    THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE)
+               AS total_price
+      FROM cust2 JOIN ord2 ON c_custkey = o_custkey
+      GROUP BY c_nationkey
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -1555,5 +1666,5 @@ object Relational2 {
     q61NullSafeJoin, q62GroupByAll, q63ApproxQuantiles, q64Scd2,
     q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply,
     q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff,
-    q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip)
+    q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip, q76JoinIvm)
 }
