@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A minimal commit-log table format — the Iceberg/Delta model at its
@@ -471,32 +471,122 @@ object SnapshotLog {
           .map(n => value -> s"$rel/${d.getPath.getName}/$n")
       }
 
+  /** Pseudo-column under which each file's ROW COUNT rides in the
+    * stats map (as an (n, n) bound — grammar-compatible, and `:` `;`
+    * never appear in a decimal integer). Written by the same stats
+    * pass; [[countRows]]/[[partitionCounts]] answer COUNT(*) from the
+    * manifest alone — the Iceberg snapshot-summary idea. */
+  val RowCountKey = "__rows"
+
+  /** The shared stats aggregation: per-file min/max of `statsCols`
+    * plus the row count, over whatever file grouping the caller
+    * provides. Row layout: col 0 = file, cols 1..2n = min/max pairs,
+    * col 1+2n = count. */
+  private def statsAggs(statsCols: Seq[String]): Seq[Column] =
+    statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c"))) :+
+      count(lit(1)).cast("string").as("__nrows")
+
+  private def decodeBounds(
+      r: Row, statsCols: Seq[String]): Map[String, (String, String)] = {
+    val n = r.getString(1 + 2 * statsCols.size)
+    statsCols.zipWithIndex.flatMap { case (c, i) =>
+      val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+      if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+      else Some(c -> (r.getString(mnI), r.getString(mxI)))
+    }.toMap + (RowCountKey -> (n, n))
+  }
+
   /** One aggregation job over the staged files: per-file min/max of
-    * `statsCols`, keyed by rel path. Bounds are stored as canonical
-    * strings; NULL bounds (an all-NULL column in a file) are omitted. */
+    * `statsCols` (+ row count), keyed by rel path. Bounds are stored
+    * as canonical strings; NULL bounds (an all-NULL column in a file)
+    * are omitted. */
   private def fileStats(
       spark: SparkSession,
       fs: FileSystem,
       dir: Path,
       rel: String,
       statsCols: Seq[String]): Map[String, Map[String, (String, String)]] = {
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"__mn_$c"),
-      max(col(c)).cast("string").as(s"__mx_$c")))
     val qDir = fs.makeQualified(dir).toUri.getPath
+    val aggs = statsAggs(statsCols)
     spark.read.parquet(dir.toString)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
-        val relFile = rel + abs.stripPrefix(qDir)
-        val bounds = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
-          if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
-          else Some(c -> (r.getString(mnI), r.getString(mxI)))
+        (rel + abs.stripPrefix(qDir)) -> decodeBounds(r, statsCols)
+      }.toMap
+  }
+
+  /** ANALYZE for the commit log: compute per-file bounds (+ the row
+    * count that rides with them) for every LIVE file missing any of
+    * `statsCols`' entries, and commit the result as a new
+    * METADATA-ONLY version — same files, stats merged, blooms
+    * untouched (Iceberg's compute-stats action). This is the recovery
+    * path when files were written stats-less (an older writer, a
+    * statsCols-less compaction): such files are never pruned and make
+    * metadata counts degrade to None, and fixing that needs one scan
+    * of ONLY the stats-less files plus one manifest commit — no data
+    * rewrite. Returns the new version, or 0 if nothing was missing. */
+  def computeStats(
+      spark: SparkSession,
+      base: String,
+      statsCols: Seq[String],
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(return 0L)
+      val wanted = statsCols :+ RowCountKey
+      val need = m.allFiles.filter { f =>
+        val have = m.stats.getOrElse(f, Map.empty)
+        !wanted.forall(have.contains)
+      }
+      if (need.isEmpty) return 0L
+      val byPath = need
+        .map(f => fs.makeQualified(new Path(bp, f)).toUri.getPath -> f).toMap
+      val aggs = statsAggs(statsCols)
+      val fresh = spark.read.option("mergeSchema", "true")
+        .parquet(need.map(f => new Path(bp, f).toString): _*)
+        .groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().flatMap { r =>
+          byPath.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+            .map(_ -> decodeBounds(r, statsCols))
         }.toMap
-        relFile -> bounds
-      }.filter(_._2.nonEmpty).toMap
+      val merged = fresh.foldLeft(m.stats) { case (acc, (f, b)) =>
+        acc.updated(f, acc.getOrElse(f, Map.empty) ++ b)
+      }
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp, Manifest(version, m.files, merged, m.blooms)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"stats build lost $maxRetries commit races on $base")
+  }
+
+  /** COUNT(*) answered from the manifest alone — no data file is
+    * listed or opened. None if any live file lacks a recorded count
+    * (written without `statsCols`): partial metadata must degrade to
+    * a scan, never to a wrong number. */
+  def countRows(m: Manifest): Option[Long] = {
+    val ns = m.allFiles.map(f =>
+      m.stats.get(f).flatMap(_.get(RowCountKey)).flatMap(_._1.toLongOption))
+    if (ns.exists(_.isEmpty)) None else Some(ns.flatten.sum)
+  }
+
+  /** Per-partition COUNT(*) from the manifest alone; same totality
+    * contract as [[countRows]]. */
+  def partitionCounts(m: Manifest): Option[Map[String, Long]] = {
+    val per = m.files.toSeq.map { case (p, fls) =>
+      val ns = fls.map(f =>
+        m.stats.get(f).flatMap(_.get(RowCountKey)).flatMap(_._1.toLongOption))
+      if (ns.exists(_.isEmpty)) None else Some(p -> ns.flatten.sum)
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.toMap)
   }
 
   /** The current version's files whose recorded bounds for `column` can

@@ -285,6 +285,40 @@ class SnapshotLogSpec extends SparkSpec {
       .select("value").collect().map(_.getDouble(0)).toSet == Set(11.0))
   }
 
+  test("metadata counts: exact after merges, None when any file lacks them") {
+    val base = Files.createTempDirectory("graft_snaplog_mcount").toString + "/tbl"
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (2, 2, "a", 20.0), (1441, 3, "a", 30.0)),
+      keys = Seq("user_id"), orderCol = "ts", partCol = "day", batchId = 1,
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil,
+      clusterFiles = 16, opCol = None, writeCdf = false)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def m = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(SnapshotLog.countRows(m).contains(3L))
+    // merge bookkeeping: update (no count change) + insert (+1)
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((3, 2, "b", 25.0), (4, 4, "a", 40.0)),
+      keys = Seq("user_id"), orderCol = "ts", partCol = "day", batchId = 2,
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil,
+      clusterFiles = 16, opCol = None, writeCdf = false)
+    assert(SnapshotLog.countRows(m).contains(4L))
+    assert(SnapshotLog.partitionCounts(m).get.values.sum == 4L)
+    // a statsCols-less compaction leaves a count-less file: the ONLY
+    // safe answer is None (degrade to scan, never a wrong number)
+    val day0 = m.files.keySet.min
+    SnapshotLog.compactPartition(spark, base, day0)
+    assert(SnapshotLog.countRows(m).isEmpty)
+    assert(SnapshotLog.partitionCounts(m).isEmpty)
+    // the ANALYZE pass backfills stats for ONLY the stats-less file,
+    // metadata-only commit — countability restored without a rewrite
+    val statsV = SnapshotLog.computeStats(spark, base, Seq("value"))
+    assert(statsV > 0L)
+    assert(SnapshotLog.countRows(m).contains(4L))
+    assert(SnapshotLog.partitionCounts(m).get.values.sum == 4L)
+    // idempotent: nothing missing → no new version
+    assert(SnapshotLog.computeStats(spark, base, Seq("value")) == 0L)
+  }
+
   test("cdc batch deletes keys through the log; diffVersions emits the typed feed") {
     val base = Files.createTempDirectory("graft_snaplog_cdc").toString + "/tbl"
     // v1: two days — user 1/2 on day 0, user 3 alone on day 1
