@@ -785,30 +785,53 @@ object SnapshotLog {
     * same evolution rule the writers use). None unless both versions'
     * manifests still exist (expiry removes old ones).
     *
-    * Scale: both sides read only their manifests' files; the join
-    * shuffles on the key like any MERGE. Diffing adjacent versions
-    * after a partition-scoped upsert touches 2× the changed partitions'
-    * bytes — a targeted variant could prune to partitions whose file
-    * lists differ between the manifests. */
+    * Scale: the diff is PARTITION-PRUNED from the manifests alone —
+    * data files are immutable, so a partition whose file list is
+    * identical in both manifests cannot contribute a change
+    * ([[changedPartitions]]), and only differing partitions' files are
+    * read on either side. Diffing adjacent versions after a
+    * partition-scoped upsert therefore costs O(changed partitions) of
+    * data IO, not O(table); the full-v2 read below contributes only
+    * its (union, evolution-aware) schema — no data task runs on it.
+    * The join shuffles on the key like any MERGE. */
   def diffVersions(
       spark: SparkSession,
       base: String,
       keys: Seq[String],
       v1: Long,
       v2: Long): Option[DataFrame] = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
     for {
-      a0 <- readVersion(spark, base, v1)
-      b <- readVersion(spark, base, v2)
+      m1 <- readManifestAt(fs, bp, v1)
+      m2 <- readManifestAt(fs, bp, v2)
+      b0 <- readVersion(spark, base, v2)
     } yield {
-      val cols = b.columns.toSeq
-      val have = a0.columns.toSet
-      val a = a0.select(b.schema.fields.toSeq.map { f =>
-        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }: _*)
-      changeFeed(a, b, keys)
+      val changed = changedPartitions(m1, m2)
+      def side(m: Manifest): DataFrame = {
+        val files = changed.flatMap(p => m.files.getOrElse(p, Nil))
+          .map(f => new Path(bp, f).toString)
+        val raw =
+          if (files.isEmpty) b0.limit(0)
+          else spark.read.option("mergeSchema", "true").parquet(files: _*)
+        val have = raw.columns.toSet
+        raw.select(b0.schema.fields.toSeq.map { f =>
+          if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+      changeFeed(side(m1), side(m2), keys)
     }
   }
+
+  /** The partitions that can possibly differ between two versions:
+    * those whose live file lists are not identical. Exact-superset-safe
+    * because data files are immutable once committed — same files ⇒
+    * same rows. */
+  def changedPartitions(m1: Manifest, m2: Manifest): Seq[String] =
+    (m1.files.keySet ++ m2.files.keySet).toSeq.sorted.filter { p =>
+      m1.files.getOrElse(p, Nil).sorted != m2.files.getOrElse(p, Nil).sorted
+    }
 
   /** The CDF join: pre-state vs post-state (same schema) full-outer on
     * the key, each joined row exploding into 0 (unchanged — the

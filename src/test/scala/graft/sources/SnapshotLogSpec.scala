@@ -319,6 +319,41 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.computeStats(spark, base, Seq("value")) == 0L)
   }
 
+  test("diffVersions prunes to partitions whose file lists differ") {
+    val base = Files.createTempDirectory("graft_snaplog_pdiff").toString + "/tbl"
+    // ids 1440 min apart land on distinct days; derive the strings from data
+    def dayOf(id: Long): String =
+      mkChanges((id, 0, "x", 0.0)).select("day").first().getString(0)
+    // batch 1: users 1/2/3 on three distinct days
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (1441, 2, "a", 20.0), (2881, 3, "a", 30.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 1)
+    // batch 2 touches ONLY user 2's day (update) and a brand-new day (insert)
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1442, 2, "a", 25.0), (4321, 4, "a", 40.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 2)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = SnapshotLog.readManifestAt(fs, new Path(base), 1L).get
+    val m2 = SnapshotLog.readManifestAt(fs, new Path(base), 2L).get
+    // manifest-only pruning: the untouched days of users 1 and 3 are excluded
+    assert(SnapshotLog.changedPartitions(m1, m2) ==
+      Seq(dayOf(1441), dayOf(4321)).sorted)
+    assert(SnapshotLog.changedPartitions(m1, m1).isEmpty)
+    // the pruned diff still carries exactly the real changes
+    val feed = SnapshotLog.diffVersions(spark, base, Seq("user_id"), 1L, 2L).get
+    val got = feed.select("user_id", "value", "change_type")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set(
+      (2L, 20.0, "update_preimage"), (2L, 25.0, "update_postimage"),
+      (4L, 40.0, "insert")))
+    // the unchanged-partition users never enter the feed
+    assert(!got.exists(r => r._1 == 1L || r._1 == 3L))
+    // identical versions: empty feed, schema intact
+    val same = SnapshotLog.diffVersions(spark, base, Seq("user_id"), 2L, 2L).get
+    assert(same.count() == 0L)
+    assert(same.columns.contains("change_type"))
+  }
+
   test("cdc batch deletes keys through the log; diffVersions emits the typed feed") {
     val base = Files.createTempDirectory("graft_snaplog_cdc").toString + "/tbl"
     // v1: two days — user 1/2 on day 0, user 3 alone on day 1
