@@ -772,6 +772,155 @@ object SnapshotLog {
       s"compaction lost $maxRetries commit races on $base/$part")
   }
 
+  /** What a [[deleteWhere]] did: the committed version (unchanged
+    * current version when nothing matched), whether the plan was
+    * metadata-only, and which partitions vanished vs were rewritten. */
+  final case class DeleteOutcome(
+      version: Long,
+      metadataOnly: Boolean,
+      droppedPartitions: Seq[String],
+      rewrittenPartitions: Seq[String])
+
+  /** DELETE every row where `predicate` is TRUE (SQL semantics: FALSE
+    * and NULL rows stay) and commit the result as a new version.
+    *
+    * Two planning paths, chosen by the predicate's column footprint:
+    *
+    *  - '''Partition predicate''' (resolvable against `partCol` alone):
+    *    evaluated on the MANIFEST's partition values — whole partitions
+    *    drop out of the new manifest and ZERO data files are read,
+    *    rewritten, or removed (the Iceberg/Delta metadata-delete fast
+    *    path; exact because every row of a partition shares its partCol
+    *    value). Old versions still time-travel to the deleted data;
+    *    [[vacuum]] reclaims the files once every referencing version
+    *    expires. Evaluation casts the canonical partition strings back
+    *    to the live column type, so the usual round-trippable partition
+    *    types (dates, years, ints, plain strings) compare correctly.
+    *  - '''Row predicate''': one column-pruned scan of the live
+    *    snapshot (parquet footer min/max prunes row groups under us)
+    *    finds the partitions actually holding matching rows; ONLY those
+    *    rewrite, through the same staged `partitionBy` write +
+    *    optimistic commit as [[upsertBatch]] — data IO is O(matching
+    *    partitions), and a partition whose every row matched vanishes
+    *    from the manifest. A lost commit race recomputes from the
+    *    winner's state (unlike upsert, the affected set depends on
+    *    table state, so staged output cannot be safely reused).
+    *
+    * `writeCdf` materializes the deleted rows as a typed feed version
+    * (`change_type = "delete"` only — a delete cannot insert or
+    * update); on the metadata-only path this read of the dropped files
+    * is the one data job, and it happens after the commit.
+    *
+    * Returns None when the table has no committed version. */
+  def deleteWhere(
+      spark: SparkSession,
+      base: String,
+      predicate: Column,
+      partCol: String,
+      maxRetries: Int = 5,
+      statsCols: Seq[String] = Nil,
+      writeCdf: Boolean = false): Option[DeleteOutcome] = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    val live0 = read(spark, base).getOrElse(return None)
+    val partType = live0.schema(live0.schema.fieldIndex(partCol)).dataType
+    // partition-only iff the predicate resolves against partCol alone.
+    // The probe frame is built from emptyDataFrame, NOT a projection of
+    // the table: Spark's ResolveMissingReferences lets a filter see
+    // columns a select pruned away, so `table.select(partCol)
+    // .filter(pred)` would wrongly resolve row predicates too.
+    // Analysis is eager, so an out-of-footprint reference throws here.
+    val partitionOnly =
+      try {
+        spark.emptyDataFrame
+          .select(lit(null).cast(partType).as(partCol)).filter(predicate)
+        true
+      } catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+    def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
+      val have = df.columns.toSet
+      df.select(to.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    def absFiles(m: Manifest, parts: Seq[String]): Seq[String] =
+      parts.flatMap(p => m.files.getOrElse(p, Nil))
+        .map(f => new Path(bp, f).toString)
+
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(return None)
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (partitionOnly) {
+        // evaluate against the manifest's partition values only
+        val parts = m.files.keySet.toSeq.sorted
+        val dropped = {
+          val pdf = spark.createDataset(parts)(org.apache.spark.sql.Encoders.STRING)
+            .toDF("__pv")
+            .select(col("__pv"), col("__pv").cast(partType).as(partCol))
+          pdf.filter(predicate).select("__pv").collect().map(_.getString(0)).toSeq.sorted
+        }
+        if (dropped.isEmpty)
+          return Some(DeleteOutcome(m.version, metadataOnly = true, Nil, Nil))
+        val gone = dropped.flatMap(p => m.files.getOrElse(p, Nil))
+        if (tryCommit(fs, bp,
+            Manifest(version, m.files -- dropped, m.stats -- gone, m.blooms -- gone))) {
+          if (writeCdf) {
+            val pre = align(spark.read.option("mergeSchema", "true")
+              .parquet(absFiles(m, dropped): _*), live0.schema)
+            commitCdfVersion(fs, bp, version,
+              pre.withColumn("change_type", lit("delete"))
+                .withColumn("_commit_version", lit(version)))
+          }
+          return Some(DeleteOutcome(version, metadataOnly = true, dropped, Nil))
+        }
+      } else {
+        // one column-pruned scan of THIS version's files finds the
+        // partitions holding matching rows (predicate pushdown skips
+        // row groups whose footer bounds exclude it)
+        val lv = readVersion(spark, base, m.version).getOrElse(return None)
+        val matched = lv.filter(predicate)
+          .select(col(partCol).cast("string").as("__pv"))
+          .distinct().collect().map(_.getString(0)).toSeq.sorted
+        if (matched.isEmpty)
+          return Some(DeleteOutcome(m.version, metadataOnly = false, Nil, Nil))
+        val preFiles = matched.flatMap(p => m.files.getOrElse(p, Nil))
+        val pre = align(spark.read.option("mergeSchema", "true")
+          .parquet(absFiles(m, matched): _*), lv.schema)
+        val keep = pre.filter(!coalesce(predicate, lit(false)))
+        val rel =
+          s"data/d$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
+        val dir = new Path(bp, rel)
+        keep.withColumn("__p", col(partCol).cast("string"))
+          .write.partitionBy("__p").parquet(dir.toString)
+        val staged = listStaged(fs, dir, rel)
+        val stagedStats =
+          if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
+          else fileStats(spark, fs, dir, rel, statsCols)
+        val next = Manifest(
+          version,
+          (m.files -- matched) ++ staged.groupBy(_._1).map {
+            case (p, fls) => p -> fls.map(_._2).sorted
+          },
+          (m.stats -- preFiles) ++ stagedStats,
+          m.blooms -- preFiles)
+        if (tryCommit(fs, bp, next)) {
+          if (writeCdf) commitCdfVersion(fs, bp, version,
+            pre.filter(predicate)
+              .withColumn("change_type", lit("delete"))
+              .withColumn("_commit_version", lit(version)))
+          val stagedParts = staged.map(_._1).toSet
+          return Some(DeleteOutcome(version, metadataOnly = false,
+            matched.filterNot(stagedParts), matched.filter(stagedParts)))
+        }
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"deleteWhere lost $maxRetries commit races on $base")
+  }
+
   /** Change-data-feed read: every row-level change between two
     * committed versions, typed `change_type` ∈ {insert, delete,
     * update_preimage, update_postimage} — the Delta CDF row contract:

@@ -354,6 +354,57 @@ class SnapshotLogSpec extends SparkSpec {
     assert(same.columns.contains("change_type"))
   }
 
+  test("deleteWhere: partition predicate is metadata-only; row predicate rewrites only matching partitions") {
+    val base = Files.createTempDirectory("graft_snaplog_del").toString + "/tbl"
+    def dayOf(id: Long): String =
+      mkChanges((id, 0, "x", 0.0)).select("day").first().getString(0)
+    // day A: users 1 (10.0) and 5 (99.0); day B: user 2 (25.0); day C: user 3 (5.0)
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (2, 5, "a", 99.0), (1441, 2, "a", 25.0),
+        (2881, 3, "a", 5.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 1)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dayA, dayB, dayC) = (dayOf(1), dayOf(1441), dayOf(2881))
+
+    // 1. partition predicate: metadata-only drop of day C, no file IO
+    val m1 = SnapshotLog.readManifest(fs, new Path(base)).get
+    val o1 = SnapshotLog.deleteWhere(spark, base,
+      col("day") === dayC, "day", writeCdf = true).get
+    assert(o1.metadataOnly && o1.droppedPartitions == Seq(dayC)
+      && o1.rewrittenPartitions.isEmpty)
+    val m2 = SnapshotLog.readManifest(fs, new Path(base)).get
+    // untouched partitions keep their EXACT file lists (nothing rewritten)
+    assert(m2.files == m1.files - dayC)
+    // dropped data files still exist on disk: old versions time-travel
+    assert(SnapshotLog.readVersion(spark, base, m1.version).get.count() == 4L)
+
+    // 2. row predicate: value > 20 hits day A (partial) and day B (all rows)
+    val o2 = SnapshotLog.deleteWhere(spark, base,
+      col("value") > 20.0, "day", writeCdf = true).get
+    assert(!o2.metadataOnly)
+    assert(o2.droppedPartitions == Seq(dayB) && o2.rewrittenPartitions == Seq(dayA))
+    val m3 = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(!m3.files.contains(dayB))
+    val left = SnapshotLog.read(spark, base).get
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(left == Set((1L, 10.0)))
+
+    // 3. the materialized feed carries exactly the deleted rows, typed
+    val cdf = SnapshotLog.readCdf(spark, base).get
+      .select("user_id", "change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(cdf == Set(
+      (3L, "delete", o1.version), (5L, "delete", o2.version),
+      (2L, "delete", o2.version)))
+
+    // 4. no matches → no new version, current state untouched
+    val o3 = SnapshotLog.deleteWhere(spark, base,
+      col("value") > 1e9, "day").get
+    assert(o3.version == m3.version && o3.droppedPartitions.isEmpty
+      && o3.rewrittenPartitions.isEmpty)
+  }
+
   test("cdc batch deletes keys through the log; diffVersions emits the typed feed") {
     val base = Files.createTempDirectory("graft_snaplog_cdc").toString + "/tbl"
     // v1: two days — user 1/2 on day 0, user 3 alone on day 1
