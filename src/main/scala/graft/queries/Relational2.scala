@@ -1802,6 +1802,108 @@ object Relational2 {
       GROUP BY o_year, o_orderstatus
       """))
 
+  /** Predicate UPDATE through the commit log
+    * ([[graft.sources.SnapshotLog.updateWhere]]) — SET expressions
+    * evaluated over the old row, SQL UPDATE semantics, completing the
+    * DML triple (MERGE q67/q71, DELETE q78, UPDATE here). Updates are
+    * always a rewrite (the partition column is a real column in every
+    * data file) but a PRUNED one, and the builder asserts the pruning
+    * manifest-to-manifest:
+    *
+    *  - an in-place update (`o_year = <max> AND o_totalprice >
+    *    300000` → halve the price, flag the status) rewrites ONLY the
+    *    max-year partition; every other partition keeps its exact
+    *    file list;
+    *  - a PARTITION-MOVING update (`o_year = <min>` → `SET o_year =
+    *    <max>`) migrates every min-year row into the max-year
+    *    partition: the source vanishes from the manifest, the
+    *    destination absorbs the rows (its non-matching rows
+    *    preserved), untouched partitions keep their exact file lists,
+    *    and the total row count is conserved.
+    *
+    * The multiplier is 0.5 (exactly representable in binary) so both
+    * engines' doubles stay bit-identical through the arithmetic.
+    * Graded: the final state re-aggregated per (year, status)
+    * hash-equals the oracle's CASE-WHEN recompute of both updates
+    * applied in order. */
+  val q79PredicateUpdate: Q = Q(
+    "q79_predicate_update",
+    "predicate UPDATE: pruned in-place rewrite + partition-moving rows",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_upd").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders,
+        "o_orderkey", "o_orderkey", "o_year", batchId = 1)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val m1 = SnapshotLog.readManifest(fs, bp).get
+      val Array(y0, y1) = orders
+        .agg(min(col("o_year")), max(col("o_year"))).first() match {
+          case r => Array(r.getString(0), r.getString(1))
+        }
+
+      // in-place: only the max-year partition rewrites
+      val o1 = SnapshotLog.updateWhere(s, base,
+        col("o_year") === y1 && col("o_totalprice") > 300000.0,
+        Map("o_totalprice" -> (col("o_totalprice") * 0.5),
+          "o_orderstatus" -> lit("P")),
+        "o_year").get
+      require(o1.droppedPartitions.isEmpty && o1.rewrittenPartitions == Seq(y1),
+        s"in-place update must rewrite only the matching partition, got $o1")
+      val m2 = SnapshotLog.readManifest(fs, bp).get
+      require((m2.files - y1) == (m1.files - y1),
+        "partitions with no matching rows must keep their exact file lists")
+
+      // partition-moving: every min-year row migrates into max-year
+      val o2 = SnapshotLog.updateWhere(s, base,
+        col("o_year") === y0, Map("o_year" -> lit(y1)), "o_year").get
+      require(o2.droppedPartitions == Seq(y0) &&
+        o2.rewrittenPartitions == Seq(y1),
+        s"moving update must drop the source and rewrite the destination, got $o2")
+      val m3 = SnapshotLog.readManifest(fs, bp).get
+      require(!m3.files.contains(y0) &&
+        (m3.files - y1) == (m2.files - y0 - y1),
+        "only source and destination partitions may change")
+      val live = SnapshotLog.read(s, base).get
+      require(live.count() == orders.count(),
+        "UPDATE must conserve the row count")
+
+      val dec = DecimalType(38, 4)
+      live.groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast(dec)
+            .cast(DoubleType).as("total"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_totalprice, o_orderstatus,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      yr AS (SELECT MIN(o_year) AS y0, MAX(o_year) AS y1 FROM base),
+      u1 AS (
+        SELECT
+          CASE WHEN o_year = y1 AND o_totalprice > 300000.0
+               THEN o_totalprice * 0.5 ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_year = y1 AND o_totalprice > 300000.0
+               THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+          o_year, y0, y1
+        FROM base, yr),
+      u2 AS (
+        SELECT o_totalprice, o_orderstatus,
+               CASE WHEN o_year = y0 THEN y1 ELSE o_year END AS o_year
+        FROM u1)
+      SELECT o_year, o_orderstatus, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4))
+                  AS DOUBLE) AS total
+      FROM u2
+      GROUP BY o_year, o_orderstatus
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -1813,5 +1915,5 @@ object Relational2 {
     q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply,
     q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff,
     q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip, q76JoinIvm,
-    q77MetadataCount, q78PredicateDelete)
+    q77MetadataCount, q78PredicateDelete, q79PredicateUpdate)
 }

@@ -772,10 +772,13 @@ object SnapshotLog {
       s"compaction lost $maxRetries commit races on $base/$part")
   }
 
-  /** What a [[deleteWhere]] did: the committed version (unchanged
-    * current version when nothing matched), whether the plan was
-    * metadata-only, and which partitions vanished vs were rewritten. */
-  final case class DeleteOutcome(
+  /** What a [[deleteWhere]]/[[updateWhere]] did: the committed version
+    * (unchanged current version when nothing matched), whether the
+    * plan was metadata-only, and which partitions vanished vs were
+    * rewritten (for an update, a source partition whose every row
+    * moved elsewhere counts as dropped; a destination partition —
+    * possibly brand new — as rewritten). */
+  final case class DmlOutcome(
       version: Long,
       metadataOnly: Boolean,
       droppedPartitions: Seq[String],
@@ -819,7 +822,7 @@ object SnapshotLog {
       partCol: String,
       maxRetries: Int = 5,
       statsCols: Seq[String] = Nil,
-      writeCdf: Boolean = false): Option[DeleteOutcome] = {
+      writeCdf: Boolean = false): Option[DmlOutcome] = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val live0 = read(spark, base).getOrElse(return None)
@@ -862,7 +865,7 @@ object SnapshotLog {
           pdf.filter(predicate).select("__pv").collect().map(_.getString(0)).toSeq.sorted
         }
         if (dropped.isEmpty)
-          return Some(DeleteOutcome(m.version, metadataOnly = true, Nil, Nil))
+          return Some(DmlOutcome(m.version, metadataOnly = true, Nil, Nil))
         val gone = dropped.flatMap(p => m.files.getOrElse(p, Nil))
         if (tryCommit(fs, bp,
             Manifest(version, m.files -- dropped, m.stats -- gone, m.blooms -- gone))) {
@@ -873,7 +876,7 @@ object SnapshotLog {
               pre.withColumn("change_type", lit("delete"))
                 .withColumn("_commit_version", lit(version)))
           }
-          return Some(DeleteOutcome(version, metadataOnly = true, dropped, Nil))
+          return Some(DmlOutcome(version, metadataOnly = true, dropped, Nil))
         }
       } else {
         // one column-pruned scan of THIS version's files finds the
@@ -884,7 +887,7 @@ object SnapshotLog {
           .select(col(partCol).cast("string").as("__pv"))
           .distinct().collect().map(_.getString(0)).toSeq.sorted
         if (matched.isEmpty)
-          return Some(DeleteOutcome(m.version, metadataOnly = false, Nil, Nil))
+          return Some(DmlOutcome(m.version, metadataOnly = false, Nil, Nil))
         val preFiles = matched.flatMap(p => m.files.getOrElse(p, Nil))
         val pre = align(spark.read.option("mergeSchema", "true")
           .parquet(absFiles(m, matched): _*), lv.schema)
@@ -911,7 +914,7 @@ object SnapshotLog {
               .withColumn("change_type", lit("delete"))
               .withColumn("_commit_version", lit(version)))
           val stagedParts = staged.map(_._1).toSet
-          return Some(DeleteOutcome(version, metadataOnly = false,
+          return Some(DmlOutcome(version, metadataOnly = false,
             matched.filterNot(stagedParts), matched.filter(stagedParts)))
         }
       }
@@ -919,6 +922,115 @@ object SnapshotLog {
     }
     throw new IllegalStateException(
       s"deleteWhere lost $maxRetries commit races on $base")
+  }
+
+  /** UPDATE every row where `predicate` is TRUE: each column in `set`
+    * is replaced by its expression (evaluated over the OLD row, SQL
+    * UPDATE semantics), cast back to the column's type; FALSE/NULL
+    * rows are untouched. Commits the result as a new version.
+    *
+    * Updates are always a rewrite (the partition column is stored as a
+    * real column in every data file, so even a partition-predicate
+    * update must rewrite data), but a PRUNED one: a column-pruned scan
+    * finds the source partitions holding matching rows AND — when
+    * `set` reassigns `partCol` — the destination partitions their rows
+    * move to. Only source ∪ destination partitions rewrite; rows whose
+    * new partCol value lands in a partition that didn't exist yet
+    * create it, and a source partition whose every row moved away
+    * vanishes from the manifest. Data IO is O(affected partitions).
+    *
+    * `writeCdf` emits the Delta CDF update contract: BOTH images of
+    * every updated row (`update_preimage` with the old values,
+    * `update_postimage` with the new) as one feed version.
+    *
+    * Every `set` key must be an existing column — this is UPDATE, not
+    * add-column evolution (that is [[upsertBatch]]'s job). Returns
+    * None when the table has no committed version. */
+  def updateWhere(
+      spark: SparkSession,
+      base: String,
+      predicate: Column,
+      set: Map[String, Column],
+      partCol: String,
+      maxRetries: Int = 5,
+      statsCols: Seq[String] = Nil,
+      writeCdf: Boolean = false): Option[DmlOutcome] = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+
+    def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
+      val have = df.columns.toSet
+      df.select(to.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(return None)
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val lv = readVersion(spark, base, m.version).getOrElse(return None)
+      val bad = set.keySet -- lv.columns.toSet
+      require(bad.isEmpty, s"updateWhere assigns non-existent columns: $bad")
+      // one column-pruned scan: source partitions of matching rows and
+      // (when partCol is reassigned) the destinations they move to
+      val newPart = set.getOrElse(partCol, col(partCol))
+      val pairs = lv.filter(predicate)
+        .select(col(partCol).cast("string").as("__src"),
+          newPart.cast("string").as("__dst"))
+        .distinct().collect()
+      if (pairs.isEmpty)
+        return Some(DmlOutcome(m.version, metadataOnly = false, Nil, Nil))
+      val affected =
+        (pairs.map(_.getString(0)) ++ pairs.map(_.getString(1)))
+          .distinct.sorted.toSeq
+      val preFiles = affected.flatMap(p => m.files.getOrElse(p, Nil))
+      val pre = align(spark.read.option("mergeSchema", "true")
+        .parquet(preFiles.map(f => new Path(bp, f).toString): _*), lv.schema)
+      val updCols = lv.schema.fields.toSeq.map { f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }
+      val updated = pre.filter(predicate).select(updCols: _*)
+      val kept = pre.filter(!coalesce(predicate, lit(false)))
+      val rel =
+        s"data/u$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
+      val dir = new Path(bp, rel)
+      kept.unionByName(updated)
+        .withColumn("__p", col(partCol).cast("string"))
+        .write.partitionBy("__p").parquet(dir.toString)
+      val staged = listStaged(fs, dir, rel)
+      val stagedStats =
+        if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
+        else fileStats(spark, fs, dir, rel, statsCols)
+      val next = Manifest(
+        version,
+        (m.files -- affected) ++ staged.groupBy(_._1).map {
+          case (p, fls) => p -> fls.map(_._2).sorted
+        },
+        (m.stats -- preFiles) ++ stagedStats,
+        m.blooms -- preFiles)
+      if (tryCommit(fs, bp, next)) {
+        if (writeCdf) {
+          val cols = lv.columns.toSeq
+          val feed = pre.filter(predicate)
+            .withColumn("change_type", lit("update_preimage"))
+            .unionByName(updated
+              .withColumn("change_type", lit("update_postimage")))
+            .select((cols.map(col) :+ col("change_type")): _*)
+          commitCdfVersion(fs, bp, version,
+            feed.withColumn("_commit_version", lit(version)))
+        }
+        val stagedParts = staged.map(_._1).toSet
+        return Some(DmlOutcome(version, metadataOnly = false,
+          affected.filterNot(stagedParts), affected.filter(stagedParts)))
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"updateWhere lost $maxRetries commit races on $base")
   }
 
   /** Change-data-feed read: every row-level change between two

@@ -405,6 +405,66 @@ class SnapshotLogSpec extends SparkSpec {
       && o3.rewrittenPartitions.isEmpty)
   }
 
+  test("updateWhere rewrites matching partitions in place and migrates partition-moving rows") {
+    val base = Files.createTempDirectory("graft_snaplog_upd").toString + "/tbl"
+    def dayOf(id: Long): String =
+      mkChanges((id, 0, "x", 0.0)).select("day").first().getString(0)
+    // day A: users 1 (10.0), 5 (99.0); day B: user 2 (25.0); day C: user 3 (5.0)
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (2, 5, "a", 99.0), (1441, 2, "a", 25.0),
+        (2881, 3, "a", 5.0)),
+      key = "user_id", orderCol = "ts", partCol = "day", batchId = 1)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dayA, dayB, dayC) = (dayOf(1), dayOf(1441), dayOf(2881))
+    val dayNew = dayOf(4321)
+
+    // 1. in-place update: only day A matches; B and C keep exact file lists
+    val m1 = SnapshotLog.readManifest(fs, new Path(base)).get
+    val o1 = SnapshotLog.updateWhere(spark, base,
+      col("value") > 50.0, Map("value" -> (col("value") * 2.0)),
+      "day", writeCdf = true).get
+    assert(o1.rewrittenPartitions == Seq(dayA) && o1.droppedPartitions.isEmpty)
+    val m2 = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert((m2.files - dayA) == (m1.files - dayA))
+    assert(SnapshotLog.read(spark, base).get
+      .filter(col("user_id") === 5).select("value").first().getDouble(0) == 198.0)
+
+    // 2. partition-moving update: ALL of day B moves to a brand-new day;
+    //    B vanishes, the new partition appears, A and C untouched
+    val o2 = SnapshotLog.updateWhere(spark, base,
+      col("day") === dayB,
+      Map("day" -> lit(dayNew), "value" -> (col("value") + 1.0)),
+      "day", writeCdf = true).get
+    assert(o2.droppedPartitions == Seq(dayB))
+    assert(o2.rewrittenPartitions == Seq(dayNew))
+    val m3 = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(!m3.files.contains(dayB) && m3.files.contains(dayNew))
+    assert((m3.files - dayNew) == (m2.files - dayB))
+    val moved = SnapshotLog.read(spark, base).get
+      .filter(col("user_id") === 2).select("day", "value").first()
+    assert(moved.getString(0) == dayNew && moved.getDouble(1) == 26.0)
+    // row count conserved: update never creates or destroys rows
+    assert(SnapshotLog.read(spark, base).get.count() == 4L)
+
+    // 3. CDF carries both images of every updated row
+    val cdf = SnapshotLog.readCdf(spark, base).get
+      .select("user_id", "value", "change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(cdf == Set(
+      (5L, 99.0, "update_preimage", o1.version),
+      (5L, 198.0, "update_postimage", o1.version),
+      (2L, 25.0, "update_preimage", o2.version),
+      (2L, 26.0, "update_postimage", o2.version)))
+
+    // 4. no matches → no new version; old versions still time-travel
+    val o3 = SnapshotLog.updateWhere(spark, base,
+      col("value") > 1e9, Map("value" -> lit(0.0)), "day").get
+    assert(o3.version == m3.version && o3.rewrittenPartitions.isEmpty)
+    assert(SnapshotLog.readVersion(spark, base, m1.version).get
+      .filter(col("user_id") === 5).select("value").first().getDouble(0) == 99.0)
+  }
+
   test("cdc batch deletes keys through the log; diffVersions emits the typed feed") {
     val base = Files.createTempDirectory("graft_snaplog_cdc").toString + "/tbl"
     // v1: two days — user 1/2 on day 0, user 3 alone on day 1
