@@ -156,6 +156,14 @@ class CatalogSpec extends SparkSpec {
     val repinned = spark.sql("SELECT value FROM snapdb_ledger WHERE user_id = 2")
       .collect().map(_.getDouble(0)).toSet
     assert(repinned == Set(99.0), "re-crawl must re-pin at the new version")
+    // DML through the log composes with the catalog: after a predicate
+    // DELETE, a re-crawl surfaces the post-DML state by name
+    assert(SnapshotLog.deleteWhere(spark, s"$root/ledger",
+      col("user_id") === 1L, "day").get.rewrittenPartitions.nonEmpty)
+    Catalog.crawl(spark, root, "snapdb")
+    val afterDml = spark.sql("SELECT user_id, value FROM snapdb_ledger")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(afterDml == Set((2L, 99.0)), "re-crawl must surface DML results")
   }
 
   test("saveAsTable managed round-trip (warehouse COPY leg)") {
