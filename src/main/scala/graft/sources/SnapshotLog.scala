@@ -735,14 +735,23 @@ object SnapshotLog {
       base: String,
       part: String,
       maxRetries: Int = 5,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil,
+      clusterFiles: Int = 1): Long = {
+    // `clusterBy` turns compaction into OPTIMIZE ZORDER: the rewrite is
+    // range-clustered (Z-order for multi-key) into `clusterFiles` files
+    // so each covers a tight key range, and fresh `statsCols` bounds
+    // become genuinely selective for [[filesForRange]] — the layout
+    // maintenance pass for data that arrived through unclustered CDC
+    // batches. Unlike plain compaction it proceeds even on a single
+    // file (re-layout changes pruning, not just file counts).
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     var attempt = 0
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(return 0L)
       val files = m.files.getOrElse(part, Nil)
-      if (files.size <= 1) return 0L
+      if (files.isEmpty || (clusterBy.isEmpty && files.size <= 1)) return 0L
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       // staging dir unique per attempt AND partition: two concurrent
       // compactions reading the same manifest compute the same target
@@ -751,9 +760,18 @@ object SnapshotLog {
       val rel =
         s"data/c$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
       val dir = new Path(bp, rel)
-      spark.read.parquet(files.map(f => new Path(bp, f).toString): _*)
-        .repartition(1)
-        .write.mode("overwrite").parquet(dir.toString)
+      val df = spark.read.parquet(files.map(f => new Path(bp, f).toString): _*)
+      val out =
+        if (clusterBy.isEmpty) df.repartition(1)
+        else {
+          val (d2, sortCol) =
+            if (clusterBy.size == 1) (df, col(clusterBy.head))
+            else (Clustering.withZ(df, clusterBy), col("__z"))
+          d2.repartitionByRange(math.max(clusterFiles, 1), sortCol)
+            .sortWithinPartitions(sortCol)
+            .drop("__z")
+        }
+      out.write.mode("overwrite").parquet(dir.toString)
       val newFiles = fs.listStatus(dir).map(_.getPath.getName)
         .filter(_.endsWith(".parquet")).map(n => s"$rel/$n").toSeq
       // compacted-away files take their stats entries with them; the

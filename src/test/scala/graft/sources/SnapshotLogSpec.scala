@@ -248,6 +248,46 @@ class SnapshotLogSpec extends SparkSpec {
       .select("user_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("clustered compaction (OPTIMIZE ZORDER) makes file bounds selective") {
+    val base = Files.createTempDirectory("graft_snaplog_zopt").toString + "/tbl"
+    // one day, values 1..200 arriving hash-ordered: every staged file's
+    // [min,max] spans nearly the whole domain, so bounds can't prune
+    val rows = (1 to 200).map(i => (i.toLong, (i % 97).toLong + 1, "a",
+      ((i * 131) % 200 + 1).toDouble))
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges(rows.map(r => (r._1 % 100, r._1, r._3, r._4)): _*),
+      keys = Seq("event_id"), orderCol = "ts", partCol = "day", batchId = 1,
+      maxRetries = 5, statsCols = Seq("value"), clusterBy = Nil,
+      clusterFiles = 16, opCol = None, writeCdf = false)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m0 = SnapshotLog.readManifest(fs, new Path(base)).get
+    val day = m0.files.keySet.head
+    val narrowBefore = SnapshotLog.filesForRange(m0, "value", 10.0, 20.0).size
+    val before = SnapshotLog.read(spark, base).get
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    val v = SnapshotLog.compactPartition(spark, base, day,
+      statsCols = Seq("value"), clusterBy = Seq("value"), clusterFiles = 4)
+    assert(v > 0L)
+    val m1 = SnapshotLog.readManifest(fs, new Path(base)).get
+    assert(m1.files(day).size == 4, s"expected 4 clustered files: ${m1.files(day)}")
+    // after clustering, a narrow value range hits a strict subset of files
+    val narrowAfter = SnapshotLog.filesForRange(m1, "value", 10.0, 20.0).size
+    assert(narrowAfter < m1.files(day).size,
+      s"clustered bounds must prune: $narrowAfter of ${m1.files(day).size}")
+    assert(narrowAfter <= narrowBefore || narrowBefore == m0.files(day).size)
+    // content is unchanged by the re-layout
+    val after = SnapshotLog.read(spark, base).get
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(after == before)
+    // pruned read stays exact
+    assert(SnapshotLog.readRange(spark, base, "value", 10.0, 20.0).get
+      .select("value").collect().map(_.getDouble(0))
+      .forall(x => x >= 10.0 && x <= 20.0))
+  }
+
   test("bloom index: metadata-only commit, definitive negatives, dropped on rewrite") {
     val base = Files.createTempDirectory("graft_snaplog_bloom").toString + "/tbl"
     // two days so a later single-day rewrite leaves one bloom intact
