@@ -1904,6 +1904,75 @@ object Relational2 {
       GROUP BY o_year, o_orderstatus
       """))
 
+  /** Commit-log tables as PLANNER-INTEGRATED relations
+    * ([[graft.sources.SnapshotRelation]]): the same manifest metadata
+    * q70/q75 consume through explicit read APIs now answers Spark's own
+    * `FileIndex.listFiles(partitionFilters, dataFilters)` callback — a
+    * PLAIN `df.filter(...)` on the relation skips files from manifest
+    * min/max bounds, partition values, and bloom negatives, inside
+    * Spark's planning, with parquet pushdown and codegen unchanged
+    * below (the Delta `TahoeFileIndex` integration shape). Graded: the
+    * value-band scan selects a strict file subset with exact rows, the
+    * partition-equality scan selects exactly that partition's files,
+    * the bloom point probe (on the NON-clustered key, via the q75
+    * metadata-only bloom pass) selects a strict subset with the exact
+    * row, and an arithmetic predicate the pruner can't prove degrades
+    * to keep-all — never to wrong rows. */
+  val q80PlannerScan: Q = Q(
+    "q80_planner_scan",
+    "plain filters on a commit-log relation prune files inside Spark planning",
+    (s, d) => {
+      import graft.sources.{SnapshotLog, SnapshotRelation}
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"),
+          concat(lit("d"), (col("event_id") % 3).cast("string")).as("day"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_planner_scan").toString + "/tbl"
+      SnapshotLog.upsertBatch(s, base, ev, Seq("event_id"), "event_id",
+        "day", batchId = 1, maxRetries = 5,
+        statsCols = Seq("value", "user_id"),
+        clusterBy = Seq("value"), clusterFiles = 8, opCol = None,
+        writeCdf = false)
+      SnapshotLog.buildBlooms(s, base, Seq("event_id"))
+      val (df, idx) = SnapshotRelation
+        .applyWithIndex(s, base, partCol = Some("day")).get
+      val total = idx.manifest.allFiles.size
+
+      val mm = ev.agg(min(col("value")), max(col("value"))).head
+      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+      val (lo, hi) = (mn + 0.45 * (mx - mn), mn + 0.55 * (mx - mn))
+      val exact = ev.filter(col("value") >= lo && col("value") <= hi).count()
+      val bandRows = df.filter(col("value") >= lo && col("value") <= hi).count()
+      val bandSel = idx.lastPruned.get._1
+
+      val partRows = df.filter(col("day") === "d1").count()
+      val partExact = ev.filter(col("day") === "d1").count()
+      val partSel = idx.lastPruned.get._1
+      val partFiles = idx.manifest.files.getOrElse("d1", Nil).size
+
+      val someId = ev.agg(min(col("event_id"))).head.getLong(0)
+      val pointRows = df.filter(col("event_id") === someId).count()
+      val pointSel = idx.lastPruned.get._1
+
+      val opaqueRows = df.filter(expr("value * 2.0 >= 0.0 OR value < 0.0")).count()
+      val opaqueSel = idx.lastPruned.get._1
+
+      import s.implicits._
+      Seq((
+        bandRows == exact && exact > 0L && bandSel < total,
+        partRows == partExact && partSel == partFiles && partSel < total,
+        pointRows == 1L && pointSel < total,
+        opaqueRows == df.count() && opaqueSel == total
+      )).toDF("band_pruned_exact", "part_pruned_exact",
+        "bloom_point_pruned", "opaque_keeps_all")
+    },
+    Some("""
+      SELECT TRUE AS band_pruned_exact, TRUE AS part_pruned_exact,
+             TRUE AS bloom_point_pruned, TRUE AS opaque_keeps_all
+      FROM events LIMIT 1
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -1915,5 +1984,6 @@ object Relational2 {
     q65BloomSemiJoin, q66ZOrderPruning, q67CommitLogUpsert, q68CdcApply,
     q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff,
     q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip, q76JoinIvm,
-    q77MetadataCount, q78PredicateDelete, q79PredicateUpdate)
+    q77MetadataCount, q78PredicateDelete, q79PredicateUpdate,
+    q80PlannerScan)
 }

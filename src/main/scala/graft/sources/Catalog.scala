@@ -109,17 +109,21 @@ object Catalog {
     }
 
   /** Register a commit-log table for SQL by name, PINNED at its current
-    * committed version: the view's plan embeds the manifest's exact
-    * file list, so name-based readers keep snapshot isolation — commits
-    * after the crawl stay invisible until a re-crawl re-pins (exactly
-    * the crawler-refresh model the directory tables follow). A temp
-    * view rather than a catalog table because SQL DDL cannot express a
-    * manifest-selected file list as a LOCATION. Returns the view name,
-    * `<db>_<name>` (temp views live outside databases). */
+    * committed version: the view's plan embeds a
+    * [[SnapshotRelation planner-integrated relation]] over the
+    * manifest's exact file list, so name-based readers keep snapshot
+    * isolation — commits after the crawl stay invisible until a
+    * re-crawl re-pins (exactly the crawler-refresh model the directory
+    * tables follow) — AND inherit manifest file skipping: a SQL WHERE
+    * on a stats/bloom-covered column prunes files inside Spark's
+    * planning ([[SnapshotFileIndex]]). A temp view rather than a
+    * catalog table because SQL DDL cannot express a manifest-selected
+    * file list as a LOCATION. Returns the view name, `<db>_<name>`
+    * (temp views live outside databases). */
   def registerSnapshotLog(
       spark: SparkSession, db: String, name: String, path: String): String = {
     val viewName = s"${db}_$name"
-    SnapshotLog.read(spark, path) match {
+    SnapshotRelation.read(spark, path) match {
       case Some(df) => df.createOrReplaceTempView(viewName)
       case None => // claimed but never-committed table: nothing to pin
     }

@@ -166,6 +166,28 @@ class CatalogSpec extends SparkSpec {
     assert(afterDml == Set((2L, 99.0)), "re-crawl must surface DML results")
   }
 
+  test("SQL WHERE on a crawled commit-log table prunes files from the manifest") {
+    val root = Files.createTempDirectory("graft_cat_prune").toString
+    import spark.implicits._
+    val rows = (0 until 900).map(i => (i.toLong, i.toDouble, s"d${i % 3}"))
+    SnapshotLog.upsertBatch(spark, s"$root/metered",
+      rows.toDF("id", "value", "day"), Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Seq("value"),
+      clusterBy = Seq("value"), clusterFiles = 4, opCol = None,
+      writeCdf = false)
+    Catalog.crawl(spark, root, "prunedb")
+    val q = spark.sql(
+      "SELECT id FROM prunedb_metered WHERE value >= 100.0 AND value < 200.0")
+    assert(q.collect().map(_.getLong(0)).toSet == (100L until 200L).toSet)
+    val idx = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location
+    }.collectFirst { case i: SnapshotFileIndex => i }
+    assert(idx.isDefined, "crawled view must plan through SnapshotFileIndex")
+    val (sel, tot) = idx.get.lastPruned.get
+    assert(sel < tot, s"name-based SQL filter pruned nothing ($sel/$tot)")
+  }
+
   test("saveAsTable managed round-trip (warehouse COPY leg)") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
