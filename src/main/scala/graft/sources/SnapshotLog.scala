@@ -1292,9 +1292,13 @@ object SnapshotLog {
         val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
         // keep even an INCOMPLETE manifest's file references: its
-        // writer may still be alive and about to finish the commit
+        // writer may still be alive and about to finish the commit.
+        // limit 3: a line is `part\tfile[\tstats[\tblooms]]` — the
+        // file field must come out BARE or a stats-carrying line's
+        // reference never matches any rel path and vacuum reclaims
+        // live data
         text.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(_.split("\t", 2)(1))
+          .map(_.split("\t", 3)(1))
       }.toSet
     val dataDir = new Path(bp, "data")
     if (!fs.exists(dataDir)) return 0L

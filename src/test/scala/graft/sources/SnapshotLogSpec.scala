@@ -99,6 +99,22 @@ class SnapshotLogSpec extends SparkSpec {
       "vacuum must not touch referenced files")
   }
 
+  test("vacuum keeps live files of a STATS-recording table (manifest line parse)") {
+    // regression: a stats-carrying manifest line is `part\tfile\tstats`;
+    // building vacuum's referenced-set with split(limit=2) kept the
+    // stats glued to the file field, so every stats-recorded live file
+    // looked unreferenced and a past-retention vacuum deleted it
+    val base = Files.createTempDirectory("graft_snaplog_vacstats").toString + "/tbl"
+    SnapshotLog.upsertBatch(spark, base,
+      mkChanges((1, 1, "a", 10.0), (2, 2, "a", 20.0)),
+      Seq("user_id"), "ts", "day", batchId = 1, maxRetries = 5,
+      statsCols = Seq("value", "user_id"), clusterBy = Nil,
+      clusterFiles = 4, opCol = None, writeCdf = false)
+    assert(SnapshotLog.vacuum(spark, base, retentionMs = 0L) == 0L,
+      "vacuum deleted live files referenced by a stats-carrying manifest")
+    assert(SnapshotLog.read(spark, base).get.count() == 2)
+  }
+
   test("add-column schema evolution: old partitions backfill NULL at read") {
     val base = Files.createTempDirectory("graft_snaplog_evo").toString + "/tbl"
     // batch 1: original schema, two days
