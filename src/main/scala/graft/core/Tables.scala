@@ -23,14 +23,23 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects outright
-    // (PARQUET_TYPE_ILLEGAL). Read it as a long of epoch-nanos and convert
-    // to a microsecond timestamp — lossless here (corpus carries no sub-µs
-    // components) and identical to DuckDB's ns→µs cast.
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark rejects
+    // outright — PARQUET_TYPE_ILLEGAL — so we read it as epoch-nanos long and
+    // convert) and, in newer corpus drops, as TIMESTAMP(MICROS) isAdjustedToUTC
+    // =false (Spark TIMESTAMP_NTZ). Branch on what the footer actually says so
+    // either vintage loads; both land on session-TZ TimestampType (UTC
+    // everywhere here), keeping one downstream type and matching DuckDB's
+    // naive-µs read of the same files.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val df =
-      if (name == "events") raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      if (name == "events") raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
       else raw
 
     // The test corpus ships one single-row-group file per table, so the
