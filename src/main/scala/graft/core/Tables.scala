@@ -38,7 +38,13 @@ object Tables {
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => raw
+        case org.apache.spark.sql.types.TimestampType => raw
+        case other =>
+          // Fail at load, not at first event-time use: a surprise encoding
+          // (INT96, string, ...) would otherwise surface as a confusing
+          // type error deep inside a window/join plan.
+          sys.error(s"unexpected events.ts parquet type: $other " +
+            "(expected nanos-as-long, TIMESTAMP_NTZ, or TimestampType)")
       }
       else raw
 
