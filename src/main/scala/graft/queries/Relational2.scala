@@ -1973,6 +1973,83 @@ object Relational2 {
       FROM events LIMIT 1
       """))
 
+  /** Row-level DELETE by DELETION VECTORS (merge-on-read): matching
+    * rows' file positions commit as per-file vectors and ZERO data
+    * files are rewritten — a 1-row delete in a 10 GB partition costs
+    * one manifest commit, not a 10 GB rewrite (Delta DVs / Iceberg
+    * positional deletes; `SnapshotLog.deleteWhere(deletionVectors =
+    * true)`). Graded in-engine: the file lists of every partition are
+    * BYTE-IDENTICAL across both deletes (nothing rewritten), the
+    * single-row delete's DV carries exactly one position, metadata
+    * COUNT(*) equals the scan count through the DVs, and time travel
+    * to the pre-delete version still reads every row. The emitted
+    * aggregate hash-matches DuckDB computing the complement. */
+  val q81DeletionVectors: Q = Q(
+    "q81_deletion_vectors",
+    "merge-on-read DELETE: deletion vectors, zero files rewritten",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_dv81").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_orderkey", "o_totalprice"),
+        clusterBy = Nil, clusterFiles = 16, opCol = None, writeCdf = false)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val m1 = SnapshotLog.readManifest(fs, bp).get
+      val total = orders.count()
+
+      // the 1-row delete that motivates DVs: rewrite-based DML would
+      // rewrite the row's whole partition for this
+      val k0 = orders.agg(min(col("o_orderkey"))).first().getLong(0)
+      val o1 = SnapshotLog.deleteWhere(s, base,
+        col("o_orderkey") === k0, "o_year", deletionVectors = true).get
+      val m2 = SnapshotLog.readManifest(fs, bp).get
+      require(m2.files == m1.files,
+        "a DV delete must not add, remove, or replace any data file")
+      require(m2.dvs.values.map(_.count).sum == 1L,
+        "one matched row must commit exactly one DV position")
+
+      // a broader row delete stacks more DVs — still zero rewrites
+      val o2 = SnapshotLog.deleteWhere(s, base,
+        col("o_totalprice") > 300000.0, "o_year",
+        deletionVectors = true).get
+      require(o2.version > o1.version, "second DV delete must commit")
+      val m3 = SnapshotLog.readManifest(fs, bp).get
+      require(m3.files == m1.files,
+        "stacked DV deletes must keep every file list byte-identical")
+
+      val live = SnapshotLog.read(s, base).get
+      require(SnapshotLog.countRows(m3).contains(live.count()),
+        "metadata COUNT(*) must subtract DV cardinalities exactly")
+      require(SnapshotLog.readVersion(s, base, m1.version).get.count() == total,
+        "pre-delete version must still time-travel to every row")
+
+      val dec = DecimalType(38, 4)
+      live.groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast(dec)
+            .cast(DoubleType).as("total"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders)
+      SELECT o_year, o_orderstatus, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4))
+                  AS DOUBLE) AS total
+      FROM base
+      WHERE o_orderkey <> (SELECT MIN(o_orderkey) FROM base)
+        AND o_totalprice <= 300000.0
+      GROUP BY o_year, o_orderstatus
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -1985,5 +2062,5 @@ object Relational2 {
     q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff,
     q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip, q76JoinIvm,
     q77MetadataCount, q78PredicateDelete, q79PredicateUpdate,
-    q80PlannerScan)
+    q80PlannerScan, q81DeletionVectors)
 }

@@ -54,6 +54,20 @@ import org.apache.spark.sql.functions._
   * not contain tab or newline (they key the manifest lines). */
 object SnapshotLog {
 
+  /** A deletion vector: the positions (0-based parquet row indexes)
+    * deleted from ONE data file without rewriting it — merge-on-read
+    * row-level DML (Delta's deletion vectors, Iceberg's positional
+    * deletes). Small vectors ride INLINE in the manifest line
+    * (base64 delta-varints, the Delta inline-DV idea); large ones
+    * spill to a parquet sidecar dir under `_dv/` (column `pos`),
+    * keeping the manifest O(bytes) regardless of delete size.
+    * `count` is the exact cardinality either way — metadata COUNT(*)
+    * subtracts it without decoding positions. */
+  final case class Dv(
+      count: Long,
+      inlineB64: Option[String],
+      sidecarRel: Option[String])
+
   /** @param files partition value → live data files (rel paths)
     * @param stats  rel file path → column → (min, max) as canonical
     *               strings — the Iceberg-manifest idea of planning from
@@ -65,13 +79,29 @@ object SnapshotLog {
     *               min/max bounds: an equality probe on a
     *               NON-clustered high-cardinality key skips every file
     *               whose bloom proves absence ([[filesForKey]]). Files
-    *               without a bloom are never pruned. */
+    *               without a bloom are never pruned.
+    * @param dvs    rel file path → live deletion vector. A file with a
+    *               DV is read THROUGH it (its positions anti-filtered);
+    *               stats/bloom bounds become conservative supersets,
+    *               which can only under-prune, never lie.
+    * @param schemaJson the table schema (Spark StructType JSON) held in
+    *               METADATA — planning needs zero data-file footer
+    *               reads (the Iceberg/Delta model). Evolved at commit:
+    *               add-column merges append. None on legacy manifests
+    *               → readers fall back to a mergeSchema footer scan. */
   final case class Manifest(
       version: Long,
       files: Map[String, Seq[String]],
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
-      blooms: Map[String, Map[String, String]] = Map.empty) {
+      blooms: Map[String, Map[String, String]] = Map.empty,
+      dvs: Map[String, Dv] = Map.empty,
+      schemaJson: Option[String] = None) {
     def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaJson.flatMap(j =>
+        try Some(org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        catch { case _: Exception => None })
   }
 
   /** Last line of every committed manifest. A manifest missing it is
@@ -80,8 +110,52 @@ object SnapshotLog {
     * back to the previous complete version; writers allocate PAST it. */
   private val Footer = "#eof"
 
+  /** Header-comment tag carrying the table schema (see [[Manifest]]). */
+  private val SchemaTag = "#schema"
+
+  /** Above this many positions a DV spills to a parquet sidecar —
+    * bounds BOTH the driver-side work at delete time (positions are
+    * only ever collected below the cap; a bigger delete stays a fully
+    * distributed write) and the manifest's size. */
+  val DvInlineMax = 100000
+
   private def logDir(base: Path) = new Path(base, "_log")
   private def vName(v: Long) = f"v$v%011d.txt"
+  private def dvDir(base: Path) = new Path(base, "_dv")
+
+  /** Delta-varint encode sorted positions → base64 (inline-DV payload).
+    * ~1–2 bytes per position for dense deletes. */
+  private[sources] def encodePositions(sorted: Array[Long]): String = {
+    val bos = new java.io.ByteArrayOutputStream(sorted.length * 2)
+    var prev = 0L
+    for (p <- sorted) {
+      var d = p - prev // first delta = first position (prev starts 0)
+      prev = p
+      while ((d & ~0x7FL) != 0L) {
+        bos.write(((d & 0x7F) | 0x80).toInt); d >>>= 7
+      }
+      bos.write(d.toInt)
+    }
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  private[sources] def decodePositions(b64: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val out = collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    var prev = 0L
+    while (i < bytes.length) {
+      var d = 0L; var shift = 0
+      var b = 0
+      do {
+        b = bytes(i) & 0xFF; i += 1
+        d |= (b & 0x7FL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      prev += d
+      out += prev
+    }
+    out.toArray
+  }
 
   /** Percent-encode exactly the characters the manifest line grammar
     * uses (plus the escape char itself); applied to stats column names
@@ -162,9 +236,16 @@ object SnapshotLog {
       // reads as absent
       if (!text.endsWith(Footer + "\n")) None
       else {
+        // `#schema\t<json>` is a header comment: grammar-invisible to
+        // older readers (every `#` line is skipped below), load-bearing
+        // for new ones — the table schema without opening a data file
+        val schemaJson = text.split("\n").iterator
+          .filter(_.startsWith(SchemaTag + "\t"))
+          .map(l => dec(l.substring(SchemaTag.length + 1)))
+          .nextOption()
         val lines = text.split("\n").iterator
           .filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(_.split("\t", 4)).toSeq
+          .map(_.split("\t", 5)).toSeq
         val files = lines.map(a => a(0) -> a(1))
           .groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2) }
         val stats = lines.collect {
@@ -175,13 +256,22 @@ object SnapshotLog {
             }.toMap
         }.toMap
         val blooms = lines.collect {
-          case a if a.length == 4 && a(3).nonEmpty =>
+          case a if a.length >= 4 && a(3).nonEmpty =>
             a(1) -> a(3).split(";").iterator.map { entry =>
               val Array(c, b) = entry.split(":", 2)
               dec(c) -> b
             }.toMap
         }.toMap
-        Some(Manifest(v, files, stats, blooms))
+        val dvs = lines.collect {
+          case a if a.length == 5 && a(4).nonEmpty =>
+            val Array(kind, n, payload) = a(4).split(":", 3)
+            a(1) -> (kind match {
+              case "i" => Dv(n.toLong, Some(payload), None)
+              case "f" => Dv(n.toLong, None, Some(dec(payload)))
+              case other => sys.error(s"unknown DV kind '$other' in manifest")
+            })
+        }.toMap
+        Some(Manifest(v, files, stats, blooms, dvs, schemaJson))
       }
     }
   }
@@ -189,10 +279,63 @@ object SnapshotLog {
   /** Time-travel read: the table exactly as of committed version `v`. */
   def readVersion(spark: SparkSession, base: String, v: Long): Option[DataFrame] = {
     val bp = new Path(base)
-    readManifestAt(fsFor(spark, bp), bp, v).map { m =>
-      val files = m.allFiles.map(f => new Path(bp, f).toString)
-      spark.read.option("mergeSchema", "true").parquet(files: _*)
+    readManifestAt(fsFor(spark, bp), bp, v).map(m =>
+      readFiles(spark, bp, m, m.allFiles))
+  }
+
+  /** The per-table-unique join key for a data file: its last TWO path
+    * segments (`<parent dir>/<part file>`). The basename alone is NOT
+    * unique — one `partitionBy` job writes the same part-NNNNN-<uuid>
+    * name into every partition dir it touches — but parent+basename
+    * collides only if two distinct write jobs draw the same UUID
+    * (the same 2⁻¹²² Delta leans on). Uniqueness is asserted when a DV
+    * commits. */
+  private def dvKey(f: String): String = {
+    val i = f.lastIndexOf('/', math.max(f.lastIndexOf('/') - 1, 0))
+    if (i < 0) f else f.substring(i + 1)
+  }
+
+  /** `dvKey` of the scanned file, from the parquet `_metadata` column. */
+  private def dvKeyCol: Column =
+    substring_index(col("_metadata.file_path"), "/", -2)
+
+  /** The deletion-vector rows covering `files`, as a ([[dvKey]],
+    * position) DataFrame — inline payloads decode on the driver
+    * (bounded by [[DvInlineMax]] each), sidecars stream from parquet.
+    * None when no file has a DV. */
+  private def dvRows(
+      spark: SparkSession, bp: Path, m: Manifest,
+      files: Seq[String]): Option[(DataFrame, Boolean)] = {
+    val dvd = files.flatMap(f => m.dvs.get(f).map(f -> _))
+    if (dvd.isEmpty) return None
+    import spark.implicits._
+    val inline = dvd.collect { case (f, Dv(_, Some(b64), _)) =>
+      decodePositions(b64).toSeq.map(dvKey(f) -> _)
+    }.flatten
+    val inlineDf =
+      if (inline.isEmpty) Nil
+      else Seq(inline.toDF("__dv_file", "__dv_pos"))
+    val sidecars = dvd.collect { case (f, Dv(_, None, Some(rel))) =>
+      spark.read.parquet(new Path(bp, rel).toString)
+        .select(lit(dvKey(f)).as("__dv_file"),
+          col("pos").cast("long").as("__dv_pos"))
     }
+    Some(((inlineDf ++ sidecars).reduce(_ unionByName _), sidecars.isEmpty))
+  }
+
+  /** Read `files` (rel paths under `base`) THROUGH their deletion
+    * vectors: rows at DV positions are anti-joined out via the parquet
+    * `_metadata` row index — merge-on-read. The common no-DV case is
+    * the plain scan, byte-for-byte the pre-DV read path. The anti-join
+    * side is broadcast when every DV is inline (driver-bounded);
+    * sidecar-backed vectors go through the planner's own choice so an
+    * arbitrarily large delete can never OOM the broadcast. */
+  private def readFiles(
+      spark: SparkSession, bp: Path, m: Manifest,
+      files: Seq[String]): DataFrame = {
+    val paths = files.map(f => new Path(bp, f).toString)
+    val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    applyDvs(spark, bp, m, files, raw)
   }
 
   /** Atomically publish `m` as version `m.version` by CREATE-EXCLUSIVE
@@ -213,7 +356,9 @@ object SnapshotLog {
     fs.mkdirs(dir)
     val target = new Path(dir, vName(m.version))
     if (fs.exists(target)) return false
-    val text = m.files.toSeq.sortBy(_._1).flatMap { case (p, fls) =>
+    val header = m.schemaJson
+      .map(j => s"$SchemaTag\t${enc(j)}\n").getOrElse("")
+    val text = header + m.files.toSeq.sortBy(_._1).flatMap { case (p, fls) =>
       fls.sorted.map { f =>
         val st = m.stats.getOrElse(f, Map.empty)
         val bl = m.blooms.getOrElse(f, Map.empty)
@@ -224,9 +369,18 @@ object SnapshotLog {
         val blS = bl.toSeq.sortBy(_._1).map { case (c, b) =>
           s"${enc(c)}:$b"
         }.mkString(";")
-        if (bl.isEmpty && st.isEmpty) s"$p\t$f"
-        else if (bl.isEmpty) s"$p\t$f\t$stS"
-        else s"$p\t$f\t$stS\t$blS"
+        val dvS = m.dvs.get(f).map {
+          case Dv(n, Some(b64), _) => s"i:$n:$b64"
+          case Dv(n, None, Some(rel)) => s"f:$n:${enc(rel)}"
+          case Dv(n, None, None) =>
+            sys.error(s"DV for $f has neither inline nor sidecar payload")
+        }.getOrElse("")
+        // trailing fields are elided right-to-left; an empty middle
+        // field stays as a placeholder so positions keep their meaning
+        if (dvS.nonEmpty) s"$p\t$f\t$stS\t$blS\t$dvS"
+        else if (bl.nonEmpty) s"$p\t$f\t$stS\t$blS"
+        else if (st.nonEmpty) s"$p\t$f\t$stS"
+        else s"$p\t$f"
       }
     }.mkString("", "\n", "\n") + Footer + "\n"
     val out: java.io.OutputStream =
@@ -249,16 +403,56 @@ object SnapshotLog {
 
   /** Read the current snapshot (empty table → empty result needs a
     * schema, so callers with no committed version must handle None).
-    * `mergeSchema` because partitions evolve independently: a batch
-    * that added a column rewrote only ITS partitions' files — older
-    * partitions backfill the new column with NULL at read. */
-  def read(spark: SparkSession, base: String): Option[DataFrame] = {
+    *
+    * THE unified read path: routed through the planner-integrated
+    * [[SnapshotRelation]], so a plain `.filter(...)` on the result gets
+    * manifest stats/bloom/partition file-skipping inside Spark's own
+    * planning, and — when the manifest carries schema + file sizes —
+    * planning touches ZERO data files. Tables written by older code
+    * (no schema header / no `__bytes`) degrade inside the relation to
+    * a one-time footer scan + per-file status RPC, never to wrong
+    * rows. Deletion vectors are applied in the relation wrapper.
+    * `partCol` (when the caller knows it) additionally lets partition
+    * predicates prune via the manifest's partition values. */
+  def read(
+      spark: SparkSession, base: String,
+      partCol: Option[String] = None): Option[DataFrame] = {
     val bp = new Path(base)
-    readManifest(fsFor(spark, bp), bp).map { m =>
-      val files = m.allFiles.map(f => new Path(bp, f).toString)
-      spark.read.option("mergeSchema", "true").parquet(files: _*)
-    }
+    readManifest(fsFor(spark, bp), bp).map(m =>
+      readSnapshot(spark, bp, m, partCol))
   }
+
+  /** One manifest → its DataFrame. Empty table (all partitions
+    * deleted) still answers with the manifest-held schema. */
+  private[sources] def readSnapshot(
+      spark: SparkSession, bp: Path, m: Manifest,
+      partCol: Option[String]): DataFrame =
+    if (m.allFiles.isEmpty)
+      m.schema match {
+        case Some(sc) => spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), sc)
+        case None => spark.emptyDataFrame
+      }
+    else SnapshotRelation.fromManifest(spark, bp, m, partCol)._1
+
+  /** Apply `m`'s deletion vectors to a scan of `files` from it —
+    * shared by the legacy file-list reads here and the relation path
+    * ([[SnapshotRelation.fromManifest]]). No-DV case returns the scan
+    * untouched. */
+  private[sources] def applyDvs(
+      spark: SparkSession, bp: Path, m: Manifest,
+      files: Seq[String], raw: DataFrame): DataFrame =
+    dvRows(spark, bp, m, files) match {
+      case None => raw
+      case Some((dv, allInline)) =>
+        val cols = raw.columns.toSeq
+        raw
+          .withColumn("__dv_file", dvKeyCol)
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .join(if (allInline) broadcast(dv) else dv,
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+          .select(cols.map(col): _*)
+    }
 
   /** Manifest-pruned read: only the files of the named partitions are
     * ever handed to Spark. */
@@ -267,9 +461,8 @@ object SnapshotLog {
     val bp = new Path(base)
     readManifest(fsFor(spark, bp), bp).map { m =>
       val files = parts.flatMap(p => m.files.getOrElse(p, Nil))
-        .map(f => new Path(bp, f).toString)
       if (files.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(files: _*))
+      else Some(readFiles(spark, bp, m, files))
     }.flatten
   }
 
@@ -339,6 +532,10 @@ object SnapshotLog {
       .persist()
     val affected = changes.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
+    // the table's live schema: the change stream's columns minus the
+    // op column (which never lands in data files)
+    val targetFields = changes.schema.fields.toSeq
+      .filterNot(f => opCol.contains(f.name))
 
     var attempt = 0
     var committed = false
@@ -346,7 +543,7 @@ object SnapshotLog {
     // against — while the live manifest still agrees on them, the
     // staged files remain valid and a conflict retry is metadata-only
     var mergedAgainst: Option[Map[String, Seq[String]]] = None
-    var staged: Seq[(String, String)] = Nil // partition -> rel file
+    var staged: Seq[(String, String, Long)] = Nil // (partition, rel file, bytes)
     var stagedStats: Map[String, Map[String, (String, String)]] = Map.empty
     // (pre, post) state of the AFFECTED partitions only — the change
     // feed derives from these, never from a full-table diff
@@ -361,20 +558,15 @@ object SnapshotLog {
         val affectedState: Map[String, Seq[String]] =
           affected.iterator.map(p => p -> m.files.getOrElse(p, Nil)).toMap
         if (!mergedAgainst.contains(affectedState)) {
-          // the table's live schema: the change stream's columns minus
-          // the op column (which never lands in data files)
-          val targetFields = changes.schema.fields.toSeq
-            .filterNot(f => opCol.contains(f.name))
           val baseSubset = {
-            val files = affected.flatMap(p => m.files.getOrElse(p, Nil))
-              .map(f => new Path(bp, f).toString)
-            if (files.isEmpty)
+            val relFiles = affected.flatMap(p => m.files.getOrElse(p, Nil)).toSeq
+            if (relFiles.isEmpty)
               changes.limit(0).select(targetFields.map(f => col(f.name)): _*)
             else {
               // align to the change batch's schema: columns the old files
               // lack backfill NULL (add-column evolution), columns the batch
               // dropped disappear (the change stream defines the live schema)
-              val df = spark.read.option("mergeSchema", "true").parquet(files.toSeq: _*)
+              val df = readFiles(spark, bp, m, relFiles)
               val have = df.columns.toSet
               df.select(targetFields.map { f =>
                 if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -437,11 +629,21 @@ object SnapshotLog {
           (m.files -- affected) ++ staged.groupBy(_._1).map {
             case (p, fls) => p -> fls.map(_._2).sorted
           },
-          (m.stats -- replaced) ++ stagedStats,
+          (m.stats -- replaced) ++ mergeFileStats(sizeStats(staged), stagedStats),
           // rewritten files take their blooms with them; untouched
           // files keep theirs (conservative: bloom-less files are
           // never pruned, so staleness is impossible by construction)
-          m.blooms -- replaced)
+          m.blooms -- replaced,
+          // rewritten files' rows were merged THROUGH their DVs; the
+          // replacement files carry no deleted positions
+          m.dvs -- replaced,
+          // a legacy table (no schema header) with partitions this batch
+          // did NOT rewrite keeps reading by footer mergeSchema — those
+          // files may hold columns the change stream never saw, and a
+          // header built from the batch alone would hide them
+          if (m.schemaJson.isEmpty && (m.files -- affected).nonEmpty) None
+          else evolveSchema(m.schemaJson,
+            org.apache.spark.sql.types.StructType(targetFields.toArray)))
         committed = tryCommit(fs, bp, next)
         if (committed) committedVersion = version
         attempt += 1
@@ -456,19 +658,23 @@ object SnapshotLog {
     }
   }
 
-  /** Partition value → rel file path for every parquet file under a
-    * `partitionBy("__p")` staging layout — pure listing, no Spark job.
-    * Dir names carry Hive-escaped partition values; [[dec]]-compatible
-    * percent unescaping recovers the value (the table contract already
-    * bans tab/newline in canonical partition strings). */
+  /** (partition value, rel file path, byte length) for every parquet
+    * file under a `partitionBy("__p")` staging layout — pure listing,
+    * no Spark job. Dir names carry Hive-escaped partition values;
+    * [[dec]]-compatible percent unescaping recovers the value (the
+    * table contract already bans tab/newline in canonical partition
+    * strings). Lengths ride along for free — the listing the writer
+    * already does is where [[ByteSizeKey]] manifest entries come from,
+    * zero extra RPCs. */
   private def listStaged(
-      fs: FileSystem, dir: Path, rel: String): Seq[(String, String)] =
+      fs: FileSystem, dir: Path, rel: String): Seq[(String, String, Long)] =
     fs.listStatus(dir).toSeq.filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("__p=")).flatMap { d =>
         val value = dec(d.getPath.getName.stripPrefix("__p="))
-        fs.listStatus(d.getPath).toSeq.map(_.getPath.getName)
-          .filter(_.endsWith(".parquet"))
-          .map(n => value -> s"$rel/${d.getPath.getName}/$n")
+        fs.listStatus(d.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => (value, s"$rel/${d.getPath.getName}/${st.getPath.getName}",
+            st.getLen))
       }
 
   /** Pseudo-column under which each file's ROW COUNT rides in the
@@ -477,6 +683,59 @@ object SnapshotLog {
     * pass; [[countRows]]/[[partitionCounts]] answer COUNT(*) from the
     * manifest alone — the Iceberg snapshot-summary idea. */
   val RowCountKey = "__rows"
+
+  /** Pseudo-column carrying each file's BYTE LENGTH — with the schema
+    * header this completes O(manifest) planning: [[SnapshotRelation]]
+    * synthesizes the scan's `FileStatus` entries from these instead of
+    * one driver-serial `getFileStatus` RPC per data file. Written by
+    * every data-writing commit from the staging listing. */
+  val ByteSizeKey = "__bytes"
+
+  /** `ByteSizeKey` entries for freshly staged files. */
+  private def sizeStats(
+      staged: Seq[(String, String, Long)]): Map[String, Map[String, (String, String)]] =
+    staged.map { case (_, f, len) =>
+      f -> Map(ByteSizeKey -> (len.toString, len.toString))
+    }.toMap
+
+  /** Deep per-file merge of two stats maps (right wins per column). */
+  private def mergeFileStats(
+      a: Map[String, Map[String, (String, String)]],
+      b: Map[String, Map[String, (String, String)]]): Map[String, Map[String, (String, String)]] =
+    (a.keySet ++ b.keySet).iterator.map { f =>
+      f -> (a.getOrElse(f, Map.empty) ++ b.getOrElse(f, Map.empty))
+    }.toMap
+
+  /** Evolve the manifest-held schema with what a commit just wrote:
+    * prior fields keep their order, brand-new fields append —
+    * add-column evolution, exactly the shape a mergeSchema footer read
+    * would produce — and everything is nullable (older partitions
+    * backfill NULL). A same-name TYPE change yields None: the commit
+    * drops the schema header and readers fall back to the footer
+    * mergeSchema read, which owns compatibility judgment. */
+  private def evolveSchema(
+      prior: Option[String],
+      fresh: org.apache.spark.sql.types.StructType): Option[String] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    try {
+      val prev = prior.map(DataType.fromJson(_).asInstanceOf[StructType])
+      prev match {
+        case None => Some(StructType(fresh.fields.map(_.copy(nullable = true))).json)
+        case Some(p) =>
+          val freshByName = fresh.fields.map(f => f.name -> f).toMap
+          val kept = p.fields.map { f =>
+            freshByName.get(f.name) match {
+              case Some(nf) if nf.dataType != f.dataType => return None
+              case _ => f.copy(nullable = true)
+            }
+          }
+          val added = fresh.fields
+            .filterNot(f => p.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true))
+          Some(StructType(kept ++ added).json)
+      }
+    } catch { case _: Exception => None }
+  }
 
   /** The shared stats aggregation: per-file min/max of `statsCols`
     * plus the row count, over whatever file grouping the caller
@@ -544,23 +803,43 @@ object SnapshotLog {
         val have = m.stats.getOrElse(f, Map.empty)
         !wanted.forall(have.contains)
       }
-      if (need.isEmpty) return 0L
+      // ANALYZE is also the legacy-table upgrade path: backfill the
+      // per-file byte length (one status RPC per MISSING file — the
+      // recovery cost newer writers never pay, they record it from the
+      // staging listing) and the schema header (from the footer
+      // mergeSchema read this pass does anyway), so planning on this
+      // table becomes O(manifest) from here on.
+      val needSize = m.allFiles.filterNot(f =>
+        m.stats.get(f).exists(_.contains(ByteSizeKey)))
+      if (need.isEmpty && needSize.isEmpty && m.schemaJson.nonEmpty) return 0L
       val byPath = need
         .map(f => fs.makeQualified(new Path(bp, f)).toUri.getPath -> f).toMap
       val aggs = statsAggs(statsCols)
-      val fresh = spark.read.option("mergeSchema", "true")
-        .parquet(need.map(f => new Path(bp, f).toString): _*)
-        .groupBy(input_file_name().as("__f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect().flatMap { r =>
-          byPath.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath)
-            .map(_ -> decodeBounds(r, statsCols))
-        }.toMap
-      val merged = fresh.foldLeft(m.stats) { case (acc, (f, b)) =>
-        acc.updated(f, acc.getOrElse(f, Map.empty) ++ b)
+      val fresh =
+        if (need.isEmpty) Map.empty[String, Map[String, (String, String)]]
+        else spark.read.option("mergeSchema", "true")
+          .parquet(need.map(f => new Path(bp, f).toString): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().flatMap { r =>
+            byPath.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+              .map(_ -> decodeBounds(r, statsCols))
+          }.toMap
+      val sizes = needSize.map { f =>
+        val len = fs.getFileStatus(new Path(bp, f)).getLen.toString
+        f -> Map(ByteSizeKey -> (len, len))
+      }.toMap
+      val merged = mergeFileStats(sizes, fresh).foldLeft(m.stats) {
+        case (acc, (f, b)) => acc.updated(f, acc.getOrElse(f, Map.empty) ++ b)
+      }
+      val schemaJson = m.schemaJson.orElse {
+        try Some(StructTypeNullable(spark.read.option("mergeSchema", "true")
+          .parquet(m.allFiles.map(f => new Path(bp, f).toString): _*).schema))
+        catch { case _: Exception => None }
       }
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
-      if (tryCommit(fs, bp, Manifest(version, m.files, merged, m.blooms)))
+      if (tryCommit(fs, bp,
+          Manifest(version, m.files, merged, m.blooms, m.dvs, schemaJson)))
         return version
       attempt += 1
     }
@@ -568,13 +847,23 @@ object SnapshotLog {
       s"stats build lost $maxRetries commit races on $base")
   }
 
+  /** A schema's JSON with every field nullable — the manifest-header
+    * convention (older files backfill NULL for evolved columns). */
+  private def StructTypeNullable(
+      s: org.apache.spark.sql.types.StructType): String =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true))).json
+
   /** COUNT(*) answered from the manifest alone — no data file is
     * listed or opened. None if any live file lacks a recorded count
     * (written without `statsCols`): partial metadata must degrade to
     * a scan, never to a wrong number. */
   def countRows(m: Manifest): Option[Long] = {
     val ns = m.allFiles.map(f =>
-      m.stats.get(f).flatMap(_.get(RowCountKey)).flatMap(_._1.toLongOption))
+      m.stats.get(f).flatMap(_.get(RowCountKey)).flatMap(_._1.toLongOption)
+        // a deletion vector's positions are invisible rows: the
+        // physical count minus the DV's exact cardinality
+        .map(_ - m.dvs.get(f).map(_.count).getOrElse(0L)))
     if (ns.exists(_.isEmpty)) None else Some(ns.flatten.sum)
   }
 
@@ -583,7 +872,8 @@ object SnapshotLog {
   def partitionCounts(m: Manifest): Option[Map[String, Long]] = {
     val per = m.files.toSeq.map { case (p, fls) =>
       val ns = fls.map(f =>
-        m.stats.get(f).flatMap(_.get(RowCountKey)).flatMap(_._1.toLongOption))
+        m.stats.get(f).flatMap(_.get(RowCountKey)).flatMap(_._1.toLongOption)
+          .map(_ - m.dvs.get(f).map(_.count).getOrElse(0L)))
       if (ns.exists(_.isEmpty)) None else Some(p -> ns.flatten.sum)
     }
     if (per.exists(_.isEmpty)) None else Some(per.flatten.toMap)
@@ -627,7 +917,6 @@ object SnapshotLog {
       cols: Seq[String],
       fpp: Double = 0.03,
       maxRetries: Int = 5): Long = {
-    graft.functions.GraftFunctions.register(spark)
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     var attempt = 0
@@ -635,38 +924,58 @@ object SnapshotLog {
       val m = readManifest(fs, bp).getOrElse(return 0L)
       val files = m.allFiles
       if (files.isEmpty) return 0L
-      val byPath = files
-        .map(f => fs.makeQualified(new Path(bp, f)).toUri.getPath -> f).toMap
-      val df = spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => new Path(bp, f).toString): _*)
-      val maxRows = math.max(1L,
-        df.groupBy(input_file_name().as("__f")).count()
-          .agg(max(col("count"))).head.getLong(0))
-      val bits = org.apache.spark.util.sketch.BloomFilter
-        .optimalNumOfBits(maxRows, fpp)
-      val aggs = cols.map(c => call_function(
-        graft.functions.GraftFunctions.BloomAggName,
-        col(c), lit(maxRows), lit(bits)).as(s"__b_$c"))
-      val built = df.groupBy(input_file_name().as("__f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect().flatMap { r =>
-          val rel = byPath.get(
-            new Path(new java.net.URI(r.getString(0))).toUri.getPath)
-          val bl = cols.zipWithIndex.flatMap { case (c, i) =>
-            if (r.isNullAt(i + 1)) None
-            else Some(c -> java.util.Base64.getEncoder
-              .encodeToString(r.getAs[Array[Byte]](i + 1)))
-          }.toMap
-          rel.filter(_ => bl.nonEmpty).map(_ -> bl)
-        }.toMap
+      val built = computeBlooms(spark, fs, bp, files, cols, fpp)
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (tryCommit(fs, bp,
-          Manifest(version, m.files, m.stats, m.blooms ++ built)))
+          m.copy(version = version, blooms = m.blooms ++ built)))
         return version
       attempt += 1
     }
     throw new IllegalStateException(
       s"bloom build lost $maxRetries commit races on $base")
+  }
+
+  /** Per-file blooms over `cols` for the given live files — the shared
+    * core of [[buildBlooms]] and compaction's rebuild (blooms must
+    * SURVIVE maintenance: a rewritten file without a fresh bloom would
+    * silently stop point-lookup skipping on its keys). One pass: sizing
+    * count, then a partial-agged bloom aggregation keyed by file. */
+  private def computeBlooms(
+      spark: SparkSession,
+      fs: FileSystem,
+      bp: Path,
+      relFiles: Seq[String],
+      cols: Seq[String],
+      fpp: Double): Map[String, Map[String, String]] = {
+    if (relFiles.isEmpty || cols.isEmpty) return Map.empty
+    graft.functions.GraftFunctions.register(spark)
+    val byPath = relFiles
+      .map(f => fs.makeQualified(new Path(bp, f)).toUri.getPath -> f).toMap
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(relFiles.map(f => new Path(bp, f).toString): _*)
+    val present = df.columns.toSet
+    val usable = cols.filter(present)
+    if (usable.isEmpty) return Map.empty
+    val maxRows = math.max(1L,
+      df.groupBy(input_file_name().as("__f")).count()
+        .agg(max(col("count"))).head.getLong(0))
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(maxRows, fpp)
+    val aggs = usable.map(c => call_function(
+      graft.functions.GraftFunctions.BloomAggName,
+      col(c), lit(maxRows), lit(bits)).as(s"__b_$c"))
+    df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().flatMap { r =>
+        val rel = byPath.get(
+          new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+        val bl = usable.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(i + 1)) None
+          else Some(c -> java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]](i + 1)))
+        }.toMap
+        rel.filter(_ => bl.nonEmpty).map(_ -> bl)
+      }.toMap
   }
 
   /** The files whose bloom for `column` MAY contain `value` — plus
@@ -693,11 +1002,9 @@ object SnapshotLog {
       value: Long): Option[DataFrame] = {
     val bp = new Path(base)
     readManifest(fsFor(spark, bp), bp).flatMap { m =>
-      val files = filesForKey(m, column, value).map(f => new Path(bp, f).toString)
+      val files = filesForKey(m, column, value)
       if (files.isEmpty) None
-      else Some(
-        spark.read.option("mergeSchema", "true").parquet(files: _*)
-          .filter(col(column) === value))
+      else Some(readFiles(spark, bp, m, files).filter(col(column) === value))
     }
   }
 
@@ -712,11 +1019,10 @@ object SnapshotLog {
       hi: Double): Option[DataFrame] = {
     val bp = new Path(base)
     readManifest(fsFor(spark, bp), bp).flatMap { m =>
-      val files = filesForRange(m, column, lo, hi).map(f => new Path(bp, f).toString)
+      val files = filesForRange(m, column, lo, hi)
       if (files.isEmpty) None
-      else Some(
-        spark.read.option("mergeSchema", "true").parquet(files: _*)
-          .filter(col(column) >= lo && col(column) <= hi))
+      else Some(readFiles(spark, bp, m, files)
+        .filter(col(column) >= lo && col(column) <= hi))
     }
   }
 
@@ -751,7 +1057,12 @@ object SnapshotLog {
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(return 0L)
       val files = m.files.getOrElse(part, Nil)
-      if (files.isEmpty || (clusterBy.isEmpty && files.size <= 1)) return 0L
+      val hasDv = files.exists(m.dvs.contains)
+      // a single file WITH a deletion vector still compacts: that is
+      // how merge-on-read deletes are materialized back into a clean
+      // file layout
+      if (files.isEmpty || (clusterBy.isEmpty && !hasDv && files.size <= 1))
+        return 0L
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       // staging dir unique per attempt AND partition: two concurrent
       // compactions reading the same manifest compute the same target
@@ -760,7 +1071,9 @@ object SnapshotLog {
       val rel =
         s"data/c$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
       val dir = new Path(bp, rel)
-      val df = spark.read.parquet(files.map(f => new Path(bp, f).toString): _*)
+      // read THROUGH deletion vectors: compaction materializes them —
+      // deleted positions vanish physically and the DV refs drop
+      val df = readFiles(spark, bp, m, files)
       val out =
         if (clusterBy.isEmpty) df.repartition(1)
         else {
@@ -772,17 +1085,30 @@ object SnapshotLog {
             .drop("__z")
         }
       out.write.mode("overwrite").parquet(dir.toString)
-      val newFiles = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.endsWith(".parquet")).map(n => s"$rel/$n").toSeq
+      val newStatuses = fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val newFiles = newStatuses.map(st => s"$rel/${st.getPath.getName}")
+      val newSizes = sizeStats(
+        newStatuses.map(st => (part, s"$rel/${st.getPath.getName}", st.getLen)))
       // compacted-away files take their stats entries with them; the
       // replacement file gets fresh bounds when statsCols is passed,
       // and is otherwise stats-less (conservative: never pruned)
       val newStats =
         if (statsCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
         else fileStats(spark, fs, dir, rel, statsCols)
+      // blooms SURVIVE maintenance: rebuild over exactly the columns
+      // the replaced files carried blooms for, so point-lookup
+      // skipping keeps working after OPTIMIZE (a dropped-only bloom
+      // would silently degrade every future probe to scan-all)
+      val bloomCols = files.flatMap(f =>
+        m.blooms.getOrElse(f, Map.empty).keys).distinct
+      val newBlooms = computeBlooms(spark, fs, bp, newFiles, bloomCols, 0.03)
       if (tryCommit(fs, bp,
           Manifest(version, m.files.updated(part, newFiles),
-            (m.stats -- files) ++ newStats, m.blooms -- files)))
+            (m.stats -- files) ++ mergeFileStats(newSizes, newStats),
+            (m.blooms -- files) ++ newBlooms,
+            m.dvs -- files,
+            m.schemaJson)))
         return version
       attempt += 1
     }
@@ -840,23 +1166,39 @@ object SnapshotLog {
       partCol: String,
       maxRetries: Int = 5,
       statsCols: Seq[String] = Nil,
-      writeCdf: Boolean = false): Option[DmlOutcome] = {
+      writeCdf: Boolean = false,
+      deletionVectors: Boolean = false,
+      dvInlineMax: Int = DvInlineMax): Option[DmlOutcome] = {
+    // `deletionVectors`: merge-on-read row deletes — matching rows'
+    // positions commit as per-file DVs ([[Dv]]) and ZERO data files
+    // are rewritten (a 1-row delete in a 10 GB partition costs one
+    // manifest commit, not a 10 GB rewrite — the Delta DV / Iceberg
+    // positional-delete model). Partition-predicate deletes ignore the
+    // flag: dropping whole partitions from the manifest is strictly
+    // cheaper than any DV.
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val live0 = read(spark, base).getOrElse(return None)
     val partType = live0.schema(live0.schema.fieldIndex(partCol)).dataType
-    // partition-only iff the predicate resolves against partCol alone.
-    // The probe frame is built from emptyDataFrame, NOT a projection of
-    // the table: Spark's ResolveMissingReferences lets a filter see
-    // columns a select pruned away, so `table.select(partCol)
-    // .filter(pred)` would wrongly resolve row predicates too.
-    // Analysis is eager, so an out-of-footprint reference throws here.
-    val partitionOnly =
-      try {
-        spark.emptyDataFrame
-          .select(lit(null).cast(partType).as(partCol)).filter(predicate)
-        true
-      } catch { case _: org.apache.spark.sql.AnalysisException => false }
+    // partition-only iff the ANALYZED predicate references partCol
+    // alone. The probe frame carries the FULL live schema as typed
+    // nulls (emptyDataFrame-derived, so no scan): with every real
+    // column present, attribute resolution wins over Spark's
+    // literal-function fallback — a predicate on a column named
+    // `user`/`current_date` can no longer silently resolve to
+    // CURRENT_USER()/CURRENT_DATE() and masquerade as a constant
+    // (which once sent a row delete down the partition-metadata path
+    // as a no-op). References, not resolution failure, decide.
+    val partitionOnly = {
+      val probe = spark.emptyDataFrame.select(
+        live0.schema.fields.toSeq.map(f =>
+          lit(null).cast(f.dataType).as(f.name)): _*).filter(predicate)
+      val refs = probe.queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.references.map(_.name).toSet
+      }.getOrElse(Set.empty[String])
+      refs.forall(_.equalsIgnoreCase(partCol))
+    }
 
     def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
       val have = df.columns.toSet
@@ -886,16 +1228,123 @@ object SnapshotLog {
           return Some(DmlOutcome(m.version, metadataOnly = true, Nil, Nil))
         val gone = dropped.flatMap(p => m.files.getOrElse(p, Nil))
         if (tryCommit(fs, bp,
-            Manifest(version, m.files -- dropped, m.stats -- gone, m.blooms -- gone))) {
+            Manifest(version, m.files -- dropped, m.stats -- gone,
+              m.blooms -- gone, m.dvs -- gone, m.schemaJson))) {
           if (writeCdf) {
-            val pre = align(spark.read.option("mergeSchema", "true")
-              .parquet(absFiles(m, dropped): _*), live0.schema)
+            val pre = align(
+              readFiles(spark, bp, m,
+                dropped.flatMap(p => m.files.getOrElse(p, Nil))),
+              live0.schema)
             commitCdfVersion(fs, bp, version,
               pre.withColumn("change_type", lit("delete"))
                 .withColumn("_commit_version", lit(version)))
           }
           return Some(DmlOutcome(version, metadataOnly = true, dropped, Nil))
         }
+      } else if (deletionVectors) {
+        // ---- merge-on-read row delete: commit DVs, rewrite nothing --
+        val all = m.allFiles
+        val bnToRel = all.map(f => dvKey(f) -> f).toMap
+        require(bnToRel.size == all.size,
+          "DV delete needs unique <dir>/<file> suffixes across live files " +
+            "(Spark part-file names embed the write job's UUID)")
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(all.map(f => new Path(bp, f).toString): _*)
+          .withColumn("__f", dvKeyCol)
+          .withColumn("__pos", col("_metadata.row_index"))
+        // only still-live rows may match: a position already in a DV is
+        // deleted — matching it again would double-count
+        val liveRows = dvRows(spark, bp, m, all) match {
+          case None => raw
+          case Some((dv, allInline)) =>
+            raw.join(if (allInline) broadcast(dv) else dv,
+              col("__f") === col("__dv_file") && col("__pos") === col("__dv_pos"),
+              "left_anti")
+        }
+        val matchedPos = liveRows.filter(predicate)
+          .select(col("__f"), col("__pos")).persist()
+        try {
+          // O(affected files) driver metadata, never row-sized
+          val newCounts = matchedPos.groupBy("__f").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          if (newCounts.isEmpty)
+            return Some(DmlOutcome(m.version, metadataOnly = false, Nil, Nil))
+          // inline vs sidecar per file: a file stays inline while its
+          // TOTAL positions fit [[DvInlineMax]], its existing DV is not
+          // already a sidecar, and a global driver budget holds —
+          // everything else goes through the fully distributed sidecar
+          // write (an arbitrarily large delete never lands positions on
+          // the driver)
+          var budget = dvInlineMax * 10L
+          val decided = newCounts.keys.toSeq.sorted.map { bn =>
+            val rel0 = bnToRel(bn)
+            val old = m.dvs.get(rel0)
+            val total = newCounts(bn) + old.map(_.count).getOrElse(0L)
+            val inlineOk = total <= dvInlineMax &&
+              old.forall(_.sidecarRel.isEmpty) && total <= budget
+            if (inlineOk) budget -= total
+            (bn, rel0, old, total, inlineOk)
+          }
+          val inlineSet = decided.collect { case (bn, _, _, _, true) => bn }.toSet
+          val newDvs = collection.mutable.Map.empty[String, Dv]
+          if (inlineSet.nonEmpty) {
+            val fresh = matchedPos
+              .filter(col("__f").isin(inlineSet.toSeq: _*))
+              .collect().groupBy(_.getString(0))
+              .map { case (bn, rows) => bn -> rows.map(_.getLong(1)) }
+            decided.foreach { case (bn, rel0, old, total, inlineOk) =>
+              if (inlineOk) {
+                val merged = (old.flatMap(_.inlineB64).map(decodePositions)
+                  .getOrElse(Array.empty[Long]) ++ fresh.getOrElse(bn, Array.empty[Long]))
+                  .sorted
+                newDvs(rel0) = Dv(total, Some(encodePositions(merged)), None)
+              }
+            }
+          }
+          val sidecarDecided = decided.filter(!_._5)
+          if (sidecarDecided.nonEmpty) {
+            import spark.implicits._
+            val scSet = sidecarDecided.map(_._1).toSet
+            // old positions of sidecar-bound files union in distributedly
+            val olds = sidecarDecided.flatMap { case (bn, rel0, old, _, _) =>
+              old.map {
+                case Dv(_, Some(b64), _) =>
+                  decodePositions(b64).toSeq.map(bn -> _).toDF("__f", "__pos")
+                case Dv(_, None, Some(sRel)) =>
+                  spark.read.parquet(new Path(bp, sRel).toString)
+                    .select(lit(bn).as("__f"), col("pos").cast("long").as("__pos"))
+                case _ => sys.error("DV without payload")
+              }
+            }
+            val allPos = (matchedPos.filter(col("__f").isin(scSet.toSeq: _*))
+              +: olds).reduce(_ unionByName _)
+            val scRel = s"_dv/d$version-a$attempt-${
+              java.util.UUID.randomUUID.toString.take(8)}"
+            allPos.select(col("__f"), col("__pos").as("pos"))
+              .repartition(col("__f"))
+              .write.partitionBy("__f").parquet(new Path(bp, scRel).toString)
+            // dir names carry the Hive-ESCAPED dv key ('/' '=' '%'
+            // percent-encode): list and decode rather than re-derive
+            val dirByKey = fs.listStatus(new Path(bp, scRel)).toSeq
+              .filter(d => d.isDirectory && d.getPath.getName.startsWith("__f="))
+              .map(d => dec(d.getPath.getName.stripPrefix("__f=")) ->
+                s"$scRel/${d.getPath.getName}")
+              .toMap
+            sidecarDecided.foreach { case (bn, rel0, _, total, _) =>
+              newDvs(rel0) = Dv(total, None, Some(dirByKey(bn)))
+            }
+          }
+          if (tryCommit(fs, bp,
+              m.copy(version = version, dvs = m.dvs ++ newDvs))) {
+            if (writeCdf) {
+              val feed = align(liveRows.filter(predicate), live0.schema)
+              commitCdfVersion(fs, bp, version,
+                feed.withColumn("change_type", lit("delete"))
+                  .withColumn("_commit_version", lit(version)))
+            }
+            return Some(DmlOutcome(version, metadataOnly = false, Nil, Nil))
+          }
+        } finally matchedPos.unpersist()
       } else {
         // one column-pruned scan of THIS version's files finds the
         // partitions holding matching rows (predicate pushdown skips
@@ -907,8 +1356,7 @@ object SnapshotLog {
         if (matched.isEmpty)
           return Some(DmlOutcome(m.version, metadataOnly = false, Nil, Nil))
         val preFiles = matched.flatMap(p => m.files.getOrElse(p, Nil))
-        val pre = align(spark.read.option("mergeSchema", "true")
-          .parquet(absFiles(m, matched): _*), lv.schema)
+        val pre = align(readFiles(spark, bp, m, preFiles), lv.schema)
         val keep = pre.filter(!coalesce(predicate, lit(false)))
         val rel =
           s"data/d$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
@@ -924,8 +1372,12 @@ object SnapshotLog {
           (m.files -- matched) ++ staged.groupBy(_._1).map {
             case (p, fls) => p -> fls.map(_._2).sorted
           },
-          (m.stats -- preFiles) ++ stagedStats,
-          m.blooms -- preFiles)
+          (m.stats -- preFiles) ++ mergeFileStats(sizeStats(staged), stagedStats),
+          m.blooms -- preFiles,
+          m.dvs -- preFiles,
+          // this pass read the whole live table, so a legacy manifest
+          // gets its schema header backfilled for free
+          m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))))
         if (tryCommit(fs, bp, next)) {
           if (writeCdf) commitCdfVersion(fs, bp, version,
             pre.filter(predicate)
@@ -1005,8 +1457,7 @@ object SnapshotLog {
         (pairs.map(_.getString(0)) ++ pairs.map(_.getString(1)))
           .distinct.sorted.toSeq
       val preFiles = affected.flatMap(p => m.files.getOrElse(p, Nil))
-      val pre = align(spark.read.option("mergeSchema", "true")
-        .parquet(preFiles.map(f => new Path(bp, f).toString): _*), lv.schema)
+      val pre = align(readFiles(spark, bp, m, preFiles), lv.schema)
       val updCols = lv.schema.fields.toSeq.map { f =>
         set.get(f.name).map(_.cast(f.dataType).as(f.name))
           .getOrElse(col(f.name))
@@ -1028,8 +1479,10 @@ object SnapshotLog {
         (m.files -- affected) ++ staged.groupBy(_._1).map {
           case (p, fls) => p -> fls.map(_._2).sorted
         },
-        (m.stats -- preFiles) ++ stagedStats,
-        m.blooms -- preFiles)
+        (m.stats -- preFiles) ++ mergeFileStats(sizeStats(staged), stagedStats),
+        m.blooms -- preFiles,
+        m.dvs -- preFiles,
+        m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))))
       if (tryCommit(fs, bp, next)) {
         if (writeCdf) {
           val cols = lv.columns.toSeq
@@ -1089,10 +1542,9 @@ object SnapshotLog {
       val changed = changedPartitions(m1, m2)
       def side(m: Manifest): DataFrame = {
         val files = changed.flatMap(p => m.files.getOrElse(p, Nil))
-          .map(f => new Path(bp, f).toString)
         val raw =
           if (files.isEmpty) b0.limit(0)
-          else spark.read.option("mergeSchema", "true").parquet(files: _*)
+          else readFiles(spark, bp, m, files)
         val have = raw.columns.toSet
         raw.select(b0.schema.fields.toSeq.map { f =>
           if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -1104,12 +1556,16 @@ object SnapshotLog {
   }
 
   /** The partitions that can possibly differ between two versions:
-    * those whose live file lists are not identical. Exact-superset-safe
-    * because data files are immutable once committed — same files ⇒
+    * those whose live file lists are not identical, or whose files'
+    * deletion vectors changed (a DV commit alters a partition's ROWS
+    * without touching its file list). Exact-superset-safe because data
+    * files are immutable once committed — same files + same DVs ⇒
     * same rows. */
   def changedPartitions(m1: Manifest, m2: Manifest): Seq[String] =
     (m1.files.keySet ++ m2.files.keySet).toSeq.sorted.filter { p =>
-      m1.files.getOrElse(p, Nil).sorted != m2.files.getOrElse(p, Nil).sorted
+      val f1 = m1.files.getOrElse(p, Nil).sorted
+      val f2 = m2.files.getOrElse(p, Nil).sorted
+      f1 != f2 || f1.exists(f => m1.dvs.get(f) != m2.dvs.get(f))
     }
 
   /** The CDF join: pre-state vs post-state (same schema) full-outer on

@@ -238,23 +238,51 @@ object SnapshotRelation {
       case Some(v) => SnapshotLog.readManifestAt(fs, bp, v)
       case None => SnapshotLog.readManifest(fs, bp)
     }
-    mOpt.filter(_.allFiles.nonEmpty).map { m =>
-      val statuses = m.allFiles
-        .map(f => f -> fs.getFileStatus(new Path(bp, f))).toMap
-      val schema = spark.read.option("mergeSchema", "true")
+    mOpt.filter(_.allFiles.nonEmpty)
+      .map(m => fromManifest(spark, bp, m, partCol))
+  }
+
+  /** Build the relation from an already-loaded manifest.
+    *
+    * Planning is O(manifest): `FileStatus` entries synthesize from the
+    * recorded per-file byte lengths ([[SnapshotLog.ByteSizeKey]]) and
+    * the schema comes from the manifest header — ZERO data-file RPCs
+    * or footer reads on the planning path. Files a LEGACY writer left
+    * without a recorded length fall back to one status RPC each, and a
+    * header-less manifest to one mergeSchema footer scan — degradation
+    * is per-missing-metadata, never wholesale. Deletion vectors are
+    * applied as an anti-join above the scan (merge-on-read), under
+    * which data filters still push into the scan and through
+    * [[SnapshotFileIndex.listFiles]] pruning. */
+  def fromManifest(
+      spark: SparkSession,
+      bp: Path,
+      m: SnapshotLog.Manifest,
+      partCol: Option[String]): (DataFrame, SnapshotFileIndex) = {
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = m.allFiles.map { f =>
+      val p = fs.makeQualified(new Path(bp, f))
+      f -> (m.stats.get(f).flatMap(_.get(SnapshotLog.ByteSizeKey))
+        .flatMap(_._1.toLongOption) match {
+        case Some(len) => new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L, p)
+        case None => fs.getFileStatus(p)
+      })
+    }.toMap
+    val schema = m.schema.getOrElse {
+      spark.read.option("mergeSchema", "true")
         .parquet(m.allFiles.map(f => new Path(bp, f).toString): _*).schema
-      val index = new SnapshotFileIndex(spark, bp, m, partCol, statuses)
-      val rel = HadoopFsRelation(
-        location = index,
-        partitionSchema = StructType(Nil),
-        dataSchema = schema,
-        bucketSpec = None,
-        fileFormat = new ParquetFileFormat,
-        options = Map.empty)(spark)
-      val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .baseRelationToDataFrame(rel)
-      (df, index)
     }
+    val index = new SnapshotFileIndex(spark, bp, m, partCol, statuses)
+    val rel = HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    val df0 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel)
+    (SnapshotLog.applyDvs(spark, bp, m, m.allFiles, df0), index)
   }
 
   /** Just the DataFrame — the everyday read path. */

@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Merge-on-read row-level DML (deletion vectors) and O(manifest)
+  * planning — the two storage-layer contracts added together:
+  *
+  *  - a DV delete commits per-file position vectors and rewrites ZERO
+  *    data files; every read path (live, time travel, CDF, diff,
+  *    metadata counts) sees through them; compaction materializes them
+  *  - a manifest written by the current writers carries the table
+  *    schema and per-file byte lengths, so building the
+  *    planner-integrated relation touches NO data file — proven by
+  *    planning with the data directory renamed away. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(prefix: String): (String, Path) = {
+    val base = Files.createTempDirectory(prefix).toString + "/tbl"
+    val rows = (1L to 300L).map(i =>
+      (i, s"u${i % 7}", i * 1.5, s"d${i % 3}"))
+      .toDF("id", "user", "value", "day")
+    SnapshotLog.upsertBatch(spark, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Seq("id", "value"),
+      clusterBy = Nil, clusterFiles = 16, opCol = None, writeCdf = false)
+    (base, new Path(base))
+  }
+  private def fs(bp: Path) =
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("DV delete removes rows without rewriting any data file") {
+    val (base, bp) = mkTable("graft_dv")
+    val m1 = SnapshotLog.readManifest(fs(bp), bp).get
+
+    val out = SnapshotLog.deleteWhere(spark, base,
+      col("id") % 10 === 3, "day", deletionVectors = true).get
+    assert(out.version == m1.version + 1)
+    assert(out.droppedPartitions.isEmpty && out.rewrittenPartitions.isEmpty)
+
+    val m2 = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(m2.files == m1.files,
+      "a DV delete must not add, remove, or replace any data file")
+    assert(m2.dvs.nonEmpty && m2.dvs.values.map(_.count).sum == 30)
+
+    // live read sees the complement, exactly
+    val live = SnapshotLog.read(spark, base).get
+    assert(live.count() == 270)
+    assert(live.filter(col("id") % 10 === 3).count() == 0)
+    // untouched rows are bit-identical
+    assert(live.agg(sum(col("id"))).head.getLong(0) ==
+      (1L to 300L).filter(_ % 10 != 3).sum)
+
+    // metadata COUNT(*) subtracts DV cardinalities — no scan
+    assert(SnapshotLog.countRows(m2).contains(270L))
+    val perPart = SnapshotLog.partitionCounts(m2).get
+    assert(perPart.values.sum == 270L)
+
+    // time travel: the pre-delete version still shows every row
+    assert(SnapshotLog.readVersion(spark, base, m1.version).get.count() == 300)
+  }
+
+  test("second DV delete merges positions; compaction materializes") {
+    val (base, bp) = mkTable("graft_dv2")
+    SnapshotLog.deleteWhere(spark, base,
+      col("id") <= 50, "day", deletionVectors = true).get
+    // overlapping second delete: ids 41..80 — 30 NEW positions only
+    SnapshotLog.deleteWhere(spark, base,
+      col("id") > 40 && col("id") <= 80, "day", deletionVectors = true).get
+    val m = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(m.dvs.values.map(_.count).sum == 80,
+      "re-deleting an already-deleted position must not double-count")
+    assert(SnapshotLog.read(spark, base).get.count() == 220)
+    assert(SnapshotLog.countRows(m).contains(220L))
+
+    // compaction reads THROUGH the DVs and drops the refs
+    m.files.keySet.foreach { p =>
+      SnapshotLog.compactPartition(spark, base, p)
+    }
+    val mc = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(mc.dvs.isEmpty, "compaction must materialize deletion vectors")
+    val live = SnapshotLog.read(spark, base).get
+    assert(live.count() == 220)
+    assert(live.filter(col("id") <= 80).count() == 0)
+  }
+
+  test("sidecar DVs (inline threshold 0) behave identically") {
+    val (base, bp) = mkTable("graft_dv3")
+    SnapshotLog.deleteWhere(spark, base,
+      col("user") === "u3", "day", deletionVectors = true, dvInlineMax = 0).get
+    val m = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(m.dvs.nonEmpty && m.dvs.values.forall(d =>
+      d.sidecarRel.nonEmpty && d.inlineB64.isEmpty))
+    val live = SnapshotLog.read(spark, base).get
+    assert(live.filter(col("user") === "u3").count() == 0)
+    assert(live.count() == 300 - (1L to 300L).count(_ % 7 == 3))
+
+    // a later INLINE delete on a file that already has a sidecar DV
+    // stays sidecar (positions never collect to the driver twice)
+    SnapshotLog.deleteWhere(spark, base,
+      col("user") === "u4", "day", deletionVectors = true).get
+    val m2 = SnapshotLog.readManifest(fs(bp), bp).get
+    val live2 = SnapshotLog.read(spark, base).get
+    assert(live2.filter(col("user").isin("u3", "u4")).count() == 0)
+    assert(SnapshotLog.countRows(m2).contains(live2.count()))
+  }
+
+  test("CDF and diffVersions see DV deletes as delete rows") {
+    val (base, bp) = mkTable("graft_dv4")
+    val out = SnapshotLog.deleteWhere(spark, base,
+      col("id") <= 10, "day", deletionVectors = true, writeCdf = true).get
+    val feed = SnapshotLog.readCdf(spark, base).get
+      .filter(col("_commit_version") === out.version)
+    assert(feed.count() == 10)
+    assert(feed.select("change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+
+    val diff = SnapshotLog.diffVersions(
+      spark, base, Seq("id"), out.version - 1, out.version).get
+    assert(diff.filter(col("change_type") === "delete").count() == 10)
+    assert(diff.filter(col("change_type") =!= "delete").count() == 0)
+  }
+
+  test("planning is O(manifest): relation builds with data dir renamed away") {
+    val (base, bp) = mkTable("graft_omanifest")
+    val hfs = fs(bp)
+    val m = SnapshotLog.readManifest(hfs, bp).get
+    assert(m.schemaJson.nonEmpty, "writer must record the schema header")
+    assert(m.allFiles.forall(f =>
+      m.stats.get(f).exists(_.contains(SnapshotLog.ByteSizeKey))),
+      "writer must record per-file byte lengths")
+
+    // hide the data: planning must not notice
+    val dataDir = new Path(bp, "data")
+    val hidden = new Path(bp, "data_hidden")
+    assert(hfs.rename(dataDir, hidden))
+    try {
+      val (df, idx) = SnapshotRelation
+        .applyWithIndex(spark, base, partCol = Some("day")).get
+      assert(df.schema.fieldNames.toSeq == Seq("id", "user", "value", "day"))
+      assert(idx.sizeInBytes > 0)
+      // the physical plan builds too (listFiles runs off the manifest)
+      df.filter(col("value") > 100.0).queryExecution.executedPlan
+    } finally assert(hfs.rename(hidden, dataDir))
+
+    // and with data back, the same relation path returns exact rows
+    val live = SnapshotLog.read(spark, base).get
+    assert(live.count() == 300)
+  }
+
+  test("plain read().filter() prunes files through the planner") {
+    val (base, bp) = mkTable("graft_unified")
+    // no explicit readRange/readPoint/applyWithIndex — the everyday
+    // read path IS the planner-integrated relation now
+    val df = SnapshotLog.read(spark, base, partCol = Some("day")).get
+    val q = df.filter(col("day") === "d1")
+    // collect() (not count()) so the metric lands on THIS queryExecution
+    assert(q.collect().length == 100)
+    val scanned = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    val m = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(scanned == m.files("d1").size.toLong &&
+      scanned < m.allFiles.size.toLong,
+      s"partition filter must prune to d1's files (scanned $scanned of ${m.allFiles.size})")
+  }
+
+  test("stats/bloom file-skipping still works after OPTIMIZE") {
+    val (base, bp) = mkTable("graft_optblooms")
+    SnapshotLog.buildBlooms(spark, base, Seq("id"))
+    val m1 = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(m1.files.values.flatten.forall(f => m1.blooms.contains(f)))
+
+    // OPTIMIZE ZORDER every partition (re-cluster by id into 4 files)
+    m1.files.keySet.foreach { p =>
+      SnapshotLog.compactPartition(spark, base, p,
+        statsCols = Seq("id", "value"), clusterBy = Seq("id"), clusterFiles = 4)
+    }
+    val m2 = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(m2.files.values.flatten.toSet.intersect(
+      m1.files.values.flatten.toSet).isEmpty, "every file was rewritten")
+    assert(m2.files.values.flatten.forall(f => m2.blooms.get(f).exists(_.contains("id"))),
+      "compaction must REBUILD blooms for rewritten files, not drop them")
+
+    // a point probe on a key that exists prunes to a strict file
+    // subset and still finds its row
+    val probe = 137L
+    val files = SnapshotLog.filesForKey(m2, "id", probe)
+    assert(files.size < m2.allFiles.size, "bloom skipping must engage")
+    val got = SnapshotLog.readPoint(spark, base, "id", probe).get
+    assert(got.count() == 1)
+    // an absent key prunes everything (no false negatives by
+    // construction, and 3 files at fpp 0.03 make survivors unlikely —
+    // assert the definitive part only: the row set is empty)
+    assert(SnapshotLog.readPoint(spark, base, "id", 999999L)
+      .forall(_.count() == 0))
+  }
+}
