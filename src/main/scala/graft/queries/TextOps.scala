@@ -728,22 +728,41 @@ object TextOps {
 
   /** Vocabulary build: the tokenizer-training primitive — distinct terms
     * with dense ids plus document/collection frequencies. The heavy work
-    * (term explode + two count aggs) is fully distributed; only the id
-    * assignment is a global ordered window over the DISTINCT vocabulary,
-    * which Heaps' law keeps sublinear in corpus size (≪ token count). At
-    * 100 TB, shard the id space first (hash-bucket the vocab, offset ids
-    * per bucket) if even the vocabulary outgrows one task's sort. */
+    * (term explode + two count aggs) is fully distributed, and since r8
+    * the id assignment is too: terms hash to 8 shards (a deterministic,
+    * cross-engine-reproducible first-char/length hash), each shard
+    * assigns ids with a SHARD-LOCAL ordered window, and global ids are
+    * shard offsets (an 8-row count aggregate, collected as metadata and
+    * applied as a literal map) + the local rank. No global
+    * single-partition window remains anywhere in the text stack
+    * (plan-guarded); ids stay dense in [1, |vocab|] and fully
+    * deterministic, so the DuckDB oracle reproduces them exactly. At
+    * 100 TB raise the shard count — the shape is already the sharded
+    * one. */
   val d15VocabBuild: Q = Q(
     "d15_vocab_build",
-    "vocabulary: dense term ids + doc/collection frequencies",
+    "vocabulary: dense term ids (sharded assignment) + doc/collection frequencies",
     (s, d) => {
       val terms = t(s, d, "documents")
         .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
         .filter(length(col("term")) >= 2)
-      terms.groupBy(col("term"))
+      val f = terms.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
-        .withColumn("term_id",
-          row_number().over(Window.orderBy(col("term"))).cast(LongType))
+        .withColumn("shard",
+          (ascii(col("term")) * 31 + length(col("term"))) % 8)
+        .persist()
+      // exclusive prefix offsets over the 8 shard counts — metadata,
+      // not data: the collect is 8 rows regardless of corpus size
+      val counts = f.groupBy(col("shard")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = counts.scanLeft((0, 0L)) {
+        case ((_, acc), (sh, n)) => (sh, acc + n)
+      }.sliding(2).collect { case Array((_, off), (sh, _)) => sh -> off }.toMap
+      f.withColumn("term_id",
+        (element_at(typedLit(offsets), col("shard")) +
+          row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("term"))))
+          .cast(LongType))
         .select(col("term_id"), col("term"), col("df"), col("cf"))
     },
     Some(s"""
@@ -751,10 +770,20 @@ object TextOps {
         SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
         FROM documents),
       f AS (SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
-            FROM terms WHERE length(term) >= 2 GROUP BY term)
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY term) AS BIGINT) AS term_id,
-             term, df, cf
-      FROM f
+            FROM terms WHERE length(term) >= 2 GROUP BY term),
+      sh AS (SELECT term, df, cf,
+                    (ascii(term) * 31 + length(term)) % 8 AS shard
+             FROM f),
+      o AS (SELECT shard, COUNT(*) AS n FROM sh GROUP BY shard),
+      oo AS (SELECT shard,
+                    COALESCE(SUM(n) OVER (ORDER BY shard
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS off
+             FROM o)
+      SELECT CAST(oo.off + ROW_NUMBER() OVER (
+               PARTITION BY sh.shard ORDER BY sh.term) AS BIGINT) AS term_id,
+             sh.term, sh.df, sh.cf
+      FROM sh JOIN oo ON sh.shard = oo.shard
       """))
 
   /** SimHash near-dup pairs — the probe stage completing d8: 15-bit band

@@ -172,4 +172,13 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(this.count(p, "BroadcastHashJoin") >= 9,
       s"expected >= 9 broadcast joins (8 LUTs + cell probe):\n$p")
   }
+
+  test("d15: id assignment windows are shard-partitioned — no global sort") {
+    val p = finalPlan("d15_vocab_build")
+    assert(p.contains("Window"), p)
+    // a no-partition window plans Exchange SinglePartition — the one
+    // shape that serializes the whole vocabulary through a single task
+    assert(!p.contains("SinglePartition"),
+      s"vocab id assignment must not plan a single-partition window:\n$p")
+  }
 }
