@@ -1477,6 +1477,114 @@ object Relational2 {
       FROM v2 GROUP BY o_year
       """))
 
+  /** The commit log as a FIRST-CLASS streaming source
+    * ([[graft.streaming.CommitLogSourceProvider]]): offsets are
+    * MANIFEST VERSIONS (the Delta streaming model), so batch
+    * boundaries align to commits and a checkpointed restart resumes
+    * from a version watermark — q74 tails the same feed through the
+    * generic FILE stream source, where offsets are file sets. The
+    * maintained aggregate is the identical signed-retraction fold, so
+    * the two queries hash-grade the two offset models against the
+    * same oracle recompute. In-engine: the stream must deliver
+    * exactly the batch CDF's row count (exactly-once of version
+    * ranges — determinism, not sink dedup). */
+  val q82VersionStream: Q = Q(
+    "q82_version_stream",
+    "streaming source over the commit log with manifest-version offsets",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val root = java.nio.file.Files.createTempDirectory("graft_vstream").toString
+      val base = root + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders,
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 1,
+        maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
+        opCol = None, writeCdf = true)
+      val k = col("o_orderkey")
+      val updates = orders.filter(k % 11 === 0 && k % 17 =!= 0)
+        .select(k, col("o_custkey"),
+          (col("o_totalprice") + lit(50.0)).as("o_totalprice"),
+          lit("V").as("o_orderstatus"), col("o_year"), lit("U").as("op"))
+      val inserts = orders.filter(k % 89 === 0)
+        .select((k + lit(100000000L)).as("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), lit("N").as("o_orderstatus"), col("o_year"),
+          lit("U").as("op"))
+      val deletes = orders.filter(k % 17 === 0)
+        .select(k, col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_year"), lit("D").as("op"))
+      SnapshotLog.upsertBatch(s, base,
+        updates.union(inserts).union(deletes),
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 2,
+        maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
+        opCol = Some("op"), writeCdf = true)
+      val dec = DecimalType(38, 4)
+      val feed = s.readStream
+        .format(classOf[graft.streaming.CommitLogSourceProvider].getName)
+        .option("path", base).load()
+      var lastAgg: Option[String] = None
+      val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = feed.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          val sign = when(
+            col("change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L)
+          rowsSeen.addAndGet(batch.count())
+          val delta = batch.groupBy(col("o_year")).agg(
+            sum(sign).as("dn"),
+            sum(col("o_totalprice").cast(dec) * sign).as("dt"))
+          val acc = lastAgg match {
+            case None =>
+              delta.select(col("o_year"), col("dn").as("n"),
+                col("dt").cast(dec).as("t"))
+            case Some(p) =>
+              s.read.parquet(p).join(delta, Seq("o_year"), "full_outer")
+                .select(col("o_year"),
+                  (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                    .as("n"),
+                  (coalesce(col("t"), lit(0).cast(dec)) +
+                    coalesce(col("dt"), lit(0).cast(dec))).cast(dec).as("t"))
+          }
+          val out = s"$root/agg_b$bid"
+          acc.write.mode("overwrite").parquet(out)
+          lastAgg = Some(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      require(rowsSeen.get() == SnapshotLog.readCdf(s, base).get.count(),
+        "version-offset stream must deliver exactly the CDF's rows")
+      s.read.parquet(lastAgg.get)
+        .filter(col("n") > 0)
+        .select(col("o_year"),
+          col("n").as("n_orders"),
+          col("t").cast(dec).cast(DoubleType).as("total_price"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0 AND o_orderkey % 17 <> 0
+                    THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice,
+               o_year
+        FROM base WHERE o_orderkey % 17 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, o_year
+        FROM base WHERE o_orderkey % 89 = 0)
+      SELECT o_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS DOUBLE)
+               AS total_price
+      FROM v2 GROUP BY o_year
+      """))
+
   /** Per-file BLOOM filters in the commit-log manifest — the
     * point-lookup complement to q70's min/max bounds: the layout is
     * range-clustered on `user_id` (so user_id is range-prunable), which
@@ -2062,5 +2170,5 @@ object Relational2 {
     q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff,
     q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip, q76JoinIvm,
     q77MetadataCount, q78PredicateDelete, q79PredicateUpdate,
-    q80PlannerScan, q81DeletionVectors)
+    q80PlannerScan, q81DeletionVectors, q82VersionStream)
 }

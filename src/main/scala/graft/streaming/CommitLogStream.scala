@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.sources.SnapshotLog
+
+/** Structured-Streaming source DIRECTLY over the commit log, with
+  * MANIFEST VERSIONS as offsets — the Delta streaming model. Each
+  * micro-batch is the change feed of a contiguous version range
+  * `(start, end]`; the engine checkpoints the version watermark, and
+  * because committed versions and their materialized feeds are
+  * immutable, any range re-read after a crash returns byte-identical
+  * rows — exactly-once delivery of version ranges across restarts
+  * comes from determinism, not sink-side dedup.
+  *
+  * Contrast with [[SnapshotLog.tailCdf]] (q74), which tails `_cdf`
+  * through the generic FILE stream source: that works, but its
+  * offsets are file sets — version semantics ("resume from v7",
+  * batch boundaries aligned to commits) exist only here.
+  *
+  * Rows carry the CDF contract: the table's columns plus
+  * `change_type` ∈ {insert, delete, update_preimage,
+  * update_postimage} and `_commit_version`. The stream schema comes
+  * from the manifest header (O(manifest), no data-file reads); the
+  * table must materialize its feed (`writeCdf = true` writers, or
+  * [[SnapshotLog.repairCdf]]) — the same contract q74 established.
+  *
+  * Implemented as a v1 [[Source]] — the same API Delta's own
+  * streaming source uses — because `getBatch` returning a DataFrame
+  * lets a version range map straight onto a manifest-pruned batch
+  * read of the feed directories; the v2 `MicroBatchStream` would
+  * re-implement the parquet reader per partition for no added
+  * capability on this path. */
+object CommitLogStream {
+
+  /** The stream's row schema for a table at `base`: table columns
+    * (from the manifest header when present) + the CDF columns. */
+  def cdfSchema(spark: SparkSession, base: String): StructType = {
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableSchema = SnapshotLog.readManifest(fs, bp).flatMap(_.schema)
+      .getOrElse {
+        // legacy manifest: one footer read of the newest feed version
+        val vs = SnapshotLog.cdfVersions(fs, bp)
+        require(vs.nonEmpty,
+          s"commit-log stream needs a manifest schema or a materialized _cdf at $base")
+        StructType(spark.read.parquet(
+          new Path(bp, f"_cdf/v${vs.last}%011d").toString).schema
+          .filterNot(f => f.name == "change_type" || f.name == "_commit_version"))
+      }
+    StructType(tableSchema.fields.toSeq :+
+      StructField("change_type", StringType, nullable = true) :+
+      StructField("_commit_version", LongType, nullable = true))
+  }
+}
+
+/** `spark.readStream.format(classOf[CommitLogSourceProvider].getName)
+  * .option("path", table).load()` */
+class CommitLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-commitlog"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      sys.error("graft-commitlog needs .option(\"path\", <commit-log table dir>)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      CommitLogStream.cdfSchema(sqlContext.sparkSession, pathOf(parameters))))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new CommitLogSource(sqlContext.sparkSession, pathOf(parameters),
+      schema.getOrElse(
+        CommitLogStream.cdfSchema(sqlContext.sparkSession, pathOf(parameters))))
+}
+
+class CommitLogSource(
+    spark: SparkSession,
+    base: String,
+    override val schema: StructType)
+  extends Source {
+
+  private val bp = new Path(base)
+  private def fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => sys.error(s"unexpected offset type: $other")
+  }
+
+  /** Newest version with a materialized feed — the stream's high-water
+    * mark. Feeds publish by atomic rename AFTER their manifest commit,
+    * so a version never appears here before its data is complete. */
+  override def getOffset: Option[Offset] =
+    SnapshotLog.cdfVersions(fs, bp).lastOption.map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(versionOf).getOrElse(0L)
+    val hi = versionOf(end)
+    val versions = SnapshotLog.cdfVersions(fs, bp)
+      .filter(v => v > lo && v <= hi)
+    val batch =
+      if (versions.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else {
+        val dirs = versions.map(v => new Path(bp, f"_cdf/v$v%011d").toString)
+        val raw = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        val have = raw.columns.toSet
+        raw.select(schema.fields.toSeq.map { f =>
+          if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+    // v1 sources must hand MicroBatchExecution an isStreaming=true
+    // frame (the engine asserts it); the only constructor for that is
+    // private[sql], reached reflectively — the same seam Delta sits on
+    // by living inside org.apache.spark.sql.
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val m = classic.getClass.getMethods
+      .find(_.getName == "internalCreateDataFrame")
+      .getOrElse(sys.error("internalCreateDataFrame not found on SparkSession"))
+    m.invoke(classic, batch.queryExecution.toRdd, schema,
+      java.lang.Boolean.TRUE).asInstanceOf[DataFrame]
+  }
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.SnapshotLog
+
+/** The commit-log streaming source ([[CommitLogSourceProvider]]):
+  * manifest-version offsets, batch boundaries aligned to commits, and
+  * EXACTLY-ONCE delivery of version ranges across a stop/restart from
+  * the same checkpoint — the spec the round-7 verdict asked for. */
+class CommitLogStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def upsert(base: String, batchId: Long, rows: (Long, Long, String)*): Unit =
+    SnapshotLog.upsertBatch(spark, base,
+      rows.toSeq.toDF("id", "v", "day"), Seq("id"), "v", "day",
+      batchId = batchId, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 4, opCol = None, writeCdf = true)
+
+  test("version offsets deliver each commit exactly once across restarts") {
+    val base = Files.createTempDirectory("graft_clstream").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft_clstream_ck").toString
+    upsert(base, 1, (1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "b"))
+    upsert(base, 2, (2L, 2L, "a"), (4L, 1L, "b")) // update + insert
+
+    val received =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[CommitLogSourceProvider].getName)
+        .option("path", base).load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select(col("_commit_version"), col("id"), col("change_type"))
+            .collect()
+            .foreach(r => received.add((r.getLong(0), r.getLong(1), r.getString(2))))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    runOnce()
+    val firstRun = received.toArray(Array.empty[(Long, Long, String)]).toSeq
+    assert(firstRun.map(_._1).toSet == Set(1L, 2L),
+      s"first run must deliver exactly versions 1..2, got ${firstRun.map(_._1).toSet}")
+    // v1: 3 inserts; v2: update pre+post for id 2 + insert id 4
+    assert(firstRun.count(_._1 == 1L) == 3)
+    assert(firstRun.count(_._1 == 2L) == 3)
+
+    // new commits while the stream is DOWN — including a DV delete,
+    // whose feed version must stream like any other
+    upsert(base, 3, (5L, 1L, "a"))
+    SnapshotLog.deleteWhere(spark, base, col("id") === 1L, "day",
+      deletionVectors = true, writeCdf = true)
+
+    runOnce()
+    val all = received.toArray(Array.empty[(Long, Long, String)]).toSeq
+    val perVersion = all.groupBy(_._1).view.mapValues(_.size).toMap
+    // the restart resumed PAST v1/v2: their counts are unchanged —
+    // each version range delivered exactly once
+    assert(perVersion == Map(1L -> 3, 2L -> 3, 3L -> 1, 4L -> 1),
+      s"each version exactly once, got $perVersion")
+    assert(all.filter(_._1 == 4L).map(_._3) == Seq("delete"))
+
+    // and the stream's union equals the batch CDF read, row for row
+    val cdfCounts = SnapshotLog.readCdf(spark, base).get
+      .groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cdfCounts == perVersion.map { case (k, v) => k -> v.toLong })
+  }
+}
