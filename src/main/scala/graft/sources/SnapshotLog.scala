@@ -1116,6 +1116,72 @@ object SnapshotLog {
       s"compaction lost $maxRetries commit races on $base/$part")
   }
 
+  /** Whole-table OPTIMIZE in ONE transaction: every partition that is
+    * fragmented (≥ `minFiles` files) or carries a deletion vector is
+    * rewritten — DVs materialized, one file per partition — and the
+    * whole maintenance pass commits as a SINGLE version.
+    * [[compactPartition]] commits per partition, which on a
+    * 10⁴-partition table would churn 10⁴ versions (and 10⁴ conflict
+    * windows) for one logical operation; here the rewrite is one
+    * `repartition(partCol)` job (hash distribution guarantees each
+    * partition's rows land in exactly one task → exactly one output
+    * file per partition dir) and one optimistic commit. Untouched
+    * partitions keep their files, stats, blooms, and DVs verbatim;
+    * rewritten files get fresh byte sizes, fresh `statsCols` bounds,
+    * and REBUILT blooms over the columns their replaced files carried.
+    * Returns the committed version, or 0 when nothing needed work. */
+  def optimizeTable(
+      spark: SparkSession,
+      base: String,
+      partCol: String,
+      minFiles: Int = 2,
+      maxRetries: Int = 5,
+      statsCols: Seq[String] = Nil): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(return 0L)
+      val need = m.files.keySet.toSeq.sorted.filter { p =>
+        val fls = m.files(p)
+        fls.size >= math.max(minFiles, 2) || fls.exists(m.dvs.contains)
+      }
+      if (need.isEmpty) return 0L
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val rel =
+        s"data/o$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
+      val dir = new Path(bp, rel)
+      val oldFiles = need.flatMap(p => m.files.getOrElse(p, Nil))
+      // one job: read the fragmented partitions through their DVs,
+      // route each partition's rows to a single writer task
+      val df = readFiles(spark, bp, m, oldFiles)
+      df.withColumn("__p", col(partCol).cast("string"))
+        .repartition(col("__p"))
+        .write.partitionBy("__p").parquet(dir.toString)
+      val staged = listStaged(fs, dir, rel)
+      val stagedStats =
+        if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
+        else fileStats(spark, fs, dir, rel, statsCols)
+      val bloomCols = oldFiles.flatMap(f =>
+        m.blooms.getOrElse(f, Map.empty).keys).distinct
+      val newBlooms = computeBlooms(
+        spark, fs, bp, staged.map(_._2), bloomCols, 0.03)
+      val next = Manifest(
+        version,
+        (m.files -- need) ++ staged.groupBy(_._1).map {
+          case (p, fls) => p -> fls.map(_._2).sorted
+        },
+        (m.stats -- oldFiles) ++ mergeFileStats(sizeStats(staged), stagedStats),
+        (m.blooms -- oldFiles) ++ newBlooms,
+        m.dvs -- oldFiles,
+        m.schemaJson)
+      if (tryCommit(fs, bp, next)) return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"optimize lost $maxRetries commit races on $base")
+  }
+
   /** What a [[deleteWhere]]/[[updateWhere]] did: the committed version
     * (unchanged current version when nothing matched), whether the
     * plan was metadata-only, and which partitions vanished vs were

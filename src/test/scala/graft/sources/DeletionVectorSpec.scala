@@ -171,6 +171,37 @@ class DeletionVectorSpec extends SparkSpec {
       s"partition filter must prune to d1's files (scanned $scanned of ${m.allFiles.size})")
   }
 
+  test("optimizeTable: whole-table OPTIMIZE is ONE commit") {
+    val (base, bp) = mkTable("graft_opt1")
+    val hfs = fs(bp)
+    SnapshotLog.buildBlooms(spark, base, Seq("id"))
+    SnapshotLog.deleteWhere(spark, base,
+      col("id") % 10 === 7, "day", deletionVectors = true).get
+    val m1 = SnapshotLog.readManifest(hfs, bp).get
+    assert(m1.files.values.exists(_.size > 1) && m1.dvs.nonEmpty)
+    val before = SnapshotLog.read(spark, base).get
+      .orderBy("id").collect().toSeq
+
+    val v = SnapshotLog.optimizeTable(spark, base, "day",
+      statsCols = Seq("id", "value"))
+    val m2 = SnapshotLog.readManifest(hfs, bp).get
+    assert(v == m1.version + 1 && m2.version == v,
+      "the whole maintenance pass must be exactly one commit")
+    assert(m2.files.values.forall(_.size == 1),
+      "every fragmented partition must compact to one file")
+    assert(m2.dvs.isEmpty, "optimize must materialize deletion vectors")
+    assert(m2.files.values.flatten.forall(f =>
+      m2.blooms.get(f).exists(_.contains("id")) &&
+        m2.stats.get(f).exists(s =>
+          s.contains("id") && s.contains(SnapshotLog.ByteSizeKey))),
+      "rewritten files need rebuilt blooms, fresh stats, and byte sizes")
+    assert(SnapshotLog.read(spark, base).get.orderBy("id").collect().toSeq
+      == before, "content must be byte-identical through OPTIMIZE")
+    // second run: nothing to do, no version churn
+    assert(SnapshotLog.optimizeTable(spark, base, "day") == 0L)
+    assert(SnapshotLog.readManifest(hfs, bp).get.version == v)
+  }
+
   test("stats/bloom file-skipping still works after OPTIMIZE") {
     val (base, bp) = mkTable("graft_optblooms")
     SnapshotLog.buildBlooms(spark, base, Seq("id"))
