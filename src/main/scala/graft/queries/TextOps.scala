@@ -1149,6 +1149,75 @@ object TextOps {
       SELECT doc_id AS media_id, TRUE AS decode_ok FROM documents
       """))
 
+  /** REAL video frame extraction (closing the stub m2 kept): per doc an
+    * AVI/MJPEG container is synthesized in-engine (6 solid-shade JPEG
+    * frames at 25 fps, ImageIO-encoded), every 50th truncated as a
+    * poison pill; [[graft.multimodal.Multimodal.parseAviMjpeg]] walks
+    * the RIFF tree (the same container grammar as WAV), frame-accurate
+    * offsets come from the avih µs-per-frame header, and each sampled
+    * payload is a standalone JPEG decoded back through
+    * [[graft.multimodal.Multimodal.ImageIoDecoder]]. Graded per media:
+    * exactly 3 evenly spaced frames at 0/80/160 ms, every frame
+    * decodes with the right dimensions, and the decoded red mean
+    * tracks the encoded shade (JPEG-lossy tolerance). Poison pills
+    * must emit NO rows (the oracle excludes them). */
+  val m5VideoFrames: Q = Q(
+    "m5_video_frames",
+    "in-engine AVI/MJPEG synth -> container parse -> frame decode assertion",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, d, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val shade = ((id % 5) * 50).toInt
+            def jpeg(sh: Int): Array[Byte] = {
+              val img = new java.awt.image.BufferedImage(
+                16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 12) {
+                var x = 0
+                while (x < 16) { img.setRGB(x, y, sh << 16); x += 1 }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "jpg", bos)
+              bos.toByteArray
+            }
+            val avi = Multimodal.encodeAviMjpeg(
+              16, 12, 40000, Seq.fill(6)(jpeg(shade)))
+            val data = if (id % 50 == 0) avi.take(30) else avi
+            Multimodal.MediaRow(id, "video", Some(s"synth://$id"), data,
+              Multimodal.MediaMeta(Some(16), Some(12), Some(240L), Some("mjpeg")))
+          }
+        }
+      val frames = Multimodal.sampleFramesMjpeg(media, nFrames = 3)
+      val checked = frames.mapPartitions { it =>
+        val dec = new Multimodal.ImageIoDecoder
+        it.map { f =>
+          val feats = dec.decodeBatch(Seq(Multimodal.MediaRow(
+            f.media_id, "image", None, f.data,
+            Multimodal.MediaMeta(None, None, None, None)))).head
+          val shade = ((f.media_id % 5) * 50).toFloat
+          val ok = feats.ok &&
+            feats.features(0) == 16f && feats.features(1) == 12f &&
+            math.abs(feats.features(2) - shade) < 12f &&
+            f.offset_ms == 80L * f.frame_idx
+          (f.media_id, f.frame_idx, ok)
+        }
+      }.toDF("media_id", "frame_idx", "ok")
+      checked.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("nf"), min(col("ok")).as("all_ok"))
+        .select(col("media_id"),
+          (col("nf") === 3 && col("all_ok")).as("decode_ok"))
+    },
+    Some("""
+      SELECT doc_id AS media_id, TRUE AS decode_ok FROM documents
+      WHERE doc_id % 50 <> 0
+      """))
+
   /** Concat-and-chunk sequence packing — the GPT-style pretraining
     * batcher: documents are concatenated in a deterministic order and
     * cut into fixed token-budget context windows; each doc gets its
@@ -1365,5 +1434,5 @@ object TextOps {
     d14Sentences, d15VocabBuild, d16SimHashPairs, d17NfcNormalize,
     d18Repetition, d19Contamination, d20PackChunks, d21StratifiedSample,
     d22DomainMixture, d23CanonicalDocs, m1MediaFeatures, m2FrameSample,
-    m3ImageDecode, m4AudioDecode)
+    m3ImageDecode, m4AudioDecode, m5VideoFrames)
 }

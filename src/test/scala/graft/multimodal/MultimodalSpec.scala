@@ -120,6 +120,52 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.data.length).sum == 4096) // slices cover the payload
   }
 
+  test("AVI/MJPEG: real container parse, frame-accurate sampling, JPEG frames decode") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+
+    def jpegFrame(shade: Int): Array[Byte] = {
+      val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, shade << 16)
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    // 6 frames of increasing red at 25 fps (40 000 µs per frame)
+    val shades = Seq(0, 50, 100, 150, 200, 250)
+    val avi = encodeAviMjpeg(16, 12, 40000, shades.map(jpegFrame))
+    val rows = Seq(
+      mkMedia(20, "video", avi, w = Some(16), h = Some(12)),
+      mkMedia(21, "video", avi.take(30)), // truncated container: poison pill
+      mkMedia(22, "image", jpegFrame(99))) // not a video: skipped
+    val ds = spark.createDataset(rows).repartition(2)
+
+    val frames = sampleFramesMjpeg(ds, nFrames = 3).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.media_id).toSet == Set(20L),
+      "only the intact video may produce frames")
+    // 3 of 6 frames evenly spaced: indexes 0, 2, 4 → 0 ms, 80 ms, 160 ms
+    assert(frames.map(_.offset_ms).toSeq == Seq(0L, 80L, 160L))
+
+    // the sampled payloads are REAL standalone JPEGs: decode them and
+    // check the red means track the encoded shades (JPEG is lossy →
+    // tolerance)
+    val feats = new ImageIoDecoder().decodeBatch(
+      frames.toSeq.map(f => mkMedia(f.media_id * 10 + f.frame_idx, "image", f.data)))
+    assert(feats.forall(_.ok), "every sampled frame must decode as a JPEG")
+    val reds = feats.map(_.features(2)) // [w, h, meanR, meanG, meanB]
+    assert(feats.forall(f => f.features(0) == 16f && f.features(1) == 12f))
+    Seq(0f, 100f, 200f).zip(reds).foreach { case (want, got) =>
+      assert(math.abs(want - got) < 12f, s"red mean $got !~ $want")
+    }
+
+    // parser contract directly: all 6 frames, µs-per-frame preserved
+    val Some((us, parsed)) = parseAviMjpeg(avi)
+    assert(us == 40000L && parsed.size == 6)
+    assert(parseAviMjpeg(avi.take(30)).isEmpty)
+    assert(parseAviMjpeg("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
   test("media struct schema round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     val df = spark.createDataset(media).toDF()
