@@ -1797,7 +1797,13 @@ object SnapshotLog {
     * longest possible write job (the 24h default is the
     * Delta/Iceberg convention). `retentionMs = 0` reclaims
     * everything unreferenced and is safe ONLY with no concurrent
-    * writers (tests, single-writer maintenance windows). */
+    * writers (tests, single-writer maintenance windows).
+    *
+    * DV sidecars are vacuumed by the same rule: a parquet file under
+    * `_dv/` survives iff some manifest's DV field references its
+    * `__f=` directory (a lost DV-commit race or an expired version
+    * orphans the whole sidecar dir, exactly like an orphaned data
+    * file). */
   def vacuum(
       spark: SparkSession,
       base: String,
@@ -1806,7 +1812,7 @@ object SnapshotLog {
     val fs = fsFor(spark, bp)
     val dir = logDir(bp)
     if (!fs.exists(dir)) return 0L
-    val referenced = fs.listStatus(dir).map(_.getPath.getName)
+    val lines = fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".txt"))
       .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
       .flatMap { v =>
@@ -1814,30 +1820,68 @@ object SnapshotLog {
         val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
         // keep even an INCOMPLETE manifest's file references: its
-        // writer may still be alive and about to finish the commit.
-        // limit 3: a line is `part\tfile[\tstats[\tblooms]]` — the
-        // file field must come out BARE or a stats-carrying line's
-        // reference never matches any rel path and vacuum reclaims
-        // live data
+        // writer may still be alive and about to finish the commit
         text.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(_.split("\t", 3)(1))
-      }.toSet
-    val dataDir = new Path(bp, "data")
-    if (!fs.exists(dataDir)) return 0L
+      }
+    // limit 5, field 1 BARE: a stats/bloom/DV-carrying line's file
+    // field must come out clean or vacuum reclaims live data
+    val referenced = lines.map(_.split("\t", 5)(1)).toSet
+    // DV sidecar DIRS referenced by any manifest's 5th field (f-kind)
+    val dvDirs = lines.flatMap { l =>
+      val a = l.split("\t", 5)
+      if (a.length == 5 && a(4).startsWith("f:"))
+        a(4).split(":", 3) match {
+          case Array(_, _, p) => Some(dec(p))
+          case _ => None
+        }
+      else None
+    }.toSet
     var removed = 0L
     val cutoff = System.currentTimeMillis() - retentionMs
     // listFiles returns scheme-qualified paths; relativize against the
     // equally-qualified base or the prefix strip silently no-ops
     val qBase = fs.makeQualified(bp).toString
-    val it = fs.listFiles(dataDir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile) {
-        val rel = st.getPath.toString.stripPrefix(qBase).stripPrefix("/")
-        if (rel.endsWith(".parquet") && !referenced.contains(rel) &&
-            st.getModificationTime <= cutoff) {
-          fs.delete(st.getPath, false)
-          removed += 1
+    def sweep(sub: String, keep: String => Boolean): Unit = {
+      val d = new Path(bp, sub)
+      if (!fs.exists(d)) return
+      val it = fs.listFiles(d, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) {
+          val rel = st.getPath.toString.stripPrefix(qBase).stripPrefix("/")
+          if (rel.endsWith(".parquet") && !keep(rel) &&
+              st.getModificationTime <= cutoff) {
+            fs.delete(st.getPath, false)
+            removed += 1
+          }
+        }
+      }
+    }
+    sweep("data", referenced.contains)
+    // sidecars sweep at the JOB-DIR level: a top-level `_dv/<job>` dir
+    // goes (recursively — payload, _SUCCESS markers, and all) iff no
+    // manifest references any `__f=` dir under it and every file in it
+    // has aged past retention
+    val dvRoot = new Path(bp, "_dv")
+    if (fs.exists(dvRoot)) {
+      fs.listStatus(dvRoot).filter(_.isDirectory).foreach { d =>
+        val rel = d.getPath.toString.stripPrefix(qBase).stripPrefix("/")
+        val isReferenced = dvDirs.exists(_.startsWith(rel + "/"))
+        if (!isReferenced) {
+          var allAged = true
+          var nFiles = 0L
+          val it = fs.listFiles(d.getPath, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile) {
+              nFiles += 1
+              if (st.getModificationTime > cutoff) allAged = false
+            }
+          }
+          if (allAged) {
+            fs.delete(d.getPath, true)
+            removed += nFiles
+          }
         }
       }
     }

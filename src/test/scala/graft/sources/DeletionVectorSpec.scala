@@ -107,7 +107,34 @@ class DeletionVectorSpec extends SparkSpec {
     val m2 = SnapshotLog.readManifest(fs(bp), bp).get
     val live2 = SnapshotLog.read(spark, base).get
     assert(live2.filter(col("user").isin("u3", "u4")).count() == 0)
-    assert(SnapshotLog.countRows(m2).contains(live2.count()))
+    // snapshot the count NOW: live2's plan pins the v3 manifest's
+    // sidecar files, which vacuum will legitimately reclaim below —
+    // re-executing the stale frame afterwards must fail, like any
+    // vacuumed-out time-travel reader (the Delta contract)
+    val n2 = live2.count()
+    assert(SnapshotLog.countRows(m2).contains(n2))
+
+    // vacuum: LIVE sidecars survive (still referenced), reads intact
+    val hfs = fs(bp)
+    def dvFiles(): Long = {
+      if (!hfs.exists(new Path(bp, "_dv"))) return 0L
+      val it = hfs.listFiles(new Path(bp, "_dv"), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().isFile) n += 1 }
+      n
+    }
+    assert(dvFiles() > 0)
+    SnapshotLog.vacuum(spark, base, retentionMs = 0L)
+    assert(dvFiles() > 0, "vacuum must keep referenced DV sidecars")
+    assert(SnapshotLog.read(spark, base).get.count() == n2)
+
+    // materialize the DVs and expire history: sidecars become orphans
+    // and vacuum reclaims them
+    m2.files.keySet.foreach(p => SnapshotLog.compactPartition(spark, base, p))
+    SnapshotLog.expireVersions(spark, base, keepLast = 1)
+    SnapshotLog.vacuum(spark, base, retentionMs = 0L)
+    assert(dvFiles() == 0, "orphaned DV sidecars must be reclaimed")
+    assert(SnapshotLog.read(spark, base).get.count() == n2)
   }
 
   test("CDF and diffVersions see DV deletes as delete rows") {
