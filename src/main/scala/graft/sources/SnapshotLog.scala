@@ -88,14 +88,19 @@ object SnapshotLog {
     *               METADATA — planning needs zero data-file footer
     *               reads (the Iceberg/Delta model). Evolved at commit:
     *               add-column merges append. None on legacy manifests
-    *               → readers fall back to a mergeSchema footer scan. */
+    *               → readers fall back to a mergeSchema footer scan.
+    * @param op     what produced this version (UPSERT, DELETE, DELETE_DV,
+    *               UPDATE, COMPACT, OPTIMIZE, STATS, BLOOMS) — the
+    *               Delta DESCRIBE HISTORY operation column, surfaced by
+    *               [[history]]. None on legacy manifests. */
   final case class Manifest(
       version: Long,
       files: Map[String, Seq[String]],
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
       blooms: Map[String, Map[String, String]] = Map.empty,
       dvs: Map[String, Dv] = Map.empty,
-      schemaJson: Option[String] = None) {
+      schemaJson: Option[String] = None,
+      op: Option[String] = None) {
     def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.flatMap(j =>
@@ -112,6 +117,9 @@ object SnapshotLog {
 
   /** Header-comment tag carrying the table schema (see [[Manifest]]). */
   private val SchemaTag = "#schema"
+
+  /** Header-comment tag naming the operation that committed a version. */
+  private val OpTag = "#op"
 
   /** Above this many positions a DV spills to a parquet sidecar —
     * bounds BOTH the driver-side work at delete time (positions are
@@ -243,6 +251,10 @@ object SnapshotLog {
           .filter(_.startsWith(SchemaTag + "\t"))
           .map(l => dec(l.substring(SchemaTag.length + 1)))
           .nextOption()
+        val op = text.split("\n").iterator
+          .filter(_.startsWith(OpTag + "\t"))
+          .map(l => dec(l.substring(OpTag.length + 1)))
+          .nextOption()
         val lines = text.split("\n").iterator
           .filter(l => l.nonEmpty && !l.startsWith("#"))
           .map(_.split("\t", 5)).toSeq
@@ -271,7 +283,7 @@ object SnapshotLog {
               case other => sys.error(s"unknown DV kind '$other' in manifest")
             })
         }.toMap
-        Some(Manifest(v, files, stats, blooms, dvs, schemaJson))
+        Some(Manifest(v, files, stats, blooms, dvs, schemaJson, op))
       }
     }
   }
@@ -357,7 +369,8 @@ object SnapshotLog {
     val target = new Path(dir, vName(m.version))
     if (fs.exists(target)) return false
     val header = m.schemaJson
-      .map(j => s"$SchemaTag\t${enc(j)}\n").getOrElse("")
+      .map(j => s"$SchemaTag\t${enc(j)}\n").getOrElse("") +
+      m.op.map(o => s"$OpTag\t${enc(o)}\n").getOrElse("")
     val text = header + m.files.toSeq.sortBy(_._1).flatMap { case (p, fls) =>
       fls.sorted.map { f =>
         val st = m.stats.getOrElse(f, Map.empty)
@@ -643,7 +656,8 @@ object SnapshotLog {
           // header built from the batch alone would hide them
           if (m.schemaJson.isEmpty && (m.files -- affected).nonEmpty) None
           else evolveSchema(m.schemaJson,
-            org.apache.spark.sql.types.StructType(targetFields.toArray)))
+            org.apache.spark.sql.types.StructType(targetFields.toArray)),
+          Some(if (opCol.isDefined) "CDC" else "UPSERT"))
         committed = tryCommit(fs, bp, next)
         if (committed) committedVersion = version
         attempt += 1
@@ -839,7 +853,8 @@ object SnapshotLog {
       }
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (tryCommit(fs, bp,
-          Manifest(version, m.files, merged, m.blooms, m.dvs, schemaJson)))
+          Manifest(version, m.files, merged, m.blooms, m.dvs, schemaJson,
+            Some("STATS"))))
         return version
       attempt += 1
     }
@@ -927,7 +942,8 @@ object SnapshotLog {
       val built = computeBlooms(spark, fs, bp, files, cols, fpp)
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (tryCommit(fs, bp,
-          m.copy(version = version, blooms = m.blooms ++ built)))
+          m.copy(version = version, blooms = m.blooms ++ built,
+            op = Some("BLOOMS"))))
         return version
       attempt += 1
     }
@@ -1108,7 +1124,8 @@ object SnapshotLog {
             (m.stats -- files) ++ mergeFileStats(newSizes, newStats),
             (m.blooms -- files) ++ newBlooms,
             m.dvs -- files,
-            m.schemaJson)))
+            m.schemaJson,
+            Some(if (clusterBy.isEmpty) "COMPACT" else "OPTIMIZE"))))
         return version
       attempt += 1
     }
@@ -1174,7 +1191,8 @@ object SnapshotLog {
         (m.stats -- oldFiles) ++ mergeFileStats(sizeStats(staged), stagedStats),
         (m.blooms -- oldFiles) ++ newBlooms,
         m.dvs -- oldFiles,
-        m.schemaJson)
+        m.schemaJson,
+        Some("OPTIMIZE"))
       if (tryCommit(fs, bp, next)) return version
       attempt += 1
     }
@@ -1295,7 +1313,8 @@ object SnapshotLog {
         val gone = dropped.flatMap(p => m.files.getOrElse(p, Nil))
         if (tryCommit(fs, bp,
             Manifest(version, m.files -- dropped, m.stats -- gone,
-              m.blooms -- gone, m.dvs -- gone, m.schemaJson))) {
+              m.blooms -- gone, m.dvs -- gone, m.schemaJson,
+              Some("DELETE")))) {
           if (writeCdf) {
             val pre = align(
               readFiles(spark, bp, m,
@@ -1401,7 +1420,8 @@ object SnapshotLog {
             }
           }
           if (tryCommit(fs, bp,
-              m.copy(version = version, dvs = m.dvs ++ newDvs))) {
+              m.copy(version = version, dvs = m.dvs ++ newDvs,
+                op = Some("DELETE_DV")))) {
             if (writeCdf) {
               val feed = align(liveRows.filter(predicate), live0.schema)
               commitCdfVersion(fs, bp, version,
@@ -1443,7 +1463,8 @@ object SnapshotLog {
           m.dvs -- preFiles,
           // this pass read the whole live table, so a legacy manifest
           // gets its schema header backfilled for free
-          m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))))
+          m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
+          Some("DELETE"))
         if (tryCommit(fs, bp, next)) {
           if (writeCdf) commitCdfVersion(fs, bp, version,
             pre.filter(predicate)
@@ -1548,7 +1569,8 @@ object SnapshotLog {
         (m.stats -- preFiles) ++ mergeFileStats(sizeStats(staged), stagedStats),
         m.blooms -- preFiles,
         m.dvs -- preFiles,
-        m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))))
+        m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
+        Some("UPDATE"))
       if (tryCommit(fs, bp, next)) {
         if (writeCdf) {
           val cols = lv.columns.toSeq
@@ -1755,6 +1777,30 @@ object SnapshotLog {
         v
       }
     }
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version, newest first —
+    * version, commit timestamp (the manifest file's modification
+    * time: the atomic create IS the commit instant), the operation
+    * that produced it ([[Manifest.op]]; UNKNOWN on legacy manifests),
+    * live partition/file counts, and the metadata row count when
+    * every file carries one (−1 otherwise). O(versions) manifest
+    * reads, zero data-file IO — an audit/debug surface, not a hot
+    * path. */
+  def history(spark: SparkSession, base: String): DataFrame = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    import spark.implicits._
+    committedVersions(fs, bp).reverse.flatMap { v =>
+      readManifestAt(fs, bp, v).map { m =>
+        val ts = fs.getFileStatus(new Path(logDir(bp), vName(v)))
+          .getModificationTime
+        (v, new java.sql.Timestamp(ts), m.op.getOrElse("UNKNOWN"),
+          m.files.size.toLong, m.allFiles.size.toLong,
+          m.dvs.values.map(_.count).sum, countRows(m).getOrElse(-1L))
+      }
+    }.toDF("version", "timestamp", "operation",
+      "n_partitions", "n_files", "n_deleted_rows", "n_rows")
   }
 
   /** Expire every committed version older than the newest `keepLast`,

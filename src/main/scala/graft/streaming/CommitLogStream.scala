@@ -87,13 +87,15 @@ class CommitLogSourceProvider extends StreamSourceProvider with DataSourceRegist
       parameters: Map[String, String]): Source =
     new CommitLogSource(sqlContext.sparkSession, pathOf(parameters),
       schema.getOrElse(
-        CommitLogStream.cdfSchema(sqlContext.sparkSession, pathOf(parameters))))
+        CommitLogStream.cdfSchema(sqlContext.sparkSession, pathOf(parameters))),
+      parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(0))
 }
 
 class CommitLogSource(
     spark: SparkSession,
     base: String,
-    override val schema: StructType)
+    override val schema: StructType,
+    maxVersionsPerBatch: Int = 0)
   extends Source {
 
   private val bp = new Path(base)
@@ -105,15 +107,38 @@ class CommitLogSource(
     case other => sys.error(s"unexpected offset type: $other")
   }
 
+  /** Admission-control watermark: the highest offset this source has
+    * HANDED OUT (via getOffset or a replayed getBatch) — each trigger
+    * may advance at most `maxVersionsPerBatch` past it. Tracking
+    * returned (not committed) offsets is the v1 pattern the old
+    * FileStreamSource's maxFilesPerTrigger uses: the engine's commit
+    * lags the poll, and capping off the commit would re-offer the same
+    * window and stall `processAllAvailable`. */
+  @volatile private var lastReturned: Long = -1L
+
   /** Newest version with a materialized feed — the stream's high-water
     * mark. Feeds publish by atomic rename AFTER their manifest commit,
-    * so a version never appears here before its data is complete. */
-  override def getOffset: Option[Offset] =
-    SnapshotLog.cdfVersions(fs, bp).lastOption.map(LongOffset(_))
+    * so a version never appears here before its data is complete.
+    * `maxVersionsPerBatch` caps how far one micro-batch may advance —
+    * the admission-control knob (Delta's maxFilesPerTrigger analog)
+    * that keeps a long catch-up from becoming one giant batch. */
+  override def getOffset: Option[Offset] = {
+    val vs = SnapshotLog.cdfVersions(fs, bp)
+    if (vs.isEmpty) None
+    else if (maxVersionsPerBatch <= 0) Some(LongOffset(vs.last))
+    else {
+      val next = vs.filter(_ > lastReturned).take(maxVersionsPerBatch)
+      val off = if (next.isEmpty) lastReturned else next.last
+      lastReturned = math.max(lastReturned, off)
+      Some(LongOffset(off))
+    }
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(versionOf).getOrElse(0L)
     val hi = versionOf(end)
+    // a replayed batch after restart re-establishes the watermark
+    lastReturned = math.max(lastReturned, hi)
     val versions = SnapshotLog.cdfVersions(fs, bp)
       .filter(v => v > lo && v <= hi)
     val batch =

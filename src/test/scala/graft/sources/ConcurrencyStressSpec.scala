@@ -61,12 +61,20 @@ class ConcurrencyStressSpec extends SparkSpec {
                 opCol = None, writeCdf = false)
               // maintenance races too: thread 0 compacts a shared
               // partition, thread 1 vacuums under a retention window
-              // (the only concurrent-writer-safe mode)
+              // (the only concurrent-writer-safe mode), thread 2
+              // merge-on-read-deletes its OWN keys' stale rows (the
+              // next upsert restores them, so the serial-replay
+              // expectation is unchanged while DV commits race
+              // upserts and compactions)
               if (tid == 0 && r % 5 == 0)
                 SnapshotLog.compactPartition(spark, base, s"d${r % 3}",
                   maxRetries = 40, statsCols = Seq("id"))
               if (tid == 1 && r % 7 == 0)
                 SnapshotLog.vacuum(spark, base, retentionMs = 3600L * 1000)
+              if (tid == 2 && r % 6 == 0 && r < rounds)
+                SnapshotLog.deleteWhere(spark, base,
+                  col("id") >= 2000 && col("id") < 3000 && col("round") < r,
+                  "day", maxRetries = 40, deletionVectors = true)
               if (rnd.nextInt(3) == 0) Thread.sleep(rnd.nextInt(20).toLong)
             }
           } catch { case t: Throwable => failures.add(t) }

@@ -227,6 +227,18 @@ class DeletionVectorSpec extends SparkSpec {
     // second run: nothing to do, no version churn
     assert(SnapshotLog.optimizeTable(spark, base, "day") == 0L)
     assert(SnapshotLog.readManifest(hfs, bp).get.version == v)
+
+    // DESCRIBE HISTORY: newest-first operations with metadata counts
+    val hist = SnapshotLog.history(spark, base)
+      .select("version", "operation", "n_deleted_rows", "n_rows")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(hist.map(_._1).toSeq == hist.map(_._1).sorted.reverse.toSeq)
+    assert(hist.map(_._2).toSeq == Seq("OPTIMIZE", "DELETE_DV", "BLOOMS", "UPSERT"),
+      s"history must name each version's operation, got ${hist.map(_._2).toSeq}")
+    val dvRow = hist.find(_._2 == "DELETE_DV").get
+    assert(dvRow._3 == 30 && dvRow._4 == 270,
+      "DV version must report 30 deleted and 270 live rows from metadata")
+    assert(hist.find(_._2 == "OPTIMIZE").get._3 == 0)
   }
 
   test("stats/bloom file-skipping still works after OPTIMIZE") {

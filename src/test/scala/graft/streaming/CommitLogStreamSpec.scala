@@ -76,4 +76,36 @@ class CommitLogStreamSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cdfCounts == perVersion.map { case (k, v) => k -> v.toLong })
   }
+
+  test("maxVersionsPerBatch bounds catch-up batches to version boundaries") {
+    val base = Files.createTempDirectory("graft_clstream2").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft_clstream2_ck").toString
+    (1 to 4).foreach(i => upsert(base, i, (i.toLong, i.toLong, "a")))
+
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val q = spark.readStream
+      .format(classOf[CommitLogSourceProvider].getName)
+      .option("path", base)
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val vs = df.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet
+        if (vs.nonEmpty) batches.add(vs)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val seen = batches.toArray(Array.empty[Set[Long]]).toSeq
+    // every non-empty batch carries exactly one version, in order,
+    // and together they cover all four commits exactly once
+    assert(seen.forall(_.size == 1),
+      s"rate-limited batches must align to single versions, got $seen")
+    assert(seen.flatMap(_.toSeq) == Seq(1L, 2L, 3L, 4L))
+  }
 }
