@@ -1585,6 +1585,66 @@ object Relational2 {
       FROM v2 GROUP BY o_year
       """))
 
+  /** DESCRIBE HISTORY over the commit log ([[graft.sources.
+    * SnapshotLog.history]]): the audit surface a table format owes its
+    * operators — per-version operation names (from the `#op` manifest
+    * header), commit timestamps, and metadata-only row accounting.
+    * Graded in-engine over a four-operation lifecycle (UPSERT →
+    * DELETE_DV → OPTIMIZE → STATS): operations come back newest-first
+    * with the right names, the DV version reports its deleted-row
+    * count from metadata alone, OPTIMIZE clears it, timestamps are
+    * monotone non-decreasing oldest→newest, and every version's
+    * metadata row count matches a scan of that version. */
+  val q83History: Q = Q(
+    "q83_history",
+    "DESCRIBE HISTORY: per-version operations + metadata row accounting",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_hist").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_orderkey"), clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)
+      val total = orders.count()
+      val nDel = orders.filter(col("o_orderkey") % 97 === 0).count()
+      SnapshotLog.deleteWhere(s, base, col("o_orderkey") % 97 === 0,
+        "o_year", deletionVectors = true)
+      SnapshotLog.optimizeTable(s, base, "o_year", statsCols = Seq("o_orderkey"))
+      SnapshotLog.computeStats(s, base, Seq("o_totalprice"))
+
+      val h = SnapshotLog.history(s, base)
+        .orderBy(desc("version"))
+        .collect()
+      val ops = h.map(_.getAs[String]("operation")).toSeq
+      val rowsByV = h.map(r =>
+        r.getAs[Long]("version") -> r.getAs[Long]("n_rows")).toMap
+      val delByV = h.map(r =>
+        r.getAs[Long]("version") -> r.getAs[Long]("n_deleted_rows")).toMap
+      val ts = h.map(_.getAs[java.sql.Timestamp]("timestamp").getTime).reverse
+      val scansMatch = rowsByV.forall { case (v, n) =>
+        SnapshotLog.readVersion(s, base, v).get.count() == n
+      }
+      import s.implicits._
+      Seq((
+        ops == Seq("STATS", "OPTIMIZE", "DELETE_DV", "UPSERT"),
+        delByV(2L) == nDel && rowsByV(2L) == total - nDel,
+        delByV(3L) == 0L && rowsByV(3L) == total - nDel,
+        ts.zip(ts.tail).forall { case (a, b) => a <= b },
+        scansMatch
+      )).toDF("ops_named", "dv_accounting", "optimize_clears_dv",
+        "timestamps_monotone", "metadata_matches_scans")
+    },
+    Some("""
+      SELECT TRUE AS ops_named, TRUE AS dv_accounting,
+             TRUE AS optimize_clears_dv, TRUE AS timestamps_monotone,
+             TRUE AS metadata_matches_scans
+      FROM orders LIMIT 1
+      """))
+
   /** Per-file BLOOM filters in the commit-log manifest — the
     * point-lookup complement to q70's min/max bounds: the layout is
     * range-clustered on `user_id` (so user_id is range-prunable), which
@@ -2170,5 +2230,5 @@ object Relational2 {
     q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff,
     q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip, q76JoinIvm,
     q77MetadataCount, q78PredicateDelete, q79PredicateUpdate,
-    q80PlannerScan, q81DeletionVectors, q82VersionStream)
+    q80PlannerScan, q81DeletionVectors, q82VersionStream, q83History)
 }
