@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
     ext.injectOptimizerRule(_ => graft.plans.CosineFuseRewrite)
+    // SQL DELETE/UPDATE on registered commit-log tables (see
+    // graft.plans.SnapshotDmlRule for why this is the honest seam)
+    ext.injectResolutionRule(session => graft.plans.SnapshotDmlRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

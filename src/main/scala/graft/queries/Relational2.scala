@@ -1645,6 +1645,77 @@ object Relational2 {
       FROM orders LIMIT 1
       """))
 
+  /** SQL DML on the commit log ([[graft.plans.SnapshotDmlRule]] via
+    * [[graft.GraftExtensions]]): a plain `spark.sql("DELETE FROM
+    * <view> WHERE …")` routes a row predicate to merge-on-read
+    * deletion vectors, a partition predicate to the metadata drop,
+    * and `UPDATE … SET …` to the pruned rewrite — each statement
+    * re-pins the view so the NEXT SQL statement on the same name
+    * reads the committed snapshot. Graded by a three-statement
+    * lifecycle whose final SELECT (also SQL, on the view) must
+    * hash-match the oracle's recompute, with in-engine proof that
+    * the row DELETE rewrote zero files. */
+  val q84SqlDml: Q = Q(
+    "q84_sql_dml",
+    "SQL DELETE (DV + metadata paths) and UPDATE on a commit-log view",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_sqldml84").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_orderkey"), clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)
+      val view = Catalog.registerSnapshotLog(s, "q84", "orders", base,
+        Some("o_year"))
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val m1 = SnapshotLog.readManifest(fs, bp).get
+      val y0 = orders.agg(min(col("o_year"))).first().getString(0)
+
+      s.sql(s"DELETE FROM $view WHERE o_orderkey % 7 = 0")
+      val m2 = SnapshotLog.readManifest(fs, bp).get
+      require(m2.files == m1.files && m2.dvs.nonEmpty,
+        "SQL row DELETE must commit deletion vectors, not rewrites")
+      s.sql(s"UPDATE $view SET o_totalprice = o_totalprice * 2 " +
+        s"WHERE o_orderkey % 5 = 0")
+      s.sql(s"DELETE FROM $view WHERE o_year = '$y0'")
+      val m4 = SnapshotLog.readManifest(fs, bp).get
+      require(!m4.files.contains(y0) && m4.op.contains("DELETE"),
+        "SQL partition DELETE must plan metadata-only")
+
+      s.sql(s"""
+        SELECT o_year, o_orderstatus, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $view
+        GROUP BY o_year, o_orderstatus
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      yr AS (SELECT MIN(o_year) AS y0 FROM base),
+      d1 AS (SELECT * FROM base, yr WHERE o_orderkey % 7 <> 0),
+      u1 AS (SELECT o_orderkey,
+                    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                         ELSE o_totalprice END AS o_totalprice,
+                    o_orderstatus, o_year, y0
+             FROM d1),
+      d2 AS (SELECT * FROM u1 WHERE o_year <> y0)
+      SELECT o_year, o_orderstatus, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM d2
+      GROUP BY o_year, o_orderstatus
+      """))
+
   /** Per-file BLOOM filters in the commit-log manifest — the
     * point-lookup complement to q70's min/max bounds: the layout is
     * range-clustered on `user_id` (so user_id is range-prunable), which
@@ -2230,5 +2301,6 @@ object Relational2 {
     q69PitLookup, q70StatsPruning, q71CompositeMerge, q72VersionDiff,
     q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip, q76JoinIvm,
     q77MetadataCount, q78PredicateDelete, q79PredicateUpdate,
-    q80PlannerScan, q81DeletionVectors, q82VersionStream, q83History)
+    q80PlannerScan, q81DeletionVectors, q82VersionStream, q83History,
+    q84SqlDml)
 }

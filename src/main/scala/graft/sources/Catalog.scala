@@ -121,14 +121,31 @@ object Catalog {
     * file list as a LOCATION. Returns the view name, `<db>_<name>`
     * (temp views live outside databases). */
   def registerSnapshotLog(
-      spark: SparkSession, db: String, name: String, path: String): String = {
+      spark: SparkSession, db: String, name: String, path: String,
+      partCol: Option[String] = None): String = {
     val viewName = s"${db}_$name"
-    SnapshotRelation.read(spark, path) match {
+    SnapshotRelation.read(spark, path, partCol = partCol) match {
       case Some(df) => df.createOrReplaceTempView(viewName)
       case None => // claimed but never-committed table: nothing to pin
     }
+    // partCol-declared tables additionally become SQL-DML targets:
+    // `DELETE FROM <view> WHERE ...` / `UPDATE <view> SET ...` route
+    // through the commit log ([[graft.plans.SnapshotDmlRule]]) and
+    // re-pin the view at the committed version
+    partCol.foreach(pc => dmlTargets.put(viewName, (path, pc, db, name)))
     viewName
   }
+
+  /** SQL-DML-addressable snapshot tables: view name →
+    * (table path, partition column, db, name). Registered by
+    * [[registerSnapshotLog]] when the caller declares the partition
+    * column (DML planning needs it); a real deployment would carry
+    * this in table properties. */
+  private[graft] val dmlTargets =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String)]()
+
+  private[graft] def dmlTarget(viewName: String): Option[(String, String, String, String)] =
+    Option(dmlTargets.get(viewName))
 
   /** Crawl `root`: create database `db` if absent, register one external
     * table per qualifying first-level prefix. Idempotent; re-crawling

@@ -1,0 +1,62 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSessions, SparkSpec}
+import graft.sources.{Catalog, SnapshotLog}
+
+/** SQL DML on commit-log tables through the extension seam: a plain
+  * `spark.sql("DELETE FROM <view> WHERE …")` routes to the commit
+  * log's merge-on-read delete (partition predicates still take the
+  * metadata fast path), `UPDATE … SET …` to the pruned rewrite, and
+  * each statement re-pins the view so the very next SELECT on the
+  * same name sees the committed version. */
+class SqlDmlSpec extends SparkSpec {
+
+  private lazy val s = GraftSessions.withExtensions(spark)
+
+  test("SQL DELETE: row predicate commits deletion vectors; partition predicate is metadata-only") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_sqldml").toString + "/tbl"
+    val rows = (1L to 300L).map(i => (i, i * 1.5, s"d${i % 3}"))
+      .toDF("id", "value", "day")
+    SnapshotLog.upsertBatch(s, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Seq("id"),
+      clusterBy = Nil, clusterFiles = 8, opCol = None, writeCdf = false)
+    val view = Catalog.registerSnapshotLog(s, "dml", "t1", base, Some("day"))
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val m1 = SnapshotLog.readManifest(fs, bp).get
+
+    // row-predicate DELETE → deletion vectors, zero files rewritten
+    val res = s.sql(s"DELETE FROM $view WHERE id % 10 = 3").collect().head
+    assert(res.getString(0) == "DELETE" && res.getLong(1) == m1.version + 1)
+    val m2 = SnapshotLog.readManifest(fs, bp).get
+    assert(m2.files == m1.files, "SQL row delete must commit DVs, not rewrites")
+    assert(m2.dvs.values.map(_.count).sum == 30)
+    // the SAME view name immediately reads the new snapshot
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 270)
+    assert(s.sql(s"SELECT COUNT(*) FROM $view WHERE id % 10 = 3")
+      .head.getLong(0) == 0)
+
+    // partition-predicate DELETE → metadata-only drop
+    s.sql(s"DELETE FROM $view WHERE day = 'd1'")
+    val m3 = SnapshotLog.readManifest(fs, bp).get
+    assert(!m3.files.contains("d1") && m3.op.contains("DELETE"))
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) ==
+      (1L to 300L).count(i => i % 10 != 3 && i % 3 != 1))
+
+    // SQL UPDATE: assignment evaluated over the old row, re-pinned read
+    s.sql(s"UPDATE $view SET value = value * 2 WHERE id = 6")
+    assert(s.sql(s"SELECT value FROM $view WHERE id = 6").head.getDouble(0) == 18.0)
+    assert(SnapshotLog.readManifest(fs, bp).get.op.contains("UPDATE"))
+
+    // an unregistered name still gets Spark's own v2-only error
+    rows.limit(5).createOrReplaceTempView("plain_view")
+    intercept[Exception](s.sql("DELETE FROM plain_view WHERE id = 1"))
+  }
+}
