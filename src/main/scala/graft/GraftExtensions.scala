@@ -17,8 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
     ext.injectOptimizerRule(_ => graft.plans.CosineFuseRewrite)
-    // SQL DELETE/UPDATE on registered commit-log tables (see
-    // graft.plans.SnapshotDmlRule for why this is the honest seam)
+    // SQL DELETE/UPDATE/MERGE on registered commit-log tables (see
+    // graft.plans.SnapshotDmlRule for why this is the honest seam).
+    // Injected at HINT resolution — the batch that runs BEFORE main
+    // resolution — so the DML node rewrites while its target is still
+    // the bare view name: Spark's own resolution would otherwise throw
+    // unsupported-table-operation for MERGE mid-batch, before an
+    // extended resolution rule ever sees the plan.
+    ext.injectHintResolutionRule(session => graft.plans.SnapshotDmlRule(session))
     ext.injectResolutionRule(session => graft.plans.SnapshotDmlRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),

@@ -1,13 +1,15 @@
 package graft.plans
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.{
+  And, Attribute, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+  Assignment, DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan,
+  MergeAction, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
 
 import graft.sources.{Catalog, SnapshotLog}
@@ -37,14 +39,20 @@ import graft.sources.{Catalog, SnapshotLog}
   * algebra, arithmetic, function calls). */
 case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  /** The view name a DML target resolves to, before or after Spark's
-    * own relation resolution (rule order inside the analyzer batch is
-    * not ours to pick, so match both shapes). */
-  private def viewNameOf(table: LogicalPlan): Option[String] = table match {
-    case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
-      Some(u.multipartIdentifier.head)
-    case SubqueryAlias(ident, _) => Some(ident.name)
-    case _ => None
+  /** The registered view name a DML target resolves to, before or
+    * after Spark's own relation resolution (rule order inside the
+    * analyzer batch is not ours to pick, so match both shapes). A
+    * statement alias (`MERGE INTO v t …`) adds an OUTER
+    * SubqueryAlias named `t` — walk the whole alias chain and take
+    * the first name that is actually registered. */
+  private def viewNameOf(table: LogicalPlan): Option[String] = {
+    def names(p: LogicalPlan): Seq[String] = p match {
+      case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+        Seq(u.multipartIdentifier.head)
+      case SubqueryAlias(ident, child) => ident.name +: names(child)
+      case _ => Nil
+    }
+    names(table).find(Catalog.dmlTarget(_).isDefined)
   }
 
   /** SQL text of `e` with attribute QUALIFIERS stripped: by the time
@@ -63,16 +71,59 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => other.sql.stripPrefix("`").stripSuffix("`")
   }
 
+  /** The merge keys when `cond` is a conjunction of same-named
+    * column equalities (`t.k = s.k AND …`) — the canonical MERGE ON
+    * shape. Any other shape returns None and the statement falls
+    * through to Spark's own (v2-only) handling. */
+  private def mergeKeys(cond: Expression): Option[Seq[String]] = {
+    def name(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys = conjuncts(cond).map {
+      case EqualTo(l, r) =>
+        (name(l), name(r)) match {
+          case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
+    if (keys.exists(_.isEmpty) || keys.isEmpty) None
+    else Some(keys.flatten.distinct)
+  }
+
+  /** The two MERGE shapes this engine executes directly:
+    * UPDATE*+INSERT* (the upsert) and bare matched-DELETE. Clause
+    * conditions and anything richer fall through to Spark. */
+  private def mergeMode(
+      matched: Seq[MergeAction], notMatched: Seq[MergeAction]): Option[Boolean] =
+    (matched, notMatched) match {
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+        Some(false) // upsert
+      case (Seq(DeleteAction(None)), Seq()) => Some(true) // keyed delete
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case DeleteFromTable(t, cond) if viewNameOf(t).exists(Catalog.dmlTarget(_).isDefined) =>
+    case DeleteFromTable(t, cond) if viewNameOf(t).isDefined =>
       SnapshotDeleteCommand(viewNameOf(t).get, bareSql(cond))
-    case UpdateTable(t, assignments, cond)
-        if viewNameOf(t).exists(Catalog.dmlTarget(_).isDefined) =>
+    case UpdateTable(t, assignments, cond) if viewNameOf(t).isDefined =>
       val set = assignments.map {
         case Assignment(k, v) => keyName(k) -> bareSql(v)
       }
       SnapshotUpdateCommand(viewNameOf(t).get, set,
         cond.map(bareSql).getOrElse("true"))
+    case MergeIntoTable(t, source, cond, matched, notMatched, Seq(), _)
+        if viewNameOf(t).isDefined &&
+          mergeKeys(cond).isDefined &&
+          mergeMode(matched, notMatched).isDefined =>
+      SnapshotMergeCommand(viewNameOf(t).get, mergeKeys(cond).get,
+        source, mergeMode(matched, notMatched).get)
     case _ => plan
   }
 }
@@ -121,5 +172,68 @@ case class SnapshotUpdateCommand(
     SnapshotDml.repin(spark, view)
     Seq(Row("UPDATE", out.version, out.metadataOnly,
       out.droppedPartitions.size.toLong, out.rewrittenPartitions.size.toLong))
+  }
+}
+
+/** `MERGE INTO <view> t USING <source> s ON t.k = s.k
+  *   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  * (→ [[SnapshotLog.upsertBatch]]) and
+  * `… WHEN MATCHED THEN DELETE` (→ the CDC delete path). The source
+  * plan is carried as a constructor field — NOT a child, so the
+  * analyzer leaves it alone — and materialized at run time. */
+case class SnapshotMergeCommand(
+    view: String, keys: Seq[String], source: LogicalPlan, delete: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = SnapshotDml.output
+
+  /** classic `Dataset.ofRows(spark, plan)` — the one constructor for a
+    * DataFrame over a captured logical plan; private[sql], reached
+    * reflectively (the same seam connectors living inside
+    * org.apache.spark.sql use directly). */
+  private def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame = {
+    val ds = Class.forName("org.apache.spark.sql.classic.Dataset$")
+    val mod = ds.getField("MODULE$").get(null)
+    ds.getMethods.find(m => m.getName == "ofRows" && m.getParameterCount == 2)
+      .getOrElse(sys.error("Dataset.ofRows not found"))
+      .invoke(mod, spark, plan).asInstanceOf[DataFrame]
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, partCol, _, _) = Catalog.dmlTarget(view).getOrElse(
+      sys.error(s"$view is not a registered snapshot-DML target"))
+    val live = SnapshotLog.read(spark, path).getOrElse(
+      sys.error(s"$view has no committed version"))
+    val src = ofRows(spark, source)
+    val have = src.columns.map(_.toLowerCase).toSet
+    val changes =
+      if (delete) {
+        // WHEN MATCHED THEN DELETE: the delete batch must carry each
+        // matched row's REAL column values — above all its partition
+        // value, which routes the CDC delete to the right partition
+        // (a keys-only source knows none of that). One semi-join
+        // against the live snapshot materializes exactly the matched
+        // rows; absent source keys drop out here, so they no-op.
+        live.join(
+          src.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .withColumn("__op", lit("D"))
+      } else {
+        // UPDATE* + INSERT*: by-name column matching, table order
+        src.select(live.schema.fields.toSeq.map { f =>
+          if (have(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+          else sys.error(s"MERGE source lacks table column ${f.name}")
+        }: _*)
+      }
+    SnapshotLog.upsertBatch(spark, path, changes, keys,
+      orderCol = keys.head, partCol = partCol,
+      batchId = System.nanoTime(), maxRetries = 5,
+      statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
+      opCol = if (delete) Some("__op") else None, writeCdf = false)
+    val version = {
+      val bp = new org.apache.hadoop.fs.Path(path)
+      val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SnapshotLog.readManifest(fs, bp).map(_.version).getOrElse(-1L)
+    }
+    SnapshotDml.repin(spark, view)
+    Seq(Row(if (delete) "MERGE_DELETE" else "MERGE", version, false, 0L, 0L))
   }
 }

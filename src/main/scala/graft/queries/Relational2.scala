@@ -1683,6 +1683,17 @@ object Relational2 {
         "SQL row DELETE must commit deletion vectors, not rewrites")
       s.sql(s"UPDATE $view SET o_totalprice = o_totalprice * 2 " +
         s"WHERE o_orderkey % 5 = 0")
+      // MERGE upsert: %9 keys overwrite (or re-insert, if the %7
+      // delete removed them) with a marker price/status
+      orders.filter(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey"), lit(1000.0).as("o_totalprice"),
+          lit("M").as("o_orderstatus"), col("o_year"))
+        .createOrReplaceTempView("q84_src")
+      s.sql(s"""
+        MERGE INTO $view t USING q84_src s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+      """)
       s.sql(s"DELETE FROM $view WHERE o_year = '$y0'")
       val m4 = SnapshotLog.readManifest(fs, bp).get
       require(!m4.files.contains(y0) && m4.op.contains("DELETE"),
@@ -1708,7 +1719,12 @@ object Relational2 {
                          ELSE o_totalprice END AS o_totalprice,
                     o_orderstatus, o_year, y0
              FROM d1),
-      d2 AS (SELECT * FROM u1 WHERE o_year <> y0)
+      m1 AS (SELECT * FROM u1 WHERE o_orderkey % 9 <> 0
+             UNION ALL
+             SELECT o_orderkey, 1000.0 AS o_totalprice,
+                    'M' AS o_orderstatus, o_year, y0
+             FROM base, yr WHERE o_orderkey % 9 = 0),
+      d2 AS (SELECT * FROM m1 WHERE o_year <> y0)
       SELECT o_year, o_orderstatus, COUNT(*) AS n,
              CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
                   AS DECIMAL(38,4)) AS DOUBLE) AS total

@@ -59,4 +59,39 @@ class SqlDmlSpec extends SparkSpec {
     rows.limit(5).createOrReplaceTempView("plain_view")
     intercept[Exception](s.sql("DELETE FROM plain_view WHERE id = 1"))
   }
+
+  test("SQL MERGE INTO: upsert and keyed-delete shapes route to the commit log") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_sqlmerge").toString + "/tbl"
+    val rows = (1L to 100L).map(i => (i, i * 1.0, s"d${i % 2}"))
+      .toDF("id", "value", "day")
+    SnapshotLog.upsertBatch(s, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 4, opCol = None, writeCdf = false)
+    val view = Catalog.registerSnapshotLog(s, "dml", "t2", base, Some("day"))
+
+    // upsert shape: 2 updates + 1 insert
+    Seq((1L, 100.0, "d1"), (2L, 200.0, "d0"), (999L, 9.0, "d1"))
+      .toDF("id", "value", "day").createOrReplaceTempView("merge_src")
+    val res = s.sql(s"""
+      MERGE INTO $view t USING merge_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """).collect().head
+    assert(res.getString(0) == "MERGE")
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 101)
+    assert(s.sql(s"SELECT value FROM $view WHERE id = 1").head.getDouble(0) == 100.0)
+    assert(s.sql(s"SELECT value FROM $view WHERE id = 999").head.getDouble(0) == 9.0)
+    assert(s.sql(s"SELECT value FROM $view WHERE id = 3").head.getDouble(0) == 3.0)
+
+    // keyed-delete shape: source may carry keys only
+    Seq(999L, 50L, 123456L).toDF("id").createOrReplaceTempView("del_src")
+    s.sql(s"""
+      MERGE INTO $view t USING del_src s ON t.id = s.id
+      WHEN MATCHED THEN DELETE
+    """)
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 99)
+    assert(s.sql(s"SELECT COUNT(*) FROM $view WHERE id IN (999, 50)")
+      .head.getLong(0) == 0, "matched keys must delete; absent keys no-op")
+  }
 }
