@@ -120,38 +120,41 @@ object GraftFunctions {
   /** Idempotent per-session registration via the function registry —
     * the expressions then resolve in both the Column DSL and plain SQL
     * text. (For cluster deploys, [[graft.GraftExtensions]] injects the
-    * same set through spark.sql.extensions.) */
+    * same set through spark.sql.extensions.) Already-registered names
+    * are SKIPPED, not replaced: the register call sits inside operator
+    * builders (MinHash, SimHash, ANN, bloom stats) that run per query,
+    * and a `createOrReplaceTempFunction` on every build both pays the
+    * registry write and spams a replaced-function WARN per call. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName, { exprs => DotProduct(exprs(0), exprs(1)) }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CosineName, { exprs => CosineSim(exprs(0), exprs(1)) }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      RollingHashName, { exprs => RollingHash(exprs.head) }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      NfcName, { exprs => NfcNormalize(exprs.head) }, "built-in")
+    val fr = spark.sessionState.functionRegistry
+    def reg(name: String)(
+        b: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (fr.lookupFunctionBuilder(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isEmpty)
+        fr.createOrReplaceTempFunction(name, b, "built-in")
+    reg(DotName) { exprs => DotProduct(exprs(0), exprs(1)) }
+    reg(CosineName) { exprs => CosineSim(exprs(0), exprs(1)) }
+    reg(RollingHashName) { exprs => RollingHash(exprs.head) }
+    reg(NfcName) { exprs => NfcNormalize(exprs.head) }
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // runtime-filter rule but does not register them as SQL functions;
     // surfacing them gives pipelines the explicit build-once/probe-later
     // bloom semi-join (cross-job pruning the optimizer rule can't do).
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      BloomAggName,
-      { exprs =>
-        // 1-arg: Spark's default sizing; 3-arg: (col, estItems, numBits)
-        // for the per-file manifest blooms (SnapshotLog.buildBlooms)
-        (if (exprs.length >= 3)
-          new org.apache.spark.sql.catalyst.expressions.aggregate
-            .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
-        else
-          new org.apache.spark.sql.catalyst.expressions.aggregate
-            .BloomFilterAggregate(exprs.head)).toAggregateExpression()
-      }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      BloomContainName,
-      { exprs =>
-        org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(exprs(0), exprs(1))
-      }, "built-in")
+    reg(BloomAggName) { exprs =>
+      // 1-arg: Spark's default sizing; 3-arg: (col, estItems, numBits)
+      // for the per-file manifest blooms (SnapshotLog.buildBlooms)
+      (if (exprs.length >= 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+      else
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs.head)).toAggregateExpression()
+    }
+    reg(BloomContainName) { exprs =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))
+    }
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */

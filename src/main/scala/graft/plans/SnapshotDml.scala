@@ -41,18 +41,22 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** The registered view name a DML target resolves to, before or
     * after Spark's own relation resolution (rule order inside the
-    * analyzer batch is not ours to pick, so match both shapes). A
-    * statement alias (`MERGE INTO v t …`) adds an OUTER
-    * SubqueryAlias named `t` — walk the whole alias chain and take
-    * the first name that is actually registered. */
+    * analyzer batch is not ours to pick, so match both shapes). Only
+    * the INNERMOST name-bearing node counts — the relation itself
+    * (unresolved), or the view's own SubqueryAlias once resolution
+    * expanded it. A statement alias (`MERGE INTO v t …`) wraps an
+    * OUTER SubqueryAlias; treating that as a candidate would let
+    * `DELETE FROM other_tbl AS <registered-view>` hijack the DML
+    * onto the wrong table, so aliases are never matched on their own. */
   private def viewNameOf(table: LogicalPlan): Option[String] = {
-    def names(p: LogicalPlan): Seq[String] = p match {
+    def deepest(p: LogicalPlan): Option[String] = p match {
       case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
-        Seq(u.multipartIdentifier.head)
-      case SubqueryAlias(ident, child) => ident.name +: names(child)
-      case _ => Nil
+        Some(u.multipartIdentifier.head)
+      case _: UnresolvedRelation => None
+      case SubqueryAlias(ident, child) => deepest(child).orElse(Some(ident.name))
+      case _ => None
     }
-    names(table).find(Catalog.dmlTarget(_).isDefined)
+    deepest(table).filter(Catalog.dmlTarget(_).isDefined)
   }
 
   /** SQL text of `e` with attribute QUALIFIERS stripped: by the time
@@ -186,24 +190,12 @@ case class SnapshotMergeCommand(
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = SnapshotDml.output
 
-  /** classic `Dataset.ofRows(spark, plan)` — the one constructor for a
-    * DataFrame over a captured logical plan; private[sql], reached
-    * reflectively (the same seam connectors living inside
-    * org.apache.spark.sql use directly). */
-  private def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame = {
-    val ds = Class.forName("org.apache.spark.sql.classic.Dataset$")
-    val mod = ds.getField("MODULE$").get(null)
-    ds.getMethods.find(m => m.getName == "ofRows" && m.getParameterCount == 2)
-      .getOrElse(sys.error("Dataset.ofRows not found"))
-      .invoke(mod, spark, plan).asInstanceOf[DataFrame]
-  }
-
   override def run(spark: SparkSession): Seq[Row] = {
     val (path, partCol, _, _) = Catalog.dmlTarget(view).getOrElse(
       sys.error(s"$view is not a registered snapshot-DML target"))
     val live = SnapshotLog.read(spark, path).getOrElse(
       sys.error(s"$view has no committed version"))
-    val src = ofRows(spark, source)
+    val src = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
     val have = src.columns.map(_.toLowerCase).toSet
     val changes =
       if (delete) {
@@ -223,16 +215,21 @@ case class SnapshotMergeCommand(
           else sys.error(s"MERGE source lacks table column ${f.name}")
         }: _*)
       }
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // batch ids are MONOTONE, derived from the table's own version
+    // chain — a nanoTime id would make the manifest history (staging
+    // dir names are built from the batch id) nondeterministic across
+    // re-runs of an otherwise-deterministic statement sequence
+    val batchId =
+      SnapshotLog.readManifest(fs, bp).map(_.version + 1).getOrElse(1L)
     SnapshotLog.upsertBatch(spark, path, changes, keys,
       orderCol = keys.head, partCol = partCol,
-      batchId = System.nanoTime(), maxRetries = 5,
+      batchId = batchId, maxRetries = 5,
       statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
       opCol = if (delete) Some("__op") else None, writeCdf = false)
-    val version = {
-      val bp = new org.apache.hadoop.fs.Path(path)
-      val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val version =
       SnapshotLog.readManifest(fs, bp).map(_.version).getOrElse(-1L)
-    }
     SnapshotDml.repin(spark, view)
     Seq(Row(if (delete) "MERGE_DELETE" else "MERGE", version, false, 0L, 0L))
   }

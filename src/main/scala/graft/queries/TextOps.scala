@@ -758,6 +758,12 @@ object TextOps {
       val offsets = counts.scanLeft((0, 0L)) {
         case ((_, acc), (sh, n)) => (sh, acc + n)
       }.sliding(2).collect { case Array((_, off), (sh, _)) => sh -> off }.toMap
+      // the cache exists to serve the two passes above (offsets collect)
+      // and below (window); release it NOW rather than leak a registry
+      // entry per invocation for the session's lifetime — the final pass
+      // recomputes the explode+agg once (async drop races are harmless:
+      // blocks still resident get reused)
+      f.unpersist()
       f.withColumn("term_id",
         (element_at(typedLit(offsets), col("shard")) +
           row_number().over(
