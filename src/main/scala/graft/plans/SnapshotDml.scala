@@ -1,15 +1,16 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan,
-  MergeAction, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+  Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction,
+  LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction,
+  UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, struct, when}
 import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
 
 import graft.sources.{Catalog, SnapshotLog}
@@ -101,17 +102,66 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else Some(keys.flatten.distinct)
   }
 
-  /** The two MERGE shapes this engine executes directly:
-    * UPDATE*+INSERT* (the upsert) and bare matched-DELETE. Clause
-    * conditions and anything richer fall through to Spark. */
-  private def mergeMode(
-      matched: Seq[MergeAction], notMatched: Seq[MergeAction]): Option[Boolean] =
-    (matched, notMatched) match {
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
-        Some(false) // upsert
-      case (Seq(DeleteAction(None)), Seq()) => Some(true) // keyed delete
+  /** The alias/relation names a side of the statement answers to —
+    * what a qualified column reference (`t.price`, `src.flag`) names.
+    * Lower-cased (Spark identifier resolution is case-insensitive by
+    * default). */
+  private def sideNames(p: LogicalPlan): Set[String] = {
+    def walk(q: LogicalPlan): Seq[String] = q match {
+      case u: UnresolvedRelation => Seq(u.multipartIdentifier.last)
+      case SubqueryAlias(ident, child) => ident.name +: walk(child)
+      case _ => Nil
+    }
+    walk(p).map(_.toLowerCase).toSet
+  }
+
+  /** SQL text of `e` with every column reference rewritten onto the
+    * merge executor's joined frame: target-side refs become `__t_<c>`,
+    * source-side `__s_<c>`. Qualified names pick their side by alias;
+    * unqualified names take `default` — target inside MATCHED / NOT
+    * MATCHED BY SOURCE clauses, source inside NOT MATCHED (insert)
+    * clauses, matching what each clause can see of its row. */
+  private def sidedSql(
+      e: Expression, tq: Set[String], sq: Set[String], default: String): String = {
+    def side(qual: Option[String]): String = qual.map(_.toLowerCase) match {
+      case Some(q) if tq(q) => "__t_"
+      case Some(q) if sq(q) => "__s_"
+      case _ => default
+    }
+    e.transform {
+      case a: AttributeReference =>
+        UnresolvedAttribute(Seq(side(a.qualifier.lastOption) + a.name))
+      case u: UnresolvedAttribute =>
+        val qual =
+          if (u.nameParts.size >= 2) Some(u.nameParts(u.nameParts.size - 2))
+          else None
+        UnresolvedAttribute(Seq(side(qual) + u.nameParts.last))
+    }.sql
+  }
+
+  /** Compile one parsed merge action into a [[MergeClause]]; None for
+    * shapes the executor does not run (the statement then falls through
+    * to Spark's own v2-only handling, which errors loudly rather than
+    * silently doing the wrong thing). */
+  private def clauseOf(
+      a: MergeAction, tq: Set[String], sq: Set[String],
+      default: String): Option[MergeClause] = {
+    def c(cond: Option[Expression]) = cond.map(sidedSql(_, tq, sq, default))
+    def asg(assignments: Seq[Assignment]): Seq[(String, String)] =
+      assignments.map { case Assignment(k, v) =>
+        keyName(k) -> sidedSql(v, tq, sq, default)
+      }
+    a match {
+      case UpdateStarAction(cond) => Some(MergeClause(c(cond), "update_star", Nil))
+      case UpdateAction(cond, assigns, _) =>
+        Some(MergeClause(c(cond), "update", asg(assigns)))
+      case DeleteAction(cond) => Some(MergeClause(c(cond), "delete", Nil))
+      case InsertStarAction(cond) => Some(MergeClause(c(cond), "insert_star", Nil))
+      case InsertAction(cond, assigns) =>
+        Some(MergeClause(c(cond), "insert", asg(assigns)))
       case _ => None
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case DeleteFromTable(t, cond) if viewNameOf(t).isDefined =>
@@ -122,15 +172,33 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       SnapshotUpdateCommand(viewNameOf(t).get, set,
         cond.map(bareSql).getOrElse("true"))
-    case MergeIntoTable(t, source, cond, matched, notMatched, Seq(), _)
-        if viewNameOf(t).isDefined &&
-          mergeKeys(cond).isDefined &&
-          mergeMode(matched, notMatched).isDefined =>
-      SnapshotMergeCommand(viewNameOf(t).get, mergeKeys(cond).get,
-        source, mergeMode(matched, notMatched).get)
+    case MergeIntoTable(t, source, cond, matched, notMatched, nmbs, _)
+        if viewNameOf(t).isDefined && mergeKeys(cond).isDefined => {
+      val view = viewNameOf(t).get
+      val tq = sideNames(t) + view.toLowerCase
+      val sq = sideNames(source)
+      val mc = matched.map(clauseOf(_, tq, sq, "__t_"))
+      val nc = notMatched.map(clauseOf(_, tq, sq, "__s_"))
+      val bc = nmbs.map(clauseOf(_, tq, sq, "__t_"))
+      val ok = (mc ++ nc ++ bc).forall(_.isDefined) &&
+        nc.flatten.forall(c => c.action != "update" && c.action != "delete") &&
+        bc.flatten.forall(c => c.action == "update" || c.action == "delete")
+      if (ok)
+        SnapshotMergeCommand(view, mergeKeys(cond).get, source,
+          mc.flatten, nc.flatten, bc.flatten)
+      else plan
+    }
     case _ => plan
   }
 }
+
+/** One compiled MERGE clause: an optional condition plus an action,
+  * every expression already rewritten onto the executor's joined frame
+  * (`__t_*` / `__s_*` columns) as re-parseable SQL text.
+  * `action` ∈ update_star | update | delete | insert_star | insert;
+  * `assigns` is (target column → value SQL) for the assignment forms. */
+case class MergeClause(
+    cond: Option[String], action: String, assigns: Seq[(String, String)])
 
 private object SnapshotDml {
   val output: Seq[Attribute] = Seq(
@@ -179,14 +247,36 @@ case class SnapshotUpdateCommand(
   }
 }
 
-/** `MERGE INTO <view> t USING <source> s ON t.k = s.k
-  *   WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-  * (→ [[SnapshotLog.upsertBatch]]) and
-  * `… WHEN MATCHED THEN DELETE` (→ the CDC delete path). The source
-  * plan is carried as a constructor field — NOT a child, so the
-  * analyzer leaves it alone — and materialized at run time. */
+/** The full conditional MERGE executor:
+  * {{{
+  *   MERGE INTO <view> t USING <source> s ON t.k = s.k [AND …]
+  *   WHEN MATCHED [AND c] THEN UPDATE SET * | UPDATE SET a=…, … | DELETE
+  *   WHEN NOT MATCHED [AND c] THEN INSERT * | INSERT (…) VALUES (…)
+  *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE
+  * }}}
+  * The source plan is carried as a constructor field — NOT a child, so
+  * the analyzer leaves it alone — and materialized at run time.
+  *
+  * Execution is the Delta two-phase shape collapsed into one pass over
+  * a single outer join of target × source on the merge keys (inner
+  * when only MATCHED clauses exist, target-right-outer without
+  * NOT-MATCHED-BY-SOURCE, full outer with it): per row category the
+  * FIRST clause whose condition holds fires (SQL MERGE clause-order
+  * semantics), producing a CDC change row — op `U` carrying the new
+  * column values, op `D` carrying the old row (whose partition value
+  * routes the delete). Rows no clause claims simply drop out of the
+  * change batch and stay as they are. [[SnapshotLog.upsertBatch]] then
+  * rewrites only the touched partitions.
+  *
+  * Guards, both fail-fast: a source with DUPLICATE merge keys errors
+  * (a nondeterministic multi-match is Delta's error too, not a silent
+  * arbitrary pick), and a matched row whose partition value CHANGES is
+  * routed as a genuine move — its old partition joins the rewrite set
+  * (`extraAffected`) so the old row disappears in the same commit. */
 case class SnapshotMergeCommand(
-    view: String, keys: Seq[String], source: LogicalPlan, delete: Boolean)
+    view: String, keys: Seq[String], source: LogicalPlan,
+    matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+    notMatchedBySource: Seq[MergeClause])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = SnapshotDml.output
 
@@ -195,42 +285,111 @@ case class SnapshotMergeCommand(
       sys.error(s"$view is not a registered snapshot-DML target"))
     val live = SnapshotLog.read(spark, path).getOrElse(
       sys.error(s"$view has no committed version"))
-    val src = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
-    val have = src.columns.map(_.toLowerCase).toSet
-    val changes =
-      if (delete) {
-        // WHEN MATCHED THEN DELETE: the delete batch must carry each
-        // matched row's REAL column values — above all its partition
-        // value, which routes the CDC delete to the right partition
-        // (a keys-only source knows none of that). One semi-join
-        // against the live snapshot materializes exactly the matched
-        // rows; absent source keys drop out here, so they no-op.
-        live.join(
-          src.select(keys.map(col): _*).distinct(), keys, "left_semi")
-          .withColumn("__op", lit("D"))
-      } else {
-        // UPDATE* + INSERT*: by-name column matching, table order
-        src.select(live.schema.fields.toSeq.map { f =>
-          if (have(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
-          else sys.error(s"MERGE source lacks table column ${f.name}")
-        }: _*)
+    val src = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source).persist()
+    val tFields = live.schema.fields.toSeq
+    try {
+      val srcHave = src.columns.map(_.toLowerCase).toSet
+      val starOk = tFields.forall(f => srcHave(f.name.toLowerCase))
+      (matched ++ notMatched).filter(_.action.endsWith("_star")).foreach { _ =>
+        if (!starOk) sys.error(
+          s"MERGE SET */INSERT * needs every table column in the source; " +
+            s"missing: ${tFields.map(_.name).filterNot(f => srcHave(f.toLowerCase)).mkString(", ")}")
       }
-    val bp = new org.apache.hadoop.fs.Path(path)
-    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // batch ids are MONOTONE, derived from the table's own version
-    // chain — a nanoTime id would make the manifest history (staging
-    // dir names are built from the batch id) nondeterministic across
-    // re-runs of an otherwise-deterministic statement sequence
-    val batchId =
-      SnapshotLog.readManifest(fs, bp).map(_.version + 1).getOrElse(1L)
-    SnapshotLog.upsertBatch(spark, path, changes, keys,
-      orderCol = keys.head, partCol = partCol,
-      batchId = batchId, maxRetries = 5,
-      statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
-      opCol = if (delete) Some("__op") else None, writeCdf = false)
-    val version =
-      SnapshotLog.readManifest(fs, bp).map(_.version).getOrElse(-1L)
-    SnapshotDml.repin(spark, view)
-    Seq(Row(if (delete) "MERGE_DELETE" else "MERGE", version, false, 0L, 0L))
+      notMatched.filter(_.action == "insert").foreach { cl =>
+        val assigned = cl.assigns.map(_._1.toLowerCase).toSet
+        val miss = keys.filterNot(k => assigned(k.toLowerCase))
+        if (miss.nonEmpty) sys.error(
+          s"MERGE INSERT must assign every merge key; missing: ${miss.mkString(", ")}")
+      }
+      // Delta's multiple-match rule: duplicate source keys would make
+      // which row wins arbitrary — refuse rather than silently pick
+      if (src.groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).count() > 0)
+        sys.error("MERGE source has duplicate merge-key rows; " +
+          "dedupe the source (e.g. latest-wins window) first")
+
+      val tPresent = coalesce(col("__graft_t_present"), lit(false))
+      val sPresent = coalesce(col("__graft_s_present"), lit(false))
+      val liveT = live.select(tFields.map(f =>
+        col(f.name).as(s"__t_${f.name}")): _*).withColumn("__graft_t_present", lit(true))
+      val srcS = src.select(src.columns.toSeq.map(c =>
+        col(c).as(s"__s_$c")): _*).withColumn("__graft_s_present", lit(true))
+      val joinType =
+        if (notMatchedBySource.nonEmpty) "full_outer"
+        else if (notMatched.nonEmpty) "right_outer"
+        else "inner"
+      val joined = liveT.join(srcS,
+        keys.map(k => col(s"__t_$k") === col(s"__s_$k")).reduce(_ && _),
+        joinType)
+
+      // one struct per clause: (op, <table columns>), all branches cast
+      // to the table schema so the when-chain unifies
+      def clauseRow(cl: MergeClause): Column = {
+        val assigns = cl.assigns.map { case (k, v) => k.toLowerCase -> v }.toMap
+        val vals = tFields.map { f =>
+          val v: Column = cl.action match {
+            case "update_star" | "insert_star" => col(s"__s_${f.name}")
+            case "delete" => col(s"__t_${f.name}")
+            case "update" =>
+              assigns.get(f.name.toLowerCase).map(expr).getOrElse(col(s"__t_${f.name}"))
+            case "insert" =>
+              assigns.get(f.name.toLowerCase).map(expr)
+                .getOrElse(lit(null))
+          }
+          v.cast(f.dataType).as(f.name)
+        }
+        val op = if (cl.action == "delete") "D" else "U"
+        struct(lit(op).as("__op") +: vals: _*)
+      }
+      // first-true-clause-wins chain; no clause → null → row unclaimed
+      def chain(clauses: Seq[MergeClause]): Column =
+        clauses.foldRight(lit(null): Column) { (cl, els) =>
+          when(expr(cl.cond.getOrElse("true")), clauseRow(cl)).otherwise(els)
+        }
+      val categories = Seq(
+        (tPresent && sPresent, matched),
+        (!tPresent && sPresent, notMatched),
+        (tPresent && !sPresent, notMatchedBySource)).filter(_._2.nonEmpty)
+      val picked = categories.tail.foldLeft(
+        when(categories.head._1, chain(categories.head._2))) {
+        case (acc, (cond, cls)) => acc.when(cond, chain(cls))
+      }
+
+      val changes0 = joined
+        .select(picked.as("__r"), col(s"__t_$partCol").cast("string").as("__old_p"))
+        .filter(col("__r").isNotNull)
+        .select(tFields.map(f =>
+          col("__r").getField(f.name).as(f.name)) :+
+          col("__r").getField("__op").as("__op") :+ col("__old_p"): _*)
+        .persist()
+      try {
+        // a matched UPDATE that changed the partition value must rewrite
+        // the OLD partition too, or the old row would survive beside the
+        // new one (the rewrite set is otherwise only the partitions the
+        // change rows land in)
+        val movedParts = changes0
+          .filter(col("__old_p").isNotNull && col("__op") === "U" &&
+            !(col(partCol).cast("string") <=> col("__old_p")))
+          .select(col("__old_p")).distinct().collect().map(_.getString(0)).toSeq
+        val bp = new org.apache.hadoop.fs.Path(path)
+        val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // batch ids are MONOTONE, derived from the table's own version
+        // chain — a nanoTime id would make the manifest history (staging
+        // dir names are built from the batch id) nondeterministic across
+        // re-runs of an otherwise-deterministic statement sequence
+        val batchId =
+          SnapshotLog.readManifest(fs, bp).map(_.version + 1).getOrElse(1L)
+        SnapshotLog.upsertBatch(spark, path, changes0.drop("__old_p"), keys,
+          orderCol = keys.head, partCol = partCol,
+          batchId = batchId, maxRetries = 5,
+          statsCols = Nil, clusterBy = Nil, clusterFiles = 16,
+          opCol = Some("__op"), writeCdf = false,
+          extraAffected = movedParts)
+        val version =
+          SnapshotLog.readManifest(fs, bp).map(_.version).getOrElse(-1L)
+        SnapshotDml.repin(spark, view)
+        Seq(Row("MERGE", version, false, 0L, 0L))
+      } finally changes0.unpersist()
+    } finally src.unpersist()
   }
 }

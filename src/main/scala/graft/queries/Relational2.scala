@@ -1732,6 +1732,129 @@ object Relational2 {
       GROUP BY o_year, o_orderstatus
       """))
 
+  /** CONDITIONAL SQL MERGE — the production MERGE shape q84's
+    * unconditional star-form (SET-all + INSERT-all) lifecycle doesn't
+    * cover, all through
+    * [[graft.plans.SnapshotDmlRule]]'s clause compiler: per-clause
+    * `AND` conditions evaluated in clause order (first hit wins),
+    * assignment-form UPDATE reading BOTH sides (`t.`/`s.` qualified
+    * refs land on the executor's joined frame), column-list INSERT,
+    * `WHEN NOT MATCHED BY SOURCE … DELETE`, a fail-fast on duplicate
+    * source keys, and genuine ROW MOVES: an UPDATE that changes the
+    * partition column rewrites the old partition in the same commit
+    * (`extraAffected`), so the moved key exists exactly once after.
+    * The oracle recomputes the whole lifecycle relationally (left
+    * join + clause-order CASE chain + anti-join inserts); in-engine
+    * requires prove the move happened (a year partition that only the
+    * move could create) and that no key is duplicated. */
+  val q85ConditionalMerge: Q = Q(
+    "q85_conditional_merge",
+    "SQL MERGE with conditional clauses, NMBS delete, and partition moves",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_sqldml85").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Nil, clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)
+      val view = Catalog.registerSnapshotLog(s, "q85", "orders", base,
+        Some("o_year"))
+      val k = col("o_orderkey")
+      // matched side: %3 keys — 'D' for %12, else 'U' with a price the
+      // update condition (t < s) accepts only for %6; %21 keys carry a
+      // SHIFTED year, so %42 keys (update fires AND year differs) MOVE
+      val srcMatched = orders.filter(k % 3 === 0).select(
+        k,
+        when(k % 6 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice") * 0.5).as("o_totalprice"),
+        when(k % 12 === 0, lit("D")).otherwise(lit("U")).as("flag"),
+        when(k % 21 === 0,
+          (col("o_year").cast(IntegerType) + 1).cast(StringType))
+          .otherwise(col("o_year")).as("o_year"))
+      val srcNew = orders.filter(k % 50 === 0).select(
+        (k + lit(100000000L)).as("o_orderkey"),
+        lit(500.0).as("o_totalprice"), lit("I").as("flag"), col("o_year"))
+      srcMatched.union(srcNew).createOrReplaceTempView("q85_src")
+
+      s.sql(s"""
+        MERGE INTO $view t USING q85_src s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.flag = 'D' THEN DELETE
+        WHEN MATCHED AND t.o_totalprice < s.o_totalprice THEN
+          UPDATE SET o_totalprice = s.o_totalprice, o_orderstatus = 'U',
+                     o_year = s.o_year
+        WHEN NOT MATCHED THEN
+          INSERT (o_orderkey, o_totalprice, o_orderstatus, o_year)
+          VALUES (s.o_orderkey, s.o_totalprice, 'M', s.o_year)
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 13 = 0 THEN DELETE
+      """)
+
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val m = SnapshotLog.readManifest(fs, bp).get
+      val maxYear = orders.agg(max(col("o_year").cast(IntegerType)))
+        .first().getInt(0)
+      require(m.files.contains((maxYear + 1).toString),
+        "a %42 key in the max year must have MOVED into a new partition")
+      val after = SnapshotLog.read(s, base).get
+      require(after.groupBy(col("o_orderkey")).count()
+        .filter(col("count") > 1).limit(1).count() == 0,
+        "no key may be duplicated after a partition-moving MERGE")
+
+      s.sql(s"""
+        SELECT o_year, o_orderstatus, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $view
+        GROUP BY o_year, o_orderstatus
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      src AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice * 0.5 END AS o_totalprice,
+               CASE WHEN o_orderkey % 12 = 0 THEN 'D' ELSE 'U' END AS flag,
+               CASE WHEN o_orderkey % 21 = 0
+                    THEN CAST(CAST(o_year AS INTEGER) + 1 AS VARCHAR)
+                    ELSE o_year END AS o_year
+        FROM base WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 500.0, 'I', o_year
+        FROM base WHERE o_orderkey % 50 = 0),
+      kept AS (
+        SELECT b.o_orderkey,
+               CASE WHEN s.o_orderkey IS NOT NULL AND s.flag <> 'D'
+                         AND b.o_totalprice < s.o_totalprice
+                    THEN s.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+               CASE WHEN s.o_orderkey IS NOT NULL AND s.flag <> 'D'
+                         AND b.o_totalprice < s.o_totalprice
+                    THEN 'U' ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL AND s.flag <> 'D'
+                         AND b.o_totalprice < s.o_totalprice
+                    THEN s.o_year ELSE b.o_year END AS o_year
+        FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        WHERE NOT (s.o_orderkey IS NOT NULL AND s.flag = 'D')
+          AND NOT (s.o_orderkey IS NULL AND b.o_orderkey % 13 = 0)),
+      ins AS (
+        SELECT s.o_orderkey, s.o_totalprice, 'M' AS o_orderstatus, s.o_year
+        FROM src s LEFT JOIN base b ON s.o_orderkey = b.o_orderkey
+        WHERE b.o_orderkey IS NULL),
+      final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      SELECT o_year, o_orderstatus, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM final GROUP BY o_year, o_orderstatus
+      """))
+
   /** Per-file BLOOM filters in the commit-log manifest — the
     * point-lookup complement to q70's min/max bounds: the layout is
     * range-clustered on `user_id` (so user_id is range-prunable), which
@@ -2318,5 +2441,5 @@ object Relational2 {
     q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip, q76JoinIvm,
     q77MetadataCount, q78PredicateDelete, q79PredicateUpdate,
     q80PlannerScan, q81DeletionVectors, q82VersionStream, q83History,
-    q84SqlDml)
+    q84SqlDml, q85ConditionalMerge)
 }

@@ -527,8 +527,35 @@ object SnapshotLog {
       clusterBy: Seq[String],
       clusterFiles: Int,
       opCol: Option[String],
-      writeCdf: Boolean): Unit = {
-    // (no defaults on this overload — Scala allows default arguments on
+      writeCdf: Boolean): Unit =
+    upsertBatch(spark, base, changes0, keys, orderCol, partCol, batchId,
+      maxRetries, statsCols, clusterBy, clusterFiles, opCol, writeCdf, Nil)
+
+  /** [[upsertBatch]] with `extraAffected`: partition values to include
+    * in the rewrite even when no change row lands in them. The
+    * partition-MOVE primitive: when a merged key's partition value
+    * changes (p1 → p2), the change row itself only touches p2 — naming
+    * p1 here makes its rows part of the merge base, so the full-outer
+    * key match replaces the old row and the staged write re-lands it in
+    * p2, leaving p1 rewritten without it (one transaction, no duplicate
+    * key). Cost is O(extra partitions' data), exactly the rows a move
+    * must rewrite anyway. */
+  def upsertBatch(
+      spark: SparkSession,
+      base: String,
+      changes0: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      partCol: String,
+      batchId: Long,
+      maxRetries: Int,
+      statsCols: Seq[String],
+      clusterBy: Seq[String],
+      clusterFiles: Int,
+      opCol: Option[String],
+      writeCdf: Boolean,
+      extraAffected: Seq[String]): Unit = {
+    // (no defaults on these overloads — Scala allows default arguments on
     // only one alternative, and the common 8-arg form keeps them)
     // `opCol`: when set, the batch is a FULL CDC stream — that column
     // carries op ∈ {U, D} and D rows delete their key from the table
@@ -543,8 +570,8 @@ object SnapshotLog {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .persist()
-    val affected = changes.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val affected = (changes.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)) ++ extraAffected).distinct.sorted
     // the table's live schema: the change stream's columns minus the
     // op column (which never lands in data files)
     val targetFields = changes.schema.fields.toSeq

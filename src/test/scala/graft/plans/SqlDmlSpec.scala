@@ -94,4 +94,64 @@ class SqlDmlSpec extends SparkSpec {
     assert(s.sql(s"SELECT COUNT(*) FROM $view WHERE id IN (999, 50)")
       .head.getLong(0) == 0, "matched keys must delete; absent keys no-op")
   }
+
+  test("conditional MERGE: clause conditions, assignment forms, NOT MATCHED BY SOURCE, row moves") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_sqlmerge2").toString + "/tbl"
+    // ids 1..20, value = id, day = d(id%2)
+    val rows = (1L to 20L).map(i => (i, i * 1.0, s"st$i", s"d${i % 2}"))
+      .toDF("id", "value", "note", "day")
+    SnapshotLog.upsertBatch(s, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 4, opCol = None, writeCdf = false)
+    val view = Catalog.registerSnapshotLog(s, "dml", "t3", base, Some("day"))
+
+    // source: flag D for id 2 (delete), U for 4 & 5 (update, but the
+    // t<s condition only passes for 4), id 6 MOVES d0→d9, id 100 is new
+    Seq(
+      (2L, 0.0, "D", "d0"),
+      (4L, 400.0, "U", "d0"),
+      (5L, 1.0, "U", "d1"),  // s.value < t.value → update clause false
+      (6L, 600.0, "U", "d9"), // partition move d0 → d9
+      (100L, 1000.0, "I", "d1"))
+      .toDF("id", "value", "flag", "day").createOrReplaceTempView("cond_src")
+    s.sql(s"""
+      MERGE INTO $view t USING cond_src s ON t.id = s.id
+      WHEN MATCHED AND s.flag = 'D' THEN DELETE
+      WHEN MATCHED AND t.value < s.value THEN
+        UPDATE SET value = s.value, note = concat(t.note, '+'), day = s.day
+      WHEN NOT MATCHED AND s.flag <> 'D' THEN
+        INSERT (id, value, note, day) VALUES (s.id, s.value, 'new', s.day)
+      WHEN NOT MATCHED BY SOURCE AND t.id % 10 = 7 THEN DELETE
+    """)
+    val out = s.sql(s"SELECT id, value, note, day FROM $view").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2), r.getString(3))))
+      .toMap
+    assert(!out.contains(2L), "matched+flag=D must delete")
+    assert(out(4L) == ((400.0, "st4+", "d0")), "conditional update fires")
+    assert(out(5L) == ((5.0, "st5", "d1")), "failed clause condition leaves row")
+    assert(out(100L) == ((1000.0, "new", "d1")), "conditional insert with column list")
+    assert(!out.contains(7L) && !out.contains(17L), "NMBS conditional delete")
+    assert(out.contains(15L), "NMBS rows failing the condition survive")
+    // the row move: exactly one id=6 row, in the NEW partition
+    assert(out(6L) == ((600.0, "st6+", "d9")), "moved row lands in new partition")
+    assert(s.sql(s"SELECT COUNT(*) FROM $view WHERE id = 6").head.getLong(0) == 1,
+      "no duplicate row left in the old partition after a move")
+    val m = SnapshotLog.readManifest(
+      new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration),
+      new Path(base)).get
+    assert(m.files.contains("d9"), "moved partition exists in manifest")
+    // expected count: 20 - 1 (id2) - 2 (7,17 NMBS) + 1 (insert 100) = 18
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 18)
+
+    // duplicate source keys must fail fast, not pick an arbitrary row
+    Seq((1L, 10.0, "na", "d1"), (1L, 20.0, "nb", "d1"))
+      .toDF("id", "value", "note", "day").createOrReplaceTempView("dup_src")
+    val e = intercept[Exception](s.sql(s"""
+      MERGE INTO $view t USING dup_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """))
+    assert(e.getMessage.contains("duplicate"), s"got: ${e.getMessage}")
+  }
 }
