@@ -4,10 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{
   And, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction,
-  LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction,
-  UpdateStarAction, UpdateTable}
+  Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertAction,
+  InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction,
+  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit, struct, when}
@@ -188,8 +189,44 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           mc.flatten, nc.flatten, bc.flatten)
       else plan
     }
+    // SQL INSERT INTO / INSERT OVERWRITE on a registered commit-log
+    // view: Spark would otherwise throw inserting-into-a-view. Static
+    // PARTITION specs fall through (the partition value rides in the
+    // rows themselves for this format).
+    case i: InsertIntoStatement
+        if viewNameOf(i.table).isDefined && i.partitionSpec.isEmpty =>
+      SnapshotInsertCommand(viewNameOf(i.table).get, i.query,
+        i.userSpecifiedCols, i.overwrite, i.byName)
+    // CTAS in the engine's own format: CREATE TABLE db.t USING
+    // graft_snapshot PARTITIONED BY (p) [LOCATION '…'] AS SELECT … —
+    // the S9 gold-table CTAS model (ref sql/ddl_gold.sql:22-23)
+    // expressed against the commit log instead of a directory dump.
+    case c: CreateTableAsSelect if providerOf(c).contains("graft_snapshot") =>
+      (c.name, identityPartCol(c)) match {
+        case (UnresolvedIdentifier(nameParts, _), Some(pc)) =>
+          SnapshotCtasCommand(nameParts, pc,
+            locationOf(c), c.query, c.ignoreIfExists)
+        case _ => plan // no/compound partitioning: unsupported, loud error
+      }
     case _ => plan
   }
+
+  private def providerOf(c: CreateTableAsSelect): Option[String] =
+    c.tableSpec.provider.map(_.toLowerCase)
+
+  /** The single identity-transform partition column of a CTAS, via the
+    * PUBLIC connector Transform API (the case classes are
+    * private[sql]). */
+  private def identityPartCol(c: CreateTableAsSelect): Option[String] =
+    c.partitioning match {
+      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        Some(t.references.head.fieldNames.head)
+      case _ => None
+    }
+
+  private def locationOf(c: CreateTableAsSelect): Option[String] =
+    c.tableSpec.location
 }
 
 /** One compiled MERGE clause: an optional condition plus an action,
@@ -391,5 +428,116 @@ case class SnapshotMergeCommand(
         Seq(Row("MERGE", version, false, 0L, 0L))
       } finally changes0.unpersist()
     } finally src.unpersist()
+  }
+}
+
+/** `INSERT INTO <view> [(cols)] SELECT …` / `INSERT OVERWRITE <view> …`
+  * on a commit-log table (→ [[SnapshotLog.appendBatch]]). Alignment
+  * follows SQL INSERT semantics: an explicit column list maps the
+  * query's output positionally onto those columns (unnamed table
+  * columns backfill NULL), `BY NAME` matches by name, and the bare
+  * form is positional against the full table schema. Values cast to
+  * the table's column types; the partition column must come out
+  * non-null (the manifest keys on its canonical string). */
+case class SnapshotInsertCommand(
+    view: String, source: LogicalPlan, userCols: Seq[String],
+    overwrite: Boolean, byName: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = SnapshotDml.output
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, partCol, _, _) = Catalog.dmlTarget(view).getOrElse(
+      sys.error(s"$view is not a registered snapshot-DML target"))
+    val live = SnapshotLog.read(spark, path).getOrElse(
+      sys.error(s"$view has no committed version"))
+    val tFields = live.schema.fields.toSeq
+    val src0 = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
+    // positional alignment goes through index-named columns — a SELECT
+    // output column named after its expression ("(o_totalprice * 0.25)")
+    // would otherwise trip dotted-name parsing in col()
+    val src = src0.toDF(src0.columns.indices.map(i => s"__c$i"): _*)
+    def srcCol(i: Int) = col(s"__c$i")
+    val aligned =
+      if (userCols.nonEmpty) {
+        require(userCols.size == src.columns.length,
+          s"INSERT column list has ${userCols.size} columns but the query " +
+            s"produces ${src.columns.length}")
+        val bad = userCols.filterNot(c =>
+          tFields.exists(_.name.equalsIgnoreCase(c)))
+        if (bad.nonEmpty) sys.error(
+          s"INSERT column list names unknown columns: ${bad.mkString(", ")}")
+        src.select(tFields.map { f =>
+          val i = userCols.indexWhere(_.equalsIgnoreCase(f.name))
+          if (i >= 0) srcCol(i).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      } else if (byName) {
+        val have = src0.columns.map(_.toLowerCase).zipWithIndex.toMap
+        src.select(tFields.map { f =>
+          have.get(f.name.toLowerCase) match {
+            case Some(i) => srcCol(i).cast(f.dataType).as(f.name)
+            case None => sys.error(s"INSERT BY NAME lacks table column ${f.name}")
+          }
+        }: _*)
+      } else {
+        require(src.columns.length == tFields.size,
+          s"INSERT query produces ${src.columns.length} columns; " +
+            s"table has ${tFields.size}")
+        src.select(tFields.zipWithIndex.map { case (f, i) =>
+          srcCol(i).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+    if (aligned.filter(col(partCol).isNull).limit(1).count() > 0)
+      sys.error(s"INSERT would write NULL into partition column $partCol")
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchId =
+      SnapshotLog.readManifest(fs, bp).map(_.version + 1).getOrElse(1L)
+    val version = SnapshotLog.appendBatch(
+      spark, path, aligned, partCol, batchId, overwrite = overwrite)
+    SnapshotDml.repin(spark, view)
+    Seq(Row(if (overwrite) "INSERT_OVERWRITE" else "INSERT",
+      version, false, 0L, 0L))
+  }
+}
+
+/** `CREATE TABLE db.t USING graft_snapshot PARTITIONED BY (p)
+  * [LOCATION '…'] AS SELECT …` — CTAS in the engine's own table
+  * format: the query result becomes version 1 of a brand-new commit
+  * log, registered for name-based SQL (and thereby for the whole DML
+  * surface) in the same statement. Without LOCATION the table lands
+  * under the session warehouse dir at `<db>.<name>`. */
+case class SnapshotCtasCommand(
+    nameParts: Seq[String], partCol: String, location: Option[String],
+    query: LogicalPlan, ignoreIfExists: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = SnapshotDml.output
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (db, name) = nameParts match {
+      case Seq(n) => ("default", n)
+      case parts => (parts.init.mkString("_"), parts.last)
+    }
+    val path = location.getOrElse(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.$name")
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = SnapshotLog.readManifest(fs, bp)
+    if (existing.isDefined) {
+      if (ignoreIfExists) {
+        Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
+        return Seq(Row("CTAS_EXISTS", existing.get.version, true, 0L, 0L))
+      }
+      sys.error(s"snapshot table already exists at $path " +
+        "(use CREATE TABLE IF NOT EXISTS to no-op)")
+    }
+    val df = org.apache.spark.sql.GraftSqlShim.ofRows(spark, query)
+    require(df.columns.exists(_.equalsIgnoreCase(partCol)),
+      s"CTAS partition column $partCol is not in the query output")
+    if (df.filter(col(partCol).isNull).limit(1).count() > 0)
+      sys.error(s"CTAS would write NULL into partition column $partCol")
+    val version = SnapshotLog.appendBatch(spark, path, df, partCol, batchId = 1L)
+    Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
+    Seq(Row("CTAS", version, false, 0L, 0L))
   }
 }

@@ -1855,6 +1855,82 @@ object Relational2 {
       FROM final GROUP BY o_year, o_orderstatus
       """))
 
+  /** SQL CTAS + INSERT on the engine's own table format — the write
+    * verbs a SQL user reaches for before MERGE, completing the DML
+    * surface ([[graft.plans.SnapshotDmlRule]]): `CREATE TABLE … USING
+    * graft_snapshot PARTITIONED BY … AS SELECT` commits the query
+    * result as version 1 of a fresh commit log and registers it for
+    * name-based SQL in the same statement (the reference's S9 gold
+    * CTAS model, ref sql/ddl_gold.sql:22-23, against the commit log
+    * instead of a Redshift table); `INSERT INTO … SELECT` appends new
+    * files WITHOUT rewriting any existing one (manifest gains files,
+    * never loses them — proven in-engine); a column-list INSERT
+    * backfills unnamed columns with NULL. The oracle recomputes the
+    * final state as base ∪ both inserted sets. */
+  val q86SqlInsertCtas: Q = Q(
+    "q86_sql_insert_ctas",
+    "SQL CTAS into the commit-log format + appending INSERT INTO",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root = java.nio.file.Files.createTempDirectory("graft_sqlins86").toString
+      val loc = root + "/orders_ctas"
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+        .createOrReplaceTempView("q86_base")
+      s.sql(s"""
+        CREATE TABLE q86.orders USING graft_snapshot PARTITIONED BY (o_year)
+        LOCATION '$loc'
+        AS SELECT o_orderkey, o_totalprice, o_orderstatus, o_year FROM q86_base
+      """)
+      val bp = new org.apache.hadoop.fs.Path(loc)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val m1 = SnapshotLog.readManifest(fs, bp).get
+      s.sql("""
+        INSERT INTO q86_orders
+        SELECT o_orderkey + 200000000, o_totalprice * 0.25, 'A', o_year
+        FROM q86_base WHERE o_orderkey % 40 = 0
+      """)
+      s.sql("""
+        INSERT INTO q86_orders (o_orderkey, o_totalprice, o_year)
+        SELECT o_orderkey + 300000000, 250.0, o_year
+        FROM q86_base WHERE o_orderkey % 77 = 0
+      """)
+      val m3 = SnapshotLog.readManifest(fs, bp).get
+      require(m3.version == m1.version + 2 && m3.op.contains("APPEND"),
+        "two INSERTs must commit two APPEND versions")
+      require(m1.allFiles.toSet.subsetOf(m3.allFiles.toSet),
+        "INSERT INTO must never rewrite or drop an existing file")
+      s.sql("""
+        SELECT o_year, COALESCE(o_orderstatus, 'none') AS status,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM q86_orders
+        GROUP BY o_year, COALESCE(o_orderstatus, 'none')
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      final AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus, o_year FROM base
+        UNION ALL
+        SELECT o_orderkey + 200000000, o_totalprice * 0.25, 'A', o_year
+        FROM base WHERE o_orderkey % 40 = 0
+        UNION ALL
+        SELECT o_orderkey + 300000000, 250.0, NULL, o_year
+        FROM base WHERE o_orderkey % 77 = 0)
+      SELECT o_year, COALESCE(o_orderstatus, 'none') AS status,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM final GROUP BY o_year, COALESCE(o_orderstatus, 'none')
+      """))
+
   /** Per-file BLOOM filters in the commit-log manifest — the
     * point-lookup complement to q70's min/max bounds: the layout is
     * range-clustered on `user_id` (so user_id is range-prunable), which
@@ -2441,5 +2517,5 @@ object Relational2 {
     q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip, q76JoinIvm,
     q77MetadataCount, q78PredicateDelete, q79PredicateUpdate,
     q80PlannerScan, q81DeletionVectors, q82VersionStream, q83History,
-    q84SqlDml, q85ConditionalMerge)
+    q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas)
 }

@@ -699,6 +699,77 @@ object SnapshotLog {
     }
   }
 
+  /** APPEND (or full OVERWRITE) a batch of rows as a new commit — the
+    * `INSERT INTO` / `INSERT OVERWRITE` write primitive, the most
+    * common table write there is. No merge, no key semantics: the rows
+    * are staged once (`partitionBy` on the partition column) and the
+    * manifest either gains the staged files alongside each partition's
+    * existing ones (append) or is replaced wholesale by them
+    * (overwrite = the reference's TRUNCATE+COPY full refresh,
+    * `sql/ddl_staging.sql:40-43`). Existing files are never rewritten,
+    * so their stats, blooms, and deletion vectors stay live on append;
+    * overwrite drops all three with the files they described.
+    *
+    * Concurrency: staged data is valid against ANY base state (append
+    * depends on nothing), so a lost commit race retries metadata-only —
+    * re-read the winner's manifest, splice the same staged files in,
+    * commit again. Returns the committed version. */
+  def appendBatch(
+      spark: SparkSession,
+      base: String,
+      rows: DataFrame,
+      partCol: String,
+      batchId: Long,
+      overwrite: Boolean = false,
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    val fields = rows.schema.fields.toSeq
+    require(fields.exists(_.name.equalsIgnoreCase(partCol)),
+      s"append batch lacks partition column $partCol")
+    var attempt = 0
+    var committedV = -1L
+    var staged: Seq[(String, String, Long)] = Nil
+    while (committedV < 0 && attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (staged.isEmpty) {
+        val rel =
+          s"data/b${batchId}v$version-${java.util.UUID.randomUUID.toString.take(8)}"
+        val dir = new Path(bp, rel)
+        rows.withColumn("__p", col(partCol).cast("string"))
+          .write.partitionBy("__p").parquet(dir.toString)
+        staged = listStaged(fs, dir, rel)
+      }
+      val stagedByPart = staged.groupBy(_._1)
+        .map { case (p, fls) => p -> fls.map(_._2).sorted }
+      val files =
+        if (overwrite) stagedByPart
+        else m.files ++ stagedByPart.map { case (p, fls) =>
+          p -> (m.files.getOrElse(p, Nil) ++ fls).sorted
+        }
+      val next = Manifest(
+        version,
+        files,
+        (if (overwrite) Map.empty[String, Map[String, (String, String)]]
+         else m.stats) ++ sizeStats(staged),
+        if (overwrite) Map.empty else m.blooms,
+        if (overwrite) Map.empty else m.dvs,
+        // legacy tables (no schema header) with surviving old files stay
+        // legacy — a header built from the batch alone could hide columns
+        // those files carry (same rule as upsertBatch)
+        if (!overwrite && m.schemaJson.isEmpty && m.files.nonEmpty) None
+        else evolveSchema(if (overwrite) None else m.schemaJson,
+          org.apache.spark.sql.types.StructType(fields.toArray)),
+        Some(if (overwrite) "OVERWRITE" else "APPEND"))
+      if (tryCommit(fs, bp, next)) committedV = version
+      attempt += 1
+    }
+    if (committedV < 0) throw new IllegalStateException(
+      s"SnapshotLog append lost $maxRetries races on $base — raise maxRetries")
+    committedV
+  }
+
   /** (partition value, rel file path, byte length) for every parquet
     * file under a `partitionBy("__p")` staging layout — pure listing,
     * no Spark job. Dir names carry Hive-escaped partition values;

@@ -154,4 +154,73 @@ class SqlDmlSpec extends SparkSpec {
     """))
     assert(e.getMessage.contains("duplicate"), s"got: ${e.getMessage}")
   }
+
+  test("SQL INSERT INTO / OVERWRITE and CTAS in the commit-log format") {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_sqlins").toString
+    val base = root + "/tbl"
+    val rows = (1L to 10L).map(i => (i, i * 1.0, s"d${i % 2}"))
+      .toDF("id", "value", "day")
+    SnapshotLog.upsertBatch(s, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 2, opCol = None, writeCdf = false)
+    val view = Catalog.registerSnapshotLog(s, "dml", "t4", base, Some("day"))
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    // bare positional INSERT ... VALUES: appends without touching old files
+    val before = SnapshotLog.readManifest(fs, bp).get
+    val r1 = s.sql(s"INSERT INTO $view VALUES (11, 11.0, 'd1'), (12, 12.0, 'd2')")
+      .collect().head
+    assert(r1.getString(0) == "INSERT")
+    val m1 = SnapshotLog.readManifest(fs, bp).get
+    assert(m1.op.contains("APPEND"))
+    assert(before.allFiles.toSet.subsetOf(m1.allFiles.toSet),
+      "append must keep every existing file")
+    assert(m1.files.contains("d2"), "append creates brand-new partitions")
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 12)
+
+    // column-list INSERT: unnamed columns backfill NULL
+    s.sql(s"INSERT INTO $view (id, day) SELECT 13L, 'd0'")
+    val got = s.sql(s"SELECT value FROM $view WHERE id = 13").collect()
+    assert(got.length == 1 && got.head.isNullAt(0))
+
+    // INSERT INTO ... SELECT from another table
+    s.sql(s"INSERT INTO $view SELECT id + 100, value, day FROM $view WHERE id <= 2")
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 15)
+
+    // NULL partition value fails fast
+    val e1 = intercept[Exception](
+      s.sql(s"INSERT INTO $view VALUES (99, 1.0, NULL)"))
+    assert(e1.getMessage.contains("partition column"))
+
+    // INSERT OVERWRITE: full refresh, old files dropped
+    s.sql(s"INSERT OVERWRITE $view VALUES (1, 1.0, 'dX')")
+    val m2 = SnapshotLog.readManifest(fs, bp).get
+    assert(m2.op.contains("OVERWRITE") && m2.files.keySet == Set("dX"))
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 1)
+
+    // CTAS in the engine's own format, registered + DML-able at once
+    val loc = root + "/ctas_tbl"
+    val r2 = s.sql(s"""
+      CREATE TABLE dml.t5 USING graft_snapshot PARTITIONED BY (day)
+      LOCATION '$loc' AS SELECT id, value * 10 AS value, day FROM $view
+    """).collect().head
+    assert(r2.getString(0) == "CTAS")
+    assert(s.sql("SELECT value FROM dml_t5").head.getDouble(0) == 10.0)
+    s.sql("INSERT INTO dml_t5 VALUES (2, 2.0, 'dY')")
+    assert(s.sql("SELECT COUNT(*) FROM dml_t5").head.getLong(0) == 2)
+    // second CTAS: plain fails, IF NOT EXISTS no-ops
+    intercept[Exception](s.sql(s"""
+      CREATE TABLE dml.t5 USING graft_snapshot PARTITIONED BY (day)
+      LOCATION '$loc' AS SELECT id, value, day FROM $view
+    """))
+    val r3 = s.sql(s"""
+      CREATE TABLE IF NOT EXISTS dml.t5 USING graft_snapshot
+      PARTITIONED BY (day) LOCATION '$loc' AS SELECT id, value, day FROM $view
+    """).collect().head
+    assert(r3.getString(0) == "CTAS_EXISTS")
+    assert(s.sql("SELECT COUNT(*) FROM dml_t5").head.getLong(0) == 2,
+      "IF NOT EXISTS must not rewrite the existing table")
+  }
 }
