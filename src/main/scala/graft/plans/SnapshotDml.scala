@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{
-  And, Attribute, AttributeReference, EqualTo, Expression}
+  And, Attribute, AttributeReference, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
 import org.apache.spark.sql.catalyst.plans.logical.{
   Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertAction,
@@ -208,7 +208,51 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             locationOf(c), c.query, c.ignoreIfExists)
         case _ => plan // no/compound partitioning: unsupported, loud error
       }
-    case _ => plan
+    // time travel: `FROM <view> VERSION AS OF n` / `TIMESTAMP AS OF ts`
+    // anywhere in a query — the node is nested inside the SELECT, so
+    // this is a tree transform, not a statement-level match. The pinned
+    // snapshot replaces the node as an ALREADY-ANALYZED subplan built
+    // from the historical manifest (same planner-integrated relation as
+    // the live read), which the analyzer then leaves alone.
+    case p =>
+      p.transformUp {
+        case RelationTimeTravel(rel, ts, ver) if viewNameOf(rel).isDefined =>
+          val view = viewNameOf(rel).get
+          val (path, partCol, _, _) = Catalog.dmlTarget(view).get
+          val v: Long = (ver, ts) match {
+            case (Some(s), _) =>
+              try s.toLong catch {
+                case _: NumberFormatException =>
+                  sys.error(s"VERSION AS OF needs an integer version, got '$s'")
+              }
+            case (None, Some(e)) =>
+              val millis = tsMillis(e).getOrElse(sys.error(
+                s"TIMESTAMP AS OF needs a literal timestamp, got ${e.sql}"))
+              SnapshotLog.versionAsOfTime(spark, path, millis).getOrElse(
+                sys.error(s"$view has no version committed at or before ${e.sql}"))
+            case _ => sys.error("time travel needs VERSION or TIMESTAMP AS OF")
+          }
+          SnapshotLog.readVersion(spark, path, v, Some(partCol)).getOrElse(
+            sys.error(s"$view has no committed version $v"))
+            .queryExecution.analyzed
+      }
+  }
+
+  /** Epoch millis of a foldable `TIMESTAMP AS OF` operand: a timestamp
+    * literal, or a string literal in `yyyy-MM-dd[ HH:mm:ss[.S]]`
+    * (interpreted in UTC — the engine's session timezone contract). */
+  private def tsMillis(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, _: org.apache.spark.sql.types.TimestampType) =>
+      Some(v / 1000L) // internal micros
+    case Literal(s, _: StringType) if s != null =>
+      val str = s.toString.trim
+      try {
+        val local =
+          if (str.length <= 10) java.time.LocalDate.parse(str).atStartOfDay()
+          else java.time.LocalDateTime.parse(str.replace(' ', 'T'))
+        Some(local.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      } catch { case _: java.time.format.DateTimeParseException => None }
+    case _ => None
   }
 
   private def providerOf(c: CreateTableAsSelect): Option[String] =

@@ -1931,6 +1931,80 @@ object Relational2 {
       FROM final GROUP BY o_year, COALESCE(o_orderstatus, 'none')
       """))
 
+  /** TIME-TRAVEL SQL over the commit log: `VERSION AS OF n` pins a
+    * historical snapshot inside any query (the parser's
+    * RelationTimeTravel node, which Spark reserves for DSv2 tables,
+    * rewritten by [[graft.plans.SnapshotDmlRule]] onto the pinned
+    * manifest's planner-integrated relation — same file skipping as
+    * the live read), and `TIMESTAMP AS OF` resolves through manifest
+    * publish times. [[graft.sources.SnapshotLog.readVersion]] is the
+    * Scala form; this grades the SQL surface: one statement reads
+    * versions 1 and 3 of a DELETE→UPDATE lifecycle side by side, and
+    * the oracle recomputes both states relationally. In-engine,
+    * `TIMESTAMP AS OF` at a far-future instant must agree with the
+    * newest version. */
+  val q87TimeTravelSql: Q = Q(
+    "q87_time_travel_sql",
+    "VERSION AS OF / TIMESTAMP AS OF across a DML lifecycle",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_sqltt87").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_orderkey"), clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)                       // v1
+      val view = Catalog.registerSnapshotLog(s, "q87", "orders", base,
+        Some("o_year"))
+      s.sql(s"DELETE FROM $view WHERE o_orderkey % 7 = 0")    // v2 (DVs)
+      s.sql(s"UPDATE $view SET o_totalprice = o_totalprice * 2 " +
+        s"WHERE o_orderkey % 5 = 0")                          // v3
+
+      val nowCount = s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0)
+      require(s.sql(
+        s"SELECT COUNT(*) FROM $view TIMESTAMP AS OF '2100-01-01'")
+        .head.getLong(0) == nowCount,
+        "TIMESTAMP AS OF in the far future must read the newest version")
+
+      s.sql(s"""
+        SELECT v, o_year, n, total FROM (
+          SELECT 1 AS v, o_year, COUNT(*) AS n,
+                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                      AS DECIMAL(38,4)) AS DOUBLE) AS total
+          FROM $view VERSION AS OF 1 GROUP BY o_year
+          UNION ALL
+          SELECT 3 AS v, o_year, COUNT(*) AS n,
+                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                      AS DECIMAL(38,4)) AS DOUBLE) AS total
+          FROM $view VERSION AS OF 3 GROUP BY o_year)
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      v3 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_year
+        FROM base WHERE o_orderkey % 7 <> 0)
+      SELECT 1 AS v, o_year, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM base GROUP BY o_year
+      UNION ALL
+      SELECT 3 AS v, o_year, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM v3 GROUP BY o_year
+      """))
+
   /** Per-file BLOOM filters in the commit-log manifest — the
     * point-lookup complement to q70's min/max bounds: the layout is
     * range-clustered on `user_id` (so user_id is range-prunable), which
@@ -2517,5 +2591,5 @@ object Relational2 {
     q73IncrementalAgg, q74StreamCdfTail, q75BloomFileSkip, q76JoinIvm,
     q77MetadataCount, q78PredicateDelete, q79PredicateUpdate,
     q80PlannerScan, q81DeletionVectors, q82VersionStream, q83History,
-    q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas)
+    q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas, q87TimeTravelSql)
 }

@@ -288,11 +288,32 @@ object SnapshotLog {
     }
   }
 
-  /** Time-travel read: the table exactly as of committed version `v`. */
-  def readVersion(spark: SparkSession, base: String, v: Long): Option[DataFrame] = {
+  /** Time-travel read: the table exactly as of committed version `v`.
+    * Routed through the same planner-integrated relation as the
+    * current-snapshot [[read]] (manifest stats/bloom/partition file
+    * skipping, zero plan-time data-file RPCs when the manifest carries
+    * schema + sizes) — a historical version deserves the same plan
+    * quality as the live one. */
+  def readVersion(
+      spark: SparkSession, base: String, v: Long,
+      partCol: Option[String] = None): Option[DataFrame] = {
     val bp = new Path(base)
     readManifestAt(fsFor(spark, bp), bp, v).map(m =>
-      readFiles(spark, bp, m, m.allFiles))
+      readSnapshot(spark, bp, m, partCol))
+  }
+
+  /** The newest committed version whose manifest was PUBLISHED at or
+    * before `millis` (epoch ms) — `TIMESTAMP AS OF` resolution. Commit
+    * time is the manifest file's modification time, the same clock
+    * [[history]] reports. */
+  def versionAsOfTime(
+      spark: SparkSession, base: String, millis: Long): Option[Long] = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    committedVersions(fs, bp).filter { v =>
+      fs.getFileStatus(new Path(logDir(bp), vName(v)))
+        .getModificationTime <= millis
+    }.lastOption
   }
 
   /** The per-table-unique join key for a data file: its last TWO path

@@ -223,4 +223,46 @@ class SqlDmlSpec extends SparkSpec {
     assert(s.sql("SELECT COUNT(*) FROM dml_t5").head.getLong(0) == 2,
       "IF NOT EXISTS must not rewrite the existing table")
   }
+
+  test("time travel SQL: VERSION AS OF and TIMESTAMP AS OF pin historical snapshots") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_sqltt").toString + "/tbl"
+    val rows = (1L to 100L).map(i => (i, i * 1.0, s"d${i % 2}"))
+      .toDF("id", "value", "day")
+    SnapshotLog.upsertBatch(s, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Seq("id"),
+      clusterBy = Nil, clusterFiles = 2, opCol = None, writeCdf = false)
+    val view = Catalog.registerSnapshotLog(s, "dml", "t6", base, Some("day"))
+    s.sql(s"DELETE FROM $view WHERE id % 4 = 0")            // v2
+    s.sql(s"UPDATE $view SET value = value + 1000 WHERE id = 1") // v3
+
+    // each pinned version answers with ITS state, in one statement
+    val counts = s.sql(s"""
+      SELECT v, n FROM (
+        SELECT 1 AS v, COUNT(*) AS n FROM $view VERSION AS OF 1
+        UNION ALL SELECT 2, COUNT(*) FROM $view VERSION AS OF 2
+        UNION ALL SELECT 3, COUNT(*) FROM $view VERSION AS OF 3)
+      ORDER BY v
+    """).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1 -> 100L, 2 -> 75L, 3 -> 75L), s"got $counts")
+    assert(s.sql(s"SELECT value FROM $view VERSION AS OF 2 WHERE id = 1")
+      .head.getDouble(0) == 1.0, "v2 predates the UPDATE")
+    assert(s.sql(s"SELECT value FROM $view WHERE id = 1")
+      .head.getDouble(0) == 1001.0, "the live view reads the newest commit")
+    // a pinned version still prunes via its manifest (stats recorded on id)
+    assert(s.sql(s"SELECT COUNT(*) FROM $view VERSION AS OF 1 WHERE id <= 10")
+      .head.getLong(0) == 10)
+
+    // TIMESTAMP AS OF: far future resolves to the newest version,
+    // prehistory errors
+    assert(s.sql(s"SELECT COUNT(*) FROM $view TIMESTAMP AS OF '2100-01-01'")
+      .head.getLong(0) == 75)
+    val e = intercept[Exception](
+      s.sql(s"SELECT COUNT(*) FROM $view TIMESTAMP AS OF '1990-01-01'").collect())
+    assert(e.getMessage.contains("no version committed"), s"got: ${e.getMessage}")
+    // an unknown version errors loudly
+    val e2 = intercept[Exception](
+      s.sql(s"SELECT COUNT(*) FROM $view VERSION AS OF 99").collect())
+    assert(e2.getMessage.contains("no committed version"), s"got: ${e2.getMessage}")
+  }
 }
