@@ -127,6 +127,43 @@ object SnapshotLog {
     * distributed write) and the manifest's size. */
   val DvInlineMax = 100000
 
+  /** Above this many positions summed across ALL inline DVs of the
+    * files in one read, the DV anti-join side is no longer broadcast —
+    * a table that accumulated many per-file inline vectors over many
+    * commits must not grow the broadcast without bound (each file's
+    * vector is individually capped at [[DvInlineMax]], but nothing
+    * caps their count). */
+  val DvBroadcastMax = 10L * DvInlineMax
+
+  /** Above this many live files a commit writes a SHARDED manifest:
+    * the root version file holds one `#shard` pointer line per
+    * partition (with file/row/DV-count rollups and a content hash)
+    * and the per-file lines live in immutable side files under
+    * `_log/`. A commit touching K of P partitions then rewrites K
+    * shard files + one O(P) root — not O(total files) — and
+    * partition-pruned reads load only the wanted shards. Below the
+    * threshold the single-file format is unchanged (and stays
+    * byte-compatible with every manifest already on disk). */
+  val ShardFileThreshold = 4096
+
+  /** Header line `#shard <part> <rel> <nFiles> <nRows> <nDv> <hash>`
+    * pointing the root manifest at one partition's shard file.
+    * Old readers skip every `#` line, so the tag space is shared with
+    * [[SchemaTag]]/[[OpTag]]. */
+  private val ShardTag = "#shard"
+
+  /** Marker that opts a table into sharded manifests below
+    * [[ShardFileThreshold]] (tests, or tables known to grow). Once
+    * past the threshold no marker is needed — size alone shards. */
+  private def shardMarker(base: Path) = new Path(logDir(base), "sharded.marker")
+
+  /** Opt `base` into sharded manifest commits regardless of size. */
+  def enableSharding(fs: FileSystem, base: Path): Unit = {
+    fs.mkdirs(logDir(base))
+    val out = fs.create(shardMarker(base), true)
+    out.close()
+  }
+
   private def logDir(base: Path) = new Path(base, "_log")
   private def vName(v: Long) = f"v$v%011d.txt"
   private def dvDir(base: Path) = new Path(base, "_dv")
@@ -189,6 +226,47 @@ object SnapshotLog {
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** One `#shard` pointer: partition → shard file (rel to `_log/`),
+    * plus rollups so DESCRIBE HISTORY / metadata COUNT(*) answer from
+    * the root alone. `nRows` is live rows (physical minus DV), −1 when
+    * some file carries no recorded count. `hash` is the SHA-256 of the
+    * shard's body text — an unchanged partition's pointer is REUSED by
+    * the next commit without reading (or rewriting) the shard. */
+  private final case class ShardPtr(
+      part: String, rel: String, nFiles: Long, nRows: Long, nDv: Long,
+      hash: String)
+
+  private def shardPtrLine(sp: ShardPtr): String =
+    s"$ShardTag\t${enc(sp.part)}\t${enc(sp.rel)}\t${sp.nFiles}\t" +
+      s"${sp.nRows}\t${sp.nDv}\t${sp.hash}"
+
+  private def parseShardPtrs(text: String): Seq[ShardPtr] =
+    text.split("\n").iterator.filter(_.startsWith(ShardTag + "\t")).map { l =>
+      val a = l.split("\t", 7)
+      ShardPtr(dec(a(1)), dec(a(2)), a(3).toLong, a(4).toLong, a(5).toLong, a(6))
+    }.toSeq
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** The root manifest text of version `v` iff that version is
+    * COMMITTED (footer-complete) — the one cheap read every
+    * version-list/history/manifest path shares. Never opens shard
+    * files. */
+  private def rootText(fs: FileSystem, base: Path, v: Long): Option[String] = {
+    val target = new Path(logDir(base), vName(v))
+    if (v == 0L || !fs.exists(target)) None
+    else {
+      val in = fs.open(target)
+      val text =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      if (text.endsWith(Footer + "\n")) Some(text) else None
+    }
+  }
+
   /** Highest version NAME present (committed or in-flight), 0 when the
     * table does not exist yet. Writers allocate `currentVersion + 1` so
     * a crashed in-flight manifest never blocks the version chain;
@@ -205,21 +283,32 @@ object SnapshotLog {
   /** The manifest of the newest COMPLETE version, if any — scans down
     * past in-flight/crashed manifests (missing [[Footer]]), which were
     * never visible as commits. */
-  /** All COMMITTED (footer-complete) versions, ascending. */
+  /** All COMMITTED (footer-complete) versions, ascending. Only root
+    * manifests are opened — shard files never load here. */
   def committedVersions(fs: FileSystem, base: Path): Seq[Long] = {
     val dir = logDir(base)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
       .filter(n => n.startsWith("v") && n.endsWith(".txt"))
       .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
-      .filter(v => readManifestAt(fs, base, v).isDefined)
+      .filter(v => rootText(fs, base, v).isDefined)
       .sorted
   }
 
-  def readManifest(fs: FileSystem, base: Path): Option[Manifest] = {
+  def readManifest(fs: FileSystem, base: Path): Option[Manifest] =
+    readManifest(fs, base, None)
+
+  /** Newest committed manifest, optionally loading only the
+    * partitions `partPred` accepts — on a sharded manifest the pruned
+    * shards are never opened (O(touched shards) planning); on an
+    * inline manifest the pruning is in-memory. The returned Manifest
+    * then holds ONLY the accepted partitions. */
+  def readManifest(
+      fs: FileSystem, base: Path,
+      partPred: Option[String => Boolean]): Option[Manifest] = {
     var v = currentVersion(fs, base)
     while (v > 0L) {
-      readManifestAt(fs, base, v) match {
+      readManifestAt(fs, base, v, partPred) match {
         case some @ Some(_) => return some
         case None => v -= 1
       }
@@ -231,19 +320,15 @@ object SnapshotLog {
     * manifest is immutable once committed and [[vacuum]] keeps every
     * committed version's files, so any historical snapshot remains
     * readable until its manifest is explicitly expired). */
-  def readManifestAt(fs: FileSystem, base: Path, v: Long): Option[Manifest] = {
-    val target = new Path(logDir(base), vName(v))
-    if (v == 0L || !fs.exists(target)) None
-    else {
-      val in = fs.open(target)
-      val text =
-        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
-      // a manifest is committed only once its footer is on disk; a
-      // partially-written one (create-exclusive claimed, writer died)
-      // reads as absent
-      if (!text.endsWith(Footer + "\n")) None
-      else {
+  def readManifestAt(
+      fs: FileSystem, base: Path, v: Long,
+      partPred: Option[String => Boolean] = None): Option[Manifest] = {
+    // a manifest is committed only once its footer is on disk; a
+    // partially-written one (create-exclusive claimed, writer died)
+    // reads as absent
+    rootText(fs, base, v) match {
+      case None => None
+      case Some(text) =>
         // `#schema\t<json>` is a header comment: grammar-invisible to
         // older readers (every `#` line is skipped below), load-bearing
         // for new ones — the table schema without opening a data file
@@ -255,9 +340,42 @@ object SnapshotLog {
           .filter(_.startsWith(OpTag + "\t"))
           .map(l => dec(l.substring(OpTag.length + 1)))
           .nextOption()
-        val lines = text.split("\n").iterator
-          .filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(_.split("\t", 5)).toSeq
+        val ptrs = parseShardPtrs(text)
+        val rawLines: Seq[Array[String]] =
+          if (ptrs.isEmpty)
+            text.split("\n").iterator
+              .filter(l => l.nonEmpty && !l.startsWith("#"))
+              .map(_.split("\t", 5)).toSeq
+          else {
+            // sharded root: per-file lines live in immutable side
+            // files; load only the wanted partitions' shards. A
+            // committed root guarantees complete shards (they are
+            // fully written before the root's create-exclusive), so a
+            // missing/truncated one is corruption — fail loudly, never
+            // silently drop a partition.
+            val wanted = partPred match {
+              case Some(p) => ptrs.filter(sp => p(sp.part))
+              case None => ptrs
+            }
+            wanted.flatMap { sp =>
+              val sf = new Path(logDir(base), sp.rel)
+              if (!fs.exists(sf))
+                sys.error(s"manifest v$v references missing shard ${sp.rel}")
+              val in2 = fs.open(sf)
+              val st =
+                try new String(in2.readAllBytes(), StandardCharsets.UTF_8)
+                finally in2.close()
+              if (!st.endsWith(Footer + "\n"))
+                sys.error(s"manifest v$v shard ${sp.rel} is incomplete")
+              st.split("\n").iterator
+                .filter(l => l.nonEmpty && !l.startsWith("#"))
+                .map(_.split("\t", 5)).toSeq
+            }
+          }
+        val lines = partPred match {
+          case Some(p) => rawLines.filter(a => p(a(0)))
+          case None => rawLines
+        }
         val files = lines.map(a => a(0) -> a(1))
           .groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2) }
         val stats = lines.collect {
@@ -284,7 +402,6 @@ object SnapshotLog {
             })
         }.toMap
         Some(Manifest(v, files, stats, blooms, dvs, schemaJson, op))
-      }
     }
   }
 
@@ -353,7 +470,12 @@ object SnapshotLog {
         .select(lit(dvKey(f)).as("__dv_file"),
           col("pos").cast("long").as("__dv_pos"))
     }
-    Some(((inlineDf ++ sidecars).reduce(_ unionByName _), sidecars.isEmpty))
+    // broadcast only when every DV is inline AND their union is small:
+    // per-file inline vectors are capped, their COUNT is not, so a
+    // long-lived table's accumulated inline DVs must not grow the
+    // broadcast (or the executors' copy of it) without bound
+    val broadcastOk = sidecars.isEmpty && inline.size <= DvBroadcastMax
+    Some(((inlineDf ++ sidecars).reduce(_ unionByName _), broadcastOk))
   }
 
   /** Read `files` (rel paths under `base`) THROUGH their deletion
@@ -384,6 +506,47 @@ object SnapshotLog {
     * object stores. The claimed file only becomes a COMMIT once its
     * [[Footer]] line is written — readers treat a footer-less manifest
     * as absent, so the claim-then-write gap is invisible. */
+  /** One manifest body line for file `f` of partition `p`. */
+  private def fileLine(m: Manifest, p: String, f: String): String = {
+    val st = m.stats.getOrElse(f, Map.empty)
+    val bl = m.blooms.getOrElse(f, Map.empty)
+    val stS = st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"${enc(c)}:${enc(mn)}:${enc(mx)}"
+    }.mkString(";")
+    // base64 alphabet is disjoint from the grammar chars (tab ; :)
+    val blS = bl.toSeq.sortBy(_._1).map { case (c, b) =>
+      s"${enc(c)}:$b"
+    }.mkString(";")
+    val dvS = m.dvs.get(f).map {
+      case Dv(n, Some(b64), _) => s"i:$n:$b64"
+      case Dv(n, None, Some(rel)) => s"f:$n:${enc(rel)}"
+      case Dv(n, None, None) =>
+        sys.error(s"DV for $f has neither inline nor sidecar payload")
+    }.getOrElse("")
+    // trailing fields are elided right-to-left; an empty middle
+    // field stays as a placeholder so positions keep their meaning
+    if (dvS.nonEmpty) s"$p\t$f\t$stS\t$blS\t$dvS"
+    else if (bl.nonEmpty) s"$p\t$f\t$stS\t$blS"
+    else if (st.nonEmpty) s"$p\t$f\t$stS"
+    else s"$p\t$f"
+  }
+
+  /** The newest committed root's shard pointers below `v` — the reuse
+    * source for [[tryCommit]]'s sharded path. Empty when the previous
+    * committed version was inline (or absent): every shard is then
+    * written fresh, a one-time O(files) migration cost. */
+  private def prevShardPtrs(
+      fs: FileSystem, base: Path, v: Long): Map[String, ShardPtr] = {
+    var pv = v - 1
+    while (pv > 0L) {
+      rootText(fs, base, pv) match {
+        case Some(text) => return parseShardPtrs(text).map(sp => sp.part -> sp).toMap
+        case None => pv -= 1
+      }
+    }
+    Map.empty
+  }
+
   def tryCommit(fs: FileSystem, base: Path, m: Manifest): Boolean = {
     val dir = logDir(base)
     fs.mkdirs(dir)
@@ -392,31 +555,45 @@ object SnapshotLog {
     val header = m.schemaJson
       .map(j => s"$SchemaTag\t${enc(j)}\n").getOrElse("") +
       m.op.map(o => s"$OpTag\t${enc(o)}\n").getOrElse("")
-    val text = header + m.files.toSeq.sortBy(_._1).flatMap { case (p, fls) =>
-      fls.sorted.map { f =>
-        val st = m.stats.getOrElse(f, Map.empty)
-        val bl = m.blooms.getOrElse(f, Map.empty)
-        val stS = st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-          s"${enc(c)}:${enc(mn)}:${enc(mx)}"
-        }.mkString(";")
-        // base64 alphabet is disjoint from the grammar chars (tab ; :)
-        val blS = bl.toSeq.sortBy(_._1).map { case (c, b) =>
-          s"${enc(c)}:$b"
-        }.mkString(";")
-        val dvS = m.dvs.get(f).map {
-          case Dv(n, Some(b64), _) => s"i:$n:$b64"
-          case Dv(n, None, Some(rel)) => s"f:$n:${enc(rel)}"
-          case Dv(n, None, None) =>
-            sys.error(s"DV for $f has neither inline nor sidecar payload")
-        }.getOrElse("")
-        // trailing fields are elided right-to-left; an empty middle
-        // field stays as a placeholder so positions keep their meaning
-        if (dvS.nonEmpty) s"$p\t$f\t$stS\t$blS\t$dvS"
-        else if (bl.nonEmpty) s"$p\t$f\t$stS\t$blS"
-        else if (st.nonEmpty) s"$p\t$f\t$stS"
-        else s"$p\t$f"
+    val parts = m.files.toSeq.sortBy(_._1)
+    val sharded = m.allFiles.size >= ShardFileThreshold ||
+      fs.exists(shardMarker(base))
+    val body =
+      if (!sharded)
+        parts.flatMap { case (p, fls) => fls.sorted.map(f => fileLine(m, p, f)) }
+          .mkString("", "\n", "\n")
+      else {
+        // sharded commit: write (or REUSE, on content-hash match with
+        // the previous committed root) one immutable shard file per
+        // partition, then point the root at them. The root's
+        // create-exclusive below stays the single commit point — shard
+        // files of a lost race are orphans, reclaimed by [[vacuum]].
+        val prev = prevShardPtrs(fs, base, m.version)
+        parts.zipWithIndex.map { case ((p, fls), idx) =>
+          val lines = fls.sorted.map(f => fileLine(m, p, f))
+          val content = lines.mkString("", "\n", "\n")
+          val hash = sha256Hex(content)
+          val rows = fls.map(f =>
+            m.stats.get(f).flatMap(_.get(RowCountKey))
+              .flatMap(_._1.toLongOption)
+              .map(_ - m.dvs.get(f).map(_.count).getOrElse(0L)))
+          val nRows = if (rows.exists(_.isEmpty)) -1L else rows.flatten.sum
+          val nDv = fls.flatMap(f => m.dvs.get(f)).map(_.count).sum
+          val rel = prev.get(p).filter(_.hash == hash).map(_.rel).getOrElse {
+            // uuid suffix: two same-version racers must never collide
+            // on a shard name (the loser's file becomes an orphan)
+            val name = f"s${m.version}%011d-p$idx-${
+              java.util.UUID.randomUUID.toString.take(8)}.txt"
+            val o = fs.create(new Path(dir, name), false)
+            try o.write((content + Footer + "\n")
+              .getBytes(StandardCharsets.UTF_8))
+            finally o.close()
+            name
+          }
+          shardPtrLine(ShardPtr(p, rel, fls.size.toLong, nRows, nDv, hash))
+        }.mkString("", "\n", "\n")
       }
-    }.mkString("", "\n", "\n") + Footer + "\n"
+    val text = header + body + Footer + "\n"
     val out: java.io.OutputStream =
       try {
         if (fs.getUri.getScheme == "file") {
@@ -493,7 +670,10 @@ object SnapshotLog {
   def readPartitions(
       spark: SparkSession, base: String, parts: Seq[String]): Option[DataFrame] = {
     val bp = new Path(base)
-    readManifest(fsFor(spark, bp), bp).map { m =>
+    val pset = parts.toSet
+    // pruned manifest load: on a sharded table only the named
+    // partitions' shard files are ever opened
+    readManifest(fsFor(spark, bp), bp, Some(pset.contains)).map { m =>
       val files = parts.flatMap(p => m.files.getOrElse(p, Nil))
       if (files.isEmpty) None
       else Some(readFiles(spark, bp, m, files))
@@ -1911,12 +2091,28 @@ object SnapshotLog {
     val fs = fsFor(spark, bp)
     import spark.implicits._
     committedVersions(fs, bp).reverse.flatMap { v =>
-      readManifestAt(fs, bp, v).map { m =>
+      rootText(fs, bp, v).map { text =>
         val ts = fs.getFileStatus(new Path(logDir(bp), vName(v)))
           .getModificationTime
-        (v, new java.sql.Timestamp(ts), m.op.getOrElse("UNKNOWN"),
-          m.files.size.toLong, m.allFiles.size.toLong,
-          m.dvs.values.map(_.count).sum, countRows(m).getOrElse(-1L))
+        val op = text.split("\n").iterator
+          .filter(_.startsWith(OpTag + "\t"))
+          .map(l => dec(l.substring(OpTag.length + 1)))
+          .nextOption().getOrElse("UNKNOWN")
+        val ptrs = parseShardPtrs(text)
+        if (ptrs.nonEmpty) {
+          // sharded root: every count is a pointer-line rollup — a
+          // sharded table's history costs O(versions) ROOT reads, no
+          // shard file ever opens
+          val nRows =
+            if (ptrs.exists(_.nRows < 0L)) -1L else ptrs.map(_.nRows).sum
+          (v, new java.sql.Timestamp(ts), op, ptrs.size.toLong,
+            ptrs.map(_.nFiles).sum, ptrs.map(_.nDv).sum, nRows)
+        } else {
+          val m = readManifestAt(fs, bp, v).get
+          (v, new java.sql.Timestamp(ts), op,
+            m.files.size.toLong, m.allFiles.size.toLong,
+            m.dvs.values.map(_.count).sum, countRows(m).getOrElse(-1L))
+        }
       }
     }.toDF("version", "timestamp", "operation",
       "n_partitions", "n_files", "n_deleted_rows", "n_rows")
@@ -1977,17 +2173,36 @@ object SnapshotLog {
     val fs = fsFor(spark, bp)
     val dir = logDir(bp)
     if (!fs.exists(dir)) return 0L
-    val lines = fs.listStatus(dir).map(_.getPath.getName)
+    val rootTexts = fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".txt"))
-      .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
-      .flatMap { v =>
-        val in = fs.open(new Path(dir, vName(v)))
+      .map { n =>
+        val in = fs.open(new Path(dir, n))
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      }
+    // shard files referenced by ANY root — the sweep below keeps
+    // exactly them. Data references are honored from EVERY shard file
+    // on disk, referenced or not: an in-flight sharded committer has
+    // written its shards but not yet its root, and deleting the data
+    // they reference would gut the imminent commit (the retention
+    // window is the second guard, as for raw data files)
+    val ptrRels = rootTexts.flatMap(parseShardPtrs).map(_.rel).toSet
+    val shardLines = fs.listStatus(dir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith("s") && n.endsWith(".txt")
+      }
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
         val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
-        // keep even an INCOMPLETE manifest's file references: its
-        // writer may still be alive and about to finish the commit
-        text.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+        text.split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       }
+    // keep even an INCOMPLETE manifest's file references: its
+    // writer may still be alive and about to finish the commit
+    val lines = rootTexts.flatMap(
+      _.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))) ++
+      shardLines
     // limit 5, field 1 BARE: a stats/bloom/DV-carrying line's file
     // field must come out clean or vacuum reclaims live data
     val referenced = lines.map(_.split("\t", 5)(1)).toSet
@@ -2023,33 +2238,61 @@ object SnapshotLog {
       }
     }
     sweep("data", referenced.contains)
-    // sidecars sweep at the JOB-DIR level: a top-level `_dv/<job>` dir
-    // goes (recursively — payload, _SUCCESS markers, and all) iff no
-    // manifest references any `__f=` dir under it and every file in it
-    // has aged past retention
+    // sidecar sweep at `__f=` GRANULARITY: within a `_dv/<job>` dir,
+    // each per-file subdir goes (recursively) as soon as NO manifest
+    // references it and its files aged past retention — a job dir
+    // whose vectors were superseded one file at a time reclaims
+    // incrementally instead of pinning the whole dir until its last
+    // reference rotates. The job dir itself (write markers, _SUCCESS)
+    // follows once its last `__f=` child is gone.
+    def agedFileCount(p: Path): Option[Long] = {
+      var n = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) {
+          n += 1
+          if (st.getModificationTime > cutoff) return None
+        }
+      }
+      Some(n)
+    }
     val dvRoot = new Path(bp, "_dv")
     if (fs.exists(dvRoot)) {
-      fs.listStatus(dvRoot).filter(_.isDirectory).foreach { d =>
-        val rel = d.getPath.toString.stripPrefix(qBase).stripPrefix("/")
-        val isReferenced = dvDirs.exists(_.startsWith(rel + "/"))
-        if (!isReferenced) {
-          var allAged = true
-          var nFiles = 0L
-          val it = fs.listFiles(d.getPath, true)
-          while (it.hasNext) {
-            val st = it.next()
-            if (st.isFile) {
-              nFiles += 1
-              if (st.getModificationTime > cutoff) allAged = false
+      fs.listStatus(dvRoot).filter(_.isDirectory).foreach { job =>
+        val jobRel = job.getPath.toString.stripPrefix(qBase).stripPrefix("/")
+        fs.listStatus(job.getPath)
+          .filter(c => c.isDirectory && c.getPath.getName.startsWith("__f="))
+          .foreach { ch =>
+            val rel = s"$jobRel/${ch.getPath.getName}"
+            if (!dvDirs.contains(rel)) agedFileCount(ch.getPath).foreach { n =>
+              fs.delete(ch.getPath, true)
+              removed += n
             }
           }
-          if (allAged) {
-            fs.delete(d.getPath, true)
-            removed += nFiles
-          }
+        val hasChildren = fs.listStatus(job.getPath)
+          .exists(c => c.isDirectory && c.getPath.getName.startsWith("__f="))
+        if (!hasChildren) agedFileCount(job.getPath).foreach { n =>
+          fs.delete(job.getPath, true)
+          removed += n
         }
       }
     }
+    // orphaned SHARD files: written before a root that lost its commit
+    // race (or whose root was expired) — reclaim once unreferenced and
+    // aged, same contract as data files
+    fs.listStatus(dir)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith("s") && n.endsWith(".txt")
+      }
+      .foreach { st =>
+        if (!ptrRels.contains(st.getPath.getName) &&
+            st.getModificationTime <= cutoff) {
+          fs.delete(st.getPath, false)
+          removed += 1
+        }
+      }
     removed
   }
 }

@@ -271,4 +271,52 @@ class DeletionVectorSpec extends SparkSpec {
     assert(SnapshotLog.readPoint(spark, base, "id", 999999L)
       .forall(_.count() == 0))
   }
+
+  test("vacuum reclaims superseded sidecars at __f= granularity") {
+    val (base, bp) = mkTable("graft_dv_partial")
+    val hfs = fs(bp)
+    // sidecar delete touching MANY files (u3 rows live in every day)
+    SnapshotLog.deleteWhere(spark, base,
+      col("user") === "u3", "day", deletionVectors = true, dvInlineMax = 0).get
+    val m2 = SnapshotLog.readManifest(hfs, bp).get
+    assert(m2.dvs.size > 1, "need several sidecar'd files for the test")
+
+    // second sidecar delete superseding exactly ONE file's vector:
+    // pick a still-live id FROM a file that already has a DV, so the
+    // new delete provably merges into (and replaces) that vector
+    val dvFile = m2.dvs.keys.min
+    val victim = spark.read.parquet(s"$base/$dvFile")
+      .filter(col("user") =!= "u3")
+      .agg(min("id")).head.getLong(0)
+    SnapshotLog.deleteWhere(spark, base,
+      col("id") === victim, "day", deletionVectors = true, dvInlineMax = 0).get
+    val m3 = SnapshotLog.readManifest(hfs, bp).get
+    val superseded = m3.dvs.collect {
+      case (f, dv) if m2.dvs.get(f).exists(_.sidecarRel != dv.sidecarRel) =>
+        m2.dvs(f).sidecarRel.get
+    }.toSeq
+    val kept = m3.dvs.collect {
+      case (f, dv) if m2.dvs.get(f).exists(_.sidecarRel == dv.sidecarRel) =>
+        dv.sidecarRel.get
+    }.toSeq
+    assert(superseded.size == 1 && kept.nonEmpty)
+
+    // expire the version still referencing the superseded vector, then
+    // vacuum: ONLY its __f= subdir goes — the sibling subdirs of the
+    // same job dir (still referenced by the live manifest) survive
+    SnapshotLog.expireVersions(spark, base, keepLast = 1)
+    SnapshotLog.vacuum(spark, base, retentionMs = 0L)
+    superseded.foreach { rel =>
+      assert(!hfs.exists(new Path(bp, rel)),
+        s"superseded sidecar subdir $rel must be reclaimed")
+    }
+    kept.foreach { rel =>
+      assert(hfs.exists(new Path(bp, rel)),
+        s"still-referenced sibling sidecar $rel must survive")
+    }
+    // reads stay exact through the partial reclamation
+    val live = SnapshotLog.read(spark, base).get
+    assert(live.filter(col("user") === "u3" || col("id") === victim).count() == 0)
+    assert(live.count() == 300 - (1L to 300L).count(i => i % 7 == 3 || i == victim))
+  }
 }
