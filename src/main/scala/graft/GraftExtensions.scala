@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // extended resolution rule ever sees the plan.
     ext.injectHintResolutionRule(session => graft.plans.SnapshotDmlRule(session))
     ext.injectResolutionRule(session => graft.plans.SnapshotDmlRule(session))
+    // SQL maintenance verbs (OPTIMIZE / VACUUM / RESTORE) on registered
+    // commit-log tables — a delegating parser: three statement shapes
+    // intercepted only for registered targets, everything else parses
+    // through Spark's own grammar untouched.
+    ext.injectParser((_, delegate) =>
+      new graft.plans.SnapshotMaintenanceParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

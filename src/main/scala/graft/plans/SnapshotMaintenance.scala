@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.sources.{Catalog, SnapshotLog}
+
+/** SQL maintenance verbs on commit-log tables — `OPTIMIZE`, `VACUUM`,
+  * `RESTORE … TO VERSION AS OF` — via a DELEGATING parser extension
+  * (`SparkSessionExtensions.injectParser`, the Delta/Iceberg model for
+  * verbs outside Spark's grammar).
+  *
+  * The parser intercepts exactly three statement shapes, and ONLY when
+  * the named table is a registered snapshot-DML target — everything
+  * else (including these verbs on unknown names) falls through to
+  * Spark's own parser verbatim, so the extension cannot change the
+  * meaning of any statement Spark already accepts (OPTIMIZE/VACUUM/
+  * RESTORE are not ANSI or Spark grammar; an unmatched one keeps
+  * Spark's own parse error). Each verb compiles to a
+  * [[LeafRunnableCommand]] over the Scala API the engine already has —
+  * SQL adds surface, never a second implementation — and re-pins the
+  * view after any commit so follow-up SELECTs on the same name read
+  * the new snapshot.
+  *
+  * Grammar (case-insensitive, optional trailing `;`):
+  * {{{
+  *   OPTIMIZE <view> [ZORDER BY (col [, col]*)]
+  *   VACUUM <view> [RETAIN <n> HOURS]
+  *   RESTORE [TABLE] <view> TO VERSION AS OF <version>
+  * }}}
+  */
+class SnapshotMaintenanceParser(delegate: ParserInterface)
+  extends ParserInterface {
+
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_]\w*)(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  private def isTarget(view: String): Boolean =
+    Catalog.dmlTarget(view).isDefined
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Optimize(view, zorder) if isTarget(view) =>
+      val cols = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      SnapshotOptimizeCommand(view, cols)
+    case Vacuum(view, hours) if isTarget(view) =>
+      SnapshotVacuumCommand(view,
+        Option(hours).map(_.toLong * 3600L * 1000L)
+          .getOrElse(24L * 3600L * 1000L))
+    case Restore(view, v) if isTarget(view) =>
+      SnapshotRestoreCommand(view, v.toLong)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+private object SnapshotMaintenance {
+  /** The value columns the table's manifest already records bounds
+    * for — a maintenance rewrite re-records exactly these, so stats
+    * pruning SURVIVES OPTIMIZE instead of silently degrading (the
+    * bookkeeping keys `__rows`/`__bytes` are re-derived by the write
+    * path itself). */
+  def statsColsOf(m: SnapshotLog.Manifest): Seq[String] =
+    (m.stats.values.flatMap(_.keys).toSet -
+      SnapshotLog.RowCountKey - SnapshotLog.ByteSizeKey).toSeq.sorted
+
+  def target(view: String): (String, String) = {
+    val (path, partCol, _, _) = Catalog.dmlTarget(view).getOrElse(
+      sys.error(s"$view is not a registered snapshot-DML target"))
+    (path, partCol)
+  }
+}
+
+/** `OPTIMIZE view` — whole-table compaction as ONE transaction
+  * ([[SnapshotLog.optimizeTable]]); with `ZORDER BY (cols)` each
+  * fragmented partition is instead range-clustered on the key(s) via
+  * [[SnapshotLog.compactPartition]] so file bounds become selective. */
+case class SnapshotOptimizeCommand(view: String, zorderBy: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files_before", LongType, nullable = false)(),
+    AttributeReference("n_files_after", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, partCol) = SnapshotMaintenance.target(view)
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m0 = SnapshotLog.readManifest(fs, bp).getOrElse(
+      sys.error(s"$view has no committed version"))
+    val statsCols = SnapshotMaintenance.statsColsOf(m0)
+    val v =
+      if (zorderBy.isEmpty)
+        SnapshotLog.optimizeTable(spark, path, partCol,
+          statsCols = statsCols)
+      else {
+        // ZORDER: per-partition clustered rewrite (each partition's
+        // commit is its own transaction; clusterFiles sized so each
+        // file covers a tight key range)
+        m0.files.keySet.toSeq.sorted.foreach { p =>
+          SnapshotLog.compactPartition(spark, path, p,
+            statsCols = (statsCols ++ zorderBy).distinct.sorted,
+            clusterBy = zorderBy,
+            clusterFiles = math.max(1, m0.files(p).size))
+        }
+        SnapshotLog.readManifest(fs, bp).map(_.version).getOrElse(0L)
+      }
+    SnapshotDml.repin(spark, view)
+    val after = SnapshotLog.readManifest(fs, bp)
+      .map(_.allFiles.size.toLong).getOrElse(0L)
+    Seq(Row(if (zorderBy.isEmpty) "OPTIMIZE" else "OPTIMIZE ZORDER",
+      v, m0.allFiles.size.toLong, after))
+  }
+}
+
+/** `VACUUM view [RETAIN n HOURS]` — reclaim unreferenced data files,
+  * superseded DV sidecar subdirs, and orphaned manifest shards older
+  * than the retention window ([[SnapshotLog.vacuum]]). */
+case class SnapshotVacuumCommand(view: String, retentionMs: Long)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("n_removed_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val removed = SnapshotLog.vacuum(spark, path, retentionMs)
+    Seq(Row("VACUUM", removed))
+  }
+}
+
+/** `RESTORE [TABLE] view TO VERSION AS OF v` — append-only rollback:
+  * the old snapshot's manifest content commits as a NEW version
+  * ([[SnapshotLog.restoreTable]]), metadata-only, data files shared. */
+case class SnapshotRestoreCommand(view: String, toVersion: Long)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.restoreTable(spark, path, toVersion)
+    SnapshotDml.repin(spark, view)
+    Seq(Row("RESTORE", v, toVersion))
+  }
+}

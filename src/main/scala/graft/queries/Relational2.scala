@@ -2109,6 +2109,102 @@ object Relational2 {
       FROM v3 GROUP BY o_year
       """))
 
+  /** SQL MAINTENANCE verbs — `RESTORE … TO VERSION AS OF`, `OPTIMIZE`,
+    * `VACUUM … RETAIN n HOURS` — parsed by the engine's delegating
+    * parser extension ([[graft.plans.SnapshotMaintenanceParser]], the
+    * Delta/Iceberg model for verbs outside Spark's grammar) and
+    * executed over the same primitives as the Scala API. The lifecycle
+    * is the production incident drill: a bad UPDATE zeroes a third of
+    * the prices → RESTORE rolls back append-only (history keeps the
+    * bad version for audit; metadata-only, data files shared) → a DV
+    * DELETE trims rows → OPTIMIZE compacts the whole table in ONE
+    * transaction, materializing the DVs and re-recording stats bounds
+    * → history is expired and VACUUM reclaims the unreferenced files.
+    * Every stage is require-graded in-engine (zeroed sum, restored
+    * sum, file shrink, DV materialization, reclaim count, stable row
+    * set); the emitted rows are the final per-year state, recomputed
+    * relationally by the oracle. */
+  val q89SqlMaintenance: Q = Q(
+    "q89_sql_maintenance",
+    "SQL OPTIMIZE / VACUUM / RESTORE verbs via the parser extension",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_maint89").toString + "/tbl"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      val n0 = orders.count()
+      val sum0 = orders.agg(sum(col("o_totalprice").cast(DecimalType(38, 4))))
+        .head.getDecimal(0)
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_orderkey"), clusterBy = Nil, clusterFiles = 4,
+        opCol = None, writeCdf = false)                       // v1
+      val view = Catalog.registerSnapshotLog(s, "q89", "orders", base,
+        Some("o_year"))
+
+      // the bad deploy: a wrong UPDATE zeroes a third of the prices
+      s.sql(s"UPDATE $view SET o_totalprice = 0 WHERE o_orderkey % 3 = 0")
+      require(s.sql(s"SELECT COUNT(*) FROM $view WHERE o_totalprice = 0")
+        .head.getLong(0) >= n0 / 4, "the bad UPDATE must have landed")
+
+      // RESTORE: append-only rollback, metadata-only
+      val r = s.sql(s"RESTORE TABLE $view TO VERSION AS OF 1").collect()
+      require(r.head.getString(0) == "RESTORE" && r.head.getLong(2) == 1L)
+      val sumBack = s.sql(s"SELECT SUM(CAST(o_totalprice AS DECIMAL(38,4)))" +
+        s" FROM $view").head.getDecimal(0)
+      require(sumBack.compareTo(sum0) == 0,
+        s"RESTORE must recover the exact sum ($sumBack vs $sum0)")
+      val ops = SnapshotLog.history(s, base)
+        .select("operation").collect().map(_.getString(0)).toSeq
+      require(ops.contains("RESTORE") && ops.contains("UPDATE"),
+        s"history must keep both the bad version and the rollback: $ops")
+
+      // trim rows merge-on-read, then compact it all away in ONE commit
+      s.sql(s"DELETE FROM $view WHERE o_orderkey % 7 = 0")
+      require(SnapshotLog.readManifest(fs, bp).get.dvs.nonEmpty,
+        "the SQL DELETE must take the deletion-vector path")
+      val opt = s.sql(s"OPTIMIZE $view").collect().head
+      require(opt.getString(0) == "OPTIMIZE" &&
+        opt.getLong(3) < opt.getLong(2),
+        s"OPTIMIZE must shrink the file count: $opt")
+      val mOpt = SnapshotLog.readManifest(fs, bp).get
+      require(mOpt.dvs.isEmpty, "OPTIMIZE must materialize deletion vectors")
+      require(mOpt.stats.values.exists(_.contains("o_orderkey")),
+        "stats bounds must survive OPTIMIZE")
+
+      // expire history, then SQL VACUUM reclaims the unreferenced files
+      SnapshotLog.expireVersions(s, base, keepLast = 1)
+      val vac = s.sql(s"VACUUM $view RETAIN 0 HOURS").collect().head
+      require(vac.getString(0) == "VACUUM" && vac.getLong(1) > 0L,
+        s"post-expiry VACUUM must reclaim files: $vac")
+
+      val nDel = orders.filter(col("o_orderkey") % 7 === 0).count()
+      require(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0)
+        == n0 - nDel, "the row set must be stable through maintenance")
+
+      s.sql(s"""
+        SELECT o_year, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $view GROUP BY o_year
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders)
+      SELECT o_year, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM base WHERE o_orderkey % 7 <> 0 GROUP BY o_year
+      """))
+
   /** Per-file BLOOM filters in the commit-log manifest — the
     * point-lookup complement to q70's min/max bounds: the layout is
     * range-clustered on `user_id` (so user_id is range-prunable), which
@@ -2696,5 +2792,5 @@ object Relational2 {
     q77MetadataCount, q78PredicateDelete, q79PredicateUpdate,
     q80PlannerScan, q81DeletionVectors, q82VersionStream, q83History,
     q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas, q87TimeTravelSql,
-    q88ShardedManifest)
+    q88ShardedManifest, q89SqlMaintenance)
 }

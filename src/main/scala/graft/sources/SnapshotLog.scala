@@ -2118,6 +2118,37 @@ object SnapshotLog {
       "n_partitions", "n_files", "n_deleted_rows", "n_rows")
   }
 
+  /** RESTORE: roll the table back to committed version `toVersion` by
+    * committing its manifest CONTENT as a brand-new version — history
+    * is append-only (the bad versions stay queryable for audit; Delta
+    * RESTORE semantics), and the data files are shared, not copied
+    * (vacuum keeps every committed version's files, so the restored
+    * snapshot's files are guaranteed present as long as `toVersion`
+    * itself is). A restore is metadata-only: O(manifest) IO, zero
+    * data-file reads. Returns the new version. */
+  def restoreTable(
+      spark: SparkSession, base: String, toVersion: Long,
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    val target = readManifestAt(fs, bp, toVersion).getOrElse(
+      sys.error(s"RESTORE target version $toVersion does not exist " +
+        s"(expired or never committed) on $base"))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = readManifest(fs, bp).getOrElse(
+        sys.error(s"$base has no committed version"))
+      if (cur.version == toVersion) return toVersion // already there
+      val version = math.max(cur.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp,
+          target.copy(version = version, op = Some("RESTORE"))))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"RESTORE lost $maxRetries commit races on $base")
+  }
+
   /** Expire every committed version older than the newest `keepLast`,
     * deleting their manifests. Returns the expired version numbers.
     *

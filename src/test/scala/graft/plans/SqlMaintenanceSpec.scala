@@ -1,0 +1,108 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSessions, SparkSpec}
+import graft.sources.{Catalog, SnapshotLog}
+
+/** SQL maintenance verbs through the delegating parser extension:
+  * `OPTIMIZE [ZORDER BY (...)]`, `VACUUM [RETAIN n HOURS]`, and
+  * `RESTORE … TO VERSION AS OF v` run the engine's own maintenance
+  * primitives on registered commit-log views — while every statement
+  * the interceptor does not claim (including these verbs on
+  * unregistered names) parses through Spark's own grammar untouched. */
+class SqlMaintenanceSpec extends SparkSpec {
+
+  private lazy val s = GraftSessions.withExtensions(spark)
+
+  private def mkTable(prefix: String, db: String): (String, Path, String) = {
+    import s.implicits._
+    val base = Files.createTempDirectory(prefix).toString + "/tbl"
+    val rows = (1L to 300L).map(i => (i, i * 1.5, s"d${i % 3}"))
+      .toDF("id", "value", "day")
+    SnapshotLog.upsertBatch(s, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Seq("id"),
+      clusterBy = Nil, clusterFiles = 8, opCol = None, writeCdf = false)
+    val view = Catalog.registerSnapshotLog(s, db, "t1", base, Some("day"))
+    (base, new Path(base), view)
+  }
+  private def fs(bp: Path) =
+    bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  test("OPTIMIZE compacts in one commit, materializes DVs, keeps stats") {
+    val (base, bp, view) = mkTable("graft_sqlopt", "maint1")
+    s.sql(s"DELETE FROM $view WHERE id % 10 = 3") // DVs
+    val m1 = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(m1.dvs.nonEmpty)
+
+    val r = s.sql(s"OPTIMIZE $view").collect().head
+    assert(r.getString(0) == "OPTIMIZE")
+    assert(r.getLong(3) < r.getLong(2), s"files must shrink: $r")
+    val m2 = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(m2.version == m1.version + 1, "whole-table OPTIMIZE is ONE commit")
+    assert(m2.dvs.isEmpty, "OPTIMIZE must materialize deletion vectors")
+    assert(m2.files.values.flatten.toSeq.forall(f =>
+      m2.stats.get(f).exists(_.contains("id"))),
+      "stats bounds must be re-recorded on rewritten files")
+    // the SAME view name immediately reads the optimized snapshot
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 270)
+  }
+
+  test("OPTIMIZE ZORDER BY clusters files into selective ranges") {
+    val (base, bp, view) = mkTable("graft_sqlzorder", "maint2")
+    s.sql(s"OPTIMIZE $view ZORDER BY (id)")
+    val m = SnapshotLog.readManifest(fs(bp), bp).get
+    // every partition's files now carry id bounds, and a point probe
+    // on one id prunes to a strict file subset within its partition
+    assert(m.files.values.flatten.toSeq.forall(f =>
+      m.stats.get(f).exists(_.contains("id"))))
+    val hit = SnapshotLog.filesForRange(m, "id", 10.0, 10.0)
+    assert(hit.size < m.allFiles.size,
+      s"clustered bounds must prune: ${hit.size} of ${m.allFiles.size}")
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 300)
+  }
+
+  test("RESTORE rolls back append-only; VACUUM reclaims after expiry") {
+    val (base, bp, view) = mkTable("graft_sqlrestore", "maint3")
+    val sum0 = s.sql(s"SELECT SUM(value) FROM $view").head.getDouble(0)
+    s.sql(s"UPDATE $view SET value = 0 WHERE id % 2 = 0") // bad deploy
+    assert(s.sql(s"SELECT SUM(value) FROM $view").head.getDouble(0) < sum0)
+
+    val r = s.sql(s"RESTORE TABLE $view TO VERSION AS OF 1").collect().head
+    assert(r.getString(0) == "RESTORE" && r.getLong(2) == 1L)
+    assert(s.sql(s"SELECT SUM(value) FROM $view").head.getDouble(0) == sum0)
+    val ops = SnapshotLog.history(s, base).select("operation")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops.contains("RESTORE") && ops.contains("UPDATE"),
+      s"append-only rollback keeps the bad version for audit: $ops")
+
+    // restoring to a nonexistent version fails loudly
+    val e = intercept[RuntimeException](
+      s.sql(s"RESTORE $view TO VERSION AS OF 99"))
+    assert(e.getMessage.contains("RESTORE target"))
+
+    // pre-expiry VACUUM reclaims nothing (everything referenced) …
+    assert(s.sql(s"VACUUM $view RETAIN 0 HOURS").head.getLong(1) == 0L)
+    // … post-expiry it reclaims the UPDATE's rewrite and nothing live
+    SnapshotLog.expireVersions(s, base, keepLast = 1)
+    assert(s.sql(s"VACUUM $view RETAIN 0 HOURS").head.getLong(1) > 0L)
+    assert(s.sql(s"SELECT SUM(value) FROM $view").head.getDouble(0) == sum0)
+  }
+
+  test("everything the interceptor does not claim delegates untouched") {
+    val (_, _, view) = mkTable("graft_sqldelegate", "maint4")
+    // the verbs on an UNREGISTERED name keep Spark's own parse error
+    intercept[Exception](s.sql("OPTIMIZE definitely_not_registered"))
+    intercept[Exception](s.sql("VACUUM definitely_not_registered"))
+    // a query merely CONTAINING the keyword is untouched
+    assert(s.sql(s"SELECT 'OPTIMIZE $view' AS x").head.getString(0)
+      == s"OPTIMIZE $view")
+    // ordinary SQL on the registered view parses through the delegate
+    assert(s.sql(s"SELECT COUNT(*) FROM $view WHERE day = 'd1'")
+      .head.getLong(0) == 100)
+  }
+}
