@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // through Spark's own grammar untouched.
     ext.injectParser((_, delegate) =>
       new graft.plans.SnapshotMaintenanceParser(delegate))
+    // change-data-feed as a TABLE function (Delta's table_changes):
+    // SELECT * FROM graft_table_changes('view', fromV [, toV])
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(
+        graft.plans.TableChanges.getClass.getName, "graft_table_changes"),
+      exprs => graft.plans.TableChanges.plan(exprs)))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -2205,6 +2205,92 @@ object Relational2 {
       FROM base WHERE o_orderkey % 7 <> 0 GROUP BY o_year
       """))
 
+  /** CHANGE DATA FEED AS SQL — `graft_table_changes('view', from, to)`
+    * (Delta's `table_changes` table function) through
+    * `injectTableFunction`: the per-commit feed the storage layer
+    * materializes at commit time (O(changed partitions), never a
+    * full-table diff) becomes a plain FROM-clause relation, version-
+    * filtered on `_commit_version`. The lifecycle drives one UPDATE
+    * batch (feed rows: update_preimage + update_postimage per key,
+    * emitted only where values actually changed) and one DV DELETE
+    * (typed delete rows carrying the deleted values), then aggregates
+    * the feed BY version and change type in SQL — the oracle recomputes
+    * the same feed relationally from the base table, so row counts,
+    * types, and summed amounts must all match. */
+  val q90TableChangesSql: Q = Q(
+    "q90_table_changes_sql",
+    "CDF as a SQL table function: graft_table_changes(view, from, to)",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_cdf90").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_orderkey"), clusterBy = Nil, clusterFiles = 4,
+        opCol = None, writeCdf = true)                        // v1
+      // v2: UPDATE batch — double the price of every fifth key
+      SnapshotLog.upsertBatch(s, base,
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 2,
+        maxRetries = 5, statsCols = Seq("o_orderkey"), clusterBy = Nil,
+        clusterFiles = 4, opCol = None, writeCdf = true)
+      // v3: DV DELETE of every seventh key, feed rows carry the
+      // deleted values as of v2
+      SnapshotLog.deleteWhere(s, base, col("o_orderkey") % 7 === 0,
+        "o_year", deletionVectors = true, writeCdf = true).get
+      val view = Catalog.registerSnapshotLog(s, "q90", "orders", base,
+        Some("o_year"))
+
+      // full-range and open-ended reads agree (the upper bound is
+      // optional, Delta-style)
+      require(s.sql(
+        s"SELECT COUNT(*) FROM graft_table_changes('$view', 2)")
+        .head.getLong(0) ==
+        s.sql(s"SELECT COUNT(*) FROM graft_table_changes('$view', 2, 3)")
+          .head.getLong(0),
+        "open-ended version range must read to the newest feed version")
+      // version pruning: the v2-only slice holds no delete rows
+      require(s.sql(s"SELECT COUNT(*) FROM graft_table_changes('$view', 2, 2)" +
+        s" WHERE change_type = 'delete'").head.getLong(0) == 0L)
+
+      s.sql(s"""
+        SELECT _commit_version AS v, change_type, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM graft_table_changes('$view', 2, 3)
+        GROUP BY _commit_version, change_type
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      upd AS (SELECT * FROM base WHERE o_orderkey % 5 = 0),
+      v2state AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM base),
+      feed AS (
+        SELECT CAST(2 AS BIGINT) AS v, 'update_preimage' AS change_type,
+               o_totalprice FROM upd
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'update_postimage', o_totalprice * 2 FROM upd
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'delete', o_totalprice
+        FROM v2state WHERE o_orderkey % 7 = 0)
+      SELECT v, change_type, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM feed GROUP BY v, change_type
+      """))
+
   /** Per-file BLOOM filters in the commit-log manifest — the
     * point-lookup complement to q70's min/max bounds: the layout is
     * range-clustered on `user_id` (so user_id is range-prunable), which
@@ -2792,5 +2878,5 @@ object Relational2 {
     q77MetadataCount, q78PredicateDelete, q79PredicateUpdate,
     q80PlannerScan, q81DeletionVectors, q82VersionStream, q83History,
     q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas, q87TimeTravelSql,
-    q88ShardedManifest, q89SqlMaintenance)
+    q88ShardedManifest, q89SqlMaintenance, q90TableChangesSql)
 }

@@ -37,9 +37,22 @@ class ConcurrencyStressSpec extends SparkSpec {
   private val rounds = 25 // 4×25 = 100 racing upserts + maintenance
 
   test(s"$threads writers × $rounds rounds race upsert/compact/vacuum") {
-    val base = Files.createTempDirectory("graft_race").toString + "/tbl"
+    runStress("graft_race", rounds, sharded = false)
+  }
+
+  test(s"$threads writers race on SHARDED manifests (pointer reuse under conflict)") {
+    // fewer rounds (the invariants don't strengthen with volume) but
+    // every commit now writes shard files before its root claim —
+    // lost races must leave only orphan shards, never a root whose
+    // pointers resolve to another committer's content
+    runStress("graft_race_shard", 10, sharded = true)
+  }
+
+  private def runStress(prefix: String, rounds: Int, sharded: Boolean): Unit = {
+    val base = Files.createTempDirectory(prefix).toString + "/tbl"
     val bp = new Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (sharded) SnapshotLog.enableSharding(fs, bp)
 
     val pool = Executors.newFixedThreadPool(threads)
     val start = new CountDownLatch(1)

@@ -167,6 +167,26 @@ class ShardedManifestSpec extends SparkSpec {
     assert(dataFiles > 0L)
   }
 
+  test("add-column evolution evolves the ROOT schema; untouched shards reuse") {
+    val (base, bp) = mkSharded("graft_shard_evo")
+    // v2 adds a column, touching only d0 — the schema header lives in
+    // the root, so d1/d2's shard files are byte-identical and reuse
+    SnapshotLog.upsertBatch(spark, base,
+      rows(1 to 300).filter(col("day") === "d0").withColumn("tag", lit("x")),
+      Seq("id"), "id", "day", batchId = 2, maxRetries = 5,
+      statsCols = Seq("id", "value"), clusterBy = Nil, clusterFiles = 4,
+      opCol = None, writeCdf = false)
+    val p1 = rootPtrs(bp, 1).toMap
+    val p2 = rootPtrs(bp, 2).toMap
+    assert(p2("d1") == p1("d1") && p2("d2") == p1("d2"))
+    val live = SnapshotLog.read(spark, base).get
+    assert(live.columns.contains("tag"))
+    assert(live.filter(col("tag").isNull).count() ==
+      (1 to 300).count(_ % 3 != 0))
+    assert(live.filter(col("tag") === "x").count() ==
+      (1 to 300).count(_ % 3 == 0))
+  }
+
   test("a table crossing into sharding keeps its inline history readable") {
     val base = Files.createTempDirectory("graft_shard_mig").toString + "/tbl"
     val bp = new Path(base)
