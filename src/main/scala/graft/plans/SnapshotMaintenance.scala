@@ -43,11 +43,19 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val ShowParts =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([A-Za-z_]\w*)\s*;?\s*""".r
 
   private def isTarget(view: String): Boolean =
     Catalog.dmlTarget(view).isDefined
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case History(view) if isTarget(view) =>
+      SnapshotHistoryCommand(view)
+    case ShowParts(view) if isTarget(view) =>
+      SnapshotShowPartitionsCommand(view)
     case Optimize(view, zorder) if isTarget(view) =>
       val cols = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
@@ -135,6 +143,48 @@ case class SnapshotOptimizeCommand(view: String, zorderBy: Seq[String])
       .map(_.allFiles.size.toLong).getOrElse(0L)
     Seq(Row(if (zorderBy.isEmpty) "OPTIMIZE" else "OPTIMIZE ZORDER",
       v, m0.allFiles.size.toLong, after))
+  }
+}
+
+/** `DESCRIBE HISTORY view` — one row per committed version, newest
+  * first, straight from [[SnapshotLog.history]] (root-manifest pointer
+  * rollups on sharded tables: zero shard opens, zero data IO). */
+case class SnapshotHistoryCommand(view: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp",
+      org.apache.spark.sql.types.TimestampType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("n_partitions", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_deleted_rows", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    SnapshotLog.history(spark, path).collect().toSeq
+  }
+}
+
+/** `SHOW PARTITIONS view` — partition name, live file count, and
+  * metadata row count (−1 when unrecorded), answered from the ROOT
+  * manifest alone ([[SnapshotLog.partitionSummary]]): O(1) reads on a
+  * sharded table, never a data scan. Intercepted only for registered
+  * snapshot views — Spark's own SHOW PARTITIONS on catalog tables is
+  * untouched. */
+case class SnapshotShowPartitionsCommand(view: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotLog.partitionSummary(fs, bp).map {
+      case (p, nf, nr) => Row(p, nf, nr)
+    }
   }
 }
 

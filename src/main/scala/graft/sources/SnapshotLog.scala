@@ -2118,6 +2118,35 @@ object SnapshotLog {
       "n_partitions", "n_files", "n_deleted_rows", "n_rows")
   }
 
+  /** Per-partition (name, nFiles, liveRows) of the newest committed
+    * version — from the ROOT manifest's pointer rollups alone on a
+    * sharded table (zero shard opens), from the manifest lines
+    * otherwise. `liveRows` is −1 when any file lacks a recorded
+    * count. The SHOW PARTITIONS fast path. */
+  def partitionSummary(
+      fs: FileSystem, base: Path): Seq[(String, Long, Long)] = {
+    var v = currentVersion(fs, base)
+    while (v > 0L) {
+      rootText(fs, base, v) match {
+        case Some(text) =>
+          val ptrs = parseShardPtrs(text)
+          if (ptrs.nonEmpty)
+            return ptrs.sortBy(_.part).map(sp => (sp.part, sp.nFiles, sp.nRows))
+          val m = readManifestAt(fs, base, v).get
+          return m.files.toSeq.sortBy(_._1).map { case (p, fls) =>
+            val rows = fls.map(f =>
+              m.stats.get(f).flatMap(_.get(RowCountKey))
+                .flatMap(_._1.toLongOption)
+                .map(_ - m.dvs.get(f).map(_.count).getOrElse(0L)))
+            val n = if (rows.exists(_.isEmpty)) -1L else rows.flatten.sum
+            (p, fls.size.toLong, n)
+          }
+        case None => v -= 1
+      }
+    }
+    Nil
+  }
+
   /** RESTORE: roll the table back to committed version `toVersion` by
     * committing its manifest CONTENT as a brand-new version — history
     * is append-only (the bad versions stay queryable for audit; Delta

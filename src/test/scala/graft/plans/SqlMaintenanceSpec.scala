@@ -93,6 +93,21 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(s.sql(s"SELECT SUM(value) FROM $view").head.getDouble(0) == sum0)
   }
 
+  test("DESCRIBE HISTORY and SHOW PARTITIONS answer metadata-only") {
+    val (base, bp, view) = mkTable("graft_sqlintro", "maint5")
+    s.sql(s"DELETE FROM $view WHERE id % 10 = 3") // DVs change live counts
+    val h = s.sql(s"DESCRIBE HISTORY $view").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    assert(h.head.getString(2) == "DELETE_DV" && h.head.getLong(6) == 270L)
+    val parts = s.sql(s"SHOW PARTITIONS $view").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(parts.keySet == Set("d0", "d1", "d2"))
+    assert(parts.values.sum == 270L,
+      "SHOW PARTITIONS must report LIVE counts (DVs subtracted)")
+    // SHOW PARTITIONS on a non-registered name keeps Spark's own error
+    intercept[Exception](s.sql("SHOW PARTITIONS not_a_snapshot_view"))
+  }
+
   test("everything the interceptor does not claim delegates untouched") {
     val (_, _, view) = mkTable("graft_sqldelegate", "maint4")
     // the verbs on an UNREGISTERED name keep Spark's own parse error
