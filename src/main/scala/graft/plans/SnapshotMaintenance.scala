@@ -45,6 +45,10 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val ShowParts =
     """(?is)\s*SHOW\s+PARTITIONS\s+([A-Za-z_]\w*)\s*;?\s*""".r
 
@@ -54,6 +58,10 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case History(view) if isTarget(view) =>
       SnapshotHistoryCommand(view)
+    case AddConstraint(view, name, check) if isTarget(view) =>
+      SnapshotAddConstraintCommand(view, name, check.trim)
+    case DropConstraint(view, name) if isTarget(view) =>
+      SnapshotDropConstraintCommand(view, name)
     case ShowParts(view) if isTarget(view) =>
       SnapshotShowPartitionsCommand(view)
     case Optimize(view, zorder) if isTarget(view) =>
@@ -185,6 +193,40 @@ case class SnapshotShowPartitionsCommand(view: String)
     SnapshotLog.partitionSummary(fs, bp).map {
       case (p, nf, nr) => Row(p, nf, nr)
     }
+  }
+}
+
+/** `ALTER TABLE view ADD CONSTRAINT name CHECK (expr)` — validates
+  * the live data, then commits the constraint metadata-only
+  * ([[SnapshotLog.addConstraint]]); every later write batch is gated
+  * on it. */
+case class SnapshotAddConstraintCommand(
+    view: String, name: String, checkSql: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("constraint", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.addConstraint(spark, path, name, checkSql)
+    SnapshotDml.repin(spark, view)
+    Seq(Row("ADD CONSTRAINT", v, s"$name CHECK ($checkSql)"))
+  }
+}
+
+/** `ALTER TABLE view DROP CONSTRAINT name` — metadata-only. */
+case class SnapshotDropConstraintCommand(view: String, name: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("constraint", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.dropConstraint(spark, path, name)
+    SnapshotDml.repin(spark, view)
+    Seq(Row("DROP CONSTRAINT", v, name))
   }
 }
 

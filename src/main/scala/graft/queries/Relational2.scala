@@ -2363,6 +2363,114 @@ object Relational2 {
       FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY o_year
       """))
 
+  /** CHECK CONSTRAINTS — `ALTER TABLE … ADD/DROP CONSTRAINT … CHECK`
+    * on commit-log tables, versioned IN the manifest (every write op
+    * carries them forward; RESTORE rolls them back with the data) and
+    * enforced on every write path (INSERT/append, MERGE/upsert,
+    * UPDATE) in one aggregation pass with SQL CHECK NULL semantics.
+    * The lifecycle: a positivity constraint lands (validating existing
+    * data first, Delta-style), a violating INSERT is rejected
+    * all-or-nothing, a conforming INSERT passes, a constraint the
+    * live data already violates is refused with the violation count,
+    * a violating UPDATE is rejected, then DROP re-admits the formerly
+    * bad rows — and the final state (base + conforming insert + post-
+    * drop insert) is recomputed relationally by the oracle. */
+  val q92CheckConstraints: Q = Q(
+    "q92_check_constraints",
+    "ALTER TABLE ADD/DROP CONSTRAINT CHECK, enforced on every write path",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_check92").toString + "/tbl"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      orders.createOrReplaceTempView("q92_base")
+      val n0 = orders.count()
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_orderkey"), clusterBy = Nil, clusterFiles = 4,
+        opCol = None, writeCdf = false)
+      val view = Catalog.registerSnapshotLog(s, "q92", "orders", base,
+        Some("o_year"))
+
+      def chain(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      def failureOf(body: => Any): String = {
+        val r = scala.util.Try(body)
+        require(r.isFailure, "expected the statement to be rejected")
+        chain(r.failed.get)
+      }
+      val add = s.sql(s"ALTER TABLE $view ADD CONSTRAINT price_pos " +
+        "CHECK (o_totalprice > 0)").collect().head
+      require(add.getString(0) == "ADD CONSTRAINT" && add.getLong(1) == 2L)
+      require(SnapshotLog.readManifest(fs, bp).get
+        .constraints.contains("price_pos"))
+
+      // violating INSERT: rejected all-or-nothing
+      val bad = failureOf(s.sql(s"""
+        INSERT INTO $view
+        SELECT o_orderkey + 10000000, -o_totalprice, o_year
+        FROM q92_base WHERE o_orderkey % 97 = 0"""))
+      require(bad.contains("CHECK"), s"expected a CHECK violation: $bad")
+      require(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == n0,
+        "a rejected batch must leave the table untouched")
+
+      // conforming INSERT: passes the gate
+      s.sql(s"""
+        INSERT INTO $view
+        SELECT o_orderkey + 20000000, o_totalprice + 1000, o_year
+        FROM q92_base WHERE o_orderkey % 89 = 0""")
+
+      // a constraint the live data violates is refused, with counts
+      val refused = failureOf(s.sql(s"ALTER TABLE $view " +
+        "ADD CONSTRAINT small CHECK (o_totalprice < 100)"))
+      require(refused.contains("CHECK") && refused.contains("row"))
+
+      // violating UPDATE: rejected by the same gate
+      val badUpd = failureOf(s.sql(s"UPDATE $view " +
+        "SET o_totalprice = -1 WHERE o_orderkey % 13 = 0"))
+      require(badUpd.contains("CHECK"))
+
+      // DROP re-admits the formerly bad rows
+      s.sql(s"ALTER TABLE $view DROP CONSTRAINT price_pos")
+      s.sql(s"""
+        INSERT INTO $view
+        SELECT o_orderkey + 10000000, -o_totalprice, o_year
+        FROM q92_base WHERE o_orderkey % 97 = 0""")
+      val ops = SnapshotLog.history(s, base)
+        .select("operation").collect().map(_.getString(0)).toSet
+      require(Set("ADD_CONSTRAINT", "DROP_CONSTRAINT").subsetOf(ops),
+        s"constraint DDL must appear in history: $ops")
+
+      s.sql(s"""
+        SELECT o_year, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $view GROUP BY o_year
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      finalstate AS (
+        SELECT o_totalprice, o_year FROM base
+        UNION ALL
+        SELECT o_totalprice + 1000, o_year FROM base WHERE o_orderkey % 89 = 0
+        UNION ALL
+        SELECT -o_totalprice, o_year FROM base WHERE o_orderkey % 97 = 0)
+      SELECT o_year, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM finalstate GROUP BY o_year
+      """))
+
   /** Per-file BLOOM filters in the commit-log manifest — the
     * point-lookup complement to q70's min/max bounds: the layout is
     * range-clustered on `user_id` (so user_id is range-prunable), which
@@ -2951,5 +3059,5 @@ object Relational2 {
     q80PlannerScan, q81DeletionVectors, q82VersionStream, q83History,
     q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas, q87TimeTravelSql,
     q88ShardedManifest, q89SqlMaintenance, q90TableChangesSql,
-    q91ShowPartitions)
+    q91ShowPartitions, q92CheckConstraints)
 }

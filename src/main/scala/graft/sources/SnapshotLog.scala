@@ -92,7 +92,15 @@ object SnapshotLog {
     * @param op     what produced this version (UPSERT, DELETE, DELETE_DV,
     *               UPDATE, COMPACT, OPTIMIZE, STATS, BLOOMS) — the
     *               Delta DESCRIBE HISTORY operation column, surfaced by
-    *               [[history]]. None on legacy manifests. */
+    *               [[history]]. None on legacy manifests.
+    * @param constraints name → CHECK expression (Spark SQL text).
+    *               VERSIONED like everything else: every write op
+    *               carries them forward, [[addConstraint]]/
+    *               [[dropConstraint]] commit metadata-only versions,
+    *               RESTORE rolls them back with the data. Writers
+    *               enforce them on incoming batches (SQL NULL
+    *               semantics: a row fails only when the expression is
+    *               definitively FALSE). */
   final case class Manifest(
       version: Long,
       files: Map[String, Seq[String]],
@@ -100,7 +108,8 @@ object SnapshotLog {
       blooms: Map[String, Map[String, String]] = Map.empty,
       dvs: Map[String, Dv] = Map.empty,
       schemaJson: Option[String] = None,
-      op: Option[String] = None) {
+      op: Option[String] = None,
+      constraints: Map[String, String] = Map.empty) {
     def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.flatMap(j =>
@@ -120,6 +129,10 @@ object SnapshotLog {
 
   /** Header-comment tag naming the operation that committed a version. */
   private val OpTag = "#op"
+
+  /** Header line `#constraint <name> <check-sql>` — one per table
+    * CHECK constraint ([[Manifest.constraints]]). */
+  private val ConstraintTag = "#constraint"
 
   /** Above this many positions a DV spills to a parquet sidecar —
     * bounds BOTH the driver-side work at delete time (positions are
@@ -152,16 +165,40 @@ object SnapshotLog {
     * [[SchemaTag]]/[[OpTag]]. */
   private val ShardTag = "#shard"
 
+  /** Past this many partitions a sharded root goes TWO-LEVEL: the
+    * root holds one `#sgroup` pointer line per GROUP of
+    * [[ShardGroupSize]] consecutive (sorted) partitions, each group
+    * file holding that chunk's `#shard` lines. Root size is then
+    * O(partitions / groupSize) — at 10⁵ partitions, ~200 lines —
+    * while a commit touching K partitions rewrites K shard files +
+    * the touched groups + the root. Groups are CONTIGUOUS NAME RANGES
+    * (recorded first/last per line), not hash buckets: membership is
+    * pure data, so a reader can never compute a wrong bucket, and
+    * append-mostly partition growth (new dates sort last) leaves
+    * earlier groups byte-identical for hash reuse. */
+  val ShardGroupSize = 512
+
+  /** Header line `#sgroup <first> <last> <rel> <nParts> <nFiles>
+    * <nRows> <nDv> <hash>` pointing a two-level root at one pointer
+    * group file. */
+  private val GroupTag = "#sgroup"
+
   /** Marker that opts a table into sharded manifests below
     * [[ShardFileThreshold]] (tests, or tables known to grow). Once
-    * past the threshold no marker is needed — size alone shards. */
+    * past the threshold no marker is needed — size alone shards.
+    * Content "g" additionally forces TWO-LEVEL roots with tiny
+    * (2-partition) groups, exercising the grouped layout on small
+    * tables. */
   private def shardMarker(base: Path) = new Path(logDir(base), "sharded.marker")
 
-  /** Opt `base` into sharded manifest commits regardless of size. */
-  def enableSharding(fs: FileSystem, base: Path): Unit = {
+  /** Opt `base` into sharded manifest commits regardless of size;
+    * `grouped = true` also forces the two-level root layout. */
+  def enableSharding(
+      fs: FileSystem, base: Path, grouped: Boolean = false): Unit = {
     fs.mkdirs(logDir(base))
     val out = fs.create(shardMarker(base), true)
-    out.close()
+    try if (grouped) out.write("g".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private def logDir(base: Path) = new Path(base, "_log")
@@ -250,6 +287,52 @@ object SnapshotLog {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
+
+  /** One `#sgroup` pointer of a two-level root: a contiguous sorted
+    * partition range [first, last] → the group file (rel to `_log/`)
+    * holding its `#shard` lines, with rollups and the group body's
+    * content hash for commit-time reuse. */
+  private final case class GroupPtr(
+      first: String, last: String, rel: String, nParts: Long,
+      nFiles: Long, nRows: Long, nDv: Long, hash: String)
+
+  private def groupPtrLine(g: GroupPtr): String =
+    s"$GroupTag\t${enc(g.first)}\t${enc(g.last)}\t${enc(g.rel)}\t" +
+      s"${g.nParts}\t${g.nFiles}\t${g.nRows}\t${g.nDv}\t${g.hash}"
+
+  private def parseGroupPtrs(text: String): Seq[GroupPtr] =
+    text.split("\n").iterator.filter(_.startsWith(GroupTag + "\t")).map { l =>
+      val a = l.split("\t", 9)
+      GroupPtr(dec(a(1)), dec(a(2)), dec(a(3)), a(4).toLong, a(5).toLong,
+        a(6).toLong, a(7).toLong, a(8))
+    }.toSeq
+
+  /** A footer-checked side file under `_log/` (shard or pointer
+    * group). A committed root guarantees its side files are complete —
+    * anything else is corruption and fails loudly. */
+  private def readLogSideFile(
+      fs: FileSystem, base: Path, rel: String, v: Long): String = {
+    val p = new Path(logDir(base), rel)
+    if (!fs.exists(p))
+      sys.error(s"manifest v$v references missing shard $rel")
+    val in = fs.open(p)
+    val text =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    if (!text.endsWith(Footer + "\n"))
+      sys.error(s"manifest v$v shard $rel is incomplete")
+    text
+  }
+
+  /** The root's FULL shard-pointer list — resolving through pointer
+    * groups when the root is two-level. Empty on inline roots. */
+  private def shardPtrsOf(
+      fs: FileSystem, base: Path, rootText: String, v: Long): Seq[ShardPtr] = {
+    val gptrs = parseGroupPtrs(rootText)
+    if (gptrs.isEmpty) parseShardPtrs(rootText)
+    else gptrs.flatMap(g =>
+      parseShardPtrs(readLogSideFile(fs, base, g.rel, v)))
+  }
 
   /** The root manifest text of version `v` iff that version is
     * COMMITTED (footer-complete) — the one cheap read every
@@ -340,34 +423,32 @@ object SnapshotLog {
           .filter(_.startsWith(OpTag + "\t"))
           .map(l => dec(l.substring(OpTag.length + 1)))
           .nextOption()
-        val ptrs = parseShardPtrs(text)
+        val constraints = text.split("\n").iterator
+          .filter(_.startsWith(ConstraintTag + "\t"))
+          .map { l =>
+            val a = l.split("\t", 3)
+            dec(a(1)) -> dec(a(2))
+          }.toMap
+        // sharded root: per-file lines live in immutable side files
+        // (one hop — `#shard` per partition — or two on a two-level
+        // root, `#sgroup` → `#shard`); load only the wanted
+        // partitions' shards. A committed root guarantees complete
+        // side files (they are fully written before the root's
+        // create-exclusive), so a missing/truncated one is corruption
+        // — fail loudly, never silently drop a partition.
+        val ptrs = shardPtrsOf(fs, base, text, v)
         val rawLines: Seq[Array[String]] =
           if (ptrs.isEmpty)
             text.split("\n").iterator
               .filter(l => l.nonEmpty && !l.startsWith("#"))
               .map(_.split("\t", 5)).toSeq
           else {
-            // sharded root: per-file lines live in immutable side
-            // files; load only the wanted partitions' shards. A
-            // committed root guarantees complete shards (they are
-            // fully written before the root's create-exclusive), so a
-            // missing/truncated one is corruption — fail loudly, never
-            // silently drop a partition.
             val wanted = partPred match {
               case Some(p) => ptrs.filter(sp => p(sp.part))
               case None => ptrs
             }
             wanted.flatMap { sp =>
-              val sf = new Path(logDir(base), sp.rel)
-              if (!fs.exists(sf))
-                sys.error(s"manifest v$v references missing shard ${sp.rel}")
-              val in2 = fs.open(sf)
-              val st =
-                try new String(in2.readAllBytes(), StandardCharsets.UTF_8)
-                finally in2.close()
-              if (!st.endsWith(Footer + "\n"))
-                sys.error(s"manifest v$v shard ${sp.rel} is incomplete")
-              st.split("\n").iterator
+              readLogSideFile(fs, base, sp.rel, v).split("\n").iterator
                 .filter(l => l.nonEmpty && !l.startsWith("#"))
                 .map(_.split("\t", 5)).toSeq
             }
@@ -401,7 +482,8 @@ object SnapshotLog {
               case other => sys.error(s"unknown DV kind '$other' in manifest")
             })
         }.toMap
-        Some(Manifest(v, files, stats, blooms, dvs, schemaJson, op))
+        Some(Manifest(v, files, stats, blooms, dvs, schemaJson, op,
+          constraints))
     }
   }
 
@@ -535,17 +617,23 @@ object SnapshotLog {
     * source for [[tryCommit]]'s sharded path. Empty when the previous
     * committed version was inline (or absent): every shard is then
     * written fresh, a one-time O(files) migration cost. */
-  private def prevShardPtrs(
-      fs: FileSystem, base: Path, v: Long): Map[String, ShardPtr] = {
+  private def prevRootText(
+      fs: FileSystem, base: Path, v: Long): Option[String] = {
     var pv = v - 1
     while (pv > 0L) {
       rootText(fs, base, pv) match {
-        case Some(text) => return parseShardPtrs(text).map(sp => sp.part -> sp).toMap
+        case some @ Some(_) => return some
         case None => pv -= 1
       }
     }
-    Map.empty
+    None
   }
+
+  private def prevShardPtrs(
+      fs: FileSystem, base: Path, v: Long): Map[String, ShardPtr] =
+    prevRootText(fs, base, v).map(t =>
+      shardPtrsOf(fs, base, t, v - 1).map(sp => sp.part -> sp).toMap)
+      .getOrElse(Map.empty)
 
   def tryCommit(fs: FileSystem, base: Path, m: Manifest): Boolean = {
     val dir = logDir(base)
@@ -554,10 +642,27 @@ object SnapshotLog {
     if (fs.exists(target)) return false
     val header = m.schemaJson
       .map(j => s"$SchemaTag\t${enc(j)}\n").getOrElse("") +
-      m.op.map(o => s"$OpTag\t${enc(o)}\n").getOrElse("")
+      m.op.map(o => s"$OpTag\t${enc(o)}\n").getOrElse("") +
+      m.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+        s"$ConstraintTag\t${enc(n)}\t${enc(sql)}\n"
+      }.mkString
     val parts = m.files.toSeq.sortBy(_._1)
-    val sharded = m.allFiles.size >= ShardFileThreshold ||
-      fs.exists(shardMarker(base))
+    val marker: Option[String] =
+      if (!fs.exists(shardMarker(base))) None
+      else {
+        val in = fs.open(shardMarker(base))
+        try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    val sharded = m.allFiles.size >= ShardFileThreshold || marker.isDefined
+    def writeSideFile(name: String, content: String): String = {
+      // uuid-suffixed names: two same-version racers must never
+      // collide on a side-file name (the loser's becomes an orphan)
+      val o = fs.create(new Path(dir, name), false)
+      try o.write((content + Footer + "\n").getBytes(StandardCharsets.UTF_8))
+      finally o.close()
+      name
+    }
     val body =
       if (!sharded)
         parts.flatMap { case (p, fls) => fls.sorted.map(f => fileLine(m, p, f)) }
@@ -566,10 +671,10 @@ object SnapshotLog {
         // sharded commit: write (or REUSE, on content-hash match with
         // the previous committed root) one immutable shard file per
         // partition, then point the root at them. The root's
-        // create-exclusive below stays the single commit point — shard
+        // create-exclusive below stays the single commit point — side
         // files of a lost race are orphans, reclaimed by [[vacuum]].
         val prev = prevShardPtrs(fs, base, m.version)
-        parts.zipWithIndex.map { case ((p, fls), idx) =>
+        val sptrs = parts.zipWithIndex.map { case ((p, fls), idx) =>
           val lines = fls.sorted.map(f => fileLine(m, p, f))
           val content = lines.mkString("", "\n", "\n")
           val hash = sha256Hex(content)
@@ -579,19 +684,36 @@ object SnapshotLog {
               .map(_ - m.dvs.get(f).map(_.count).getOrElse(0L)))
           val nRows = if (rows.exists(_.isEmpty)) -1L else rows.flatten.sum
           val nDv = fls.flatMap(f => m.dvs.get(f)).map(_.count).sum
-          val rel = prev.get(p).filter(_.hash == hash).map(_.rel).getOrElse {
-            // uuid suffix: two same-version racers must never collide
-            // on a shard name (the loser's file becomes an orphan)
-            val name = f"s${m.version}%011d-p$idx-${
-              java.util.UUID.randomUUID.toString.take(8)}.txt"
-            val o = fs.create(new Path(dir, name), false)
-            try o.write((content + Footer + "\n")
-              .getBytes(StandardCharsets.UTF_8))
-            finally o.close()
-            name
-          }
-          shardPtrLine(ShardPtr(p, rel, fls.size.toLong, nRows, nDv, hash))
-        }.mkString("", "\n", "\n")
+          val rel = prev.get(p).filter(_.hash == hash).map(_.rel).getOrElse(
+            writeSideFile(f"s${m.version}%011d-p$idx-${
+              java.util.UUID.randomUUID.toString.take(8)}.txt", content))
+          ShardPtr(p, rel, fls.size.toLong, nRows, nDv, hash)
+        }
+        // two-level root past ShardGroupSize×2 partitions (or forced
+        // by the "g" marker with tiny test groups): consecutive
+        // sorted-partition chunks become pointer-group side files,
+        // reused whole on content-hash match — append-mostly partition
+        // growth leaves every earlier group byte-identical
+        val gSize = if (marker.contains("g")) 2 else ShardGroupSize
+        val grouped = marker.contains("g") || sptrs.size >= 2 * ShardGroupSize
+        if (!grouped) sptrs.map(shardPtrLine).mkString("", "\n", "\n")
+        else {
+          val prevG = prevRootText(fs, base, m.version)
+            .map(t => parseGroupPtrs(t).map(g => g.hash -> g.rel).toMap)
+            .getOrElse(Map.empty[String, String])
+          sptrs.grouped(gSize).zipWithIndex.map { case (chunk, gi) =>
+            val content = chunk.map(shardPtrLine).mkString("", "\n", "\n")
+            val ghash = sha256Hex(content)
+            val rel = prevG.getOrElse(ghash,
+              writeSideFile(f"g${m.version}%011d-p$gi-${
+                java.util.UUID.randomUUID.toString.take(8)}.txt", content))
+            val nRows =
+              if (chunk.exists(_.nRows < 0L)) -1L else chunk.map(_.nRows).sum
+            groupPtrLine(GroupPtr(chunk.head.part, chunk.last.part, rel,
+              chunk.size.toLong, chunk.map(_.nFiles).sum, nRows,
+              chunk.map(_.nDv).sum, ghash))
+          }.mkString("", "\n", "\n")
+        }
       }
     val text = header + body + Footer + "\n"
     val out: java.io.OutputStream =
@@ -793,6 +915,12 @@ object SnapshotLog {
     try {
       while (!committed && attempt < maxRetries) {
         val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
+        // CHECK constraints gate the batch up front (delete markers
+        // exempt: a CDC 'D' row's payload never lands in the table)
+        if (attempt == 0)
+          enforceConstraints(
+            opCol.map(oc => changes.filter(upper(col(oc)) =!= "D"))
+              .getOrElse(changes), m, base)
         // allocate past any in-flight/crashed claim, not just past the
         // newest COMPLETE manifest, or a dead claim blocks the chain
         val version = math.max(m.version, currentVersion(fs, bp)) + 1
@@ -885,7 +1013,8 @@ object SnapshotLog {
           if (m.schemaJson.isEmpty && (m.files -- affected).nonEmpty) None
           else evolveSchema(m.schemaJson,
             org.apache.spark.sql.types.StructType(targetFields.toArray)),
-          Some(if (opCol.isDefined) "CDC" else "UPSERT"))
+          Some(if (opCol.isDefined) "CDC" else "UPSERT"),
+          m.constraints)
         committed = tryCommit(fs, bp, next)
         if (committed) committedVersion = version
         attempt += 1
@@ -934,6 +1063,7 @@ object SnapshotLog {
     while (committedV < 0 && attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (attempt == 0) enforceConstraints(rows, m, base)
       if (staged.isEmpty) {
         val rel =
           s"data/b${batchId}v$version-${java.util.UUID.randomUUID.toString.take(8)}"
@@ -962,7 +1092,8 @@ object SnapshotLog {
         if (!overwrite && m.schemaJson.isEmpty && m.files.nonEmpty) None
         else evolveSchema(if (overwrite) None else m.schemaJson,
           org.apache.spark.sql.types.StructType(fields.toArray)),
-        Some(if (overwrite) "OVERWRITE" else "APPEND"))
+        Some(if (overwrite) "OVERWRITE" else "APPEND"),
+        m.constraints)
       if (tryCommit(fs, bp, next)) committedV = version
       attempt += 1
     }
@@ -1153,7 +1284,7 @@ object SnapshotLog {
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (tryCommit(fs, bp,
           Manifest(version, m.files, merged, m.blooms, m.dvs, schemaJson,
-            Some("STATS"))))
+            Some("STATS"), m.constraints)))
         return version
       attempt += 1
     }
@@ -1424,7 +1555,8 @@ object SnapshotLog {
             (m.blooms -- files) ++ newBlooms,
             m.dvs -- files,
             m.schemaJson,
-            Some(if (clusterBy.isEmpty) "COMPACT" else "OPTIMIZE"))))
+            Some(if (clusterBy.isEmpty) "COMPACT" else "OPTIMIZE"),
+            m.constraints)))
         return version
       attempt += 1
     }
@@ -1491,7 +1623,7 @@ object SnapshotLog {
         (m.blooms -- oldFiles) ++ newBlooms,
         m.dvs -- oldFiles,
         m.schemaJson,
-        Some("OPTIMIZE"))
+        Some("OPTIMIZE"), m.constraints)
       if (tryCommit(fs, bp, next)) return version
       attempt += 1
     }
@@ -1613,7 +1745,7 @@ object SnapshotLog {
         if (tryCommit(fs, bp,
             Manifest(version, m.files -- dropped, m.stats -- gone,
               m.blooms -- gone, m.dvs -- gone, m.schemaJson,
-              Some("DELETE")))) {
+              Some("DELETE"), m.constraints))) {
           if (writeCdf) {
             val pre = align(
               readFiles(spark, bp, m,
@@ -1763,7 +1895,7 @@ object SnapshotLog {
           // this pass read the whole live table, so a legacy manifest
           // gets its schema header backfilled for free
           m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
-          Some("DELETE"))
+          Some("DELETE"), m.constraints)
         if (tryCommit(fs, bp, next)) {
           if (writeCdf) commitCdfVersion(fs, bp, version,
             pre.filter(predicate)
@@ -1849,6 +1981,7 @@ object SnapshotLog {
           .getOrElse(col(f.name))
       }
       val updated = pre.filter(predicate).select(updCols: _*)
+      enforceConstraints(updated, m, base)
       val kept = pre.filter(!coalesce(predicate, lit(false)))
       val rel =
         s"data/u$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
@@ -1869,7 +2002,7 @@ object SnapshotLog {
         m.blooms -- preFiles,
         m.dvs -- preFiles,
         m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
-        Some("UPDATE"))
+        Some("UPDATE"), m.constraints)
       if (tryCommit(fs, bp, next)) {
         if (writeCdf) {
           val cols = lv.columns.toSeq
@@ -2098,8 +2231,16 @@ object SnapshotLog {
           .filter(_.startsWith(OpTag + "\t"))
           .map(l => dec(l.substring(OpTag.length + 1)))
           .nextOption().getOrElse("UNKNOWN")
-        val ptrs = parseShardPtrs(text)
-        if (ptrs.nonEmpty) {
+        val gptrs = parseGroupPtrs(text)
+        val ptrs = if (gptrs.nonEmpty) Nil else parseShardPtrs(text)
+        if (gptrs.nonEmpty) {
+          // two-level root: group-line rollups — O(versions) ROOT
+          // reads, no side file ever opens
+          val nRows =
+            if (gptrs.exists(_.nRows < 0L)) -1L else gptrs.map(_.nRows).sum
+          (v, new java.sql.Timestamp(ts), op, gptrs.map(_.nParts).sum,
+            gptrs.map(_.nFiles).sum, gptrs.map(_.nDv).sum, nRows)
+        } else if (ptrs.nonEmpty) {
           // sharded root: every count is a pointer-line rollup — a
           // sharded table's history costs O(versions) ROOT reads, no
           // shard file ever opens
@@ -2129,7 +2270,9 @@ object SnapshotLog {
     while (v > 0L) {
       rootText(fs, base, v) match {
         case Some(text) =>
-          val ptrs = parseShardPtrs(text)
+          // resolves through pointer groups on a two-level root —
+          // still zero SHARD opens (group files are pointer-only)
+          val ptrs = shardPtrsOf(fs, base, text, v)
           if (ptrs.nonEmpty)
             return ptrs.sortBy(_.part).map(sp => (sp.part, sp.nFiles, sp.nRows))
           val m = readManifestAt(fs, base, v).get
@@ -2145,6 +2288,80 @@ object SnapshotLog {
       }
     }
     Nil
+  }
+
+  /** Enforce `m`'s CHECK constraints on an incoming batch in ONE
+    * aggregation pass (SQL CHECK semantics: a row violates only when
+    * the expression is definitively FALSE — NULL passes). Throws with
+    * per-constraint violation counts; a batch is all-or-nothing. */
+  private def enforceConstraints(
+      df: DataFrame, m: Manifest, base: String): Unit = {
+    if (m.constraints.isEmpty) return
+    val cs = m.constraints.toSeq.sortBy(_._1)
+    val aggs = cs.map { case (n, sql) =>
+      sum(when(coalesce(expr(sql).cast("boolean"), lit(true)) === false, 1L)
+        .otherwise(0L)).as(s"__c_${n}")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val bad = cs.zipWithIndex.collect {
+      case ((n, sql), i) if !row.isNullAt(i) && row.getLong(i) > 0L =>
+        s"$n CHECK ($sql) rejects ${row.getLong(i)} row(s)"
+    }
+    if (bad.nonEmpty) sys.error(
+      s"CHECK constraint violation writing to $base: ${bad.mkString("; ")}")
+  }
+
+  /** ADD a named CHECK constraint: validates the EXISTING data first
+    * (Delta semantics — a constraint the live table already violates
+    * is rejected with the violation count), then commits a
+    * metadata-only version carrying it. Every subsequent write batch
+    * is gated on it until [[dropConstraint]]. */
+  def addConstraint(
+      spark: SparkSession, base: String, name: String, checkSql: String,
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"$base has no committed version"))
+      require(!m.constraints.contains(name),
+        s"constraint $name already exists on $base")
+      val live = readSnapshot(spark, bp, m, None)
+      enforceConstraints(live, m.copy(constraints = Map(name -> checkSql)),
+        base)
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp, m.copy(version = version,
+          constraints = m.constraints + (name -> checkSql),
+          op = Some("ADD_CONSTRAINT"))))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"ADD CONSTRAINT lost $maxRetries commit races on $base")
+  }
+
+  /** DROP a named CHECK constraint — metadata-only commit. */
+  def dropConstraint(
+      spark: SparkSession, base: String, name: String,
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"$base has no committed version"))
+      require(m.constraints.contains(name),
+        s"no constraint named $name on $base")
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp, m.copy(version = version,
+          constraints = m.constraints - name,
+          op = Some("DROP_CONSTRAINT"))))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"DROP CONSTRAINT lost $maxRetries commit races on $base")
   }
 
   /** RESTORE: roll the table back to committed version `toVersion` by
@@ -2240,13 +2457,26 @@ object SnapshotLog {
         try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
       }
-    // shard files referenced by ANY root — the sweep below keeps
-    // exactly them. Data references are honored from EVERY shard file
-    // on disk, referenced or not: an in-flight sharded committer has
-    // written its shards but not yet its root, and deleting the data
-    // they reference would gut the imminent commit (the retention
-    // window is the second guard, as for raw data files)
-    val ptrRels = rootTexts.flatMap(parseShardPtrs).map(_.rel).toSet
+    // side files referenced by ANY root — pointer groups directly,
+    // shard files directly or through a referenced group — the sweep
+    // below keeps exactly them. Data references are honored from
+    // EVERY shard file on disk, referenced or not: an in-flight
+    // sharded committer has written its side files but not yet its
+    // root, and deleting the data they reference would gut the
+    // imminent commit (the retention window is the second guard, as
+    // for raw data files)
+    val groupRels = rootTexts.flatMap(parseGroupPtrs).map(_.rel).toSet
+    val ptrRels = rootTexts.flatMap(parseShardPtrs).map(_.rel).toSet ++
+      groupRels.toSeq.sorted.flatMap { rel =>
+        val p = new Path(dir, rel)
+        if (!fs.exists(p)) Nil
+        else {
+          val in = fs.open(p)
+          val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+          parseShardPtrs(text).map(_.rel)
+        }
+      }
     val shardLines = fs.listStatus(dir).toSeq
       .filter { st =>
         val n = st.getPath.getName
@@ -2338,17 +2568,21 @@ object SnapshotLog {
         }
       }
     }
-    // orphaned SHARD files: written before a root that lost its commit
-    // race (or whose root was expired) — reclaim once unreferenced and
-    // aged, same contract as data files
+    // orphaned SIDE files (shards s*.txt, pointer groups g*.txt):
+    // written before a root that lost its commit race (or whose root
+    // was expired) — reclaim once unreferenced and aged, same
+    // contract as data files
     fs.listStatus(dir)
       .filter { st =>
         val n = st.getPath.getName
-        st.isFile && n.startsWith("s") && n.endsWith(".txt")
+        st.isFile && (n.startsWith("s") || n.startsWith("g")) &&
+          n.endsWith(".txt") && n != shardMarker(bp).getName
       }
       .foreach { st =>
-        if (!ptrRels.contains(st.getPath.getName) &&
-            st.getModificationTime <= cutoff) {
+        val n = st.getPath.getName
+        val referenced =
+          if (n.startsWith("g")) groupRels.contains(n) else ptrRels.contains(n)
+        if (!referenced && st.getModificationTime <= cutoff) {
           fs.delete(st.getPath, false)
           removed += 1
         }

@@ -108,6 +108,60 @@ class SqlMaintenanceSpec extends SparkSpec {
     intercept[Exception](s.sql("SHOW PARTITIONS not_a_snapshot_view"))
   }
 
+  test("CHECK constraints gate every write path; versioned with the data") {
+    import s.implicits._
+    val (base, bp, view) = mkTable("graft_sqlcheck", "maint6")
+    s.sql(s"ALTER TABLE $view ADD CONSTRAINT pos CHECK (value > 0)")
+    val m = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(m.constraints == Map("pos" -> "value > 0"))
+
+    def rejected(body: => Any): Unit = {
+      val r = scala.util.Try(body)
+      assert(r.isFailure, "expected a CHECK rejection")
+      val msg = Iterator.iterate(r.failed.get)(_.getCause)
+        .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msg.contains("CHECK"), s"not a CHECK failure: $msg")
+    }
+
+    // upsert, append (SQL INSERT), and UPDATE all gate
+    rejected(SnapshotLog.upsertBatch(s, base,
+      Seq((999L, -1.0, "d0")).toDF("id", "value", "day"), Seq("id"), "id",
+      "day", batchId = 9, maxRetries = 5, statsCols = Nil, clusterBy = Nil,
+      clusterFiles = 1, opCol = None, writeCdf = false))
+    rejected(s.sql(s"INSERT INTO $view VALUES (998, -5.0, 'd0')"))
+    rejected(s.sql(s"UPDATE $view SET value = -2 WHERE id = 5"))
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 300,
+      "rejected batches must leave the table untouched")
+
+    // NULL passes (SQL CHECK semantics), and a CDC delete marker's
+    // payload is exempt (it never lands in the table)
+    s.sql(s"INSERT INTO $view (id, day) VALUES (997, 'd0')")
+    assert(s.sql(s"SELECT value FROM $view WHERE id = 997").head.isNullAt(0))
+    SnapshotLog.upsertBatch(s, base,
+      Seq((997L, -99.0, "d0", "D")).toDF("id", "value", "day", "op"),
+      Seq("id"), "id", "day", batchId = 10, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 1, opCol = Some("op"), writeCdf = false)
+    // (the Scala-API write doesn't re-pin the SQL view — read the log)
+    assert(SnapshotLog.read(s, base).get
+      .filter(col("id") === 997L).count() == 0)
+
+    // a constraint the live data violates is refused with the count
+    rejected(s.sql(s"ALTER TABLE $view ADD CONSTRAINT low CHECK (value < 10)"))
+    assert(SnapshotLog.readManifest(fs(bp), bp).get.constraints.size == 1)
+
+    // constraints survive OPTIMIZE and roll BACK with RESTORE
+    s.sql(s"OPTIMIZE $view")
+    assert(SnapshotLog.readManifest(fs(bp), bp).get
+      .constraints.contains("pos"), "constraints must survive maintenance")
+    s.sql(s"RESTORE $view TO VERSION AS OF 1")
+    assert(SnapshotLog.readManifest(fs(bp), bp).get.constraints.isEmpty,
+      "RESTORE to a pre-constraint version must roll the constraint back")
+    s.sql(s"INSERT INTO $view VALUES (996, -1.0, 'd0')") // gate is gone
+    assert(s.sql(s"SELECT COUNT(*) FROM $view WHERE id = 996")
+      .head.getLong(0) == 1)
+  }
+
   test("everything the interceptor does not claim delegates untouched") {
     val (_, _, view) = mkTable("graft_sqldelegate", "maint4")
     // the verbs on an UNREGISTERED name keep Spark's own parse error

@@ -187,6 +187,93 @@ class ShardedManifestSpec extends SparkSpec {
       (1 to 300).count(_ % 3 == 0))
   }
 
+  test("two-level roots: grouped pointers, group reuse, pruned reads, rollups") {
+    val base = Files.createTempDirectory("graft_shard2l").toString + "/tbl"
+    val bp = new Path(base)
+    val hfs = fs(bp)
+    val logDir = new Path(bp, "_log")
+    SnapshotLog.enableSharding(hfs, bp, grouped = true)
+    val df6 = (1 to 300).map(i => (i.toLong, s"u${i % 5}", i * 2.0, s"d${i % 6}"))
+      .toDF("id", "user", "value", "day")
+    SnapshotLog.upsertBatch(spark, base, df6, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Seq("id"),
+      clusterBy = Nil, clusterFiles = 2, opCol = None, writeCdf = false)
+
+    def root(v: Long): String = {
+      val in = hfs.open(new Path(logDir, f"v$v%011d.txt"))
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def groupRels(v: Long): Seq[String] =
+      root(v).split("\n").toSeq.filter(_.startsWith("#sgroup\t"))
+        .map(_.split("\t")(3))
+    val g1 = groupRels(1)
+    assert(g1.size == 3, s"6 partitions at group size 2 → 3 groups: $g1")
+    assert(!root(1).contains("#shard\t"),
+      "a two-level root must hold ONLY group pointers")
+    assert(SnapshotLog.read(spark, base).get.agg(sum("id")).head.getLong(0)
+      == (1L to 300L).sum)
+
+    // touch ONE partition (d0 = first group) — the other groups AND
+    // their shard files are reused verbatim
+    SnapshotLog.upsertBatch(spark, base,
+      df6.filter(col("day") === "d0").withColumn("value", col("value") * 10),
+      Seq("id"), "id", "day", batchId = 2, maxRetries = 5,
+      statsCols = Seq("id"), clusterBy = Nil, clusterFiles = 2,
+      opCol = None, writeCdf = false)
+    val g2 = groupRels(2)
+    assert(g2.head != g1.head, "the touched partition's group must rewrite")
+    assert(g2.tail == g1.tail, "untouched groups must reuse byte-for-byte")
+
+    // partition-pruned read with an UNRELATED shard hidden; the full
+    // read fails loudly on the hidden shard
+    val d1Shard = {
+      val in = hfs.open(new Path(logDir, g2.head))
+      val t = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+      // group 1 holds d0+d1; take d1's shard rel (field 2 of its line)
+      t.split("\n").find(_.startsWith("#shard\td1\t")).get.split("\t")(2)
+    }
+    hfs.rename(new Path(logDir, d1Shard), new Path(logDir, d1Shard + ".bak"))
+    val pruned = SnapshotLog.readPartitions(spark, base, Seq("d2")).get
+    assert(pruned.agg(sum("id")).head.getLong(0) ==
+      (1 to 300).filter(_ % 6 == 2).map(_.toLong).sum)
+    intercept[RuntimeException](SnapshotLog.read(spark, base))
+    hfs.rename(new Path(logDir, d1Shard + ".bak"), new Path(logDir, d1Shard))
+
+    // history answers from ROOT rollups (no side file opens): hide
+    // every side file, including groups
+    val sides = hfs.listStatus(logDir).map(_.getPath.getName)
+      .filter(n => (n.startsWith("s") || n.startsWith("g")) &&
+        n.endsWith(".txt")).toSeq
+    sides.foreach(n => hfs.rename(new Path(logDir, n),
+      new Path(logDir, n + ".bak")))
+    val h = SnapshotLog.history(spark, base).collect()
+    assert(h.length == 2 && h.forall(_.getLong(3) == 6L) &&
+      h.forall(_.getLong(6) == 300L))
+    // SHOW PARTITIONS' fast path needs the GROUPS back (pointer-only
+    // reads), but never a shard
+    sides.filter(_.startsWith("g")).foreach(n => hfs.rename(
+      new Path(logDir, n + ".bak"), new Path(logDir, n)))
+    val summary = SnapshotLog.partitionSummary(hfs, bp)
+    assert(summary.map(_._1) == (0 to 5).map(i => s"d$i"))
+    assert(summary.map(_._3).sum == 300L)
+    sides.filterNot(_.startsWith("g")).foreach(n => hfs.rename(
+      new Path(logDir, n + ".bak"), new Path(logDir, n)))
+
+    // vacuum: orphan group file reclaimed, referenced ones survive
+    val orphan = new Path(logDir, "g00000000009-p0-deadbeef.txt")
+    val o = hfs.create(orphan, false)
+    o.write("#shard\tdx\tsnope.txt\t1\t1\t0\tabc\n#eof\n"
+      .getBytes(StandardCharsets.UTF_8))
+    o.close()
+    SnapshotLog.vacuum(spark, base, retentionMs = 0L)
+    assert(!hfs.exists(orphan))
+    groupRels(2).foreach(rel =>
+      assert(hfs.exists(new Path(logDir, rel)), s"live group $rel swept"))
+    assert(SnapshotLog.read(spark, base).get.count() == 300)
+  }
+
   test("a table crossing into sharding keeps its inline history readable") {
     val base = Files.createTempDirectory("graft_shard_mig").toString + "/tbl"
     val bp = new Path(base)

@@ -77,6 +77,35 @@ class CommitLogStreamSpec extends SparkSpec {
     assert(cdfCounts == perVersion.map { case (k, v) => k -> v.toLong })
   }
 
+  test("the source streams a SHARDED table's commits identically") {
+    val base = Files.createTempDirectory("graft_clstream_sh").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft_clstream_shck").toString
+    val bp = new Path(base)
+    SnapshotLog.enableSharding(
+      bp.getFileSystem(spark.sparkContext.hadoopConfiguration), bp)
+    upsert(base, 1, (1L, 1L, "a"), (2L, 1L, "b"))
+    upsert(base, 2, (1L, 2L, "a"), (3L, 1L, "c")) // update + insert
+
+    val received =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream
+      .format(classOf[CommitLogSourceProvider].getName)
+      .option("path", base).load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select(col("_commit_version"), col("change_type")).collect()
+          .foreach(r => received.add((r.getLong(0), r.getString(1))))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val perVersion = received.toArray(Array.empty[(Long, String)]).toSeq
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perVersion == Map(1L -> 2, 2L -> 3),
+      s"sharded commits must stream like inline ones, got $perVersion")
+  }
+
   test("maxVersionsPerBatch bounds catch-up batches to version boundaries") {
     val base = Files.createTempDirectory("graft_clstream2").toString + "/tbl"
     val ckpt = Files.createTempDirectory("graft_clstream2_ck").toString
