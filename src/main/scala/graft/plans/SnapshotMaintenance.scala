@@ -45,6 +45,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val ShallowClone =
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+([A-Za-z_]\w*)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -58,6 +60,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case History(view) if isTarget(view) =>
       SnapshotHistoryCommand(view)
+    case ShallowClone(db, name, srcView, location) if isTarget(srcView) =>
+      SnapshotCloneCommand(db, name, srcView, location)
     case AddConstraint(view, name, check) if isTarget(view) =>
       SnapshotAddConstraintCommand(view, name, check.trim)
     case DropConstraint(view, name) if isTarget(view) =>
@@ -193,6 +197,27 @@ case class SnapshotShowPartitionsCommand(view: String)
     SnapshotLog.partitionSummary(fs, bp).map {
       case (p, nf, nr) => Row(p, nf, nr)
     }
+  }
+}
+
+/** `CREATE TABLE db.name SHALLOW CLONE view LOCATION 'path'` —
+  * zero-copy fork ([[SnapshotLog.cloneTable]]): the new table's v1
+  * references the source's data files by absolute path, copies zero
+  * bytes, and diverges copy-on-write from there. The clone registers
+  * for name-based SQL (including DML) in the same statement. */
+case class SnapshotCloneCommand(
+    db: String, name: String, srcView: String, location: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("view", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (srcPath, partCol) = SnapshotMaintenance.target(srcView)
+    val v = SnapshotLog.cloneTable(spark, srcPath, location)
+    val view = Catalog.registerSnapshotLog(spark, db, name, location,
+      Some(partCol))
+    Seq(Row("SHALLOW CLONE", v, view))
   }
 }
 

@@ -2471,6 +2471,113 @@ object Relational2 {
       FROM finalstate GROUP BY o_year
       """))
 
+  /** SHALLOW CLONE — `CREATE TABLE db.t SHALLOW CLONE v LOCATION …`:
+    * a zero-copy fork whose v1 references the source's data files by
+    * absolute path (stats, blooms, DVs, constraints carried over,
+    * O(manifest) work, zero bytes moved) and then diverges
+    * COPY-ON-WRITE — a write rewrites only the touched partitions
+    * into the clone's own tree while untouched partitions keep
+    * reading the source's files. The lifecycle proves isolation both
+    * ways (a clone UPDATE leaves the source byte-identical; a source
+    * DELETE leaves the clone untouched) and the zero-copy claim
+    * itself (the clone starts with NO data directory, and after its
+    * first write still references source files absolutely). Emitted:
+    * both tables' per-year states side by side, recomputed
+    * relationally by the oracle. */
+  val q93ShallowClone: Q = Q(
+    "q93_shallow_clone",
+    "zero-copy SHALLOW CLONE with copy-on-write divergence",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_clone93").toString
+      val base = s"$root/src"
+      val fork = s"$root/fork"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_orderkey"), clusterBy = Nil, clusterFiles = 4,
+        opCol = None, writeCdf = false)
+      val src = Catalog.registerSnapshotLog(s, "q93", "orders", base,
+        Some("o_year"))
+      s.sql(s"DELETE FROM $src WHERE o_orderkey % 7 = 0") // DVs pre-clone
+
+      val r = s.sql(s"CREATE TABLE q93.fork SHALLOW CLONE $src " +
+        s"LOCATION '$fork'").collect().head
+      require(r.getString(0) == "SHALLOW CLONE" && r.getLong(1) == 1L)
+      val forkView = r.getString(2)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$fork/data")),
+        "a shallow clone must copy ZERO data files")
+      val nLive = s.sql(s"SELECT COUNT(*) FROM $src").head.getLong(0)
+      require(s.sql(s"SELECT COUNT(*) FROM $forkView").head.getLong(0)
+        == nLive, "the clone must read the source's exact live rows")
+
+      // diverge the CLONE in ONE partition: only it materializes
+      val minYear = orders.agg(min(col("o_year"))).head.getString(0)
+      s.sql(s"UPDATE $forkView SET o_totalprice = o_totalprice * 3 " +
+        s"WHERE o_orderkey % 5 = 0 AND o_year = '$minYear'")
+      val mF = SnapshotLog.readManifest(fs,
+        new org.apache.hadoop.fs.Path(fork)).get
+      require(mF.allFiles.exists(_.startsWith("/")),
+        "untouched partitions must still reference the source absolutely")
+      require(mF.allFiles.exists(f => !f.startsWith("/")),
+        "touched partitions must have materialized into the clone's tree")
+      val srcSum = s.sql(s"SELECT SUM(CAST(o_totalprice AS DECIMAL(38,4)))" +
+        s" FROM $src").head.getDecimal(0)
+      val origSum = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .agg(sum(col("o_totalprice").cast(DecimalType(38, 4))))
+        .head.getDecimal(0)
+      require(srcSum.compareTo(origSum) == 0,
+        "the clone's UPDATE must leave the source byte-identical")
+
+      // diverge the SOURCE: the clone must not see it
+      s.sql(s"DELETE FROM $src WHERE o_orderkey % 11 = 0")
+      require(s.sql(s"SELECT COUNT(*) FROM $forkView").head.getLong(0)
+        == nLive, "a source DELETE must be invisible to the clone")
+
+      s.sql(s"""
+        SELECT 'src' AS side, o_year, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $src GROUP BY o_year
+        UNION ALL
+        SELECT 'fork' AS side, o_year, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $forkView GROUP BY o_year
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      live AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+      srcf AS (SELECT * FROM live WHERE o_orderkey % 11 <> 0),
+      forkf AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0
+                     AND o_year = (SELECT MIN(o_year) FROM base)
+                    THEN o_totalprice * 3
+                    ELSE o_totalprice END AS o_totalprice,
+               o_year
+        FROM live)
+      SELECT 'src' AS side, o_year, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM srcf GROUP BY o_year
+      UNION ALL
+      SELECT 'fork' AS side, o_year, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM forkf GROUP BY o_year
+      """))
+
   /** Per-file BLOOM filters in the commit-log manifest — the
     * point-lookup complement to q70's min/max bounds: the layout is
     * range-clustered on `user_id` (so user_id is range-prunable), which
@@ -3059,5 +3166,5 @@ object Relational2 {
     q80PlannerScan, q81DeletionVectors, q82VersionStream, q83History,
     q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas, q87TimeTravelSql,
     q88ShardedManifest, q89SqlMaintenance, q90TableChangesSql,
-    q91ShowPartitions, q92CheckConstraints)
+    q91ShowPartitions, q92CheckConstraints, q93ShallowClone)
 }

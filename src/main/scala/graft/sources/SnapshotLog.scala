@@ -2290,6 +2290,46 @@ object SnapshotLog {
     Nil
   }
 
+  /** SHALLOW CLONE: commit version 1 of a NEW table at `dstBase`
+    * referencing the SOURCE's current data files by absolute path —
+    * zero data copied, O(manifest) work (the Delta SHALLOW CLONE).
+    * Stats, blooms, deletion vectors, schema, and constraints all
+    * carry over (re-keyed to the absolute paths). The clone then
+    * lives its own life COPY-ON-WRITE: any write rewrites only the
+    * touched partitions into the clone's own `data/` dir, untouched
+    * partitions keep reading the source's files, and the clone's
+    * vacuum can never reclaim them (they live outside its tree).
+    * Caveat (same as Delta's): vacuuming/expiring the SOURCE can
+    * invalidate files a clone still references — clones are for
+    * dev/test forks, not archival. */
+  def cloneTable(
+      spark: SparkSession, srcBase: String, dstBase: String): Long = {
+    val sbp = new Path(srcBase)
+    val dbp = new Path(dstBase)
+    val fs = fsFor(spark, sbp)
+    val m = readManifest(fs, sbp).getOrElse(
+      sys.error(s"clone source $srcBase has no committed version"))
+    require(readManifest(fs, dbp).isEmpty,
+      s"clone destination $dstBase already exists")
+    def abs(rel: String): String =
+      fs.makeQualified(new Path(sbp, rel)).toUri.getPath
+    val files = m.files.map { case (p, fls) => p -> fls.map(abs).sorted }
+    val next = Manifest(
+      version = 1L,
+      files = files,
+      stats = m.stats.map { case (f, st) => abs(f) -> st },
+      blooms = m.blooms.map { case (f, bl) => abs(f) -> bl },
+      dvs = m.dvs.map { case (f, dv) =>
+        abs(f) -> dv.copy(sidecarRel = dv.sidecarRel.map(abs))
+      },
+      schemaJson = m.schemaJson,
+      op = Some("CLONE"),
+      constraints = m.constraints)
+    if (!tryCommit(fs, dbp, next))
+      sys.error(s"clone destination $dstBase already has a version claim")
+    1L
+  }
+
   /** Enforce `m`'s CHECK constraints on an incoming batch in ONE
     * aggregation pass (SQL CHECK semantics: a row violates only when
     * the expression is definitively FALSE — NULL passes). Throws with

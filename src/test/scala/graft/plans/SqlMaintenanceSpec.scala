@@ -162,6 +162,36 @@ class SqlMaintenanceSpec extends SparkSpec {
       .head.getLong(0) == 1)
   }
 
+  test("SHALLOW CLONE: zero-copy fork, copy-on-write, vacuum-safe") {
+    val (base, bp, view) = mkTable("graft_sqlclone", "maint7")
+    val loc = Files.createTempDirectory("graft_sqlclone_dst").toString + "/fork"
+    val r = s.sql(s"CREATE TABLE maint7.fork SHALLOW CLONE $view " +
+      s"LOCATION '$loc'").collect().head
+    val forkView = r.getString(2)
+    val hfs = fs(bp)
+    assert(!hfs.exists(new Path(s"$loc/data")), "zero bytes must be copied")
+    assert(s.sql(s"SELECT COUNT(*) FROM $forkView").head.getLong(0) == 300)
+
+    // copy-on-write divergence: one partition materializes locally
+    s.sql(s"UPDATE $forkView SET value = 0 WHERE day = 'd1'")
+    val mF = SnapshotLog.readManifest(hfs, new Path(loc)).get
+    assert(mF.files("d1").forall(!_.startsWith("/")) &&
+      mF.files("d0").forall(_.startsWith("/")))
+    assert(s.sql(s"SELECT SUM(value) FROM $view").head.getDouble(0) > 0 &&
+      s.sql(s"SELECT COUNT(*) FROM $view WHERE value = 0").head.getLong(0) == 0,
+      "the source must be untouched by the clone's write")
+
+    // the clone's vacuum can never reclaim source files
+    SnapshotLog.vacuum(s, loc, retentionMs = 0L)
+    assert(s.sql(s"SELECT COUNT(*) FROM $forkView").head.getLong(0) == 300)
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 300)
+
+    // a second clone into the same location is refused
+    val dup = scala.util.Try(s.sql(
+      s"CREATE TABLE maint7.fork2 SHALLOW CLONE $view LOCATION '$loc'"))
+    assert(dup.isFailure)
+  }
+
   test("everything the interceptor does not claim delegates untouched") {
     val (_, _, view) = mkTable("graft_sqldelegate", "maint4")
     // the verbs on an UNREGISTERED name keep Spark's own parse error
