@@ -45,6 +45,10 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val Analyze =
+    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w`,\s]+?)\s*;?\s*""".r
+  private val BloomIndex =
+    """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+([A-Za-z_]\w*)\s*\(([\w`,\s]+?)\)\s*;?\s*""".r
   private val ShallowClone =
     """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+([A-Za-z_]\w*)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraint =
@@ -57,11 +61,19 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   private def isTarget(view: String): Boolean =
     Catalog.dmlTarget(view).isDefined
 
+  private def splitCols(s: String): Seq[String] =
+    s.split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty)
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case History(view) if isTarget(view) =>
       SnapshotHistoryCommand(view)
     case ShallowClone(db, name, srcView, location) if isTarget(srcView) =>
       SnapshotCloneCommand(db, name, srcView, location)
+    case Analyze(view, cols) if isTarget(view) =>
+      SnapshotAnalyzeCommand(view, splitCols(cols))
+    case BloomIndex(view, cols) if isTarget(view) =>
+      SnapshotBloomIndexCommand(view, splitCols(cols))
     case AddConstraint(view, name, check) if isTarget(view) =>
       SnapshotAddConstraintCommand(view, name, check.trim)
     case DropConstraint(view, name) if isTarget(view) =>
@@ -197,6 +209,40 @@ case class SnapshotShowPartitionsCommand(view: String)
     SnapshotLog.partitionSummary(fs, bp).map {
       case (p, nf, nr) => Row(p, nf, nr)
     }
+  }
+}
+
+/** `ANALYZE view COMPUTE STATISTICS FOR COLUMNS a, b` — lift
+  * per-file min/max bounds for the named columns into the manifest
+  * as a metadata-only commit ([[SnapshotLog.computeStats]]); value
+  * predicates on them prune files at plan time from then on. */
+case class SnapshotAnalyzeCommand(view: String, cols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.computeStats(spark, path, cols)
+    SnapshotDml.repin(spark, view)
+    Seq(Row("ANALYZE", v))
+  }
+}
+
+/** `CREATE BLOOMFILTER INDEX ON view (cols)` — per-file blooms over
+  * the named long-typed columns, committed metadata-only
+  * ([[SnapshotLog.buildBlooms]]); point lookups on them become
+  * file-prunable (the Delta bloom-index statement). */
+case class SnapshotBloomIndexCommand(view: String, cols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.buildBlooms(spark, path, cols)
+    SnapshotDml.repin(spark, view)
+    Seq(Row("CREATE BLOOMFILTER INDEX", v))
   }
 }
 

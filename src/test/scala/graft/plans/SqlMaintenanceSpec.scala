@@ -192,6 +192,29 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(dup.isFailure)
   }
 
+  test("ANALYZE and CREATE BLOOMFILTER INDEX commit metadata-only") {
+    val (base, bp, view) = mkTable("graft_sqlanalyze", "maint8")
+    val hfs = fs(bp)
+    val m1 = SnapshotLog.readManifest(hfs, bp).get
+
+    val a = s.sql(s"ANALYZE $view COMPUTE STATISTICS FOR COLUMNS value")
+      .collect().head
+    assert(a.getString(0) == "ANALYZE" && a.getLong(1) == m1.version + 1)
+    val m2 = SnapshotLog.readManifest(hfs, bp).get
+    assert(m2.files == m1.files, "ANALYZE must be metadata-only")
+    assert(m2.allFiles.forall(f => m2.stats.get(f).exists(_.contains("value"))))
+    // the fresh bounds actually prune
+    assert(SnapshotLog.filesForRange(m2, "value", 1.0, 2.0).size
+      < m2.allFiles.size)
+
+    val b = s.sql(s"CREATE BLOOMFILTER INDEX ON $view (id)").collect().head
+    assert(b.getString(0) == "CREATE BLOOMFILTER INDEX")
+    val m3 = SnapshotLog.readManifest(hfs, bp).get
+    assert(m3.files == m2.files, "bloom build must be metadata-only")
+    assert(m3.allFiles.forall(f => m3.blooms.get(f).exists(_.contains("id"))))
+    assert(SnapshotLog.filesForKey(m3, "id", 7L).size < m3.allFiles.size)
+  }
+
   test("everything the interceptor does not claim delegates untouched") {
     val (_, _, view) = mkTable("graft_sqldelegate", "maint4")
     // the verbs on an UNREGISTERED name keep Spark's own parse error
