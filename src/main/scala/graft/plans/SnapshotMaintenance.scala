@@ -32,6 +32,15 @@ import graft.sources.{Catalog, SnapshotLog}
   *   OPTIMIZE <view> [ZORDER BY (col [, col]*)]
   *   VACUUM <view> [RETAIN <n> HOURS]
   *   RESTORE [TABLE] <view> TO VERSION AS OF <version>
+  *   DESCRIBE HISTORY <view>
+  *   DESCRIBE DETAIL <view>
+  *   SHOW PARTITIONS <view>
+  *   ANALYZE [TABLE] <view> COMPUTE STATISTICS FOR COLUMNS <cols>
+  *   CREATE BLOOMFILTER INDEX ON <view> (<cols>)
+  *   CREATE TABLE <db>.<name> SHALLOW CLONE <view> LOCATION '<path>'
+  *   ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER TABLE <view> DROP CONSTRAINT <name>
+  *   COPY INTO <view> FROM '<path>' FILEFORMAT = <fmt> [PATTERN = '<glob>']
   * }}}
   */
 class SnapshotMaintenanceParser(delegate: ParserInterface)
@@ -57,6 +66,10 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val ShowParts =
     """(?is)\s*SHOW\s+PARTITIONS\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val CopyInto =
+    """(?is)\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
 
   private def isTarget(view: String): Boolean =
     Catalog.dmlTarget(view).isDefined
@@ -80,6 +93,11 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotDropConstraintCommand(view, name)
     case ShowParts(view) if isTarget(view) =>
       SnapshotShowPartitionsCommand(view)
+    case Detail(view) if isTarget(view) =>
+      SnapshotDetailCommand(view)
+    case CopyInto(view, src, format, pattern) if isTarget(view) =>
+      SnapshotCopyIntoCommand(view, src, format.toLowerCase,
+        Option(pattern))
     case Optimize(view, zorder) if isTarget(view) =>
       val cols = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
@@ -298,6 +316,126 @@ case class SnapshotDropConstraintCommand(view: String, name: String)
     val v = SnapshotLog.dropConstraint(spark, path, name)
     SnapshotDml.repin(spark, view)
     Seq(Row("DROP CONSTRAINT", v, name))
+  }
+}
+
+/** `COPY INTO view FROM 'path' FILEFORMAT = PARQUET|JSON|CSV
+  * [PATTERN = 'glob']` — idempotent FILE-LEVEL ingestion (the Delta
+  * COPY INTO statement, and the SQL surface for the reference's bulk
+  * COPY load, sql/ddl_staging.sql:40-43): every source file is loaded
+  * AT MOST ONCE, tracked as a `copy:<path>` transaction watermark in
+  * the manifest ([[SnapshotLog.Manifest.txns]]). Re-running the
+  * statement after a crash, on a timer, or from two racing loaders
+  * never duplicates rows:
+  *   - already-loaded files are diffed out against the live manifest
+  *     before any read (a file rewritten IN PLACE stays skipped — the
+  *     Delta contract; re-ingest under a new name);
+  *   - a concurrent ingest that absorbed PART of this batch surfaces
+  *     as [[SnapshotLog.PartialTxnConflict]] and the loop re-diffs
+  *     and restages only the remainder.
+  * The ingest itself is one distributed read + [[SnapshotLog
+  * .appendBatch]]; only the LISTING is driver-side (same as any COPY
+  * implementation). Reported row count comes from the committed files'
+  * parquet footers — no second scan of the source. */
+case class SnapshotCopyIntoCommand(
+    view: String, src: String, format: String, pattern: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files_loaded", LongType, nullable = false)(),
+    AttributeReference("n_rows_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, partCol) = SnapshotMaintenance.target(view)
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcP = new org.apache.hadoop.fs.Path(src)
+    val sfs = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Seq[String] = {
+      val glob = new org.apache.hadoop.fs.Path(srcP,
+        pattern.getOrElse("*"))
+      Option(sfs.globStatus(glob)).toSeq.flatten
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toUri.getPath).sorted
+    }
+    def key(f: String) = s"copy:$f"
+    var attempt = 0
+    while (true) {
+      val m = SnapshotLog.readManifest(fs, bp).getOrElse(
+        sys.error(s"$view has no committed version"))
+      val fresh = listing().filterNot(f => m.txns.contains(key(f)))
+      if (fresh.isEmpty)
+        return Seq(Row("COPY INTO", m.version, 0L, 0L))
+      val reader = format match {
+        case "parquet" => spark.read
+        case "json" => spark.read.format("json")
+        case "csv" =>
+          spark.read.format("csv")
+            .option("header", "true").option("inferSchema", "true")
+        case other => sys.error(s"COPY INTO: unsupported FILEFORMAT $other")
+      }
+      val df = reader.load(fresh: _*)
+      try {
+        val v = SnapshotLog.appendBatch(spark, path, df, partCol,
+          batchId = m.version + 1, overwrite = false, maxRetries = 5,
+          txnsAdd = fresh.map(f => key(f) -> 0L).toMap)
+        if (v <= m.version) // racer absorbed the whole batch
+          return Seq(Row("COPY INTO", v, 0L, 0L))
+        SnapshotDml.repin(spark, view)
+        // rows loaded: footer count over exactly the committed new
+        // files (metadata-only — parquet count() never reads data)
+        val newFiles = SnapshotLog.readManifestAt(fs, bp, v)
+          .map(_.allFiles.toSet -- m.allFiles.toSet).getOrElse(Set.empty)
+        val nRows =
+          if (newFiles.isEmpty) 0L
+          else spark.read.parquet(newFiles.toSeq.sorted.map(f =>
+            new org.apache.hadoop.fs.Path(bp, f).toString): _*).count()
+        return Seq(Row("COPY INTO", v, fresh.size.toLong, nRows))
+      } catch {
+        case _: SnapshotLog.PartialTxnConflict if attempt < 5 =>
+          attempt += 1 // a racer took part of the batch: re-diff
+      }
+    }
+    Nil // unreachable
+  }
+}
+
+/** `DESCRIBE DETAIL view` — one metadata row for the live snapshot
+  * (the Delta statement): version, partition/file/byte/row counts,
+  * DV-deleted rows, constraint and stream-watermark counts. All from
+  * the manifest — zero data IO. */
+case class SnapshotDetailCommand(view: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_partitions", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("n_deleted_rows", LongType, nullable = false)(),
+    AttributeReference("partition_col", StringType, nullable = false)(),
+    AttributeReference("n_constraints", LongType, nullable = false)(),
+    AttributeReference("n_txns", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, partCol) = SnapshotMaintenance.target(view)
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = SnapshotLog.readManifest(fs, bp).getOrElse(
+      sys.error(s"$view has no committed version"))
+    val bytes = {
+      val per = m.allFiles.map(f =>
+        m.stats.get(f).flatMap(_.get(SnapshotLog.ByteSizeKey))
+          .flatMap(_._1.toLongOption))
+      if (per.exists(_.isEmpty)) -1L else per.flatten.sum
+    }
+    Seq(Row("graft-snapshot", path, m.version,
+      m.files.size.toLong, m.allFiles.size.toLong, bytes,
+      SnapshotLog.countRows(m).getOrElse(-1L),
+      m.dvs.values.map(_.count).sum,
+      partCol, m.constraints.size.toLong, m.txns.size.toLong))
   }
 }
 

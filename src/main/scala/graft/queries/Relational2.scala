@@ -3151,6 +3151,219 @@ object Relational2 {
       GROUP BY o_year, o_orderstatus
       """))
 
+  /** Streaming SINK into the commit log ([[graft.streaming.
+    * CommitLogSinkProvider]]) — the write half of the streaming story,
+    * graded as a full streaming ETL chain: table A's change feed
+    * ([[graft.streaming.CommitLogSourceProvider]], q82's source) is
+    * streamed into table B through the sink's CDC-upsert mode, so B
+    * MATERIALIZES A. Exactly-once comes from (appId, batchId)
+    * transaction watermarks in B's manifest (the Delta SetTransaction
+    * idea): the checkpointed stream stops, A absorbs another commit,
+    * the stream restarts and delivers ONLY the new version; then a
+    * replayed stale batchId is fired straight at the sink and must
+    * no-op without even committing a version. Graded by B's final
+    * state hash-matched against the oracle's relational recompute of
+    * A's whole lifecycle (v1 load → v2 CDC update/insert/delete → v3
+    * update) at both SFs. */
+  val q94StreamSink: Q = Q(
+    "q94_stream_sink",
+    "streaming sink: CDF source → exactly-once commit-log materialization",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      import graft.streaming.{CommitLogSinkProvider, CommitLogSourceProvider}
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_sink94").toString
+      val src = s"$root/src"
+      val dst = s"$root/dst"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, src, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Nil, clusterBy = Nil, clusterFiles = 4,
+        opCol = None, writeCdf = true)
+      val k = col("o_orderkey")
+      // v2: one CDC batch of updates + deletes + inserts
+      val updates = orders.filter(k % 13 === 0 && k % 23 =!= 0)
+        .select(k, col("o_custkey"),
+          (col("o_totalprice") + lit(25.0)).as("o_totalprice"),
+          col("o_year"), lit("U").as("op"))
+      val deletes = orders.filter(k % 23 === 0)
+        .select(k, col("o_custkey"), col("o_totalprice"), col("o_year"),
+          lit("D").as("op"))
+      val inserts = orders.filter(k % 97 === 0)
+        .select((k + lit(200000000L)).as("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_year"), lit("U").as("op"))
+      SnapshotLog.upsertBatch(s, src, updates.union(deletes).union(inserts),
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 2,
+        maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 4,
+        opCol = Some("op"), writeCdf = true)
+
+      // the streaming chain: A's CDF → sink CDC-upsert into B.
+      // `_commit_version` is the latest-wins order (a key touched by
+      // several versions inside one micro-batch resolves to its newest
+      // image); preimages are not state.
+      def pump(): Unit = {
+        val feed = s.readStream
+          .format(classOf[CommitLogSourceProvider].getName)
+          .option("path", src).load()
+          .filter(col("change_type") =!= "update_preimage")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_year"), col("_commit_version"),
+            when(col("change_type") === "delete", "D").otherwise("U")
+              .as("op"))
+        val q = feed.writeStream
+          .format(classOf[CommitLogSinkProvider].getName)
+          .option("path", dst).option("partCol", "o_year")
+          .option("keys", "o_orderkey").option("orderCol", "_commit_version")
+          .option("opCol", "op").option("appId", "q94")
+          .option("checkpointLocation", s"$root/ckpt")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      pump()
+
+      // v3 lands while the stream is DOWN; the restart below must
+      // deliver exactly the missed version
+      val state2 = SnapshotLog.read(s, src, Some("o_year")).get
+      SnapshotLog.upsertBatch(s, src,
+        state2.filter(k % 31 === 0)
+          .select(k, col("o_custkey"),
+            (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+            col("o_year"), lit("U").as("op")),
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 3,
+        maxRetries = 5, statsCols = Nil, clusterBy = Nil, clusterFiles = 4,
+        opCol = Some("op"), writeCdf = true)
+      pump()
+
+      // replay attack: fire an already-absorbed batchId straight at the
+      // sink — it must no-op without committing a version
+      val fs = new org.apache.hadoop.fs.Path(dst)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vBefore = SnapshotLog.readManifest(fs,
+        new org.apache.hadoop.fs.Path(dst)).get.version
+      new CommitLogSinkProvider().createSink(s.sqlContext,
+        Map("path" -> dst, "partCol" -> "o_year", "keys" -> "o_orderkey",
+          "orderCol" -> "_commit_version", "opCol" -> "op",
+          "appId" -> "q94"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .addBatch(0, updates.withColumn("_commit_version", lit(999L)))
+      require(SnapshotLog.readManifest(fs,
+        new org.apache.hadoop.fs.Path(dst)).get.version == vBefore,
+        "a replayed (appId, batchId) must not commit")
+
+      val dec = DecimalType(38, 4)
+      SnapshotLog.read(s, dst, Some("o_year")).get
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast(dec).cast(DoubleType)
+            .as("total_price"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 25.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_year
+        FROM base WHERE o_orderkey % 23 <> 0
+        UNION ALL
+        SELECT o_orderkey + 200000000, o_totalprice, o_year
+        FROM base WHERE o_orderkey % 97 = 0),
+      v3 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_year
+        FROM v2)
+      SELECT o_year, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total_price
+      FROM v3 GROUP BY o_year
+      """))
+
+  /** `COPY INTO` — idempotent file-level ingestion as a SQL verb
+    * ([[graft.plans.SnapshotCopyIntoCommand]]), the engine-native form
+    * of the reference's bulk COPY load
+    * (/root/reference/sql/ddl_staging.sql:40-43) with the guarantee
+    * the reference's TRUNCATE+reload pattern exists to fake: each
+    * landed file loads AT MOST ONCE (per-file `copy:` watermarks in
+    * the manifest), so re-running the loader — on a timer, after a
+    * crash, or concurrently — never duplicates rows. Lifecycle: v1
+    * direct load of early years → COPY of a two-file landing dir →
+    * exact re-run proves 0 files / 0 rows / no version → a third
+    * landed file loads ALONE → DESCRIBE DETAIL reports the final
+    * version and partition count from metadata. Result hash-matched
+    * against the oracle's plain read of the full orders table at both
+    * SFs — duplicates or missed files cannot hide. */
+  val q95CopyInto: Q = Q(
+    "q95_copy_into",
+    "COPY INTO: idempotent file-level SQL ingestion + DESCRIBE DETAIL",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_copy95").toString
+      val base = s"$root/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base,
+        orders.filter(col("o_year") <= "1995"),
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 1,
+        maxRetries = 5, statsCols = Seq("o_orderkey"), clusterBy = Nil,
+        clusterFiles = 4, opCol = None, writeCdf = false)
+      val view = Catalog.registerSnapshotLog(s, "q95", "orders", base,
+        Some("o_year"))
+
+      // landing zone 1: the 1996–1997 slice as real files on disk
+      orders.filter(col("o_year").isin("1996", "1997"))
+        .repartition(2).write.parquet(s"$root/land1")
+      val r1 = s.sql(s"COPY INTO $view FROM '$root/land1' " +
+        "FILEFORMAT = PARQUET").collect().head
+      require(r1.getLong(2) == 2L, s"two landed files must load: $r1")
+
+      // the loader re-fires (timer/crash-retry): zero work, zero commit
+      val r2 = s.sql(s"COPY INTO $view FROM '$root/land1' " +
+        "FILEFORMAT = PARQUET").collect().head
+      require(r2.getLong(2) == 0L && r2.getLong(3) == 0L &&
+        r2.getLong(1) == r1.getLong(1),
+        s"a re-run must be a complete no-op: $r2 vs $r1")
+
+      // landing zone 2 arrives later; only IT loads
+      orders.filter(col("o_year") >= "1998")
+        .coalesce(1).write.parquet(s"$root/land2")
+      val r3 = s.sql(s"COPY INTO $view FROM '$root/land2' " +
+        "FILEFORMAT = PARQUET").collect().head
+      require(r3.getLong(2) == 1L && r3.getLong(1) == r1.getLong(1) + 1,
+        s"exactly the new file, one version later: $r3")
+
+      // DESCRIBE DETAIL: the metadata row agrees with the lifecycle
+      val det = s.sql(s"DESCRIBE DETAIL $view").collect().head
+      require(det.getString(0) == "graft-snapshot" &&
+        det.getLong(2) == r3.getLong(1) &&
+        det.getString(8) == "o_year",
+        s"DESCRIBE DETAIL must report the committed state: $det")
+
+      val dec = DecimalType(38, 4)
+      s.sql(s"SELECT * FROM $view")
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast(dec).cast(DoubleType)
+            .as("total_price"))
+    },
+    Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total_price
+      FROM orders GROUP BY 1
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -3166,5 +3379,6 @@ object Relational2 {
     q80PlannerScan, q81DeletionVectors, q82VersionStream, q83History,
     q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas, q87TimeTravelSql,
     q88ShardedManifest, q89SqlMaintenance, q90TableChangesSql,
-    q91ShowPartitions, q92CheckConstraints, q93ShallowClone)
+    q91ShowPartitions, q92CheckConstraints, q93ShallowClone, q94StreamSink,
+    q95CopyInto)
 }

@@ -100,7 +100,20 @@ object SnapshotLog {
     *               RESTORE rolls them back with the data. Writers
     *               enforce them on incoming batches (SQL NULL
     *               semantics: a row fails only when the expression is
-    *               definitively FALSE). */
+    *               definitively FALSE).
+    * @param txns   writer appId → highest batchId already committed —
+    *               the Delta SetTransaction idea, the exactly-once
+    *               handshake for streaming sinks: a replayed
+    *               micro-batch (restart from checkpoint re-delivers
+    *               the last batch) is detected INSIDE the optimistic
+    *               commit loop and skipped, so at-least-once delivery
+    *               from the engine becomes exactly-once in the table.
+    *               Carried forward by every write op; RESTORE merges
+    *               key-wise-max with the current state (watermarks
+    *               must never move backwards or a restart duplicates);
+    *               CLONE drops them (a stream's progress against the
+    *               source says nothing about the clone — Delta
+    *               semantics). */
   final case class Manifest(
       version: Long,
       files: Map[String, Seq[String]],
@@ -109,7 +122,8 @@ object SnapshotLog {
       dvs: Map[String, Dv] = Map.empty,
       schemaJson: Option[String] = None,
       op: Option[String] = None,
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      txns: Map[String, Long] = Map.empty) {
     def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.flatMap(j =>
@@ -133,6 +147,16 @@ object SnapshotLog {
   /** Header line `#constraint <name> <check-sql>` — one per table
     * CHECK constraint ([[Manifest.constraints]]). */
   private val ConstraintTag = "#constraint"
+
+  /** Header line `#txn <appId> <batchId>` — one per streaming-writer
+    * transaction watermark ([[Manifest.txns]]). */
+  private val TxnTag = "#txn"
+
+  /** Thrown by [[appendBatch]] when SOME (not all) of a multi-key
+    * transaction batch's keys are already committed — a concurrent
+    * ingest absorbed part of the batch, so the staged contents are
+    * stale. The caller (COPY INTO) re-diffs and restages. */
+  final class PartialTxnConflict(msg: String) extends RuntimeException(msg)
 
   /** Above this many positions a DV spills to a parquet sidecar —
     * bounds BOTH the driver-side work at delete time (positions are
@@ -429,6 +453,12 @@ object SnapshotLog {
             val a = l.split("\t", 3)
             dec(a(1)) -> dec(a(2))
           }.toMap
+        val txns = text.split("\n").iterator
+          .filter(_.startsWith(TxnTag + "\t"))
+          .map { l =>
+            val a = l.split("\t", 3)
+            dec(a(1)) -> a(2).toLong
+          }.toMap
         // sharded root: per-file lines live in immutable side files
         // (one hop — `#shard` per partition — or two on a two-level
         // root, `#sgroup` → `#shard`); load only the wanted
@@ -483,7 +513,7 @@ object SnapshotLog {
             })
         }.toMap
         Some(Manifest(v, files, stats, blooms, dvs, schemaJson, op,
-          constraints))
+          constraints, txns))
     }
   }
 
@@ -645,6 +675,9 @@ object SnapshotLog {
       m.op.map(o => s"$OpTag\t${enc(o)}\n").getOrElse("") +
       m.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
         s"$ConstraintTag\t${enc(n)}\t${enc(sql)}\n"
+      }.mkString +
+      m.txns.toSeq.sortBy(_._1).map { case (a, b) =>
+        s"$TxnTag\t${enc(a)}\t$b\n"
       }.mkString
     val parts = m.files.toSeq.sortBy(_._1)
     val marker: Option[String] =
@@ -852,17 +885,9 @@ object SnapshotLog {
       opCol: Option[String],
       writeCdf: Boolean): Unit =
     upsertBatch(spark, base, changes0, keys, orderCol, partCol, batchId,
-      maxRetries, statsCols, clusterBy, clusterFiles, opCol, writeCdf, Nil)
+      maxRetries, statsCols, clusterBy, clusterFiles, opCol, writeCdf, Nil,
+      None)
 
-  /** [[upsertBatch]] with `extraAffected`: partition values to include
-    * in the rewrite even when no change row lands in them. The
-    * partition-MOVE primitive: when a merged key's partition value
-    * changes (p1 → p2), the change row itself only touches p2 — naming
-    * p1 here makes its rows part of the merge base, so the full-outer
-    * key match replaces the old row and the staged write re-lands it in
-    * p2, leaving p1 rewritten without it (one transaction, no duplicate
-    * key). Cost is O(extra partitions' data), exactly the rows a move
-    * must rewrite anyway. */
   def upsertBatch(
       spark: SparkSession,
       base: String,
@@ -877,7 +902,41 @@ object SnapshotLog {
       clusterFiles: Int,
       opCol: Option[String],
       writeCdf: Boolean,
-      extraAffected: Seq[String]): Unit = {
+      extraAffected: Seq[String]): Unit =
+    upsertBatch(spark, base, changes0, keys, orderCol, partCol, batchId,
+      maxRetries, statsCols, clusterBy, clusterFiles, opCol, writeCdf,
+      extraAffected, None)
+
+  /** [[upsertBatch]] with `extraAffected`: partition values to include
+    * in the rewrite even when no change row lands in them. The
+    * partition-MOVE primitive: when a merged key's partition value
+    * changes (p1 → p2), the change row itself only touches p2 — naming
+    * p1 here makes its rows part of the merge base, so the full-outer
+    * key match replaces the old row and the staged write re-lands it in
+    * p2, leaving p1 rewritten without it (one transaction, no duplicate
+    * key). Cost is O(extra partitions' data), exactly the rows a move
+    * must rewrite anyway. */
+  /** [[upsertBatch]] with `txn = Some((appId, batchId))`: the write is
+    * IDEMPOTENT per (appId, batchId) — if the live manifest already
+    * records this appId at a batch ≥ this one, the call is a no-op
+    * (checked inside the commit loop, so a concurrent duplicate writer
+    * cannot double-commit either). The streaming-sink contract. */
+  def upsertBatch(
+      spark: SparkSession,
+      base: String,
+      changes0: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      partCol: String,
+      batchId: Long,
+      maxRetries: Int,
+      statsCols: Seq[String],
+      clusterBy: Seq[String],
+      clusterFiles: Int,
+      opCol: Option[String],
+      writeCdf: Boolean,
+      extraAffected: Seq[String],
+      txn: Option[(String, Long)]): Unit = {
     // (no defaults on these overloads — Scala allows default arguments on
     // only one alternative, and the common 8-arg form keeps them)
     // `opCol`: when set, the batch is a FULL CDC stream — that column
@@ -915,6 +974,14 @@ object SnapshotLog {
     try {
       while (!committed && attempt < maxRetries) {
         val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
+        // exactly-once gate: a replayed (appId, batchId) is already in
+        // the table — nothing to do. Re-checked on EVERY retry, so a
+        // concurrent duplicate writer that wins the commit race makes
+        // this attempt a no-op instead of a double-apply; any files
+        // this attempt staged are unreferenced orphans, vacuum's job.
+        // (`return` still runs the finally's unpersist.)
+        if (txn.exists { case (a, b) => m.txns.get(a).exists(_ >= b) })
+          return
         // CHECK constraints gate the batch up front (delete markers
         // exempt: a CDC 'D' row's payload never lands in the table)
         if (attempt == 0)
@@ -1014,7 +1081,8 @@ object SnapshotLog {
           else evolveSchema(m.schemaJson,
             org.apache.spark.sql.types.StructType(targetFields.toArray)),
           Some(if (opCol.isDefined) "CDC" else "UPSERT"),
-          m.constraints)
+          m.constraints,
+          m.txns ++ txn)
         committed = tryCommit(fs, bp, next)
         if (committed) committedVersion = version
         attempt += 1
@@ -1051,7 +1119,9 @@ object SnapshotLog {
       partCol: String,
       batchId: Long,
       overwrite: Boolean = false,
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5,
+      txn: Option[(String, Long)] = None,
+      txnsAdd: Map[String, Long] = Map.empty): Long = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val fields = rows.schema.fields.toSeq
@@ -1060,8 +1130,24 @@ object SnapshotLog {
     var attempt = 0
     var committedV = -1L
     var staged: Seq[(String, String, Long)] = Nil
+    val allTxns = txnsAdd ++ txn
     while (committedV < 0 && attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
+      // exactly-once gate (see upsertBatch): a fully-replayed batch
+      // reports the version that already holds it. With MULTIPLE
+      // watermark keys (COPY INTO passes one per source file) a
+      // PARTIAL overlap means a concurrent ingest absorbed part of
+      // this batch — committing the staged data would duplicate that
+      // part, so fail loudly and let the caller re-diff and restage.
+      if (allTxns.nonEmpty) {
+        val satisfied =
+          allTxns.count { case (a, b) => m.txns.get(a).exists(_ >= b) }
+        if (satisfied == allTxns.size) return m.version
+        if (satisfied > 0) throw new PartialTxnConflict(
+          s"$satisfied of ${allTxns.size} transaction keys already " +
+            s"committed on $base — batch contents are stale; re-diff " +
+            "against the live manifest and retry with the remainder")
+      }
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (attempt == 0) enforceConstraints(rows, m, base)
       if (staged.isEmpty) {
@@ -1093,7 +1179,8 @@ object SnapshotLog {
         else evolveSchema(if (overwrite) None else m.schemaJson,
           org.apache.spark.sql.types.StructType(fields.toArray)),
         Some(if (overwrite) "OVERWRITE" else "APPEND"),
-        m.constraints)
+        m.constraints,
+        m.txns ++ allTxns)
       if (tryCommit(fs, bp, next)) committedV = version
       attempt += 1
     }
@@ -1284,7 +1371,7 @@ object SnapshotLog {
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (tryCommit(fs, bp,
           Manifest(version, m.files, merged, m.blooms, m.dvs, schemaJson,
-            Some("STATS"), m.constraints)))
+            Some("STATS"), m.constraints, m.txns)))
         return version
       attempt += 1
     }
@@ -1556,7 +1643,7 @@ object SnapshotLog {
             m.dvs -- files,
             m.schemaJson,
             Some(if (clusterBy.isEmpty) "COMPACT" else "OPTIMIZE"),
-            m.constraints)))
+            m.constraints, m.txns)))
         return version
       attempt += 1
     }
@@ -1623,7 +1710,7 @@ object SnapshotLog {
         (m.blooms -- oldFiles) ++ newBlooms,
         m.dvs -- oldFiles,
         m.schemaJson,
-        Some("OPTIMIZE"), m.constraints)
+        Some("OPTIMIZE"), m.constraints, m.txns)
       if (tryCommit(fs, bp, next)) return version
       attempt += 1
     }
@@ -1745,7 +1832,7 @@ object SnapshotLog {
         if (tryCommit(fs, bp,
             Manifest(version, m.files -- dropped, m.stats -- gone,
               m.blooms -- gone, m.dvs -- gone, m.schemaJson,
-              Some("DELETE"), m.constraints))) {
+              Some("DELETE"), m.constraints, m.txns))) {
           if (writeCdf) {
             val pre = align(
               readFiles(spark, bp, m,
@@ -1895,7 +1982,7 @@ object SnapshotLog {
           // this pass read the whole live table, so a legacy manifest
           // gets its schema header backfilled for free
           m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
-          Some("DELETE"), m.constraints)
+          Some("DELETE"), m.constraints, m.txns)
         if (tryCommit(fs, bp, next)) {
           if (writeCdf) commitCdfVersion(fs, bp, version,
             pre.filter(predicate)
@@ -2002,7 +2089,7 @@ object SnapshotLog {
         m.blooms -- preFiles,
         m.dvs -- preFiles,
         m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
-        Some("UPDATE"), m.constraints)
+        Some("UPDATE"), m.constraints, m.txns)
       if (tryCommit(fs, bp, next)) {
         if (writeCdf) {
           val cols = lv.columns.toSeq
@@ -2324,7 +2411,11 @@ object SnapshotLog {
       },
       schemaJson = m.schemaJson,
       op = Some("CLONE"),
-      constraints = m.constraints)
+      constraints = m.constraints,
+      // a stream's progress against the SOURCE says nothing about the
+      // clone — carrying watermarks over would make a stream pointed at
+      // the clone silently skip its first batches (Delta drops them too)
+      txns = Map.empty)
     if (!tryCommit(fs, dbp, next))
       sys.error(s"clone destination $dstBase already has a version claim")
     1L
@@ -2426,8 +2517,16 @@ object SnapshotLog {
         sys.error(s"$base has no committed version"))
       if (cur.version == toVersion) return toVersion // already there
       val version = math.max(cur.version, currentVersion(fs, bp)) + 1
+      // txn watermarks must NEVER move backwards (a rolled-back
+      // watermark would make a restarting stream re-apply batches the
+      // table already absorbed) — merge key-wise max with the current
+      // state instead of restoring the old map verbatim
+      val txns = (cur.txns.keySet ++ target.txns.keySet).iterator.map { a =>
+        a -> math.max(cur.txns.getOrElse(a, Long.MinValue),
+          target.txns.getOrElse(a, Long.MinValue))
+      }.toMap
       if (tryCommit(fs, bp,
-          target.copy(version = version, op = Some("RESTORE"))))
+          target.copy(version = version, op = Some("RESTORE"), txns = txns)))
         return version
       attempt += 1
     }

@@ -154,15 +154,11 @@ class CommitLogSource(
         }: _*)
       }
     // v1 sources must hand MicroBatchExecution an isStreaming=true
-    // frame (the engine asserts it); the only constructor for that is
-    // private[sql], reached reflectively — the same seam Delta sits on
-    // by living inside org.apache.spark.sql.
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val m = classic.getClass.getMethods
-      .find(_.getName == "internalCreateDataFrame")
-      .getOrElse(sys.error("internalCreateDataFrame not found on SparkSession"))
-    m.invoke(classic, batch.queryExecution.toRdd, schema,
-      java.lang.Boolean.TRUE).asInstanceOf[DataFrame]
+    // frame (the engine asserts it); the constructor for that is
+    // private[sql], reached through the compile-time shim so a moved
+    // seam fails at build, not inside a user's stream.
+    org.apache.spark.sql.GraftSqlShim.internalDf(
+      spark, batch.queryExecution.toRdd, schema, isStreaming = true)
   }
 
   override def stop(): Unit = ()

@@ -16,4 +16,19 @@ object GraftSqlShim {
   /** A DataFrame over `plan`, analyzed/executed by `spark`. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A DataFrame over an `InternalRow` RDD — the `private[sql]`
+    * constructor both ends of the streaming seam need: a v1 Source's
+    * `getBatch` must hand MicroBatchExecution an `isStreaming = true`
+    * frame (the engine asserts it), and a v1 Sink's `addBatch` receives
+    * a streaming frame it must RE-ROOT as a batch (`isStreaming =
+    * false`) one before any writer will accept it. Same seam Delta sits
+    * on by living inside org.apache.spark.sql. */
+  def internalDf(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      schema: types.StructType,
+      isStreaming: Boolean): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming)
 }
