@@ -40,6 +40,7 @@ import graft.sources.{Catalog, SnapshotLog}
   *   CREATE TABLE <db>.<name> SHALLOW CLONE <view> LOCATION '<path>'
   *   ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <view> DROP CONSTRAINT <name>
+  *   ALTER TABLE <view> ADD COLUMNS (<name> <type> [, ...])
   *   COPY INTO <view> FROM '<path>' FILEFORMAT = <fmt> [PATTERN = '<glob>']
   * }}}
   */
@@ -68,6 +69,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*SHOW\s+PARTITIONS\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val AddColumns =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
 
@@ -91,6 +94,10 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotAddConstraintCommand(view, name, check.trim)
     case DropConstraint(view, name) if isTarget(view) =>
       SnapshotDropConstraintCommand(view, name)
+    case AddColumns(view, colsDdl) if isTarget(view) =>
+      // the DELEGATE parses the column list — commas inside types
+      // (DECIMAL(10,2)) are its problem, not a regex split's
+      SnapshotAddColumnsCommand(view, delegate.parseTableSchema(colsDdl))
     case ShowParts(view) if isTarget(view) =>
       SnapshotShowPartitionsCommand(view)
     case Detail(view) if isTarget(view) =>
@@ -316,6 +323,52 @@ case class SnapshotDropConstraintCommand(view: String, name: String)
     val v = SnapshotLog.dropConstraint(spark, path, name)
     SnapshotDml.repin(spark, view)
     Seq(Row("DROP CONSTRAINT", v, name))
+  }
+}
+
+/** `ALTER TABLE view ADD COLUMNS (name type, …)` — metadata-only
+  * schema evolution: the manifest's schema header widens (new fields
+  * nullable, appended), ZERO data files touched. Every existing row
+  * immediately reads the new columns as NULL (parquet backfills
+  * missing columns), and the next write may carry them. The same
+  * append-nullable rule the write path's implicit evolution follows —
+  * this statement just makes it available WITHOUT a write. */
+case class SnapshotAddColumnsCommand(view: String, newCols: StructType)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("columns", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < 5) {
+      val m = SnapshotLog.readManifest(fs, bp).getOrElse(
+        sys.error(s"$view has no committed version"))
+      val cur = m.schema.getOrElse(sys.error(
+        s"$view has no schema header (legacy manifest) — any write, or " +
+          "ANALYZE … COMPUTE STATISTICS, records one first"))
+      val dups = newCols.fieldNames.filter(n =>
+        cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(dups.isEmpty,
+        s"column(s) already exist on $view: ${dups.mkString(", ")}")
+      val evolved = StructType(
+        cur.fields ++ newCols.fields.map(_.copy(nullable = true)))
+      val version = math.max(m.version,
+        SnapshotLog.currentVersion(fs, bp)) + 1
+      if (SnapshotLog.tryCommit(fs, bp, m.copy(version = version,
+          schemaJson = Some(evolved.json), op = Some("ADD_COLUMNS")))) {
+        SnapshotDml.repin(spark, view)
+        return Seq(Row("ADD COLUMNS", version,
+          newCols.fields.map(f => s"${f.name} ${f.dataType.sql}")
+            .mkString(", ")))
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"ADD COLUMNS lost 5 commit races on $view")
   }
 }
 

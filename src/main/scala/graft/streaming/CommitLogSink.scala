@@ -68,10 +68,21 @@ class CommitLogSinkProvider extends StreamSinkProvider with DataSourceRegister {
       appIdOpt = parameters.get("appId"),
       statsCols = parameters.get("statsCols").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-      writeCdf = parameters.get("cdf").exists(_.toBoolean))
+      writeCdf = parameters.get("cdf").exists(_.toBoolean),
+      autoCompactFiles = parameters.get("autoCompactFiles")
+        .map(_.toInt).getOrElse(0))
   }
 }
 
+/** @param autoCompactFiles when > 0, after each committed batch any
+  *        partition whose live file count exceeds this threshold is
+  *        folded down ([[SnapshotLog.compactPartition]]) — the
+  *        small-files answer for streaming ingest (Delta's
+  *        autoCompact): micro-batches land fast, and the file count
+  *        per partition stays bounded by the threshold instead of
+  *        growing one file per trigger. Compaction commits are
+  *        row-preserving, so a crash between the batch commit and its
+  *        compaction costs nothing — the next trigger retries. */
 class CommitLogSink(
     path: String,
     partCol: String,
@@ -80,7 +91,8 @@ class CommitLogSink(
     opCol: Option[String],
     appIdOpt: Option[String],
     statsCols: Seq[String],
-    writeCdf: Boolean) extends Sink {
+    writeCdf: Boolean,
+    autoCompactFiles: Int = 0) extends Sink {
 
   require(keys.nonEmpty || opCol.isEmpty,
     "opCol (CDC delete markers) requires keys — append mode has no key semantics")
@@ -108,6 +120,18 @@ class CommitLogSink(
         maxRetries = 5, statsCols = statsCols, clusterBy = Nil,
         clusterFiles = 16, opCol = opCol, writeCdf = writeCdf,
         extraAffected = Nil, txn = Some((appId, batchId)))
+    if (autoCompactFiles > 0) {
+      val bp = new org.apache.hadoop.fs.Path(path)
+      val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SnapshotLog.readManifest(fs, bp).foreach { m =>
+        m.files.collect {
+          case (p, fls) if fls.size > autoCompactFiles => p
+        }.toSeq.sorted.foreach { p =>
+          SnapshotLog.compactPartition(spark, path, p,
+            statsCols = statsCols)
+        }
+      }
+    }
   }
 
   override def toString: String =

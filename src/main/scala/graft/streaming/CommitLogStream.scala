@@ -88,14 +88,21 @@ class CommitLogSourceProvider extends StreamSourceProvider with DataSourceRegist
     new CommitLogSource(sqlContext.sparkSession, pathOf(parameters),
       schema.getOrElse(
         CommitLogStream.cdfSchema(sqlContext.sparkSession, pathOf(parameters))),
-      parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(0))
+      parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(0),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(1L))
 }
 
+/** @param startingVersion first commit version a FRESH stream (no
+  *        checkpoint) delivers — Delta's `startingVersion`. Catch-up
+  *        from the table's whole history is the default (1); a
+  *        restarted stream ignores this and resumes from its
+  *        checkpointed offset, exactly like Delta. */
 class CommitLogSource(
     spark: SparkSession,
     base: String,
     override val schema: StructType,
-    maxVersionsPerBatch: Int = 0)
+    maxVersionsPerBatch: Int = 0,
+    startingVersion: Long = 1L)
   extends Source {
 
   private val bp = new Path(base)
@@ -114,7 +121,7 @@ class CommitLogSource(
     * FileStreamSource's maxFilesPerTrigger uses: the engine's commit
     * lags the poll, and capping off the commit would re-offer the same
     * window and stall `processAllAvailable`. */
-  @volatile private var lastReturned: Long = -1L
+  @volatile private var lastReturned: Long = startingVersion - 1L
 
   /** Newest version with a materialized feed — the stream's high-water
     * mark. Feeds publish by atomic rename AFTER their manifest commit,
@@ -135,7 +142,9 @@ class CommitLogSource(
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val lo = start.map(versionOf).getOrElse(0L)
+    // no checkpointed start = the stream's FIRST batch: begin at
+    // startingVersion instead of the table's origin
+    val lo = start.map(versionOf).getOrElse(startingVersion - 1L)
     val hi = versionOf(end)
     // a replayed batch after restart re-establishes the watermark
     lastReturned = math.max(lastReturned, hi)

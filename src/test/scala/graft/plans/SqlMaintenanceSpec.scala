@@ -215,6 +215,36 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(SnapshotLog.filesForKey(m3, "id", 7L).size < m3.allFiles.size)
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves the schema metadata-only") {
+    val (base, bp, view) = mkTable("graft_sqladdcol", "maint5")
+    val m0 = SnapshotLog.readManifest(fs(bp), bp).get
+    val r = s.sql(
+      s"ALTER TABLE $view ADD COLUMNS (note STRING, score DECIMAL(10,2))")
+      .collect().head
+    assert(r.getString(0) == "ADD COLUMNS" && r.getLong(1) == m0.version + 1)
+    val m1 = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(m1.files == m0.files && m1.stats == m0.stats,
+      "ADD COLUMNS must be metadata-only")
+    // every existing row reads the new columns as NULL immediately
+    val nulls = s.sql(
+      s"SELECT COUNT(*) FROM $view WHERE note IS NULL AND score IS NULL")
+      .head.getLong(0)
+    assert(nulls == 300L, "old rows must backfill NULL on the new columns")
+    // a duplicate add fails loudly
+    intercept[Exception](s.sql(s"ALTER TABLE $view ADD COLUMNS (note STRING)"))
+    // and the next write may carry the evolved shape
+    import s.implicits._
+    SnapshotLog.appendBatch(s, base,
+      Seq((1001L, 5.0, "d1", "hi", BigDecimal("9.50")))
+        .toDF("id", "value", "day", "note", "score"),
+      "day", batchId = 99)
+    SnapshotDml.repin(s, view)
+    assert(s.sql(s"SELECT note FROM $view WHERE id = 1001").head.getString(0)
+      == "hi")
+    assert(s.sql(s"SELECT COUNT(*) FROM $view WHERE note IS NULL")
+      .head.getLong(0) == 300L)
+  }
+
   test("everything the interceptor does not claim delegates untouched") {
     val (_, _, view) = mkTable("graft_sqldelegate", "maint4")
     // the verbs on an UNREGISTERED name keep Spark's own parse error

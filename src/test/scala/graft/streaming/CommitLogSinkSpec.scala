@@ -123,6 +123,28 @@ class CommitLogSinkSpec extends SparkSpec {
     assert(snap(base) == Set((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "b")))
   }
 
+  test("autoCompactFiles bounds per-partition file counts under micro-batches") {
+    val base = Files.createTempDirectory("graft_sink_ac").toString + "/tbl"
+    val params = Map("path" -> base, "partCol" -> "day", "appId" -> "ac",
+      "keys" -> "id", "autoCompactFiles" -> "3")
+    val sink = new CommitLogSinkProvider()
+      .createSink(spark.sqlContext, params, Nil, OutputMode.Append())
+    // 8 micro-batches, each landing one new key in ONE partition —
+    // without auto-compaction that is up to 8 files in 'a'
+    (0 until 8).foreach { b =>
+      sink.addBatch(b, Seq((100L + b, 1L, "a")).toDF("id", "v", "day"))
+    }
+    val m = manifest(base)
+    assert(m.files("a").size <= 3,
+      s"auto-compaction must bound the file count, got ${m.files("a").size}")
+    assert(snap(base) == (0 until 8).map(b => (100L + b, 1L, "a")).toSet,
+      "compaction must preserve every row")
+    // replay of an absorbed batch still no-ops with compaction enabled
+    val v = m.version
+    sink.addBatch(3, Seq((999L, 9L, "a")).toDF("id", "v", "day"))
+    assert(manifest(base).version == v && !snap(base).exists(_._1 == 999L))
+  }
+
   test("end-to-end: a real streaming query lands each batch once") {
     val root = Files.createTempDirectory("graft_sink_e2e").toString
     val base = root + "/tbl"

@@ -137,4 +137,43 @@ class CommitLogStreamSpec extends SparkSpec {
       s"rate-limited batches must align to single versions, got $seen")
     assert(seen.flatMap(_.toSeq) == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("startingVersion: a fresh stream begins mid-history, restarts ignore it") {
+    val base = Files.createTempDirectory("graft_clstream3").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft_clstream3_ck").toString
+    (1 to 3).foreach(i => upsert(base, i, (i.toLong, i.toLong, "a")))
+
+    val received =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[CommitLogSourceProvider].getName)
+        .option("path", base)
+        .option("startingVersion", "3")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("_commit_version").collect()
+            .foreach(r => received.add(r.getLong(0)))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    assert(received.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).toSet == Set(3L),
+      s"fresh stream must start at version 3, got $received")
+
+    // new commit while down; the RESTART resumes from the checkpoint
+    // (startingVersion is first-batch-only, Delta semantics)
+    upsert(base, 4, (40L, 1L, "a"))
+    runOnce()
+    val all = received.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).toSeq
+    assert(all.count(_ == 3L) == 1 && all.count(_ == 4L) == 1 &&
+      !all.exists(_ < 3L),
+      s"restart must deliver only version 4 once, got $all")
+  }
 }
