@@ -29,9 +29,10 @@ import graft.sources.{Catalog, SnapshotLog}
   *
   * Grammar (case-insensitive, optional trailing `;`):
   * {{{
-  *   OPTIMIZE <view> [ZORDER BY (col [, col]*)]
-  *   VACUUM <view> [RETAIN <n> HOURS]
+  *   OPTIMIZE <view> [WHERE <partition predicate>] [ZORDER BY (col [, col]*)]
+  *   VACUUM <view> [RETAIN <n> HOURS] [DRY RUN]
   *   RESTORE [TABLE] <view> TO VERSION AS OF <version>
+  *   RESTORE [TABLE] <view> TO TIMESTAMP AS OF '<ts>'
   *   DESCRIBE HISTORY <view>
   *   DESCRIBE DETAIL <view>
   *   SHOW PARTITIONS <view>
@@ -41,6 +42,9 @@ import graft.sources.{Catalog, SnapshotLog}
   *   ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <view> DROP CONSTRAINT <name>
   *   ALTER TABLE <view> ADD COLUMNS (<name> <type> [, ...])
+  *   ALTER TABLE <view> SET TBLPROPERTIES ('k' = 'v' [, ...])
+  *   ALTER TABLE <view> UNSET TBLPROPERTIES ('k' [, ...])
+  *   SHOW TBLPROPERTIES <view>
   *   COPY INTO <view> FROM '<path>' FILEFORMAT = <fmt> [PATTERN = '<glob>']
   * }}}
   */
@@ -48,11 +52,13 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   extends ParserInterface {
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z_]\w*)(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_]\w*)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTs =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val Analyze =
@@ -71,6 +77,14 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val AddColumns =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+  private val SetProps =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+  private val UnsetProps =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+  private val ShowProps =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  /** One `'k' = 'v'` pair inside SET TBLPROPERTIES. */
+  private val PropPair = """'((?:[^'\\]|\\.)*)'\s*=\s*'((?:[^'\\]|\\.)*)'""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
 
@@ -98,6 +112,16 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       // the DELEGATE parses the column list — commas inside types
       // (DECIMAL(10,2)) are its problem, not a regex split's
       SnapshotAddColumnsCommand(view, delegate.parseTableSchema(colsDdl))
+    case SetProps(view, pairs) if isTarget(view) =>
+      SnapshotSetPropertiesCommand(view,
+        PropPair.findAllMatchIn(pairs)
+          .map(m => m.group(1) -> m.group(2)).toMap)
+    case UnsetProps(view, keys) if isTarget(view) =>
+      SnapshotUnsetPropertiesCommand(view,
+        """'((?:[^'\\]|\\.)*)'""".r.findAllMatchIn(keys)
+          .map(_.group(1)).toSeq)
+    case ShowProps(view) if isTarget(view) =>
+      SnapshotShowPropertiesCommand(view)
     case ShowParts(view) if isTarget(view) =>
       SnapshotShowPartitionsCommand(view)
     case Detail(view) if isTarget(view) =>
@@ -105,16 +129,19 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     case CopyInto(view, src, format, pattern) if isTarget(view) =>
       SnapshotCopyIntoCommand(view, src, format.toLowerCase,
         Option(pattern))
-    case Optimize(view, zorder) if isTarget(view) =>
+    case Optimize(view, where, zorder) if isTarget(view) =>
       val cols = Option(zorder).toSeq.flatMap(_.split(",").toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-      SnapshotOptimizeCommand(view, cols)
-    case Vacuum(view, hours) if isTarget(view) =>
+      SnapshotOptimizeCommand(view, cols, Option(where).map(_.trim))
+    case Vacuum(view, hours, dry) if isTarget(view) =>
       SnapshotVacuumCommand(view,
         Option(hours).map(_.toLong * 3600L * 1000L)
-          .getOrElse(24L * 3600L * 1000L))
+          .getOrElse(24L * 3600L * 1000L),
+        dryRun = dry != null)
     case Restore(view, v) if isTarget(view) =>
       SnapshotRestoreCommand(view, v.toLong)
+    case RestoreTs(view, ts) if isTarget(view) =>
+      SnapshotRestoreTsCommand(view, ts)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -156,8 +183,13 @@ private object SnapshotMaintenance {
 /** `OPTIMIZE view` — whole-table compaction as ONE transaction
   * ([[SnapshotLog.optimizeTable]]); with `ZORDER BY (cols)` each
   * fragmented partition is instead range-clustered on the key(s) via
-  * [[SnapshotLog.compactPartition]] so file bounds become selective. */
-case class SnapshotOptimizeCommand(view: String, zorderBy: Seq[String])
+  * [[SnapshotLog.compactPartition]] so file bounds become selective.
+  * `WHERE <partition predicate>` restricts maintenance to matching
+  * partitions (Delta's OPTIMIZE predicate): the predicate evaluates
+  * against partition VALUES only — pure metadata, no data scan — and
+  * each selected partition compacts as its own commit. */
+case class SnapshotOptimizeCommand(
+    view: String, zorderBy: Seq[String], where: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType, nullable = false)(),
@@ -165,25 +197,38 @@ case class SnapshotOptimizeCommand(view: String, zorderBy: Seq[String])
     AttributeReference("n_files_before", LongType, nullable = false)(),
     AttributeReference("n_files_after", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, expr}
     val (path, partCol) = SnapshotMaintenance.target(view)
     val bp = new org.apache.hadoop.fs.Path(path)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m0 = SnapshotLog.readManifest(fs, bp).getOrElse(
       sys.error(s"$view has no committed version"))
     val statsCols = SnapshotMaintenance.statsColsOf(m0)
+    // WHERE: select partitions by VALUE (metadata only; the tiny
+    // one-column frame exists so the predicate resolves with Spark's
+    // own semantics instead of a hand-rolled string compare)
+    val selected: Option[Seq[String]] = where.map { w =>
+      import spark.implicits._
+      val picked = m0.files.keySet.toSeq.sorted.toDF(partCol)
+        .filter(expr(w)).select(col(partCol)).as[String].collect().toSeq
+      require(picked.nonEmpty,
+        s"OPTIMIZE WHERE matched no partition of $view")
+      picked
+    }
     val v =
-      if (zorderBy.isEmpty)
+      if (zorderBy.isEmpty && selected.isEmpty)
         SnapshotLog.optimizeTable(spark, path, partCol,
           statsCols = statsCols)
       else {
-        // ZORDER: per-partition clustered rewrite (each partition's
+        // ZORDER and/or WHERE: per-partition rewrite (each partition's
         // commit is its own transaction; clusterFiles sized so each
         // file covers a tight key range)
-        m0.files.keySet.toSeq.sorted.foreach { p =>
+        selected.getOrElse(m0.files.keySet.toSeq.sorted).foreach { p =>
           SnapshotLog.compactPartition(spark, path, p,
             statsCols = (statsCols ++ zorderBy).distinct.sorted,
             clusterBy = zorderBy,
-            clusterFiles = math.max(1, m0.files(p).size))
+            clusterFiles =
+              if (zorderBy.isEmpty) 1 else math.max(1, m0.files(p).size))
         }
         SnapshotLog.readManifest(fs, bp).map(_.version).getOrElse(0L)
       }
@@ -372,6 +417,57 @@ case class SnapshotAddColumnsCommand(view: String, newCols: StructType)
   }
 }
 
+/** `ALTER TABLE view SET TBLPROPERTIES ('k' = 'v', …)` — versioned
+  * table metadata, metadata-only commit ([[SnapshotLog.setProperties]]).
+  * `graft.enableChangeDataFeed = true` is load-bearing: every
+  * subsequent write on the table publishes a change feed without a
+  * per-call opt-in (Delta's delta.enableChangeDataFeed). */
+case class SnapshotSetPropertiesCommand(
+    view: String, kvs: Map[String, String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(kvs.nonEmpty, "SET TBLPROPERTIES needs at least one 'k'='v' pair")
+    val (path, _) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.setProperties(spark, path, kvs)
+    SnapshotDml.repin(spark, view)
+    Seq(Row("SET TBLPROPERTIES", v))
+  }
+}
+
+/** `ALTER TABLE view UNSET TBLPROPERTIES ('k', …)` — metadata-only. */
+case class SnapshotUnsetPropertiesCommand(view: String, keys: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one 'k'")
+    val (path, _) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.unsetProperties(spark, path, keys)
+    SnapshotDml.repin(spark, view)
+    Seq(Row("UNSET TBLPROPERTIES", v))
+  }
+}
+
+/** `SHOW TBLPROPERTIES view` — one row per property, sorted by key. */
+case class SnapshotShowPropertiesCommand(view: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotLog.readManifest(fs, bp).toSeq
+      .flatMap(_.props.toSeq.sortBy(_._1))
+      .map { case (k, v) => Row(k, v) }
+  }
+}
+
 /** `COPY INTO view FROM 'path' FILEFORMAT = PARQUET|JSON|CSV
   * [PATTERN = 'glob']` — idempotent FILE-LEVEL ingestion (the Delta
   * COPY INTO statement, and the SQL surface for the reference's bulk
@@ -495,15 +591,17 @@ case class SnapshotDetailCommand(view: String)
 /** `VACUUM view [RETAIN n HOURS]` — reclaim unreferenced data files,
   * superseded DV sidecar subdirs, and orphaned manifest shards older
   * than the retention window ([[SnapshotLog.vacuum]]). */
-case class SnapshotVacuumCommand(view: String, retentionMs: Long)
+case class SnapshotVacuumCommand(
+    view: String, retentionMs: Long, dryRun: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("n_removed_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (path, _) = SnapshotMaintenance.target(view)
-    val removed = SnapshotLog.vacuum(spark, path, retentionMs)
-    Seq(Row("VACUUM", removed))
+    val removed = SnapshotLog.vacuum(spark, path, retentionMs,
+      dryRun = dryRun)
+    Seq(Row(if (dryRun) "VACUUM DRY RUN" else "VACUUM", removed))
   }
 }
 
@@ -518,6 +616,39 @@ case class SnapshotRestoreCommand(view: String, toVersion: Long)
     AttributeReference("restored_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (path, _) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.restoreTable(spark, path, toVersion)
+    SnapshotDml.repin(spark, view)
+    Seq(Row("RESTORE", v, toVersion))
+  }
+}
+
+/** `RESTORE [TABLE] view TO TIMESTAMP AS OF 'ts'` — the timestamp
+  * form: resolve the newest version committed at or before the
+  * wall-clock instant (`yyyy-MM-dd[ HH:mm:ss]`, UTC — the same
+  * convention as `FROM view TIMESTAMP AS OF`), then restore to it. */
+case class SnapshotRestoreTsCommand(view: String, ts: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val str = ts.trim
+    val millis =
+      try {
+        val local =
+          if (str.length <= 10) java.time.LocalDate.parse(str).atStartOfDay()
+          else java.time.LocalDateTime.parse(str.replace(' ', 'T'))
+        local.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          sys.error(s"RESTORE TIMESTAMP AS OF: unparseable timestamp '$ts' " +
+            "(expected yyyy-MM-dd[ HH:mm:ss], UTC)")
+      }
+    val toVersion = SnapshotLog.versionAsOfTime(spark, path, millis)
+      .getOrElse(sys.error(
+        s"$view has no version committed at or before '$ts'"))
     val v = SnapshotLog.restoreTable(spark, path, toVersion)
     SnapshotDml.repin(spark, view)
     Seq(Row("RESTORE", v, toVersion))

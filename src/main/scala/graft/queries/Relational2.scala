@@ -3364,6 +3364,82 @@ object Relational2 {
       FROM orders GROUP BY 1
       """))
 
+  /** Table-property-driven change data feed: `ALTER TABLE … SET
+    * TBLPROPERTIES ('graft.enableChangeDataFeed'='true')` (Delta's
+    * delta.enableChangeDataFeed re-expressed) makes EVERY subsequent
+    * write publish typed feed rows with no per-call opt-in — graded
+    * through the SQL verbs end-to-end: INSERT INTO (append), DELETE
+    * (deletion vectors), UPDATE (both images), none of which mention
+    * CDF anywhere. The feed is then read back through the
+    * `graft_table_changes` table function (q90's surface) and
+    * aggregated by change type — hash-matched against the oracle's
+    * relational recompute of what each verb must have fed, at both
+    * SFs. A missing feed version, a mistyped row, or a feed row from
+    * the pre-property write would all break the hash. */
+  val q96CdfByProperty: Q = Q(
+    "q96_cdf_by_property",
+    "table property turns on CDF for every SQL write verb",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_cdfp96").toString
+      val base = s"$root/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      // v1: loaded BEFORE the property exists — must never feed
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Nil, clusterBy = Nil, clusterFiles = 4,
+        opCol = None, writeCdf = false)
+      val view = Catalog.registerSnapshotLog(s, "q96", "orders", base,
+        Some("o_year"))
+      s.sql(s"ALTER TABLE $view SET TBLPROPERTIES " +
+        s"('${SnapshotLog.CdfProp}' = 'true')")
+      orders.createOrReplaceTempView("q96_base")
+
+      // three SQL verbs, zero CDF mentions
+      s.sql(s"INSERT INTO $view " +
+        "SELECT o_orderkey + 300000000, o_totalprice, o_year " +
+        "FROM q96_base WHERE o_orderkey % 89 = 0")
+      s.sql(s"DELETE FROM $view WHERE o_orderkey % 23 = 0")
+      s.sql(s"UPDATE $view SET o_totalprice = o_totalprice + 10.0 " +
+        "WHERE o_orderkey % 13 = 0")
+
+      val dec = DecimalType(38, 4)
+      s.sql(s"SELECT * FROM graft_table_changes('$view', 3)")
+        .groupBy(col("change_type"), col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast(dec).cast(DoubleType)
+            .as("total"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      ins AS (
+        SELECT o_orderkey + 300000000 AS o_orderkey, o_totalprice, o_year
+        FROM base WHERE o_orderkey % 89 = 0),
+      t1 AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+      del AS (SELECT * FROM t1 WHERE o_orderkey % 23 = 0),
+      t2 AS (SELECT * FROM t1 WHERE o_orderkey % 23 <> 0),
+      upd AS (SELECT * FROM t2 WHERE o_orderkey % 13 = 0),
+      feed AS (
+        SELECT 'insert' AS change_type, o_year, o_totalprice FROM ins
+        UNION ALL
+        SELECT 'delete', o_year, o_totalprice FROM del
+        UNION ALL
+        SELECT 'update_preimage', o_year, o_totalprice FROM upd
+        UNION ALL
+        SELECT 'update_postimage', o_year, o_totalprice + 10.0 FROM upd)
+      SELECT change_type, o_year, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM feed GROUP BY 1, 2
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -3380,5 +3456,5 @@ object Relational2 {
     q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas, q87TimeTravelSql,
     q88ShardedManifest, q89SqlMaintenance, q90TableChangesSql,
     q91ShowPartitions, q92CheckConstraints, q93ShallowClone, q94StreamSink,
-    q95CopyInto)
+    q95CopyInto, q96CdfByProperty)
 }

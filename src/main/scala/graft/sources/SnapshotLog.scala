@@ -113,7 +113,14 @@ object SnapshotLog {
     *               must never move backwards or a restart duplicates);
     *               CLONE drops them (a stream's progress against the
     *               source says nothing about the clone — Delta
-    *               semantics). */
+    *               semantics).
+    * @param props  table properties (`#prop` header lines) — versioned
+    *               metadata carried forward by every write, settable
+    *               via `ALTER TABLE … SET TBLPROPERTIES`. One property
+    *               is load-bearing: `graft.enableChangeDataFeed=true`
+    *               makes EVERY write path publish a change feed
+    *               (Delta's delta.enableChangeDataFeed), so a caller
+    *               no longer has to remember `writeCdf` on each call. */
   final case class Manifest(
       version: Long,
       files: Map[String, Seq[String]],
@@ -123,7 +130,11 @@ object SnapshotLog {
       schemaJson: Option[String] = None,
       op: Option[String] = None,
       constraints: Map[String, String] = Map.empty,
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      props: Map[String, String] = Map.empty) {
+    /** Change-data-feed enabled at the TABLE level (see [[props]]). */
+    def cdfEnabled: Boolean =
+      props.get(CdfProp).exists(_.trim.equalsIgnoreCase("true"))
     def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.flatMap(j =>
@@ -151,6 +162,14 @@ object SnapshotLog {
   /** Header line `#txn <appId> <batchId>` — one per streaming-writer
     * transaction watermark ([[Manifest.txns]]). */
   private val TxnTag = "#txn"
+
+  /** Header line `#prop <key> <value>` — one per table property
+    * ([[Manifest.props]]). */
+  private val PropTag = "#prop"
+
+  /** The table property that turns on the change data feed for every
+    * write path (Delta's `delta.enableChangeDataFeed`). */
+  val CdfProp = "graft.enableChangeDataFeed"
 
   /** Thrown by [[appendBatch]] when SOME (not all) of a multi-key
     * transaction batch's keys are already committed — a concurrent
@@ -459,6 +478,12 @@ object SnapshotLog {
             val a = l.split("\t", 3)
             dec(a(1)) -> a(2).toLong
           }.toMap
+        val props = text.split("\n").iterator
+          .filter(_.startsWith(PropTag + "\t"))
+          .map { l =>
+            val a = l.split("\t", 3)
+            dec(a(1)) -> dec(a(2))
+          }.toMap
         // sharded root: per-file lines live in immutable side files
         // (one hop — `#shard` per partition — or two on a two-level
         // root, `#sgroup` → `#shard`); load only the wanted
@@ -513,7 +538,7 @@ object SnapshotLog {
             })
         }.toMap
         Some(Manifest(v, files, stats, blooms, dvs, schemaJson, op,
-          constraints, txns))
+          constraints, txns, props))
     }
   }
 
@@ -678,6 +703,9 @@ object SnapshotLog {
       }.mkString +
       m.txns.toSeq.sortBy(_._1).map { case (a, b) =>
         s"$TxnTag\t${enc(a)}\t$b\n"
+      }.mkString +
+      m.props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"$PropTag\t${enc(k)}\t${enc(v)}\n"
       }.mkString
     val parts = m.files.toSeq.sortBy(_._1)
     val marker: Option[String] =
@@ -946,6 +974,9 @@ object SnapshotLog {
     // from the manifest entirely.
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
+    // table-level CDF (the graft.enableChangeDataFeed property) OR the
+    // caller's explicit writeCdf — either turns the feed on
+    val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(desc(orderCol))
     val changes = changes0
@@ -1050,7 +1081,7 @@ object SnapshotLog {
           stagedStats =
             if (statsCols.isEmpty) Map.empty
             else fileStats(spark, fs, dir, rel, statsCols)
-          if (writeCdf) {
+          if (cdfOn) {
             // post-state re-read from the immutable staged files (not
             // the merge plan, which would re-run the join on feed write)
             val post = spark.read.parquet(dir.toString)
@@ -1082,7 +1113,8 @@ object SnapshotLog {
             org.apache.spark.sql.types.StructType(targetFields.toArray)),
           Some(if (opCol.isDefined) "CDC" else "UPSERT"),
           m.constraints,
-          m.txns ++ txn)
+          m.txns ++ txn,
+          m.props)
         committed = tryCommit(fs, bp, next)
         if (committed) committedVersion = version
         attempt += 1
@@ -1090,7 +1122,7 @@ object SnapshotLog {
     } finally changes.unpersist()
     if (!committed) throw new IllegalStateException(
       s"SnapshotLog commit lost $maxRetries races on $base — raise maxRetries")
-    if (writeCdf) cdfPair.foreach { case (pre, post) =>
+    if (cdfOn) cdfPair.foreach { case (pre, post) =>
       commitCdfVersion(fs, bp, committedVersion,
         changeFeed(pre, post, keys)
           .withColumn("_commit_version", lit(committedVersion)))
@@ -1121,15 +1153,21 @@ object SnapshotLog {
       overwrite: Boolean = false,
       maxRetries: Int = 5,
       txn: Option[(String, Long)] = None,
-      txnsAdd: Map[String, Long] = Map.empty): Long = {
+      txnsAdd: Map[String, Long] = Map.empty,
+      writeCdf: Boolean = false): Long = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
+    val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
     val fields = rows.schema.fields.toSeq
     require(fields.exists(_.name.equalsIgnoreCase(partCol)),
       s"append batch lacks partition column $partCol")
     var attempt = 0
     var committedV = -1L
     var staged: Seq[(String, String, Long)] = Nil
+    // the manifest the successful commit replaced — overwrite's CDF
+    // needs its rows as typed deletes (read lazily AFTER commit from
+    // the old files, which stay on disk until vacuum)
+    var replacedM: Option[Manifest] = None
     val allTxns = txnsAdd ++ txn
     while (committedV < 0 && attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
@@ -1180,12 +1218,38 @@ object SnapshotLog {
           org.apache.spark.sql.types.StructType(fields.toArray)),
         Some(if (overwrite) "OVERWRITE" else "APPEND"),
         m.constraints,
-        m.txns ++ allTxns)
-      if (tryCommit(fs, bp, next)) committedV = version
+        m.txns ++ allTxns,
+        m.props)
+      if (tryCommit(fs, bp, next)) { committedV = version; replacedM = Some(m) }
       attempt += 1
     }
     if (committedV < 0) throw new IllegalStateException(
       s"SnapshotLog append lost $maxRetries races on $base — raise maxRetries")
+    if (cdfOn) {
+      // every staged row is an INSERT; an overwrite additionally emits
+      // the replaced snapshot's rows as typed deletes (Delta CDF
+      // semantics for INSERT OVERWRITE)
+      val stagedAbs = staged.map { case (_, rel, _) =>
+        new Path(bp, rel).toString }
+      val ins = spark.read.parquet(stagedAbs: _*)
+        .select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        .withColumn("change_type", lit("insert"))
+      val feed = replacedM.filter(_ => overwrite)
+        .filter(_.files.nonEmpty)
+        .map { pm =>
+          readSnapshot(spark, bp, pm, None)
+            .select(fields.map(f =>
+              if (pm.schema.exists(_.fieldNames.contains(f.name)) ||
+                pm.schemaJson.isEmpty)
+                col(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)): _*)
+            .withColumn("change_type", lit("delete"))
+            .unionByName(ins)
+        }
+        .getOrElse(ins)
+      commitCdfVersion(fs, bp, committedV,
+        feed.withColumn("_commit_version", lit(committedV)))
+    }
     committedV
   }
 
@@ -1371,7 +1435,7 @@ object SnapshotLog {
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (tryCommit(fs, bp,
           Manifest(version, m.files, merged, m.blooms, m.dvs, schemaJson,
-            Some("STATS"), m.constraints, m.txns)))
+            Some("STATS"), m.constraints, m.txns, m.props)))
         return version
       attempt += 1
     }
@@ -1643,7 +1707,7 @@ object SnapshotLog {
             m.dvs -- files,
             m.schemaJson,
             Some(if (clusterBy.isEmpty) "COMPACT" else "OPTIMIZE"),
-            m.constraints, m.txns)))
+            m.constraints, m.txns, m.props)))
         return version
       attempt += 1
     }
@@ -1710,7 +1774,7 @@ object SnapshotLog {
         (m.blooms -- oldFiles) ++ newBlooms,
         m.dvs -- oldFiles,
         m.schemaJson,
-        Some("OPTIMIZE"), m.constraints, m.txns)
+        Some("OPTIMIZE"), m.constraints, m.txns, m.props)
       if (tryCommit(fs, bp, next)) return version
       attempt += 1
     }
@@ -1780,6 +1844,7 @@ object SnapshotLog {
     // cheaper than any DV.
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
+    val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
     val live0 = read(spark, base).getOrElse(return None)
     val partType = live0.schema(live0.schema.fieldIndex(partCol)).dataType
     // partition-only iff the ANALYZED predicate references partCol
@@ -1832,8 +1897,8 @@ object SnapshotLog {
         if (tryCommit(fs, bp,
             Manifest(version, m.files -- dropped, m.stats -- gone,
               m.blooms -- gone, m.dvs -- gone, m.schemaJson,
-              Some("DELETE"), m.constraints, m.txns))) {
-          if (writeCdf) {
+              Some("DELETE"), m.constraints, m.txns, m.props))) {
+          if (cdfOn) {
             val pre = align(
               readFiles(spark, bp, m,
                 dropped.flatMap(p => m.files.getOrElse(p, Nil))),
@@ -1940,7 +2005,7 @@ object SnapshotLog {
           if (tryCommit(fs, bp,
               m.copy(version = version, dvs = m.dvs ++ newDvs,
                 op = Some("DELETE_DV")))) {
-            if (writeCdf) {
+            if (cdfOn) {
               val feed = align(liveRows.filter(predicate), live0.schema)
               commitCdfVersion(fs, bp, version,
                 feed.withColumn("change_type", lit("delete"))
@@ -1982,9 +2047,9 @@ object SnapshotLog {
           // this pass read the whole live table, so a legacy manifest
           // gets its schema header backfilled for free
           m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
-          Some("DELETE"), m.constraints, m.txns)
+          Some("DELETE"), m.constraints, m.txns, m.props)
         if (tryCommit(fs, bp, next)) {
-          if (writeCdf) commitCdfVersion(fs, bp, version,
+          if (cdfOn) commitCdfVersion(fs, bp, version,
             pre.filter(predicate)
               .withColumn("change_type", lit("delete"))
               .withColumn("_commit_version", lit(version)))
@@ -2032,6 +2097,7 @@ object SnapshotLog {
       writeCdf: Boolean = false): Option[DmlOutcome] = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
+    val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
     require(set.nonEmpty, "updateWhere needs at least one assignment")
 
     def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
@@ -2089,9 +2155,9 @@ object SnapshotLog {
         m.blooms -- preFiles,
         m.dvs -- preFiles,
         m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
-        Some("UPDATE"), m.constraints, m.txns)
+        Some("UPDATE"), m.constraints, m.txns, m.props)
       if (tryCommit(fs, bp, next)) {
-        if (writeCdf) {
+        if (cdfOn) {
           val cols = lv.columns.toSeq
           val feed = pre.filter(predicate)
             .withColumn("change_type", lit("update_preimage"))
@@ -2415,7 +2481,10 @@ object SnapshotLog {
       // a stream's progress against the SOURCE says nothing about the
       // clone — carrying watermarks over would make a stream pointed at
       // the clone silently skip its first batches (Delta drops them too)
-      txns = Map.empty)
+      txns = Map.empty,
+      // properties DO clone (Delta copies them): the fork should behave
+      // like the source until told otherwise
+      props = m.props)
     if (!tryCommit(fs, dbp, next))
       sys.error(s"clone destination $dstBase already has a version claim")
     1L
@@ -2470,6 +2539,48 @@ object SnapshotLog {
     }
     throw new IllegalStateException(
       s"ADD CONSTRAINT lost $maxRetries commit races on $base")
+  }
+
+  /** SET (merge) table properties — metadata-only commit. An empty or
+    * identical update still commits a version (the audit trail records
+    * the statement, Delta-style). */
+  def setProperties(
+      spark: SparkSession, base: String, kvs: Map[String, String],
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"$base has no committed version"))
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp, m.copy(version = version,
+          props = m.props ++ kvs, op = Some("SET_TBLPROPERTIES"))))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"SET TBLPROPERTIES lost $maxRetries commit races on $base")
+  }
+
+  /** UNSET table properties by key — metadata-only commit. */
+  def unsetProperties(
+      spark: SparkSession, base: String, keys: Seq[String],
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"$base has no committed version"))
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp, m.copy(version = version,
+          props = m.props -- keys, op = Some("UNSET_TBLPROPERTIES"))))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"UNSET TBLPROPERTIES lost $maxRetries commit races on $base")
   }
 
   /** DROP a named CHECK constraint — metadata-only commit. */
@@ -2584,7 +2695,10 @@ object SnapshotLog {
   def vacuum(
       spark: SparkSession,
       base: String,
-      retentionMs: Long = 24L * 3600 * 1000): Long = {
+      retentionMs: Long = 24L * 3600 * 1000,
+      dryRun: Boolean = false): Long = {
+    // `dryRun`: count (and age-check) exactly what a real pass would
+    // reclaim, delete nothing — the operator's pre-flight.
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val dir = logDir(bp)
@@ -2660,7 +2774,7 @@ object SnapshotLog {
           val rel = st.getPath.toString.stripPrefix(qBase).stripPrefix("/")
           if (rel.endsWith(".parquet") && !keep(rel) &&
               st.getModificationTime <= cutoff) {
-            fs.delete(st.getPath, false)
+            if (!dryRun) fs.delete(st.getPath, false)
             removed += 1
           }
         }
@@ -2695,14 +2809,14 @@ object SnapshotLog {
           .foreach { ch =>
             val rel = s"$jobRel/${ch.getPath.getName}"
             if (!dvDirs.contains(rel)) agedFileCount(ch.getPath).foreach { n =>
-              fs.delete(ch.getPath, true)
+              if (!dryRun) fs.delete(ch.getPath, true)
               removed += n
             }
           }
         val hasChildren = fs.listStatus(job.getPath)
           .exists(c => c.isDirectory && c.getPath.getName.startsWith("__f="))
         if (!hasChildren) agedFileCount(job.getPath).foreach { n =>
-          fs.delete(job.getPath, true)
+          if (!dryRun) fs.delete(job.getPath, true)
           removed += n
         }
       }
@@ -2722,7 +2836,7 @@ object SnapshotLog {
         val referenced =
           if (n.startsWith("g")) groupRels.contains(n) else ptrRels.contains(n)
         if (!referenced && st.getModificationTime <= cutoff) {
-          fs.delete(st.getPath, false)
+          if (!dryRun) fs.delete(st.getPath, false)
           removed += 1
         }
       }
