@@ -245,6 +245,56 @@ class SqlMaintenanceSpec extends SparkSpec {
       .head.getLong(0) == 300L)
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partitions") {
+    val (base, bp, view) = mkTable("graft_sqloptw", "maint6")
+    val m0 = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(m0.files.values.forall(_.size > 1), "need fragmented partitions")
+    val r = s.sql(s"OPTIMIZE $view WHERE day = 'd1'").collect().head
+    assert(r.getString(0) == "OPTIMIZE")
+    val m1 = SnapshotLog.readManifest(fs(bp), bp).get
+    assert(m1.files("d1").size == 1, "selected partition must compact")
+    assert(m1.files("d0") == m0.files("d0") && m1.files("d2") == m0.files("d2"),
+      "unselected partitions must be untouched")
+    intercept[Exception](s.sql(s"OPTIMIZE $view WHERE day = 'nope'"))
+  }
+
+  test("VACUUM DRY RUN reports reclaimable files without deleting") {
+    val (base, bp, view) = mkTable("graft_sqlvacdry", "maint7")
+    val before = SnapshotLog.read(s, base).get.count()
+    s.sql(s"OPTIMIZE $view") // old fragments become historical
+    SnapshotLog.expireVersions(s, base, keepLast = 1)
+    val dry = s.sql(s"VACUUM $view RETAIN 0 HOURS DRY RUN").collect().head
+    assert(dry.getString(0) == "VACUUM DRY RUN" && dry.getLong(1) > 0,
+      s"dry run must count the reclaimable fragments, got $dry")
+    assert(SnapshotLog.read(s, base).get.count() == before,
+      "dry run must not delete anything")
+    val real = s.sql(s"VACUUM $view RETAIN 0 HOURS").collect().head
+    assert(real.getLong(1) == dry.getLong(1),
+      s"the real pass must reclaim exactly what the dry run counted")
+    assert(SnapshotLog.read(s, base).get.count() == before,
+      "the live snapshot survives vacuum")
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves the version by commit time") {
+    val (base, bp, view) = mkTable("graft_sqlrests", "maint8")
+    val sum0 = s.sql(s"SELECT SUM(value) FROM $view").head.getDouble(0)
+    Thread.sleep(1200) // second-precision timestamps need daylight
+    val mid = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.now(), java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    Thread.sleep(1200)
+    s.sql(s"UPDATE $view SET value = value + 100")
+    assert(s.sql(s"SELECT SUM(value) FROM $view").head.getDouble(0) > sum0)
+    val r = s.sql(s"RESTORE $view TO TIMESTAMP AS OF '$mid'").collect().head
+    assert(r.getString(0) == "RESTORE")
+    assert(s.sql(s"SELECT SUM(value) FROM $view").head.getDouble(0) == sum0,
+      "restore-by-timestamp must land on the pre-update version")
+    // an instant before the table existed fails loudly
+    intercept[Exception](
+      s.sql(s"RESTORE $view TO TIMESTAMP AS OF '1999-01-01'"))
+  }
+
   test("everything the interceptor does not claim delegates untouched") {
     val (_, _, view) = mkTable("graft_sqldelegate", "maint4")
     // the verbs on an UNREGISTERED name keep Spark's own parse error
