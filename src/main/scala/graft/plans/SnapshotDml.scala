@@ -3,12 +3,14 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{
-  And, Attribute, AttributeReference, EqualTo, Expression, Literal}
+  And, Attribute, AttributeReference, Coalesce, EqualTo, Expression, Literal,
+  Not, OuterReference, SubqueryExpression}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, InsertAction,
-  InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction,
-  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+  Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, Filter,
+  InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan,
+  MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction,
+  UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit, struct, when}
@@ -164,15 +166,57 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Rewrites a subquery-bearing DML condition for RUNTIME re-analysis
+    * against the bare live-table frame: outer attribute references
+    * reduce to bare names (the executor's frame has no statement
+    * alias), and INSIDE each subquery plan, target-qualified
+    * references and already-resolved `OuterReference`s reduce the same
+    * way so correlation re-resolves against the new outer frame (the
+    * rule may fire before OR after Spark's own subquery resolution —
+    * both shapes normalize to the same tree). Subquery relations
+    * re-resolve by name through the catalog at run time. Caveat: a
+    * correlated reference whose bare name collides with a column of
+    * the subquery's own relation resolves inner after the strip —
+    * correlation with distinct names (the standard shape) is exact. */
+  private def prepareSubqueryCond(e: Expression, tq: Set[String]): Expression = {
+    def strip(u: UnresolvedAttribute): UnresolvedAttribute =
+      if (u.nameParts.size >= 2 &&
+          tq(u.nameParts(u.nameParts.size - 2).toLowerCase))
+        UnresolvedAttribute(Seq(u.nameParts.last))
+      else u
+    e.transformUp {
+      case s: SubqueryExpression =>
+        s.withNewPlan(s.plan.transformAllExpressions {
+          case o: OuterReference => UnresolvedAttribute(Seq(o.name))
+          case u: UnresolvedAttribute => strip(u)
+        })
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+      case u: UnresolvedAttribute => strip(u)
+    }
+  }
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[SubqueryExpression])
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case DeleteFromTable(t, cond) if viewNameOf(t).isDefined =>
-      SnapshotDeleteCommand(viewNameOf(t).get, bareSql(cond))
-    case UpdateTable(t, assignments, cond) if viewNameOf(t).isDefined =>
+      if (hasSubquery(cond))
+        SnapshotDeleteCommand(viewNameOf(t).get, "<subquery condition>",
+          Some(DmlCond(prepareSubqueryCond(cond,
+            sideNames(t) + viewNameOf(t).get.toLowerCase))))
+      else SnapshotDeleteCommand(viewNameOf(t).get, bareSql(cond))
+    case UpdateTable(t, assignments, cond) if viewNameOf(t).isDefined &&
+        !assignments.exists(a => hasSubquery(a.value)) =>
       val set = assignments.map {
         case Assignment(k, v) => keyName(k) -> bareSql(v)
       }
-      SnapshotUpdateCommand(viewNameOf(t).get, set,
-        cond.map(bareSql).getOrElse("true"))
+      if (cond.exists(hasSubquery))
+        SnapshotUpdateCommand(viewNameOf(t).get, set, "<subquery condition>",
+          Some(DmlCond(prepareSubqueryCond(cond.get,
+            sideNames(t) + viewNameOf(t).get.toLowerCase))))
+      else
+        SnapshotUpdateCommand(viewNameOf(t).get, set,
+          cond.map(bareSql).getOrElse("true"))
     case MergeIntoTable(t, source, cond, matched, notMatched, nmbs, _)
         if viewNameOf(t).isDefined && mergeKeys(cond).isDefined => {
       val view = viewNameOf(t).get
@@ -281,7 +325,36 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 case class MergeClause(
     cond: Option[String], action: String, assigns: Seq[(String, String)])
 
+/** A subquery-bearing DML condition, deliberately wrapped in a class
+  * the planner does NOT treat as an expression: `QueryPlan.expressions`
+  * collects every `Expression`-typed constructor field (including
+  * through `Option`/`Seq`), and an unresolved condition surfaced that
+  * way would fail `CheckAnalysis` before the command ever ran. The
+  * wrapper keeps the tree opaque until [[SnapshotDml.planPredicate]]
+  * re-analyzes it against the live frame at execution time. */
+final case class DmlCond(e: Expression)
+
 private object SnapshotDml {
+  /** Compiles a subquery-bearing condition into the write paths'
+    * [[SnapshotLog.PlanPredicate]]: each selector splices the
+    * condition as a logical `Filter` over the given frame's analyzed
+    * plan and hands it back to the full analyzer/optimizer — names
+    * resolve against the frame, subquery relations resolve through
+    * the catalog, and `RewritePredicateSubquery` turns the predicate
+    * into the correct (null-aware where needed) semi/anti join. The
+    * `keeps` side filters on `COALESCE(NOT cond, TRUE)` — FALSE and
+    * NULL rows stay, exactly SQL DML's complement. */
+  def planPredicate(
+      spark: SparkSession,
+      cond: Expression): graft.sources.SnapshotLog.PlanPredicate = {
+    def withCond(df: DataFrame, c: Expression): DataFrame =
+      org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+        Filter(c, df.queryExecution.analyzed))
+    graft.sources.SnapshotLog.PlanPredicate(
+      df => withCond(df, cond),
+      df => withCond(df, Coalesce(Seq(Not(cond), Literal(true)))))
+  }
+
   val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)(),
@@ -297,14 +370,17 @@ private object SnapshotDml {
     }
 }
 
-case class SnapshotDeleteCommand(view: String, condSql: String)
+case class SnapshotDeleteCommand(
+    view: String, condSql: String, subCond: Option[DmlCond] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = SnapshotDml.output
   override def run(spark: SparkSession): Seq[Row] = {
     val (path, partCol, _, _) = Catalog.dmlTarget(view).getOrElse(
       sys.error(s"$view is not a registered snapshot-DML target"))
-    val out = SnapshotLog.deleteWhere(spark, path, expr(condSql), partCol,
-      deletionVectors = true).getOrElse(
+    val matcher = subCond.map(c => SnapshotDml.planPredicate(spark, c.e))
+    val out = SnapshotLog.deleteWhere(spark, path,
+      if (matcher.isDefined) lit(true) else expr(condSql), partCol,
+      deletionVectors = true, matcher = matcher).getOrElse(
       sys.error(s"$view has no committed version"))
     SnapshotDml.repin(spark, view)
     Seq(Row("DELETE", out.version, out.metadataOnly,
@@ -313,14 +389,18 @@ case class SnapshotDeleteCommand(view: String, condSql: String)
 }
 
 case class SnapshotUpdateCommand(
-    view: String, set: Seq[(String, String)], condSql: String)
+    view: String, set: Seq[(String, String)], condSql: String,
+    subCond: Option[DmlCond] = None)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = SnapshotDml.output
   override def run(spark: SparkSession): Seq[Row] = {
     val (path, partCol, _, _) = Catalog.dmlTarget(view).getOrElse(
       sys.error(s"$view is not a registered snapshot-DML target"))
-    val out = SnapshotLog.updateWhere(spark, path, expr(condSql),
-      set.map { case (k, v) => k -> expr(v) }.toMap, partCol).getOrElse(
+    val matcher = subCond.map(c => SnapshotDml.planPredicate(spark, c.e))
+    val out = SnapshotLog.updateWhere(spark, path,
+      if (matcher.isDefined) lit(true) else expr(condSql),
+      set.map { case (k, v) => k -> expr(v) }.toMap, partCol,
+      matcher = matcher).getOrElse(
       sys.error(s"$view has no committed version"))
     SnapshotDml.repin(spark, view)
     Seq(Row("UPDATE", out.version, out.metadataOnly,

@@ -3440,6 +3440,124 @@ object Relational2 {
       FROM feed GROUP BY 1, 2
       """))
 
+  /** SUBQUERY CONDITIONS in SQL DELETE/UPDATE on a commit-log table —
+    * the condition shapes `expr()` cannot carry (`IN (SELECT …)`,
+    * correlated `EXISTS`, `NOT IN`), routed by
+    * [[graft.plans.SnapshotDmlRule]] through a plan-level
+    * [[graft.sources.SnapshotLog.PlanPredicate]]: the condition is
+    * re-analyzed as a `Filter` over the live frame, so the analyzer's
+    * own `RewritePredicateSubquery` produces the joins — including the
+    * null-aware anti join that gives `NOT IN` its three-valued
+    * semantics (a NULL in the subquery output makes the DELETE a
+    * provable no-op, asserted in-engine by an unchanged version).
+    * The lifecycle also proves the planning paths survive: an
+    * uncorrelated IN delete commits DELETION VECTORS (files
+    * untouched), and an IN on the partition column still takes the
+    * metadata-only fast path (the probe reads the analyzed Filter's
+    * OUTER references, which a subquery's inner columns never
+    * pollute). Oracle: the full lifecycle recomputed relationally
+    * with the same subqueries. */
+  val q97SubqueryDml: Q = Q(
+    "q97_subquery_dml",
+    "DELETE/UPDATE with IN / EXISTS / NOT IN subquery conditions",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_sqldml97").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Nil, clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)
+      val view = Catalog.registerSnapshotLog(s, "q97", "orders", base,
+        Some("o_year"))
+      val cust = t(s, d, "customer")
+      cust.filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_custkey") % 3 === 0)
+        .select(col("c_custkey")).createOrReplaceTempView("q97_building")
+      cust.filter(col("c_acctbal") > 5000 && col("c_custkey") % 2 === 0)
+        .select(col("c_custkey")).createOrReplaceTempView("q97_hot")
+      cust.select(when(col("c_custkey") % 10 === 0, lit(null))
+          .otherwise(col("c_custkey")).as("k"))
+        .createOrReplaceTempView("q97_nullable")
+      orders.agg(min(col("o_year")).as("y0"))
+        .createOrReplaceTempView("q97_years")
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val m1 = SnapshotLog.readManifest(fs, bp).get
+
+      // 1) uncorrelated IN — row delete, must take the DV path
+      s.sql(s"DELETE FROM $view WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM q97_building)")
+      val m2 = SnapshotLog.readManifest(fs, bp).get
+      require(m2.files == m1.files && m2.dvs.nonEmpty,
+        "IN-subquery row DELETE must commit deletion vectors, not rewrites")
+
+      // 2) correlated EXISTS — UPDATE (always a pruned rewrite)
+      s.sql(s"UPDATE $view SET o_orderstatus = 'X' WHERE EXISTS " +
+        "(SELECT 1 FROM q97_hot h WHERE h.c_custkey = o_custkey)")
+
+      // 3) NOT IN against a subquery CONTAINING A NULL: three-valued
+      // logic makes the condition never TRUE — a provable no-op
+      val vBefore = SnapshotLog.readManifest(fs, bp).get.version
+      s.sql(s"DELETE FROM $view WHERE o_custkey NOT IN " +
+        "(SELECT k FROM q97_nullable)")
+      require(SnapshotLog.readManifest(fs, bp).get.version == vBefore,
+        "NOT IN over a null-bearing subquery must delete nothing " +
+          "(no new version)")
+
+      // 4) IN on the partition column — still the metadata fast path
+      s.sql(s"DELETE FROM $view WHERE o_year IN (SELECT y0 FROM q97_years)")
+      val y0 = orders.agg(min(col("o_year"))).first().getString(0)
+      val m4 = SnapshotLog.readManifest(fs, bp).get
+      require(!m4.files.contains(y0) && m4.op.contains("DELETE"),
+        "partition IN-subquery DELETE must plan metadata-only")
+
+      s.sql(s"""
+        SELECT o_year, o_orderstatus, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $view
+        GROUP BY o_year, o_orderstatus
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      d1 AS (
+        SELECT * FROM base
+        WHERE NOT COALESCE(o_custkey IN (
+          SELECT c_custkey FROM customer
+          WHERE c_mktsegment = 'BUILDING' AND c_custkey % 3 = 0), FALSE)),
+      u1 AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CASE WHEN EXISTS (
+                 SELECT 1 FROM customer h
+                 WHERE h.c_acctbal > 5000 AND h.c_custkey % 2 = 0
+                   AND h.c_custkey = d1.o_custkey)
+                 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+               o_year
+        FROM d1),
+      d2 AS (
+        SELECT * FROM u1
+        WHERE NOT COALESCE(o_custkey NOT IN (
+          SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+                      ELSE c_custkey END FROM customer), FALSE)),
+      d3 AS (
+        SELECT * FROM d2
+        WHERE o_year NOT IN (SELECT MIN(o_year) FROM base))
+      SELECT o_year, o_orderstatus, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM d3 GROUP BY o_year, o_orderstatus
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -3456,5 +3574,5 @@ object Relational2 {
     q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas, q87TimeTravelSql,
     q88ShardedManifest, q89SqlMaintenance, q90TableChangesSql,
     q91ShowPartitions, q92CheckConstraints, q93ShallowClone, q94StreamSink,
-    q95CopyInto, q96CdfByProperty)
+    q95CopyInto, q96CdfByProperty, q97SubqueryDml)
 }

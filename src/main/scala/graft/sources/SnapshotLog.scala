@@ -1794,6 +1794,28 @@ object SnapshotLog {
       droppedPartitions: Seq[String],
       rewrittenPartitions: Seq[String])
 
+  /** A DML condition too rich for a [[org.apache.spark.sql.Column]] —
+    * one containing subqueries (`IN (SELECT …)`, `EXISTS`, …) — carried
+    * as a pair of PLAN-LEVEL row selectors instead. Both take a frame
+    * holding at least the table's columns (extra bookkeeping columns
+    * like file/position ride through untouched) and return the subset
+    * the statement's three-valued logic assigns to them:
+    *
+    *  - `matches`: rows where the condition is TRUE — the rows the
+    *    DELETE removes / the UPDATE rewrites;
+    *  - `keeps`: rows where it is FALSE **or NULL** — everything else.
+    *
+    * Carrying BOTH selectors (rather than negating one Column) lets
+    * the analyzer's own subquery rewrite produce the correct join for
+    * each side — in particular `NOT IN` becomes Spark's null-aware
+    * anti join, whose semantics no manual complement reproduces. The
+    * two selectors MUST be deterministic and mutually exhaustive; the
+    * write paths partition rows between them and would otherwise drop
+    * or duplicate rows. */
+  final case class PlanPredicate(
+      matches: DataFrame => DataFrame,
+      keeps: DataFrame => DataFrame)
+
   /** DELETE every row where `predicate` is TRUE (SQL semantics: FALSE
     * and NULL rows stay) and commit the result as a new version.
     *
@@ -1834,7 +1856,8 @@ object SnapshotLog {
       statsCols: Seq[String] = Nil,
       writeCdf: Boolean = false,
       deletionVectors: Boolean = false,
-      dvInlineMax: Int = DvInlineMax): Option[DmlOutcome] = {
+      dvInlineMax: Int = DvInlineMax,
+      matcher: Option[PlanPredicate] = None): Option[DmlOutcome] = {
     // `deletionVectors`: merge-on-read row deletes — matching rows'
     // positions commit as per-file DVs ([[Dv]]) and ZERO data files
     // are rewritten (a 1-row delete in a 10 GB partition costs one
@@ -1847,6 +1870,14 @@ object SnapshotLog {
     val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
     val live0 = read(spark, base).getOrElse(return None)
     val partType = live0.schema(live0.schema.fieldIndex(partCol)).dataType
+    // every predicate evaluation goes through these two: a Column
+    // predicate filters directly; a [[PlanPredicate]] (subquery
+    // conditions) delegates to its plan-level selectors
+    def matchRows(df: DataFrame): DataFrame =
+      matcher.map(_.matches(df)).getOrElse(df.filter(predicate))
+    def keepRows(df: DataFrame): DataFrame =
+      matcher.map(_.keeps(df))
+        .getOrElse(df.filter(!coalesce(predicate, lit(false))))
     // partition-only iff the ANALYZED predicate references partCol
     // alone. The probe frame carries the FULL live schema as typed
     // nulls (emptyDataFrame-derived, so no scan): with every real
@@ -1857,9 +1888,14 @@ object SnapshotLog {
     // (which once sent a row delete down the partition-metadata path
     // as a no-op). References, not resolution failure, decide.
     val partitionOnly = {
-      val probe = spark.emptyDataFrame.select(
+      // matcher conditions probe the same way: the analyzed Filter's
+      // references cover a subquery's OUTER attributes (the inner
+      // plan's columns are its own), so `o_year IN (SELECT …)` still
+      // qualifies for the metadata fast path while a correlated
+      // predicate touching a data column forces the row path
+      val probe = matchRows(spark.emptyDataFrame.select(
         live0.schema.fields.toSeq.map(f =>
-          lit(null).cast(f.dataType).as(f.name)): _*).filter(predicate)
+          lit(null).cast(f.dataType).as(f.name)): _*))
       val refs = probe.queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition.references.map(_.name).toSet
@@ -1889,7 +1925,7 @@ object SnapshotLog {
           val pdf = spark.createDataset(parts)(org.apache.spark.sql.Encoders.STRING)
             .toDF("__pv")
             .select(col("__pv"), col("__pv").cast(partType).as(partCol))
-          pdf.filter(predicate).select("__pv").collect().map(_.getString(0)).toSeq.sorted
+          matchRows(pdf).select("__pv").collect().map(_.getString(0)).toSeq.sorted
         }
         if (dropped.isEmpty)
           return Some(DmlOutcome(m.version, metadataOnly = true, Nil, Nil))
@@ -1929,7 +1965,7 @@ object SnapshotLog {
               col("__f") === col("__dv_file") && col("__pos") === col("__dv_pos"),
               "left_anti")
         }
-        val matchedPos = liveRows.filter(predicate)
+        val matchedPos = matchRows(liveRows)
           .select(col("__f"), col("__pos")).persist()
         try {
           // O(affected files) driver metadata, never row-sized
@@ -2006,7 +2042,7 @@ object SnapshotLog {
               m.copy(version = version, dvs = m.dvs ++ newDvs,
                 op = Some("DELETE_DV")))) {
             if (cdfOn) {
-              val feed = align(liveRows.filter(predicate), live0.schema)
+              val feed = align(matchRows(liveRows), live0.schema)
               commitCdfVersion(fs, bp, version,
                 feed.withColumn("change_type", lit("delete"))
                   .withColumn("_commit_version", lit(version)))
@@ -2019,14 +2055,14 @@ object SnapshotLog {
         // partitions holding matching rows (predicate pushdown skips
         // row groups whose footer bounds exclude it)
         val lv = readVersion(spark, base, m.version).getOrElse(return None)
-        val matched = lv.filter(predicate)
+        val matched = matchRows(lv)
           .select(col(partCol).cast("string").as("__pv"))
           .distinct().collect().map(_.getString(0)).toSeq.sorted
         if (matched.isEmpty)
           return Some(DmlOutcome(m.version, metadataOnly = false, Nil, Nil))
         val preFiles = matched.flatMap(p => m.files.getOrElse(p, Nil))
         val pre = align(readFiles(spark, bp, m, preFiles), lv.schema)
-        val keep = pre.filter(!coalesce(predicate, lit(false)))
+        val keep = keepRows(pre)
         val rel =
           s"data/d$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
         val dir = new Path(bp, rel)
@@ -2050,7 +2086,7 @@ object SnapshotLog {
           Some("DELETE"), m.constraints, m.txns, m.props)
         if (tryCommit(fs, bp, next)) {
           if (cdfOn) commitCdfVersion(fs, bp, version,
-            pre.filter(predicate)
+            matchRows(pre)
               .withColumn("change_type", lit("delete"))
               .withColumn("_commit_version", lit(version)))
           val stagedParts = staged.map(_._1).toSet
@@ -2094,11 +2130,17 @@ object SnapshotLog {
       partCol: String,
       maxRetries: Int = 5,
       statsCols: Seq[String] = Nil,
-      writeCdf: Boolean = false): Option[DmlOutcome] = {
+      writeCdf: Boolean = false,
+      matcher: Option[PlanPredicate] = None): Option[DmlOutcome] = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
     require(set.nonEmpty, "updateWhere needs at least one assignment")
+    def matchRows(df: DataFrame): DataFrame =
+      matcher.map(_.matches(df)).getOrElse(df.filter(predicate))
+    def keepRows(df: DataFrame): DataFrame =
+      matcher.map(_.keeps(df))
+        .getOrElse(df.filter(!coalesce(predicate, lit(false))))
 
     def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
       val have = df.columns.toSet
@@ -2118,7 +2160,7 @@ object SnapshotLog {
       // one column-pruned scan: source partitions of matching rows and
       // (when partCol is reassigned) the destinations they move to
       val newPart = set.getOrElse(partCol, col(partCol))
-      val pairs = lv.filter(predicate)
+      val pairs = matchRows(lv)
         .select(col(partCol).cast("string").as("__src"),
           newPart.cast("string").as("__dst"))
         .distinct().collect()
@@ -2133,9 +2175,9 @@ object SnapshotLog {
         set.get(f.name).map(_.cast(f.dataType).as(f.name))
           .getOrElse(col(f.name))
       }
-      val updated = pre.filter(predicate).select(updCols: _*)
+      val updated = matchRows(pre).select(updCols: _*)
       enforceConstraints(updated, m, base)
-      val kept = pre.filter(!coalesce(predicate, lit(false)))
+      val kept = keepRows(pre)
       val rel =
         s"data/u$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
       val dir = new Path(bp, rel)
@@ -2159,7 +2201,7 @@ object SnapshotLog {
       if (tryCommit(fs, bp, next)) {
         if (cdfOn) {
           val cols = lv.columns.toSeq
-          val feed = pre.filter(predicate)
+          val feed = matchRows(pre)
             .withColumn("change_type", lit("update_preimage"))
             .unionByName(updated
               .withColumn("change_type", lit("update_postimage")))
