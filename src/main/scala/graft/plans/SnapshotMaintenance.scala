@@ -42,6 +42,10 @@ import graft.sources.{Catalog, SnapshotLog}
   *   ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <view> DROP CONSTRAINT <name>
   *   ALTER TABLE <view> ADD COLUMNS (<name> <type> [, ...])
+  *   ALTER TABLE <view> RENAME COLUMN <a> TO <b>
+  *   ALTER TABLE <view> DROP COLUMN <c>
+  *   TRUNCATE TABLE <view>
+  *   DROP TABLE [IF EXISTS] <view> [PURGE]
   *   ALTER TABLE <view> SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER TABLE <view> UNSET TBLPROPERTIES ('k' [, ...])
   *   SHOW TBLPROPERTIES <view>
@@ -77,6 +81,14 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val AddColumns =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+  private val Truncate =
+    """(?is)\s*TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val DropTable =
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)(\s+PURGE)?\s*;?\s*""".r
+  private val RenameColumn =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+`?([A-Za-z_]\w*)`?\s+TO\s+`?([A-Za-z_]\w*)`?\s*;?\s*""".r
+  private val DropColumn =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+COLUMNS?\s*\(?\s*`?([A-Za-z_]\w*)`?\s*\)?\s*;?\s*""".r
   private val SetProps =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val UnsetProps =
@@ -112,6 +124,14 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       // the DELEGATE parses the column list — commas inside types
       // (DECIMAL(10,2)) are its problem, not a regex split's
       SnapshotAddColumnsCommand(view, delegate.parseTableSchema(colsDdl))
+    case RenameColumn(view, from, to) if isTarget(view) =>
+      SnapshotRenameColumnCommand(view, from, to)
+    case DropColumn(view, name) if isTarget(view) =>
+      SnapshotDropColumnCommand(view, name)
+    case Truncate(view) if isTarget(view) =>
+      SnapshotTruncateCommand(view)
+    case DropTable(view, purge) if isTarget(view) =>
+      SnapshotDropTableCommand(view, purge != null)
     case SetProps(view, pairs) if isTarget(view) =>
       SnapshotSetPropertiesCommand(view,
         PropPair.findAllMatchIn(pairs)
@@ -171,7 +191,8 @@ private object SnapshotMaintenance {
     * path itself). */
   def statsColsOf(m: SnapshotLog.Manifest): Seq[String] =
     (m.stats.values.flatMap(_.keys).toSet -
-      SnapshotLog.RowCountKey - SnapshotLog.ByteSizeKey).toSeq.sorted
+      SnapshotLog.RowCountKey - SnapshotLog.ByteSizeKey --
+      m.dropped).toSeq.sorted
 
   def target(view: String): (String, String) = {
     val (path, partCol, _, _) = Catalog.dmlTarget(view).getOrElse(
@@ -403,8 +424,16 @@ case class SnapshotAddColumnsCommand(view: String, newCols: StructType)
         cur.fields ++ newCols.fields.map(_.copy(nullable = true)))
       val version = math.max(m.version,
         SnapshotLog.currentVersion(fs, bp)) + 1
+      // column mapping: a re-added name whose identity physical slot
+      // is tombstoned (DROP COLUMN) or claimed (RENAME target) maps
+      // to a FRESH physical name — old files' bytes under the old
+      // slot must never resurrect as the new column's values
+      val freshMap = newCols.fieldNames.toSeq
+        .filter(n => m.taintedPhys.contains(n))
+        .map(n => n -> s"${n}__c$version").toMap
       if (SnapshotLog.tryCommit(fs, bp, m.copy(version = version,
-          schemaJson = Some(evolved.json), op = Some("ADD_COLUMNS")))) {
+          schemaJson = Some(evolved.json), op = Some("ADD_COLUMNS"),
+          colmap = m.colmap ++ freshMap))) {
         SnapshotDml.repin(spark, view)
         return Seq(Row("ADD COLUMNS", version,
           newCols.fields.map(f => s"${f.name} ${f.dataType.sql}")
@@ -414,6 +443,83 @@ case class SnapshotAddColumnsCommand(view: String, newCols: StructType)
     }
     throw new IllegalStateException(
       s"ADD COLUMNS lost 5 commit races on $view")
+  }
+}
+
+/** `TRUNCATE TABLE view` — metadata-only delete-everything
+  * ([[graft.sources.SnapshotLog.truncateTable]]): the manifest
+  * empties, txn watermarks survive (exactly-once must not reset),
+  * old versions still time-travel to the data. */
+case class SnapshotTruncateCommand(view: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.truncateTable(spark, path)
+    SnapshotDml.repin(spark, view)
+    Seq(Row("TRUNCATE", v))
+  }
+}
+
+/** `DROP TABLE view [PURGE]` — unregisters the view and its DML
+  * target (external-table semantics: the commit log stays on disk and
+  * can re-register); `PURGE` deletes the table directory too. Only
+  * intercepted for REGISTERED snapshot views — `DROP TABLE` on
+  * anything else keeps Spark's own meaning. */
+case class SnapshotDropTableCommand(view: String, purge: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    Catalog.unregister(spark, view)
+    if (purge) {
+      val bp = new org.apache.hadoop.fs.Path(path)
+      bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(bp, true)
+    }
+    Seq(Row(if (purge) "DROP TABLE PURGE" else "DROP TABLE", 0L))
+  }
+}
+
+/** `ALTER TABLE view RENAME COLUMN a TO b` — metadata-only column
+  * rename via the manifest's column mapping
+  * ([[graft.sources.SnapshotLog.renameColumn]]): zero data files
+  * touched, stats/bloom/DV pruning survives (all physically keyed),
+  * time travel still answers old versions with their old names. */
+case class SnapshotRenameColumnCommand(view: String, from: String, to: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("columns", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, partCol) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.renameColumn(spark, path, from, to, Some(partCol))
+    SnapshotDml.repin(spark, view)
+    Seq(Row("RENAME COLUMN", v, s"$from -> $to"))
+  }
+}
+
+/** `ALTER TABLE view DROP COLUMN c` — metadata-only drop: the logical
+  * schema loses the field, its physical slot is tombstoned so a later
+  * re-ADD of the name can never resurrect the old bytes, and the next
+  * rewrite materializes the removal
+  * ([[graft.sources.SnapshotLog.dropColumn]]). */
+case class SnapshotDropColumnCommand(view: String, name: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("columns", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, partCol) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.dropColumn(spark, path, name, Some(partCol))
+    SnapshotDml.repin(spark, view)
+    Seq(Row("DROP COLUMN", v, name))
   }
 }
 

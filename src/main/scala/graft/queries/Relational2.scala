@@ -3558,6 +3558,98 @@ object Relational2 {
       FROM d3 GROUP BY o_year, o_orderstatus
       """))
 
+  /** COLUMN MAPPING — `ALTER TABLE … RENAME COLUMN / DROP COLUMN` as
+    * METADATA-ONLY commits ([[graft.sources.SnapshotLog.renameColumn]],
+    * Delta column-mapping semantics): data files keep their PHYSICAL
+    * names forever, the manifest maps logical→physical, and every
+    * read/write path translates at its chokepoint. The lifecycle
+    * proves the three hard guarantees in-engine: a rename touches
+    * ZERO files (manifest file lists compared), a DV delete filtered
+    * on the RENAMED name still plans merge-on-read, and a DROPPED
+    * column re-added under the same name reads NULL everywhere — the
+    * tombstoned physical slot can never resurrect the old bytes.
+    * Oracle: the same lifecycle recomputed relationally (rename is
+    * aliasing; drop+re-add is a NULL column). */
+  val q98ColumnMapping: Q = Q(
+    "q98_column_mapping",
+    "RENAME/DROP COLUMN via column mapping: zero-rewrite schema surgery",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_colmap98").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_totalprice"), clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)
+      val view = Catalog.registerSnapshotLog(s, "q98", "orders", base,
+        Some("o_year"))
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val m1 = SnapshotLog.readManifest(fs, bp).get
+
+      // 1) metadata-only rename; stats survive under the physical key
+      s.sql(s"ALTER TABLE $view RENAME COLUMN o_totalprice TO price")
+      val m2 = SnapshotLog.readManifest(fs, bp).get
+      require(m2.files == m1.files && m2.stats == m1.stats,
+        "RENAME COLUMN must touch zero data files and keep stats live")
+
+      // 2) write through the new name (exact-in-binary doubling)
+      s.sql(s"UPDATE $view SET price = price * 2 WHERE o_orderkey % 10 = 0")
+
+      // 3) drop + re-add: the fresh slot reads NULL, never old bytes
+      s.sql(s"ALTER TABLE $view DROP COLUMN o_custkey")
+      s.sql(s"ALTER TABLE $view ADD COLUMNS (o_custkey BIGINT)")
+      val m3 = SnapshotLog.readManifest(fs, bp).get
+      require(m3.colmap.get("o_custkey").exists(_ != "o_custkey"),
+        "re-added column must map to a fresh physical slot")
+      require(s.sql(s"SELECT COUNT(o_custkey) FROM $view").head.getLong(0) == 0,
+        "re-added column must read NULL everywhere")
+      s.sql(s"UPDATE $view SET o_custkey = o_orderkey % 100 " +
+        "WHERE o_orderkey % 2 = 0")
+
+      // 4) DV delete filtered on the RENAMED column
+      s.sql(s"DELETE FROM $view WHERE price > 400000")
+      val m4 = SnapshotLog.readManifest(fs, bp).get
+      require(m4.dvs.nonEmpty,
+        "delete on the renamed column must stay merge-on-read")
+
+      s.sql(s"""
+        SELECT o_year, COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+               CAST(CAST(SUM(CAST(price AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $view
+        GROUP BY o_year
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice AS price,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      u1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN price * 2 ELSE price END
+                 AS price,
+               o_year
+        FROM base),
+      u2 AS (
+        SELECT o_orderkey, price,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 100
+                    ELSE NULL END AS o_custkey,
+               o_year
+        FROM u1),
+      d1 AS (SELECT * FROM u2 WHERE NOT COALESCE(price > 400000, FALSE))
+      SELECT o_year, COUNT(*) AS n, COUNT(o_custkey) AS n_cust,
+             CAST(CAST(SUM(CAST(price AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM d1 GROUP BY o_year
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -3574,5 +3666,5 @@ object Relational2 {
     q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas, q87TimeTravelSql,
     q88ShardedManifest, q89SqlMaintenance, q90TableChangesSql,
     q91ShowPartitions, q92CheckConstraints, q93ShallowClone, q94StreamSink,
-    q95CopyInto, q96CdfByProperty, q97SubqueryDml)
+    q95CopyInto, q96CdfByProperty, q97SubqueryDml, q98ColumnMapping)
 }

@@ -124,7 +124,11 @@ object Catalog {
       spark: SparkSession, db: String, name: String, path: String,
       partCol: Option[String] = None): String = {
     val viewName = s"${db}_$name"
-    SnapshotRelation.read(spark, path, partCol = partCol) match {
+    // an EMPTY table (TRUNCATE, or a DELETE that drained every
+    // partition) still pins: the schema-header empty frame replaces
+    // the stale snapshot — only a never-committed path pins nothing
+    SnapshotRelation.read(spark, path, partCol = partCol)
+      .orElse(SnapshotLog.read(spark, path, partCol)) match {
       case Some(df) => df.createOrReplaceTempView(viewName)
       case None => // claimed but never-committed table: nothing to pin
     }
@@ -134,6 +138,15 @@ object Catalog {
     // re-pin the view at the committed version
     partCol.foreach(pc => dmlTargets.put(viewName, (path, pc, db, name)))
     viewName
+  }
+
+  /** Remove a snapshot view's registration (SQL `DROP TABLE`): the
+    * name stops resolving and stops being a DML/maintenance target.
+    * The commit log and its data are untouched — external-table
+    * semantics; `DROP TABLE … PURGE` deletes the directory too. */
+  def unregister(spark: SparkSession, viewName: String): Unit = {
+    dmlTargets.remove(viewName)
+    spark.catalog.dropTempView(viewName)
   }
 
   /** SQL-DML-addressable snapshot tables: view name →

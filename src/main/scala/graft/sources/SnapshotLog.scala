@@ -120,7 +120,22 @@ object SnapshotLog {
     *               is load-bearing: `graft.enableChangeDataFeed=true`
     *               makes EVERY write path publish a change feed
     *               (Delta's delta.enableChangeDataFeed), so a caller
-    *               no longer has to remember `writeCdf` on each call. */
+    *               no longer has to remember `writeCdf` on each call.
+    * @param colmap LOGICAL column name → PHYSICAL parquet column name,
+    *               identity entries omitted (Delta column mapping):
+    *               `RENAME COLUMN` is a metadata-only commit that
+    *               re-points the logical name at the unchanged
+    *               physical column — zero data files rewritten.
+    *               [[Manifest.schema]] (the `#schema` header) is
+    *               always the LOGICAL schema; data files, stats keys,
+    *               and bloom keys are always PHYSICAL. Carried by
+    *               every write; RESTORE rolls it back with the schema;
+    *               CLONE copies it.
+    * @param dropped PHYSICAL names tombstoned by `DROP COLUMN`: the
+    *               bytes stay in the files (never read again), and a
+    *               later ADD of the same logical name must map to a
+    *               FRESH physical name or the dropped values would
+    *               resurrect. Strictly grows; rolls back with RESTORE. */
   final case class Manifest(
       version: Long,
       files: Map[String, Seq[String]],
@@ -131,7 +146,14 @@ object SnapshotLog {
       op: Option[String] = None,
       constraints: Map[String, String] = Map.empty,
       txns: Map[String, Long] = Map.empty,
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = Map.empty,
+      dropped: Set[String] = Set.empty) {
+    /** Physical parquet column for logical name `c`. */
+    def phys(c: String): String = colmap.getOrElse(c, c)
+    /** Physical names a NEW column may not claim: every live mapping
+      * target plus every tombstone. */
+    def taintedPhys: Set[String] = colmap.values.toSet ++ dropped
     /** Change-data-feed enabled at the TABLE level (see [[props]]). */
     def cdfEnabled: Boolean =
       props.get(CdfProp).exists(_.trim.equalsIgnoreCase("true"))
@@ -166,6 +188,14 @@ object SnapshotLog {
   /** Header line `#prop <key> <value>` — one per table property
     * ([[Manifest.props]]). */
   private val PropTag = "#prop"
+
+  /** Header line `#colmap <logical> <physical>` — one per non-identity
+    * column mapping ([[Manifest.colmap]]). */
+  private val ColMapTag = "#colmap"
+
+  /** Header line `#droppedcol <physical>` — one per tombstoned
+    * physical column ([[Manifest.dropped]]). */
+  private val DroppedTag = "#droppedcol"
 
   /** The table property that turns on the change data feed for every
     * write path (Delta's `delta.enableChangeDataFeed`). */
@@ -484,6 +514,15 @@ object SnapshotLog {
             val a = l.split("\t", 3)
             dec(a(1)) -> dec(a(2))
           }.toMap
+        val colmap = text.split("\n").iterator
+          .filter(_.startsWith(ColMapTag + "\t"))
+          .map { l =>
+            val a = l.split("\t", 3)
+            dec(a(1)) -> dec(a(2))
+          }.toMap
+        val droppedCols = text.split("\n").iterator
+          .filter(_.startsWith(DroppedTag + "\t"))
+          .map(l => dec(l.split("\t", 2)(1))).toSet
         // sharded root: per-file lines live in immutable side files
         // (one hop — `#shard` per partition — or two on a two-level
         // root, `#sgroup` → `#shard`); load only the wanted
@@ -538,7 +577,7 @@ object SnapshotLog {
             })
         }.toMap
         Some(Manifest(v, files, stats, blooms, dvs, schemaJson, op,
-          constraints, txns, props))
+          constraints, txns, props, colmap, droppedCols))
     }
   }
 
@@ -627,8 +666,81 @@ object SnapshotLog {
       files: Seq[String]): DataFrame = {
     val paths = files.map(f => new Path(bp, f).toString)
     val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-    applyDvs(spark, bp, m, files, raw)
+    toLogical(applyDvs(spark, bp, m, files, raw), m)
   }
+
+  /** Rename a frame's LOGICAL data columns to their PHYSICAL parquet
+    * names — the last step before any staged data write, so files on
+    * disk always carry physical names regardless of renames
+    * ([[Manifest.colmap]]). Bookkeeping columns (`__p`, `__op`, …)
+    * have no mapping and pass through. A column OUTSIDE the mapping
+    * whose identity name is tombstoned or claimed as another column's
+    * physical target fails fast — silently writing it would alias
+    * dropped/renamed bytes (evolution of such a name goes through
+    * ALTER TABLE ADD COLUMNS, which assigns a fresh physical name). */
+  private[sources] def toPhysical(df: DataFrame, m: Manifest): DataFrame =
+    if (m.colmap.isEmpty && m.dropped.isEmpty) df
+    else {
+      val tainted = m.taintedPhys
+      df.select(df.columns.toSeq.map { c =>
+        m.colmap.get(c) match {
+          case Some(p) => col(c).as(p)
+          case None =>
+            if (tainted(c) && !c.startsWith("__")) sys.error(
+              s"column '$c' collides with a renamed/dropped physical " +
+                "column; re-add it via ALTER TABLE ADD COLUMNS")
+            col(c)
+        }
+      }: _*)
+    }
+
+  /** Project a (logical-named) frame onto the manifest's logical
+    * schema: columns the frame lacks backfill NULL, columns OUTSIDE
+    * the schema (e.g. a dropped column's physical bytes surfacing
+    * through a mergeSchema scan) disappear. Identity when the
+    * manifest has no schema header (legacy tables keep their footer
+    * union). */
+  private def alignToSchema(df: DataFrame, m: Manifest): DataFrame =
+    m.schema match {
+      case None => df
+      case Some(sc) =>
+        val have = df.columns.toSet
+        df.select(sc.fields.toSeq.map { f =>
+          if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+    }
+
+  /** Inverse of [[toPhysical]] on a scanned frame: physical parquet
+    * names back to the logical schema's names. Non-mapped columns
+    * (including scan bookkeeping like `__f`/`__pos`) pass through. */
+  private[sources] def toLogical(df: DataFrame, m: Manifest): DataFrame =
+    if (m.colmap.isEmpty && m.dropped.isEmpty) df
+    else {
+      val inv = m.colmap.map(_.swap)
+      // a TOMBSTONED physical slot must not surface under its old name:
+      // downstream schema alignment matches by name, and a re-added
+      // logical column of that name would silently adopt the dropped
+      // bytes (resurrection) — dropping the slot here is what makes
+      // DROP COLUMN semantically a delete, not a hide
+      val cols = df.columns.toSeq.flatMap { c =>
+        inv.get(c) match {
+          case Some(l) => Some(col(c).as(l))
+          case None if m.dropped(c) => None
+          case None => Some(col(c))
+        }
+      }
+      df.select(cols: _*)
+    }
+
+  /** The manifest's logical schema with every field renamed to its
+    * physical parquet name — what the file scan itself must use. */
+  private[sources] def physSchema(
+      m: Manifest,
+      sc: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    if (m.colmap.isEmpty) sc
+    else org.apache.spark.sql.types.StructType(
+      sc.fields.map(f => f.copy(name = m.phys(f.name))))
 
   /** Atomically publish `m` as version `m.version` by CREATE-EXCLUSIVE
     * on the final name. Returns false when that version already exists —
@@ -706,7 +818,11 @@ object SnapshotLog {
       }.mkString +
       m.props.toSeq.sortBy(_._1).map { case (k, v) =>
         s"$PropTag\t${enc(k)}\t${enc(v)}\n"
-      }.mkString
+      }.mkString +
+      m.colmap.toSeq.sortBy(_._1).map { case (l, p) =>
+        s"$ColMapTag\t${enc(l)}\t${enc(p)}\n"
+      }.mkString +
+      m.dropped.toSeq.sorted.map(p => s"$DroppedTag\t${enc(p)}\n").mkString
     val parts = m.files.toSeq.sortBy(_._1)
     val marker: Option[String] =
       if (!fs.exists(shardMarker(base))) None
@@ -1076,15 +1192,15 @@ object SnapshotLog {
                 .sortWithinPartitions(sortCol)
                 .drop("__z")
             }
-          toWrite.write.partitionBy("__p").parquet(dir.toString)
+          toPhysical(toWrite, m).write.partitionBy("__p").parquet(dir.toString)
           staged = listStaged(fs, dir, rel)
           stagedStats =
             if (statsCols.isEmpty) Map.empty
-            else fileStats(spark, fs, dir, rel, statsCols)
+            else fileStats(spark, fs, dir, rel, statsCols.map(m.phys))
           if (cdfOn) {
             // post-state re-read from the immutable staged files (not
             // the merge plan, which would re-run the join on feed write)
-            val post = spark.read.parquet(dir.toString)
+            val post = toLogical(spark.read.parquet(dir.toString), m)
               .select(targetFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
             cdfPair = Some((baseSubset, post))
           }
@@ -1114,7 +1230,7 @@ object SnapshotLog {
           Some(if (opCol.isDefined) "CDC" else "UPSERT"),
           m.constraints,
           m.txns ++ txn,
-          m.props)
+          m.props, m.colmap, m.dropped)
         committed = tryCommit(fs, bp, next)
         if (committed) committedVersion = version
         attempt += 1
@@ -1192,7 +1308,7 @@ object SnapshotLog {
         val rel =
           s"data/b${batchId}v$version-${java.util.UUID.randomUUID.toString.take(8)}"
         val dir = new Path(bp, rel)
-        rows.withColumn("__p", col(partCol).cast("string"))
+        toPhysical(rows.withColumn("__p", col(partCol).cast("string")), m)
           .write.partitionBy("__p").parquet(dir.toString)
         staged = listStaged(fs, dir, rel)
       }
@@ -1219,7 +1335,7 @@ object SnapshotLog {
         Some(if (overwrite) "OVERWRITE" else "APPEND"),
         m.constraints,
         m.txns ++ allTxns,
-        m.props)
+        m.props, m.colmap, m.dropped)
       if (tryCommit(fs, bp, next)) { committedV = version; replacedM = Some(m) }
       attempt += 1
     }
@@ -1393,7 +1509,10 @@ object SnapshotLog {
     var attempt = 0
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(return 0L)
-      val wanted = statsCols :+ RowCountKey
+      // manifest stats keys are PHYSICAL column names; callers speak
+      // logical (column mapping)
+      val physCols = statsCols.map(m.phys)
+      val wanted = physCols :+ RowCountKey
       val need = m.allFiles.filter { f =>
         val have = m.stats.getOrElse(f, Map.empty)
         !wanted.forall(have.contains)
@@ -1409,7 +1528,7 @@ object SnapshotLog {
       if (need.isEmpty && needSize.isEmpty && m.schemaJson.nonEmpty) return 0L
       val byPath = need
         .map(f => fs.makeQualified(new Path(bp, f)).toUri.getPath -> f).toMap
-      val aggs = statsAggs(statsCols)
+      val aggs = statsAggs(physCols)
       val fresh =
         if (need.isEmpty) Map.empty[String, Map[String, (String, String)]]
         else spark.read.option("mergeSchema", "true")
@@ -1418,7 +1537,7 @@ object SnapshotLog {
           .agg(aggs.head, aggs.tail: _*)
           .collect().flatMap { r =>
             byPath.get(new Path(new java.net.URI(r.getString(0))).toUri.getPath)
-              .map(_ -> decodeBounds(r, statsCols))
+              .map(_ -> decodeBounds(r, physCols))
           }.toMap
       val sizes = needSize.map { f =>
         val len = fs.getFileStatus(new Path(bp, f)).getLen.toString
@@ -1435,7 +1554,7 @@ object SnapshotLog {
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (tryCommit(fs, bp,
           Manifest(version, m.files, merged, m.blooms, m.dvs, schemaJson,
-            Some("STATS"), m.constraints, m.txns, m.props)))
+            Some("STATS"), m.constraints, m.txns, m.props, m.colmap, m.dropped)))
         return version
       attempt += 1
     }
@@ -1482,7 +1601,7 @@ object SnapshotLog {
   def filesForRange(
       m: Manifest, column: String, lo: Double, hi: Double): Seq[String] =
     m.allFiles.filter { f =>
-      m.stats.get(f).flatMap(_.get(column)) match {
+      m.stats.get(f).flatMap(_.get(m.phys(column))) match {
         case Some((mn, mx)) =>
           (mn.toDoubleOption, mx.toDoubleOption) match {
             case (Some(mnD), Some(mxD)) => mxD >= lo && mnD <= hi
@@ -1520,7 +1639,7 @@ object SnapshotLog {
       val m = readManifest(fs, bp).getOrElse(return 0L)
       val files = m.allFiles
       if (files.isEmpty) return 0L
-      val built = computeBlooms(spark, fs, bp, files, cols, fpp)
+      val built = computeBlooms(spark, fs, bp, files, cols.map(m.phys), fpp)
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (tryCommit(fs, bp,
           m.copy(version = version, blooms = m.blooms ++ built,
@@ -1530,6 +1649,160 @@ object SnapshotLog {
     }
     throw new IllegalStateException(
       s"bloom build lost $maxRetries commit races on $base")
+  }
+
+  /** `RENAME COLUMN from → to` as a METADATA-ONLY commit via column
+    * mapping ([[Manifest.colmap]]): the logical schema renames the
+    * field and the mapping re-points the new name at the UNCHANGED
+    * physical parquet column. Zero data files are touched or
+    * rewritten; stats, blooms, and deletion vectors — all keyed by
+    * physical file/column — stay live, so pruning survives the rename
+    * unchanged. Time travel to a pre-rename version answers with the
+    * old name (each manifest carries its own mapping) and RESTORE
+    * rolls the mapping back with the schema.
+    *
+    * Refused loudly: renaming the PARTITION column (its name is the
+    * catalog registration contract and keys every `partitionBy`
+    * staging path), renaming onto an existing column, and renaming a
+    * column referenced by a CHECK constraint (the stored SQL text
+    * would silently stop matching — drop the constraint first). */
+  def renameColumn(
+      spark: SparkSession,
+      base: String,
+      from: String,
+      to: String,
+      partCol: Option[String] = None,
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"no committed version at $base"))
+      val sc = m.schema.getOrElse(sys.error(
+        "RENAME COLUMN needs a schema header (legacy manifest) — any " +
+          "write, or ANALYZE … COMPUTE STATISTICS, records one first"))
+      val field = sc.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        sys.error(s"no such column: $from"))
+      require(!sc.fields.exists(_.name.equalsIgnoreCase(to)),
+        s"column $to already exists")
+      require(!partCol.exists(_.equalsIgnoreCase(field.name)),
+        s"cannot rename partition column ${field.name}")
+      constraintsReferencing(m, field.name).foreach(n => sys.error(
+        s"constraint $n references ${field.name}; drop it first"))
+      val phys = m.phys(field.name)
+      val evolved = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
+        if (f.name == field.name) f.copy(name = to) else f))
+      val colmap = (m.colmap - field.name) ++
+        (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp, m.copy(version = version,
+          schemaJson = Some(StructTypeNullable(evolved)),
+          op = Some("RENAME_COLUMN"), colmap = colmap)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"RENAME COLUMN lost $maxRetries commit races on $base")
+  }
+
+  /** `DROP COLUMN c` as a METADATA-ONLY commit: the logical schema
+    * loses the field and its PHYSICAL name is tombstoned
+    * ([[Manifest.dropped]]) — the bytes stay in the files but the
+    * scan schema no longer includes them, so they are never read
+    * again (and the next compaction/OPTIMIZE rewrite materializes the
+    * removal physically). The tombstone is what makes a later ADD of
+    * the same logical name SAFE: it must map to a fresh physical
+    * name, or the dropped values would silently resurrect. Time
+    * travel to a pre-drop version still reads the column; RESTORE
+    * brings it back (the files still hold the bytes — that is the
+    * point of restore). Partition column and constraint-referenced
+    * columns refuse, as in [[renameColumn]]. */
+  def dropColumn(
+      spark: SparkSession,
+      base: String,
+      name: String,
+      partCol: Option[String] = None,
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"no committed version at $base"))
+      val sc = m.schema.getOrElse(sys.error(
+        "DROP COLUMN needs a schema header (legacy manifest) — any " +
+          "write, or ANALYZE … COMPUTE STATISTICS, records one first"))
+      val field = sc.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        sys.error(s"no such column: $name"))
+      require(!partCol.exists(_.equalsIgnoreCase(field.name)),
+        s"cannot drop partition column ${field.name}")
+      require(sc.fields.length > 1, "cannot drop the only column")
+      constraintsReferencing(m, field.name).foreach(n => sys.error(
+        s"constraint $n references ${field.name}; drop it first"))
+      val evolved = org.apache.spark.sql.types.StructType(
+        sc.fields.filterNot(_.name == field.name))
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp, m.copy(version = version,
+          schemaJson = Some(StructTypeNullable(evolved)),
+          op = Some("DROP_COLUMN"),
+          colmap = m.colmap - field.name,
+          dropped = m.dropped + m.phys(field.name))))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"DROP COLUMN lost $maxRetries commit races on $base")
+  }
+
+  /** `TRUNCATE TABLE` — delete every row as ONE metadata-only commit:
+    * the manifest's file map empties (stats/blooms/DVs go with the
+    * files they describe); schema, constraints, properties, column
+    * mapping, and txn WATERMARKS carry forward (a truncate must not
+    * reset exactly-once dedup, or a replayed micro-batch would
+    * re-apply into the emptied table). Old versions still time-travel
+    * to the data — [[vacuum]] reclaims it once they expire. With the
+    * change feed on, the removed snapshot publishes as typed deletes
+    * (the INSERT OVERWRITE contract). */
+  def truncateTable(
+      spark: SparkSession,
+      base: String,
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"no committed version at $base"))
+      if (m.allFiles.isEmpty) return m.version
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp, m.copy(version = version,
+          files = Map.empty, stats = Map.empty, blooms = Map.empty,
+          dvs = Map.empty, op = Some("TRUNCATE")))) {
+        if (m.cdfEnabled) {
+          val pre = alignToSchema(readFiles(spark, bp, m, m.allFiles), m)
+          commitCdfVersion(fs, bp, version,
+            pre.withColumn("change_type", lit("delete"))
+              .withColumn("_commit_version", lit(version)))
+        }
+        return version
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"TRUNCATE lost $maxRetries commit races on $base")
+  }
+
+  /** Names of CHECK constraints whose SQL text references column `c`
+    * (conservative word-boundary match, case-insensitive — a false
+    * positive refuses a rename that might have been safe, never the
+    * reverse). */
+  private def constraintsReferencing(m: Manifest, c: String): Option[String] = {
+    val re = ("(?i)(?<![A-Za-z0-9_`])" +
+      java.util.regex.Pattern.quote(c) + "(?![A-Za-z0-9_`])").r
+    m.constraints.collectFirst {
+      case (n, sql) if re.findFirstIn(sql).isDefined => n
+    }
   }
 
   /** Per-file blooms over `cols` for the given live files — the shared
@@ -1580,7 +1853,7 @@ object SnapshotLog {
     * definitive, so the result is exact-superset-safe. */
   def filesForKey(m: Manifest, column: String, value: Long): Seq[String] =
     m.allFiles.filter { f =>
-      m.blooms.get(f).flatMap(_.get(column)) match {
+      m.blooms.get(f).flatMap(_.get(m.phys(column))) match {
         case None => true
         case Some(b64) =>
           org.apache.spark.util.sketch.BloomFilter
@@ -1670,7 +1943,10 @@ object SnapshotLog {
       val dir = new Path(bp, rel)
       // read THROUGH deletion vectors: compaction materializes them —
       // deleted positions vanish physically and the DV refs drop
-      val df = readFiles(spark, bp, m, files)
+      // align to the LOGICAL schema: a rewrite materializes dropped
+      // columns' removal (their tombstoned physical names must not be
+      // re-staged) and backfills added-but-never-written columns
+      val df = alignToSchema(readFiles(spark, bp, m, files), m)
       val out =
         if (clusterBy.isEmpty) df.repartition(1)
         else {
@@ -1681,7 +1957,7 @@ object SnapshotLog {
             .sortWithinPartitions(sortCol)
             .drop("__z")
         }
-      out.write.mode("overwrite").parquet(dir.toString)
+      toPhysical(out, m).write.mode("overwrite").parquet(dir.toString)
       val newStatuses = fs.listStatus(dir).toSeq
         .filter(_.getPath.getName.endsWith(".parquet"))
       val newFiles = newStatuses.map(st => s"$rel/${st.getPath.getName}")
@@ -1692,13 +1968,17 @@ object SnapshotLog {
       // and is otherwise stats-less (conservative: never pruned)
       val newStats =
         if (statsCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
-        else fileStats(spark, fs, dir, rel, statsCols)
+        else fileStats(spark, fs, dir, rel,
+          statsCols.filterNot(m.dropped.contains))
       // blooms SURVIVE maintenance: rebuild over exactly the columns
       // the replaced files carried blooms for, so point-lookup
       // skipping keeps working after OPTIMIZE (a dropped-only bloom
       // would silently degrade every future probe to scan-all)
       val bloomCols = files.flatMap(f =>
         m.blooms.getOrElse(f, Map.empty).keys).distinct
+        // a dropped column's bloom cannot rebuild (its bytes are gone
+        // from the rewrite) — and is pointless, nothing queries it
+        .filterNot(m.dropped.contains)
       val newBlooms = computeBlooms(spark, fs, bp, newFiles, bloomCols, 0.03)
       if (tryCommit(fs, bp,
           Manifest(version, m.files.updated(part, newFiles),
@@ -1707,7 +1987,7 @@ object SnapshotLog {
             m.dvs -- files,
             m.schemaJson,
             Some(if (clusterBy.isEmpty) "COMPACT" else "OPTIMIZE"),
-            m.constraints, m.txns, m.props)))
+            m.constraints, m.txns, m.props, m.colmap, m.dropped)))
         return version
       attempt += 1
     }
@@ -1753,16 +2033,18 @@ object SnapshotLog {
       val oldFiles = need.flatMap(p => m.files.getOrElse(p, Nil))
       // one job: read the fragmented partitions through their DVs,
       // route each partition's rows to a single writer task
-      val df = readFiles(spark, bp, m, oldFiles)
-      df.withColumn("__p", col(partCol).cast("string"))
+      val df = alignToSchema(readFiles(spark, bp, m, oldFiles), m)
+      toPhysical(df.withColumn("__p", col(partCol).cast("string")), m)
         .repartition(col("__p"))
         .write.partitionBy("__p").parquet(dir.toString)
       val staged = listStaged(fs, dir, rel)
       val stagedStats =
         if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
-        else fileStats(spark, fs, dir, rel, statsCols)
+        else fileStats(spark, fs, dir, rel,
+          statsCols.filterNot(m.dropped.contains))
       val bloomCols = oldFiles.flatMap(f =>
         m.blooms.getOrElse(f, Map.empty).keys).distinct
+        .filterNot(m.dropped.contains)
       val newBlooms = computeBlooms(
         spark, fs, bp, staged.map(_._2), bloomCols, 0.03)
       val next = Manifest(
@@ -1774,7 +2056,7 @@ object SnapshotLog {
         (m.blooms -- oldFiles) ++ newBlooms,
         m.dvs -- oldFiles,
         m.schemaJson,
-        Some("OPTIMIZE"), m.constraints, m.txns, m.props)
+        Some("OPTIMIZE"), m.constraints, m.txns, m.props, m.colmap, m.dropped)
       if (tryCommit(fs, bp, next)) return version
       attempt += 1
     }
@@ -1933,7 +2215,7 @@ object SnapshotLog {
         if (tryCommit(fs, bp,
             Manifest(version, m.files -- dropped, m.stats -- gone,
               m.blooms -- gone, m.dvs -- gone, m.schemaJson,
-              Some("DELETE"), m.constraints, m.txns, m.props))) {
+              Some("DELETE"), m.constraints, m.txns, m.props, m.colmap, m.dropped))) {
           if (cdfOn) {
             val pre = align(
               readFiles(spark, bp, m,
@@ -1952,10 +2234,10 @@ object SnapshotLog {
         require(bnToRel.size == all.size,
           "DV delete needs unique <dir>/<file> suffixes across live files " +
             "(Spark part-file names embed the write job's UUID)")
-        val raw = spark.read.option("mergeSchema", "true")
+        val raw = toLogical(spark.read.option("mergeSchema", "true")
           .parquet(all.map(f => new Path(bp, f).toString): _*)
           .withColumn("__f", dvKeyCol)
-          .withColumn("__pos", col("_metadata.row_index"))
+          .withColumn("__pos", col("_metadata.row_index")), m)
         // only still-live rows may match: a position already in a DV is
         // deleted — matching it again would double-count
         val liveRows = dvRows(spark, bp, m, all) match {
@@ -2066,12 +2348,12 @@ object SnapshotLog {
         val rel =
           s"data/d$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
         val dir = new Path(bp, rel)
-        keep.withColumn("__p", col(partCol).cast("string"))
+        toPhysical(keep.withColumn("__p", col(partCol).cast("string")), m)
           .write.partitionBy("__p").parquet(dir.toString)
         val staged = listStaged(fs, dir, rel)
         val stagedStats =
           if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
-          else fileStats(spark, fs, dir, rel, statsCols)
+          else fileStats(spark, fs, dir, rel, statsCols.map(m.phys))
         val next = Manifest(
           version,
           (m.files -- matched) ++ staged.groupBy(_._1).map {
@@ -2083,7 +2365,7 @@ object SnapshotLog {
           // this pass read the whole live table, so a legacy manifest
           // gets its schema header backfilled for free
           m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
-          Some("DELETE"), m.constraints, m.txns, m.props)
+          Some("DELETE"), m.constraints, m.txns, m.props, m.colmap, m.dropped)
         if (tryCommit(fs, bp, next)) {
           if (cdfOn) commitCdfVersion(fs, bp, version,
             matchRows(pre)
@@ -2181,13 +2463,13 @@ object SnapshotLog {
       val rel =
         s"data/u$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
       val dir = new Path(bp, rel)
-      kept.unionByName(updated)
-        .withColumn("__p", col(partCol).cast("string"))
+      toPhysical(kept.unionByName(updated)
+        .withColumn("__p", col(partCol).cast("string")), m)
         .write.partitionBy("__p").parquet(dir.toString)
       val staged = listStaged(fs, dir, rel)
       val stagedStats =
         if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
-        else fileStats(spark, fs, dir, rel, statsCols)
+        else fileStats(spark, fs, dir, rel, statsCols.map(m.phys))
       val next = Manifest(
         version,
         (m.files -- affected) ++ staged.groupBy(_._1).map {
@@ -2197,7 +2479,7 @@ object SnapshotLog {
         m.blooms -- preFiles,
         m.dvs -- preFiles,
         m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
-        Some("UPDATE"), m.constraints, m.txns, m.props)
+        Some("UPDATE"), m.constraints, m.txns, m.props, m.colmap, m.dropped)
       if (tryCommit(fs, bp, next)) {
         if (cdfOn) {
           val cols = lv.columns.toSeq
@@ -2526,7 +2808,11 @@ object SnapshotLog {
       txns = Map.empty,
       // properties DO clone (Delta copies them): the fork should behave
       // like the source until told otherwise
-      props = m.props)
+      props = m.props,
+      // column mapping and tombstones describe the shared physical
+      // files — the clone reads them through the same translation
+      colmap = m.colmap,
+      dropped = m.dropped)
     if (!tryCommit(fs, dbp, next))
       sys.error(s"clone destination $dstBase already has a version claim")
     1L

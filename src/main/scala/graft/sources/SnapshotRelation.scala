@@ -272,17 +272,26 @@ object SnapshotRelation {
       spark.read.option("mergeSchema", "true")
         .parquet(m.allFiles.map(f => new Path(bp, f).toString): _*).schema
     }
-    val index = new SnapshotFileIndex(spark, bp, m, partCol, statuses)
+    // the SCAN speaks physical parquet names (column mapping): the
+    // file-index prunes on scan attributes — physical, matching the
+    // manifest's stats/bloom keys — and a rename projection above the
+    // DV anti-join restores logical names. Filters on logical names
+    // push through the aliases into the scan unchanged (Catalyst
+    // alias substitution), so pruning and PushedFilters survive
+    // renames with zero data movement.
+    val index = new SnapshotFileIndex(
+      spark, bp, m, partCol.map(m.phys), statuses)
     val rel = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
-      dataSchema = schema,
+      dataSchema = SnapshotLog.physSchema(m, schema),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     val df0 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(rel)
-    (SnapshotLog.applyDvs(spark, bp, m, m.allFiles, df0), index)
+    (SnapshotLog.toLogical(
+      SnapshotLog.applyDvs(spark, bp, m, m.allFiles, df0), m), index)
   }
 
   /** Just the DataFrame — the everyday read path. */
