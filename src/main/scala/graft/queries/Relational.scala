@@ -418,15 +418,23 @@ object Relational {
       val c = t(s, d, "customer")
       val o = t(s, d, "orders")
       val li = t(s, d, "lineitem")
+      // two-level aggregate instead of countDistinct: pre-grouping by
+      // (group keys, o_orderkey) makes the distinct a plain count and
+      // — the scale win — removes the Expand that would DOUBLE every
+      // shuffled row to carry the sum and distinct branches separately.
+      // One exchange on (r,n,orderkey), then a near-free regroup of
+      // O(orders) rows. Exact: per-order decimal sums re-sum losslessly.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"), o("o_orderkey"))
+        .agg(sum(netD(col("l_extendedprice"), col("l_discount"))).as("__rev"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          sum(netD(col("l_extendedprice"), col("l_discount")))
+          sum(col("__rev"))
             .cast(DecimalType(38, 4)).cast(DoubleType).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          count(lit(1)).as("n_orders"))
     },
     Some("""
       SELECT r_name, n_name,
