@@ -447,10 +447,34 @@ case class SnapshotMergeCommand(
     val live = SnapshotLog.read(spark, path).getOrElse(
       sys.error(s"$view has no committed version"))
     val src = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source).persist()
-    val tFields = live.schema.fields.toSeq
+    val liveFields = live.schema.fields.toSeq
+    // schema auto-merge (graft.autoMergeSchema + a star action): extra
+    // source columns become new nullable table columns — the executor
+    // computes over the WIDENED field list, existing rows read NULL,
+    // and upsertBatch's evolution records the widened schema
+    val autoMerge = {
+      val bp0 = new org.apache.hadoop.fs.Path(path)
+      SnapshotLog.readManifest(
+        bp0.getFileSystem(spark.sparkContext.hadoopConfiguration), bp0)
+        .exists(_.autoMerge)
+    }
+    val tFields =
+      if (!autoMerge ||
+          !(matched ++ notMatched).exists(_.action.endsWith("_star"))) liveFields
+      else {
+        val have = liveFields.map(_.name.toLowerCase).toSet
+        liveFields ++ src.schema.fields.toSeq
+          .filterNot(f => have(f.name.toLowerCase))
+          .map(_.copy(nullable = true))
+      }
+    val liveHas = liveFields.map(_.name.toLowerCase).toSet
     try {
       val srcHave = src.columns.map(_.toLowerCase).toSet
-      val starOk = tFields.forall(f => srcHave(f.name.toLowerCase))
+      // star completeness: without auto-merge every table column must
+      // come from the source; WITH it, Delta's SET * semantics apply —
+      // source-missing target columns keep their target value
+      // (update) or insert NULL, handled per-field in clauseRow
+      val starOk = autoMerge || tFields.forall(f => srcHave(f.name.toLowerCase))
       (matched ++ notMatched).filter(_.action.endsWith("_star")).foreach { _ =>
         if (!starOk) sys.error(
           s"MERGE SET */INSERT * needs every table column in the source; " +
@@ -472,7 +496,9 @@ case class SnapshotMergeCommand(
       val tPresent = coalesce(col("__graft_t_present"), lit(false))
       val sPresent = coalesce(col("__graft_s_present"), lit(false))
       val liveT = live.select(tFields.map(f =>
-        col(f.name).as(s"__t_${f.name}")): _*).withColumn("__graft_t_present", lit(true))
+        (if (liveHas(f.name.toLowerCase)) col(f.name)
+         else lit(null).cast(f.dataType)).as(s"__t_${f.name}")): _*)
+        .withColumn("__graft_t_present", lit(true))
       val srcS = src.select(src.columns.toSeq.map(c =>
         col(c).as(s"__s_$c")): _*).withColumn("__graft_s_present", lit(true))
       val joinType =
@@ -489,6 +515,9 @@ case class SnapshotMergeCommand(
         val assigns = cl.assigns.map { case (k, v) => k.toLowerCase -> v }.toMap
         val vals = tFields.map { f =>
           val v: Column = cl.action match {
+            case "update_star" if !srcHave(f.name.toLowerCase) =>
+              col(s"__t_${f.name}")
+            case "insert_star" if !srcHave(f.name.toLowerCase) => lit(null)
             case "update_star" | "insert_star" => col(s"__s_${f.name}")
             case "delete" => col(s"__t_${f.name}")
             case "update" =>
@@ -574,8 +603,22 @@ case class SnapshotInsertCommand(
       sys.error(s"$view is not a registered snapshot-DML target"))
     val live = SnapshotLog.read(spark, path).getOrElse(
       sys.error(s"$view has no committed version"))
-    val tFields = live.schema.fields.toSeq
+    val bp0 = new org.apache.hadoop.fs.Path(path)
+    val m0 = SnapshotLog.readManifest(
+      bp0.getFileSystem(spark.sparkContext.hadoopConfiguration), bp0)
     val src0 = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
+    // schema auto-merge (graft.autoMergeSchema): a BY NAME insert's
+    // extra source columns become new nullable table columns instead
+    // of being dropped — appendBatch's evolution records the widened
+    // schema, existing rows read NULL
+    val tFields =
+      if (!byName || !m0.exists(_.autoMerge)) live.schema.fields.toSeq
+      else {
+        val have = live.schema.fieldNames.map(_.toLowerCase).toSet
+        live.schema.fields.toSeq ++ src0.schema.fields.toSeq
+          .filterNot(f => have(f.name.toLowerCase))
+          .map(_.copy(nullable = true))
+      }
     // positional alignment goes through index-named columns — a SELECT
     // output column named after its expression ("(o_totalprice * 0.25)")
     // would otherwise trip dotted-name parsing in col()

@@ -3650,6 +3650,180 @@ object Relational2 {
       FROM d1 GROUP BY o_year
       """))
 
+  /** SCHEMA AUTO-MERGE (`graft.autoMergeSchema`, Delta's
+    * schema.autoMerge) — write-side widening as a table property: an
+    * `INSERT … BY NAME` whose source carries an extra column widens
+    * the schema (existing rows read NULL), and a MERGE star-action
+    * both widens with ITS extra column and applies Delta's `SET *`
+    * semantics for source-missing target columns (kept on update,
+    * NULL on insert). The lifecycle crosses the two evolutions — the
+    * MERGE source lacks the INSERT's new column and vice versa — so
+    * the final frame proves per-column provenance. Oracle: the same
+    * lifecycle as relational CTEs. */
+  val q99AutoMerge: Q = Q(
+    "q99_auto_merge",
+    "property-driven schema auto-merge on INSERT BY NAME and MERGE *",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_amerge99").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Nil, clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)
+      val view = Catalog.registerSnapshotLog(s, "q99", "orders", base,
+        Some("o_year"))
+      s.sql(s"ALTER TABLE $view SET TBLPROPERTIES " +
+        s"('${SnapshotLog.AutoMergeProp}' = 'true')")
+
+      // INSERT BY NAME widens with `channel`
+      orders.filter(col("o_orderkey") % 40 === 0).select(
+        (col("o_orderkey") + lit(300000000L)).as("o_orderkey"),
+        lit(100.0).as("o_totalprice"), col("o_year"),
+        lit("web").as("channel"))
+        .createOrReplaceTempView("q99_ins")
+      s.sql(s"INSERT INTO $view BY NAME SELECT * FROM q99_ins")
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(SnapshotLog.readManifest(fs, bp).get.schema.get
+        .fieldNames.contains("channel"),
+        "INSERT BY NAME under autoMerge must widen the schema")
+
+      // MERGE star widens with `tier`; its source LACKS `channel`
+      orders.filter(col("o_orderkey") % 4 === 0).select(
+        col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+        col("o_year"), lit("gold").as("tier"))
+        .union(orders.filter(col("o_orderkey") % 25 === 0).select(
+          (col("o_orderkey") + lit(600000000L)).as("o_orderkey"),
+          lit(55.0).as("o_totalprice"), col("o_year"),
+          lit("fresh").as("tier")))
+        .createOrReplaceTempView("q99_mrg")
+      s.sql(s"""
+        MERGE INTO $view t USING q99_mrg s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      require(SnapshotLog.readManifest(fs, bp).get.schema.get
+        .fieldNames.toSeq.takeRight(2) == Seq("channel", "tier"),
+        "MERGE star under autoMerge must append the second new column")
+
+      s.sql(s"""
+        SELECT o_year, COUNT(*) AS n,
+               COUNT(channel) AS n_channel, COUNT(tier) AS n_tier,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $view
+        GROUP BY o_year
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year,
+               CAST(NULL AS VARCHAR) AS channel
+        FROM orders),
+      ins AS (
+        SELECT o_orderkey + 300000000 AS o_orderkey,
+               100.0 AS o_totalprice, o_year, 'web' AS channel
+        FROM (SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate)
+                AS VARCHAR) AS o_year FROM orders WHERE o_orderkey % 40 = 0)),
+      t1 AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+      msrc AS (
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year,
+               'gold' AS tier
+        FROM orders WHERE o_orderkey % 4 = 0
+        UNION ALL
+        SELECT o_orderkey + 600000000, 55.0,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'fresh'
+        FROM orders WHERE o_orderkey % 25 = 0),
+      upd AS (
+        SELECT t.o_orderkey,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                    ELSE t.o_totalprice END AS o_totalprice,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_year
+                    ELSE t.o_year END AS o_year,
+               t.channel,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.tier
+                    ELSE NULL END AS tier
+        FROM t1 t LEFT JOIN msrc s ON t.o_orderkey = s.o_orderkey),
+      nw AS (
+        SELECT s.o_orderkey, s.o_totalprice, s.o_year,
+               CAST(NULL AS VARCHAR) AS channel, s.tier
+        FROM msrc s LEFT JOIN t1 t ON s.o_orderkey = t.o_orderkey
+        WHERE t.o_orderkey IS NULL),
+      fin AS (SELECT * FROM upd UNION ALL SELECT * FROM nw)
+      SELECT o_year, COUNT(*) AS n,
+             COUNT(channel) AS n_channel, COUNT(tier) AS n_tier,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM fin GROUP BY o_year
+      """))
+
+  /** TRUNCATE + reload — the full-refresh staging pattern the
+    * reference's TRUNCATE+COPY pipeline runs
+    * (`sql/ddl_staging.sql:40-43`), expressed against the commit log:
+    * TRUNCATE is ONE metadata-only commit that keeps schema,
+    * properties, and exactly-once watermarks while time travel still
+    * reads the emptied data; the reload INSERTs into the empty table
+    * through the re-pinned view. Oracle: the reload subset. */
+  val q100TruncateReload: Q = Q(
+    "q100_truncate_reload",
+    "TRUNCATE TABLE + reload: the metadata-only full-refresh pattern",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_trunc100").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Nil, clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)
+      val view = Catalog.registerSnapshotLog(s, "q100", "orders", base,
+        Some("o_year"))
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val m1 = SnapshotLog.readManifest(fs, bp).get
+
+      s.sql(s"TRUNCATE TABLE $view")
+      val m2 = SnapshotLog.readManifest(fs, bp).get
+      require(m2.files.isEmpty && m2.op.contains("TRUNCATE"),
+        "TRUNCATE must empty the manifest metadata-only")
+      require(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 0,
+        "the re-pinned view must read the EMPTY snapshot")
+      require(SnapshotLog.readVersion(s, base, m1.version).get.count() ==
+        orders.count(), "time travel must still read the pre-truncate data")
+
+      // reload the F subset through the view (full-refresh pattern)
+      orders.filter(col("o_orderstatus") === "F")
+        .createOrReplaceTempView("q100_reload")
+      s.sql(s"INSERT INTO $view SELECT * FROM q100_reload")
+
+      s.sql(s"""
+        SELECT o_year, o_orderstatus, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $view
+        GROUP BY o_year, o_orderstatus
+      """)
+    },
+    Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year,
+             o_orderstatus, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      GROUP BY 1, 2
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -3666,5 +3840,6 @@ object Relational2 {
     q84SqlDml, q85ConditionalMerge, q86SqlInsertCtas, q87TimeTravelSql,
     q88ShardedManifest, q89SqlMaintenance, q90TableChangesSql,
     q91ShowPartitions, q92CheckConstraints, q93ShallowClone, q94StreamSink,
-    q95CopyInto, q96CdfByProperty, q97SubqueryDml, q98ColumnMapping)
+    q95CopyInto, q96CdfByProperty, q97SubqueryDml, q98ColumnMapping,
+    q99AutoMerge, q100TruncateReload)
 }

@@ -157,6 +157,9 @@ object SnapshotLog {
     /** Change-data-feed enabled at the TABLE level (see [[props]]). */
     def cdfEnabled: Boolean =
       props.get(CdfProp).exists(_.trim.equalsIgnoreCase("true"))
+    /** Write-side schema widening enabled (see [[AutoMergeProp]]). */
+    def autoMerge: Boolean =
+      props.get(AutoMergeProp).exists(_.trim.equalsIgnoreCase("true"))
     def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.flatMap(j =>
@@ -200,6 +203,14 @@ object SnapshotLog {
   /** The table property that turns on the change data feed for every
     * write path (Delta's `delta.enableChangeDataFeed`). */
   val CdfProp = "graft.enableChangeDataFeed"
+
+  /** The table property that lets writes WIDEN the schema with columns
+    * the statement carries beyond the table (Delta's
+    * `delta.schema.autoMerge`): `INSERT INTO … BY NAME` and MERGE
+    * star-actions adopt extra source columns as new nullable fields
+    * instead of dropping them. Default OFF — silent widening is a
+    * choice, not a default. */
+  val AutoMergeProp = "graft.autoMergeSchema"
 
   /** Thrown by [[appendBatch]] when SOME (not all) of a multi-key
     * transaction batch's keys are already committed — a concurrent
