@@ -654,7 +654,12 @@ case class SnapshotInsertCommand(
           srcCol(i).cast(f.dataType).as(f.name)
         }: _*)
       }
-    if (aligned.filter(col(partCol).isNull).limit(1).count() > 0)
+    // a GENERATED partition column fills in inside appendBatch — a
+    // NULL here is the "compute me" signal, not an error
+    val partGenerated =
+      m0.exists(_.props.contains(SnapshotLog.GenColPrefix + partCol))
+    if (!partGenerated &&
+        aligned.filter(col(partCol).isNull).limit(1).count() > 0)
       sys.error(s"INSERT would write NULL into partition column $partCol")
     val bp = new org.apache.hadoop.fs.Path(path)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -46,6 +46,7 @@ import graft.sources.{Catalog, SnapshotLog}
   *   ALTER TABLE <view> DROP COLUMN <c>
   *   TRUNCATE TABLE <view>
   *   DROP TABLE [IF EXISTS] <view> [PURGE]
+  *   SHOW CREATE TABLE <view>
   *   ALTER TABLE <view> SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER TABLE <view> UNSET TBLPROPERTIES ('k' [, ...])
   *   SHOW TBLPROPERTIES <view>
@@ -81,6 +82,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val AddColumns =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+  private val ShowCreate =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val Truncate =
     """(?is)\s*TRUNCATE\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val DropTable =
@@ -95,8 +98,13 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val ShowProps =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_]\w*)\s*;?\s*""".r
-  /** One `'k' = 'v'` pair inside SET TBLPROPERTIES. */
-  private val PropPair = """'((?:[^'\\]|\\.)*)'\s*=\s*'((?:[^'\\]|\\.)*)'""".r
+  /** One `'k' = 'v'` pair inside SET TBLPROPERTIES. Values support the
+    * SQL doubled-quote escape (`''` → `'`) — a generated-column
+    * expression like `CONCAT(''d'', …)` must survive as one value. */
+  private val PropPair =
+    """'((?:[^'\\]|\\.|'')*)'\s*=\s*'((?:[^'\\]|\\.|'')*)'""".r
+
+  private def unq(s: String): String = s.replace("''", "'")
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
 
@@ -128,6 +136,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotRenameColumnCommand(view, from, to)
     case DropColumn(view, name) if isTarget(view) =>
       SnapshotDropColumnCommand(view, name)
+    case ShowCreate(view) if isTarget(view) =>
+      SnapshotShowCreateCommand(view)
     case Truncate(view) if isTarget(view) =>
       SnapshotTruncateCommand(view)
     case DropTable(view, purge) if isTarget(view) =>
@@ -135,7 +145,7 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     case SetProps(view, pairs) if isTarget(view) =>
       SnapshotSetPropertiesCommand(view,
         PropPair.findAllMatchIn(pairs)
-          .map(m => m.group(1) -> m.group(2)).toMap)
+          .map(m => unq(m.group(1)) -> unq(m.group(2))).toMap)
     case UnsetProps(view, keys) if isTarget(view) =>
       SnapshotUnsetPropertiesCommand(view,
         """'((?:[^'\\]|\\.)*)'""".r.findAllMatchIn(keys)
@@ -443,6 +453,42 @@ case class SnapshotAddColumnsCommand(view: String, newCols: StructType)
     }
     throw new IllegalStateException(
       s"ADD COLUMNS lost 5 commit races on $view")
+  }
+}
+
+/** `SHOW CREATE TABLE view` — the reconstructable DDL, answered from
+  * the manifest alone (zero data IO): columns from the logical schema
+  * header, the partition column, LOCATION, table properties, and
+  * CHECK constraints as ALTER statements. What it prints is
+  * executable: the CTAS-less `CREATE TABLE … USING graft_snapshot`
+  * shape plus the ALTERs reproduces the table's metadata surface. */
+case class SnapshotShowCreateCommand(view: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, partCol) = SnapshotMaintenance.target(view)
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = SnapshotLog.readManifest(fs, bp).getOrElse(
+      sys.error(s"$view has no committed version"))
+    val sc = m.schema.getOrElse(sys.error(
+      s"$view has no schema header (legacy manifest) — ANALYZE first"))
+    def q(s: String): String = s.replace("'", "''")
+    val cols = sc.fields.map(f => s"  ${f.name} ${f.dataType.sql}")
+      .mkString(",\n")
+    val props = m.props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"'${q(k)}' = '${q(v)}'" }
+    val ddl = new StringBuilder
+    ddl ++= s"CREATE TABLE $view (\n$cols\n) USING graft_snapshot\n"
+    ddl ++= s"PARTITIONED BY ($partCol)\nLOCATION '${q(path)}'"
+    if (props.nonEmpty)
+      ddl ++= props.mkString("\nTBLPROPERTIES (\n  ", ",\n  ", "\n)")
+    ddl ++= ";"
+    m.constraints.toSeq.sortBy(_._1).foreach { case (n, check) =>
+      ddl ++= s"\nALTER TABLE $view ADD CONSTRAINT $n CHECK ($check);"
+    }
+    Seq(Row(ddl.toString))
   }
 }
 

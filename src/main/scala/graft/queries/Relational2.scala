@@ -3824,6 +3824,83 @@ object Relational2 {
       GROUP BY 1, 2
       """))
 
+  /** GENERATED COLUMNS (`graft.generated.<col>`, Delta's GENERATED
+    * ALWAYS AS) — the classic use: a partition column derived from an
+    * event date. After the property is set, every write path computes
+    * `o_year` from `o_orderdate` when the batch lacks it, validates
+    * provided values, and — the hard case — an UPDATE that shifts the
+    * DATE recomputes the generated PARTITION column over the
+    * post-assignment row and MOVES the rows into the new year
+    * partition (asserted in-engine via a partition only the move
+    * could create). Oracle: the same lifecycle relationally. */
+  val q101GeneratedCols: Q = Q(
+    "q101_generated_cols",
+    "generated partition column: computed on write, recomputed on UPDATE",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_gen101").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Nil, clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)
+      val view = Catalog.registerSnapshotLog(s, "q101", "orders", base,
+        Some("o_year"))
+      s.sql(s"ALTER TABLE $view SET TBLPROPERTIES " +
+        s"('${SnapshotLog.GenColPrefix}o_year' = " +
+        "'CAST(YEAR(o_orderdate) AS STRING)')")
+
+      // INSERT without the generated column — computed on write
+      s.sql(s"INSERT INTO $view (o_orderkey, o_totalprice, o_orderdate) " +
+        s"SELECT o_orderkey + 700000000, 77.0, o_orderdate " +
+        s"FROM $view WHERE o_orderkey % 50 = 0")
+
+      // UPDATE shifts the DATE; the generated partition column
+      // recomputes and the rows MOVE a year forward
+      s.sql(s"UPDATE $view SET o_orderdate = o_orderdate + INTERVAL '1' YEAR " +
+        "WHERE o_orderkey % 13 = 0")
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val maxYear = orders.agg(max(col("o_year").cast(IntegerType)))
+        .first().getInt(0)
+      require(SnapshotLog.readManifest(fs, bp).get.files
+        .contains((maxYear + 1).toString),
+        "a shifted max-year row must have MOVED into a new partition")
+
+      s.sql(s"DELETE FROM $view WHERE o_orderkey % 9 = 0")
+
+      s.sql(s"""
+        SELECT o_year, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $view
+        GROUP BY o_year
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        UNION ALL
+        SELECT o_orderkey + 700000000, 77.0, o_orderdate
+        FROM orders WHERE o_orderkey % 50 = 0),
+      u1 AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 13 = 0
+                    THEN o_orderdate + INTERVAL 1 YEAR
+                    ELSE o_orderdate END AS o_orderdate
+        FROM base),
+      d1 AS (SELECT * FROM u1 WHERE o_orderkey % 9 <> 0)
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM d1 GROUP BY 1
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -3841,5 +3918,5 @@ object Relational2 {
     q88ShardedManifest, q89SqlMaintenance, q90TableChangesSql,
     q91ShowPartitions, q92CheckConstraints, q93ShallowClone, q94StreamSink,
     q95CopyInto, q96CdfByProperty, q97SubqueryDml, q98ColumnMapping,
-    q99AutoMerge, q100TruncateReload)
+    q99AutoMerge, q100TruncateReload, q101GeneratedCols)
 }

@@ -204,6 +204,19 @@ object SnapshotLog {
     * write path (Delta's `delta.enableChangeDataFeed`). */
   val CdfProp = "graft.enableChangeDataFeed"
 
+  /** Property-key prefix defining a GENERATED column (Delta's
+    * `GENERATED ALWAYS AS`): `graft.generated.<col> = <sql expr>`.
+    * Every write path computes the column from its expression when the
+    * batch lacks it (or provides NULL), and VALIDATES any provided
+    * non-null value against the expression in one aggregation pass —
+    * a mismatch rejects the batch (CDC delete markers exempt, like
+    * CHECK constraints). UPDATE recomputes generated columns over the
+    * post-assignment row unless the statement sets them explicitly —
+    * including the partition column, so an update to a dependency
+    * MOVES the row correctly. Properties are versioned manifest
+    * metadata, so the definition rides RESTORE/CLONE like constraints. */
+  val GenColPrefix = "graft.generated."
+
   /** The table property that lets writes WIDEN the schema with columns
     * the statement carries beyond the table (Delta's
     * `delta.schema.autoMerge`): `INSERT INTO … BY NAME` and MERGE
@@ -705,6 +718,50 @@ object SnapshotLog {
       }: _*)
     }
 
+  /** The table's generated-column definitions, (name, expr SQL),
+    * name-sorted (a generated column referencing an earlier-sorted one
+    * sees its computed value). */
+  private[sources] def generatedCols(m: Manifest): Seq[(String, String)] =
+    m.props.toSeq.collect {
+      case (k, v) if k.startsWith(GenColPrefix) =>
+        k.stripPrefix(GenColPrefix) -> v
+    }.sortBy(_._1)
+
+  /** Enforce-and-compute GENERATED columns on an incoming batch (see
+    * [[GenColPrefix]]): provided non-null values must equal the
+    * expression (one aggregation pass, delete markers exempt, fail
+    * all-or-nothing); missing columns and NULL slots compute. Delete
+    * markers keep their payload untouched — a CDC 'D' row's partition
+    * value routes the delete and must not be recomputed from a
+    * garbage payload. */
+  private[sources] def applyGenerated(
+      df: DataFrame, m: Manifest, opCol: Option[String] = None): DataFrame = {
+    val gens = generatedCols(m)
+    if (gens.isEmpty) return df
+    val isDel: Column =
+      opCol.map(oc => upper(col(oc)) === "D").getOrElse(lit(false))
+    val provided = gens.filter { case (c, _) =>
+      df.columns.exists(_.equalsIgnoreCase(c)) }
+    if (provided.nonEmpty) {
+      val aggs = provided.map { case (c, sql) =>
+        sum(when(!isDel && col(c).isNotNull && !(col(c) <=> expr(sql)), 1L)
+          .otherwise(0L)).as(s"__g_$c")
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head
+      provided.zipWithIndex.foreach { case ((c, sql), i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (bad > 0) sys.error(
+          s"GENERATED column $c: $bad row(s) provide a value that " +
+            s"differs from ($sql)")
+      }
+    }
+    gens.foldLeft(df) { case (acc, (c, sql)) =>
+      if (acc.columns.exists(_.equalsIgnoreCase(c)))
+        acc.withColumn(c, when(isDel, col(c)).otherwise(coalesce(col(c), expr(sql))))
+      else acc.withColumn(c, when(isDel, lit(null)).otherwise(expr(sql)))
+    }
+  }
+
   /** Project a (logical-named) frame onto the manifest's logical
     * schema: columns the frame lacks backfill NULL, columns OUTSIDE
     * the schema (e.g. a dropped column's physical bytes surfacing
@@ -1102,11 +1159,18 @@ object SnapshotLog {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     // table-level CDF (the graft.enableChangeDataFeed property) OR the
-    // caller's explicit writeCdf — either turns the feed on
-    val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
+    // caller's explicit writeCdf — either turns the feed on; the same
+    // manifest read also feeds generated-column handling
+    val m0 = readManifest(fs, bp)
+    val cdfOn = writeCdf || m0.exists(_.cdfEnabled)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(desc(orderCol))
-    val changes = changes0
+    // generated columns compute/validate on the raw batch, BEFORE the
+    // latest-wins window (orderCol may itself be generated) and before
+    // the affected-partition collect (partCol may be generated)
+    val changes0g =
+      m0.map(mm => applyGenerated(changes0, mm, opCol)).getOrElse(changes0)
+    val changes = changes0g
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .persist()
@@ -1284,8 +1348,12 @@ object SnapshotLog {
       writeCdf: Boolean = false): Long = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
-    val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
-    val fields = rows.schema.fields.toSeq
+    val m0 = readManifest(fs, bp)
+    val cdfOn = writeCdf || m0.exists(_.cdfEnabled)
+    // generated columns compute/validate up front (they may BE the
+    // partition column) and widen the batch before schema evolution
+    val rows1 = m0.map(mm => applyGenerated(rows, mm)).getOrElse(rows)
+    val fields = rows1.schema.fields.toSeq
     require(fields.exists(_.name.equalsIgnoreCase(partCol)),
       s"append batch lacks partition column $partCol")
     var attempt = 0
@@ -1314,12 +1382,12 @@ object SnapshotLog {
             "against the live manifest and retry with the remainder")
       }
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
-      if (attempt == 0) enforceConstraints(rows, m, base)
+      if (attempt == 0) enforceConstraints(rows1, m, base)
       if (staged.isEmpty) {
         val rel =
           s"data/b${batchId}v$version-${java.util.UUID.randomUUID.toString.take(8)}"
         val dir = new Path(bp, rel)
-        toPhysical(rows.withColumn("__p", col(partCol).cast("string")), m)
+        toPhysical(rows1.withColumn("__p", col(partCol).cast("string")), m)
           .write.partitionBy("__p").parquet(dir.toString)
         staged = listStaged(fs, dir, rel)
       }
@@ -2452,10 +2520,31 @@ object SnapshotLog {
       require(bad.isEmpty, s"updateWhere assigns non-existent columns: $bad")
       // one column-pruned scan: source partitions of matching rows and
       // (when partCol is reassigned) the destinations they move to
-      val newPart = set.getOrElse(partCol, col(partCol))
-      val pairs = matchRows(lv)
-        .select(col(partCol).cast("string").as("__src"),
-          newPart.cast("string").as("__dst"))
+      // post-assignment image of a matched row: every SET expression
+      // evaluates over the OLD row in one projection (SQL UPDATE
+      // semantics — `SET a = b, b = a` swaps), then GENERATED columns
+      // not explicitly SET recompute over the assigned values — so an
+      // update to a dependency of a generated PARTITION column moves
+      // the row to its recomputed partition
+      val gensToRecompute = generatedCols(m).filterNot { case (c, _) =>
+        set.keys.exists(_.equalsIgnoreCase(c)) }
+      def postImage(df: DataFrame, keep: Seq[Column]): DataFrame = {
+        val assigned = df.select(keep ++ lv.schema.fields.toSeq.map { f =>
+          set.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))
+        }: _*)
+        gensToRecompute.foldLeft(assigned) { case (acc, (c, sql)) =>
+          lv.schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+            case Some(f) => acc.withColumn(f.name, expr(sql).cast(f.dataType))
+            case None => acc
+          }
+        }
+      }
+      val pairs = postImage(
+        matchRows(lv).withColumn("__gsrc", col(partCol).cast("string")),
+        Seq(col("__gsrc")))
+        .select(col("__gsrc").as("__src"),
+          col(partCol).cast("string").as("__dst"))
         .distinct().collect()
       if (pairs.isEmpty)
         return Some(DmlOutcome(m.version, metadataOnly = false, Nil, Nil))
@@ -2464,11 +2553,7 @@ object SnapshotLog {
           .distinct.sorted.toSeq
       val preFiles = affected.flatMap(p => m.files.getOrElse(p, Nil))
       val pre = align(readFiles(spark, bp, m, preFiles), lv.schema)
-      val updCols = lv.schema.fields.toSeq.map { f =>
-        set.get(f.name).map(_.cast(f.dataType).as(f.name))
-          .getOrElse(col(f.name))
-      }
-      val updated = matchRows(pre).select(updCols: _*)
+      val updated = postImage(matchRows(pre), Nil)
       enforceConstraints(updated, m, base)
       val kept = keepRows(pre)
       val rel =
@@ -3008,6 +3093,14 @@ object SnapshotLog {
       .sorted.toSeq
     val expire = versions.dropRight(keepLast)
     expire.foreach(v => fs.delete(new Path(dir, vName(v)), false))
+    // the change feed of an expired version goes with its manifest:
+    // feed retention is COUPLED to version retention (Delta's CDF
+    // cleanup contract), or a CDC sink committing per micro-batch
+    // grows `_cdf/` without bound even under regular expiry
+    expire.foreach { v =>
+      val d = new Path(cdfDir(bp), cdfVName(v))
+      if (fs.exists(d)) fs.delete(d, true)
+    }
     expire
   }
 
@@ -3179,6 +3272,26 @@ object SnapshotLog {
           removed += 1
         }
       }
+    // ORPHANED change-feed versions: a `_cdf/v<N>` whose manifest no
+    // longer exists (expired without the coupled cleanup, or a raced
+    // writer that published a feed for a version that never committed)
+    // and crashed `.tmp-*` staging dirs — both reclaim once aged past
+    // retention. A feed for a LIVE version is never touched: the
+    // retention window also covers the commit→publish gap (the feed
+    // lands moments after its manifest, always younger than cutoff).
+    val cdfRoot = cdfDir(bp)
+    if (fs.exists(cdfRoot)) {
+      val live = committedVersions(fs, bp).toSet
+      fs.listStatus(cdfRoot).filter(_.isDirectory).foreach { d =>
+        val n = d.getPath.getName
+        val orphan = n.startsWith(".tmp-") ||
+          (n.startsWith("v") && n.drop(1).toLongOption.exists(!live(_)))
+        if (orphan) agedFileCount(d.getPath).foreach { cnt =>
+          if (!dryRun) fs.delete(d.getPath, true)
+          removed += cnt
+        }
+      }
+    }
     removed
   }
 }

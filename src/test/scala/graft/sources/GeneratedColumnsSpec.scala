@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSessions, SparkSpec}
+
+/** GENERATED columns (`graft.generated.<col> = <expr>`, Delta's
+  * GENERATED ALWAYS AS): every write path computes the column when the
+  * batch lacks it, validates provided non-null values against the
+  * expression (all-or-nothing), and UPDATE recomputes generated
+  * columns over the post-assignment row — including a generated
+  * PARTITION column, whose recompute MOVES the row. */
+class GeneratedColumnsSpec extends SparkSpec {
+
+  private lazy val s = GraftSessions.withExtensions(spark)
+
+  private def mk(name: String): (String, Path,
+      org.apache.hadoop.fs.FileSystem, String) = {
+    import s.implicits._
+    val base = Files.createTempDirectory(s"graft_gencol_$name").toString + "/tbl"
+    val rows = (1L to 30L).map(i => (i, i * 1.0, s"d${i % 3}"))
+      .toDF("id", "value", "day")
+    SnapshotLog.upsertBatch(s, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 2, opCol = None, writeCdf = false)
+    val view = Catalog.registerSnapshotLog(s, "gencol", name, base, Some("day"))
+    s.sql(s"ALTER TABLE $view SET TBLPROPERTIES " +
+      s"('${SnapshotLog.GenColPrefix}day' = " +
+      "'CONCAT(''d'', CAST(id % 3 AS STRING))')")
+    val bp = new Path(base)
+    (base, bp, bp.getFileSystem(s.sparkContext.hadoopConfiguration), view)
+  }
+
+  test("a write lacking the generated column computes it (and partitions by it)") {
+    import s.implicits._
+    val (base, bp, fs, view) = mk("compute")
+    // Scala-API upsert without `day`
+    val batch = Seq((100L, 5.0), (101L, 6.0)).toDF("id", "value")
+    SnapshotLog.upsertBatch(s, base, batch, Seq("id"), "id", "day",
+      batchId = 2, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 2, opCol = None, writeCdf = false)
+    val after = SnapshotLog.read(s, base).get
+    assert(after.filter(col("id") === 100L).head.getString(2) == "d1")
+    assert(after.filter(col("id") === 101L).head.getString(2) == "d2")
+    // SQL INSERT with an explicit column list (day backfills via NULL
+    // then computes)
+    Catalog.registerSnapshotLog(s, "gencol", "compute", base, Some("day"))
+    s.sql(s"INSERT INTO $view (id, value) SELECT 200, 9.0")
+    assert(s.sql(s"SELECT day FROM $view WHERE id = 200").head.getString(0)
+      == "d2")
+  }
+
+  test("a provided value that differs from the expression rejects the batch") {
+    import s.implicits._
+    val (base, _, _, view) = mk("validate")
+    intercept[Exception] {
+      s.sql(s"INSERT INTO $view VALUES (300, 1.0, 'd9')")
+    }
+    // the failed insert must not have committed anything
+    assert(s.sql(s"SELECT COUNT(*) FROM $view WHERE id = 300").head.getLong(0) == 0)
+    // a CORRECT provided value passes
+    s.sql(s"INSERT INTO $view VALUES (300, 1.0, 'd0')")
+    assert(s.sql(s"SELECT day FROM $view WHERE id = 300").head.getString(0) == "d0")
+  }
+
+  test("UPDATE of a dependency recomputes the generated partition column and moves the row") {
+    val (base, bp, fs, view) = mk("move")
+    // id 5 lives in d2; SET id = 6 must recompute day -> d0 and move
+    s.sql(s"UPDATE $view SET id = 6000 WHERE id = 5")
+    val after = SnapshotLog.read(s, base).get
+    val row = after.filter(col("id") === 6000L).head
+    assert(row.getString(2) == "d0",
+      s"generated day must recompute from the NEW id, got ${row.getString(2)}")
+    // the row landed in partition d0 and left d2 (no duplicate)
+    assert(after.filter(col("id") === 5L).count() == 0)
+    val m = SnapshotLog.readManifest(fs, bp).get
+    val d0rows = SnapshotLog.readPartitions(s, base, Seq("d0")).get
+    assert(d0rows.filter(col("id") === 6000L).count() == 1)
+  }
+
+  test("CDC delete markers are exempt from generated-column validation") {
+    import s.implicits._
+    val (base, _, _, _) = mk("cdc")
+    // a D row with a garbage payload must pass validation untouched;
+    // its day value routes the delete
+    val cdc = Seq((3L, -1.0, "d0", "D"), (400L, 4.0, "d1", "U"))
+      .toDF("id", "value", "day", "op")
+    SnapshotLog.upsertBatch(s, base, cdc, Seq("id"), "id", "day",
+      batchId = 3, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 2, opCol = Some("op"), writeCdf = false)
+    val after = SnapshotLog.read(s, base).get
+    assert(after.filter(col("id") === 3L).count() == 0, "the D row deletes")
+    assert(after.filter(col("id") === 400L).head.getString(2) == "d1")
+  }
+}
