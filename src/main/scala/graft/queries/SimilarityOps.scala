@@ -659,8 +659,66 @@ object SimilarityOps {
       FROM embeddings
       """))
 
+  /** SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023): embeddings
+    * pre-partitioned into clusters (here the `label` column — the
+    * k-means assignment s5/s7 compute for unlabeled corpora), then
+    * WITHIN each cluster a vector is a semantic duplicate when a
+    * LOWER-id vector of the same cluster sits above the cosine
+    * threshold — the deterministic keep-first rule. All-pairs work is
+    * bounded by the CLUSTER, never the corpus: Σ|c|² vs N², which is
+    * the entire point of the clustering stage — at 100 TB cluster
+    * sizes are capped by the centroid count, each cluster's pairs
+    * co-locate under one shuffle key, and no cross-cluster pair is
+    * ever materialized. Same strict-fold double cosine as s6, so raw
+    * similarities hash-match the oracle bit-for-bit. */
+  val s15SemanticDedup: Q = Q(
+    "s15_semantic_dedup",
+    "SemDeDup: within-cluster cosine >= 0.30 drops all but the first",
+    (s, d) => {
+      val e = emb(s, d)
+      val dups = e.as("a")
+        .join(e.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(cosine(col("a.v"), col("b.v")) >= 0.30)
+        .select(col("b.label").as("label"), col("b.vec_id").as("vec_id"))
+        .distinct()
+      e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+        .join(dups.groupBy(col("label"))
+            .agg(count(lit(1)).as("n_dropped"),
+              sum(col("vec_id")).as("dropped_id_sum")),
+          Seq("label"), "left")
+        .select(col("label"),
+          col("n_vecs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+          coalesce(col("dropped_id_sum"), lit(0L)).as("dropped_id_sum"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      dups AS (
+        SELECT DISTINCT b.label AS label, b.vec_id AS vec_id
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))) >= 0.30),
+      agg AS (
+        SELECT label, COUNT(*) AS n_dropped,
+               CAST(SUM(vec_id) AS BIGINT) AS dropped_id_sum
+        FROM dups GROUP BY label)
+      SELECT e.label AS label, COUNT(*) AS n_vecs,
+             COALESCE(ANY_VALUE(agg.n_dropped), 0) AS n_dropped,
+             COUNT(*) - COALESCE(ANY_VALUE(agg.n_dropped), 0) AS n_kept,
+             COALESCE(ANY_VALUE(agg.dropped_id_sum), 0) AS dropped_id_sum
+      FROM e LEFT JOIN agg ON e.label = agg.label
+      GROUP BY e.label
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
-    s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch, s14SqInt8)
+    s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch, s14SqInt8,
+    s15SemanticDedup)
 }

@@ -1433,7 +1433,100 @@ object TextOps {
       FROM ranked WHERE rn = 1
       """))
 
+  /** EXACT cross-document substring deduplication (the Lee et al.
+    * "Deduplicating Training Data" ExactSubstr pass, k = 40 chars):
+    * every length-k window of every document, grouped EXACTLY by its
+    * text — a window occurring in ≥2 distinct documents is a
+    * duplicated span, its canonical owner the smallest doc_id, and
+    * every occurrence OUTSIDE the canonical doc is marked for
+    * excision. Overlapping/adjacent spans per doc merge into islands
+    * (one ordered window pass — running max-end, gaps-and-islands),
+    * and the result reports per affected doc the islands, characters
+    * removed, and final length.
+    *
+    * Scale shape: one shuffle keyed by the window text (O(total
+    * windows)), one per-doc window pass over matched spans — never
+    * all-pairs, never a driver collect. At 100 TB the same plan runs
+    * with an xxhash64 pre-bucket before the exact-text verify to cut
+    * shuffle bytes; the exact groupBy here is the semantics, the hash
+    * is an optimization that changes none. */
+  val d24SubstringDedup: Q = Q(
+    "d24_substring_dedup",
+    "exact cross-doc substring dedup: k-char windows, merged excision spans",
+    (s, d) => {
+      val k = 40
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val w = docs.filter(length(col("text")) >= k)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - lit(k - 1)))
+            .as("pos"), col("text"))
+        .select(col("doc_id"), col("pos"),
+          expr(s"substring(text, pos, $k)").as("win"))
+      val dup = w.groupBy(col("win")).agg(
+          countDistinct(col("doc_id")).as("nd"),
+          min(col("doc_id")).as("canon"))
+        .filter(col("nd") >= 2)
+        .select(col("win"), col("canon"))
+      val iv = w.join(dup, "win")
+        .filter(col("doc_id") =!= col("canon"))
+        .select(col("doc_id"), col("pos").as("s"),
+          (col("pos") + lit(k - 1)).as("e"))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      val runMax = byPos.rowsBetween(Window.unboundedPreceding, -1)
+      val isl = iv
+        .withColumn("pmax", max(col("e")).over(runMax))
+        .withColumn("new_isl",
+          when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("new_isl"))
+          .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      isl.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).as("chars_removed"))
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("n_spans"), col("chars_removed"),
+          (length(col("text")) - col("chars_removed")).cast("long")
+            .as("final_len"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, pos, substring(text, CAST(pos AS INTEGER), 40) AS win
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, CAST(length(text) - 38 AS BIGINT))) AS pos
+              FROM documents WHERE length(text) >= 40)),
+      dup AS (
+        SELECT win, MIN(doc_id) AS canon FROM w
+        GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+      iv AS (
+        SELECT w.doc_id, w.pos AS s, w.pos + 39 AS e
+        FROM w JOIN dup USING (win) WHERE w.doc_id <> dup.canon),
+      o AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+        FROM iv),
+      g AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS isl
+        FROM o),
+      m AS (SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+            FROM g GROUP BY doc_id, isl)
+      SELECT m.doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(m.e - m.s + 1) AS BIGINT) AS chars_removed,
+             CAST(ANY_VALUE(length(d.text)) - SUM(m.e - m.s + 1) AS BIGINT)
+               AS final_len
+      FROM m JOIN documents d ON m.doc_id = d.doc_id
+      GROUP BY m.doc_id
+      """))
+
   val all: Seq[Q] = Seq(
+    d24SubstringDedup,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
