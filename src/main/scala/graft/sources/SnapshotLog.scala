@@ -1186,7 +1186,13 @@ object SnapshotLog {
     // the affected partitions' file lists the staged data was merged
     // against — while the live manifest still agrees on them, the
     // staged files remain valid and a conflict retry is metadata-only
-    var mergedAgainst: Option[Map[String, Seq[String]]] = None
+    // staged output is also invalidated when the COLUMN MAPPING moved
+    // under us (a racing RENAME/DROP COLUMN): staged files were renamed
+    // logical→physical with the mapping read at staging time, and
+    // committing them under a changed mapping could resurrect a
+    // concurrently-dropped column through schema evolution
+    var mergedAgainst:
+      Option[(Map[String, Seq[String]], Map[String, String], Set[String])] = None
     var staged: Seq[(String, String, Long)] = Nil // (partition, rel file, bytes)
     var stagedStats: Map[String, Map[String, (String, String)]] = Map.empty
     // (pre, post) state of the AFFECTED partitions only — the change
@@ -1215,7 +1221,7 @@ object SnapshotLog {
         val version = math.max(m.version, currentVersion(fs, bp)) + 1
         val affectedState: Map[String, Seq[String]] =
           affected.iterator.map(p => p -> m.files.getOrElse(p, Nil)).toMap
-        if (!mergedAgainst.contains(affectedState)) {
+        if (!mergedAgainst.contains((affectedState, m.colmap, m.dropped))) {
           val baseSubset = {
             val relFiles = affected.flatMap(p => m.files.getOrElse(p, Nil)).toSeq
             if (relFiles.isEmpty)
@@ -1279,7 +1285,7 @@ object SnapshotLog {
               .select(targetFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
             cdfPair = Some((baseSubset, post))
           }
-          mergedAgainst = Some(affectedState)
+          mergedAgainst = Some((affectedState, m.colmap, m.dropped))
         }
         val replaced = affected.flatMap(p => m.files.getOrElse(p, Nil))
         val next = Manifest(
@@ -1359,6 +1365,10 @@ object SnapshotLog {
     var attempt = 0
     var committedV = -1L
     var staged: Seq[(String, String, Long)] = Nil
+    // mapping under which `staged` was renamed logical→physical — a
+    // racing RENAME/DROP COLUMN invalidates it (restage; the old
+    // files become vacuum-reclaimable orphans)
+    var stagedUnder: Option[(Map[String, String], Set[String])] = None
     // the manifest the successful commit replaced — overwrite's CDF
     // needs its rows as typed deletes (read lazily AFTER commit from
     // the old files, which stay on disk until vacuum)
@@ -1383,13 +1393,14 @@ object SnapshotLog {
       }
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (attempt == 0) enforceConstraints(rows1, m, base)
-      if (staged.isEmpty) {
+      if (staged.isEmpty || !stagedUnder.contains((m.colmap, m.dropped))) {
         val rel =
           s"data/b${batchId}v$version-${java.util.UUID.randomUUID.toString.take(8)}"
         val dir = new Path(bp, rel)
         toPhysical(rows1.withColumn("__p", col(partCol).cast("string")), m)
           .write.partitionBy("__p").parquet(dir.toString)
         staged = listStaged(fs, dir, rel)
+        stagedUnder = Some((m.colmap, m.dropped))
       }
       val stagedByPart = staged.groupBy(_._1)
         .map { case (p, fls) => p -> fls.map(_._2).sorted }
