@@ -7,9 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.{
   Not, OuterReference, SubqueryExpression}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, Filter,
-  InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan,
-  MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction,
+  Assignment, CreateTable, CreateTableAsSelect, DeleteAction,
+  DeleteFromTable, Filter, InsertAction, InsertIntoStatement,
+  InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable,
+  ReplaceTableAsSelect, SubqueryAlias, UpdateAction, UpdateStarAction,
   UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -252,6 +253,29 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             locationOf(c), c.query, c.ignoreIfExists)
         case _ => plan // no/compound partitioning: unsupported, loud error
       }
+    // empty CREATE TABLE in the engine's format: commits version 1
+    // with the declared schema and NO files — the DDL-first workflow
+    // (define, then load) the CTAS path cannot express
+    case c: CreateTable
+        if c.tableSpec.provider.exists(_.equalsIgnoreCase("graft_snapshot")) =>
+      (c.name, partColOf(c.partitioning)) match {
+        case (UnresolvedIdentifier(nameParts, _), Some(pc)) =>
+          SnapshotCreateEmptyCommand(nameParts, c.tableSchema, pc,
+            c.tableSpec.location, c.ignoreIfExists)
+        case _ => plan
+      }
+    // CREATE OR REPLACE TABLE … AS SELECT: full-refresh DDL — the
+    // query result replaces contents AND schema as a NEW version in
+    // the existing history (time travel to the pre-replace table
+    // survives); on a missing table it creates
+    case r: ReplaceTableAsSelect
+        if r.tableSpec.provider.exists(_.equalsIgnoreCase("graft_snapshot")) =>
+      (r.name, partColOf(r.partitioning)) match {
+        case (UnresolvedIdentifier(nameParts, _), Some(pc)) =>
+          SnapshotReplaceCtasCommand(nameParts, pc, r.tableSpec.location,
+            r.query, r.orCreate)
+        case _ => plan
+      }
     // time travel: `FROM <view> VERSION AS OF n` / `TIMESTAMP AS OF ts`
     // anywhere in a query — the node is nested inside the SELECT, so
     // this is a tree transform, not a statement-level match. The pinned
@@ -302,16 +326,21 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def providerOf(c: CreateTableAsSelect): Option[String] =
     c.tableSpec.provider.map(_.toLowerCase)
 
-  /** The single identity-transform partition column of a CTAS, via the
-    * PUBLIC connector Transform API (the case classes are
-    * private[sql]). */
-  private def identityPartCol(c: CreateTableAsSelect): Option[String] =
-    c.partitioning match {
+  /** The single identity-transform partition column of a CREATE/CTAS
+    * partitioning clause, via the PUBLIC connector Transform API (the
+    * case classes are private[sql]). */
+  private def partColOf(
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Option[String] =
+    partitioning match {
       case Seq(t) if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         Some(t.references.head.fieldNames.head)
       case _ => None
     }
+
+  private def identityPartCol(c: CreateTableAsSelect): Option[String] =
+    partColOf(c.partitioning)
 
   private def locationOf(c: CreateTableAsSelect): Option[String] =
     c.tableSpec.location
@@ -669,6 +698,88 @@ case class SnapshotInsertCommand(
       spark, path, aligned, partCol, batchId, overwrite = overwrite)
     SnapshotDml.repin(spark, view)
     Seq(Row(if (overwrite) "INSERT_OVERWRITE" else "INSERT",
+      version, false, 0L, 0L))
+  }
+}
+
+/** `CREATE TABLE db.t (cols) USING graft_snapshot PARTITIONED BY (p)
+  * [LOCATION '…']` — an EMPTY table: version 1 holds the declared
+  * schema and no files (the commit-log equivalent of DDL-first
+  * workflows), registered for name-based SQL and the whole DML
+  * surface in the same statement. The first INSERT/COPY/upsert lands
+  * on top as version 2. */
+case class SnapshotCreateEmptyCommand(
+    nameParts: Seq[String], tblSchema: org.apache.spark.sql.types.StructType,
+    partCol: String, location: Option[String], ignoreIfExists: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = SnapshotDml.output
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (db, name) = nameParts match {
+      case Seq(n) => ("default", n)
+      case parts => (parts.init.mkString("_"), parts.last)
+    }
+    val path = location.getOrElse(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.$name")
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = SnapshotLog.readManifest(fs, bp)
+    if (existing.isDefined) {
+      if (ignoreIfExists) {
+        Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
+        return Seq(Row("CREATE_EXISTS", existing.get.version, true, 0L, 0L))
+      }
+      sys.error(s"snapshot table already exists at $path " +
+        "(use CREATE TABLE IF NOT EXISTS to no-op)")
+    }
+    require(tblSchema.fieldNames.exists(_.equalsIgnoreCase(partCol)),
+      s"partition column $partCol is not among the declared columns")
+    if (!SnapshotLog.tryCommit(fs, bp, SnapshotLog.Manifest(
+        1L, Map.empty, schemaJson = Some(tblSchema.json), op = Some("CREATE"))))
+      sys.error(s"snapshot table at $path already has a version claim")
+    Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
+    Seq(Row("CREATE", 1L, true, 0L, 0L))
+  }
+}
+
+/** `CREATE OR REPLACE TABLE db.t USING graft_snapshot PARTITIONED BY
+  * (p) [LOCATION '…'] AS SELECT …` — full-refresh DDL: on an existing
+  * table the query result replaces CONTENTS AND SCHEMA as a new
+  * version in the same history (the pre-replace table still
+  * time-travels; properties, constraints, txn watermarks, and column
+  * mapping carry — constraints are re-enforced against the new rows,
+  * failing loudly if the replacement violates them); on a missing
+  * table it creates version 1, exactly the CTAS path. */
+case class SnapshotReplaceCtasCommand(
+    nameParts: Seq[String], partCol: String, location: Option[String],
+    query: LogicalPlan, orCreate: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = SnapshotDml.output
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (db, name) = nameParts match {
+      case Seq(n) => ("default", n)
+      case parts => (parts.init.mkString("_"), parts.last)
+    }
+    val path = location.getOrElse(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$db.$name")
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = SnapshotLog.readManifest(fs, bp).isDefined
+    if (!exists && !orCreate)
+      sys.error(s"REPLACE TABLE: no snapshot table at $path " +
+        "(use CREATE OR REPLACE to create)")
+    val df = org.apache.spark.sql.GraftSqlShim.ofRows(spark, query)
+    require(df.columns.exists(_.equalsIgnoreCase(partCol)),
+      s"partition column $partCol is not in the query output")
+    if (df.filter(col(partCol).isNull).limit(1).count() > 0)
+      sys.error(s"REPLACE would write NULL into partition column $partCol")
+    val batchId =
+      SnapshotLog.readManifest(fs, bp).map(_.version + 1).getOrElse(1L)
+    val version = SnapshotLog.appendBatch(
+      spark, path, df, partCol, batchId, overwrite = true)
+    Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
+    Seq(Row(if (exists) "REPLACE" else "CREATE_OR_REPLACE",
       version, false, 0L, 0L))
   }
 }

@@ -3901,6 +3901,71 @@ object Relational2 {
       FROM d1 GROUP BY 1
       """))
 
+  /** DDL-first lifecycle — empty `CREATE TABLE` (version 1 = schema,
+    * zero files), INSERT into the empty table, then
+    * `CREATE OR REPLACE TABLE … AS` swapping contents AND schema as a
+    * new version of the SAME history (the pre-replace state still
+    * time-travels, asserted in-engine). Oracle: the replacement
+    * query's result recomputed relationally. */
+  val q102CreateReplace: Q = Q(
+    "q102_create_replace",
+    "empty CREATE TABLE + INSERT + CREATE OR REPLACE AS full refresh",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_ddl102").toString + "/tbl"
+      s.sql(s"""
+        CREATE TABLE q102.orders (o_orderkey BIGINT, o_totalprice DOUBLE,
+                                  o_year STRING)
+        USING graft_snapshot PARTITIONED BY (o_year) LOCATION '$base'
+      """)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(SnapshotLog.readManifest(fs, bp).exists(m =>
+        m.version == 1L && m.files.isEmpty),
+        "empty CREATE TABLE must commit v1 with no files")
+
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).cast(StringType).as("o_year"))
+        .filter(col("o_orderkey") % 2 === 0)
+        .createOrReplaceTempView("q102_half")
+      s.sql("INSERT INTO q102_orders SELECT * FROM q102_half")
+      val vLoaded = SnapshotLog.readManifest(fs, bp).get.version
+
+      // full-refresh replace: different filter AND a new column
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"),
+          year(col("o_orderdate")).cast(StringType).as("o_year"))
+        .filter(col("o_orderkey") % 3 === 0)
+        .createOrReplaceTempView("q102_third")
+      s.sql(s"""
+        CREATE OR REPLACE TABLE q102.orders USING graft_snapshot
+        PARTITIONED BY (o_year) LOCATION '$base'
+        AS SELECT * FROM q102_third
+      """)
+      require(SnapshotLog.readVersion(s, base, vLoaded).get
+        .columns.length == 3,
+        "the pre-replace snapshot must still time-travel with its schema")
+
+      s.sql(s"""
+        SELECT o_year, o_orderstatus, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM q102_orders
+        GROUP BY o_year, o_orderstatus
+      """)
+    },
+    Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year,
+             o_orderstatus, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderkey % 3 = 0
+      GROUP BY 1, 2
+      """))
+
   val all: Seq[Q] = Seq(
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
@@ -3918,5 +3983,5 @@ object Relational2 {
     q88ShardedManifest, q89SqlMaintenance, q90TableChangesSql,
     q91ShowPartitions, q92CheckConstraints, q93ShallowClone, q94StreamSink,
     q95CopyInto, q96CdfByProperty, q97SubqueryDml, q98ColumnMapping,
-    q99AutoMerge, q100TruncateReload, q101GeneratedCols)
+    q99AutoMerge, q100TruncateReload, q101GeneratedCols, q102CreateReplace)
 }
