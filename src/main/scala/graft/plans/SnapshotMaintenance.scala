@@ -47,6 +47,7 @@ import graft.sources.{Catalog, SnapshotLog}
   *   TRUNCATE TABLE <view>
   *   DROP TABLE [IF EXISTS] <view> [PURGE]
   *   SHOW CREATE TABLE <view>
+  *   EXPIRE VERSIONS ON <view> KEEP LAST <n>
   *   ALTER TABLE <view> SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER TABLE <view> UNSET TBLPROPERTIES ('k' [, ...])
   *   SHOW TBLPROPERTIES <view>
@@ -82,6 +83,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val AddColumns =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
+  private val ExpireVersions =
+    """(?is)\s*EXPIRE\s+VERSIONS\s+ON\s+([A-Za-z_]\w*)\s+KEEP\s+LAST\s+(\d+)\s*;?\s*""".r
   private val ShowCreate =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val Truncate =
@@ -138,6 +141,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotDropColumnCommand(view, name)
     case ShowCreate(view) if isTarget(view) =>
       SnapshotShowCreateCommand(view)
+    case ExpireVersions(view, keep) if isTarget(view) =>
+      SnapshotExpireVersionsCommand(view, keep.toInt)
     case Truncate(view) if isTarget(view) =>
       SnapshotTruncateCommand(view)
     case DropTable(view, purge) if isTarget(view) =>
@@ -453,6 +458,26 @@ case class SnapshotAddColumnsCommand(view: String, newCols: StructType)
     }
     throw new IllegalStateException(
       s"ADD COLUMNS lost 5 commit races on $view")
+  }
+}
+
+/** `EXPIRE VERSIONS ON view KEEP LAST n` — the SQL surface for
+  * [[graft.sources.SnapshotLog.expireVersions]]: manifests (and their
+  * coupled change-feed dirs) of all but the newest n versions are
+  * deleted, severing the references that pin replaced data files so a
+  * following VACUUM can reclaim them. Time travel to expired versions
+  * is gone by design; the retained versions are byte-identical. */
+case class SnapshotExpireVersionsCommand(view: String, keepLast: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("n_expired", LongType, nullable = false)(),
+    AttributeReference("newest_expired", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val expired = SnapshotLog.expireVersions(spark, path, keepLast)
+    Seq(Row("EXPIRE VERSIONS", expired.size.toLong,
+      expired.lastOption.getOrElse(-1L)))
   }
 }
 
