@@ -37,6 +37,7 @@ import graft.sources.{Catalog, SnapshotLog}
   *   DESCRIBE DETAIL <view>
   *   SHOW PARTITIONS <view>
   *   ANALYZE [TABLE] <view> COMPUTE STATISTICS FOR COLUMNS <cols>
+  *   ANALYZE [TABLE] <view> COMPUTE STATISTICS FOR ALL COLUMNS
   *   CREATE BLOOMFILTER INDEX ON <view> (<cols>)
   *   CREATE TABLE <db>.<name> SHALLOW CLONE <view> LOCATION '<path>'
   *   ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)
@@ -69,6 +70,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w`,\s]+?)\s*;?\s*""".r
+  private val AnalyzeAll =
+    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS\s+FOR\s+ALL\s+COLUMNS\s*;?\s*""".r
   private val BloomIndex =
     """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+([A-Za-z_]\w*)\s*\(([\w`,\s]+?)\)\s*;?\s*""".r
   private val ShallowClone =
@@ -123,6 +126,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotHistoryCommand(view)
     case ShallowClone(db, name, srcView, location) if isTarget(srcView) =>
       SnapshotCloneCommand(db, name, srcView, location)
+    case AnalyzeAll(view) if isTarget(view) =>
+      SnapshotAnalyzeCommand(view, Nil) // Nil = every bounds-capable column
     case Analyze(view, cols) if isTarget(view) =>
       SnapshotAnalyzeCommand(view, splitCols(cols))
     case BloomIndex(view, cols) if isTarget(view) =>
@@ -329,7 +334,26 @@ case class SnapshotAnalyzeCommand(view: String, cols: Seq[String])
     AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (path, _) = SnapshotMaintenance.target(view)
-    val v = SnapshotLog.computeStats(spark, path, cols)
+    // FOR ALL COLUMNS (cols empty): every bounds-capable column of the
+    // live schema — atomic orderable types whose min/max canonical
+    // strings the pruning layer understands; arrays/binary/structs
+    // have no usable bounds and are skipped
+    val effective =
+      if (cols.nonEmpty) cols
+      else {
+        import org.apache.spark.sql.types._
+        val bp = new org.apache.hadoop.fs.Path(path)
+        val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        SnapshotLog.readManifest(fs, bp)
+          .flatMap(_.schema).map(_.fields.toSeq).getOrElse(Nil)
+          .filter(_.dataType match {
+            case _: NumericType | StringType | DateType | TimestampType => true
+            case _ => false
+          }).map(_.name)
+      }
+    require(effective.nonEmpty,
+      s"$view has no bounds-capable columns to analyze")
+    val v = SnapshotLog.computeStats(spark, path, effective)
     SnapshotDml.repin(spark, view)
     Seq(Row("ANALYZE", v))
   }

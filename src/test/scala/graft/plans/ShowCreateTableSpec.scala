@@ -36,4 +36,22 @@ class ShowCreateTableSpec extends SparkSpec {
     // SHOW CREATE TABLE on an unregistered name keeps Spark's meaning
     intercept[Exception](s.sql("SHOW CREATE TABLE not_a_snapshot"))
   }
+
+  test("ANALYZE FOR ALL COLUMNS records bounds for every bounds-capable column") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_analyzeall").toString + "/tbl"
+    val rows = (1L to 50L).map(i => (i, i * 2.0, s"s$i", s"d${i % 2}"))
+      .toDF("id", "value", "tag", "day")
+    SnapshotLog.upsertBatch(s, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 2, opCol = None, writeCdf = false)
+    val view = Catalog.registerSnapshotLog(s, "showc", "t2", base, Some("day"))
+    s.sql(s"ANALYZE $view COMPUTE STATISTICS FOR ALL COLUMNS")
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val m = SnapshotLog.readManifest(fs, bp).get
+    val statKeys = m.stats.values.flatMap(_.keys).toSet
+    Seq("id", "value", "tag", "day").foreach(c =>
+      assert(statKeys.contains(c), s"ALL COLUMNS must cover $c"))
+  }
 }
