@@ -217,6 +217,14 @@ object SnapshotLog {
     * metadata, so the definition rides RESTORE/CLONE like constraints. */
   val GenColPrefix = "graft.generated."
 
+  /** Table property giving OPTIMIZE a per-file byte target: a
+    * rewritten partition splits into ~ceil(bytes/target) files instead
+    * of ONE. Folding a huge partition into a single file would
+    * serialize its every future scan through one reader — at 100 TB
+    * the target is what keeps compaction from destroying scan
+    * parallelism. Absent/invalid = the historical one-file fold. */
+  val OptimizeTargetProp = "graft.optimize.targetFileSize"
+
   /** The table property that lets writes WIDEN the schema with columns
     * the statement carries beyond the table (Delta's
     * `delta.schema.autoMerge`): `INSERT INTO … BY NAME` and MERGE
@@ -2087,7 +2095,9 @@ object SnapshotLog {
 
   /** Whole-table OPTIMIZE in ONE transaction: every partition that is
     * fragmented (≥ `minFiles` files) or carries a deletion vector is
-    * rewritten — DVs materialized, one file per partition — and the
+    * rewritten — DVs materialized, one file per partition (or
+    * ~ceil(bytes/[[OptimizeTargetProp]]) files when the byte-target
+    * property is set) — and the
     * whole maintenance pass commits as a SINGLE version.
     * [[compactPartition]] commits per partition, which on a
     * 10⁴-partition table would churn 10⁴ versions (and 10⁴ conflict
@@ -2121,12 +2131,48 @@ object SnapshotLog {
         s"data/o$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
       val dir = new Path(bp, rel)
       val oldFiles = need.flatMap(p => m.files.getOrElse(p, Nil))
-      // one job: read the fragmented partitions through their DVs,
-      // route each partition's rows to a single writer task
+      // one job: read the fragmented partitions through their DVs.
+      // Without a byte target each partition folds to ONE file (hash
+      // distribution routes its rows to one task); with
+      // [[OptimizeTargetProp]] set, a deterministic content-hash salt
+      // splits each partition into ~ceil(bytes/target) output files —
+      // best-effort (salt groups sharing a task merge), bounded by
+      // [1, n]. Partition byte totals come from the manifest's
+      // `__bytes` rollups — pure metadata, no extra scan; a partition
+      // with any size-less legacy file falls back to the single fold.
+      val targetBytes = m.props.get(OptimizeTargetProp)
+        .flatMap(_.trim.toLongOption).filter(_ > 0)
+      val saltsOf: Map[String, Int] = targetBytes match {
+        case None => Map.empty
+        case Some(t) => need.map { p =>
+          val sizes = m.files(p).flatMap(f =>
+            m.stats.get(f).flatMap(_.get(ByteSizeKey))
+              .flatMap(_._1.toLongOption))
+          p -> (if (sizes.size != m.files(p).size) 1
+                else math.max(1, math.ceil(sizes.sum.toDouble / t).toInt))
+        }.toMap
+      }
       val df = alignToSchema(readFiles(spark, bp, m, oldFiles), m)
-      toPhysical(df.withColumn("__p", col(partCol).cast("string")), m)
-        .repartition(col("__p"))
-        .write.partitionBy("__p").parquet(dir.toString)
+      val flat = toPhysical(
+        df.withColumn("__p", col(partCol).cast("string")), m)
+      val routed =
+        if (saltsOf.values.forall(_ <= 1)) flat.repartition(col("__p"))
+        else {
+          val dataCols = flat.columns.filter(_ != "__p").toSeq
+          // one task per intended output file: an EXPLICIT task count
+          // (AQE would coalesce a tiny exchange back into one task and
+          // undo the split) sized to the file budget, range-routed so
+          // distinct (partition, salt) groups land in distinct tasks
+          val nTasks = math.max(saltsOf.values.map(_.toLong).sum, 1L)
+            .min(100000L).toInt
+          flat.withColumn("__salt",
+              pmod(xxhash64(struct(dataCols.map(col): _*)),
+                coalesce(element_at(typedLit(saltsOf), col("__p")), lit(1))
+                  .cast("long")))
+            .repartitionByRange(nTasks, col("__p"), col("__salt"))
+            .drop("__salt")
+        }
+      routed.write.partitionBy("__p").parquet(dir.toString)
       val staged = listStaged(fs, dir, rel)
       val stagedStats =
         if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
