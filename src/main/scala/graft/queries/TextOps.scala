@@ -1444,30 +1444,63 @@ object TextOps {
     * and the result reports per affected doc the islands, characters
     * removed, and final length.
     *
-    * Scale shape: one shuffle keyed by the window text (O(total
-    * windows)), one per-doc window pass over matched spans — never
-    * all-pairs, never a driver collect. At 100 TB the same plan runs
-    * with an xxhash64 pre-bucket before the exact-text verify to cut
-    * shuffle bytes; the exact groupBy here is the semantics, the hash
-    * is an optimization that changes none. */
+    * Scale shape (hash pre-bucket): the corpus-sized exchanges carry
+    * `xxhash64(win)` — 8 bytes per window — never the raw k-char text
+    * (k=40 chars ≈ 40× corpus bytes saved through the widest shuffle).
+    * Phase 1 groups (hash, doc_id) to find CANDIDATE buckets
+    * (distinct-doc count ≥ 2 on the hash — a superset of true
+    * duplicates, since two different texts can collide). Phase 2
+    * semi-joins the windows to the candidate hashes (still 8-byte
+    * keys), rejoins by doc_id to recompute the window text from the
+    * document payload (1× corpus bytes, an exchange the final
+    * `final_len` join pays anyway), and runs the EXACT groupBy(win)
+    * verification on only the surviving windows. A true duplicate
+    * window always lands in a candidate bucket, and the exact-text
+    * regroup discards every collision — results are bit-identical to
+    * the naive raw-text groupBy. One per-doc window pass over matched
+    * spans merges islands — never all-pairs, never a driver collect. */
+  /** The corpus-scale relation d24 shuffles: one row per k-char window,
+    * `(doc_id, pos, h = xxhash64(window_text))`. The window text is
+    * computed and hashed in the same map-side Project — no string column
+    * survives to any exchange built over this relation (asserted by
+    * PlanPropertiesSpec). */
+  def substrWindowHashes(docs: DataFrame, k: Int): DataFrame =
+    docs.filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - lit(k - 1)))
+          .as("pos"), col("text"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(expr(s"substring(text, pos, $k)")).as("h"))
+
   val d24SubstringDedup: Q = Q(
     "d24_substring_dedup",
     "exact cross-doc substring dedup: k-char windows, merged excision spans",
     (s, d) => {
       val k = 40
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val w = docs.filter(length(col("text")) >= k)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("text")) - lit(k - 1)))
-            .as("pos"), col("text"))
+      // (doc_id, pos, h) — the window text is hashed map-side and never
+      // survives to an exchange; only the 8-byte hash is shuffled.
+      val w0 = substrWindowHashes(docs, k)
+      // Candidate buckets: hash values seen in >= 2 distinct docs.
+      // Superset of true duplicate windows (hash collisions included).
+      val cand = w0.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"))
+      // Windows in candidate buckets, with text recomputed from the
+      // document payload (join by doc_id — 1x corpus bytes, not 40x).
+      val hits = w0.join(cand, "h")
+        .select(col("doc_id"), col("pos"))
+        .join(docs, "doc_id")
         .select(col("doc_id"), col("pos"),
           expr(s"substring(text, pos, $k)").as("win"))
-      val dup = w.groupBy(col("win")).agg(
+      // EXACT verification on the (small) candidate set only.
+      val dup = hits.groupBy(col("win")).agg(
           countDistinct(col("doc_id")).as("nd"),
           min(col("doc_id")).as("canon"))
         .filter(col("nd") >= 2)
         .select(col("win"), col("canon"))
-      val iv = w.join(dup, "win")
+      val iv = hits.join(dup, "win")
         .filter(col("doc_id") =!= col("canon"))
         .select(col("doc_id"), col("pos").as("s"),
           (col("pos") + lit(k - 1)).as("e"))

@@ -173,6 +173,42 @@ class PlanPropertiesSpec extends SparkSpec {
       s"expected >= 9 broadcast joins (8 LUTs + cell probe):\n$p")
   }
 
+  test("d24: corpus-window exchanges carry the 8-byte hash, never the text") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    // The candidate-discovery aggregation over every window of every
+    // document — the widest exchange in the query. Its shuffled rows
+    // must be (hash, doc_id) only: shipping the raw 40-char window text
+    // here is the ~40x-corpus-bytes shape round 9 flagged.
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val agg = graft.queries.TextOps.substrWindowHashes(docs, 40)
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+    agg.write.mode("overwrite").format("noop").save()
+    val fin = agg.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def exchangeOutputs(p: SparkPlan): Seq[Seq[org.apache.spark.sql.catalyst.expressions.Attribute]] =
+      p.collect {
+        case s: ShuffleQueryStageExec => Seq(s.plan.output) ++ exchangeOutputs(s.plan)
+        case e: ShuffleExchangeExec   => Seq(e.output)
+      }.flatten
+    val outs = exchangeOutputs(fin)
+    assert(outs.nonEmpty, fin.toString)
+    outs.foreach { o =>
+      assert(!o.exists(_.dataType == StringType),
+        s"window exchange must not carry a string column: $o")
+    }
+    // and the registry query itself runs the hash pre-bucket
+    val p = finalPlan("d24_substring_dedup")
+    assert(p.contains("xxhash64"), "d24 must pre-bucket by xxhash64")
+  }
+
   test("d15: id assignment windows are shard-partitioned — no global sort") {
     val p = finalPlan("d15_vocab_build")
     assert(p.contains("Window"), p)
