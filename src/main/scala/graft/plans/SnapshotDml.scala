@@ -481,12 +481,20 @@ case class SnapshotMergeCommand(
     // source columns become new nullable table columns — the executor
     // computes over the WIDENED field list, existing rows read NULL,
     // and upsertBatch's evolution records the widened schema
-    val autoMerge = {
+    val m0 = {
       val bp0 = new org.apache.hadoop.fs.Path(path)
       SnapshotLog.readManifest(
         bp0.getFileSystem(spark.sparkContext.hadoopConfiguration), bp0)
-        .exists(_.autoMerge)
     }
+    val autoMerge = m0.exists(_.autoMerge)
+    // GENERATED columns recompute through MERGE unless a clause assigns
+    // them explicitly (Delta's SET * semantics): a star action carrying
+    // a stale generated value must not be rejected by upsertBatch's
+    // validation, and an explicit UPDATE of a dependency must refresh
+    // the generated value. clauseRow NULLs the slot so applyGenerated
+    // recomputes it from the post-image.
+    val genCols = m0.map(SnapshotLog.generatedCols).getOrElse(Nil)
+      .map(_._1.toLowerCase).toSet
     val tFields =
       if (!autoMerge ||
           !(matched ++ notMatched).exists(_.action.endsWith("_star"))) liveFields
@@ -503,11 +511,14 @@ case class SnapshotMergeCommand(
       // come from the source; WITH it, Delta's SET * semantics apply —
       // source-missing target columns keep their target value
       // (update) or insert NULL, handled per-field in clauseRow
-      val starOk = autoMerge || tFields.forall(f => srcHave(f.name.toLowerCase))
+      // generated columns are exempt from star completeness — they
+      // compute from the post-image, the source need not carry them
+      val starOk = autoMerge || tFields.forall(f =>
+        srcHave(f.name.toLowerCase) || genCols(f.name.toLowerCase))
       (matched ++ notMatched).filter(_.action.endsWith("_star")).foreach { _ =>
         if (!starOk) sys.error(
           s"MERGE SET */INSERT * needs every table column in the source; " +
-            s"missing: ${tFields.map(_.name).filterNot(f => srcHave(f.toLowerCase)).mkString(", ")}")
+            s"missing: ${tFields.map(_.name).filterNot(f => srcHave(f.toLowerCase) || genCols(f.toLowerCase)).mkString(", ")}")
       }
       notMatched.filter(_.action == "insert").foreach { cl =>
         val assigned = cl.assigns.map(_._1.toLowerCase).toSet
@@ -544,6 +555,12 @@ case class SnapshotMergeCommand(
         val assigns = cl.assigns.map { case (k, v) => k.toLowerCase -> v }.toMap
         val vals = tFields.map { f =>
           val v: Column = cl.action match {
+            // generated + not explicitly assigned: NULL the slot so
+            // applyGenerated recomputes over the post-image (stale
+            // source/target values neither land nor reject)
+            case "update_star" | "insert_star" | "update"
+                if genCols(f.name.toLowerCase) &&
+                  !assigns.contains(f.name.toLowerCase) => lit(null)
             case "update_star" if !srcHave(f.name.toLowerCase) =>
               col(s"__t_${f.name}")
             case "insert_star" if !srcHave(f.name.toLowerCase) => lit(null)
@@ -683,13 +700,10 @@ case class SnapshotInsertCommand(
           srcCol(i).cast(f.dataType).as(f.name)
         }: _*)
       }
-    // a GENERATED partition column fills in inside appendBatch — a
-    // NULL here is the "compute me" signal, not an error
-    val partGenerated =
-      m0.exists(_.props.contains(SnapshotLog.GenColPrefix + partCol))
-    if (!partGenerated &&
-        aligned.filter(col(partCol).isNull).limit(1).count() > 0)
-      sys.error(s"INSERT would write NULL into partition column $partCol")
+    // NULL partition values (after any GENERATED compute) reject
+    // inside appendBatch against the staged data — one execution of
+    // the query, no driver-side pre-check count (which would run the
+    // source twice and miss a non-deterministic source's NULLs)
     val bp = new org.apache.hadoop.fs.Path(path)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchId =
@@ -770,10 +784,16 @@ case class SnapshotReplaceCtasCommand(
       sys.error(s"REPLACE TABLE: no snapshot table at $path " +
         "(use CREATE OR REPLACE to create)")
     val df = org.apache.spark.sql.GraftSqlShim.ofRows(spark, query)
-    require(df.columns.exists(_.equalsIgnoreCase(partCol)),
+    // a GENERATED partition column computes inside appendBatch — the
+    // query need not carry it (same exemption as INSERT); NULL
+    // partition values are rejected by appendBatch's staged-data gate
+    // in the same single execution of the query (a pre-check count
+    // here would run the source twice, and a non-deterministic source
+    // could pass it yet still write NULLs)
+    val partGenerated = SnapshotLog.readManifest(fs, bp)
+      .exists(_.props.contains(SnapshotLog.GenColPrefix + partCol))
+    require(partGenerated || df.columns.exists(_.equalsIgnoreCase(partCol)),
       s"partition column $partCol is not in the query output")
-    if (df.filter(col(partCol).isNull).limit(1).count() > 0)
-      sys.error(s"REPLACE would write NULL into partition column $partCol")
     val batchId =
       SnapshotLog.readManifest(fs, bp).map(_.version + 1).getOrElse(1L)
     val version = SnapshotLog.appendBatch(
@@ -817,8 +837,8 @@ case class SnapshotCtasCommand(
     val df = org.apache.spark.sql.GraftSqlShim.ofRows(spark, query)
     require(df.columns.exists(_.equalsIgnoreCase(partCol)),
       s"CTAS partition column $partCol is not in the query output")
-    if (df.filter(col(partCol).isNull).limit(1).count() > 0)
-      sys.error(s"CTAS would write NULL into partition column $partCol")
+    // NULL partition values reject inside appendBatch against the
+    // staged data — one execution of the query, no pre-check count
     val version = SnapshotLog.appendBatch(spark, path, df, partCol, batchId = 1L)
     Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
     Seq(Row("CTAS", version, false, 0L, 0L))

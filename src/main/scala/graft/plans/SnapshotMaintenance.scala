@@ -96,8 +96,11 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)(\s+PURGE)?\s*;?\s*""".r
   private val RenameColumn =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+`?([A-Za-z_]\w*)`?\s+TO\s+`?([A-Za-z_]\w*)`?\s*;?\s*""".r
+  // parens anchored as a MATCHED pair (an unbalanced `(c` or `c)` falls
+  // through to the delegate instead of silently parsing); the paren
+  // form accepts a multi-column list
   private val DropColumn =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+COLUMNS?\s*\(?\s*`?([A-Za-z_]\w*)`?\s*\)?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+COLUMNS?(?:\s*\(\s*([^()]+?)\s*\)|\s+`?([A-Za-z_]\w*)`?)\s*;?\s*""".r
   private val SetProps =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val UnsetProps =
@@ -142,8 +145,9 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotAddColumnsCommand(view, delegate.parseTableSchema(colsDdl))
     case RenameColumn(view, from, to) if isTarget(view) =>
       SnapshotRenameColumnCommand(view, from, to)
-    case DropColumn(view, name) if isTarget(view) =>
-      SnapshotDropColumnCommand(view, name)
+    case DropColumn(view, list, bare) if isTarget(view) =>
+      SnapshotDropColumnCommand(view,
+        Option(list).map(splitCols).getOrElse(Seq(bare)))
     case ShowCreate(view) if isTarget(view) =>
       SnapshotShowCreateCommand(view)
     case ExpireVersions(view, keep) if isTarget(view) =>
@@ -157,9 +161,11 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
         PropPair.findAllMatchIn(pairs)
           .map(m => unq(m.group(1)) -> unq(m.group(2))).toMap)
     case UnsetProps(view, keys) if isTarget(view) =>
+      // same ''-escape awareness as SET's PropPair: a key SET with an
+      // embedded quote must be UNSET-able through the same SQL surface
       SnapshotUnsetPropertiesCommand(view,
-        """'((?:[^'\\]|\\.)*)'""".r.findAllMatchIn(keys)
-          .map(_.group(1)).toSeq)
+        """'((?:[^'\\]|\\.|'')*)'""".r.findAllMatchIn(keys)
+          .map(m => unq(m.group(1))).toSeq)
     case ShowProps(view) if isTarget(view) =>
       SnapshotShowPropertiesCommand(view)
     case ShowParts(view) if isTarget(view) =>
@@ -599,22 +605,27 @@ case class SnapshotRenameColumnCommand(view: String, from: String, to: String)
   }
 }
 
-/** `ALTER TABLE view DROP COLUMN c` — metadata-only drop: the logical
-  * schema loses the field, its physical slot is tombstoned so a later
-  * re-ADD of the name can never resurrect the old bytes, and the next
-  * rewrite materializes the removal
-  * ([[graft.sources.SnapshotLog.dropColumn]]). */
-case class SnapshotDropColumnCommand(view: String, name: String)
+/** `ALTER TABLE view DROP COLUMN c` / `DROP COLUMNS (a, b, …)` —
+  * metadata-only drop: the logical schema loses each field, its
+  * physical slot is tombstoned so a later re-ADD of the name can never
+  * resurrect the old bytes, and the next rewrite materializes the
+  * removal ([[graft.sources.SnapshotLog.dropColumn]]). A multi-column
+  * list drops left-to-right as one commit per column (each atomic;
+  * any refusal — partition column, constraint- or generated-column
+  * entanglement — stops the chain there). */
+case class SnapshotDropColumnCommand(view: String, names: Seq[String])
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("columns", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    require(names.nonEmpty, "DROP COLUMNS needs at least one column")
     val (path, partCol) = SnapshotMaintenance.target(view)
-    val v = SnapshotLog.dropColumn(spark, path, name, Some(partCol))
+    val v = names.map(n =>
+      SnapshotLog.dropColumn(spark, path, n, Some(partCol))).last
     SnapshotDml.repin(spark, view)
-    Seq(Row("DROP COLUMN", v, name))
+    Seq(Row("DROP COLUMN", v, names.mkString(", ")))
   }
 }
 

@@ -729,7 +729,7 @@ object SnapshotLog {
   /** The table's generated-column definitions, (name, expr SQL),
     * name-sorted (a generated column referencing an earlier-sorted one
     * sees its computed value). */
-  private[sources] def generatedCols(m: Manifest): Seq[(String, String)] =
+  private[graft] def generatedCols(m: Manifest): Seq[(String, String)] =
     m.props.toSeq.collect {
       case (k, v) if k.startsWith(GenColPrefix) =>
         k.stripPrefix(GenColPrefix) -> v
@@ -739,9 +739,13 @@ object SnapshotLog {
     * [[GenColPrefix]]): provided non-null values must equal the
     * expression (one aggregation pass, delete markers exempt, fail
     * all-or-nothing); missing columns and NULL slots compute. Delete
-    * markers keep their payload untouched — a CDC 'D' row's partition
-    * value routes the delete and must not be recomputed from a
-    * garbage payload. */
+    * markers keep a PROVIDED value untouched — a CDC 'D' row's
+    * partition value routes the delete and must not be recomputed from
+    * a possibly-garbage payload. When the batch lacks the column
+    * entirely, the expression computes for delete markers too: the
+    * payload is then the only routing source (NULLing the slot instead
+    * would route a generated-partition delete to the null partition,
+    * where it silently deletes nothing). */
   private[sources] def applyGenerated(
       df: DataFrame, m: Manifest, opCol: Option[String] = None): DataFrame = {
     val gens = generatedCols(m)
@@ -766,7 +770,7 @@ object SnapshotLog {
     gens.foldLeft(df) { case (acc, (c, sql)) =>
       if (acc.columns.exists(_.equalsIgnoreCase(c)))
         acc.withColumn(c, when(isDel, col(c)).otherwise(coalesce(col(c), expr(sql))))
-      else acc.withColumn(c, when(isDel, lit(null)).otherwise(expr(sql)))
+      else acc.withColumn(c, expr(sql))
     }
   }
 
@@ -1408,6 +1412,13 @@ object SnapshotLog {
         toPhysical(rows1.withColumn("__p", col(partCol).cast("string")), m)
           .write.partitionBy("__p").parquet(dir.toString)
         staged = listStaged(fs, dir, rel)
+        // NULL-partition gate on the STAGED data — one pass, no query
+        // re-execution (a driver-side pre-check would run the source
+        // twice, and a non-deterministic source could pass the check
+        // yet write NULLs). The staged dir listing is ground truth.
+        if (staged.exists(_._1 == "__HIVE_DEFAULT_PARTITION__"))
+          sys.error(s"batch writes NULL into partition column $partCol " +
+            s"(staged at $dir — unreferenced, vacuum reclaims it)")
         stagedUnder = Some((m.colmap, m.dropped))
       }
       val stagedByPart = staged.groupBy(_._1)
@@ -1788,6 +1799,9 @@ object SnapshotLog {
         s"cannot rename partition column ${field.name}")
       constraintsReferencing(m, field.name).foreach(n => sys.error(
         s"constraint $n references ${field.name}; drop it first"))
+      generatedEntangled(m, field.name).foreach(g => sys.error(
+        s"GENERATED column $g (graft.generated.$g) involves " +
+          s"${field.name}; UNSET the property first"))
       val phys = m.phys(field.name)
       val evolved = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
         if (f.name == field.name) f.copy(name = to) else f))
@@ -1838,6 +1852,9 @@ object SnapshotLog {
       require(sc.fields.length > 1, "cannot drop the only column")
       constraintsReferencing(m, field.name).foreach(n => sys.error(
         s"constraint $n references ${field.name}; drop it first"))
+      generatedEntangled(m, field.name).foreach(g => sys.error(
+        s"GENERATED column $g (graft.generated.$g) involves " +
+          s"${field.name}; UNSET the property first"))
       val evolved = org.apache.spark.sql.types.StructType(
         sc.fields.filterNot(_.name == field.name))
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
@@ -1901,6 +1918,27 @@ object SnapshotLog {
     m.constraints.collectFirst {
       case (n, sql) if re.findFirstIn(sql).isDefined => n
     }
+  }
+
+  /** The GENERATED column whose definition is entangled with column
+    * `c`: `c` itself when it IS generated, or a generated column whose
+    * expression references `c` (same conservative word-boundary match
+    * as [[constraintsReferencing]]). RENAME/DROP COLUMN refuse in both
+    * cases — a `graft.generated.*` property survives the DDL verbatim,
+    * so a renamed/dropped generated column would be silently RE-ADDED
+    * under its old logical name by the next write (whose physical slot
+    * is now tainted, failing `toPhysical` and bricking every
+    * INSERT/UPSERT until the property is manually unset), and a
+    * renamed dependency would break the stored expression's
+    * resolution. Delta refuses these DDLs too. */
+  private def generatedEntangled(m: Manifest, c: String): Option[String] = {
+    val gens = generatedCols(m)
+    gens.collectFirst { case (g, _) if g.equalsIgnoreCase(c) => g }
+      .orElse {
+        val re = ("(?i)(?<![A-Za-z0-9_`])" +
+          java.util.regex.Pattern.quote(c) + "(?![A-Za-z0-9_`])").r
+        gens.collectFirst { case (g, sql) if re.findFirstIn(sql).isDefined => g }
+      }
   }
 
   /** Per-file blooms over `cols` for the given live files — the shared
@@ -2612,6 +2650,26 @@ object SnapshotLog {
       val pre = align(readFiles(spark, bp, m, preFiles), lv.schema)
       val updated = postImage(matchRows(pre), Nil)
       enforceConstraints(updated, m, base)
+      // a GENERATED column the statement SETs explicitly skips the
+      // recompute above — but the stored value must still satisfy its
+      // expression over the post-image, or UPDATE would break the
+      // invariant every insert/upsert validates (Delta validates or
+      // refuses explicit assignment; we validate). One aggregation
+      // pass, null-strict: SET g = NULL where the expression is
+      // non-null is a violation too.
+      val gensSet = generatedCols(m).filter { case (c, _) =>
+        set.keys.exists(_.equalsIgnoreCase(c)) }
+      if (gensSet.nonEmpty) {
+        val aggs = gensSet.map { case (c, sql) =>
+          sum(when(!(col(c) <=> expr(sql)), 1L).otherwise(0L)).as(s"__g_$c") }
+        val row0 = updated.agg(aggs.head, aggs.tail: _*).head
+        gensSet.zipWithIndex.foreach { case ((c, sql), i) =>
+          val bad = if (row0.isNullAt(i)) 0L else row0.getLong(i)
+          if (bad > 0) sys.error(
+            s"UPDATE sets GENERATED column $c to a value that differs " +
+              s"from ($sql) in $bad row(s)")
+        }
+      }
       val kept = keepRows(pre)
       val rel =
         s"data/u$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"

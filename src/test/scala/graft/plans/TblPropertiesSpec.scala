@@ -56,6 +56,33 @@ class TblPropertiesSpec extends SparkSpec {
       "properties must survive maintenance")
   }
 
+  test("a property key with an embedded quote round-trips through SET and UNSET") {
+    val (base, bp, view) = mkTable("graft_props_q", "propsq")
+    // the SQL ''-escape: key o'brien, value it''s — both must survive
+    s.sql(s"ALTER TABLE $view SET TBLPROPERTIES ('o''brien' = 'it''s')")
+    assert(SnapshotLog.readManifest(fs(bp), bp).get.props
+      == Map("o'brien" -> "it's"))
+    // UNSET must accept the same escape, or the key is write-only
+    s.sql(s"ALTER TABLE $view UNSET TBLPROPERTIES ('o''brien')")
+    assert(SnapshotLog.readManifest(fs(bp), bp).get.props.isEmpty,
+      "quoted key must UNSET through the same SQL surface")
+  }
+
+  test("DROP COLUMNS multi-column list; unbalanced parens fall to the delegate") {
+    val (base, bp, view) = mkTable("graft_props_dc", "propsdc")
+    s.sql(s"ALTER TABLE $view ADD COLUMNS (extra1 STRING, extra2 INT)")
+    // one statement, two drops (sequential commits, left-to-right)
+    s.sql(s"ALTER TABLE $view DROP COLUMNS (extra1, extra2)")
+    val sc = SnapshotLog.readManifest(fs(bp), bp).get.schema.get
+    assert(!sc.fieldNames.exists(n => n == "extra1" || n == "extra2"), sc)
+    // unbalanced parens must NOT silently parse as a drop
+    intercept[Exception] {
+      s.sql(s"ALTER TABLE $view DROP COLUMN (value")
+    }
+    assert(SnapshotLog.readManifest(fs(bp), bp).get.schema.get
+      .fieldNames.contains("value"), "malformed DROP must not drop anything")
+  }
+
   test("enableChangeDataFeed property turns on CDF for every write path") {
     import s.implicits._
     val (base, bp, view) = mkTable("graft_props2", "props2")

@@ -82,6 +82,87 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(d0rows.filter(col("id") === 6000L).count() == 1)
   }
 
+  test("RENAME/DROP COLUMN refuse columns entangled with a generated definition") {
+    val (base, _, _, view) = mk("ddlguard")
+    // make `value` generated too (non-partition — the partition column
+    // has its own earlier guard): value = id * 1.0, which the fixture
+    // rows already satisfy
+    s.sql(s"ALTER TABLE $view SET TBLPROPERTIES " +
+      s"('${SnapshotLog.GenColPrefix}value' = 'CAST(id AS DOUBLE) * 1.0')")
+    // the generated column itself: a stale graft.generated.value
+    // property would re-add `value` on the next write into a tainted
+    // physical slot, bricking every subsequent INSERT/UPSERT
+    val e1 = intercept[Exception] {
+      s.sql(s"ALTER TABLE $view RENAME COLUMN value TO amount")
+    }
+    assert(e1.getMessage.contains("GENERATED"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      s.sql(s"ALTER TABLE $view DROP COLUMN value")
+    }
+    assert(e2.getMessage.contains("GENERATED"), e2.getMessage)
+    // a DEPENDENCY of an expression (id appears in both definitions):
+    // renaming it would break the stored expressions' resolution
+    val e3 = intercept[Exception] {
+      s.sql(s"ALTER TABLE $view RENAME COLUMN id TO ident")
+    }
+    assert(e3.getMessage.contains("GENERATED"), e3.getMessage)
+    // after UNSET of the properties the DDLs go through
+    s.sql(s"ALTER TABLE $view UNSET TBLPROPERTIES " +
+      s"('${SnapshotLog.GenColPrefix}value', '${SnapshotLog.GenColPrefix}day')")
+    s.sql(s"ALTER TABLE $view RENAME COLUMN value TO amount")
+    assert(s.sql(s"SELECT amount FROM $view WHERE id = 1").head.getDouble(0) == 1.0)
+    s.sql(s"ALTER TABLE $view RENAME COLUMN id TO ident")
+    assert(s.sql(s"SELECT ident FROM $view WHERE ident = 1").count() == 1)
+  }
+
+  test("a delete batch LACKING the generated partition column routes from the payload") {
+    import s.implicits._
+    val (base, _, _, _) = mk("cdcnoday")
+    // the batch has no `day` at all: the expression must compute it for
+    // the D row too (id 7 -> d1), or the delete would route to the null
+    // partition and silently remove nothing
+    val cdc = Seq((7L, 0.0, "D"), (500L, 5.0, "U")).toDF("id", "value", "op")
+    SnapshotLog.upsertBatch(s, base, cdc, Seq("id"), "id", "day",
+      batchId = 3, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 2, opCol = Some("op"), writeCdf = false)
+    val after = SnapshotLog.read(s, base).get
+    assert(after.filter(col("id") === 7L).count() == 0,
+      "the D row must delete its target (computed routing)")
+    assert(after.filter(col("id") === 500L).head.getString(2) == "d2")
+  }
+
+  test("UPDATE that SETs a generated column explicitly validates against the expression") {
+    val (base, _, _, view) = mk("updset")
+    // wrong explicit value: refuse (the stored value would break the
+    // invariant every insert validates)
+    val e = intercept[Exception] {
+      s.sql(s"UPDATE $view SET day = 'd9' WHERE id = 4")
+    }
+    assert(e.getMessage.contains("GENERATED"), e.getMessage)
+    assert(s.sql(s"SELECT day FROM $view WHERE id = 4").head.getString(0) == "d1",
+      "failed UPDATE must not commit")
+    // a correct explicit value passes
+    s.sql(s"UPDATE $view SET day = 'd1', value = 9.0 WHERE id = 4")
+    assert(s.sql(s"SELECT value FROM $view WHERE id = 4").head.getDouble(0) == 9.0)
+  }
+
+  test("MERGE star actions recompute generated columns instead of rejecting stale values") {
+    val (base, _, _, view) = mk("mergestar")
+    // source carries a STALE day for an existing key and a WRONG day
+    // for a new key — SET * / INSERT * must recompute both, not reject
+    s.sql("CREATE OR REPLACE TEMP VIEW merge_src AS " +
+      "SELECT 2 AS id, 99.0 AS value, 'dSTALE' AS day " +
+      "UNION ALL SELECT 600, 6.0, 'dWRONG'")
+    s.sql(s"""MERGE INTO $view t USING merge_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(s.sql(s"SELECT day, value FROM $view WHERE id = 2").head.getString(0)
+      == "d2", "matched star update must recompute day from the post-image")
+    assert(s.sql(s"SELECT value FROM $view WHERE id = 2").head.getDouble(0) == 99.0)
+    assert(s.sql(s"SELECT day FROM $view WHERE id = 600").head.getString(0)
+      == "d0", "insert star must recompute day")
+  }
+
   test("CDC delete markers are exempt from generated-column validation") {
     import s.implicits._
     val (base, _, _, _) = mk("cdc")
