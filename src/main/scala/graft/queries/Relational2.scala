@@ -3966,7 +3966,93 @@ object Relational2 {
       GROUP BY 1, 2
       """))
 
+  /** BUCKETED commit-log tables: `graft.bucket.count/columns`
+    * properties make every write stage Spark-bucketed files (murmur3
+    * bucket routing + `_NNNNN` file tags), and the planner-integrated
+    * read hands the spec to `HadoopFsRelation` — so this fact⋈fact
+    * join of two snapshot tables bucketed on the order key plans with
+    * ZERO shuffle exchanges (asserted in-engine below, broadcast
+    * disabled): the one join the reference must broadcast-engineer
+    * around (ref glue_jobs/etl_job.py:68-71) becomes exchange-free at
+    * any scale, the shuffle paid once at write. The oracle recomputes
+    * the same join + aggregate over the raw tables. */
+  val q103BucketedJoin: Q = Q(
+    "q103_bucketed_join",
+    "co-bucketed snapshot fact join: zero exchanges, shuffle paid at write",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root = java.nio.file.Files.createTempDirectory("graft_bkt103").toString
+      s.sql(s"""
+        CREATE TABLE q103.li (l_orderkey BIGINT, l_quantity DOUBLE,
+                              l_year STRING)
+        USING graft_snapshot PARTITIONED BY (l_year) LOCATION '$root/li'
+      """)
+      s.sql(s"""
+        CREATE TABLE q103.ord (o_orderkey BIGINT, o_totalprice DOUBLE,
+                               o_orderstatus STRING, o_year STRING)
+        USING graft_snapshot PARTITIONED BY (o_year) LOCATION '$root/ord'
+      """)
+      for (v <- Seq("q103_li", "q103_ord"))
+        s.sql(s"ALTER TABLE $v SET TBLPROPERTIES " +
+          s"('${SnapshotLog.BucketCountProp}' = '8', " +
+          s"'${SnapshotLog.BucketColsProp}' = " +
+          s"'${if (v.endsWith("li")) "l_orderkey" else "o_orderkey"}')")
+      t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_quantity").cast(DoubleType).as("l_quantity"),
+          year(col("l_shipdate")).cast(StringType).as("l_year"))
+        .createOrReplaceTempView("q103_li_src")
+      t(s, d, "orders").select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("o_totalprice"),
+          col("o_orderstatus"),
+          year(col("o_orderdate")).cast(StringType).as("o_year"))
+        .createOrReplaceTempView("q103_ord_src")
+      s.sql("INSERT INTO q103_li SELECT * FROM q103_li_src")
+      s.sql("INSERT INTO q103_ord SELECT * FROM q103_ord_src")
+
+      // in-engine plan guard: with broadcast off, the bare fact⋈fact
+      // join of the two bucketed snapshot tables plans ZERO shuffles
+      val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = s.table("q103_li")
+          .join(s.table("q103_ord"),
+            col("l_orderkey") === col("o_orderkey"))
+        val shuffles = (j.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }).collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }.size
+        require(shuffles == 0,
+          s"co-bucketed snapshot join must be exchange-free, found $shuffles")
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+      s.sql("""
+        SELECT o.o_orderstatus AS status, l.l_year, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS qty,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS price
+        FROM q103_li l JOIN q103_ord o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus, l.l_year
+      """)
+    },
+    Some("""
+      SELECT o.o_orderstatus AS status,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS VARCHAR) AS l_year,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(CAST(l.l_quantity AS DOUBLE) AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS qty,
+             CAST(CAST(SUM(CAST(CAST(o.o_totalprice AS DOUBLE) AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS price
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+      """))
+
   val all: Seq[Q] = Seq(
+    q103BucketedJoin,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

@@ -160,6 +160,15 @@ object SnapshotLog {
     /** Write-side schema widening enabled (see [[AutoMergeProp]]). */
     def autoMerge: Boolean =
       props.get(AutoMergeProp).exists(_.trim.equalsIgnoreCase("true"))
+    /** (numBuckets, LOGICAL bucket columns) when the table is bucketed
+      * (see [[BucketCountProp]]); None on any absent/invalid piece. */
+    def bucketSpec: Option[(Int, Seq[String])] = for {
+      n <- props.get(BucketCountProp).flatMap(_.trim.toIntOption)
+      if n > 0
+      cs <- props.get(BucketColsProp)
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      if cs.nonEmpty
+    } yield (n, cs)
     def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.flatMap(j =>
@@ -224,6 +233,28 @@ object SnapshotLog {
     * the target is what keeps compaction from destroying scan
     * parallelism. Absent/invalid = the historical one-file fold. */
   val OptimizeTargetProp = "graft.optimize.targetFileSize"
+
+  /** Bucketed-table properties: `graft.bucket.count = <n>` +
+    * `graft.bucket.columns = <c1[,c2…]>` (logical names) make every
+    * data-writing commit stage SPARK-BUCKETED files — rows
+    * `repartition(n, cols)`-routed so the RDD partition index IS the
+    * Spark bucket id (`HashPartitioning.partitionIdExpression`, the
+    * same murmur3+pmod Spark's own bucketed writer computes), then the
+    * staged files renamed to carry the `_NNNNN` bucket tag
+    * `FileSourceScanExec`'s bucketed scan trusts. [[SnapshotRelation]]
+    * hands the spec to `HadoopFsRelation`, so a fact⋈fact join of two
+    * snapshot tables bucketed the same way plans with ZERO exchanges —
+    * the 100 TB join path a broadcast heuristic cannot reach; the
+    * shuffle is paid once per write, amortized over every read.
+    * Settable only while the table has no data files (existing files
+    * lack bucket tags and a mixed layout would fail the bucketed
+    * scan); UNSET at any time simply returns to unbucketed planning
+    * (the tag is just part of the file name). Sort columns are
+    * deliberately NOT recorded: buckets accumulate one file per write,
+    * and Spark only elides the join sort for single-file buckets —
+    * claiming sortedness would be wrong after the second commit. */
+  val BucketCountProp = "graft.bucket.count"
+  val BucketColsProp = "graft.bucket.columns"
 
   /** The table property that lets writes WIDEN the schema with columns
     * the statement carries beyond the table (Delta's
@@ -1275,6 +1306,11 @@ object SnapshotLog {
           // layout that makes the recorded `statsCols` bounds actually
           // selective at read ([[filesForRange]]).
           val toWrite0 = merged.withColumn("__p", col(partCol).cast("string"))
+          // range clustering and bucketing both dictate the file
+          // layout — they cannot compose (a range-routed file spans
+          // buckets, breaking the bucketed scan's file↔bucket map)
+          require(clusterBy.isEmpty || m.bucketSpec.isEmpty,
+            "clusterBy/ZORDER is incompatible with a bucketed table")
           val toWrite =
             if (clusterBy.isEmpty) toWrite0
             else {
@@ -1285,7 +1321,7 @@ object SnapshotLog {
                 .sortWithinPartitions(sortCol)
                 .drop("__z")
             }
-          toPhysical(toWrite, m).write.partitionBy("__p").parquet(dir.toString)
+          stagePartitioned(toPhysical(toWrite, m), m, fs, dir)
           staged = listStaged(fs, dir, rel)
           stagedStats =
             if (statsCols.isEmpty) Map.empty
@@ -1409,8 +1445,9 @@ object SnapshotLog {
         val rel =
           s"data/b${batchId}v$version-${java.util.UUID.randomUUID.toString.take(8)}"
         val dir = new Path(bp, rel)
-        toPhysical(rows1.withColumn("__p", col(partCol).cast("string")), m)
-          .write.partitionBy("__p").parquet(dir.toString)
+        stagePartitioned(
+          toPhysical(rows1.withColumn("__p", col(partCol).cast("string")), m),
+          m, fs, dir)
         staged = listStaged(fs, dir, rel)
         // NULL-partition gate on the STAGED data — one pass, no query
         // re-execution (a driver-side pre-check would run the source
@@ -1496,6 +1533,81 @@ object SnapshotLog {
           .map(st => (value, s"$rel/${d.getPath.getName}/${st.getPath.getName}",
             st.getLen))
       }
+
+  /** Stage a `__p`-carrying, PHYSICAL-named frame under `dir`,
+    * honoring the table's bucket spec (see [[BucketCountProp]]):
+    * unbucketed tables write as-is; bucketed tables route rows with
+    * `repartition(n, bucketCols)` — whose `HashPartitioning`
+    * partition index is EXACTLY the Spark bucket id (murmur3 + pmod,
+    * the computation `BucketingUtils` expects) — and then rename the
+    * staged files so the leading task index doubles as the `_NNNNN`
+    * bucket tag `FileSourceScanExec`'s bucketed scan parses. AQE
+    * never coalesces a user-numbered repartition, so the task count
+    * (and with it the index↔bucket identity) is stable. */
+  private def stagePartitioned(
+      df: DataFrame, m: Manifest, fs: FileSystem, dir: Path): Unit =
+    m.bucketSpec match {
+      case None => df.write.partitionBy("__p").parquet(dir.toString)
+      case Some((n, cols)) =>
+        df.repartition(n, cols.map(c => col(m.phys(c))): _*)
+          .write.partitionBy("__p").parquet(dir.toString)
+        tagBucketFiles(fs, dir)
+    }
+
+  /** Flat variant for per-partition compaction on a BUCKETED table
+    * (the staged dir holds bare files): compaction re-routes by the
+    * bucket columns, folding each bucket's accumulated files back to
+    * one tagged file — never across buckets. */
+  private def stageFlatBucketed(
+      df: DataFrame, m: Manifest, fs: FileSystem, dir: Path): Unit = {
+    val (n, cols) = m.bucketSpec.getOrElse(
+      sys.error("stageFlatBucketed on an unbucketed table"))
+    df.repartition(n, cols.map(c => col(m.phys(c))): _*)
+      .write.mode("overwrite").parquet(dir.toString)
+    tagBucketFiles(fs, dir)
+  }
+
+  /** Rename every staged `part-NNNNN-…` parquet file (bare, or inside
+    * `__p=…` subdirs) to Spark's bucketed-file naming
+    * (`part-NNNNN-…_NNNNN.…`): under [[stagePartitioned]]'s routing
+    * the leading task index IS the bucket id. */
+  private val TaskFileName = """^part-(\d{5})-([^._]*)(\..*)?$""".r
+  private def tagBucketFiles(fs: FileSystem, dir: Path): Unit = {
+    def tagIn(d: Path): Unit =
+      fs.listStatus(d).toSeq.filter(f =>
+          !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          f.getPath.getName match {
+            case TaskFileName(idx, base, ext) =>
+              fs.rename(f.getPath, new Path(d,
+                s"part-$idx-${base}_$idx${Option(ext).getOrElse("")}"))
+            case _ => ()
+          }
+        }
+    tagIn(dir)
+    fs.listStatus(dir).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("__p="))
+      .foreach(d => tagIn(d.getPath))
+  }
+
+  /** Spark bucket id parsed from a staged file name (the same
+    * `_NNNNN` suffix shape Spark's `BucketingUtils` parses); None for
+    * an untagged (pre-bucketing / unbucketed) file. */
+  private val BucketTag = """.*_(\d+)(?:\..*)?$""".r
+  private[sources] def bucketIdOf(relFile: String): Option[Int] =
+    relFile.substring(relFile.lastIndexOf('/') + 1) match {
+      case BucketTag(id) => id.toIntOption
+      case _ => None
+    }
+
+  /** Is this bucketed partition already optimally laid out — every
+    * file tagged, at most one file per bucket? (Then compaction has
+    * nothing to fold: n files per partition is the bucketed
+    * steady state, not fragmentation.) */
+  private def bucketsCompact(fls: Seq[String]): Boolean = {
+    val ids = fls.map(bucketIdOf)
+    ids.forall(_.isDefined) && ids.distinct.size == ids.size
+  }
 
   /** Pseudo-column under which each file's ROW COUNT rides in the
     * stats map (as an (n, n) bound — grammar-compatible, and `:` `;`
@@ -1802,6 +1914,9 @@ object SnapshotLog {
       generatedEntangled(m, field.name).foreach(g => sys.error(
         s"GENERATED column $g (graft.generated.$g) involves " +
           s"${field.name}; UNSET the property first"))
+      require(!m.bucketSpec.exists(_._2.exists(_.equalsIgnoreCase(field.name))),
+        s"cannot rename bucket column ${field.name} " +
+          s"(UNSET $BucketColsProp first)")
       val phys = m.phys(field.name)
       val evolved = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
         if (f.name == field.name) f.copy(name = to) else f))
@@ -1855,6 +1970,9 @@ object SnapshotLog {
       generatedEntangled(m, field.name).foreach(g => sys.error(
         s"GENERATED column $g (graft.generated.$g) involves " +
           s"${field.name}; UNSET the property first"))
+      require(!m.bucketSpec.exists(_._2.exists(_.equalsIgnoreCase(field.name))),
+        s"cannot drop bucket column ${field.name} " +
+          s"(UNSET $BucketColsProp first)")
       val evolved = org.apache.spark.sql.types.StructType(
         sc.fields.filterNot(_.name == field.name))
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
@@ -2067,7 +2185,9 @@ object SnapshotLog {
       // a single file WITH a deletion vector still compacts: that is
       // how merge-on-read deletes are materialized back into a clean
       // file layout
-      if (files.isEmpty || (clusterBy.isEmpty && !hasDv && files.size <= 1))
+      if (files.isEmpty || (clusterBy.isEmpty && !hasDv &&
+          (if (m.bucketSpec.isDefined) bucketsCompact(files)
+           else files.size <= 1)))
         return 0L
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       // staging dir unique per attempt AND partition: two concurrent
@@ -2083,6 +2203,13 @@ object SnapshotLog {
       // columns' removal (their tombstoned physical names must not be
       // re-staged) and backfills added-but-never-written columns
       val df = alignToSchema(readFiles(spark, bp, m, files), m)
+      require(clusterBy.isEmpty || m.bucketSpec.isEmpty,
+        "clusterBy/ZORDER is incompatible with a bucketed table")
+      if (m.bucketSpec.isDefined)
+        // each bucket's accumulated files fold to ONE tagged file;
+        // rows never cross buckets
+        stageFlatBucketed(toPhysical(df, m), m, fs, dir)
+      else {
       val out =
         if (clusterBy.isEmpty) df.repartition(1)
         else {
@@ -2094,6 +2221,7 @@ object SnapshotLog {
             .drop("__z")
         }
       toPhysical(out, m).write.mode("overwrite").parquet(dir.toString)
+      }
       val newStatuses = fs.listStatus(dir).toSeq
         .filter(_.getPath.getName.endsWith(".parquet"))
       val newFiles = newStatuses.map(st => s"$rel/${st.getPath.getName}")
@@ -2161,7 +2289,12 @@ object SnapshotLog {
       val m = readManifest(fs, bp).getOrElse(return 0L)
       val need = m.files.keySet.toSeq.sorted.filter { p =>
         val fls = m.files(p)
-        fls.size >= math.max(minFiles, 2) || fls.exists(m.dvs.contains)
+        fls.exists(m.dvs.contains) ||
+          (if (m.bucketSpec.isDefined)
+            // bucketed steady state is one file PER BUCKET — only a
+            // bucket with >= 2 files (or an untagged file) fragments
+            !bucketsCompact(fls)
+          else fls.size >= math.max(minFiles, 2))
       }
       if (need.isEmpty) return 0L
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
@@ -2193,6 +2326,13 @@ object SnapshotLog {
       val df = alignToSchema(readFiles(spark, bp, m, oldFiles), m)
       val flat = toPhysical(
         df.withColumn("__p", col(partCol).cast("string")), m)
+      if (m.bucketSpec.isDefined) {
+        // bucketed OPTIMIZE: re-route by the bucket columns (file
+        // count per partition folds to <= numBuckets, each file one
+        // tagged bucket) — target-size salting would split across
+        // buckets and break the file<->bucket map
+        stagePartitioned(flat, m, fs, dir)
+      } else {
       val routed =
         if (saltsOf.values.forall(_ <= 1)) flat.repartition(col("__p"))
         else {
@@ -2211,6 +2351,7 @@ object SnapshotLog {
             .drop("__salt")
         }
       routed.write.partitionBy("__p").parquet(dir.toString)
+      }
       val staged = listStaged(fs, dir, rel)
       val stagedStats =
         if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
@@ -2522,8 +2663,9 @@ object SnapshotLog {
         val rel =
           s"data/d$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
         val dir = new Path(bp, rel)
-        toPhysical(keep.withColumn("__p", col(partCol).cast("string")), m)
-          .write.partitionBy("__p").parquet(dir.toString)
+        stagePartitioned(
+          toPhysical(keep.withColumn("__p", col(partCol).cast("string")), m),
+          m, fs, dir)
         val staged = listStaged(fs, dir, rel)
         val stagedStats =
           if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
@@ -2674,9 +2816,10 @@ object SnapshotLog {
       val rel =
         s"data/u$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
       val dir = new Path(bp, rel)
-      toPhysical(kept.unionByName(updated)
-        .withColumn("__p", col(partCol).cast("string")), m)
-        .write.partitionBy("__p").parquet(dir.toString)
+      stagePartitioned(
+        toPhysical(kept.unionByName(updated)
+          .withColumn("__p", col(partCol).cast("string")), m),
+        m, fs, dir)
       val staged = listStaged(fs, dir, rel)
       val stagedStats =
         if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
@@ -3092,6 +3235,17 @@ object SnapshotLog {
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(
         sys.error(s"$base has no committed version"))
+      // bucket spec can only be declared while the table has no data
+      // files: existing files lack the `_NNNNN` bucket tag, and a
+      // mixed layout would fail the bucketed scan outright. (UNSET is
+      // always safe — tags are just part of the file name.)
+      if (kvs.keySet.exists(k => k == BucketCountProp || k == BucketColsProp)
+          && m.allFiles.nonEmpty
+          && (m.props.get(BucketCountProp) != (m.props ++ kvs).get(BucketCountProp)
+            || m.props.get(BucketColsProp) != (m.props ++ kvs).get(BucketColsProp)))
+        sys.error("bucket spec must be declared while the table is " +
+          s"empty — $base already has ${m.allFiles.size} data file(s) " +
+          "without bucket tags")
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (tryCommit(fs, bp, m.copy(version = version,
           props = m.props ++ kvs, op = Some("SET_TBLPROPERTIES"))))

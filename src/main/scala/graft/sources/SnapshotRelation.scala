@@ -281,11 +281,27 @@ object SnapshotRelation {
     // renames with zero data movement.
     val index = new SnapshotFileIndex(
       spark, bp, m, partCol.map(m.phys), statuses)
+    // a bucketed table's spec (see [[SnapshotLog.BucketCountProp]])
+    // hands the scan `HashPartitioning(bucketCols, n)` output
+    // partitioning, so a join of two same-bucketed snapshot tables
+    // plans with ZERO exchanges. PHYSICAL column names — the scan
+    // speaks them; the toLogical projection above is alias-aware, so
+    // the partitioning survives the rename. Defensive: the spec is
+    // only attached when every live file carries a parseable bucket
+    // tag (the set-while-empty guard makes this invariant, but a
+    // hand-edited manifest must degrade to an unbucketed scan, not
+    // fail it).
+    val bucket = m.bucketSpec
+      .filter(_ => m.allFiles.forall(f => SnapshotLog.bucketIdOf(f).isDefined))
+      .map { case (n, cols) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          n, cols.map(m.phys), Nil)
+      }
     val rel = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
       dataSchema = SnapshotLog.physSchema(m, schema),
-      bucketSpec = None,
+      bucketSpec = bucket,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     val df0 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
