@@ -114,6 +114,10 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """'((?:[^'\\]|\\.|'')*)'\s*=\s*'((?:[^'\\]|\\.|'')*)'""".r
 
   private def unq(s: String): String = s.replace("''", "'")
+  // CONVERT TO GRAFT_SNAPSHOT '<dir>' PARTITIONED BY (col) AS db.name
+  // — in-place adoption of an existing parquet directory
+  private val ConvertTo =
+    """(?is)\s*CONVERT\s+TO\s+GRAFT_SNAPSHOT\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*`?([A-Za-z_]\w*)`?\s*\)\s+AS\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
 
@@ -172,6 +176,9 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotShowPartitionsCommand(view)
     case Detail(view) if isTarget(view) =>
       SnapshotDetailCommand(view)
+    case ConvertTo(path, partCol, db, name) =>
+      // no isTarget guard: the whole point is the table is not one yet
+      SnapshotConvertCommand(path, partCol, db, name)
     case CopyInto(view, src, format, pattern) if isTarget(view) =>
       SnapshotCopyIntoCommand(view, src, format.toLowerCase,
         Option(pattern))
@@ -626,6 +633,28 @@ case class SnapshotDropColumnCommand(view: String, names: Seq[String])
       SnapshotLog.dropColumn(spark, path, n, Some(partCol))).last
     SnapshotDml.repin(spark, view)
     Seq(Row("DROP COLUMN", v, names.mkString(", ")))
+  }
+}
+
+/** `CONVERT TO GRAFT_SNAPSHOT '<dir>' PARTITIONED BY (p) AS db.name` —
+  * in-place adoption of an existing parquet directory as version 1 of
+  * a commit log, registered for the full name-based SQL/DML surface
+  * in the same statement ([[graft.sources.SnapshotLog.convertInPlace]];
+  * the layout contract — column-carrying, per-file single-valued
+  * partition column — is documented and enforced there). Stats for
+  * the partition column come from the conversion scan itself; run
+  * `ANALYZE … COMPUTE STATISTICS` afterwards for more columns. */
+case class SnapshotConvertCommand(
+    path: String, partCol: String, db: String, name: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("table", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = SnapshotLog.convertInPlace(spark, path, partCol)
+    val view = Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
+    Seq(Row("CONVERT", v, view))
   }
 }
 

@@ -4051,8 +4051,63 @@ object Relational2 {
       GROUP BY 1, 2
       """))
 
+  /** `CONVERT TO graft_snapshot`: in-place adoption of an existing
+    * parquet directory — zero files rewritten (verified in-engine:
+    * the v1 manifest references exactly the pre-existing files), full
+    * verb surface afterwards. The fixture lake is a Hive-partitioned
+    * layout whose writer kept the partition column in file contents
+    * (the documented layout contract); after conversion a DELETE runs
+    * against the adopted files and the oracle recomputes the final
+    * state relationally from the raw table. */
+  val q104Convert: Q = Q(
+    "q104_convert_in_place",
+    "CONVERT TO graft_snapshot adopts a parquet lake; DML runs on old files",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_conv104").toString + "/lake"
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"),
+          year(col("o_orderdate")).cast(StringType).as("o_year"))
+        .withColumn("__p", col("o_year"))
+        .repartition(col("__p"))
+        .write.partitionBy("__p").parquet(base)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val pre = fs.listStatus(bp).toSeq // no manifest yet, Hive dirs only
+      s.sql(s"CONVERT TO GRAFT_SNAPSHOT '$base' " +
+        "PARTITIONED BY (o_year) AS q104.orders")
+      val m = SnapshotLog.readManifest(fs, bp).get
+      require(m.version == 1L && m.op.contains("CONVERT"),
+        "conversion must commit v1 with op CONVERT")
+      require(m.allFiles.forall(f => fs.exists(
+        new org.apache.hadoop.fs.Path(bp, f))),
+        "conversion must reference the pre-existing files in place")
+      require(SnapshotLog.countRows(m).isDefined,
+        "the conversion scan must harvest metadata row counts")
+      // DML straight onto the adopted files
+      s.sql("DELETE FROM q104_orders WHERE o_orderkey % 5 = 0")
+      s.sql("""
+        SELECT o_year, o_orderstatus, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM q104_orders
+        GROUP BY o_year, o_orderstatus
+      """)
+    },
+    Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year,
+             o_orderstatus, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderkey % 5 <> 0
+      GROUP BY 1, 2
+      """))
+
   val all: Seq[Q] = Seq(
-    q103BucketedJoin,
+    q103BucketedJoin, q104Convert,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

@@ -1710,6 +1710,102 @@ object SnapshotLog {
       }.toMap
   }
 
+  /** `CONVERT TO graft_snapshot` — IN-PLACE adoption of an existing
+    * parquet directory as version 1 of a commit log: ZERO data files
+    * rewritten or moved (Delta's CONVERT TO DELTA). The first verb a
+    * user with existing data reaches for; after it, the whole surface
+    * (DML, time travel, OPTIMIZE, constraints, CDF…) works on the old
+    * files.
+    *
+    * Layout contract, both halves verified by ONE scan:
+    *  - files must CARRY the partition column in their CONTENTS —
+    *    this engine's readers never do Hive dir-name reconstruction.
+    *    A Hive-partitioned layout whose writer dropped the column
+    *    refuses loudly with the one-time enrichment suggestion
+    *    (read via Spark's partition discovery + CTAS — a rewrite, so
+    *    deliberately NOT what this verb does silently).
+    *  - every file must be SINGLE-VALUED in the partition column: the
+    *    manifest maps partition → files and every partition-scoped
+    *    rewrite (UPDATE/DELETE/MERGE/OPTIMIZE) replaces whole file
+    *    lists — a file spanning two partitions would lose its other
+    *    partition's rows at the first rewrite. Mixed files refuse
+    *    (named in the error) rather than convert to a corruptible
+    *    table.
+    *
+    * The same verification pass harvests per-file `statsCols` bounds,
+    * row counts, and partition values; byte lengths come from the
+    * directory listing — so the converted table plans O(manifest)
+    * (synthesized FileStatus, metadata COUNT(*), stats pruning) from
+    * day one, no follow-up ANALYZE required (though `computeStats`
+    * remains the backfill for columns not named here). */
+  def convertInPlace(
+      spark: SparkSession,
+      base: String,
+      partCol: String,
+      statsCols: Seq[String] = Nil): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    require(readManifest(fs, bp).isEmpty && currentVersion(fs, bp) == 0L,
+      s"$base is already a graft_snapshot table")
+    val qBase = fs.makeQualified(bp).toUri.getPath
+    val listed = {
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      val it = fs.listFiles(bp, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name.endsWith(".parquet") && !name.startsWith("_") &&
+            !name.startsWith("."))
+          buf += ((st.getPath.toUri.getPath.stripPrefix(qBase)
+            .stripPrefix("/"), st.getLen))
+      }
+      buf.toSeq
+    }
+    require(listed.nonEmpty, s"no parquet files under $base to convert")
+    // explicit LEAF files: no Hive partition-dir inference — the scan
+    // sees exactly what a post-convert reader will see
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(listed.map(f => new Path(bp, f._1).toString): _*)
+    if (!df.columns.exists(_.equalsIgnoreCase(partCol))) sys.error(
+      s"partition column $partCol is not in the file contents of $base — " +
+        "this engine reads partition values from file CONTENTS, not " +
+        "directory names; rewrite once with the column carried " +
+        "(read with Spark partition discovery + CREATE TABLE … AS) " +
+        "and convert the rewrite")
+    val cols = (partCol +: statsCols.filterNot(_.equalsIgnoreCase(partCol)))
+    val aggs = statsAggs(cols)
+    val perFile = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+        abs.stripPrefix(qBase).stripPrefix("/") ->
+          (Option(r.getString(1)), Option(r.getString(2)),
+            decodeBounds(r, cols))
+      }.toMap
+    val mixed = perFile.collect {
+      case (f, (mn, mx, _)) if mn.isEmpty || mn != mx => f
+    }.toSeq.sorted
+    if (mixed.nonEmpty) sys.error(
+      s"cannot convert $base in place: ${mixed.size} file(s) hold a NULL " +
+        s"or more than one $partCol value (partition-scoped rewrites " +
+        s"would corrupt them) — compact per partition first. First " +
+        s"offenders: ${mixed.take(5).mkString(", ")}")
+    val byPart = perFile.toSeq
+      .map { case (f, (mn, _, _)) => mn.get -> f }
+      .groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2).sorted }
+    val sizes = listed.toMap
+    val stats = perFile.map { case (f, (_, _, bounds)) =>
+      f -> (bounds ++ sizes.get(f).map(l =>
+        ByteSizeKey -> (l.toString, l.toString)))
+    }
+    val m = Manifest(1L, byPart, stats,
+      schemaJson = Some(StructTypeNullable(df.schema)),
+      op = Some("CONVERT"))
+    if (!tryCommit(fs, bp, m)) sys.error(
+      s"CONVERT lost a commit race on $base — another writer claimed v1")
+    1L
+  }
+
   /** ANALYZE for the commit log: compute per-file bounds (+ the row
     * count that rides with them) for every LIVE file missing any of
     * `statsCols`' entries, and commit the result as a new
