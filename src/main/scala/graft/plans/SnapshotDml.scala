@@ -143,26 +143,91 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }.sql
   }
 
+  /** [[sidedSql]]'s Expression-preserving sibling, for
+    * SUBQUERY-BEARING clause conditions (whose `.sql` round-trip is
+    * not re-parseable): outer references — top level and inside each
+    * subquery plan, whether the rule fired before or after Spark's
+    * own subquery resolution — rewrite onto the merge executor's
+    * joined frame (`__t_*` / `__s_*`), while the subquery's own
+    * unqualified names stay inner. The result rides opaquely in a
+    * [[DmlCond]] until the executor splices it over the joined frame
+    * (the `__t_`-prefixed outer names cannot collide with any
+    * subquery relation's columns, so correlation is exact here —
+    * tighter than the DELETE/UPDATE caveat). */
+  private def sidedExpr(
+      e: Expression, tq: Set[String], sq: Set[String],
+      default: String): Expression = {
+    def side(qual: Option[String]): String = qual.map(_.toLowerCase) match {
+      case Some(q) if tq(q) => "__t_"
+      case Some(q) if sq(q) => "__s_"
+      case _ => default
+    }
+    def innerSide(qual: Option[String]): Option[String] =
+      qual.map(_.toLowerCase) match {
+        case Some(q) if tq(q) => Some("__t_")
+        case Some(q) if sq(q) => Some("__s_")
+        case _ => None // unqualified inside a subquery = inner name
+      }
+    e.transformUp {
+      case s: SubqueryExpression =>
+        s.withNewPlan(s.plan.transformAllExpressions {
+          case o: OuterReference =>
+            val qual = o.e match {
+              case a: AttributeReference => a.qualifier.lastOption
+              case _ => None
+            }
+            UnresolvedAttribute(
+              Seq(innerSide(qual).getOrElse(default) + o.name))
+          case u: UnresolvedAttribute =>
+            val qual =
+              if (u.nameParts.size >= 2) Some(u.nameParts(u.nameParts.size - 2))
+              else None
+            innerSide(qual) match {
+              case Some(p) => UnresolvedAttribute(Seq(p + u.nameParts.last))
+              case None => u
+            }
+        })
+      case a: AttributeReference =>
+        UnresolvedAttribute(Seq(side(a.qualifier.lastOption) + a.name))
+      case u: UnresolvedAttribute =>
+        val qual =
+          if (u.nameParts.size >= 2) Some(u.nameParts(u.nameParts.size - 2))
+          else None
+        UnresolvedAttribute(Seq(side(qual) + u.nameParts.last))
+    }
+  }
+
   /** Compile one parsed merge action into a [[MergeClause]]; None for
     * shapes the executor does not run (the statement then falls through
     * to Spark's own v2-only handling, which errors loudly rather than
-    * silently doing the wrong thing). */
+    * silently doing the wrong thing). Subquery-bearing clause
+    * CONDITIONS compile ([[sidedExpr]] + the executor's boolean-column
+    * materialization); subqueries in assignment VALUES still refuse. */
   private def clauseOf(
       a: MergeAction, tq: Set[String], sq: Set[String],
       default: String): Option[MergeClause] = {
-    def c(cond: Option[Expression]) = cond.map(sidedSql(_, tq, sq, default))
+    def c(cond: Option[Expression]): (Option[String], Option[DmlCond]) =
+      cond match {
+        case Some(e) if hasSubquery(e) =>
+          (None, Some(DmlCond(sidedExpr(e, tq, sq, default))))
+        case other => (other.map(sidedSql(_, tq, sq, default)), None)
+      }
     def asg(assignments: Seq[Assignment]): Seq[(String, String)] =
-      assignments.map { case Assignment(k, v) =>
+      assignments.map { case (Assignment(k, v)) =>
         keyName(k) -> sidedSql(v, tq, sq, default)
       }
+    def mk(cond: Option[Expression], action: String,
+        assignments: Seq[Assignment]): Option[MergeClause] = {
+      if (assignments.exists(asn => hasSubquery(asn.value))) return None
+      val (sql, sub) = c(cond)
+      Some(MergeClause(sql, action, asg(assignments), sub))
+    }
     a match {
-      case UpdateStarAction(cond) => Some(MergeClause(c(cond), "update_star", Nil))
-      case UpdateAction(cond, assigns, _) =>
-        Some(MergeClause(c(cond), "update", asg(assigns)))
-      case DeleteAction(cond) => Some(MergeClause(c(cond), "delete", Nil))
-      case InsertStarAction(cond) => Some(MergeClause(c(cond), "insert_star", Nil))
-      case InsertAction(cond, assigns) =>
-        Some(MergeClause(c(cond), "insert", asg(assigns)))
+      case UpdateStarAction(cond) => mk(cond, "update_star", Nil)
+      case UpdateAction(cond, assigns, _) => mk(cond, "update", assigns)
+      case DeleteAction(cond) => mk(cond, "delete", Nil)
+      case InsertStarAction(cond) => mk(cond, "insert_star", Nil)
+      case InsertAction(cond, assigns) => mk(cond, "insert", assigns)
       case _ => None
     }
   }
@@ -352,7 +417,8 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * `action` ∈ update_star | update | delete | insert_star | insert;
   * `assigns` is (target column → value SQL) for the assignment forms. */
 case class MergeClause(
-    cond: Option[String], action: String, assigns: Seq[(String, String)])
+    cond: Option[String], action: String, assigns: Seq[(String, String)],
+    subCond: Option[DmlCond] = None)
 
 /** A subquery-bearing DML condition, deliberately wrapped in a class
   * the planner does NOT treat as an expression: `QueryPlan.expressions`
@@ -371,8 +437,20 @@ private object SnapshotDml {
     * resolve against the frame, subquery relations resolve through
     * the catalog, and `RewritePredicateSubquery` turns the predicate
     * into the correct (null-aware where needed) semi/anti join. The
-    * `keeps` side filters on `COALESCE(NOT cond, TRUE)` — FALSE and
-    * NULL rows stay, exactly SQL DML's complement. */
+    * `keeps` side filters on `NOT(COALESCE(cond, FALSE))` — FALSE and
+    * NULL rows stay, exactly SQL DML's complement.
+    *
+    * Why NOT this way round and not `COALESCE(NOT cond, TRUE)`:
+    * RewritePredicateSubquery matches `Not(InSubquery)` EVEN under the
+    * coalesce and plans the null-aware anti form (`(x = k) OR
+    * isnull(x = k)`), under which a row whose IN evaluates to NULL —
+    * a NULL probe column, or a NULL in the value list — gets
+    * `exists = TRUE` and is dropped from the complement. Matches
+    * excludes it too (NULL ≠ TRUE), so the row would vanish from BOTH
+    * selectors: silent row LOSS in any rewrite built on the pair.
+    * With the coalesce INSIDE the negation the pattern cannot match,
+    * the IN plans as a plain ExistenceJoin, and the pair is a proven
+    * exact partition for NULL probes and NULL list values alike. */
   def planPredicate(
       spark: SparkSession,
       cond: Expression): graft.sources.SnapshotLog.PlanPredicate = {
@@ -381,7 +459,7 @@ private object SnapshotDml {
         Filter(c, df.queryExecution.analyzed))
     graft.sources.SnapshotLog.PlanPredicate(
       df => withCond(df, cond),
-      df => withCond(df, Coalesce(Seq(Not(cond), Literal(true)))))
+      df => withCond(df, Not(Coalesce(Seq(cond, Literal(false))))))
   }
 
   val output: Seq[Attribute] = Seq(
@@ -545,9 +623,42 @@ case class SnapshotMergeCommand(
         if (notMatchedBySource.nonEmpty) "full_outer"
         else if (notMatched.nonEmpty) "right_outer"
         else "inner"
-      val joined = liveT.join(srcS,
+      val joined0 = liveT.join(srcS,
         keys.map(k => col(s"__t_$k") === col(s"__s_$k")).reduce(_ && _),
         joinType)
+
+      // SUBQUERY clause conditions: Spark only admits IN/EXISTS in a
+      // Filter, never inside the when()-chain projection — so each
+      // subquery-bearing condition materializes as a BOOLEAN COLUMN
+      // first, via the same analyzed-plan Filter splice the
+      // DELETE/UPDATE paths use (PlanPredicate): TRUE rows tagged
+      // true, FALSE/NULL rows tagged false, unioned back (an exact
+      // partition under SQL semantics — RewritePredicateSubquery plans
+      // the correct semi/anti joins). Each such clause doubles the
+      // joined plan (two filters over it), so N subquery clauses cost
+      // 2^N join replays — fine for the 1–2 the syntax realistically
+      // carries, and correctness-neutral regardless.
+      def label(kind: String, cls: Seq[MergeClause]): Seq[(String, MergeClause)] =
+        cls.map(kind -> _)
+      var frame = joined0
+      val rewritten =
+        (label("m", matched) ++ label("n", notMatched) ++
+          label("b", notMatchedBySource)).zipWithIndex.map {
+          case ((kind, cl), i) =>
+            cl.subCond match {
+              case None => (kind, cl)
+              case Some(sc) =>
+                val cn = s"__graft_cc_$i"
+                val pp = SnapshotDml.planPredicate(spark, sc.e)
+                frame = pp.matches(frame).withColumn(cn, lit(true))
+                  .unionByName(pp.keeps(frame).withColumn(cn, lit(false)))
+                (kind, cl.copy(cond = Some(s"`$cn`"), subCond = None))
+            }
+        }
+      val joined = frame
+      val matchedC = rewritten.collect { case ("m", cl) => cl }
+      val notMatchedC = rewritten.collect { case ("n", cl) => cl }
+      val notMatchedBySourceC = rewritten.collect { case ("b", cl) => cl }
 
       // one struct per clause: (op, <table columns>), all branches cast
       // to the table schema so the when-chain unifies
@@ -583,9 +694,9 @@ case class SnapshotMergeCommand(
           when(expr(cl.cond.getOrElse("true")), clauseRow(cl)).otherwise(els)
         }
       val categories = Seq(
-        (tPresent && sPresent, matched),
-        (!tPresent && sPresent, notMatched),
-        (tPresent && !sPresent, notMatchedBySource)).filter(_._2.nonEmpty)
+        (tPresent && sPresent, matchedC),
+        (!tPresent && sPresent, notMatchedC),
+        (tPresent && !sPresent, notMatchedBySourceC)).filter(_._2.nonEmpty)
       val picked = categories.tail.foldLeft(
         when(categories.head._1, chain(categories.head._2))) {
         case (acc, (cond, cls)) => acc.when(cond, chain(cls))

@@ -4106,8 +4106,96 @@ object Relational2 {
       GROUP BY 1, 2
       """))
 
+  /** Subquery conditions in MERGE WHEN clauses: `WHEN MATCHED AND
+    * <IN (subquery)>` and `WHEN MATCHED AND <correlated EXISTS>`
+    * (correlated on BOTH the target and source sides) now compile —
+    * each condition materializes as a boolean column over the merge
+    * join via the same analyzed-plan Filter splice as subquery
+    * DELETE/UPDATE (q97), because Spark admits IN/EXISTS only in a
+    * Filter, never in the clause chain's projection. Clause order
+    * (first-true-wins) and the FALSE/NULL complement are preserved
+    * exactly; the oracle recomputes the post-merge state
+    * relationally. */
+  val q105MergeSubquery: Q = Q(
+    "q105_merge_subquery",
+    "MERGE with IN + correlated EXISTS clause conditions",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_msub105").toString + "/tbl"
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice").cast(DoubleType).as("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Nil, clusterBy = Nil, clusterFiles = 4,
+        opCol = None, writeCdf = false)
+      graft.sources.Catalog.registerSnapshotLog(
+        s, "q105", "orders", base, Some("o_year"))
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .unionByName(orders.filter(col("o_orderkey") % 50 === 0)
+          .select((col("o_orderkey") + 400000000L).as("o_orderkey"),
+            lit(100.0).as("o_totalprice"), col("o_year")))
+        .createOrReplaceTempView("q105_src")
+      orders.filter(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey").as("k"))
+        .createOrReplaceTempView("q105_del")
+      orders.filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") * 2).as("v"))
+        .createOrReplaceTempView("q105_flag")
+      s.sql("""
+        MERGE INTO q105_orders t USING q105_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.o_orderkey IN (SELECT k FROM q105_del)
+          THEN DELETE
+        WHEN MATCHED AND EXISTS (SELECT 1 FROM q105_flag f
+                                 WHERE f.k = t.o_orderkey
+                                   AND f.v > s.o_totalprice)
+          THEN UPDATE SET o_totalprice = s.o_totalprice + 1
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 2
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      s.sql("""
+        SELECT o_year, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM q105_orders GROUP BY o_year
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      src AS (
+        SELECT o_orderkey, o_totalprice, o_year FROM base
+        WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey + 400000000, 100.0, o_year FROM base
+        WHERE o_orderkey % 50 = 0),
+      kept AS (
+        SELECT b.o_orderkey,
+               CASE WHEN s.o_orderkey IS NULL THEN b.o_totalprice
+                    WHEN b.o_orderkey % 6 = 0 THEN s.o_totalprice + 1
+                    ELSE s.o_totalprice + 2 END AS o_totalprice,
+               b.o_year
+        FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        WHERE NOT (s.o_orderkey IS NOT NULL AND b.o_orderkey % 9 = 0)),
+      final AS (
+        SELECT * FROM kept
+        UNION ALL
+        SELECT s.o_orderkey, s.o_totalprice, s.o_year FROM src s
+        WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base))
+      SELECT o_year, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM final GROUP BY o_year
+      """))
+
   val all: Seq[Q] = Seq(
-    q103BucketedJoin, q104Convert,
+    q103BucketedJoin, q104Convert, q105MergeSubquery,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
