@@ -573,6 +573,11 @@ case class SnapshotMergeCommand(
     // recomputes it from the post-image.
     val genCols = m0.map(SnapshotLog.generatedCols).getOrElse(Nil)
       .map(_._1.toLowerCase).toSet
+    // identity columns allocate inside the write path — a star action
+    // whose source lacks them is complete (update keeps the target's
+    // id; insert's NULL slot allocates)
+    val identCols = m0.map(_.identityCols).getOrElse(Nil)
+      .map(_._1.toLowerCase).toSet
     val tFields =
       if (!autoMerge ||
           !(matched ++ notMatched).exists(_.action.endsWith("_star"))) liveFields
@@ -592,7 +597,8 @@ case class SnapshotMergeCommand(
       // generated columns are exempt from star completeness — they
       // compute from the post-image, the source need not carry them
       val starOk = autoMerge || tFields.forall(f =>
-        srcHave(f.name.toLowerCase) || genCols(f.name.toLowerCase))
+        srcHave(f.name.toLowerCase) || genCols(f.name.toLowerCase) ||
+          identCols(f.name.toLowerCase))
       (matched ++ notMatched).filter(_.action.endsWith("_star")).foreach { _ =>
         if (!starOk) sys.error(
           s"MERGE SET */INSERT * needs every table column in the source; " +
@@ -797,9 +803,16 @@ case class SnapshotInsertCommand(
         }: _*)
       } else if (byName) {
         val have = src0.columns.map(_.toLowerCase).zipWithIndex.toMap
+        // generated/identity columns compute/allocate inside the
+        // write path — BY NAME may omit them
+        val computed = m0.toSeq.flatMap(mm =>
+          SnapshotLog.generatedCols(mm).map(_._1) ++
+            mm.identityCols.map(_._1)).map(_.toLowerCase).toSet
         src.select(tFields.map { f =>
           have.get(f.name.toLowerCase) match {
             case Some(i) => srcCol(i).cast(f.dataType).as(f.name)
+            case None if computed(f.name.toLowerCase) =>
+              lit(null).cast(f.dataType).as(f.name)
             case None => sys.error(s"INSERT BY NAME lacks table column ${f.name}")
           }
         }: _*)

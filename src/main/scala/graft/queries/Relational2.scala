@@ -4194,8 +4194,57 @@ object Relational2 {
       FROM final GROUP BY o_year
       """))
 
+  /** IDENTITY columns (`graft.identity.<col> = start:step`): append
+    * paths allocate values above a manifest high-water mark committed
+    * atomically with the data — monotone across batches, contiguous
+    * within them, allocated by a sharded row_number (tiny offset
+    * collect, never a single-partition window). Which row gets which
+    * id is engine-internal, so the oracle checks the SET invariants a
+    * sequence must satisfy — count, bounds, distinctness, and the
+    * closed-form sum of 1..N — across two successive batches, plus
+    * per-partition row counts. */
+  val q106Identity: Q = Q(
+    "q106_identity",
+    "GENERATED ALWAYS AS IDENTITY: monotone contiguous allocation",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base =
+        java.nio.file.Files.createTempDirectory("graft_ident106").toString + "/tbl"
+      s.sql(s"""
+        CREATE TABLE q106.orders (id BIGINT, o_orderkey BIGINT,
+                                  o_totalprice DOUBLE, o_year STRING)
+        USING graft_snapshot PARTITIONED BY (o_year) LOCATION '$base'
+      """)
+      s.sql(s"ALTER TABLE q106_orders SET TBLPROPERTIES " +
+        s"('${SnapshotLog.IdentityPrefix}id' = '1:1')")
+      t(s, d, "orders").select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("o_totalprice"),
+          year(col("o_orderdate")).cast(StringType).as("o_year"))
+        .createOrReplaceTempView("q106_src")
+      s.sql("""INSERT INTO q106_orders (o_orderkey, o_totalprice, o_year)
+               SELECT * FROM q106_src WHERE o_orderkey % 2 = 0""")
+      s.sql("""INSERT INTO q106_orders (o_orderkey, o_totalprice, o_year)
+               SELECT * FROM q106_src WHERE o_orderkey % 2 = 1""")
+      s.sql("""
+        SELECT COUNT(*) AS n, COUNT(DISTINCT id) AS nd,
+               MIN(id) AS lo, MAX(id) AS hi,
+               CAST(SUM(id) AS DOUBLE) AS idsum,
+               COUNT(DISTINCT o_year) AS ny
+        FROM q106_orders
+      """)
+    },
+    Some("""
+      SELECT COUNT(*) AS n, COUNT(*) AS nd,
+             CAST(1 AS BIGINT) AS lo, COUNT(*) AS hi,
+             CAST(COUNT(*) AS DOUBLE) * (COUNT(*) + 1) / 2 AS idsum,
+             COUNT(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR))
+               AS ny
+      FROM orders
+      """))
+
   val all: Seq[Q] = Seq(
-    q103BucketedJoin, q104Convert, q105MergeSubquery,
+    q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

@@ -160,6 +160,23 @@ object SnapshotLog {
     /** Write-side schema widening enabled (see [[AutoMergeProp]]). */
     def autoMerge: Boolean =
       props.get(AutoMergeProp).exists(_.trim.equalsIgnoreCase("true"))
+    /** Declared IDENTITY columns: col → (start, step) (see
+      * [[IdentityPrefix]]); malformed declarations are ignored. */
+    def identityCols: Seq[(String, (Long, Long))] =
+      props.toSeq.collect {
+        case (k, v) if k.startsWith(IdentityPrefix) &&
+            !k.startsWith(IdentityHighWaterPrefix) =>
+          val spec = v.split(":", 2)
+          for {
+            start <- spec.headOption.flatMap(_.trim.toLongOption)
+            step <- spec.lift(1).flatMap(_.trim.toLongOption) if step != 0
+          } yield k.stripPrefix(IdentityPrefix) -> (start, step)
+      }.flatten.sortBy(_._1)
+    /** Last allocated value for identity column `c` (start − step when
+      * nothing was ever allocated, so the first id is `start`). */
+    def identityHighWater(c: String, start: Long, step: Long): Long =
+      props.get(IdentityHighWaterPrefix + c).flatMap(_.toLongOption)
+        .getOrElse(start - step)
     /** (numBuckets, LOGICAL bucket columns) when the table is bucketed
       * (see [[BucketCountProp]]); None on any absent/invalid piece. */
     def bucketSpec: Option[(Int, Seq[String])] = for {
@@ -255,6 +272,27 @@ object SnapshotLog {
     * claiming sortedness would be wrong after the second commit. */
   val BucketCountProp = "graft.bucket.count"
   val BucketColsProp = "graft.bucket.columns"
+
+  /** IDENTITY columns (Delta's `GENERATED ALWAYS AS IDENTITY`):
+    * `graft.identity.<col> = <start>:<step>` declares one; the
+    * allocated HIGH-WATER mark rides in the same versioned property
+    * channel as `graft.identity.highwater.<col>`, updated atomically
+    * in the SAME commit as the data it covers (the txn-watermark
+    * pattern). Append paths enforce ALWAYS — a provided non-null
+    * value rejects; absent/NULL slots allocate `hw + step, hw +
+    * 2·step, …` (contiguous within a batch, sharded assignment with a
+    * tiny offset collect — never a single-partition window). Merge
+    * paths allocate ONLY NULL slots: an update arm carries the
+    * table's own existing id and must keep it. Allocation is MONOTONE
+    * and GAP-TOLERANT across optimistic-commit races: a loser re-reads
+    * the winner's high-water and re-stages with fresh ids (the staged
+    * orphans are vacuum's); ids of a crashed attempt are simply never
+    * used. Declarable only while the table has no data files (existing
+    * rows' values are unknown to the high-water). RESTORE rolls the
+    * mark back with the props — re-allocating ids whose rows were
+    * restored away is safe and keeps the sequence dense. */
+  val IdentityPrefix = "graft.identity."
+  val IdentityHighWaterPrefix = "graft.identity.highwater."
 
   /** The table property that lets writes WIDEN the schema with columns
     * the statement carries beyond the table (Delta's
@@ -805,6 +843,80 @@ object SnapshotLog {
     }
   }
 
+  /** Ensure every declared IDENTITY column exists in the batch (added
+    * as typed NULLs when absent) — run ONCE, before the optimistic
+    * loop, so the batch schema (and with it schema evolution) is
+    * stable across retries; the per-attempt [[applyIdentity]] then
+    * only fills slots. */
+  private[sources] def withIdentitySlots(df: DataFrame, m: Manifest): DataFrame =
+    m.identityCols.foldLeft(df) { case (acc, (c, _)) =>
+      if (acc.columns.exists(_.equalsIgnoreCase(c))) acc
+      else acc.withColumn(c, lit(null).cast(
+        m.schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+          .map(_.dataType).getOrElse(org.apache.spark.sql.types.LongType)))
+    }
+
+  /** Allocate IDENTITY values for the batch against manifest `m`'s
+    * high-water marks (see [[IdentityPrefix]]). Returns the filled
+    * frame plus the high-water property updates the caller must fold
+    * into the SAME commit. `enforceAlways = true` (append paths)
+    * rejects any provided non-null value — Delta's GENERATED ALWAYS;
+    * merge paths pass false and keep provided values (an update arm
+    * carries the table's own id).
+    *
+    * Scale: one tiny counting aggregation (≤ 64 shard rows collected)
+    * sizes the allocation; the assignment itself is a row_number over
+    * data-derived shards — never a single-partition window, never a
+    * data collect. Shards are derived from the row payload (xxhash64
+    * of all columns), so the counting job and the assignment job agree
+    * on shard membership regardless of physical partitioning. */
+  private def applyIdentity(
+      df: DataFrame, m: Manifest,
+      enforceAlways: Boolean): (DataFrame, Map[String, String]) = {
+    val idents = m.identityCols.filter { case (c, _) =>
+      df.columns.exists(_.equalsIgnoreCase(c)) }
+    if (idents.isEmpty) return (df, Map.empty)
+    var acc = df
+    val hwUpd = scala.collection.mutable.Map[String, String]()
+    idents.foreach { case (c, (start, step)) =>
+      if (enforceAlways &&
+          acc.filter(col(c).isNotNull).limit(1).count() > 0)
+        sys.error(s"IDENTITY column $c is GENERATED ALWAYS — remove it " +
+          "from the insert (values are allocated by the table)")
+      val hw = m.identityHighWater(c, start, step)
+      val dt = acc.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+      val withS = acc
+        .withColumn("__idh", xxhash64(struct(acc.columns.map(col): _*)))
+        .withColumn("__idshard", pmod(col("__idh"), lit(64L)))
+      val nulls = withS.filter(col(c).isNull)
+      val counts = nulls.groupBy(col("__idshard")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val total = counts.map(_._2).sum
+      if (total > 0) {
+        var off = 0L
+        val offsets: Map[Long, Long] = counts.map { case (sh, n) =>
+          val o = off; off += n; sh -> o
+        }.toMap
+        // row_number is unique within the shard whatever the tie
+        // order — the hash ordering just has to be DETERMINISTIC for
+        // the window to analyze
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__idshard")).orderBy(col("__idh"))
+        val assigned = nulls
+          .withColumn("__idrn", row_number().over(w).cast("long"))
+          .withColumn(c,
+            (lit(hw) + lit(step) *
+              (element_at(typedLit(offsets), col("__idshard")) +
+                col("__idrn"))).cast(dt))
+          .drop("__idrn")
+        acc = withS.filter(col(c).isNotNull).unionByName(assigned)
+          .drop("__idshard", "__idh")
+        hwUpd(IdentityHighWaterPrefix + c) = (hw + step * total).toString
+      } else acc = withS.drop("__idshard", "__idh")
+    }
+    (acc, hwUpd.toMap)
+  }
+
   /** Project a (logical-named) frame onto the manifest's logical
     * schema: columns the frame lacks backfill NULL, columns OUTSIDE
     * the schema (e.g. a dropped column's physical bytes surfacing
@@ -1211,8 +1323,16 @@ object SnapshotLog {
     // generated columns compute/validate on the raw batch, BEFORE the
     // latest-wins window (orderCol may itself be generated) and before
     // the affected-partition collect (partCol may be generated)
-    val changes0g =
-      m0.map(mm => applyGenerated(changes0, mm, opCol)).getOrElse(changes0)
+    // identity on the partition column would need allocation BEFORE
+    // partition routing; the merge path routes first — refuse rather
+    // than route rows to the null partition
+    m0.foreach(mm => require(
+      !mm.identityCols.exists(_._1.equalsIgnoreCase(partCol)),
+      s"IDENTITY on partition column $partCol is not supported on the " +
+        "merge path (append paths allocate before routing)"))
+    val changes0g = m0.map(mm =>
+      withIdentitySlots(applyGenerated(changes0, mm, opCol), mm))
+      .getOrElse(changes0)
     val changes = changes0g
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -1234,8 +1354,9 @@ object SnapshotLog {
     // logical→physical with the mapping read at staging time, and
     // committing them under a changed mapping could resurrect a
     // concurrently-dropped column through schema evolution
-    var mergedAgainst:
-      Option[(Map[String, Seq[String]], Map[String, String], Set[String])] = None
+    var mergedAgainst: Option[(Map[String, Seq[String]],
+      Map[String, String], Set[String], Map[String, String])] = None
+    var stagedHwU: Map[String, String] = Map.empty
     var staged: Seq[(String, String, Long)] = Nil // (partition, rel file, bytes)
     var stagedStats: Map[String, Map[String, (String, String)]] = Map.empty
     // (pre, post) state of the AFFECTED partitions only — the change
@@ -1264,7 +1385,10 @@ object SnapshotLog {
         val version = math.max(m.version, currentVersion(fs, bp)) + 1
         val affectedState: Map[String, Seq[String]] =
           affected.iterator.map(p => p -> m.files.getOrElse(p, Nil)).toMap
-        if (!mergedAgainst.contains((affectedState, m.colmap, m.dropped))) {
+        val identSnap =
+          m.props.filter(_._1.startsWith(IdentityHighWaterPrefix))
+        if (!mergedAgainst.contains(
+            (affectedState, m.colmap, m.dropped, identSnap))) {
           val baseSubset = {
             val relFiles = affected.flatMap(p => m.files.getOrElse(p, Nil)).toSeq
             if (relFiles.isEmpty)
@@ -1281,9 +1405,16 @@ object SnapshotLog {
               }: _*)
             }
           }
+          // identity NULL slots allocate against THIS attempt's
+          // high-water, before the merge so merged rows carry ids;
+          // provided (non-null) values pass through — a merge update
+          // arm carries the table's own id
+          val (changesId, hwUpd) =
+            applyIdentity(changes, m, enforceAlways = false)
+          stagedHwU = hwUpd
           val merged = (opCol match {
-            case None => graft.operators.MergeUpsert(baseSubset, changes, keys)
-            case Some(oc) => graft.operators.MergeUpsert.cdc(baseSubset, changes, keys, oc)
+            case None => graft.operators.MergeUpsert(baseSubset, changesId, keys)
+            case Some(oc) => graft.operators.MergeUpsert.cdc(baseSubset, changesId, keys, oc)
           }).drop("merge_action")
           // staging dir unique per attempt: a concurrent writer that
           // picked the same (batchId, version) must never overwrite a
@@ -1333,7 +1464,7 @@ object SnapshotLog {
               .select(targetFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
             cdfPair = Some((baseSubset, post))
           }
-          mergedAgainst = Some((affectedState, m.colmap, m.dropped))
+          mergedAgainst = Some((affectedState, m.colmap, m.dropped, identSnap))
         }
         val replaced = affected.flatMap(p => m.files.getOrElse(p, Nil))
         val next = Manifest(
@@ -1359,7 +1490,7 @@ object SnapshotLog {
           Some(if (opCol.isDefined) "CDC" else "UPSERT"),
           m.constraints,
           m.txns ++ txn,
-          m.props, m.colmap, m.dropped)
+          m.props ++ stagedHwU, m.colmap, m.dropped)
         committed = tryCommit(fs, bp, next)
         if (committed) committedVersion = version
         attempt += 1
@@ -1405,8 +1536,12 @@ object SnapshotLog {
     val m0 = readManifest(fs, bp)
     val cdfOn = writeCdf || m0.exists(_.cdfEnabled)
     // generated columns compute/validate up front (they may BE the
-    // partition column) and widen the batch before schema evolution
-    val rows1 = m0.map(mm => applyGenerated(rows, mm)).getOrElse(rows)
+    // partition column) and widen the batch before schema evolution;
+    // identity SLOTS are added here too (stable schema across
+    // retries), but VALUES allocate inside the loop against each
+    // attempt's high-water
+    val rows1 = m0.map(mm =>
+      withIdentitySlots(applyGenerated(rows, mm), mm)).getOrElse(rows)
     val fields = rows1.schema.fields.toSeq
     require(fields.exists(_.name.equalsIgnoreCase(partCol)),
       s"append batch lacks partition column $partCol")
@@ -1415,8 +1550,13 @@ object SnapshotLog {
     var staged: Seq[(String, String, Long)] = Nil
     // mapping under which `staged` was renamed logical→physical — a
     // racing RENAME/DROP COLUMN invalidates it (restage; the old
-    // files become vacuum-reclaimable orphans)
-    var stagedUnder: Option[(Map[String, String], Set[String])] = None
+    // files become vacuum-reclaimable orphans). The IDENTITY
+    // high-water snapshot is part of the key: a racing writer that
+    // advanced it means our staged ids overlap the winner's — restage
+    // with fresh ids.
+    var stagedUnder:
+      Option[(Map[String, String], Set[String], Map[String, String])] = None
+    var stagedHw: Map[String, String] = Map.empty
     // the manifest the successful commit replaced — overwrite's CDF
     // needs its rows as typed deletes (read lazily AFTER commit from
     // the old files, which stay on disk until vacuum)
@@ -1441,12 +1581,16 @@ object SnapshotLog {
       }
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (attempt == 0) enforceConstraints(rows1, m, base)
-      if (staged.isEmpty || !stagedUnder.contains((m.colmap, m.dropped))) {
+      val identSnap = m.props.filter(_._1.startsWith(IdentityHighWaterPrefix))
+      if (staged.isEmpty ||
+          !stagedUnder.contains((m.colmap, m.dropped, identSnap))) {
         val rel =
           s"data/b${batchId}v$version-${java.util.UUID.randomUUID.toString.take(8)}"
         val dir = new Path(bp, rel)
+        val (rows2, hwUpd) = applyIdentity(rows1, m, enforceAlways = true)
+        stagedHw = hwUpd
         stagePartitioned(
-          toPhysical(rows1.withColumn("__p", col(partCol).cast("string")), m),
+          toPhysical(rows2.withColumn("__p", col(partCol).cast("string")), m),
           m, fs, dir)
         staged = listStaged(fs, dir, rel)
         // NULL-partition gate on the STAGED data — one pass, no query
@@ -1456,7 +1600,7 @@ object SnapshotLog {
         if (staged.exists(_._1 == "__HIVE_DEFAULT_PARTITION__"))
           sys.error(s"batch writes NULL into partition column $partCol " +
             s"(staged at $dir — unreferenced, vacuum reclaims it)")
-        stagedUnder = Some((m.colmap, m.dropped))
+        stagedUnder = Some((m.colmap, m.dropped, identSnap))
       }
       val stagedByPart = staged.groupBy(_._1)
         .map { case (p, fls) => p -> fls.map(_._2).sorted }
@@ -1481,7 +1625,7 @@ object SnapshotLog {
         Some(if (overwrite) "OVERWRITE" else "APPEND"),
         m.constraints,
         m.txns ++ allTxns,
-        m.props, m.colmap, m.dropped)
+        m.props ++ stagedHw, m.colmap, m.dropped)
       if (tryCommit(fs, bp, next)) { committedV = version; replacedM = Some(m) }
       attempt += 1
     }
@@ -2013,6 +2157,9 @@ object SnapshotLog {
       require(!m.bucketSpec.exists(_._2.exists(_.equalsIgnoreCase(field.name))),
         s"cannot rename bucket column ${field.name} " +
           s"(UNSET $BucketColsProp first)")
+      require(!m.identityCols.exists(_._1.equalsIgnoreCase(field.name)),
+        s"cannot rename IDENTITY column ${field.name} " +
+          s"(UNSET $IdentityPrefix${field.name} first)")
       val phys = m.phys(field.name)
       val evolved = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
         if (f.name == field.name) f.copy(name = to) else f))
@@ -2069,6 +2216,9 @@ object SnapshotLog {
       require(!m.bucketSpec.exists(_._2.exists(_.equalsIgnoreCase(field.name))),
         s"cannot drop bucket column ${field.name} " +
           s"(UNSET $BucketColsProp first)")
+      require(!m.identityCols.exists(_._1.equalsIgnoreCase(field.name)),
+        s"cannot drop IDENTITY column ${field.name} " +
+          s"(UNSET $IdentityPrefix${field.name} first)")
       val evolved = org.apache.spark.sql.types.StructType(
         sc.fields.filterNot(_.name == field.name))
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
@@ -3342,6 +3492,16 @@ object SnapshotLog {
         sys.error("bucket spec must be declared while the table is " +
           s"empty — $base already has ${m.allFiles.size} data file(s) " +
           "without bucket tags")
+      // identity likewise: existing rows' values are unknown to the
+      // high-water, so a late declaration could re-allocate ids that
+      // are already in the table
+      if (m.allFiles.nonEmpty && kvs.exists { case (k, v) =>
+            k.startsWith(IdentityPrefix) &&
+              !k.startsWith(IdentityHighWaterPrefix) &&
+              !m.props.get(k).contains(v) })
+        sys.error("IDENTITY columns must be declared while the table " +
+          s"is empty — $base already has data whose values the " +
+          "high-water mark cannot account for")
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
       if (tryCommit(fs, bp, m.copy(version = version,
           props = m.props ++ kvs, op = Some("SET_TBLPROPERTIES"))))
