@@ -86,9 +86,8 @@ object MinHashDedup {
     }
     // persisted: both sides of the bucket self-join read this — without
     // the barrier the whole shingle→hash→minhash pipeline runs twice
-    val exploded = sigs
-      .select(col("doc_id"), explode(array(bands: _*)).as("b"))
-      .persist()
+    val exploded = graft.core.Caching.cached(sigs
+      .select(col("doc_id"), explode(array(bands: _*)).as("b")))
     exploded.as("x")
       .join(exploded.as("y"),
         col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))

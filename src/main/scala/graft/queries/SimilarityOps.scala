@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Q
-import graft.core.Tables
+import graft.core.{Caching, Tables}
 import graft.functions.GraftFunctions
 
 /** Similarity search over `embeddings.embedding: array<float>`.
@@ -117,7 +117,7 @@ object SimilarityOps {
       .groupBy(col("vec_id"))
       .agg(sum(col("bit")).as("bucket"))
       // persisted: s4 probes this index twice (query bucket + corpus side)
-      .persist()
+      .transform(Caching.cached)
   }
 
   /** LSH bucket histogram — the index-build side of ANN. */
@@ -351,7 +351,7 @@ object SimilarityOps {
           explode(array(sqrt(dot(col("v"), col("v"))))).as("nrm"))
         .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
         // persisted: the query row and the corpus side both read this
-        .persist()
+        .transform(Caching.cached)
       val q = unit.filter(col("vec_id") === 0).select(col("u").as("qu"))
       unit.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
@@ -440,10 +440,10 @@ object SimilarityOps {
     "product quantization: 8x32 codebooks, ADC identity + shortlist recall",
     (s, d) => {
       import graft.operators.{IvfIndex, PqIndex}
-      val e = emb(s, d).select(col("vec_id"), col("v")).persist()
+      val e = Caching.cached(emb(s, d).select(col("vec_id"), col("v")))
       val dim = 64
       val cbs = PqIndex.codebooks(e, dim, m = 8, k = 32, iters = 2)
-      val codes = PqIndex.encode(e, dim, cbs).persist()
+      val codes = Caching.cached(PqIndex.encode(e, dim, cbs))
       // PQ identity: ADC == exact distance to the reconstruction
       val vhat = PqIndex.decode(codes, cbs)
       val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
@@ -495,11 +495,11 @@ object SimilarityOps {
     "IVF+PQ+re-rank: probe 4 cells, ADC-rank 8-byte codes, exact top-10",
     (s, d) => {
       import graft.operators.{IvfIndex, PqIndex}
-      val e = emb(s, d).select(col("vec_id"), col("v")).persist()
+      val e = Caching.cached(emb(s, d).select(col("vec_id"), col("v")))
       val cent = IvfIndex.centroids(e, k = 16, iters = 2)
       val cbs = PqIndex.codebooks(e, 64, m = 8, k = 32, iters = 2)
       val codes = PqIndex.encode(e, 64, cbs)
-      val assign = IvfIndex.assign(e, cent).persist()
+      val assign = Caching.cached(IvfIndex.assign(e, cent))
       val hits = Seq(0L, 7L, 23L).map { qid =>
         val qv = e.filter(col("vec_id") === qid).select(col("v").as("qv"))
         val nearCells = cent.crossJoin(broadcast(qv))
@@ -546,7 +546,7 @@ object SimilarityOps {
     (s, d) => {
       import graft.operators.{IvfIndex, PqIndex}
       import org.apache.spark.sql.expressions.Window
-      val e = emb(s, d).select(col("vec_id"), col("v")).persist()
+      val e = Caching.cached(emb(s, d).select(col("vec_id"), col("v")))
       val queries = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val cent = IvfIndex.centroids(e, k = 16, iters = 2)
@@ -610,10 +610,10 @@ object SimilarityOps {
     "int8 scalar quantization: 64B codes, recon identity + bound + recall",
     (s, d) => {
       import graft.operators.{IvfIndex, SqIndex}
-      val e = emb(s, d).select(col("vec_id"), col("v")).persist()
+      val e = Caching.cached(emb(s, d).select(col("vec_id"), col("v")))
       val dim = 64
       val (mins, scales) = SqIndex.params(e, dim)
-      val codes = SqIndex.encode(e, mins, scales).persist()
+      val codes = Caching.cached(SqIndex.encode(e, mins, scales))
       val vhat = SqIndex.decode(codes, mins, scales)
       // identity: fused code distance == dist2 on explicit reconstruction
       val qv0 = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
@@ -676,13 +676,11 @@ object SimilarityOps {
     "SemDeDup: within-cluster cosine >= 0.30 drops all but the first",
     (s, d) => {
       val e = emb(s, d)
-      val dups = e.as("a")
-        .join(e.as("b"),
-          col("a.label") === col("b.label") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .filter(cosine(col("a.v"), col("b.v")) >= 0.30)
-        .select(col("b.label").as("label"), col("b.vec_id").as("vec_id"))
-        .distinct()
+      // hot-cluster guard (operators.SemDeDup): clusters above the
+      // shard cap split so no single task carries |c|^2 pair work —
+      // at-or-under-cap clusters plan identically to the plain join
+      val dups = graft.operators.SemDeDup.dups(
+        e, cosine, 0.30, shardCap = 4096)
       e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
         .join(dups.groupBy(col("label"))
             .agg(count(lit(1)).as("n_dropped"),

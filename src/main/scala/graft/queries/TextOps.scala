@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Q
-import graft.core.Tables
+import graft.core.{Caching, Tables}
 import graft.operators.{MinHashDedup, SimHash}
 
 /** Text-analysis and deduplication operators over the `documents` table —
@@ -241,7 +241,7 @@ object TextOps {
     * normalize+transform runs once per document, and candidate
     * generation, counts, and verify all scan the materialized arrays. */
   private[graft] def jaccardPairs(docs: DataFrame, dfCap: Long): DataFrame = {
-    val sh = shingles(docs).persist()
+    val sh = Caching.cached(shingles(docs))
     val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     // The STOP-LIST is what's small (shingles with df > cap are the
     // Zipf head — a handful even at corpus scale), so exclude them with
@@ -813,10 +813,9 @@ object TextOps {
           shiftright(col("simhash"), j * 15).bitwiseAND(lit(0x7fffL)).as("band_key"))
       }
       // persisted: both sides of the bucket self-join read this
-      val exploded = sigs
+      val exploded = Caching.cached(sigs
         .select(col("doc_id"), col("simhash"), explode(array(bands: _*)).as("b"))
-        .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_key"))
-        .persist()
+        .select(col("doc_id"), col("simhash"), col("b.band_idx"), col("b.band_key")))
       exploded.as("x")
         .join(exploded.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
@@ -1072,7 +1071,7 @@ object TextOps {
     "d19_contamination",
     "eval-set n-gram contamination: shared-trigram counts per training doc",
     (s, d) => {
-      val sh = shingles(t(s, d, "documents")).persist()
+      val sh = Caching.cached(shingles(t(s, d, "documents")))
       val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       val evalShingles = e.filter(col("doc_id") % 20 === 0)
         .select(col("s")).distinct()
