@@ -130,6 +130,30 @@ class BucketedSnapshotSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("equality probe on the bucket column prunes to one bucket at plan time") {
+    import s.implicits._
+    val (base, v) = mk("bkt", "prune", 8)
+    (1L to 400L).map(i => (i, i * 1.0, s"d${i % 2}")).toDF("id", "value", "day")
+      .createOrReplaceTempView("bkt_prune_src")
+    s.sql(s"INSERT INTO $v SELECT * FROM bkt_prune_src")
+    // DisableUnnecessaryBucketedScan prefers parallelism when no
+    // operator consumes the bucket distribution — pin the bucketed
+    // scan on to demonstrate the pruning path (at 100 TB the planner
+    // keeps it for the joins this table exists for)
+    val prior = s.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = s.table(v).filter(col("id") === 123L)
+      assert(probe.count() == 1)
+      // FileSourceStrategy's bucket pruning is free once the scan has
+      // a bucketSpec: the plan reads 1 of 8 buckets
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"point lookup must prune to one bucket:\n$plan")
+    } finally s.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prior)
+  }
+
   test("guards: late bucketing, ZORDER, and bucket-column DDL all refuse") {
     import s.implicits._
     // declaring a bucket spec on a table that already has data refuses
