@@ -325,8 +325,23 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if c.tableSpec.provider.exists(_.equalsIgnoreCase("graft_snapshot")) =>
       (c.name, partColOf(c.partitioning)) match {
         case (UnresolvedIdentifier(nameParts, _), Some(pc)) =>
+          // Delta-style column DDL maps straight onto the property
+          // machinery: `GENERATED ALWAYS AS (expr)` →
+          // graft.generated.<col>, `GENERATED ALWAYS|BY DEFAULT AS
+          // IDENTITY (START WITH s INCREMENT BY k)` →
+          // graft.identity.<col> = s:k[:bydefault] — committed WITH
+          // version 1, so the declare-while-empty guard is moot
+          val colProps: Map[String, String] = c.columns.flatMap { cd =>
+            cd.generationExpression.map(e =>
+              graft.sources.SnapshotLog.GenColPrefix + cd.name -> e).toSeq ++
+              cd.identityColumnSpec.map { sp =>
+                graft.sources.SnapshotLog.IdentityPrefix + cd.name ->
+                  (s"${sp.getStart}:${sp.getStep}" +
+                    (if (sp.isAllowExplicitInsert) ":bydefault" else ""))
+              }.toSeq
+          }.toMap
           SnapshotCreateEmptyCommand(nameParts, c.tableSchema, pc,
-            c.tableSpec.location, c.ignoreIfExists)
+            c.tableSpec.location, c.ignoreIfExists, colProps)
         case _ => plan
       }
     // CREATE OR REPLACE TABLE … AS SELECT: full-refresh DDL — the
@@ -848,7 +863,8 @@ case class SnapshotInsertCommand(
   * on top as version 2. */
 case class SnapshotCreateEmptyCommand(
     nameParts: Seq[String], tblSchema: org.apache.spark.sql.types.StructType,
-    partCol: String, location: Option[String], ignoreIfExists: Boolean)
+    partCol: String, location: Option[String], ignoreIfExists: Boolean,
+    colProps: Map[String, String] = Map.empty)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = SnapshotDml.output
 
@@ -873,7 +889,8 @@ case class SnapshotCreateEmptyCommand(
     require(tblSchema.fieldNames.exists(_.equalsIgnoreCase(partCol)),
       s"partition column $partCol is not among the declared columns")
     if (!SnapshotLog.tryCommit(fs, bp, SnapshotLog.Manifest(
-        1L, Map.empty, schemaJson = Some(tblSchema.json), op = Some("CREATE"))))
+        1L, Map.empty, schemaJson = Some(tblSchema.json), op = Some("CREATE"),
+        props = colProps)))
       sys.error(s"snapshot table at $path already has a version claim")
     Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
     Seq(Row("CREATE", 1L, true, 0L, 0L))

@@ -166,12 +166,19 @@ object SnapshotLog {
       props.toSeq.collect {
         case (k, v) if k.startsWith(IdentityPrefix) &&
             !k.startsWith(IdentityHighWaterPrefix) =>
-          val spec = v.split(":", 2)
+          val spec = v.split(":", 3)
           for {
             start <- spec.headOption.flatMap(_.trim.toLongOption)
             step <- spec.lift(1).flatMap(_.trim.toLongOption) if step != 0
           } yield k.stripPrefix(IdentityPrefix) -> (start, step)
       }.flatten.sortBy(_._1)
+    /** `GENERATED BY DEFAULT AS IDENTITY` (the `:bydefault` spec
+      * suffix): explicit values are accepted; only NULL slots
+      * allocate. Caveat as in Delta: explicitly inserted values are
+      * not reflected in the high-water mark. */
+    def identityAllowsExplicit(c: String): Boolean =
+      props.get(IdentityPrefix + c).exists(
+        _.split(":", 3).lift(2).exists(_.trim.equalsIgnoreCase("bydefault")))
     /** Last allocated value for identity column `c` (start − step when
       * nothing was ever allocated, so the first id is `start`). */
     def identityHighWater(c: String, start: Long, step: Long): Long =
@@ -879,7 +886,7 @@ object SnapshotLog {
     var acc = df
     val hwUpd = scala.collection.mutable.Map[String, String]()
     idents.foreach { case (c, (start, step)) =>
-      if (enforceAlways &&
+      if (enforceAlways && !m.identityAllowsExplicit(c) &&
           acc.filter(col(c).isNotNull).limit(1).count() > 0)
         sys.error(s"IDENTITY column $c is GENERATED ALWAYS — remove it " +
           "from the insert (values are allocated by the table)")

@@ -107,6 +107,47 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(hw(base).contains(100L))
   }
 
+  test("Delta-style column DDL: IDENTITY + GENERATED ALWAYS AS in CREATE TABLE") {
+    val base = Files.createTempDirectory("graft_ident_ddl").toString + "/tbl"
+    s.sql(s"""
+      CREATE TABLE ident.ddl (
+        id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5),
+        k BIGINT,
+        day STRING GENERATED ALWAYS AS (CONCAT('d', CAST(k % 2 AS STRING))))
+      USING graft_snapshot PARTITIONED BY (day) LOCATION '$base'
+    """)
+    // both declarations landed as v1 properties
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val m = SnapshotLog.readManifest(fs, bp).get
+    assert(m.props(SnapshotLog.IdentityPrefix + "id") == "10:5")
+    assert(m.props(SnapshotLog.GenColPrefix + "day")
+      .contains("CONCAT"), m.props.toString)
+    // one insert exercises BOTH: id allocates 10,15; day computes
+    s.sql("INSERT INTO ident_ddl (k) VALUES (4), (7)")
+    val rows = s.sql("SELECT id, k, day FROM ident_ddl ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_._1).toSeq == Seq(10L, 15L), rows.toSeq.toString)
+    assert(rows.forall { case (_, k, d) => d == s"d${k % 2}" }, rows.toSeq.toString)
+    // explicit id refuses (ALWAYS, not BY DEFAULT)
+    intercept[Exception] { s.sql("INSERT INTO ident_ddl VALUES (99, 1, 'd1')") }
+  }
+
+  test("GENERATED BY DEFAULT AS IDENTITY accepts explicit values, allocates NULLs") {
+    val base = Files.createTempDirectory("graft_ident_bd").toString + "/tbl"
+    s.sql(s"""
+      CREATE TABLE ident.bydef (
+        id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+        k BIGINT, day STRING)
+      USING graft_snapshot PARTITIONED BY (day) LOCATION '$base'
+    """)
+    s.sql("INSERT INTO ident_bydef VALUES (500, 1, 'd0')")
+    s.sql("INSERT INTO ident_bydef (k, day) VALUES (2, 'd1')")
+    val ids = s.sql("SELECT id FROM ident_bydef ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 500L), s"explicit 500 kept, NULL slot allocated 1: $ids")
+  }
+
   test("guards: late declaration, rename, and drop refuse") {
     val (base, v) = mk("guard")
     s.sql(s"INSERT INTO $v (k, day) VALUES (1, 'd0')")
