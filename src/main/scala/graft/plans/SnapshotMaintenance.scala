@@ -114,6 +114,10 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """'((?:[^'\\]|\\.|'')*)'\s*=\s*'((?:[^'\\]|\\.|'')*)'""".r
 
   private def unq(s: String): String = s.replace("''", "'")
+  private val SyncIdentity =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SYNC\s+IDENTITY\s*;?\s*""".r
+  private val Fsck =
+    """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+([A-Za-z_]\w*)(\s+DRY\s+RUN)?\s*;?\s*""".r
   // CONVERT TO GRAFT_SNAPSHOT '<dir>' PARTITIONED BY (col) AS db.name
   // — in-place adoption of an existing parquet directory
   private val ConvertTo =
@@ -176,6 +180,10 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotShowPartitionsCommand(view)
     case Detail(view) if isTarget(view) =>
       SnapshotDetailCommand(view)
+    case SyncIdentity(view) if isTarget(view) =>
+      SnapshotSyncIdentityCommand(view)
+    case Fsck(view, dry) if isTarget(view) =>
+      SnapshotFsckCommand(view, dryRun = dry != null)
     case ConvertTo(path, partCol, db, name) =>
       // no isTarget guard: the whole point is the table is not one yet
       SnapshotConvertCommand(path, partCol, db, name)
@@ -633,6 +641,41 @@ case class SnapshotDropColumnCommand(view: String, names: Seq[String])
       SnapshotLog.dropColumn(spark, path, n, Some(partCol))).last
     SnapshotDml.repin(spark, view)
     Seq(Row("DROP COLUMN", v, names.mkString(", ")))
+  }
+}
+
+/** `ALTER TABLE view SYNC IDENTITY` — recompute identity high-water
+  * marks from the live data ([[SnapshotLog.syncIdentity]]): the
+  * repair for BY DEFAULT explicit inserts and converted/cloned values
+  * the mark never saw. */
+case class SnapshotSyncIdentityCommand(view: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.syncIdentity(spark, path)
+    SnapshotDml.repin(spark, view)
+    Seq(Row("SYNC IDENTITY", v))
+  }
+}
+
+/** `FSCK REPAIR TABLE view [DRY RUN]` — drop manifest entries whose
+  * files are gone from storage ([[SnapshotLog.fsckRepair]]); DRY RUN
+  * reports the holes without committing. */
+case class SnapshotFsckCommand(view: String, dryRun: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("n_missing", LongType, nullable = false)(),
+    AttributeReference("files", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    val gone = SnapshotLog.fsckRepair(spark, path, dryRun = dryRun)
+    if (!dryRun) SnapshotDml.repin(spark, view)
+    Seq(Row(if (dryRun) "FSCK DRY RUN" else "FSCK REPAIR",
+      gone.size.toLong, gone.mkString(", ")))
   }
 }
 

@@ -1557,8 +1557,74 @@ object TextOps {
       GROUP BY m.doc_id
       """))
 
+  /** BOILERPLATE LINE REMOVAL (the CCNet / RefinedWeb line-dedup
+    * pass): a line of ≥ 5 chars appearing in ≥ 3 DISTINCT documents
+    * is boilerplate (headers, footers, nav chrome, license blurbs) —
+    * every occurrence is removed, and the result reports per doc the
+    * line count, occurrences removed, and characters removed.
+    *
+    * Scale shape — the same hash pre-bucket as d24: the corpus-wide
+    * exchanges carry `(doc_id, pos, xxhash64(line))` (8-byte keys,
+    * no text); candidate hash buckets (≥ 3 distinct docs — a
+    * superset under collisions) rejoin the document payload by
+    * doc_id to recompute the line text, and the EXACT
+    * groupBy(line) verification runs on candidates only, so results
+    * are identical to a naive text-keyed count. */
+  val d25LineDedup: Q = Q(
+    "d25_line_dedup",
+    "boilerplate line removal: cross-doc repeated lines excised",
+    (s, d) => {
+      val minLen = 5
+      val minDocs = 3
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val l0 = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        .filter(length(col("line")) >= minLen)
+        .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("h"))
+      val cand = l0.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= minDocs).select(col("h"))
+      val hits = l0.join(cand, "h")
+        .select(col("doc_id"), col("pos"))
+        .join(docs, "doc_id")
+        .select(col("doc_id"),
+          expr("element_at(split(text, '\n'), pos + 1)").as("line"))
+      val boiler = hits.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= minDocs).select(col("line"))
+      val removed = hits.join(boiler, "line")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_removed"),
+          sum(length(col("line"))).cast(LongType).as("chars_removed"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), "\n")).cast(LongType).as("n_lines"))
+        .join(removed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("chars_removed"), lit(0L)).as("chars_removed"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM documents),
+      lf AS (SELECT * FROM l WHERE length(line) >= 5),
+      b AS (SELECT line FROM lf GROUP BY line
+            HAVING COUNT(DISTINCT doc_id) >= 3),
+      r AS (SELECT lf.doc_id, lf.line FROM lf JOIN b USING (line)),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_removed,
+               CAST(SUM(length(line)) AS BIGINT) AS chars_removed
+        FROM r GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+             COALESCE(agg.n_removed, 0) AS n_removed,
+             COALESCE(agg.chars_removed, 0) AS chars_removed
+      FROM documents d LEFT JOIN agg USING (doc_id)
+      """))
+
   val all: Seq[Q] = Seq(
-    d24SubstringDedup,
+    d24SubstringDedup, d25LineDedup,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,

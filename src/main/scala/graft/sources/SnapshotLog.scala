@@ -1957,6 +1957,91 @@ object SnapshotLog {
     1L
   }
 
+  /** `ALTER TABLE … SYNC IDENTITY` (Delta's verb): recompute each
+    * identity column's high-water mark from the ACTUAL data — one
+    * column-pruned scan per identity column — and commit the result
+    * metadata-only. This is the repair for the two ways the mark can
+    * fall behind the data: `GENERATED BY DEFAULT` explicit inserts
+    * (which deliberately don't advance it) and a CONVERTed/CLONEd
+    * table whose values predate the declaration. The mark only moves
+    * TOWARD safety (max for ascending, min for descending sequences);
+    * uniqueness of future allocations needs `hw` beyond every live
+    * value, not grid alignment. Returns 0 when nothing moved. */
+  def syncIdentity(
+      spark: SparkSession, base: String, maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"$base has no committed version"))
+      val idents = m.identityCols
+      if (idents.isEmpty) return 0L
+      val live = read(spark, base).getOrElse(return 0L)
+      val upd = idents.flatMap { case (c, (start, step)) =>
+        if (!live.columns.exists(_.equalsIgnoreCase(c))) None
+        else {
+          val hw = m.identityHighWater(c, start, step)
+          val agg = if (step > 0) max(col(c)) else min(col(c))
+          val row = live.agg(agg.cast("long")).head
+          val bound = if (row.isNullAt(0)) hw else row.getLong(0)
+          val hw2 = if (step > 0) math.max(hw, bound) else math.min(hw, bound)
+          if (hw2 == hw) None
+          else Some(IdentityHighWaterPrefix + c -> hw2.toString)
+        }
+      }.toMap
+      if (upd.isEmpty) return 0L
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp, m.copy(version = version,
+          props = m.props ++ upd, op = Some("SYNC_IDENTITY"))))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"SYNC IDENTITY lost $maxRetries commit races on $base")
+  }
+
+  /** `FSCK REPAIR TABLE` (Delta's verb): drop manifest entries whose
+    * data files no longer exist on storage — the recovery after an
+    * out-of-band deletion (a cleanup job, a bucket lifecycle rule)
+    * that would otherwise fail every scan touching the hole. One
+    * existence probe per live file (driver-side, metadata-plane — the
+    * same O(files) class as the legacy-status fallback), then a
+    * metadata-only commit removing the gone files with their
+    * stats/blooms/DVs; partitions whose every file vanished drop
+    * entirely. `dryRun` reports without committing. Returns the gone
+    * files (relative paths). */
+  def fsckRepair(
+      spark: SparkSession, base: String, dryRun: Boolean = false,
+      maxRetries: Int = 5): Seq[String] = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"$base has no committed version"))
+      val gone = m.allFiles.filterNot { f =>
+        val p = new Path(f)
+        fs.exists(if (p.isAbsolute) p else new Path(bp, f))
+      }
+      if (gone.isEmpty || dryRun) return gone
+      val goneSet = gone.toSet
+      val files2 = m.files.view.mapValues(_.filterNot(goneSet)).toMap
+        .filter(_._2.nonEmpty)
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp, m.copy(version = version,
+          files = files2,
+          stats = m.stats -- gone,
+          blooms = m.blooms -- gone,
+          dvs = m.dvs -- gone,
+          op = Some("FSCK"))))
+        return gone
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"FSCK lost $maxRetries commit races on $base")
+  }
+
   /** ANALYZE for the commit log: compute per-file bounds (+ the row
     * count that rides with them) for every LIVE file missing any of
     * `statsCols`' entries, and commit the result as a new
