@@ -661,6 +661,13 @@ case class SnapshotMergeCommand(
       // carries, and correctness-neutral regardless.
       def label(kind: String, cls: Seq[MergeClause]): Seq[(String, MergeClause)] =
         cls.map(kind -> _)
+      // with >= 2 subquery clauses the split-union replays the join
+      // 2^N times — persist the joined frame once so each replay is a
+      // cache read, not a join re-execution (released in the finally)
+      val subCount = (matched ++ notMatched ++ notMatchedBySource)
+        .count(_.subCond.isDefined)
+      val joinCached = subCount >= 2
+      if (joinCached) joined0.persist()
       var frame = joined0
       val rewritten =
         (label("m", matched) ++ label("n", notMatched) ++
@@ -757,7 +764,10 @@ case class SnapshotMergeCommand(
           SnapshotLog.readManifest(fs, bp).map(_.version).getOrElse(-1L)
         SnapshotDml.repin(spark, view)
         Seq(Row("MERGE", version, false, 0L, 0L))
-      } finally changes0.unpersist()
+      } finally {
+        changes0.unpersist()
+        if (joinCached) joined0.unpersist()
+      }
     } finally src.unpersist()
   }
 }
