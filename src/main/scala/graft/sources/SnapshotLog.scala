@@ -1904,11 +1904,16 @@ object SnapshotLog {
       val it = fs.listFiles(bp, true)
       while (it.hasNext) {
         val st = it.next()
-        val name = st.getPath.getName
-        if (name.endsWith(".parquet") && !name.startsWith("_") &&
-            !name.startsWith("."))
-          buf += ((st.getPath.toUri.getPath.stripPrefix(qBase)
-            .stripPrefix("/"), st.getLen))
+        val rel = st.getPath.toUri.getPath.stripPrefix(qBase)
+          .stripPrefix("/")
+        // Spark's hidden convention applied to every PATH COMPONENT:
+        // a file under _log/, .staging/, etc. is not data — but
+        // `name=value` partition dirs are data whatever their prefix
+        // (Spark's own shouldFilterOutPathName exemption)
+        val hidden = rel.split("/").exists(c =>
+          (c.startsWith("_") || c.startsWith(".")) && !c.contains("="))
+        if (rel.endsWith(".parquet") && !hidden)
+          buf += ((rel, st.getLen))
       }
       buf.toSeq
     }
