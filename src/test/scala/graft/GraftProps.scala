@@ -138,4 +138,35 @@ object SparkAlgebraProps extends Properties("sparkAlgebra") {
       }
       got == expect
     }
+
+  private val genVec: Gen[(Long, Int, Seq[Double])] = for {
+    id <- Gen.chooseNum(0L, 60L)
+    label <- Gen.chooseNum(0, 2)
+    x <- Gen.chooseNum(-3, 3)
+    y <- Gen.chooseNum(-3, 3)
+    if x != 0 || y != 0
+  } yield (id, label, Seq(x.toDouble, y.toDouble))
+
+  property("SemDeDup hot-cluster guard == naive within-cluster all-pairs, any cap") =
+    forAll(Gen.listOfN(30, genVec), Gen.chooseNum(1, 6)) { (vsRaw, cap) =>
+      import spark.implicits._
+      val vs = vsRaw.distinctBy(_._1)
+      val e = vs.toDF("vec_id", "label", "v")
+      def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x) /
+          (sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x)) *
+            sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x)))
+      val guarded = graft.operators.SemDeDup.dups(e, cos, 0.9, cap)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      // reference: driver-side all-pairs within each label
+      val expect = (for {
+        a <- vs; b <- vs
+        if a._2 == b._2 && a._1 < b._1
+        dot = a._3.zip(b._3).map { case (x, y) => x * y }.sum
+        na = math.sqrt(a._3.map(x => x * x).sum)
+        nb = math.sqrt(b._3.map(x => x * x).sum)
+        if dot / (na * nb) >= 0.9
+      } yield (b._2, b._1)).toSet
+      guarded == expect
+    }
 }
