@@ -3077,6 +3077,16 @@ object SnapshotLog {
     val fs = fsFor(spark, bp)
     val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
     require(set.nonEmpty, "updateWhere needs at least one assignment")
+    // GENERATED ALWAYS AS IDENTITY columns may not be assigned (Delta
+    // refuses too) — an arbitrary stored value would collide with a
+    // future allocation; BY DEFAULT identity accepts the assignment
+    readManifest(fs, bp).foreach { mm =>
+      mm.identityCols.foreach { case (c, _) =>
+        require(!set.keys.exists(_.equalsIgnoreCase(c)) ||
+            mm.identityAllowsExplicit(c),
+          s"cannot UPDATE GENERATED ALWAYS AS IDENTITY column $c")
+      }
+    }
     def matchRows(df: DataFrame): DataFrame =
       matcher.map(_.matches(df)).getOrElse(df.filter(predicate))
     def keepRows(df: DataFrame): DataFrame =

@@ -162,5 +162,10 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(er.getMessage.contains("IDENTITY"), er.getMessage)
     val ed = intercept[Exception] { s.sql(s"ALTER TABLE $v DROP COLUMN id") }
     assert(ed.getMessage.contains("IDENTITY"), ed.getMessage)
+    // UPDATE of an ALWAYS identity column refuses too
+    val eu = intercept[Exception] {
+      s.sql(s"UPDATE $v SET id = 999 WHERE k = 1")
+    }
+    assert(eu.getMessage.contains("IDENTITY"), eu.getMessage)
   }
 }
