@@ -886,18 +886,25 @@ object SnapshotLog {
     var acc = df
     val hwUpd = scala.collection.mutable.Map[String, String]()
     idents.foreach { case (c, (start, step)) =>
-      if (enforceAlways && !m.identityAllowsExplicit(c) &&
-          acc.filter(col(c).isNotNull).limit(1).count() > 0)
-        sys.error(s"IDENTITY column $c is GENERATED ALWAYS — remove it " +
-          "from the insert (values are allocated by the table)")
       val hw = m.identityHighWater(c, start, step)
       val dt = acc.schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
       val withS = acc
         .withColumn("__idh", xxhash64(struct(acc.columns.map(col): _*)))
         .withColumn("__idshard", pmod(col("__idh"), lit(64L)))
       val nulls = withS.filter(col(c).isNull)
-      val counts = nulls.groupBy(col("__idshard")).count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      // ONE pass sizes the allocation AND validates ALWAYS (provided
+      // non-null count rides the same aggregation — no second source
+      // execution, which a non-deterministic source could also dodge)
+      val sized = withS.groupBy(col("__idshard"))
+        .agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("__nn"),
+          sum(when(col(c).isNotNull, 1L).otherwise(0L)).as("__pv"))
+        .collect()
+      if (enforceAlways && !m.identityAllowsExplicit(c) &&
+          sized.map(_.getLong(2)).sum > 0)
+        sys.error(s"IDENTITY column $c is GENERATED ALWAYS — remove it " +
+          "from the insert (values are allocated by the table)")
+      val counts = sized.map(r => r.getLong(0) -> r.getLong(1))
+        .filter(_._2 > 0).sortBy(_._1)
       val total = counts.map(_._2).sum
       if (total > 0) {
         var off = 0L
@@ -1730,8 +1737,13 @@ object SnapshotLog {
         .foreach { f =>
           f.getPath.getName match {
             case TaskFileName(idx, base, ext) =>
-              fs.rename(f.getPath, new Path(d,
-                s"part-$idx-${base}_$idx${Option(ext).getOrElse("")}"))
+              val to = new Path(d,
+                s"part-$idx-${base}_$idx${Option(ext).getOrElse("")}")
+              // a silently-failed rename would commit an untagged file
+              // into a bucketed manifest — the read side would degrade
+              // the WHOLE table to unbucketed scans; fail the write
+              if (!fs.rename(f.getPath, to)) sys.error(
+                s"bucket tagging failed: could not rename ${f.getPath} to $to")
             case _ => ()
           }
         }
