@@ -1623,8 +1623,77 @@ object TextOps {
       FROM documents d LEFT JOIN agg USING (doc_id)
       """))
 
+  /** END-TO-END CURATION PIPELINE — the composition a pretraining
+    * corpus actually runs, landed in the engine's own table format:
+    * quality gate (length + word count) → exact dedup (md5 canonical,
+    * keep-min-id) → per-source cap (deterministic hash-ordered top-N
+    * per domain — the d22 mixture idea as a hard cap) → write to a
+    * commit-log table partitioned by lang → a POLICY DELETE via SQL
+    * DML with a scalar subquery (drop the lexicographically-first
+    * language) → aggregate readback from the table. Every stage is a
+    * shuffle-bounded relational op (window per group, no all-pairs,
+    * no collects); the landing write is one atomic manifest commit
+    * and the delete rewrites only the dropped language's partition.
+    * The oracle replays the whole pipeline relationally. */
+  val d26CurationPipeline: Q = Q(
+    "d26_curation_pipeline",
+    "curation pipeline: quality -> dedup -> domain cap -> land -> policy delete",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_curate26").toString + "/tbl"
+      val docs = t(s, d, "documents")
+      val q = docs.filter(length(col("text")) >= 200 &&
+        size(split(col("text"), " ")) >= 30)
+      val wH = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+      val canon = q.withColumn("__h", md5(col("text")))
+        .withColumn("__rn", row_number().over(wH))
+        .filter(col("__rn") === 1).drop("__h", "__rn")
+      val wS = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      val capped = canon
+        .withColumn("__rn", row_number().over(wS))
+        .filter(col("__rn") <= 150).drop("__rn")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      SnapshotLog.upsertBatch(s, base, capped, Seq("doc_id"),
+        "doc_id", "lang", batchId = 1, maxRetries = 5,
+        statsCols = Seq("doc_id"), clusterBy = Nil, clusterFiles = 4,
+        opCol = None, writeCdf = false)
+      val v = Catalog.registerSnapshotLog(
+        s, "d26", "corpus", base, Some("lang"))
+      s.sql(s"DELETE FROM $v WHERE lang = (SELECT MIN(lang) FROM $v)")
+      s.sql(s"""
+        SELECT lang, source, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM $v GROUP BY lang, source
+      """)
+    },
+    Some("""
+      WITH q AS (
+        SELECT * FROM documents
+        WHERE length(text) >= 200 AND len(string_split(text, ' ')) >= 30),
+      canon AS (
+        SELECT doc_id, text, lang, source, n_chars FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) AS rn1
+          FROM q) WHERE rn1 = 1),
+      capped AS (
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn2
+          FROM canon) WHERE rn2 <= 150),
+      kept AS (
+        SELECT * FROM capped
+        WHERE lang <> (SELECT MIN(lang) FROM capped))
+      SELECT lang, source, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM kept GROUP BY lang, source
+      """))
+
   val all: Seq[Q] = Seq(
-    d24SubstringDedup, d25LineDedup,
+    d24SubstringDedup, d25LineDedup, d26CurationPipeline,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
