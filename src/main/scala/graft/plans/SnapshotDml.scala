@@ -315,7 +315,8 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (c.name, identityPartCol(c)) match {
         case (UnresolvedIdentifier(nameParts, _), Some(pc)) =>
           SnapshotCtasCommand(nameParts, pc,
-            locationOf(c), c.query, c.ignoreIfExists)
+            locationOf(c), c.query, c.ignoreIfExists,
+            c.tableSpec.properties)
         case _ => plan // no/compound partitioning: unsupported, loud error
       }
     // empty CREATE TABLE in the engine's format: commits version 1
@@ -340,8 +341,12 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     (if (sp.isAllowExplicitInsert) ":bydefault" else ""))
               }.toSeq
           }.toMap
+          // a TBLPROPERTIES clause commits WITH version 1 — so
+          // bucket/identity/CDF declarations land atomically at
+          // CREATE (and SHOW CREATE TABLE's output replays verbatim)
           SnapshotCreateEmptyCommand(nameParts, c.tableSchema, pc,
-            c.tableSpec.location, c.ignoreIfExists, colProps)
+            c.tableSpec.location, c.ignoreIfExists,
+            c.tableSpec.properties ++ colProps)
         case _ => plan
       }
     // CREATE OR REPLACE TABLE … AS SELECT: full-refresh DDL — the
@@ -963,7 +968,8 @@ case class SnapshotReplaceCtasCommand(
   * under the session warehouse dir at `<db>.<name>`. */
 case class SnapshotCtasCommand(
     nameParts: Seq[String], partCol: String, location: Option[String],
-    query: LogicalPlan, ignoreIfExists: Boolean)
+    query: LogicalPlan, ignoreIfExists: Boolean,
+    tblProps: Map[String, String] = Map.empty)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = SnapshotDml.output
 
@@ -988,6 +994,18 @@ case class SnapshotCtasCommand(
     val df = org.apache.spark.sql.GraftSqlShim.ofRows(spark, query)
     require(df.columns.exists(_.equalsIgnoreCase(partCol)),
       s"CTAS partition column $partCol is not in the query output")
+    // a TBLPROPERTIES clause commits as an empty v1 FIRST, so
+    // property-driven write behavior (bucketing, identity, CDF,
+    // generated columns) applies to the CTAS data itself (landing
+    // as v2) — same declare-before-data ordering the empty-CREATE +
+    // INSERT flow gets naturally
+    if (tblProps.nonEmpty &&
+        !SnapshotLog.tryCommit(fs, bp, SnapshotLog.Manifest(
+          1L, Map.empty, schemaJson =
+            Some(org.apache.spark.sql.types.StructType(
+              df.schema.fields.map(_.copy(nullable = true))).json),
+          op = Some("CREATE"), props = tblProps)))
+      sys.error(s"snapshot table at $path already has a version claim")
     // NULL partition values reject inside appendBatch against the
     // staged data — one execution of the query, no pre-check count
     val version = SnapshotLog.appendBatch(spark, path, df, partCol, batchId = 1L)

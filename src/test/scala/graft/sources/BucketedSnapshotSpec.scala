@@ -154,6 +154,51 @@ class BucketedSnapshotSpec extends SparkSpec {
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", prior)
   }
 
+  test("TBLPROPERTIES at CREATE / CTAS declare bucketing atomically; SHOW CREATE replays") {
+    import s.implicits._
+    // empty CREATE with the clause: props land in v1, first INSERT tags
+    val baseA = Files.createTempDirectory("graft_bkt_tp").toString + "/tbl"
+    s.sql(s"""
+      CREATE TABLE bkt.tp (id BIGINT, day STRING)
+      USING graft_snapshot PARTITIONED BY (day) LOCATION '$baseA'
+      TBLPROPERTIES ('${SnapshotLog.BucketCountProp}' = '4',
+                     '${SnapshotLog.BucketColsProp}' = 'id')
+    """)
+    s.sql("INSERT INTO bkt_tp VALUES (1, 'd0'), (2, 'd1')")
+    assert(files(baseA).nonEmpty &&
+      files(baseA).forall(f => SnapshotLog.bucketIdOf(f).isDefined))
+
+    // CTAS with the clause: the CTAS data itself lands bucketed
+    val baseB = Files.createTempDirectory("graft_bkt_tpc").toString + "/tbl"
+    (1L to 50L).map(i => (i, s"d${i % 2}")).toDF("id", "day")
+      .createOrReplaceTempView("bkt_tpc_src")
+    s.sql(s"""
+      CREATE TABLE bkt.tpc USING graft_snapshot PARTITIONED BY (day)
+      LOCATION '$baseB'
+      TBLPROPERTIES ('${SnapshotLog.BucketCountProp}' = '4',
+                     '${SnapshotLog.BucketColsProp}' = 'id')
+      AS SELECT * FROM bkt_tpc_src
+    """)
+    assert(files(baseB).nonEmpty &&
+      files(baseB).forall(f => SnapshotLog.bucketIdOf(f).isDefined),
+      files(baseB).mkString("\n"))
+    assert(s.sql("SELECT COUNT(*) FROM bkt_tpc").head.getLong(0) == 50)
+
+    // SHOW CREATE TABLE emits a statement whose TBLPROPERTIES clause
+    // replays: run it against a fresh location and check the props
+    val ddl = s.sql("SHOW CREATE TABLE bkt_tp").head.getString(0)
+    val baseC = Files.createTempDirectory("graft_bkt_replay").toString + "/tbl"
+    val replay = ddl.split(";")(0)
+      .replace(s"LOCATION '$baseA'", s"LOCATION '$baseC'")
+      .replace("CREATE TABLE bkt_tp", "CREATE TABLE bkt.tp2")
+    s.sql(replay)
+    val bp = new Path(baseC)
+    val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val m = SnapshotLog.readManifest(fs, bp).get
+    assert(m.bucketSpec.contains((4, Seq("id"))),
+      s"replayed DDL must carry the bucket spec: ${m.props}")
+  }
+
   test("guards: late bucketing, ZORDER, and bucket-column DDL all refuse") {
     import s.implicits._
     // declaring a bucket spec on a table that already has data refuses
