@@ -358,7 +358,7 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (r.name, partColOf(r.partitioning)) match {
         case (UnresolvedIdentifier(nameParts, _), Some(pc)) =>
           SnapshotReplaceCtasCommand(nameParts, pc, r.tableSpec.location,
-            r.query, r.orCreate)
+            r.query, r.orCreate, r.tableSpec.properties)
         case _ => plan
       }
     // time travel: `FROM <view> VERSION AS OF n` / `TIMESTAMP AS OF ts`
@@ -922,7 +922,8 @@ case class SnapshotCreateEmptyCommand(
   * table it creates version 1, exactly the CTAS path. */
 case class SnapshotReplaceCtasCommand(
     nameParts: Seq[String], partCol: String, location: Option[String],
-    query: LogicalPlan, orCreate: Boolean)
+    query: LogicalPlan, orCreate: Boolean,
+    tblProps: Map[String, String] = Map.empty)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = SnapshotDml.output
 
@@ -940,6 +941,18 @@ case class SnapshotReplaceCtasCommand(
       sys.error(s"REPLACE TABLE: no snapshot table at $path " +
         "(use CREATE OR REPLACE to create)")
     val df = org.apache.spark.sql.GraftSqlShim.ofRows(spark, query)
+    // TBLPROPERTIES on the CREATE arm (table doesn't exist yet):
+    // commit them as an empty v1 first, same declare-before-data
+    // ordering as CTAS. On the REPLACE arm existing properties carry
+    // forward unchanged (declare-while-empty guards would refuse a
+    // retroactive bucket/identity change anyway) — use ALTER TABLE.
+    if (!exists && tblProps.nonEmpty &&
+        !SnapshotLog.tryCommit(fs, bp, SnapshotLog.Manifest(
+          1L, Map.empty, schemaJson =
+            Some(org.apache.spark.sql.types.StructType(
+              df.schema.fields.map(_.copy(nullable = true))).json),
+          op = Some("CREATE"), props = tblProps)))
+      sys.error(s"snapshot table at $path already has a version claim")
     // a GENERATED partition column computes inside appendBatch — the
     // query need not carry it (same exemption as INSERT); NULL
     // partition values are rejected by appendBatch's staged-data gate
