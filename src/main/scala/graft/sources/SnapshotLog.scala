@@ -1039,6 +1039,13 @@ object SnapshotLog {
       shardPtrsOf(fs, base, t, v - 1).map(sp => sp.part -> sp).toMap)
       .getOrElse(Map.empty)
 
+  /** Test seam: runs inside [[upsertBatch]] after a merge is staged,
+    * immediately before each commit attempt — the only window where a
+    * concurrent committer can invalidate staged output. Deterministic
+    * race regressions (ConcurrencyStressSpec) interleave a commit here;
+    * production leaves it a no-op. */
+  private[sources] var onBeforeUpsertCommit: () => Unit = () => ()
+
   def tryCommit(fs: FileSystem, base: Path, m: Manifest): Boolean = {
     val dir = logDir(base)
     fs.mkdirs(dir)
@@ -1367,9 +1374,15 @@ object SnapshotLog {
     // under us (a racing RENAME/DROP COLUMN): staged files were renamed
     // logical→physical with the mapping read at staging time, and
     // committing them under a changed mapping could resurrect a
-    // concurrently-dropped column through schema evolution
+    // concurrently-dropped column through schema evolution.
+    // The key also carries the affected files' DELETION VECTORS: a
+    // concurrent merge-on-read delete changes no file list, but the
+    // staged merge read THROUGH the old DV state — committing it would
+    // drop the racer's DVs with the replaced files and resurrect the
+    // rows it deleted
     var mergedAgainst: Option[(Map[String, Seq[String]],
-      Map[String, String], Set[String], Map[String, String])] = None
+      Map[String, String], Set[String], Map[String, String],
+      Map[String, Dv])] = None
     var stagedHwU: Map[String, String] = Map.empty
     var staged: Seq[(String, String, Long)] = Nil // (partition, rel file, bytes)
     var stagedStats: Map[String, Map[String, (String, String)]] = Map.empty
@@ -1401,8 +1414,12 @@ object SnapshotLog {
           affected.iterator.map(p => p -> m.files.getOrElse(p, Nil)).toMap
         val identSnap =
           m.props.filter(_._1.startsWith(IdentityHighWaterPrefix))
+        val dvSnap: Map[String, Dv] = {
+          val fls = affected.flatMap(p => m.files.getOrElse(p, Nil)).toSet
+          m.dvs.filter { case (f, _) => fls(f) }
+        }
         if (!mergedAgainst.contains(
-            (affectedState, m.colmap, m.dropped, identSnap))) {
+            (affectedState, m.colmap, m.dropped, identSnap, dvSnap))) {
           val baseSubset = {
             val relFiles = affected.flatMap(p => m.files.getOrElse(p, Nil)).toSeq
             if (relFiles.isEmpty)
@@ -1478,7 +1495,8 @@ object SnapshotLog {
               .select(targetFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
             cdfPair = Some((baseSubset, post))
           }
-          mergedAgainst = Some((affectedState, m.colmap, m.dropped, identSnap))
+          mergedAgainst = Some(
+            (affectedState, m.colmap, m.dropped, identSnap, dvSnap))
         }
         val replaced = affected.flatMap(p => m.files.getOrElse(p, Nil))
         val next = Manifest(
@@ -1505,6 +1523,7 @@ object SnapshotLog {
           m.constraints,
           m.txns ++ txn,
           m.props ++ stagedHwU, m.colmap, m.dropped)
+        onBeforeUpsertCommit()
         committed = tryCommit(fs, bp, next)
         if (committed) committedVersion = version
         attempt += 1

@@ -48,6 +48,41 @@ class ConcurrencyStressSpec extends SparkSpec {
     runStress("graft_race_shard", 10, sharded = true)
   }
 
+  test("staged merge invalidated by a concurrent DV-only delete (no resurrection)") {
+    // Deterministic replay of the one interleaving the racing threads
+    // can only hit by luck: writer A stages its merge against manifest
+    // v1, a merge-on-read DELETE commits v2 adding a deletion vector —
+    // file lists UNCHANGED — then A's commit loses the version race and
+    // retries. A's staged files were merged through v1's (empty) DV
+    // state; committing them would drop the racer's DV with the
+    // replaced files and resurrect the deleted row. The retry must
+    // detect the DV change and re-merge.
+    val base = Files.createTempDirectory("graft_dvrace").toString + "/tbl"
+    val init = (1 to 5).map(i => (i.toLong, "a", "d0")).toDF("id", "v", "day")
+    SnapshotLog.upsertBatch(spark, base, init, Seq("id"), "v", "day",
+      batchId = 1L, maxRetries = 5, statsCols = Nil, clusterBy = Nil,
+      clusterFiles = 4, opCol = None, writeCdf = false)
+    @volatile var fired = false
+    SnapshotLog.onBeforeUpsertCommit = () => {
+      if (!fired) {
+        fired = true
+        SnapshotLog.deleteWhere(spark, base, col("id") === 3L, "day",
+          deletionVectors = true)
+      }
+    }
+    try {
+      val batch2 = Seq((6L, "b", "d0")).toDF("id", "v", "day")
+      SnapshotLog.upsertBatch(spark, base, batch2, Seq("id"), "v", "day",
+        batchId = 2L, maxRetries = 5, statsCols = Nil, clusterBy = Nil,
+        clusterFiles = 4, opCol = None, writeCdf = false)
+    } finally SnapshotLog.onBeforeUpsertCommit = () => ()
+    assert(fired, "the race window never opened — seam not reached")
+    val ids = SnapshotLog.read(spark, base).get
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L, 5L, 6L),
+      s"concurrent DV delete lost (id=3 resurrected?): got $ids")
+  }
+
   private def runStress(prefix: String, rounds: Int, sharded: Boolean): Unit = {
     val base = Files.createTempDirectory(prefix).toString + "/tbl"
     val bp = new Path(base)
@@ -68,8 +103,15 @@ class ConcurrencyStressSpec extends SparkSpec {
                 val k = tid * 1000 + i
                 (k.toLong, r.toLong, s"d${k % 3}")
               }.toDF("id", "round", "day")
+              // maxRetries sizing: every lost race forces a full
+              // re-stage (all threads share partitions, so file lists
+              // always moved), during which the other 3 threads can
+              // commit again — a persistently-descheduled straggler can
+              // lose up to ~(3×rounds + maintenance) ≈ 88 consecutive
+              // races before the others drain. 150 covers the bound;
+              // 40 was observed exhausted once under host load.
               SnapshotLog.upsertBatch(spark, base, rows, Seq("id"), "round",
-                "day", batchId = tid * 1000 + r, maxRetries = 40,
+                "day", batchId = tid * 1000 + r, maxRetries = 150,
                 statsCols = Seq("id"), clusterBy = Nil, clusterFiles = 4,
                 opCol = None, writeCdf = false)
               // maintenance races too: thread 0 compacts a shared
@@ -81,13 +123,13 @@ class ConcurrencyStressSpec extends SparkSpec {
               // upserts and compactions)
               if (tid == 0 && r % 5 == 0)
                 SnapshotLog.compactPartition(spark, base, s"d${r % 3}",
-                  maxRetries = 40, statsCols = Seq("id"))
+                  maxRetries = 150, statsCols = Seq("id"))
               if (tid == 1 && r % 7 == 0)
                 SnapshotLog.vacuum(spark, base, retentionMs = 3600L * 1000)
               if (tid == 2 && r % 6 == 0 && r < rounds)
                 SnapshotLog.deleteWhere(spark, base,
                   col("id") >= 2000 && col("id") < 3000 && col("round") < r,
-                  "day", maxRetries = 40, deletionVectors = true)
+                  "day", maxRetries = 150, deletionVectors = true)
               if (rnd.nextInt(3) == 0) Thread.sleep(rnd.nextInt(20).toLong)
             }
           } catch { case t: Throwable => failures.add(t) }
