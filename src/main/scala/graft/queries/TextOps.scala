@@ -1692,8 +1692,138 @@ object TextOps {
       FROM kept GROUP BY lang, source
       """))
 
+  /** CHARACTER-TRIGRAM LM QUALITY SCORE (the CCNet idea of scoring
+    * documents against a language model, in-relational): a trigram
+    * model is trained on the corpus itself — conditional probability
+    * P(c₃ | c₁c₂) = count(trigram) / count(prefix-as-trigram-prefix) —
+    * and every document is scored by its mean conditional probability.
+    * Gibberish/rare-charset documents score low, documents made of
+    * common character transitions score high; rank or threshold on
+    * `familiarity` exactly as CCNet thresholds LM perplexity.
+    *
+    * Determinism contract: per-position probabilities are quantized to
+    * integer parts-per-million (BIGINT multiply-then-divide, the d22
+    * trick) BEFORE summation, so both engines sum exact integers in any
+    * order — a double log-prob sum would be addition-order-dependent
+    * and `ln()` is not bit-specified across engines. The final mean is
+    * one exact-input IEEE division (both sides < 2⁵³), deterministic.
+    *
+    * Scale shape: the trigram relation is computed map-side (explode
+    * over positions); the model is an aggregation with a BOUNDED group
+    * count (≤ |charset|³ distinct trigrams — thousands, not corpus-
+    * sized), so its exchange carries O(partitions × vocab) partial
+    * rows; the model table then BROADCASTS back onto the scoring pass
+    * (plan-guarded — a shuffle join keyed on trigram would hot-key on
+    * ' th'-style stop-trigrams), and the per-doc mean partial-aggs to
+    * one exchange row per document. No corpus-sized key shuffle
+    * anywhere; the corpus is read twice (train + score), an inherent
+    * cost of self-training the model. */
+  val d27TrigramLm: Q = Q(
+    "d27_trigram_lm",
+    "char-trigram LM familiarity score (integer-quantized CCNet-style quality)",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), norm(col("text")).as("nt"))
+        .filter(length(col("nt")) >= 3)
+      // One row per trigram position: (doc_id, g, b) — g the trigram,
+      // b its 2-char prefix. Computed map-side; never shuffled raw.
+      def grams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("nt")) - lit(2))).as("pos"),
+          col("nt"))
+        .select(col("doc_id"),
+          expr("substring(nt, pos, 3)").as("g"),
+          expr("substring(nt, pos, 2)").as("b"))
+      // Model: trigram counts + prefix totals (both bounded by the
+      // charset, so the aggregates are partial-agged to tiny exchanges
+      // and the joined model table broadcasts).
+      val c3 = grams(docs).groupBy(col("g"), col("b"))
+        .agg(count(lit(1)).as("c3"))
+      val c2 = c3.groupBy(col("b")).agg(sum(col("c3")).as("c2"))
+      val model = broadcast(
+        c3.join(c2, "b")
+          .select(col("g"),
+            expr("(1000000 * c3) div c2").as("ppm")))
+      grams(docs)
+        .join(model, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(col("ppm")).as("ppm_sum"))
+        .select(col("doc_id"), col("n_trigrams"), col("ppm_sum"),
+          (col("ppm_sum") / col("n_trigrams")).as("familiarity"))
+    },
+    Some(s"""
+      WITH nd AS (
+        SELECT doc_id, $normSql AS nt FROM documents
+        WHERE length($normSql) >= 3),
+      grams AS (
+        SELECT doc_id, substring(nt, CAST(pos AS INTEGER), 3) AS g,
+               substring(nt, CAST(pos AS INTEGER), 2) AS b
+        FROM (SELECT doc_id, nt,
+                     unnest(range(1, CAST(length(nt) - 1 AS BIGINT))) AS pos
+              FROM nd)),
+      c3 AS (SELECT g, b, COUNT(*) AS c3 FROM grams GROUP BY g, b),
+      c2 AS (SELECT b, SUM(c3) AS c2 FROM c3 GROUP BY b),
+      model AS (
+        SELECT g, (1000000 * c3.c3) // c2.c2 AS ppm
+        FROM c3 JOIN c2 USING (b))
+      SELECT doc_id, COUNT(*) AS n_trigrams,
+             CAST(SUM(ppm) AS BIGINT) AS ppm_sum,
+             CAST(SUM(ppm) AS BIGINT) / COUNT(*) AS familiarity
+      FROM grams JOIN model USING (g)
+      GROUP BY doc_id
+      """))
+
+  /** LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT: route each near-dup CLUSTER —
+    * not each document — to one split, so a document can never land in
+    * train while its near-duplicate lands in test (the eval-leakage
+    * failure mode d19 detects after the fact, prevented structurally).
+    * Clusters are d12's connected components over the d6 Jaccard ≥ 0.5
+    * pairs; the split key is the first hex character of
+    * md5(cluster_id): 0–c train (13/16), d–e val (2/16), f test (1/16)
+    * — md5 hex is bit-identical across engines, so the assignment is
+    * portable and deterministic, and every member of a cluster shares
+    * the key by construction.
+    *
+    * Scale shape: d12's component labelling (large-star/small-star,
+    * O(log² n) rounds) dominates; the split itself is one map-side
+    * projection over the label table — no extra shuffle. */
+  val d28SplitAssign: Q = Q(
+    "d28_split_assign",
+    "cluster-routed train/val/test split: near-dups never straddle splits",
+    (s, d) => {
+      val hex = substring(md5(col("cluster_id").cast(StringType)), 1, 1)
+      d12DedupClusters.build(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          when(hex <= "c", "train")
+            .when(hex <= "e", "val")
+            .otherwise("test").as("split"))
+    },
+    Some(s"""
+      WITH RECURSIVE $shinglesSql,
+      ${cappedPairsSql(DefaultDfCap)},
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM jpairs),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      lbl AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM reach GROUP BY a),
+      cl AS (SELECT d.doc_id AS doc_id,
+                    COALESCE(l.label, d.doc_id) AS cluster_id
+             FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node)
+      SELECT doc_id, cluster_id,
+             CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'c'
+                    THEN 'train'
+                  WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) <= 'e'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM cl
+      """))
+
   val all: Seq[Q] = Seq(
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
+    d27TrigramLm, d28SplitAssign,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,

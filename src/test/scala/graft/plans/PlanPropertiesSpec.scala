@@ -209,6 +209,17 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("xxhash64"), "d24 must pre-bucket by xxhash64")
   }
 
+  test("d27: trigram model broadcasts — the scoring join never shuffles the corpus by trigram") {
+    // A shuffle join keyed on the trigram would hot-key on stop-trigrams
+    // (' th' alone is percents of English text); the model table is
+    // bounded by |charset|^3, so it must broadcast onto the scoring pass.
+    val p = finalPlan("d27_trigram_lm")
+    assert(p.contains("BroadcastHashJoin"),
+      s"trigram model must broadcast onto the scoring pass:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join keyed on the trigram:\n$p")
+  }
+
   test("d15: id assignment windows are shard-partitioned — no global sort") {
     val p = finalPlan("d15_vocab_build")
     assert(p.contains("Window"), p)
