@@ -1744,6 +1744,77 @@ object SnapshotLog {
     tagBucketFiles(fs, dir)
   }
 
+  /** Target-size variant of [[stagePartitioned]] for BUCKETED tables:
+    * buckets whose byte budget wants more than one output file
+    * (`saltsPB`: "<partition>\u0000<bucketId>" → file count, only entries
+    * > 1) are soft-split by a deterministic content-hash salt. The
+    * bucket id is computed EXPLICITLY as `pmod(hash(bucketCols), n)` —
+    * bit-identical to the `HashPartitioning` index [[stagePartitioned]]
+    * relies on (murmur3 seed 42 + pmod, the `BucketingUtils`
+    * computation) — because the task index can no longer double as the
+    * tag once a bucket spans several tasks. Rows range-route to one
+    * task per intended (partition, bucket, salt) file (explicit task
+    * count: AQE would coalesce the exchange and merge the split away),
+    * the write lands `__p=…/__bucket=…/` dirs, and the bucket dirs
+    * collapse into the parent with the `_NNNNN` file tag — several
+    * same-tag files per bucket, which Spark's bucketed scan groups
+    * back into that bucket's one scan partition. Best-effort like the
+    * unbucketed salting: salt groups hashed into the same task merge
+    * into one file; the split is layout, never semantics. */
+  private def stageBucketedSplit(
+      df: DataFrame, m: Manifest, fs: FileSystem, dir: Path,
+      parts: Seq[String], saltsPB: Map[String, Int]): Unit = {
+    val (n, cols) = m.bucketSpec.getOrElse(
+      sys.error("stageBucketedSplit on an unbucketed table"))
+    val dataCols = df.columns.filter(_ != "__p").toSeq
+    // one task per intended output file: budgeted buckets contribute
+    // their salt count, every other (partition, bucket) pair one task
+    val pairCount = parts.iterator
+      .map(p => math.max(m.files.getOrElse(p, Nil)
+        .flatMap(bucketIdOf).distinct.size, 1)).sum
+    val nTasks = math.min(100000L,
+      math.max(1L, pairCount.toLong + saltsPB.valuesIterator.map(_ - 1L).sum))
+      .toInt
+    df.withColumn("__bucket",
+        pmod(hash(cols.map(c => col(m.phys(c))): _*), lit(n)))
+      .withColumn("__salt",
+        pmod(xxhash64(struct(dataCols.map(col): _*)),
+          coalesce(
+            element_at(typedLit(saltsPB),
+              concat(col("__p"), lit("\u0000"),
+                col("__bucket").cast("string"))),
+            lit(1)).cast("long")))
+      .repartitionByRange(nTasks, col("__p"), col("__bucket"), col("__salt"))
+      .drop("__salt")
+      .write.partitionBy("__p", "__bucket").parquet(dir.toString)
+    // collapse __bucket= dirs into the parent __p= dir, the bucket id
+    // becoming the file tag (failed renames fail the write — an
+    // untagged file would degrade the whole table to unbucketed scans)
+    fs.listStatus(dir).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("__p="))
+      .foreach { pd =>
+        fs.listStatus(pd.getPath).toSeq
+          .filter(b => b.isDirectory && b.getPath.getName.startsWith("__bucket="))
+          .foreach { bd =>
+            val bid = bd.getPath.getName.stripPrefix("__bucket=").toInt
+            fs.listStatus(bd.getPath).toSeq.filter(f =>
+                !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                f.getPath.getName match {
+                  case TaskFileName(idx, base, ext) =>
+                    val to = new Path(pd.getPath,
+                      f"part-$idx-${base}_$bid%05d${Option(ext).getOrElse("")}")
+                    if (!fs.rename(f.getPath, to)) sys.error(
+                      s"bucket tagging failed: could not rename ${f.getPath} to $to")
+                  case other => sys.error(
+                    s"unexpected staged file name under $bd: $other")
+                }
+              }
+            fs.delete(bd.getPath, true)
+          }
+      }
+  }
+
   /** Rename every staged `part-NNNNN-…` parquet file (bare, or inside
     * `__p=…` subdirs) to Spark's bucketed-file naming
     * (`part-NNNNN-…_NNNNN.…`): under [[stagePartitioned]]'s routing
@@ -1783,13 +1854,41 @@ object SnapshotLog {
     }
 
   /** Is this bucketed partition already optimally laid out — every
-    * file tagged, at most one file per bucket? (Then compaction has
-    * nothing to fold: n files per partition is the bucketed
-    * steady state, not fragmentation.) */
-  private def bucketsCompact(fls: Seq[String]): Boolean = {
+    * file tagged, and each bucket holding no more files than its byte
+    * budget requires? Without a byte target the budget is ONE file per
+    * bucket (n files per partition is the bucketed steady state, not
+    * fragmentation). With [[OptimizeTargetProp]] set the budget is
+    * ceil(bucketBytes / target): a bucket soft-split by a previous
+    * target-size OPTIMIZE is steady state too — maintenance CONVERGES
+    * on the split layout instead of ping-ponging it back to one file.
+    * A bucket with any size-less legacy file falls back to the
+    * one-file rule. */
+  private def bucketsCompact(
+      fls: Seq[String],
+      bytesOf: String => Option[Long] = _ => None,
+      targetBytes: Option[Long] = None): Boolean = {
     val ids = fls.map(bucketIdOf)
-    ids.forall(_.isDefined) && ids.distinct.size == ids.size
+    ids.forall(_.isDefined) && fls.groupBy(f => bucketIdOf(f).get)
+      .values.forall { g =>
+        val budget = targetBytes match {
+          case Some(t) =>
+            val sizes = g.flatMap(bytesOf(_))
+            if (sizes.size != g.size) 1L
+            else math.max(1L, math.ceil(sizes.sum.toDouble / t).toLong)
+          case None => 1L
+        }
+        g.size <= budget
+      }
   }
+
+  /** The table's [[OptimizeTargetProp]] byte target, if validly set. */
+  private def optimizeTargetOf(m: Manifest): Option[Long] =
+    m.props.get(OptimizeTargetProp)
+      .flatMap(_.trim.toLongOption).filter(_ > 0)
+
+  /** A file's recorded [[ByteSizeKey]] length from the manifest stats. */
+  private def manifestBytesOf(m: Manifest)(f: String): Option[Long] =
+    m.stats.get(f).flatMap(_.get(ByteSizeKey)).flatMap(_._1.toLongOption)
 
   /** Pseudo-column under which each file's ROW COUNT rides in the
     * stats map (as an (n, n) bound — grammar-compatible, and `:` `;`
@@ -2560,7 +2659,11 @@ object SnapshotLog {
       // how merge-on-read deletes are materialized back into a clean
       // file layout
       if (files.isEmpty || (clusterBy.isEmpty && !hasDv &&
-          (if (m.bucketSpec.isDefined) bucketsCompact(files)
+          (if (m.bucketSpec.isDefined)
+            // budget-aware: a bucket target-split by OPTIMIZE is steady
+            // state — folding it back to one file would ping-pong with
+            // the next target-size pass
+            bucketsCompact(files, manifestBytesOf(m), optimizeTargetOf(m))
            else files.size <= 1)))
         return 0L
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
@@ -2661,13 +2764,15 @@ object SnapshotLog {
     var attempt = 0
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(return 0L)
+      val targetBytes = optimizeTargetOf(m)
       val need = m.files.keySet.toSeq.sorted.filter { p =>
         val fls = m.files(p)
         fls.exists(m.dvs.contains) ||
           (if (m.bucketSpec.isDefined)
-            // bucketed steady state is one file PER BUCKET — only a
-            // bucket with >= 2 files (or an untagged file) fragments
-            !bucketsCompact(fls)
+            // bucketed steady state is one file PER BUCKET — or, with a
+            // byte target, ceil(bucketBytes/target) files; only a bucket
+            // over its budget (or an untagged file) fragments
+            !bucketsCompact(fls, manifestBytesOf(m), targetBytes)
           else fls.size >= math.max(minFiles, 2))
       }
       if (need.isEmpty) return 0L
@@ -2685,8 +2790,6 @@ object SnapshotLog {
       // [1, n]. Partition byte totals come from the manifest's
       // `__bytes` rollups — pure metadata, no extra scan; a partition
       // with any size-less legacy file falls back to the single fold.
-      val targetBytes = m.props.get(OptimizeTargetProp)
-        .flatMap(_.trim.toLongOption).filter(_ > 0)
       val saltsOf: Map[String, Int] = targetBytes match {
         case None => Map.empty
         case Some(t) => need.map { p =>
@@ -2703,9 +2806,26 @@ object SnapshotLog {
       if (m.bucketSpec.isDefined) {
         // bucketed OPTIMIZE: re-route by the bucket columns (file
         // count per partition folds to <= numBuckets, each file one
-        // tagged bucket) — target-size salting would split across
-        // buckets and break the file<->bucket map
-        stagePartitioned(flat, m, fs, dir)
+        // tagged bucket). With a byte target, buckets whose budget
+        // wants >1 file are soft-split by a content-hash salt into
+        // several files ALL carrying the same bucket tag (which the
+        // bucketed scan groups back into one bucket partition) —
+        // rows still never cross buckets.
+        val saltsPB: Map[String, Int] = targetBytes match {
+          case None => Map.empty
+          case Some(t) => need.iterator.flatMap { p =>
+            m.files(p).groupBy(bucketIdOf).collect {
+              case (Some(bid), g) =>
+                val sizes = g.flatMap(manifestBytesOf(m)(_))
+                val k =
+                  if (sizes.size != g.size) 1
+                  else math.max(1, math.ceil(sizes.sum.toDouble / t).toInt)
+                s"$p\u0000$bid" -> k
+            }.filter(_._2 > 1)
+          }.toMap
+        }
+        if (saltsPB.isEmpty) stagePartitioned(flat, m, fs, dir)
+        else stageBucketedSplit(flat, m, fs, dir, need, saltsPB)
       } else {
       val routed =
         if (saltsOf.values.forall(_ <= 1)) flat.repartition(col("__p"))
