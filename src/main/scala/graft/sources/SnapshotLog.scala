@@ -364,6 +364,30 @@ object SnapshotLog {
     * group file. */
   private val GroupTag = "#sgroup"
 
+  /** Past this many transaction watermarks ([[Manifest.txns]] — one
+    * per streaming writer app, one per COPY INTO'd file) the `#txn`
+    * header lines spill to a content-hashed side file under `_log/`
+    * and the root carries ONE `#txnfile` pointer — the shard treatment
+    * for the per-file `copy:` watermark channel, whose growth is
+    * O(ingested files) for the table's life. Every root stays O(1) in
+    * the watermark count; a commit that leaves the set unchanged
+    * (maintenance, non-COPY writes) REUSES the previous side file on
+    * content-hash match, zero bytes rewritten. Overridable per table
+    * via [[TxnSpillProp]] (tests use tiny thresholds). */
+  val TxnSpillThreshold = 4096
+  val TxnSpillProp = "graft.txn.spillThreshold"
+
+  /** Header line `#txnfile <rel> <count> <sha256>` pointing the root
+    * at the spilled watermark side file. */
+  private val TxnFileTag = "#txnfile"
+
+  private def parseTxnPtr(text: String): Option[(String, Long, String)] =
+    text.split("\n").iterator.filter(_.startsWith(TxnFileTag + "\t"))
+      .map { l =>
+        val a = l.split("\t", 4)
+        (dec(a(1)), a(2).toLong, a(3))
+      }.nextOption()
+
   /** Marker that opts a table into sharded manifests below
     * [[ShardFileThreshold]] (tests, or tables known to grow). Once
     * past the threshold no marker is needed — size alone shards.
@@ -610,12 +634,21 @@ object SnapshotLog {
             val a = l.split("\t", 3)
             dec(a(1)) -> dec(a(2))
           }.toMap
-        val txns = text.split("\n").iterator
+        def txnsIn(t: String): Map[String, Long] = t.split("\n").iterator
           .filter(_.startsWith(TxnTag + "\t"))
           .map { l =>
             val a = l.split("\t", 3)
             dec(a(1)) -> a(2).toLong
           }.toMap
+        // spilled watermarks: a `#txnfile` pointer replaces the inline
+        // `#txn` lines — same loud-on-missing contract as shards (a
+        // committed root guarantees complete side files; silently
+        // dropping watermarks would double-apply replayed batches)
+        val txns = parseTxnPtr(text) match {
+          case None => txnsIn(text)
+          case Some((rel, _, _)) =>
+            txnsIn(text) ++ txnsIn(readLogSideFile(fs, base, rel, v))
+        }
         val props = text.split("\n").iterator
           .filter(_.startsWith(PropTag + "\t"))
           .map { l =>
@@ -1057,9 +1090,6 @@ object SnapshotLog {
       m.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
         s"$ConstraintTag\t${enc(n)}\t${enc(sql)}\n"
       }.mkString +
-      m.txns.toSeq.sortBy(_._1).map { case (a, b) =>
-        s"$TxnTag\t${enc(a)}\t$b\n"
-      }.mkString +
       m.props.toSeq.sortBy(_._1).map { case (k, v) =>
         s"$PropTag\t${enc(k)}\t${enc(v)}\n"
       }.mkString +
@@ -1136,7 +1166,27 @@ object SnapshotLog {
           }.mkString("", "\n", "\n")
         }
       }
-    val text = header + body + Footer + "\n"
+    // transaction watermarks: inline `#txn` lines below the spill
+    // threshold; past it, one content-hashed side file + a `#txnfile`
+    // pointer (see [[TxnSpillThreshold]]) — written BEFORE the root's
+    // create-exclusive like every side file, so a lost race orphans it
+    // for [[vacuum]]
+    val txnLines = m.txns.toSeq.sortBy(_._1).map { case (a, b) =>
+      s"$TxnTag\t${enc(a)}\t$b\n"
+    }.mkString
+    val spillAt = m.props.get(TxnSpillProp).flatMap(_.trim.toIntOption)
+      .filter(_ > 0).getOrElse(TxnSpillThreshold)
+    val txnPart =
+      if (m.txns.size < spillAt) txnLines
+      else {
+        val hash = sha256Hex(txnLines)
+        val rel = prevRootText(fs, base, m.version)
+          .flatMap(parseTxnPtr).filter(_._3 == hash).map(_._1)
+          .getOrElse(writeSideFile(f"t${m.version}%011d-${
+            java.util.UUID.randomUUID.toString.take(8)}.txt", txnLines))
+        s"$TxnFileTag\t${enc(rel)}\t${m.txns.size}\t$hash\n"
+      }
+    val text = header + txnPart + body + Footer + "\n"
     val out: java.io.OutputStream =
       try {
         if (fs.getUri.getScheme == "file") {
@@ -4036,20 +4086,24 @@ object SnapshotLog {
         }
       }
     }
-    // orphaned SIDE files (shards s*.txt, pointer groups g*.txt):
-    // written before a root that lost its commit race (or whose root
-    // was expired) — reclaim once unreferenced and aged, same
-    // contract as data files
+    // orphaned SIDE files (shards s*.txt, pointer groups g*.txt,
+    // spilled watermarks t*.txt): written before a root that lost its
+    // commit race (or whose root was expired) — reclaim once
+    // unreferenced and aged, same contract as data files
+    val txnRels = rootTexts.flatMap(parseTxnPtr(_).map(_._1)).toSet
     fs.listStatus(dir)
       .filter { st =>
         val n = st.getPath.getName
-        st.isFile && (n.startsWith("s") || n.startsWith("g")) &&
+        st.isFile &&
+          (n.startsWith("s") || n.startsWith("g") || n.startsWith("t")) &&
           n.endsWith(".txt") && n != shardMarker(bp).getName
       }
       .foreach { st =>
         val n = st.getPath.getName
         val referenced =
-          if (n.startsWith("g")) groupRels.contains(n) else ptrRels.contains(n)
+          if (n.startsWith("g")) groupRels.contains(n)
+          else if (n.startsWith("t")) txnRels.contains(n)
+          else ptrRels.contains(n)
         if (!referenced && st.getModificationTime <= cutoff) {
           if (!dryRun) fs.delete(st.getPath, false)
           removed += 1

@@ -107,6 +107,61 @@ class CopyIntoSpec extends SparkSpec {
     assert(SnapshotLog.read(s, base).get.count() == 220L)
   }
 
+  test("watermarks past the spill threshold ride a side file; roots stay O(1); exactly-once survives") {
+    val (base, bp, view) = mkTable("graft_copy5", "copy5")
+    s.sql(s"ALTER TABLE $view SET TBLPROPERTIES " +
+      s"('${SnapshotLog.TxnSpillProp}' = '3')")
+    val land = Files.createTempDirectory("graft_land5").toString
+    landFile(land, "a.parquet", 101, 120)
+    landFile(land, "b.parquet", 121, 140)
+    landFile(land, "c.parquet", 141, 160)
+    landFile(land, "d.parquet", 161, 180)
+    s.sql(s"COPY INTO $view FROM '$land' FILEFORMAT = PARQUET")
+    val f = fs(bp)
+    val m = SnapshotLog.readManifest(f, bp).get
+    assert(m.txns.keys.count(_.startsWith("copy:")) == 4)
+    val logDir = new Path(bp, "_log")
+    def rootOf(v: Long): String = {
+      val in = f.open(new Path(logDir, f"v$v%011d.txt"))
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    def txnFileRel(t: String): String = t.split("\n")
+      .find(_.startsWith("#txnfile\t"))
+      .getOrElse(fail(s"no #txnfile pointer in root:\n$t")).split("\t")(1)
+    // the root carries ONE pointer line, zero inline watermark lines
+    val root = rootOf(m.version)
+    assert(!root.contains("#txn\t"),
+      "past the threshold no inline #txn line may remain in the root")
+    val rel0 = txnFileRel(root)
+    // exactly-once still enforced THROUGH the spilled set
+    val r2 = s.sql(s"COPY INTO $view FROM '$land' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(r2.getLong(2) == 0L && r2.getLong(3) == 0L,
+      s"re-run must no-op against spilled watermarks, got $r2")
+    // a commit leaving the set unchanged REUSES the side file verbatim
+    s.sql(s"DELETE FROM $view WHERE id = 1")
+    val m2 = SnapshotLog.readManifest(f, bp).get
+    assert(m2.version > m.version && m2.txns == m.txns)
+    assert(txnFileRel(rootOf(m2.version)) == rel0,
+      "unchanged watermark set must reuse the previous side file")
+    assert(SnapshotLog.read(s, base).get.count() == 179L) // 100 + 80 - 1
+    // vacuum reclaims an orphaned aged spill file, keeps the live one
+    val orphan = new Path(logDir, "t00000000099-deadbeef.txt")
+    val o = f.create(orphan, true)
+    o.write("#txn\tx\t1\n#eof\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    o.close()
+    f.setTimes(orphan, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    SnapshotLog.vacuum(s, base, retentionMs = 0)
+    assert(!f.exists(orphan),
+      "orphaned spilled-watermark side file must be reclaimed")
+    assert(f.exists(new Path(logDir, rel0)),
+      "live spilled-watermark side file must survive vacuum")
+    assert(SnapshotLog.readManifest(f, bp).get.txns == m.txns)
+  }
+
   test("DESCRIBE DETAIL answers from the manifest alone") {
     val (base, bp, view) = mkTable("graft_copy4", "copy4")
     s.sql(s"DELETE FROM $view WHERE id % 10 = 1") // 10 DV-deleted rows
