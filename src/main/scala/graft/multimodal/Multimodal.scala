@@ -196,6 +196,43 @@ object Multimodal {
     bb.array()
   }
 
+  /** 64-bit AVERAGE HASH (aHash) of an encoded image — the classic
+    * perceptual fingerprint for image near-dup pipelines (the LAION
+    * dedup idea at its simplest): decode, resample to an 8×8 grid
+    * (nearest-neighbor), grayscale, and threshold each cell against
+    * the grid mean — bit i set iff cell i is brighter. Photometric
+    * noise that doesn't cross the mean leaves the hash bit-identical,
+    * so near-duplicates group under EXACT hash equality and dedup
+    * becomes one hash groupBy — never pairwise pixel comparison.
+    * None on undecodable/degenerate payloads (poison-pill contract,
+    * same as [[ImageIoDecoder]]). */
+  def aHash(data: Array[Byte]): Option[Long] = {
+    if (data == null || data.length == 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = new Array[Double](64)
+    var i = 0
+    var sum = 0.0
+    while (i < 64) {
+      val p = img.getRGB(((i % 8) * w) / 8, ((i / 8) * h) / 8)
+      gray(i) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0
+      sum += gray(i)
+      i += 1
+    }
+    val mean = sum / 64.0
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (gray(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    Some(bits)
+  }
+
   /** Batched decode over a typed Dataset — the `mapInPandas`-shaped
     * stage: bounded micro-batches per partition through the decoder. */
   def decodeFeatures(

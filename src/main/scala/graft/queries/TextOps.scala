@@ -1223,6 +1223,68 @@ object TextOps {
       WHERE doc_id % 50 <> 0
       """))
 
+  /** IMAGE NEAR-DUP via perceptual hashing — the multimodal dedup
+    * stage (LAION-style): every image gets a 64-bit AVERAGE HASH
+    * ([[graft.multimodal.Multimodal.aHash]]: decode → 8×8 grid →
+    * gray → threshold-vs-mean), and near-duplicates — photometrically
+    * noisy copies whose cells never cross the mean — collapse under
+    * EXACT hash equality, so dedup is ONE hash groupBy (8 bytes per
+    * image through the exchange), never pairwise pixel comparison.
+    *
+    * Fixture: per document an 8×8 PNG whose bright/dark cell pattern
+    * encodes a 100-way content key (bijective odd-multiply of
+    * doc_id % 100, low bits pinned so both tones exist); copies of a
+    * key alternate +1 photometric noise on the bright cells — REAL
+    * pixel differences the hash must absorb. Every 50th payload is a
+    * truncated poison pill (hash None, filtered — the 100 TB corrupt-
+    * blob contract). The oracle reproduces the expected CLUSTER
+    * STRUCTURE from doc_id arithmetic: per content key the keeper
+    * (min id) and copy count — the hash grouping matches it iff the
+    * decoder, the hash, and the noise-absorption property all hold. */
+  val m6ImageNearDup: Q = Q(
+    "m6_image_neardup",
+    "image near-dup: average-hash (aHash) grouping absorbs photometric noise",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val hashed = t(s, d, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ck = id % 100
+            val bits = (ck * 0x9E3779B97F4A7C15L | 1L) & ~2L
+            val img = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val noise = ((id / 100) % 2).toInt // alternating noisy copies
+            var i = 0
+            while (i < 64) {
+              val bright = ((bits >>> i) & 1L) == 1L
+              val v = if (bright) 200 + noise else 50
+              img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+              i += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val bytes = bos.toByteArray
+            val data = if (id % 50 == 0) bytes.take(10) else bytes
+            (id, Multimodal.aHash(data))
+          }
+        }.toDF("media_id", "ahash")
+      hashed.filter(col("ahash").isNotNull)
+        .groupBy(col("ahash"))
+        .agg(min(col("media_id")).as("keeper_media_id"),
+          count(lit(1)).as("n_copies"),
+          min(col("media_id") % 100).as("ck"))
+        .select(col("ck"), col("keeper_media_id"), col("n_copies"))
+    },
+    Some("""
+      SELECT doc_id % 100 AS ck, MIN(doc_id) AS keeper_media_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM documents WHERE doc_id % 50 <> 0
+      GROUP BY 1
+      """))
+
   /** Concat-and-chunk sequence packing — the GPT-style pretraining
     * batcher: documents are concatenated in a deterministic order and
     * cut into fixed token-budget context windows; each doc gets its
@@ -1830,5 +1892,5 @@ object TextOps {
     d14Sentences, d15VocabBuild, d16SimHashPairs, d17NfcNormalize,
     d18Repetition, d19Contamination, d20PackChunks, d21StratifiedSample,
     d22DomainMixture, d23CanonicalDocs, m1MediaFeatures, m2FrameSample,
-    m3ImageDecode, m4AudioDecode, m5VideoFrames)
+    m3ImageDecode, m4AudioDecode, m5VideoFrames, m6ImageNearDup)
 }
