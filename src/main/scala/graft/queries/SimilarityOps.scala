@@ -714,9 +714,125 @@ object SimilarityOps {
       GROUP BY e.label
       """))
 
+  /** MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein '98) —
+    * diversified top-k, the retrieval re-ranker RAG pipelines run so
+    * the k results aren't k near-copies of the best hit: greedily pick
+    * argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), λ = 0.7, from a
+    * brute-force cosine top-10 shortlist (s1's plan), k = 5.
+    *
+    * The greedy loop is UNROLLED into k−1 relational stages — each a
+    * join of the remaining shortlist against the selected set's
+    * pairwise sims, one agg, one ordered limit-1 — over frames of ≤ 10
+    * rows, so the whole re-rank is plan construction, not driver-side
+    * compute; the oracle unrolls the identical stages in plain SQL
+    * (no recursion — k is a constant). Determinism: the shortlist and
+    * pair sims reuse the strict-fold cosine contract (bit-identical
+    * across engines); the MMR arithmetic is the same three-op double
+    * expression on both sides; ties break on vec_id at every limit.
+    *
+    * Scale shape: the expensive part is the shortlist (s1's broadcast
+    * scan — or s8/s13's IVF probes at scale); the re-rank itself
+    * touches k·m rows regardless of corpus size. */
+  val s16MmrTopK: Q = Q(
+    "s16_mmr_topk",
+    "MMR diversified top-5 re-rank of the cosine top-10 shortlist",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val cand = Caching.cached(
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("v"),
+            cosine(col("v"), col("qv")).as("sim"))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10))
+      val pairs = Caching.cached(
+        cand.select(col("vec_id").as("c1"), col("v").as("v1"))
+          .join(broadcast(
+            cand.select(col("vec_id").as("c2"), col("v").as("v2"))),
+            col("c1") =!= col("c2"))
+          .select(col("c1"), col("c2"),
+            cosine(col("v1"), col("v2")).as("psim")))
+      def pick(selected: DataFrame): DataFrame = {
+        val rem = cand.join(selected.select("vec_id"), Seq("vec_id"), "left_anti")
+        val ms = pairs
+          .join(selected.select(col("vec_id").as("c2")), "c2")
+          .groupBy(col("c1")).agg(max(col("psim")).as("maxsel"))
+        rem.join(ms, rem("vec_id") === ms("c1"))
+          .select(rem("vec_id"), col("sim"),
+            (lit(0.7) * col("sim") - lit(0.3) * col("maxsel")).as("sc"))
+          .orderBy(desc("sc"), col("vec_id"))
+          .limit(1)
+      }
+      // each greedy step is ONE row; eager localCheckpoint cuts the
+      // lineage (the d12 lesson — without it the plan doubles per
+      // step, and step 5 re-analyzes a 2^4-deep tree of limit-1
+      // subplans: ~5s of planner work for a 10-row re-rank)
+      var acc = cand
+        .select(col("vec_id"), col("sim"), (lit(0.7) * col("sim")).as("sc"))
+        .orderBy(desc("sc"), col("vec_id")).limit(1)
+        .withColumn("step", lit(1L))
+        .localCheckpoint()
+      for (i <- 2 to 5)
+        acc = acc.unionByName(pick(acc).withColumn("step", lit(i.toLong)))
+          .localCheckpoint()
+      acc.select(col("step"), col("vec_id"),
+        col("sim").as("relevance"), col("sc").as("mmr_score"))
+    },
+    Some("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      cand AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY sim DESC, vec_id LIMIT 10),
+      pairs AS (
+        SELECT a.vec_id AS c1, b.vec_id AS c2,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS psim
+        FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+      s1 AS (SELECT vec_id, sim, 0.7 * sim AS sc FROM cand
+             ORDER BY sc DESC, vec_id LIMIT 1),
+      r2 AS (SELECT c.vec_id, c.sim,
+                    0.7 * c.sim - 0.3 * (SELECT MAX(p.psim) FROM pairs p
+                      WHERE p.c1 = c.vec_id
+                        AND p.c2 IN (SELECT vec_id FROM s1)) AS sc
+             FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)),
+      s2 AS (SELECT vec_id, sim, sc FROM r2 ORDER BY sc DESC, vec_id LIMIT 1),
+      sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+      r3 AS (SELECT c.vec_id, c.sim,
+                    0.7 * c.sim - 0.3 * (SELECT MAX(p.psim) FROM pairs p
+                      WHERE p.c1 = c.vec_id
+                        AND p.c2 IN (SELECT vec_id FROM sel2)) AS sc
+             FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)),
+      s3 AS (SELECT vec_id, sim, sc FROM r3 ORDER BY sc DESC, vec_id LIMIT 1),
+      sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+      r4 AS (SELECT c.vec_id, c.sim,
+                    0.7 * c.sim - 0.3 * (SELECT MAX(p.psim) FROM pairs p
+                      WHERE p.c1 = c.vec_id
+                        AND p.c2 IN (SELECT vec_id FROM sel3)) AS sc
+             FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)),
+      s4 AS (SELECT vec_id, sim, sc FROM r4 ORDER BY sc DESC, vec_id LIMIT 1),
+      sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+      r5 AS (SELECT c.vec_id, c.sim,
+                    0.7 * c.sim - 0.3 * (SELECT MAX(p.psim) FROM pairs p
+                      WHERE p.c1 = c.vec_id
+                        AND p.c2 IN (SELECT vec_id FROM sel4)) AS sc
+             FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)),
+      s5 AS (SELECT vec_id, sim, sc FROM r5 ORDER BY sc DESC, vec_id LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS step, vec_id, sim AS relevance, sc AS mmr_score FROM s1
+      UNION ALL SELECT 2, vec_id, sim, sc FROM s2
+      UNION ALL SELECT 3, vec_id, sim, sc FROM s3
+      UNION ALL SELECT 4, vec_id, sim, sc FROM s4
+      UNION ALL SELECT 5, vec_id, sim, sc FROM s5
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
     s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch, s14SqInt8,
-    s15SemanticDedup)
+    s15SemanticDedup, s16MmrTopK)
 }
