@@ -1883,9 +1883,72 @@ object TextOps {
       FROM cl
       """))
 
+  /** GOPHER QUALITY RULES (Rae et al. 2021, Appendix A) — the
+    * named rule-gate filter production corpora run BEFORE model-based
+    * scoring: hard thresholds, each reported as its own boolean so a
+    * pipeline can audit WHICH rule rejected a document (d4's blended
+    * score can't). Rules (adapted to the corpus's tokenizer):
+    * word count in [50, 100k]; mean word length in [3, 10];
+    * punctuation-to-word ratio ≤ 0.1; fraction of words containing an
+    * alphabetic character ≥ 0.80; ≥ 2 stopword hits. All map-only
+    * integer/count arithmetic — exact in both engines; the only
+    * doubles are exact-integer divisions compared to literal
+    * thresholds, identical IEEE in both. */
+  val d29GopherRules: Q = Q(
+    "d29_gopher_rules",
+    "Gopher rule-gate quality filter: per-rule booleans + overall pass",
+    (s, d) => {
+      val nWords = regexp_count(col("text"), lit("\\S+")).cast(LongType)
+      val nAlphaWords = regexp_count(col("text"), lit("\\S*[A-Za-z]\\S*"))
+        .cast(LongType)
+      val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+        .cast(LongType)
+      val nWordChars = length(regexp_replace(col("text"), "\\s", ""))
+        .cast(LongType)
+      val stopHits = regexp_count(lower(col("text")),
+        lit("\\b(the|a|of|and|to|in|is|it|that|was)\\b")).cast(LongType)
+      val meanLen = nWordChars / nWords
+      val okCount = (nWords >= 50 && nWords <= 100000).cast(LongType)
+      val okLen = (meanLen >= 3.0 && meanLen <= 10.0).cast(LongType)
+      val okPunct = (nPunct / nWords <= 0.1).cast(LongType)
+      val okAlpha = (nAlphaWords / nWords >= 0.80).cast(LongType)
+      val okStop = (stopHits >= 2).cast(LongType)
+      t(s, d, "documents").select(
+        col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+        okCount.as("ok_count"), okLen.as("ok_len"), okPunct.as("ok_punct"),
+        okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
+        (okCount === 1 && okLen === 1 && okPunct === 1 &&
+          okAlpha === 1 && okStop === 1).cast(LongType).as("passes"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS n_alpha_words,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_word_chars,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|was)\b')) AS BIGINT) AS stop_hits
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_words,
+               n_word_chars / n_words AS mean_word_len,
+               CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS ok_count,
+               CAST(n_word_chars / n_words >= 3.0
+                    AND n_word_chars / n_words <= 10.0 AS BIGINT) AS ok_len,
+               CAST(n_punct / n_words <= 0.1 AS BIGINT) AS ok_punct,
+               CAST(n_alpha_words / n_words >= 0.80 AS BIGINT) AS ok_alpha,
+               CAST(stop_hits >= 2 AS BIGINT) AS ok_stop
+        FROM f)
+      SELECT doc_id, n_words, mean_word_len, ok_count, ok_len, ok_punct,
+             ok_alpha, ok_stop,
+             CAST(ok_count = 1 AND ok_len = 1 AND ok_punct = 1
+                  AND ok_alpha = 1 AND ok_stop = 1 AS BIGINT) AS passes
+      FROM r
+      """))
+
   val all: Seq[Q] = Seq(
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
-    d27TrigramLm, d28SplitAssign,
+    d27TrigramLm, d28SplitAssign, d29GopherRules,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
