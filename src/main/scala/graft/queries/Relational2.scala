@@ -4243,8 +4243,37 @@ object Relational2 {
       FROM orders
       """))
 
+  /** RECURSIVE CTE (Spark 4 `WITH RECURSIVE`) — the SAME SQL text on
+    * both engines (the q24 pattern): a recursively generated 60-day
+    * calendar LEFT-joined to orders, so days with zero orders appear
+    * with 0 (the q51 gap-fill shape, expressed the ANSI-recursive
+    * way). Depth 60 stays under Spark's default
+    * `cteRecursionLevelLimit` (100); the anchor/step are constant
+    * dates, so the recursion is calendar-bounded — never
+    * data-proportional. */
+  private val q107Sql = """
+      WITH RECURSIVE cal(d) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY FROM cal WHERE d < DATE '1995-03-01'
+      )
+      SELECT cal.d AS day, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM cal LEFT JOIN orders o ON o.o_orderdate = cal.d
+      GROUP BY cal.d
+      """
+
+  val q107RecursiveCte: Q = Q(
+    "q107_recursive_cte",
+    "WITH RECURSIVE calendar gap-fill; identical SQL text on both engines",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(q107Sql)
+    },
+    Some(q107Sql))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
+    q107RecursiveCte,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
