@@ -166,6 +166,40 @@ class MultimodalSpec extends SparkSpec {
     assert(parseAviMjpeg("RIFFxxxxWAVE".getBytes).isEmpty)
   }
 
+  test("aHash: scale invariance, noise absorption, poison contract") {
+    import Multimodal.aHash
+    def png(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = gray(x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a left-bright/right-dark pattern hashes identically at 8x8,
+    // 16x16, and a non-square 24x16 — the downsampling grid sees the
+    // same cells (scale invariance is what makes aHash a NEAR-dup key,
+    // not an exact-bytes key)
+    def split(w: Int, h: Int) = png(w, h, (x, _) => if (x < w / 2) 220 else 40)
+    val base = aHash(split(8, 8))
+    assert(base.isDefined)
+    assert(aHash(split(16, 16)) == base, "2x upscale must not move the hash")
+    assert(aHash(split(24, 16)) == base, "non-square resample must agree")
+    // photometric noise that never crosses the mean leaves every bit
+    assert(aHash(png(8, 8, (x, _) => if (x < 4) 221 else 41)) == base)
+    // crossing the mean flips bits — a genuinely different image
+    assert(aHash(png(8, 8, (x, _) => if (x < 4) 40 else 220)) != base)
+    // poison contract: truncated, empty, and null payloads are None
+    assert(aHash(split(8, 8).take(10)).isEmpty)
+    assert(aHash(Array.empty[Byte]).isEmpty)
+    assert(aHash(null).isEmpty)
+    // degenerate constant image: no cell exceeds the mean -> hash 0
+    assert(aHash(png(8, 8, (_, _) => 128)) == Some(0L))
+  }
+
   test("media struct schema round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     val df = spark.createDataset(media).toDF()
