@@ -162,6 +162,35 @@ class CopyIntoSpec extends SparkSpec {
     assert(SnapshotLog.readManifest(f, bp).get.txns == m.txns)
   }
 
+  test("spilled watermarks compose with sharded roots") {
+    // the two side-file families must coexist in one root: #shard
+    // pointers for the file lines AND a #txnfile pointer for the
+    // watermarks, each resolved independently on read
+    val (base, bp, view) = mkTable("graft_copy6", "copy6")
+    val f = fs(bp)
+    SnapshotLog.enableSharding(f, bp)
+    s.sql(s"ALTER TABLE $view SET TBLPROPERTIES " +
+      s"('${SnapshotLog.TxnSpillProp}' = '2')")
+    val land = Files.createTempDirectory("graft_land6").toString
+    landFile(land, "a.parquet", 101, 130)
+    landFile(land, "b.parquet", 131, 160)
+    landFile(land, "c.parquet", 161, 190)
+    s.sql(s"COPY INTO $view FROM '$land' FILEFORMAT = PARQUET")
+    val m = SnapshotLog.readManifest(f, bp).get
+    assert(m.txns.keys.count(_.startsWith("copy:")) == 3)
+    val in = f.open(new Path(new Path(bp, "_log"), f"v${m.version}%011d.txt"))
+    val root = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    assert(root.contains("#shard\t"), s"sharded root expected:\n$root")
+    assert(root.contains("#txnfile\t") && !root.contains("#txn\t"),
+      s"spilled watermarks expected in a sharded root:\n$root")
+    // both side-file families resolve: full read + exactly-once re-run
+    assert(SnapshotLog.read(s, base).get.count() == 190L)
+    val r = s.sql(s"COPY INTO $view FROM '$land' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(r.getLong(2) == 0L, s"re-run must no-op, got $r")
+  }
+
   test("DESCRIBE DETAIL answers from the manifest alone") {
     val (base, bp, view) = mkTable("graft_copy4", "copy4")
     s.sql(s"DELETE FROM $view WHERE id % 10 = 1") // 10 DV-deleted rows
