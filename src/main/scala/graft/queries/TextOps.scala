@@ -1946,9 +1946,55 @@ object TextOps {
       FROM r
       """))
 
+  /** EDIT-DISTANCE VERIFY over the d6 candidate pairs — the precision
+    * refinement a dedup pipeline runs on its shingle-based candidates:
+    * token-set measures (Jaccard) can pair documents that share
+    * vocabulary but read differently, so confirmed near-dups are those
+    * whose Levenshtein distance over a normalized 500-char prefix is
+    * ≤ 20% of the longer prefix. Levenshtein is integer-valued and
+    * identically defined in both engines — exact oracle parity.
+    *
+    * Scale shape: edit distance runs ONLY on the bounded candidate
+    * set (d6's df-capped join output — linear in postings, never
+    * all-pairs), and on fixed-length prefixes, so the per-pair cost
+    * is O(500²) constant; the join back to the two texts is two
+    * narrow probes by doc id. */
+  val d30EditVerify: Q = Q(
+    "d30_edit_verify",
+    "Levenshtein verify of d6 candidates: confirmed near-dups at <= 20% edit ratio",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          substring(norm(col("text")), 1, 500).as("p"))
+      val pairs = d6NgramJaccard.build(s, d)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("p").as("pa")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("p").as("pb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          levenshtein(col("pa"), col("pb")).cast(LongType).as("edit_dist"),
+          greatest(length(col("pa")), length(col("pb"))).cast(LongType)
+            .as("max_len"))
+        .withColumn("confirmed",
+          (col("edit_dist") * 5 <= col("max_len")).cast(LongType))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      ${cappedPairsSql(DefaultDfCap)},
+      pref AS (SELECT doc_id, substring($normSql, 1, 500) AS p FROM documents)
+      SELECT j.doc_a, j.doc_b, j.jaccard,
+             CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist,
+             CAST(GREATEST(length(a.p), length(b.p)) AS BIGINT) AS max_len,
+             CAST(levenshtein(a.p, b.p) * 5 <= GREATEST(length(a.p), length(b.p)) AS BIGINT)
+               AS confirmed
+      FROM jpairs j
+      JOIN pref a ON a.doc_id = j.doc_a
+      JOIN pref b ON b.doc_id = j.doc_b
+      """))
+
   val all: Seq[Q] = Seq(
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
-    d27TrigramLm, d28SplitAssign, d29GopherRules,
+    d27TrigramLm, d28SplitAssign, d29GopherRules, d30EditVerify,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
