@@ -116,6 +116,10 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   private def unq(s: String): String = s.replace("''", "'")
   private val SyncIdentity =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SYNC\s+IDENTITY\s*;?\s*""".r
+  // widening-only metadata retype; the delegate parses the type DDL
+  // (commas inside DECIMAL(10,2) are its problem)
+  private val AlterColType =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+`?([A-Za-z_]\w*)`?\s+TYPE\s+(.+?)\s*;?\s*""".r
   private val Fsck =
     """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+([A-Za-z_]\w*)(\s+DRY\s+RUN)?\s*;?\s*""".r
   // CONVERT TO GRAFT_SNAPSHOT '<dir>' PARTITIONED BY (col) AS db.name
@@ -182,6 +186,9 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotDetailCommand(view)
     case SyncIdentity(view) if isTarget(view) =>
       SnapshotSyncIdentityCommand(view)
+    case AlterColType(view, colName, typeDdl) if isTarget(view) =>
+      SnapshotAlterColumnTypeCommand(view, colName,
+        delegate.parseDataType(typeDdl))
     case Fsck(view, dry) if isTarget(view) =>
       SnapshotFsckCommand(view, dryRun = dry != null)
     case ConvertTo(path, partCol, db, name) =>
@@ -617,6 +624,28 @@ case class SnapshotRenameColumnCommand(view: String, from: String, to: String)
     val v = SnapshotLog.renameColumn(spark, path, from, to, Some(partCol))
     SnapshotDml.repin(spark, view)
     Seq(Row("RENAME COLUMN", v, s"$from -> $to"))
+  }
+}
+
+/** `ALTER TABLE view ALTER COLUMN c TYPE t` — metadata-only TYPE
+  * WIDENING ([[graft.sources.SnapshotLog.widenColumnType]]): the
+  * schema header re-declares the column wider, old files upcast on
+  * read (Spark 4 parquet promotion), zero rewrites; non-widening
+  * changes refuse with a pointer at CREATE OR REPLACE. */
+case class SnapshotAlterColumnTypeCommand(
+    view: String, colName: String,
+    newType: org.apache.spark.sql.types.DataType)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("columns", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, partCol) = SnapshotMaintenance.target(view)
+    val v = SnapshotLog.widenColumnType(
+      spark, path, colName, newType, Some(partCol))
+    SnapshotDml.repin(spark, view)
+    Seq(Row("ALTER COLUMN TYPE", v, s"$colName ${newType.sql}"))
   }
 }
 

@@ -4271,9 +4271,50 @@ object Relational2 {
     },
     Some(q107Sql))
 
+  /** Metadata-only TYPE WIDENING (Delta's type-widening feature):
+    * `ALTER COLUMN … TYPE` re-declares a column wider in the schema
+    * header — zero files rewritten, old INT32 files upcast on read
+    * via Spark 4's parquet type promotion — and the next write lands
+    * values only the wider type can hold. The oracle replays the
+    * final state relationally (the pre-widen rows plus the wide row),
+    * so the check fails unless both the upcast read path and the
+    * post-widen write path hold. */
+  val q108TypeWidening: Q = Q(
+    "q108_type_widening",
+    "ALTER COLUMN TYPE widening: upcast reads + beyond-int writes",
+    (s0, d) => {
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_widen108").toString + "/tbl"
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          col("o_custkey").cast(IntegerType).as("cust"),
+          year(col("o_orderdate")).cast(StringType).as("o_year"))
+        .createOrReplaceTempView("q108_src")
+      s.sql(s"""
+        CREATE TABLE q108.t (o_orderkey BIGINT, cust INT, o_year STRING)
+        USING graft_snapshot PARTITIONED BY (o_year) LOCATION '$base'
+      """)
+      s.sql("INSERT INTO q108_t SELECT * FROM q108_src")
+      s.sql("ALTER TABLE q108_t ALTER COLUMN cust TYPE BIGINT")
+      s.sql("""INSERT INTO q108_t VALUES
+               (CAST(-1 AS BIGINT), CAST(5000000000 AS BIGINT), 'x')""")
+      s.sql("""
+        SELECT COUNT(*) AS n, CAST(SUM(cust) AS BIGINT) AS cust_sum,
+               MAX(cust) AS cust_max
+        FROM q108_t
+      """)
+    },
+    Some("""
+      SELECT COUNT(*) + 1 AS n,
+             CAST(SUM(o_custkey) + 5000000000 AS BIGINT) AS cust_sum,
+             CAST(5000000000 AS BIGINT) AS cust_max
+      FROM orders
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
-    q107RecursiveCte,
+    q107RecursiveCte, q108TypeWidening,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

@@ -2511,6 +2511,98 @@ object SnapshotLog {
       s"DROP COLUMN lost $maxRetries commit races on $base")
   }
 
+  /** `ALTER COLUMN c TYPE t` as a METADATA-ONLY commit, WIDENING
+    * conversions only (Delta's type-widening table feature): the
+    * schema header re-declares the column at the wider type and every
+    * scan upcasts old files' values on read — Spark 4's parquet
+    * reader promotes small-int INT32 encodings to long, float to
+    * double, and same-scale decimal precision growth natively — so
+    * ZERO data files rewrite and the next write simply lands the
+    * wider physical type. Non-widening changes refuse loudly (they
+    * need a rewrite — CREATE OR REPLACE is that verb).
+    *
+    * Stats/bloom hygiene: integral widenings keep both (bounds
+    * strings parse exactly at the wider type; Spark's bloom hashes
+    * every integral as a long, so int-built blooms answer long
+    * probes); decimal keeps bounds (exact decimal strings) but drops
+    * blooms; float→double drops BOTH the column's bounds and blooms —
+    * a float-printed bound re-parsed as double is NOT the upcast
+    * value (0.1f prints "0.1", upcasts to 0.10000000149…), and a
+    * stale tighter bound could wrongly prune a file. Dropped
+    * stats/blooms are pure pruning loss, never wrong rows; the next
+    * ANALYZE / bloom build restores them at the wider type.
+    *
+    * The partition column, bucket columns (murmur3 bucket hashes are
+    * type-dependent — ids would silently change), identity columns,
+    * and generated-entangled columns refuse, as in [[renameColumn]]. */
+  def widenColumnType(
+      spark: SparkSession,
+      base: String,
+      name: String,
+      to: org.apache.spark.sql.types.DataType,
+      partCol: Option[String] = None,
+      maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types._
+    def widens(f: DataType, t: DataType): Boolean = (f, t) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (fd: DecimalType, td: DecimalType) =>
+        td.scale == fd.scale && td.precision > fd.precision
+      case _ => false
+    }
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"no committed version at $base"))
+      val sc = m.schema.getOrElse(sys.error(
+        "ALTER COLUMN TYPE needs a schema header (legacy manifest) — any " +
+          "write, or ANALYZE … COMPUTE STATISTICS, records one first"))
+      val field = sc.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        sys.error(s"no such column: $name"))
+      require(widens(field.dataType, to),
+        s"only widening conversions are metadata-only: " +
+          s"${field.dataType.sql} -> ${to.sql} is not " +
+          "(CREATE OR REPLACE rewrites)")
+      require(!partCol.exists(_.equalsIgnoreCase(field.name)),
+        s"cannot retype partition column ${field.name}")
+      require(!m.bucketSpec.exists(_._2.exists(_.equalsIgnoreCase(field.name))),
+        s"cannot retype bucket column ${field.name} — the murmur3 bucket " +
+          s"hash is type-dependent (UNSET $BucketColsProp first)")
+      require(!m.identityCols.exists(_._1.equalsIgnoreCase(field.name)),
+        s"cannot retype IDENTITY column ${field.name}")
+      generatedEntangled(m, field.name).foreach(g => sys.error(
+        s"GENERATED column $g (graft.generated.$g) involves " +
+          s"${field.name}; UNSET the property first"))
+      val phys = m.phys(field.name)
+      val evolved = StructType(sc.fields.map(f =>
+        if (f.name == field.name) f.copy(dataType = to) else f))
+      val integral = field.dataType match {
+        case ByteType | ShortType | IntegerType => true
+        case _ => false
+      }
+      val keepStats = integral || field.dataType.isInstanceOf[DecimalType]
+      val stats2 =
+        if (keepStats) m.stats
+        else m.stats.map { case (f, cs) => f -> (cs - phys) }
+      val blooms2 =
+        if (integral) m.blooms
+        else m.blooms.map { case (f, cs) => f -> (cs - phys) }
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      if (tryCommit(fs, bp, m.copy(version = version,
+          schemaJson = Some(StructTypeNullable(evolved)),
+          op = Some("ALTER_COLUMN_TYPE"),
+          stats = stats2, blooms = blooms2)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"ALTER COLUMN TYPE lost $maxRetries commit races on $base")
+  }
+
   /** `TRUNCATE TABLE` — delete every row as ONE metadata-only commit:
     * the manifest's file map empties (stats/blooms/DVs go with the
     * files they describe); schema, constraints, properties, column
