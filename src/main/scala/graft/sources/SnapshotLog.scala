@@ -388,6 +388,19 @@ object SnapshotLog {
         (dec(a(1)), a(2).toLong, a(3))
       }.nextOption()
 
+  /** Header line `#ts <epochMillis>` — the IN-COMMIT TIMESTAMP
+    * (Delta's ICT feature): commit time recorded as a property of the
+    * commit itself, monotone by construction (max(now, prev+1)), so
+    * `TIMESTAMP AS OF` and DESCRIBE HISTORY survive storage
+    * migrations, backup restores, and cross-writer clock skew — all
+    * of which rewrite or reorder file MODIFICATION times, the only
+    * clock legacy manifests have (still the fallback for them). */
+  private val TsTag = "#ts"
+
+  private def parseTs(text: String): Option[Long] =
+    text.split("\n").iterator.filter(_.startsWith(TsTag + "\t"))
+      .map(_.split("\t", 2)(1).trim.toLongOption).nextOption().flatten
+
   /** Marker that opts a table into sharded manifests below
     * [[ShardFileThreshold]] (tests, or tables known to grow). Once
     * past the threshold no marker is needed — size alone shards.
@@ -738,17 +751,24 @@ object SnapshotLog {
 
   /** The newest committed version whose manifest was PUBLISHED at or
     * before `millis` (epoch ms) — `TIMESTAMP AS OF` resolution. Commit
-    * time is the manifest file's modification time, the same clock
+    * time is the root's IN-COMMIT `#ts` stamp (monotone, survives
+    * storage-layer mtime churn); legacy manifests without one fall
+    * back to the manifest file's modification time — the same clock
     * [[history]] reports. */
   def versionAsOfTime(
       spark: SparkSession, base: String, millis: Long): Option[Long] = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     committedVersions(fs, bp).filter { v =>
-      fs.getFileStatus(new Path(logDir(bp), vName(v)))
-        .getModificationTime <= millis
+      commitTimeOf(fs, bp, v) <= millis
     }.lastOption
   }
+
+  /** Epoch millis a version committed at: the `#ts` in-commit stamp,
+    * else (legacy) the root file's modification time. */
+  private def commitTimeOf(fs: FileSystem, bp: Path, v: Long): Long =
+    rootText(fs, bp, v).flatMap(parseTs).getOrElse(
+      fs.getFileStatus(new Path(logDir(bp), vName(v))).getModificationTime)
 
   /** The per-table-unique join key for a data file: its last TWO path
     * segments (`<parent dir>/<part file>`). The basename alone is NOT
@@ -1176,17 +1196,23 @@ object SnapshotLog {
     }.mkString
     val spillAt = m.props.get(TxnSpillProp).flatMap(_.trim.toIntOption)
       .filter(_ > 0).getOrElse(TxnSpillThreshold)
+    lazy val prevRoot = prevRootText(fs, base, m.version)
     val txnPart =
       if (m.txns.size < spillAt) txnLines
       else {
         val hash = sha256Hex(txnLines)
-        val rel = prevRootText(fs, base, m.version)
+        val rel = prevRoot
           .flatMap(parseTxnPtr).filter(_._3 == hash).map(_._1)
           .getOrElse(writeSideFile(f"t${m.version}%011d-${
             java.util.UUID.randomUUID.toString.take(8)}.txt", txnLines))
         s"$TxnFileTag\t${enc(rel)}\t${m.txns.size}\t$hash\n"
       }
-    val text = header + txnPart + body + Footer + "\n"
+    // in-commit timestamp: stamped per ATTEMPT (a retry is a new
+    // commit instant), monotone past the previous committed root's
+    // stamp even under cross-writer clock skew
+    val commitTs = math.max(System.currentTimeMillis(),
+      prevRoot.flatMap(parseTs).map(_ + 1L).getOrElse(Long.MinValue))
+    val text = header + s"$TsTag\t$commitTs\n" + txnPart + body + Footer + "\n"
     val out: java.io.OutputStream =
       try {
         if (fs.getUri.getScheme == "file") {
@@ -3702,8 +3728,11 @@ object SnapshotLog {
     import spark.implicits._
     committedVersions(fs, bp).reverse.flatMap { v =>
       rootText(fs, bp, v).map { text =>
-        val ts = fs.getFileStatus(new Path(logDir(bp), vName(v)))
-          .getModificationTime
+        // the in-commit stamp when present; legacy manifests fall back
+        // to the root file's modification time
+        val ts = parseTs(text).getOrElse(
+          fs.getFileStatus(new Path(logDir(bp), vName(v)))
+            .getModificationTime)
         val op = text.split("\n").iterator
           .filter(_.startsWith(OpTag + "\t"))
           .map(l => dec(l.substring(OpTag.length + 1)))

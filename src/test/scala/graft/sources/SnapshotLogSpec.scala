@@ -27,6 +27,46 @@ class SnapshotLogSpec extends SparkSpec {
       .toDF()
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
 
+  test("in-commit timestamps: monotone, and TIMESTAMP AS OF survives mtime churn") {
+    val base = Files.createTempDirectory("graft_ict").toString + "/tbl"
+    (1L to 3L).foreach { b =>
+      val rows = Seq((b, b, s"d0")).toDF("id", "v", "day")
+      SnapshotLog.upsertBatch(spark, base, rows, Seq("id"), "v", "day",
+        batchId = b, maxRetries = 5, statsCols = Nil, clusterBy = Nil,
+        clusterFiles = 2, opCol = None, writeCdf = false)
+    }
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // history reports the in-commit stamps, strictly increasing even
+    // for back-to-back commits (max(now, prev+1))
+    val hist = SnapshotLog.history(spark, base)
+      .select("version", "timestamp").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val vs = hist.keys.toSeq.sorted
+    assert(vs.size == 3)
+    vs.sliding(2).foreach { case Seq(a, b) =>
+      assert(hist(a) < hist(b),
+        s"in-commit stamps must be strictly monotone: $hist")
+    }
+    val v2 = vs(1)
+    assert(SnapshotLog.versionAsOfTime(spark, base, hist(v2)) == Some(v2))
+    assert(SnapshotLog.versionAsOfTime(spark, base, hist(v2) + 0) == Some(v2))
+    // storage migration: every root file's MODIFICATION time churns to
+    // the same instant — the mtime clock now says "all versions are
+    // equally old", but resolution and history answer from #ts
+    val dir = new Path(bp, "_log")
+    fs.listStatus(dir).filter(_.getPath.getName.startsWith("v"))
+      .foreach(st => fs.setTimes(st.getPath, 1000L, -1L))
+    assert(SnapshotLog.versionAsOfTime(spark, base, hist(v2)) == Some(v2),
+      "TIMESTAMP AS OF must resolve from in-commit stamps, not mtime")
+    assert(SnapshotLog.versionAsOfTime(spark, base, hist(v2) - 1)
+      == Some(vs.head))
+    val hist2 = SnapshotLog.history(spark, base)
+      .select("version", "timestamp").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(hist2 == hist, "history timestamps must survive mtime churn")
+  }
+
   test("upsert batches merge correctly and only touch changed partitions") {
     val base = Files.createTempDirectory("graft_snaplog").toString + "/tbl"
     // batch 1: two days via far-apart event ids (1440 min = 1 day)
