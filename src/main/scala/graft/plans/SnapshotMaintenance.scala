@@ -203,8 +203,7 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotOptimizeCommand(view, cols, Option(where).map(_.trim))
     case Vacuum(view, hours, dry) if isTarget(view) =>
       SnapshotVacuumCommand(view,
-        Option(hours).map(_.toLong * 3600L * 1000L)
-          .getOrElse(24L * 3600L * 1000L),
+        Option(hours).map(_.toLong * 3600L * 1000L),
         dryRun = dry != null)
     case Restore(view, v) if isTarget(view) =>
       SnapshotRestoreCommand(view, v.toLong)
@@ -905,13 +904,25 @@ case class SnapshotDetailCommand(view: String)
   * superseded DV sidecar subdirs, and orphaned manifest shards older
   * than the retention window ([[SnapshotLog.vacuum]]). */
 case class SnapshotVacuumCommand(
-    view: String, retentionMs: Long, dryRun: Boolean = false)
+    view: String, retentionMsOpt: Option[Long], dryRun: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType, nullable = false)(),
     AttributeReference("n_removed_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (path, _) = SnapshotMaintenance.target(view)
+    // retention precedence: explicit RETAIN n HOURS > the table's
+    // graft.vacuum.retentionHours property (Delta's
+    // deletedFileRetentionDuration) > the 24h convention
+    val retentionMs = retentionMsOpt.getOrElse {
+      val bp = new org.apache.hadoop.fs.Path(path)
+      val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SnapshotLog.readManifest(fs, bp)
+        .flatMap(_.props.get(SnapshotLog.VacuumRetentionProp))
+        .flatMap(_.trim.toLongOption).filter(_ >= 0)
+        .map(_ * 3600L * 1000L)
+        .getOrElse(24L * 3600L * 1000L)
+    }
     val removed = SnapshotLog.vacuum(spark, path, retentionMs,
       dryRun = dryRun)
     Seq(Row(if (dryRun) "VACUUM DRY RUN" else "VACUUM", removed))

@@ -258,6 +258,11 @@ object SnapshotLog {
     * parallelism. Absent/invalid = the historical one-file fold. */
   val OptimizeTargetProp = "graft.optimize.targetFileSize"
 
+  /** Table-level default retention (HOURS) for a SQL `VACUUM` without
+    * an explicit `RETAIN` clause — the per-table knob Delta exposes as
+    * `deletedFileRetentionDuration`. Absent → the 24 h convention. */
+  val VacuumRetentionProp = "graft.vacuum.retentionHours"
+
   /** Bucketed-table properties: `graft.bucket.count = <n>` +
     * `graft.bucket.columns = <c1[,c2…]>` (logical names) make every
     * data-writing commit stage SPARK-BUCKETED files — rows

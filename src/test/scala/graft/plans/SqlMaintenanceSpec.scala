@@ -87,9 +87,17 @@ class SqlMaintenanceSpec extends SparkSpec {
 
     // pre-expiry VACUUM reclaims nothing (everything referenced) …
     assert(s.sql(s"VACUUM $view RETAIN 0 HOURS").head.getLong(1) == 0L)
-    // … post-expiry it reclaims the UPDATE's rewrite and nothing live
+    // … post-expiry it reclaims the UPDATE's rewrite and nothing live.
+    // Without RETAIN, the table's retention PROPERTY governs (Delta's
+    // deletedFileRetentionDuration): at the 24h default the young
+    // orphans survive; at a 0-hour property they reclaim.
     SnapshotLog.expireVersions(s, base, keepLast = 1)
-    assert(s.sql(s"VACUUM $view RETAIN 0 HOURS").head.getLong(1) > 0L)
+    assert(s.sql(s"VACUUM $view").head.getLong(1) == 0L,
+      "default 24h retention must protect young unreferenced files")
+    s.sql(s"ALTER TABLE $view SET TBLPROPERTIES " +
+      s"('${SnapshotLog.VacuumRetentionProp}' = '0')")
+    assert(s.sql(s"VACUUM $view").head.getLong(1) > 0L,
+      "the table's retention property must govern a bare VACUUM")
     assert(s.sql(s"SELECT SUM(value) FROM $view").head.getDouble(0) == sum0)
   }
 
