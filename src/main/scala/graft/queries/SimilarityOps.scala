@@ -830,9 +830,87 @@ object SimilarityOps {
       UNION ALL SELECT 5, vec_id, sim, sc FROM s5
       """))
 
+  /** EXACT COSINE RADIUS SEARCH with IVF ball-bound cell pruning — the
+    * "give me EVERY neighbor above τ" query (dedup sweeps, recall-
+    * sensitive retrieval) where ANN's missed neighbors are not
+    * acceptable but a full Q·N scan is the thing to beat.
+    *
+    * The pruning bound: corpus vectors are unit-normalized and
+    * clustered into IVF cells (s5/s7's k-means); each cell keeps its
+    * ball radius r_c = max‖x̂ − c‖ over members. For a unit query q̂,
+    * ⟨q̂, x̂⟩ = ⟨q̂, c⟩ + ⟨q̂, x̂ − c⟩ ≤ ⟨q̂, c⟩ + ‖x̂ − c‖ ≤ ⟨q̂, c⟩ + r_c
+    * (Cauchy–Schwarz, ‖q̂‖ = 1), so a cell with ⟨q̂, c⟩ + r_c < τ cannot
+    * contain a hit and is skipped WITHOUT reading its members — exact,
+    * not approximate (an ε = 10⁻⁶ slack absorbs float noise between the
+    * bound's arithmetic and the verify pass's). Surviving cells get the
+    * exact cosine verify on RAW vectors — the same bit-deterministic
+    * expression the oracle computes, so the result is identical to
+    * brute force by construction (RadiusSearchSpec proves it).
+    *
+    * Scale shape: centroids+radii are k rows (broadcast); the
+    * (query × cell) bound test is Q·k rows, both sides tiny; the
+    * verify join reads ONLY member rows of surviving cells — at 100 TB
+    * with the assignment as a cell-partitioned table this is partition
+    * pruning, and the unprobed corpus is never touched. No corpus
+    * shuffle: the assignment's groupBy is the one exchange, the verify
+    * probe joins broadcast (qid, cid) pairs against it. */
+  /** The tau-parametrized pipeline behind s17 (the spec drives it at a
+    * data-derived tau where the bound provably prunes; the registry
+    * query fixes tau = 0.3 for the oracle). */
+  def radiusSearch(s: SparkSession, d: String, tau: Double): DataFrame = {
+      val e = emb(s, d)
+      val queries = e.filter(col("vec_id") < 4)
+        .withColumn("qn", sqrt(dot(col("v"), col("v"))))
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          transform(col("v"), x => x / col("qn")).as("qu"))
+      val corpus = Caching.cached(
+        e.filter(col("vec_id") >= 4)
+          .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+          .select(col("vec_id"), col("v"),
+            transform(col("v"), x => x / col("nrm")).as("u")))
+      val cent = graft.operators.IvfIndex.centroids(
+        corpus.select(col("vec_id"), col("u").as("v")), k = 16, iters = 2)
+      val asg = Caching.cached(graft.operators.IvfIndex.assign(
+        corpus.select(col("vec_id"), col("u").as("v")), cent))
+      val radii = asg
+        .join(corpus.select(col("vec_id"), col("u")), Seq("vec_id"))
+        .join(broadcast(cent), Seq("cid"))
+        .groupBy(col("cid"))
+        .agg(max(sqrt(graft.operators.IvfIndex.dist2(col("u"), col("cv"))))
+          .as("r"))
+      val surviving = queries
+        .crossJoin(broadcast(cent.join(radii, Seq("cid"))))
+        .filter(dot(col("qu"), col("cv")) + col("r") >= lit(tau - 1e-6))
+        .select(col("qid"), col("qv"), col("cid"))
+      asg
+        .join(broadcast(surviving), Seq("cid"))
+        .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+        .filter(col("sim") >= tau)
+  }
+
+  val s17RadiusSearch: Q = Q(
+    "s17_radius_search",
+    "exact cosine radius search (sim >= 0.3): IVF ball-bound cell pruning",
+    (s, d) => radiusSearch(s, d, tau = 0.3),
+    Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 4),
+      c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id >= 4)
+      SELECT q.qid AS qid, c.vec_id AS vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      FROM q, c
+      WHERE list_dot_product(c.v, q.qv)
+              / (sqrt(list_dot_product(c.v, c.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) >= 0.3
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
     s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch, s14SqInt8,
-    s15SemanticDedup, s16MmrTopK)
+    s15SemanticDedup, s16MmrTopK, s17RadiusSearch)
 }

@@ -1780,32 +1780,42 @@ object TextOps {
     * one exchange row per document. No corpus-sized key shuffle
     * anywhere; the corpus is read twice (train + score), an inherent
     * cost of self-training the model. */
+  /** Normalized docs with ≥ 3 chars — the trigram-LM training/scoring
+    * corpus (shared by d27 and d31). */
+  private def lmDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), norm(col("text")).as("nt"))
+      .filter(length(col("nt")) >= 3)
+
+  /** One row per trigram position: (doc_id, g, b) — g the trigram, b its
+    * 2-char prefix. Computed map-side; never shuffled raw. */
+  private def charGrams(df: DataFrame): DataFrame = df
+    .select(col("doc_id"),
+      explode(sequence(lit(1), length(col("nt")) - lit(2))).as("pos"),
+      col("nt"))
+    .select(col("doc_id"),
+      expr("substring(nt, pos, 3)").as("g"),
+      expr("substring(nt, pos, 2)").as("b"))
+
+  /** Integer-ppm trigram model over a gram relation: (g, ppm) with
+    * ppm = (10⁶ · count(g)) div count(prefix) — both counts bounded by
+    * |charset|³ groups, so the aggregates partial-agg to tiny exchanges
+    * and the model table broadcasts. */
+  private def trigramModel(grams: DataFrame): DataFrame = {
+    val c3 = grams.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("c3"))
+    val c2 = c3.groupBy(col("b")).agg(sum(col("c3")).as("c2"))
+    c3.join(c2, "b")
+      .select(col("g"), expr("(1000000 * c3) div c2").as("ppm"))
+  }
+
   val d27TrigramLm: Q = Q(
     "d27_trigram_lm",
     "char-trigram LM familiarity score (integer-quantized CCNet-style quality)",
     (s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), norm(col("text")).as("nt"))
-        .filter(length(col("nt")) >= 3)
-      // One row per trigram position: (doc_id, g, b) — g the trigram,
-      // b its 2-char prefix. Computed map-side; never shuffled raw.
-      def grams(df: DataFrame): DataFrame = df
-        .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("nt")) - lit(2))).as("pos"),
-          col("nt"))
-        .select(col("doc_id"),
-          expr("substring(nt, pos, 3)").as("g"),
-          expr("substring(nt, pos, 2)").as("b"))
-      // Model: trigram counts + prefix totals (both bounded by the
-      // charset, so the aggregates are partial-agged to tiny exchanges
-      // and the joined model table broadcasts).
-      val c3 = grams(docs).groupBy(col("g"), col("b"))
-        .agg(count(lit(1)).as("c3"))
-      val c2 = c3.groupBy(col("b")).agg(sum(col("c3")).as("c2"))
-      val model = broadcast(
-        c3.join(c2, "b")
-          .select(col("g"),
-            expr("(1000000 * c3) div c2").as("ppm")))
+      val docs = lmDocs(s, d)
+      def grams(df: DataFrame): DataFrame = charGrams(df)
+      val model = broadcast(trigramModel(grams(docs)))
       grams(docs)
         .join(model, "g")
         .groupBy(col("doc_id"))
@@ -1894,6 +1904,27 @@ object TextOps {
     * integer/count arithmetic — exact in both engines; the only
     * doubles are exact-integer divisions compared to literal
     * thresholds, identical IEEE in both. */
+  /** The d29 rule CTEs (`f` raw counts, `r` per-rule booleans) — shared
+    * with d31, whose target corpus is the gate-passing subset. */
+  private val gopherCtesSql = """gopher_f AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS n_alpha_words,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_word_chars,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|was)\b')) AS BIGINT) AS stop_hits
+        FROM documents),
+      r AS (
+        SELECT doc_id, n_words,
+               n_word_chars / n_words AS mean_word_len,
+               CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS ok_count,
+               CAST(n_word_chars / n_words >= 3.0
+                    AND n_word_chars / n_words <= 10.0 AS BIGINT) AS ok_len,
+               CAST(n_punct / n_words <= 0.1 AS BIGINT) AS ok_punct,
+               CAST(n_alpha_words / n_words >= 0.80 AS BIGINT) AS ok_alpha,
+               CAST(stop_hits >= 2 AS BIGINT) AS ok_stop
+        FROM gopher_f)"""
+
   val d29GopherRules: Q = Q(
     "d29_gopher_rules",
     "Gopher rule-gate quality filter: per-rule booleans + overall pass",
@@ -1920,25 +1951,8 @@ object TextOps {
         (okCount === 1 && okLen === 1 && okPunct === 1 &&
           okAlpha === 1 && okStop === 1).cast(LongType).as("passes"))
     },
-    Some("""
-      WITH f AS (
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
-               CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS BIGINT) AS n_alpha_words,
-               CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
-               CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_word_chars,
-               CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|it|that|was)\b')) AS BIGINT) AS stop_hits
-        FROM documents),
-      r AS (
-        SELECT doc_id, n_words,
-               n_word_chars / n_words AS mean_word_len,
-               CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS ok_count,
-               CAST(n_word_chars / n_words >= 3.0
-                    AND n_word_chars / n_words <= 10.0 AS BIGINT) AS ok_len,
-               CAST(n_punct / n_words <= 0.1 AS BIGINT) AS ok_punct,
-               CAST(n_alpha_words / n_words >= 0.80 AS BIGINT) AS ok_alpha,
-               CAST(stop_hits >= 2 AS BIGINT) AS ok_stop
-        FROM f)
+    Some(s"""
+      WITH $gopherCtesSql
       SELECT doc_id, n_words, mean_word_len, ok_count, ok_len, ok_punct,
              ok_alpha, ok_stop,
              CAST(ok_count = 1 AND ok_len = 1 AND ok_punct = 1
@@ -1992,9 +2006,152 @@ object TextOps {
       JOIN pref b ON b.doc_id = j.doc_b
       """))
 
+  /** DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more a TARGET-domain LM likes it than the
+    * BACKGROUND LM does, then resample by that weight. Here the target
+    * corpus is the d29 Gopher-gate-passing subset (the "high-quality
+    * domain") and the background is the whole corpus; both LMs are the
+    * d27 integer-ppm char-trigram model, so the weight is
+    * mean(ppm_target − ppm_background) per document — positive for
+    * documents whose character transitions look like the curated
+    * subset, negative for ones the gate-passing distribution disfavors.
+    * Trigrams absent from the target model contribute ppm 0 (the
+    * hard-OOV convention; DSIR's smoothing is a modeling choice, the
+    * pipeline shape is identical).
+    *
+    * Determinism: both models quantize to integer ppm BEFORE summation
+    * (the d27 contract), so both engines sum exact integers; the final
+    * mean is one exact-input IEEE division.
+    *
+    * Scale shape: the gram relation is computed map-side and cached for
+    * its three consumers (background model, target model, scoring);
+    * both models are charset-bounded aggregations whose exchanges carry
+    * O(partitions × vocab) partial rows and whose joined (g, ppm_b,
+    * ppm_t) table BROADCASTS onto the scoring pass; the target filter
+    * is a left-semi join on doc_id against the gate's map-only output.
+    * Per-doc scoring partial-aggs to one exchange row per document —
+    * no corpus-sized key shuffle anywhere. */
+  val d31DsirWeights: Q = Q(
+    "d31_dsir_weights",
+    "DSIR importance weights: target (Gopher-passing) vs background trigram LM",
+    (s, d) => {
+      val grams = Caching.cached(charGrams(lmDocs(s, d)))
+      val passing = d29GopherRules.build(s, d)
+        .filter(col("passes") === 1).select(col("doc_id"))
+      val target = grams.join(passing, Seq("doc_id"), "left_semi")
+      val model = broadcast(
+        trigramModel(grams).select(col("g"), col("ppm").as("ppm_b"))
+          .join(trigramModel(target).select(col("g"), col("ppm").as("ppm_t")),
+            Seq("g"), "left")
+          .na.fill(0L, Seq("ppm_t")))
+      grams
+        .join(model, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(col("ppm_t")).as("ppm_target"),
+          sum(col("ppm_b")).as("ppm_background"))
+        .select(col("doc_id"), col("n_trigrams"),
+          col("ppm_target"), col("ppm_background"),
+          ((col("ppm_target") - col("ppm_background")) / col("n_trigrams"))
+            .as("dsir_weight"))
+    },
+    Some(s"""
+      WITH nd AS (
+        SELECT doc_id, $normSql AS nt FROM documents
+        WHERE length($normSql) >= 3),
+      grams AS (
+        SELECT doc_id, substring(nt, CAST(pos AS INTEGER), 3) AS g,
+               substring(nt, CAST(pos AS INTEGER), 2) AS b
+        FROM (SELECT doc_id, nt,
+                     unnest(range(1, CAST(length(nt) - 1 AS BIGINT))) AS pos
+              FROM nd)),
+      $gopherCtesSql,
+      gate AS (
+        SELECT doc_id FROM r
+        WHERE ok_count = 1 AND ok_len = 1 AND ok_punct = 1
+          AND ok_alpha = 1 AND ok_stop = 1),
+      tgrams AS (SELECT g.* FROM grams g JOIN gate USING (doc_id)),
+      c3b AS (SELECT g, b, COUNT(*) AS c3 FROM grams GROUP BY g, b),
+      c2b AS (SELECT b, SUM(c3) AS c2 FROM c3b GROUP BY b),
+      mb AS (SELECT g, (1000000 * c3b.c3) // c2b.c2 AS ppm_b
+             FROM c3b JOIN c2b USING (b)),
+      c3t AS (SELECT g, b, COUNT(*) AS c3 FROM tgrams GROUP BY g, b),
+      c2t AS (SELECT b, SUM(c3) AS c2 FROM c3t GROUP BY b),
+      mt AS (SELECT g, (1000000 * c3t.c3) // c2t.c2 AS ppm_t
+             FROM c3t JOIN c2t USING (b)),
+      model AS (
+        SELECT mb.g AS g, mb.ppm_b AS ppm_b,
+               COALESCE(mt.ppm_t, 0) AS ppm_t
+        FROM mb LEFT JOIN mt ON mb.g = mt.g)
+      SELECT doc_id, COUNT(*) AS n_trigrams,
+             CAST(SUM(ppm_t) AS BIGINT) AS ppm_target,
+             CAST(SUM(ppm_b) AS BIGINT) AS ppm_background,
+             (CAST(SUM(ppm_t) AS BIGINT) - CAST(SUM(ppm_b) AS BIGINT))
+               / COUNT(*) AS dsir_weight
+      FROM grams JOIN model USING (g)
+      GROUP BY doc_id
+      """))
+
+  /** FREQUENT N-GRAM MINING — the memorization-analysis staple (the
+    * "how often does this exact phrase repeat across the corpus"
+    * question behind ExactSubstr dedup thresholds and eval-set
+    * contamination audits): every word 5-gram occurring ≥ 3 times
+    * corpus-wide, with its total occurrence count and the number of
+    * distinct documents containing it. High-occurrence/low-doc grams
+    * are within-document boilerplate; high-doc grams are cross-corpus
+    * templates — the two axes a curation pipeline thresholds on.
+    *
+    * Scale shape: gram extraction is map-side (explode over positions,
+    * slice + join — no shuffle); counting is TWO-LEVEL — groupBy
+    * (gram, doc_id) first (partial-aggable, collapses within-document
+    * repeats map-side), then groupBy(gram) where the distinct-doc count
+    * is a plain count (the q19 Expand-removal shape — `countDistinct`
+    * here would double every shuffled row). The mined gram TEXT is the
+    * output, so the exchange necessarily carries it; the first-level
+    * partial agg is what bounds the exchange at O(distinct grams per
+    * doc), not O(positions). At 100 TB, raise the threshold or add a
+    * frequency-sketch pre-pass; the relational shape is unchanged. */
+  val d32NgramMine: Q = Q(
+    "d32_ngram_mine",
+    "frequent word-5-gram mining: corpus-repeated phrases with doc counts",
+    (s, d) => {
+      val words = t(s, d, "documents")
+        .select(col("doc_id"), split(norm(col("text")), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+      words
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), size(col("w")) - lit(5))).as("i"))
+        .select(col("doc_id"),
+          array_join(slice(col("w"), col("i") + 1, lit(5)), " ").as("gram"))
+        .groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("gram"))
+        .agg(sum(col("c")).as("n_occurrences"),
+          count(lit(1)).as("n_docs"))
+        .filter(col("n_occurrences") >= 3)
+    },
+    Some(s"""
+      WITH nd AS (
+        SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+        WHERE len(string_split($normSql, ' ')) >= 5),
+      g AS (
+        SELECT doc_id,
+               array_to_string(list_slice(w, CAST(i AS INTEGER),
+                                          CAST(i + 4 AS INTEGER)), ' ') AS gram
+        FROM (SELECT doc_id, w,
+                     unnest(range(1, CAST(len(w) - 3 AS BIGINT))) AS i
+              FROM nd)),
+      pd AS (SELECT gram, doc_id, COUNT(*) AS c FROM g GROUP BY gram, doc_id)
+      SELECT gram, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pd GROUP BY gram HAVING SUM(c) >= 3
+      """))
+
   val all: Seq[Q] = Seq(
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
     d27TrigramLm, d28SplitAssign, d29GopherRules, d30EditVerify,
+    d31DsirWeights, d32NgramMine,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
