@@ -2148,10 +2148,94 @@ object TextOps {
       FROM pd GROUP BY gram HAVING SUM(c) >= 3
       """))
 
+  /** BM25 LEXICAL RETRIEVAL (Robertson–Spärck Jones / Okapi): the
+    * sparse-retrieval half of a RAG stack next to s1/s17's dense half —
+    * top-k documents for a fixed query term set, scored by
+    * idf(t) · tf_norm(t, doc) with k1 = 1.2, b = 0.75.
+    *
+    * Determinism (cross-engine bitwise): the classic ln-based idf is
+    * replaced by the RATIONAL form (N − df + 0.5)/(df + 0.5) — the d11
+    * log-free trick; ln() is not bit-specified across engines, while
+    * +, −, ×, ÷ are correctly-rounded IEEE, so writing the IDENTICAL
+    * expression tree in both engines yields identical doubles
+    * (monotone in the ln-idf, so rankings agree with Okapi's). Each
+    * per-term contribution is quantized to integer ppm via floor()
+    * BEFORE the per-doc sum (the d27 contract — double sums are
+    * addition-order-dependent; integer sums are exact), and floor is
+    * used rather than a bare cast because DuckDB's double→BIGINT cast
+    * ROUNDS while Spark's truncates.
+    *
+    * Scale shape: the corpus term relation is filtered to the query's
+    * terms MAP-SIDE (isin on literals) before any aggregation, so the
+    * only corpus-wide exchanges are the per-doc dl count (O(docs) after
+    * partial agg) and the (doc, term) tf agg over query-matching
+    * positions only; df/N/avgdl are scalar-or-tiny aggregates that
+    * BROADCAST onto the scoring join; the final top-k is an
+    * ORDER BY + LIMIT → TakeOrderedAndProject, never a full sort. */
+  val d33Bm25: Q = Q(
+    "d33_bm25_topk",
+    "BM25 top-10 retrieval (rational idf, integer-ppm contributions)",
+    (s, d) => {
+      val qTerms = Seq("spark", "vector", "stream", "merge")
+      val words = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
+        .filter(length(col("term")) >= 3)
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val avgdl = dl.agg((sum(col("dl")) / count(lit(1))).as("avgdl"))
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val qw = words.filter(col("term").isin(qTerms: _*))
+      val tfs = qw.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfs = qw.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val tfn = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))
+      tfs
+        .join(broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(avgdl))
+        .select(col("doc_id"),
+          floor(lit(1e6) * (idf * tfn)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("score_ppm"))
+        .orderBy(desc("score_ppm"), col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+        FROM documents),
+      w3 AS (SELECT doc_id, term FROM words WHERE length(term) >= 3),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM w3 GROUP BY doc_id),
+      ad AS (SELECT SUM(dl) / COUNT(*) AS avgdl FROM dl),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      qw AS (SELECT doc_id, term FROM w3
+             WHERE term IN ('spark', 'vector', 'stream', 'merge')),
+      tfs AS (SELECT doc_id, term, COUNT(*) AS tf FROM qw GROUP BY 1, 2),
+      dfs AS (SELECT term, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, term FROM qw) GROUP BY 1),
+      sc AS (
+        SELECT tfs.doc_id AS doc_id,
+               CAST(floor(1000000 *
+                 (((n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+                  ((tfs.tf * 2.2) /
+                   (tfs.tf + 1.2 * (0.25 + (0.75 * dl.dl) / ad.avgdl)))))
+                 AS BIGINT) AS c
+        FROM tfs
+        JOIN dfs USING (term)
+        JOIN dl ON dl.doc_id = tfs.doc_id, n, ad)
+      SELECT doc_id, COUNT(*) AS n_terms,
+             CAST(SUM(c) AS BIGINT) AS score_ppm
+      FROM sc GROUP BY doc_id
+      ORDER BY score_ppm DESC, doc_id LIMIT 10
+      """))
+
   val all: Seq[Q] = Seq(
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
     d27TrigramLm, d28SplitAssign, d29GopherRules, d30EditVerify,
-    d31DsirWeights, d32NgramMine,
+    d31DsirWeights, d32NgramMine, d33Bm25,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
