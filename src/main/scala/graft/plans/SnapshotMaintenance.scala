@@ -39,7 +39,7 @@ import graft.sources.{Catalog, SnapshotLog}
   *   ANALYZE [TABLE] <view> COMPUTE STATISTICS FOR COLUMNS <cols>
   *   ANALYZE [TABLE] <view> COMPUTE STATISTICS FOR ALL COLUMNS
   *   CREATE BLOOMFILTER INDEX ON <view> (<cols>)
-  *   CREATE TABLE <db>.<name> SHALLOW CLONE <view> LOCATION '<path>'
+  *   CREATE TABLE <db>.<name> SHALLOW|DEEP CLONE <view> LOCATION '<path>'
   *   ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <view> DROP CONSTRAINT <name>
   *   ALTER TABLE <view> ADD COLUMNS (<name> <type> [, ...])
@@ -74,8 +74,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS\s+FOR\s+ALL\s+COLUMNS\s*;?\s*""".r
   private val BloomIndex =
     """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+([A-Za-z_]\w*)\s*\(([\w`,\s]+?)\)\s*;?\s*""".r
-  private val ShallowClone =
-    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+([A-Za-z_]\w*)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
+  private val CloneStmt =
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+(SHALLOW|DEEP)\s+CLONE\s+([A-Za-z_]\w*)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
@@ -139,8 +139,9 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case History(view) if isTarget(view) =>
       SnapshotHistoryCommand(view)
-    case ShallowClone(db, name, srcView, location) if isTarget(srcView) =>
-      SnapshotCloneCommand(db, name, srcView, location)
+    case CloneStmt(db, name, kind, srcView, location) if isTarget(srcView) =>
+      SnapshotCloneCommand(db, name, srcView, location,
+        deep = kind.equalsIgnoreCase("DEEP"))
     case AnalyzeAll(view) if isTarget(view) =>
       SnapshotAnalyzeCommand(view, Nil) // Nil = every bounds-capable column
     case Analyze(view, cols) if isTarget(view) =>
@@ -403,13 +404,17 @@ case class SnapshotBloomIndexCommand(view: String, cols: Seq[String])
   }
 }
 
-/** `CREATE TABLE db.name SHALLOW CLONE view LOCATION 'path'` —
-  * zero-copy fork ([[SnapshotLog.cloneTable]]): the new table's v1
-  * references the source's data files by absolute path, copies zero
-  * bytes, and diverges copy-on-write from there. The clone registers
-  * for name-based SQL (including DML) in the same statement. */
+/** `CREATE TABLE db.name SHALLOW|DEEP CLONE view LOCATION 'path'` —
+  * fork the source's current snapshot. SHALLOW
+  * ([[SnapshotLog.cloneTable]]) is the zero-copy form: v1 references
+  * the source's data files by absolute path and diverges
+  * copy-on-write. DEEP ([[SnapshotLog.deepCloneTable]]) copies every
+  * live data file (and DV sidecar), so the clone survives the source
+  * being vacuumed or dropped. Both register for name-based SQL
+  * (including DML) in the same statement. */
 case class SnapshotCloneCommand(
-    db: String, name: String, srcView: String, location: String)
+    db: String, name: String, srcView: String, location: String,
+    deep: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("operation", StringType, nullable = false)(),
@@ -417,10 +422,12 @@ case class SnapshotCloneCommand(
     AttributeReference("view", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (srcPath, partCol) = SnapshotMaintenance.target(srcView)
-    val v = SnapshotLog.cloneTable(spark, srcPath, location)
+    val v =
+      if (deep) SnapshotLog.deepCloneTable(spark, srcPath, location)
+      else SnapshotLog.cloneTable(spark, srcPath, location)
     val view = Catalog.registerSnapshotLog(spark, db, name, location,
       Some(partCol))
-    Seq(Row("SHALLOW CLONE", v, view))
+    Seq(Row(if (deep) "DEEP CLONE" else "SHALLOW CLONE", v, view))
   }
 }
 

@@ -4312,9 +4312,92 @@ object Relational2 {
       FROM orders
       """))
 
+  /** DEEP CLONE — `CREATE TABLE db.t DEEP CLONE v LOCATION …`: the
+    * materialized fork. Every live data file is COPIED (DVs and
+    * sidecars included), so the clone is INDEPENDENT of the source's
+    * lifecycle — proven the hard way: the source is `DROP TABLE …
+    * PURGE`d (its directory deleted from disk) and the clone must
+    * still read every row, including honoring the DV state cloned
+    * mid-delete. In-engine guards assert the deep-clone contract
+    * shallow clones invert: NO manifest path is absolute (nothing
+    * references the source tree) and the clone HAS its own data
+    * directory. Emitted: the clone's per-year state after a
+    * post-clone divergence UPDATE, recomputed relationally by the
+    * oracle. */
+  val q109DeepClone: Q = Q(
+    "q109_deep_clone",
+    "DEEP CLONE: materialized fork surviving source DROP TABLE PURGE",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_clone109").toString
+      val base = s"$root/src"
+      val copy = s"$root/copy"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_year", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_orderkey"), clusterBy = Nil, clusterFiles = 4,
+        opCol = None, writeCdf = false)
+      val src = Catalog.registerSnapshotLog(s, "q109", "orders", base,
+        Some("o_year"))
+      s.sql(s"DELETE FROM $src WHERE o_orderkey % 7 = 0") // DVs pre-clone
+
+      val r = s.sql(s"CREATE TABLE q109.copy DEEP CLONE $src " +
+        s"LOCATION '$copy'").collect().head
+      require(r.getString(0) == "DEEP CLONE" && r.getLong(1) == 1L)
+      val copyView = r.getString(2)
+      val mC = SnapshotLog.readManifest(fs,
+        new org.apache.hadoop.fs.Path(copy)).get
+      require(mC.allFiles.nonEmpty && mC.allFiles.forall(!_.startsWith("/")),
+        "a deep clone must reference NO source path absolutely")
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$copy/data")),
+        "a deep clone must own copied data files")
+      val nLive = s.sql(s"SELECT COUNT(*) FROM $src").head.getLong(0)
+      require(s.sql(s"SELECT COUNT(*) FROM $copyView").head.getLong(0)
+        == nLive, "the clone must read the source's exact live rows")
+
+      // the source dies ON DISK; the materialized clone must not care
+      s.sql(s"DROP TABLE $src PURGE")
+      require(!fs.exists(new org.apache.hadoop.fs.Path(base)),
+        "PURGE must have deleted the source tree")
+      require(s.sql(s"SELECT COUNT(*) FROM $copyView").head.getLong(0)
+        == nLive, "the deep clone must survive the source's deletion")
+
+      s.sql(s"UPDATE $copyView SET o_totalprice = o_totalprice * 2 " +
+        s"WHERE o_orderkey % 5 = 0")
+      s.sql(s"""
+        SELECT o_year, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $copyView GROUP BY o_year
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders),
+      live AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+      copyf AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_year
+        FROM live)
+      SELECT o_year, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM copyf GROUP BY o_year
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
-    q107RecursiveCte, q108TypeWidening,
+    q107RecursiveCte, q108TypeWidening, q109DeepClone,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

@@ -3852,6 +3852,79 @@ object SnapshotLog {
     1L
   }
 
+  /** DEEP clone: materialize the source's CURRENT snapshot as an
+    * independent table — every live data file (and DV sidecar) is
+    * COPIED under the destination, so the clone survives the source
+    * being vacuumed, restored, or deleted (Delta's `CREATE TABLE …
+    * CLONE` deep form; [[cloneTable]] is the zero-copy shallow form).
+    *
+    * File identity: basenames are preserved (prefixed `c<k>-` for
+    * uniqueness across source dirs) because a bucketed table's
+    * `_NNNNN` tag lives in the file NAME — Spark's bucket-id parse and
+    * this format's per-bucket maintenance both keep working on the
+    * copied layout. Stats and blooms re-key to the copied paths
+    * verbatim (same bytes → same bounds). Source absolute paths (a
+    * shallow-clone source) normalize to destination-relative copies,
+    * so deep-cloning a shallow clone MATERIALIZES it. Stream
+    * watermarks do not carry over (the [[cloneTable]] rationale);
+    * properties, constraints, column mapping, and tombstones do.
+    *
+    * Scale note: the copy is driver-looped per file — the metadata
+    * plane owns the loop but the bytes stream through the FileSystem
+    * API; at cluster scale you'd distribute the copy, but the manifest
+    * rewrite (the part this format owns) is O(files) strings either
+    * way. */
+  def deepCloneTable(
+      spark: SparkSession, srcBase: String, dstBase: String): Long = {
+    val sbp = new Path(srcBase)
+    val dbp = new Path(dstBase)
+    val fs = fsFor(spark, sbp)
+    val dfs = fsFor(spark, dbp)
+    val m = readManifest(fs, sbp).getOrElse(
+      sys.error(s"clone source $srcBase has no committed version"))
+    require(readManifest(dfs, dbp).isEmpty,
+      s"clone destination $dstBase already exists")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = s"data/clone1-${java.util.UUID.randomUUID.toString.take(8)}"
+    var k = -1
+    def copyInto(rel: String): String = {
+      k += 1
+      val src = new Path(sbp, rel) // absolute `rel` resolves to itself
+      val dstRel = s"$dir/c$k-${src.getName}"
+      val dst = new Path(dbp, dstRel)
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, dfs, dst,
+          false, false, conf))
+        sys.error(s"deep clone failed copying $src -> $dst")
+      dstRel
+    }
+    // deterministic mapping order (manifest maps are unordered)
+    val fileMap: Map[String, String] = m.files.toSeq.sortBy(_._1)
+      .flatMap(_._2.sorted).map(f => f -> copyInto(f)).toMap
+    val next = Manifest(
+      version = 1L,
+      files = m.files.map { case (p, fls) => p -> fls.map(fileMap).sorted },
+      stats = m.stats.collect {
+        case (f, st) if fileMap.contains(f) => fileMap(f) -> st
+      },
+      blooms = m.blooms.collect {
+        case (f, bl) if fileMap.contains(f) => fileMap(f) -> bl
+      },
+      dvs = m.dvs.collect {
+        case (f, dv) if fileMap.contains(f) =>
+          fileMap(f) -> dv.copy(sidecarRel = dv.sidecarRel.map(copyInto))
+      },
+      schemaJson = m.schemaJson,
+      op = Some("DEEP CLONE"),
+      constraints = m.constraints,
+      txns = Map.empty,
+      props = m.props,
+      colmap = m.colmap,
+      dropped = m.dropped)
+    if (!tryCommit(dfs, dbp, next))
+      sys.error(s"clone destination $dstBase already has a version claim")
+    1L
+  }
+
   /** Enforce `m`'s CHECK constraints on an incoming batch in ONE
     * aggregation pass (SQL CHECK semantics: a row violates only when
     * the expression is definitively FALSE — NULL passes). Throws with
