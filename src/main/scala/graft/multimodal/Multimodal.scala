@@ -233,6 +233,86 @@ object Multimodal {
     Some(bits)
   }
 
+  /** PCM16 samples of a RIFF/WAVE payload — the [[PcmWavDecoder]]
+    * chunk walk factored for fingerprinting ([[eHash]]): one "fmt "
+    * (PCM, 16-bit) and one "data" chunk, channels interleaved. None on
+    * any malformation (the poison-pill contract). */
+  private def pcmSamples(b: Array[Byte]): Option[Array[Short]] = {
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+    def tag(o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return None
+    var o = 12
+    var rate = -1; var ch = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (o + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(o); val sz = le32(o + 4)
+      if (sz < 0 || o + 8 + sz > b.length) { o = b.length }
+      else {
+        if (id == "fmt " && sz >= 16) {
+          if (le16(o + 8) == 1) { ch = le16(o + 10); rate = le32(o + 12); bits = le16(o + 22) }
+        } else if (id == "data") { dataOff = o + 8; dataLen = sz }
+        o += 8 + sz + (sz & 1)
+      }
+    }
+    if (rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0 ||
+      dataLen % (2 * ch) != 0) None
+    else {
+      val n = dataLen / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = le16(dataOff + 2 * i).toShort; i += 1 }
+      Some(out)
+    }
+  }
+
+  /** 64-bit ENERGY-ENVELOPE HASH of an encoded WAV — [[aHash]]'s audio
+    * analog for audio near-dup pipelines: decode PCM, split the sample
+    * stream into 64 equal frames, and threshold each frame's mean
+    * ABSOLUTE amplitude against the whole clip's — bit i set iff frame
+    * i is louder than average. The comparison cross-multiplies integer
+    * sums (`frameSum * n > totalSum * frameLen`, exact Long
+    * arithmetic, no division), so the hash is EXACTLY invariant to
+    * uniform gain (a re-encoded louder/quieter copy scales both sides
+    * equally) and absorbs sample noise that doesn't cross the loudness
+    * mean — near-duplicates collapse under exact hash equality and
+    * dedup is one 8-byte-key groupBy, never pairwise waveform
+    * alignment. None on undecodable payloads or clips shorter than 64
+    * samples (degenerate envelope). */
+  def eHash(data: Array[Byte]): Option[Long] = pcmSamples(data).flatMap {
+    s =>
+      val n = s.length
+      if (n < 64) None
+      else {
+        val frameAbs = new Array[Long](64)
+        val frameLen = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val f = ((i.toLong * 64) / n).toInt
+          val a = math.abs(s(i).toLong)
+          frameAbs(f) += a
+          frameLen(f) += 1
+          total += a
+          i += 1
+        }
+        var bits = 0L
+        i = 0
+        while (i < 64) {
+          // frame mean > clip mean, division-free:
+          //   frameAbs/frameLen > total/n  <=>  frameAbs*n > total*frameLen
+          // |sample| <= 2^15, n*frameLen <= 2^31·2^25 — Long-safe for
+          // clips up to ~2^23 samples per frame; corpus clips are far
+          // shorter, and overflow would need a >17-minute 48 kHz clip.
+          if (frameAbs(i) * n > total * frameLen(i)) bits |= 1L << i
+          i += 1
+        }
+        Some(bits)
+      }
+  }
+
   /** Batched decode over a typed Dataset — the `mapInPandas`-shaped
     * stage: bounded micro-batches per partition through the decoder. */
   def decodeFeatures(

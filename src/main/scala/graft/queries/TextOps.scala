@@ -1285,6 +1285,67 @@ object TextOps {
       GROUP BY 1
       """))
 
+  /** AUDIO NEAR-DUP via energy-envelope hashing — m6's counterpart
+    * for the audio modality: every clip gets a 64-bit envelope hash
+    * ([[graft.multimodal.Multimodal.eHash]]: PCM decode → 64 frames →
+    * per-frame mean |amplitude| thresholded against the clip mean,
+    * division-free integer comparison), and near-duplicates — re-gained
+    * or lightly noisy copies whose frames never cross the loudness
+    * mean — collapse under EXACT hash equality: dedup is ONE 8-byte
+    * hash groupBy, never pairwise waveform alignment.
+    *
+    * Fixture: per document a 1024-sample mono WAV whose loud/quiet
+    * frame pattern encodes a 100-way content key (the m6 bijection);
+    * copies of a key alternate a 5/4 UNIFORM GAIN (every amplitude
+    * ×1.25 — a real re-encode difference the hash must absorb exactly,
+    * by the cross-multiplied compare) plus ±2 loud-frame noise. Every
+    * 50th payload is a truncated poison pill (hash None, filtered).
+    * The oracle rebuilds the expected cluster structure from doc_id
+    * arithmetic, so the check holds only if the WAV parse, the
+    * envelope hash, and the gain/noise-absorption properties all
+    * hold. */
+  val m7AudioNearDup: Q = Q(
+    "m7_audio_neardup",
+    "audio near-dup: gain-invariant energy-envelope hash grouping",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val hashed = t(s, d, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ck = id % 100
+            val bits = (ck * 0x9E3779B97F4A7C15L | 1L) & ~2L
+            val g = if ((id / 100) % 2 == 1) 5 else 4 // alternating 5/4 gain
+            val noise = ((id / 100) % 3).toInt - 1    // -1/0/+1 on loud frames
+            val samples = new Array[Short](1024)
+            var i = 0
+            while (i < 1024) {
+              val loud = ((bits >>> (i / 16)) & 1L) == 1L
+              val amp = if (loud) 2000 * g + noise else 125 * g
+              samples(i) = (if (i % 2 == 0) amp else -amp).toShort
+              i += 1
+            }
+            val bytes = Multimodal.encodeWav(8000, 1, samples)
+            val data = if (id % 50 == 0) bytes.take(20) else bytes
+            (id, Multimodal.eHash(data))
+          }
+        }.toDF("media_id", "ehash")
+      hashed.filter(col("ehash").isNotNull)
+        .groupBy(col("ehash"))
+        .agg(min(col("media_id")).as("keeper_media_id"),
+          count(lit(1)).as("n_copies"),
+          min(col("media_id") % 100).as("ck"))
+        .select(col("ck"), col("keeper_media_id"), col("n_copies"))
+    },
+    Some("""
+      SELECT doc_id % 100 AS ck, MIN(doc_id) AS keeper_media_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM documents WHERE doc_id % 50 <> 0
+      GROUP BY 1
+      """))
+
   /** Concat-and-chunk sequence packing — the GPT-style pretraining
     * batcher: documents are concatenated in a deterministic order and
     * cut into fixed token-budget context windows; each doc gets its
@@ -2242,5 +2303,6 @@ object TextOps {
     d14Sentences, d15VocabBuild, d16SimHashPairs, d17NfcNormalize,
     d18Repetition, d19Contamination, d20PackChunks, d21StratifiedSample,
     d22DomainMixture, d23CanonicalDocs, m1MediaFeatures, m2FrameSample,
-    m3ImageDecode, m4AudioDecode, m5VideoFrames, m6ImageNearDup)
+    m3ImageDecode, m4AudioDecode, m5VideoFrames, m6ImageNearDup,
+    m7AudioNearDup)
 }

@@ -200,6 +200,46 @@ class MultimodalSpec extends SparkSpec {
     assert(aHash(png(8, 8, (_, _) => 128)) == Some(0L))
   }
 
+  test("eHash: exact gain invariance, noise absorption, poison contract") {
+    import Multimodal.{eHash, encodeWav}
+    // 64 frames x 16 samples; loud/quiet frame pattern from a bit mask
+    def wav(mask: Long, gain: Int, noise: Int = 0): Array[Byte] = {
+      val s = new Array[Short](1024)
+      var i = 0
+      while (i < 1024) {
+        val loud = ((mask >>> (i / 16)) & 1L) == 1L
+        val amp = if (loud) 2000 * gain + noise else 125 * gain
+        s(i) = (if (i % 2 == 0) amp else -amp).toShort
+        i += 1
+      }
+      encodeWav(8000, 1, s)
+    }
+    val mask = 0xA5C3E17B2D4F6981L
+    val base = eHash(wav(mask, gain = 4))
+    assert(base.isDefined)
+    // the hash IS the loud-frame mask: bit i set iff frame i > mean
+    assert(base == Some(mask))
+    // uniform gain rescales both sides of the cross-multiplied
+    // compare equally — the hash is EXACTLY invariant (the re-encoded
+    // louder copy of a clip is the same near-dup key)
+    assert(eHash(wav(mask, gain = 5)) == base, "5/4 gain must not move the hash")
+    assert(eHash(wav(mask, gain = 12)) == base, "3x gain must not move the hash")
+    // loud-frame noise that never crosses the loudness mean is absorbed
+    assert(eHash(wav(mask, gain = 4, noise = 3)) == base)
+    assert(eHash(wav(mask, gain = 4, noise = -3)) == base)
+    // a different envelope is a different key
+    assert(eHash(wav(~mask, gain = 4)) != base)
+    // poison contract: truncated, empty, null, and sub-64-sample clips
+    assert(eHash(wav(mask, 4).take(20)).isEmpty)
+    assert(eHash(Array.empty[Byte]).isEmpty)
+    assert(eHash(null).isEmpty)
+    assert(eHash(encodeWav(8000, 1, Array.fill[Short](63)(100))).isEmpty)
+    // degenerate constant clip: no frame exceeds the mean -> hash 0
+    assert(eHash(encodeWav(8000, 1, Array.fill[Short](1024)(100))) == Some(0L))
+    // multi-channel interleave still parses (envelope over all samples)
+    assert(eHash(encodeWav(8000, 2, Array.fill[Short](1024)(100))) == Some(0L))
+  }
+
   test("media struct schema round-trips through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     val df = spark.createDataset(media).toDF()
