@@ -2293,10 +2293,66 @@ object TextOps {
       ORDER BY score_ppm DESC, doc_id LIMIT 10
       """))
 
+  /** INCREMENTAL INGEST DEDUP — the continuous-crawl shape every
+    * production corpus runs daily: a NEW BATCH (here doc_id % 10 = 0)
+    * deduplicates against the STANDING CORPUS (the other 90%) without
+    * the corpus ever shuffling a byte. Verdict per batch doc:
+    * `dup_of_corpus` (its 40-char normalized prefix key already
+    * exists), else `dup_in_batch` (an earlier batch doc holds the
+    * key), else `new`.
+    *
+    * Scale shape — the whole point at 100 TB where batch ≪ corpus:
+    * the batch's key HASHES (8 bytes each) broadcast onto the corpus
+    * scan as a map-side semi-join filter, so the corpus contributes
+    * only hash-colliding candidate keys (≈ batch-sized) to any
+    * exchange; candidate key TEXT is then verified exactly against
+    * the batch (hash collisions discarded — results are exact, the
+    * d24/d25 prefilter-then-verify contract). The only full exchanges
+    * are batch-sized: the candidate distinct and the within-batch
+    * window. Corpus text never moves; plan-guarded (the corpus join
+    * is a BroadcastHashJoin with no upstream exchange). */
+  val d34IncrementalDedup: Q = Q(
+    "d34_incremental_dedup",
+    "incremental ingest dedup: batch vs standing corpus, corpus never shuffles",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), substring(norm(col("text")), 1, 40).as("k"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+      val batchH = batch.select(xxhash64(col("k")).as("h")).distinct()
+      // corpus → candidates: map-side semi via the broadcast hash set;
+      // only hash-matching corpus keys survive to carry text
+      val cand = corpus
+        .join(broadcast(batchH), xxhash64(col("k")) === col("h"), "leftsemi")
+        .select(col("k").as("ck")).distinct()
+      val w = Window.partitionBy(col("k"))
+      batch
+        .join(broadcast(cand), col("k") === col("ck"), "left")
+        .select(col("doc_id"),
+          when(col("ck").isNotNull, lit("dup_of_corpus"))
+            .when(col("doc_id") =!= min(col("doc_id")).over(w),
+              lit("dup_in_batch"))
+            .otherwise(lit("new")).as("verdict"))
+    },
+    Some(s"""
+      WITH n AS (
+        SELECT doc_id, doc_id % 10 = 0 AS inc,
+               substr($normSql, 1, 40) AS k
+        FROM documents),
+      b AS (SELECT doc_id, k FROM n WHERE inc),
+      c AS (SELECT DISTINCT k FROM n WHERE NOT inc)
+      SELECT b.doc_id,
+             CASE WHEN c.k IS NOT NULL THEN 'dup_of_corpus'
+                  WHEN b.doc_id <> MIN(b.doc_id) OVER (PARTITION BY b.k)
+                    THEN 'dup_in_batch'
+                  ELSE 'new' END AS verdict
+      FROM b LEFT JOIN c ON b.k = c.k
+      """))
+
   val all: Seq[Q] = Seq(
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
     d27TrigramLm, d28SplitAssign, d29GopherRules, d30EditVerify,
-    d31DsirWeights, d32NgramMine, d33Bm25,
+    d31DsirWeights, d32NgramMine, d33Bm25, d34IncrementalDedup,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,

@@ -209,6 +209,19 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("xxhash64"), "d24 must pre-bucket by xxhash64")
   }
 
+  test("d34: corpus joins via broadcast semi — only batch-sized exchanges") {
+    val p = finalPlan("d34_incremental_dedup")
+    // the corpus side must meet the batch hash set in a broadcast
+    // LeftSemi (map-side filter), never a shuffled join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle to join")
+    assert(!p.contains("CartesianProduct"), p)
+    // intrinsic exchanges are all batch-sized: the batch-hash distinct,
+    // the candidate-key distinct (post-semi-filter), the batch window
+    assert(count(p, "ENSURE_REQUIREMENTS") <= 3, p)
+    assert(p.contains("xxhash64"), "corpus prefilter must be the 8-byte hash")
+  }
+
   test("d27: trigram model broadcasts — the scoring join never shuffles the corpus by trigram") {
     // A shuffle join keyed on the trigram would hot-key on stop-trigrams
     // (' th' alone is percents of English text); the model table is
