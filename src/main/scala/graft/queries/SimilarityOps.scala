@@ -908,9 +908,89 @@ object SimilarityOps {
                  * sqrt(list_dot_product(q.qv, q.qv))) >= 0.3
       """))
 
+  /** ANN QUALITY GATE — per-query recall@5 of the IVF probe against
+    * exact brute-force kNN, as a graded table rather than a pass/fail
+    * bool (s13's `recall_ok` collapses the curve; tuning nprobe needs
+    * the per-query numbers). Each of 16 queries gets its IVF top-5
+    * (nprobe=2 cells, exact cosine within) joined against its exact
+    * top-5; `n_hits`/`recall_ppm` expose exactly which queries the
+    * index fails, the operating measurement behind every nprobe/k
+    * sizing decision (recall-vs-cost curves in the IVF literature are
+    * exactly this table averaged).
+    *
+    * Scale shape: the ANN side touches only probed cells (the corpus
+    * outside them never moves); the exact side is the one corpus scan
+    * a recall eval irreducibly needs — run it on a SAMPLE of queries
+    * at 100 TB (this query's 16-query set IS that sample pattern).
+    * The hit join and window rank are O(Q·k), never corpus-sized. */
+  val s18AnnRecall: Q = Q(
+    "s18_ann_recall",
+    "per-query recall@5 of IVF(nprobe=2) vs exact kNN over 16 queries",
+    (s, d) => {
+      import graft.operators.IvfIndex
+      val e = Caching.cached(emb(s, d).select(col("vec_id"), col("v")))
+      val queries = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cent = IvfIndex.centroids(e, k = 16, iters = 2)
+      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+      val ann = IvfIndex.assign(e, cent)
+        .join(broadcast(IvfIndex.probeBatch(queries, cent, nprobe = 2)), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(e, Seq("vec_id")).join(broadcast(queries), Seq("qid"))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val exact = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val hits = ann.join(exact, Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("qid")).join(hits, Seq("qid"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .select(col("qid"), col("n_hits"),
+          expr("(1000000 * n_hits) DIV 5").as("recall_ppm"))
+    },
+    Some(ivfOracleCtes + """,
+      qs AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 16),
+      pc AS (SELECT qid, cid FROM (
+               SELECT qs.qid AS qid, c2.cid AS cid,
+                      ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+                        list_dot_product(qs.qv, qs.qv) + list_dot_product(c2.cv, c2.cv)
+                          - 2 * list_dot_product(qs.qv, c2.cv), c2.cid) AS rn
+               FROM qs, c2) WHERE rn <= 2),
+      ann AS (SELECT qid, vec_id FROM (
+                SELECT pc.qid AS qid, e.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY pc.qid ORDER BY
+                         list_dot_product(e.v, qs.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(qs.qv, qs.qv))) DESC,
+                         e.vec_id) AS rn
+                FROM pc JOIN s2 ON s2.cid = pc.cid
+                  JOIN v e ON e.vec_id = s2.vec_id
+                  JOIN qs ON qs.qid = pc.qid
+                WHERE e.vec_id <> pc.qid) WHERE rn <= 5),
+      ex AS (SELECT qid, vec_id FROM (
+               SELECT qs.qid AS qid, e.vec_id AS vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+                        list_dot_product(e.v, qs.qv)
+                          / (sqrt(list_dot_product(e.v, e.v))
+                             * sqrt(list_dot_product(qs.qv, qs.qv))) DESC,
+                        e.vec_id) AS rn
+               FROM qs, v e WHERE e.vec_id <> qs.qid) WHERE rn <= 5),
+      hits AS (SELECT ann.qid AS qid, COUNT(*) AS n_hits
+               FROM ann JOIN ex ON ann.qid = ex.qid AND ann.vec_id = ex.vec_id
+               GROUP BY ann.qid)
+      SELECT qs.qid AS qid,
+             CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+             CAST((1000000 * COALESCE(hits.n_hits, 0)) // 5 AS BIGINT) AS recall_ppm
+      FROM qs LEFT JOIN hits ON hits.qid = qs.qid
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
     s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch, s14SqInt8,
-    s15SemanticDedup, s16MmrTopK, s17RadiusSearch)
+    s15SemanticDedup, s16MmrTopK, s17RadiusSearch, s18AnnRecall)
 }

@@ -356,7 +356,7 @@ object TextOps {
     * permutation constants are public on [[MinHashDedup.perms]], and the
     * oracle SQL below is GENERATED from those same constants, so DuckDB
     * reproduces signatures, banding, and the candidate set exactly. */
-  private val d7OracleSql: String = {
+  private val minhashBandCtes: String = {
     val p = MinHashDedup.Prime
     val nPerm = MinHashDedup.DefaultNumPerm
     val bandSize = MinHashDedup.DefaultBandSize
@@ -368,9 +368,7 @@ object TextOps {
       s"SELECT doc_id, $j AS band_idx, $vs FROM sig"
     }.mkString("\n      UNION ALL\n      ")
     val vEq = (0 until bandSize).map(k => s"x.v$k = y.v$k").mkString(" AND ")
-    s"""
-      WITH $shinglesSql,
-      h AS (SELECT doc_id,
+    s"""h AS (SELECT doc_id,
                    list_reduce(list_prepend(CAST(0 AS BIGINT),
                      list_transform(range(length(s)),
                        i -> CAST(unicode(substr(s, CAST(i+1 AS INTEGER), 1)) AS BIGINT))),
@@ -380,13 +378,19 @@ object TextOps {
              $minsSql
               FROM h GROUP BY doc_id),
       bx AS (
-      $bandsSql)
+      $bandsSql),
+      lshcand AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_bands
       FROM bx x JOIN bx y
         ON x.band_idx = y.band_idx AND $vEq AND x.doc_id < y.doc_id
-      GROUP BY 1, 2
-      """
+      GROUP BY 1, 2)"""
   }
+
+  private val d7OracleSql: String = s"""
+      WITH $shinglesSql,
+      $minhashBandCtes
+      SELECT doc_a, doc_b, n_bands FROM lshcand
+      """
 
   val d7MinHashLsh: Q = Q(
     "d7_minhash_lsh",
@@ -2349,10 +2353,112 @@ object TextOps {
       FROM b LEFT JOIN c ON b.k = c.k
       """))
 
+  /** LSH TUNING EVAL — the measurement that decides MinHash banding
+    * parameters before a corpus-scale dedup run: candidate pairs from
+    * d7's banded LSH, graded against d6's exact Jaccard ≥ 0.5 truth as
+    * a confusion table (tp/fp/fn) with integer-ppm precision and
+    * recall. Banding theory gives the S-curve P(candidate) =
+    * 1 − (1 − s^r)^b only in expectation; what a production pipeline
+    * needs is the realized numbers on ITS corpus — too few bands and
+    * recall craters (missed duplicates poison training), too many and
+    * the verify stage pays for a flood of false candidates.
+    *
+    * Scale shape: both inputs are the already-linear candidate
+    * channels (banded bucket join; capped shingle join) — the eval
+    * adds one full-outer join keyed on the (bounded) pair set and a
+    * single global agg, nothing corpus-proportional. Integer ppm via
+    * BIGINT multiply-then-divide keeps the division exact across
+    * engines (the d22 trick). */
+  val d35LshEval: Q = Q(
+    "d35_lsh_eval",
+    "MinHash-LSH tuning eval: candidate precision/recall vs exact Jaccard truth",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val truth = jaccardPairs(docs, DefaultDfCap)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("__t"))
+      val cand = MinHashDedup.candidatePairs(shingles(docs))
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("__c"))
+      cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("__c").isNotNull && col("__t").isNotNull, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("__t").isNull, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("__c").isNull, 1L).otherwise(0L)).as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          expr("(1000000 * tp) DIV (tp + fp)").as("precision_ppm"),
+          expr("(1000000 * tp) DIV (tp + fn)").as("recall_ppm"))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      ${cappedPairsSql(DefaultDfCap)},
+      $minhashBandCtes,
+      m AS (
+        SELECT CASE WHEN l.doc_a IS NOT NULL AND t.doc_a IS NOT NULL
+                    THEN 1 ELSE 0 END AS is_tp,
+               CASE WHEN t.doc_a IS NULL THEN 1 ELSE 0 END AS is_fp,
+               CASE WHEN l.doc_a IS NULL THEN 1 ELSE 0 END AS is_fn
+        FROM lshcand l FULL OUTER JOIN jpairs t
+          ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b)
+      SELECT CAST(SUM(is_tp) AS BIGINT) AS tp,
+             CAST(SUM(is_fp) AS BIGINT) AS fp,
+             CAST(SUM(is_fn) AS BIGINT) AS fn,
+             CAST((1000000 * SUM(is_tp)) // (SUM(is_tp) + SUM(is_fp)) AS BIGINT)
+               AS precision_ppm,
+             CAST((1000000 * SUM(is_tp)) // (SUM(is_tp) + SUM(is_fn)) AS BIGINT)
+               AS recall_ppm
+      FROM m
+      """))
+
+  /** RAG CHUNKING — fixed-size sliding windows with overlap, the
+    * retrieval-corpus prep step between curation and embedding: each
+    * document becomes ⌈len/stride⌉ chunks of ≤ 200 chars starting every
+    * 150 (50-char overlap so no sentence is lost at a boundary), each
+    * chunk carrying its 1-based offset (provenance back into the doc —
+    * a retriever must cite, not just match) and the portable
+    * rolling-hash chunk fingerprint (cross-chunk exact dedup downstream
+    * without re-reading text). Map-only: one Generate per doc with an
+    * explode factor of len/stride, zero shuffles — at 100 TB this is a
+    * pure scan-side transform that composes with any sink. */
+  val d36ChunkWindows: Q = Q(
+    "d36_chunk_windows",
+    "RAG chunking: 200-char windows every 150 chars, offsets + chunk fingerprints",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast(LongType).as("len"))
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(1L), greatest(col("len"), lit(1L)), lit(150L)))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+          col("start"),
+          expr("substring(text, cast(start as int), 200)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("start"),
+          length(col("chunk")).cast(LongType).as("chunk_len"),
+          graft.functions.GraftFunctions.rollingHash(col("chunk")).as("chunk_hash"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(length(text), 1) + 1, 150)) AS start,
+               text
+        FROM documents),
+      w AS (
+        SELECT doc_id, start,
+               CAST((start - 1) // 150 AS BIGINT) AS chunk_idx,
+               substr(text, CAST(start AS INTEGER), 200) AS chunk
+        FROM c)
+      SELECT doc_id, chunk_idx, start,
+             CAST(length(chunk) AS BIGINT) AS chunk_len,
+             ${rhSql("chunk")} AS chunk_hash
+      FROM w
+      """))
+
   val all: Seq[Q] = Seq(
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
     d27TrigramLm, d28SplitAssign, d29GopherRules, d30EditVerify,
     d31DsirWeights, d32NgramMine, d33Bm25, d34IncrementalDedup,
+    d35LshEval, d36ChunkWindows,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
