@@ -1350,6 +1350,110 @@ object TextOps {
       GROUP BY 1
       """))
 
+  /** VIDEO SCENE-CHANGE DETECTION — the shot-boundary pass a video
+    * training pipeline runs before frame dedup/captioning: every frame
+    * of the container gets the m6 perceptual aHash, and a CUT is
+    * declared wherever the hash differs from the previous frame's
+    * (within a shot, photometric noise leaves the hash bit-identical;
+    * across a cut the content pattern flips it). Per video: frame
+    * count, scene count (cuts + 1), first cut index. One shuffle keyed
+    * on media_id for the frame-order lag window — frame payloads never
+    * join pairwise, and at 100 TB the per-video frame stream is the
+    * natural partition unit.
+    *
+    * Fixture: 6-frame AVI/MJPEG per document ([[Multimodal
+    * .encodeAviMjpeg]]), 1 + (doc_id % 3) scenes with boundaries at
+    * frames 2 and 4. Frames are 32×32 JPEGs built from sixteen
+    * 8×8-pixel flat cells ALIGNED TO JPEG BLOCKS (flat blocks quantize
+    * to near-exact DC, so codec error stays ≪ the 150-shade cell
+    * contrast and can't cross the aHash mean); four cells are pinned
+    * dark and four bright so the grid mean stays mid-range, cell 0
+    * carries scene parity (adjacent scenes ALWAYS differ), and copies
+    * alternate +1 photometric noise the hash must absorb. Every 50th
+    * payload is a truncated poison pill (no rows — the degrade-not-
+    * fail contract). The oracle rebuilds scene structure from doc_id
+    * arithmetic, so the check holds only if container parse, JPEG
+    * decode, hashing, and cut detection all work. */
+  val m8SceneDetect: Q = Q(
+    "m8_scene_detect",
+    "video scene-change detection: per-frame aHash, cut where the hash flips",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, d, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ck = id % 100
+            val k = 1 + (id % 3).toInt
+            def sceneOf(f: Int): Int =
+              if (k == 1) 0 else if (k == 2) { if (f >= 2) 1 else 0 } else f / 2
+            def jpeg(scene: Int): Array[Byte] = {
+              val mix = ((ck * 7 + scene) * 0x9E3779B97F4A7C15L) >>> 48
+              var bits = 0
+              var c = 0
+              while (c < 16) {
+                val b = c match {
+                  case 0              => scene & 1
+                  case 1 | 5 | 9 | 13 => 0
+                  case 2 | 6 | 10 | 14 => 1
+                  case _              => ((mix >>> c) & 1L).toInt
+                }
+                bits |= b << c
+                c += 1
+              }
+              val noise = ((id / 100) % 2).toInt
+              val img = new java.awt.image.BufferedImage(
+                32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < 32) {
+                var x = 0
+                while (x < 32) {
+                  val cell = (y / 8) * 4 + (x / 8)
+                  val v = if (((bits >> cell) & 1) == 1) 200 + noise else 50
+                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "jpg", bos)
+              bos.toByteArray
+            }
+            val avi = Multimodal.encodeAviMjpeg(
+              32, 32, 40000, (0 until 6).map(f => jpeg(sceneOf(f))))
+            val data = if (id % 50 == 0) avi.take(30) else avi
+            Multimodal.MediaRow(id, "video", Some(s"synth://$id"), data,
+              Multimodal.MediaMeta(Some(32), Some(32), Some(240L), Some("mjpeg")))
+          }
+        }
+      val frames = Multimodal.sampleFramesMjpeg(media, nFrames = 6)
+      val hashed = frames.mapPartitions { it =>
+        it.flatMap(f =>
+          Multimodal.aHash(f.data).map(h => (f.media_id, f.frame_idx, h)))
+      }.toDF("media_id", "frame_idx", "h")
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      hashed
+        .withColumn("cut",
+          (lag(col("h"), 1).over(w).isNotNull &&
+            lag(col("h"), 1).over(w) =!= col("h")).cast(LongType))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("cut")).as("n_cuts"),
+          min(when(col("cut") === 1L, col("frame_idx"))).as("fc"))
+        .select(col("media_id"), col("n_frames"),
+          (col("n_cuts") + 1L).as("n_scenes"),
+          coalesce(col("fc").cast(LongType), lit(0L)).as("first_cut"))
+    },
+    Some("""
+      SELECT doc_id AS media_id, CAST(6 AS BIGINT) AS n_frames,
+             CAST(1 + doc_id % 3 AS BIGINT) AS n_scenes,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 2 END AS BIGINT)
+               AS first_cut
+      FROM documents WHERE doc_id % 50 <> 0
+      """))
+
   /** Concat-and-chunk sequence packing — the GPT-style pretraining
     * batcher: documents are concatenated in a deterministic order and
     * cut into fixed token-budget context windows; each doc gets its
@@ -2466,5 +2570,5 @@ object TextOps {
     d18Repetition, d19Contamination, d20PackChunks, d21StratifiedSample,
     d22DomainMixture, d23CanonicalDocs, m1MediaFeatures, m2FrameSample,
     m3ImageDecode, m4AudioDecode, m5VideoFrames, m6ImageNearDup,
-    m7AudioNearDup)
+    m7AudioNearDup, m8SceneDetect)
 }
