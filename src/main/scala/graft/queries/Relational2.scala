@@ -4395,9 +4395,42 @@ object Relational2 {
       FROM copyf GROUP BY o_year
       """))
 
+  /** Spark 4's VARIANT type over semi-structured payloads — the open
+    * (schema-on-read) path next to q20's string-function JSON: `props`
+    * parses once into a binary VARIANT (`parse_json`), typed fields
+    * come out with `variant_get(v, path, type)` (a cast error is LOUD),
+    * and absent paths degrade to NULL via `try_variant_get` — the
+    * missing-field contract an evolving event schema needs. All three
+    * verbs stay codegen'd columnar expressions; at 100 TB a VARIANT
+    * column beats per-query string re-parsing (parse once, extract
+    * many) and the aggregation shape is q21's bounded-group exchange.
+    * The oracle reproduces the same extraction through DuckDB's JSON
+    * functions — VARIANT is the representation, JSON the semantics. */
+  val q110Variant: Q = Q(
+    "q110_variant",
+    "VARIANT ingestion: parse_json + typed variant_get + try_variant_get NULLs",
+    (s, d) =>
+      t(s, d, "events")
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k"),
+          expr("try_variant_get(v, '$.absent', 'bigint')").as("miss"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          count(col("miss")).as("n_missing")),
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+             CAST(COUNT(CASE WHEN json_extract(props, '$.absent') IS NOT NULL
+                             THEN 1 END) AS BIGINT) AS n_missing
+      FROM events GROUP BY 1
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
-    q107RecursiveCte, q108TypeWidening, q109DeepClone,
+    q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
