@@ -241,4 +241,40 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"vocab id assignment must not plan a single-partition window:\n$p")
   }
+
+  test("d36: chunking is map-only — zero intrinsic exchanges, one Generate") {
+    val p = finalPlan("d36_chunk_windows")
+    assert(count(p, "ENSURE_REQUIREMENTS") == 0, p)
+    assert(p.contains("Generate"), "window starts must explode via Generate")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("d35: eval joins stay bounded — no cartesian product anywhere") {
+    val p = finalPlan("d35_lsh_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    // the d6 side's stop-list exclusion must keep its broadcast shape
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("s18: corpus never shuffles — broadcast probes both sides, no SMJ over vectors") {
+    val p = finalPlan("s18_ann_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // exact side: corpus × broadcast(queries) is a nested-loop over the
+    // broadcast, never a shuffle of the vector table
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("m8: scene detection is one frame-order window keyed by media") {
+    val p = finalPlan("m8_scene_detect")
+    assert(count(p, "Window") == 1, p)
+    assert(!p.contains("SinglePartition"),
+      s"per-video lag must partition by media_id, not serialize:\n$p")
+  }
+
+  test("q110: variant extraction plans one partial-agged exchange, no Expand") {
+    val p = finalPlan("q110_variant")
+    assert(count(p, "ENSURE_REQUIREMENTS") == 1, p)
+    assert(p.contains("partial_"), "map-side partial aggregation expected")
+    assert(!p.contains("Expand"), p)
+  }
 }
