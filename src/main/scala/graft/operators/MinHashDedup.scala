@@ -70,24 +70,33 @@ object MinHashDedup {
     hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** Candidate pairs: any shared LSH band tuple → (doc_a, doc_b, n_bands). */
-  def candidatePairs(
+  /** The exploded LSH band table — (doc_id, b) where `b` is the raw
+    * minhash tuple of one band (portable key; no opaque re-hash).
+    * Persisted: every consumer (the self-join's two sides, or a
+    * batch-vs-corpus probe) reads the materialized table instead of
+    * re-running the shingle→hash→minhash pipeline. */
+  def bandTable(
       shingled: DataFrame,
       numPerm: Int = DefaultNumPerm,
       bandSize: Int = DefaultBandSize): DataFrame = {
     require(numPerm % bandSize == 0, "numPerm must be a multiple of bandSize")
     val sigs = signatures(shingled, numPerm)
     val nBands = numPerm / bandSize
-    // band key = the raw minhash tuple (portable; no opaque re-hash)
     val bands = (0 until nBands).map { j =>
       struct(
         lit(j).as("band_idx") +:
           (j * bandSize until (j + 1) * bandSize).map(i => col(s"m$i").as(s"v${i - j * bandSize}")): _*)
     }
-    // persisted: both sides of the bucket self-join read this — without
-    // the barrier the whole shingle→hash→minhash pipeline runs twice
-    val exploded = graft.core.Caching.cached(sigs
+    graft.core.Caching.cached(sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("b")))
+  }
+
+  /** Candidate pairs: any shared LSH band tuple → (doc_a, doc_b, n_bands). */
+  def candidatePairs(
+      shingled: DataFrame,
+      numPerm: Int = DefaultNumPerm,
+      bandSize: Int = DefaultBandSize): DataFrame = {
+    val exploded = bandTable(shingled, numPerm, bandSize)
     exploded.as("x")
       .join(exploded.as("y"),
         col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))

@@ -356,6 +356,11 @@ object TextOps {
     * permutation constants are public on [[MinHashDedup.perms]], and the
     * oracle SQL below is GENERATED from those same constants, so DuckDB
     * reproduces signatures, banding, and the candidate set exactly. */
+  /** Band-tuple equality between `bx x` and `bx y` in oracle SQL —
+    * shared by every consumer of [[minhashBandCtes]]. */
+  private val minhashBandVEq: String =
+    (0 until MinHashDedup.DefaultBandSize).map(k => s"x.v$k = y.v$k").mkString(" AND ")
+
   private val minhashBandCtes: String = {
     val p = MinHashDedup.Prime
     val nPerm = MinHashDedup.DefaultNumPerm
@@ -367,7 +372,7 @@ object TextOps {
       val vs = (0 until bandSize).map(k => s"m${j * bandSize + k} AS v$k").mkString(", ")
       s"SELECT doc_id, $j AS band_idx, $vs FROM sig"
     }.mkString("\n      UNION ALL\n      ")
-    val vEq = (0 until bandSize).map(k => s"x.v$k = y.v$k").mkString(" AND ")
+    val vEq = minhashBandVEq
     s"""h AS (SELECT doc_id,
                    list_reduce(list_prepend(CAST(0 AS BIGINT),
                      list_transform(range(length(s)),
@@ -2558,11 +2563,64 @@ object TextOps {
       FROM w
       """))
 
+  /** INCREMENTAL NEAR-DUP — d34's exact-key verdict upgraded to
+    * near-duplicate semantics: the new batch's MinHash bands
+    * ([[MinHashDedup.bandTable]]) probe the STANDING CORPUS's band
+    * index; any shared band flags the batch doc with its candidate
+    * count and nearest (min-id) corpus match. This is the daily-crawl
+    * LSH shape — the corpus index is built once and persists; each
+    * day's batch probes it.
+    *
+    * Scale shape (the whole point when batch ≪ corpus): the BATCH
+    * bands broadcast onto the corpus band table, so the corpus index
+    * never shuffles — the only exchange is the batch-sized candidate
+    * agg. Compare d7, whose self-join shuffles the full band table:
+    * probing an incremental batch is strictly cheaper than rebuilding
+    * pairwise candidates, which is why production dedup runs this
+    * daily and d7-style global passes rarely. */
+  val d37IncrementalNearDup: Q = Q(
+    "d37_incremental_neardup",
+    "incremental near-dup: batch MinHash bands probe the standing corpus index",
+    (s, d) => {
+      val bt = MinHashDedup.bandTable(shingles(t(s, d, "documents")))
+      val isBatch = pmod(col("doc_id"), lit(10L)) === 0
+      val batch = bt.filter(isBatch).select(col("doc_id").as("bid"), col("b"))
+      val corpus = bt.filter(!isBatch)
+      val hits = corpus.join(broadcast(batch), Seq("b"))
+        .groupBy(col("bid"))
+        .agg(countDistinct(col("doc_id")).as("nc"),
+          min(col("doc_id")).as("nearest"))
+      bt.filter(isBatch).select(col("doc_id")).distinct()
+        .join(hits, col("doc_id") === col("bid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nc"), lit(0L)).as("n_candidates"),
+          col("nearest"),
+          (coalesce(col("nc"), lit(0L)) > 0L).as("is_near_dup"))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      $minhashBandCtes,
+      cand AS (
+        SELECT y.doc_id AS bid, x.doc_id AS cid
+        FROM bx x JOIN bx y
+          ON x.band_idx = y.band_idx AND $minhashBandVEq
+         AND x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0),
+      agg AS (SELECT bid, COUNT(DISTINCT cid) AS n_candidates,
+                     MIN(cid) AS nearest
+              FROM cand GROUP BY bid)
+      SELECT b.doc_id AS doc_id,
+             CAST(COALESCE(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+             a.nearest AS nearest,
+             COALESCE(a.n_candidates, 0) > 0 AS is_near_dup
+      FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 10 = 0) b
+      LEFT JOIN agg a ON a.bid = b.doc_id
+      """))
+
   val all: Seq[Q] = Seq(
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
     d27TrigramLm, d28SplitAssign, d29GopherRules, d30EditVerify,
     d31DsirWeights, d32NgramMine, d33Bm25, d34IncrementalDedup,
-    d35LshEval, d36ChunkWindows,
+    d35LshEval, d36ChunkWindows, d37IncrementalNearDup,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,

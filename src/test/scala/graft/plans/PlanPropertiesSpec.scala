@@ -271,6 +271,17 @@ class PlanPropertiesSpec extends SparkSpec {
       s"per-video lag must partition by media_id, not serialize:\n$p")
   }
 
+  test("d37: corpus band index never shuffles — batch bands broadcast onto it") {
+    val p = finalPlan("d37_incremental_neardup")
+    // the probe join: corpus band table ⋈ broadcast(batch bands)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no exchange may be keyed on the band column — that would shuffle
+    // the standing index (the batch⋈batch left join may SMJ; both its
+    // sides are batch-sized)
+    assert(!p.contains("hashpartitioning(b#"),
+      s"the standing index must not shuffle for a batch probe:\n$p")
+  }
+
   test("q110: variant extraction plans one partial-agged exchange, no Expand") {
     val p = finalPlan("q110_variant")
     assert(count(p, "ENSURE_REQUIREMENTS") == 1, p)
