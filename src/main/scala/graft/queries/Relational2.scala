@@ -4428,9 +4428,89 @@ object Relational2 {
       FROM events GROUP BY 1
       """))
 
+  /** Spark 4's SQL PIPE SYNTAX (`|>`) — the linear query form: each
+    * stage reads the previous one top-to-bottom (FROM → WHERE →
+    * AGGREGATE → ORDER BY), no inside-out nesting. Same Catalyst plan
+    * as the ANSI form — the oracle runs the classic SELECT and the
+    * results hash-match, proving pipe syntax is pure surface. */
+  val q111PipeSyntax: Q = Q(
+    "q111_pipe_syntax",
+    "SQL pipe syntax: FROM |> WHERE |> AGGREGATE |> ORDER BY",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        FROM lineitem
+        |> WHERE l_shipdate < DATE '1998-09-02'
+        |> AGGREGATE COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate < DATE '1998-09-02'
+      GROUP BY 1, 2 ORDER BY 1, 2
+      """))
+
+  /** Parameterized execution — `EXECUTE IMMEDIATE … USING` with a SQL
+    * session variable (`DECLARE` / `SET VARIABLE`) as one argument and
+    * a literal as the other: the injection-safe dynamic-SQL path (the
+    * statement text never concatenates values; parameters bind by
+    * position). The oracle runs the statement with parameters
+    * resolved. */
+  val q112ExecImmediate: Q = Q(
+    "q112_exec_immediate",
+    "EXECUTE IMMEDIATE with USING parameters bound from a session variable",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("DECLARE OR REPLACE VARIABLE status_v STRING DEFAULT 'F'")
+      s.sql("SET VARIABLE status_v = 'O'")
+      s.sql("""EXECUTE IMMEDIATE
+        'SELECT o_orderpriority, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+         FROM orders WHERE o_orderstatus = ? AND o_totalprice > ? GROUP BY 1'
+        USING status_v, 1000.0""")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+      FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+      GROUP BY 1
+      """))
+
+  /** SQL-language UDFs (Spark 4): a scalar function and a TABLE
+    * function declared in SQL (`CREATE TEMPORARY FUNCTION … RETURN`),
+    * composed in one query — the portable, optimizer-transparent kind
+    * of user function (the body INLINES into the plan, so pushdown,
+    * pruning, and codegen all still apply — nothing like the JVM-UDF
+    * black box this engine bans). The oracle runs the bodies inlined
+    * by hand. */
+  val q113SqlUdfs: Q = Q(
+    "q113_sql_udfs",
+    "SQL scalar UDF + SQL table function composed in one query",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION acct_band(b DOUBLE)
+               RETURNS BIGINT RETURN CAST(FLOOR(b / 1000) AS BIGINT)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION big_custs(minbal DOUBLE)
+               RETURNS TABLE(ck BIGINT, bal DOUBLE)
+               RETURN SELECT c_custkey, CAST(c_acctbal AS DOUBLE)
+                      FROM customer WHERE c_acctbal > minbal""")
+      s.sql("""SELECT acct_band(bal) AS band, COUNT(*) AS n, MIN(ck) AS min_ck
+               FROM big_custs(5000.0) GROUP BY 1""")
+    },
+    Some("""
+      SELECT CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS band,
+             COUNT(*) AS n, MIN(c_custkey) AS min_ck
+      FROM customer WHERE c_acctbal > 5000.0
+      GROUP BY 1
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
+    q111PipeSyntax, q112ExecImmediate, q113SqlUdfs,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
