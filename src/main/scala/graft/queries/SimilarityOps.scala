@@ -988,9 +988,70 @@ object SimilarityOps {
       FROM qs LEFT JOIN hits ON hits.qid = qs.qid
       """))
 
+  /** FILTERED VECTOR SEARCH — ANN under a metadata predicate, the
+    * vector-DB staple RAG stacks lean on (per-tenant, per-language,
+    * per-source retrieval): top-3 cosine per query among probed-cell
+    * members WHOSE LABEL MATCHES the filter. The predicate applies
+    * AFTER cell probing and BEFORE ranking (post-filtering inside the
+    * probed cells — the standard IVF composition; pre-filtering would
+    * need per-label indexes). At 100 TB the assignment is a
+    * cell-partitioned table, the probe reads nprobe partitions, and
+    * the label predicate pushes into those scans — selective filters
+    * shrink ranking work, never expand the probe. nprobe=3 (vs s8's 2)
+    * compensates for filtered-out members, the documented
+    * filtered-search recall knob. */
+  val s19FilteredAnn: Q = Q(
+    "s19_filtered_ann",
+    "filtered ANN: IVF probe (nprobe=3) + label predicate + top-3 per query",
+    (s, d) => {
+      import graft.operators.IvfIndex
+      val e = Caching.cached(emb(s, d).select(col("vec_id"), col("label"), col("v")))
+      val vecs = e.select(col("vec_id"), col("v"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cent = IvfIndex.centroids(vecs, k = 16, iters = 2)
+      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+      IvfIndex.assign(vecs, cent)
+        .join(broadcast(IvfIndex.probeBatch(queries, cent, nprobe = 3)), Seq("cid"))
+        .join(e, Seq("vec_id"))
+        .filter(col("label") === 1 && col("vec_id") =!= col("qid"))
+        .join(broadcast(queries), Seq("qid"))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+        .withColumn("rank_pos", row_number().over(w).cast(LongType))
+        .filter(col("rank_pos") <= 3)
+        .select(col("qid"), col("vec_id"), col("sim"), col("rank_pos"))
+    },
+    Some(ivfOracleCtes + """,
+      vl AS (SELECT vec_id, label FROM embeddings),
+      qs AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 8),
+      pc AS (SELECT qid, cid FROM (
+               SELECT qs.qid AS qid, c2.cid AS cid,
+                      ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+                        list_dot_product(qs.qv, qs.qv) + list_dot_product(c2.cv, c2.cv)
+                          - 2 * list_dot_product(qs.qv, c2.cv), c2.cid) AS rn
+               FROM qs, c2) WHERE rn <= 3)
+      SELECT qid, vec_id, sim, CAST(rn AS BIGINT) AS rank_pos FROM (
+        SELECT pc.qid AS qid, e.vec_id AS vec_id,
+               list_dot_product(e.v, qs.qv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(qs.qv, qs.qv))) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY pc.qid ORDER BY
+                 list_dot_product(e.v, qs.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(qs.qv, qs.qv))) DESC,
+                 e.vec_id) AS rn
+        FROM pc JOIN s2 ON s2.cid = pc.cid
+          JOIN v e ON e.vec_id = s2.vec_id
+          JOIN vl ON vl.vec_id = e.vec_id
+          JOIN qs ON qs.qid = pc.qid
+        WHERE vl.label = 1 AND e.vec_id <> pc.qid)
+      WHERE rn <= 3
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
     s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch, s14SqInt8,
-    s15SemanticDedup, s16MmrTopK, s17RadiusSearch, s18AnnRecall)
+    s15SemanticDedup, s16MmrTopK, s17RadiusSearch, s18AnnRecall,
+    s19FilteredAnn)
 }
