@@ -1048,10 +1048,107 @@ object SimilarityOps {
       WHERE rn <= 3
       """))
 
+  /** RECALL-vs-NPROBE SWEEP — the ANN capacity-planning table: one
+    * query produces the whole operating curve (nprobe ∈ {1,2,4} →
+    * mean recall@5 over the 16-query set + how many queries hit
+    * perfect recall), which is the artifact an operator reads to pick
+    * nprobe for a latency budget (each +1 nprobe is one more cell
+    * partition scanned at 100 TB — the cost axis is explicit).
+    *
+    * One plan for all three settings: centroids, cell ranks (top-4,
+    * ranked once), the cell assignment, and the exact top-5 all
+    * compute ONCE and are persisted/reused; each sweep point is just a
+    * narrower filter on the ranked cells. The oracle re-derives the
+    * same k-means and ranks in SQL, so the curve itself is
+    * cross-engine exact. */
+  val s20NprobeSweep: Q = Q(
+    "s20_nprobe_sweep",
+    "ANN operating curve: mean recall@5 + perfect-query count per nprobe in {1,2,4}",
+    (s, d) => {
+      import graft.operators.IvfIndex
+      val e = Caching.cached(emb(s, d).select(col("vec_id"), col("v")))
+      val queries = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cent = IvfIndex.centroids(e, k = 16, iters = 2)
+      val wpc = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+      val pcr = cent.crossJoin(broadcast(queries))
+        .select(col("qid"), col("cid"), IvfIndex.dist2(col("qv"), col("cv")).as("d2"))
+        .withColumn("crn", row_number().over(wpc)).filter(col("crn") <= 4)
+        .select(col("qid"), col("cid"), col("crn"))
+      val asg = Caching.cached(IvfIndex.assign(e, cent))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+      val exact = Caching.cached(
+        e.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+          .select(col("qid"), col("vec_id")))
+      val perNprobe = Seq(1, 2, 4).map { np =>
+        val ann = asg
+          .join(broadcast(pcr.filter(col("crn") <= np).drop("crn")), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .join(e, Seq("vec_id")).join(broadcast(queries), Seq("qid"))
+          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+          .select(col("qid"), col("vec_id"))
+        val hits = ann.join(exact, Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        queries.select(col("qid")).join(hits, Seq("qid"), "left")
+          .na.fill(0L, Seq("n_hits"))
+          .agg(
+            expr("sum((1000000 * n_hits) DIV 5) DIV 16").as("mean_recall_ppm"),
+            sum(when(col("n_hits") === 5L, 1L).otherwise(0L)).as("n_perfect"))
+          .select(lit(np.toLong).as("nprobe"), col("mean_recall_ppm"),
+            col("n_perfect"))
+      }
+      perNprobe.reduce(_ union _)
+    },
+    Some(ivfOracleCtes + """,
+      qs AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 16),
+      pcr AS (SELECT qid, cid, crn FROM (
+               SELECT qs.qid AS qid, c2.cid AS cid,
+                      ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+                        list_dot_product(qs.qv, qs.qv) + list_dot_product(c2.cv, c2.cv)
+                          - 2 * list_dot_product(qs.qv, c2.cv), c2.cid) AS crn
+               FROM qs, c2) WHERE crn <= 4),
+      nps AS (SELECT 1 AS np UNION ALL SELECT 2 UNION ALL SELECT 4),
+      ann AS (SELECT np, qid, vec_id FROM (
+                SELECT nps.np AS np, pcr.qid AS qid, e.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY nps.np, pcr.qid ORDER BY
+                         list_dot_product(e.v, qs.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(qs.qv, qs.qv))) DESC,
+                         e.vec_id) AS rn
+                FROM nps JOIN pcr ON pcr.crn <= nps.np
+                  JOIN s2 ON s2.cid = pcr.cid
+                  JOIN v e ON e.vec_id = s2.vec_id
+                  JOIN qs ON qs.qid = pcr.qid
+                WHERE e.vec_id <> pcr.qid) WHERE rn <= 5),
+      ex AS (SELECT qid, vec_id FROM (
+               SELECT qs.qid AS qid, e.vec_id AS vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+                        list_dot_product(e.v, qs.qv)
+                          / (sqrt(list_dot_product(e.v, e.v))
+                             * sqrt(list_dot_product(qs.qv, qs.qv))) DESC,
+                        e.vec_id) AS rn
+               FROM qs, v e WHERE e.vec_id <> qs.qid) WHERE rn <= 5),
+      hits AS (SELECT ann.np AS np, ann.qid AS qid, COUNT(*) AS n_hits
+               FROM ann JOIN ex ON ann.qid = ex.qid AND ann.vec_id = ex.vec_id
+               GROUP BY 1, 2),
+      grid AS (SELECT nps.np AS np, qs.qid AS qid,
+                      COALESCE(hits.n_hits, 0) AS n_hits
+               FROM nps CROSS JOIN qs
+               LEFT JOIN hits ON hits.np = nps.np AND hits.qid = qs.qid)
+      SELECT CAST(np AS BIGINT) AS nprobe,
+             CAST(SUM((1000000 * n_hits) // 5) // 16 AS BIGINT) AS mean_recall_ppm,
+             CAST(SUM(CASE WHEN n_hits = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+      FROM grid GROUP BY np
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
     s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch, s14SqInt8,
     s15SemanticDedup, s16MmrTopK, s17RadiusSearch, s18AnnRecall,
-    s19FilteredAnn)
+    s19FilteredAnn, s20NprobeSweep)
 }

@@ -2616,11 +2616,81 @@ object TextOps {
       LEFT JOIN agg a ON a.bid = b.doc_id
       """))
 
+  /** TOKEN-DISTRIBUTION DRIFT — the corpus-mixture QA gauge: per
+    * language, the L1 distance (in integer ppm) between that slice's
+    * token frequency distribution and the whole corpus's. The number
+    * an operator watches across crawl snapshots: a slice whose
+    * distribution walks away from the corpus signals a scraper
+    * regression, an injection, or genuine domain shift — BEFORE any
+    * model sees the data.
+    *
+    * Exact integer contract (no float normalization whose summation
+    * order could differ across engines): both distributions quantize
+    * to ppm by BIGINT multiply-then-divide, and the L1 over the FULL
+    * corpus vocabulary decomposes as
+    *   Σ_{t∈slice} |ppm_s − ppm_g|  +  (Σ_g ppm_g − Σ_{t∈slice} ppm_g)
+    * so tokens the slice has never seen are accounted WITHOUT
+    * materializing a lang × vocabulary grid — one token-keyed join on
+    * the slice's own vocabulary, one tiny global-total broadcast. At
+    * 100 TB the exchanges are vocabulary-bounded (Zipf: far smaller
+    * than the corpus) and the grid this avoids would be |langs| ×
+    * |vocab| rows. */
+  val d38TokenDrift: Q = Q(
+    "d38_token_drift",
+    "per-language token-distribution drift vs corpus: exact integer-ppm L1",
+    (s, d) => {
+      val terms = Caching.cached(
+        t(s, d, "documents")
+          .select(col("lang"), explode(split(norm(col("text")), " ")).as("term"))
+          .filter(length(col("term")) >= 2))
+      val gtot = terms.agg(count(lit(1)).as("gn"))
+      val g = terms.groupBy(col("term")).agg(count(lit(1)).as("gc"))
+        .crossJoin(broadcast(gtot))
+        .select(col("term"), expr("(1000000 * gc) DIV gn").as("ppm_g"))
+      val gsum = g.agg(sum(col("ppm_g")).as("ppm_g_total"))
+      val ltot = terms.groupBy(col("lang")).agg(count(lit(1)).as("ln"))
+      val l = terms.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("lc"))
+        .join(broadcast(ltot), Seq("lang"))
+        .select(col("lang"), col("term"), expr("(1000000 * lc) DIV ln").as("ppm_s"))
+      l.join(g, Seq("term"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(abs(col("ppm_s") - col("ppm_g"))).as("l1_seen"),
+          sum(col("ppm_g")).as("ppm_g_seen"))
+        .crossJoin(broadcast(gsum))
+        .select(col("lang"), col("n_terms"),
+          (col("l1_seen") + col("ppm_g_total") - col("ppm_g_seen"))
+            .as("l1_ppm"))
+    },
+    Some(s"""
+      WITH terms AS (
+        SELECT lang, t.term AS term
+        FROM documents,
+             unnest(string_split($normSql, ' ')) AS t(term)
+        WHERE length(t.term) >= 2),
+      gtot AS (SELECT COUNT(*) AS gn FROM terms),
+      g AS (SELECT term, (1000000 * COUNT(*)) // gn AS ppm_g
+            FROM terms, gtot GROUP BY term, gn),
+      gsum AS (SELECT SUM(ppm_g) AS ppm_g_total FROM g),
+      ltot AS (SELECT lang, COUNT(*) AS ln FROM terms GROUP BY lang),
+      l AS (SELECT t.lang AS lang, t.term AS term,
+                   (1000000 * COUNT(*)) // ANY_VALUE(ltot.ln) AS ppm_s
+            FROM terms t JOIN ltot ON ltot.lang = t.lang
+            GROUP BY t.lang, t.term)
+      SELECT l.lang AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(ABS(ppm_s - ppm_g))
+                  + ANY_VALUE(gsum.ppm_g_total) - SUM(ppm_g) AS BIGINT)
+               AS l1_ppm
+      FROM l JOIN g ON g.term = l.term, gsum
+      GROUP BY l.lang
+      """))
+
   val all: Seq[Q] = Seq(
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
     d27TrigramLm, d28SplitAssign, d29GopherRules, d30EditVerify,
     d31DsirWeights, d32NgramMine, d33Bm25, d34IncrementalDedup,
-    d35LshEval, d36ChunkWindows, d37IncrementalNearDup,
+    d35LshEval, d36ChunkWindows, d37IncrementalNearDup, d38TokenDrift,
     d1DedupExact, d2Fingerprint, d3TokenStats, d4QualityScore,
     d5LangId, d6NgramJaccard, d7MinHashLsh, d8SimHash, d9BpeTokens,
     d10RollingHash, d11TfIdf, d12DedupClusters, d13PiiRedact,
