@@ -4507,10 +4507,42 @@ object Relational2 {
       GROUP BY 1
       """))
 
+  /** The `try_*` error-safe function family (ANSI mode's escape
+    * hatches): division by zero, arithmetic overflow, and failed
+    * string casts all degrade to NULL instead of failing the job —
+    * the semantics a 100 TB pipeline wants for dirty columns (one
+    * poison value must not kill a 6-hour job; NULL-and-count is the
+    * production contract, and q4-style null audits then quantify the
+    * damage). The oracle states each case's defined result directly
+    * (DuckDB raises on bigint overflow rather than NULLing, so the
+    * CONTRACT — overflow ⇒ NULL — is the portable thing, not the
+    * expression). */
+  val q114TryFunctions: Q = Q(
+    "q114_try_functions",
+    "try_divide/try_add/try_cast: poison values degrade to NULL, not job failure",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_divide(cast(l_extendedprice as double), " +
+            "cast(l_quantity - l_quantity as double))").as("div_by_zero"),
+          expr("try_divide(cast(l_extendedprice as double), " +
+            "cast(l_quantity as double))").as("unit_price"),
+          expr("try_add(9223372036854775807L, l_orderkey)").as("overflow_add"),
+          expr("try_cast(concat('x', l_returnflag) as bigint)").as("bad_cast")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(NULL AS DOUBLE) AS div_by_zero,
+             CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
+               AS unit_price,
+             CAST(NULL AS BIGINT) AS overflow_add,
+             CAST(NULL AS BIGINT) AS bad_cast
+      FROM lineitem
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
-    q111PipeSyntax, q112ExecImmediate, q113SqlUdfs,
+    q111PipeSyntax, q112ExecImmediate, q113SqlUdfs, q114TryFunctions,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
