@@ -4516,7 +4516,10 @@ object Relational2 {
     * damage). The oracle states each case's defined result directly
     * (DuckDB raises on bigint overflow rather than NULLing, so the
     * CONTRACT — overflow ⇒ NULL — is the portable thing, not the
-    * expression). */
+    * expression). The testdata contains dirty rows with
+    * `l_orderkey = 0` where `Long.MaxValue + 0` legitimately does NOT
+    * overflow, so the oracle must state the non-overflow result for
+    * those rows rather than a blanket NULL. */
   val q114TryFunctions: Q = Q(
     "q114_try_functions",
     "try_divide/try_add/try_cast: poison values degrade to NULL, not job failure",
@@ -4534,7 +4537,9 @@ object Relational2 {
              CAST(NULL AS DOUBLE) AS div_by_zero,
              CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
                AS unit_price,
-             CAST(NULL AS BIGINT) AS overflow_add,
+             CASE WHEN l_orderkey > 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(9223372036854775807 + l_orderkey AS BIGINT)
+             END AS overflow_add,
              CAST(NULL AS BIGINT) AS bad_cast
       FROM lineitem
       """))
