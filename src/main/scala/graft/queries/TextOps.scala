@@ -240,8 +240,15 @@ object TextOps {
     * The shingle ARRAY is the persisted barrier: the interpreted
     * normalize+transform runs once per document, and candidate
     * generation, counts, and verify all scan the materialized arrays. */
-  private[graft] def jaccardPairs(docs: DataFrame, dfCap: Long): DataFrame = {
-    val sh = Caching.cached(shingles(docs))
+  private[graft] def jaccardPairs(docs: DataFrame, dfCap: Long): DataFrame =
+    jaccardPairsFromShingles(Caching.cached(shingles(docs)), dfCap)
+
+  /** [[jaccardPairs]] over an already-shingled (and cached) `sh` frame —
+    * for callers that also feed the same shingle table to another channel
+    * (d35 grades LSH candidates against this truth: both channels must
+    * read ONE materialized shingle pipeline, not build the interpreted
+    * normalize+transform twice with two cache entries). */
+  private[graft] def jaccardPairsFromShingles(sh: DataFrame, dfCap: Long): DataFrame = {
     val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     // The STOP-LIST is what's small (shingles with df > cap are the
     // Zipf head — a handful even at corpus scale), so exclude them with
@@ -2482,10 +2489,12 @@ object TextOps {
     "d35_lsh_eval",
     "MinHash-LSH tuning eval: candidate precision/recall vs exact Jaccard truth",
     (s, d) => {
-      val docs = t(s, d, "documents")
-      val truth = jaccardPairs(docs, DefaultDfCap)
+      // ONE shingle pipeline feeds both channels: truth (exact Jaccard)
+      // and candidates (LSH) share the same cached shingled frame
+      val sh = Caching.cached(shingles(t(s, d, "documents")))
+      val truth = jaccardPairsFromShingles(sh, DefaultDfCap)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("__t"))
-      val cand = MinHashDedup.candidatePairs(shingles(docs))
+      val cand = MinHashDedup.candidatePairs(sh)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("__c"))
       cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
         .agg(

@@ -22,6 +22,32 @@ class PlanPropertiesSpec extends SparkSpec {
   private def count(plan: String, token: String): Int =
     plan.sliding(token.length).count(_ == token)
 
+  private def finalExec(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    val df = Registry.byName(name).build(spark, sfDir)
+    df.write.mode("overwrite").format("noop").save()
+    df.queryExecution.executedPlan
+  }
+
+  /** Structural collect that descends through AQE wrappers — query
+    * stages are leaf nodes whose materialized plan hides in `.plan`, so
+    * a plain `SparkPlan.collect` never sees inside a finished stage. */
+  private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val here = pf.lift(p).toSeq
+    // InMemoryTableScanExec is deliberately a boundary: a cached table's
+    // one-time build plan (with its own exchanges) is the standing index,
+    // not per-query work — guards below reason about shuffles ABOVE it.
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec        => Seq(s.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    here ++ kids.flatMap(deepCollect(_)(pf))
+  }
+
   test("q1: single intrinsic shuffle, partial agg before it") {
     val p = finalPlan("q1_pricing_summary")
     assert(count(p, "ENSURE_REQUIREMENTS") == 1, p)
@@ -272,14 +298,32 @@ class PlanPropertiesSpec extends SparkSpec {
   }
 
   test("d37: corpus band index never shuffles — batch bands broadcast onto it") {
-    val p = finalPlan("d37_incremental_neardup")
-    // the probe join: corpus band table ⋈ broadcast(batch bands)
-    assert(p.contains("BroadcastHashJoin"), p)
-    // no exchange may be keyed on the band column — that would shuffle
-    // the standing index (the batch⋈batch left join may SMJ; both its
-    // sides are batch-sized)
-    assert(!p.contains("hashpartitioning(b#"),
-      s"the standing index must not shuffle for a batch probe:\n$p")
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val plan = finalExec("d37_incremental_neardup")
+    // Structural (not string) guard: the probe must plan as a
+    // BroadcastHashJoin whose STREAMED side reads the cached band table
+    // with NO exchange between the cache scan and the join — an aliased
+    // band column or struct key can't hide a corpus shuffle from this.
+    val probes = deepCollect(plan) { case j: BroadcastHashJoinExec => j }
+      .filter { j =>
+        val streamed = j.buildSide match {
+          case BuildRight => j.left
+          case BuildLeft  => j.right
+        }
+        deepCollect(streamed) { case s: InMemoryTableScanExec => s }.nonEmpty &&
+          deepCollect(streamed) { case e: ShuffleExchangeLike => e }.isEmpty
+      }
+    assert(probes.nonEmpty,
+      s"expected a broadcast probe join streaming the cached band index shuffle-free:\n$plan")
+    // And globally: the only exchanges allowed are batch-sized (candidate
+    // agg, batch distinct, the batch-side left join) — a corpus shuffle
+    // would add one. Bound the total so a regression can't hide.
+    val nShuffles = deepCollect(plan) { case e: ShuffleExchangeLike => e }.size
+    assert(nShuffles <= 4,
+      s"unexpected extra exchange ($nShuffles) — did the standing index start shuffling?\n$plan")
   }
 
   test("q110: variant extraction plans one partial-agged exchange, no Expand") {
