@@ -1,6 +1,10 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Post-ETL validation as typed, assertable results — the reference's QA
@@ -47,6 +51,41 @@ object Validation {
       montosInvalidos = row.getLong(6),
       distinctAtms = row.getLong(7),
       distinctDays = row.getLong(8))
+  }
+
+  /** Standalone-QA source fallback, parity with the reference's
+    * validation script (ref `qa/validate_data.py:40-78`): try the
+    * processed Silver parquet first (the fast path), and if it is
+    * missing or unreadable, re-derive the clean frame from the raw CSV
+    * folders and validate that instead. Returns the report tagged with
+    * the source that produced it (`"processed"` | `"raw"`), the
+    * reference's `data_source` marker as a value instead of a print.
+    *
+    * Deviation by design: the reference's raw fallback re-applies only
+    * three of the four quality rules (it omits the future-date filter,
+    * ref `qa/validate_data.py:63-67`), so its fallback numbers can
+    * drift from what the ETL actually wrote. Here the fallback runs the
+    * SAME [[CleanTransactions]] rule set with the injected clock, so
+    * the fallback report is identical to the processed-path report —
+    * PipelineSpec deletes Silver and asserts exactly that. */
+  def fromSilverOrRaw(
+      spark: SparkSession,
+      silverPath: String,
+      rawRoot: String,
+      clock: Timestamp): (ValidationReport, String) = {
+    // guard only the read (schema resolution is eager, so a missing or
+    // footer-corrupt table fails HERE); validation errors still propagate
+    val processed =
+      try Some(spark.read.parquet(silverPath))
+      catch { case NonFatal(_) => None }
+    processed match {
+      case Some(silver) => (validate(silver), "processed")
+      case None =>
+        val facts = CleanTransactions.readFacts(spark, s"$rawRoot/fact_transactions")
+        val dims = CleanTransactions.readDims(spark, s"$rawRoot/dim_atms")
+        val (silver, _) = CleanTransactions.run(facts, dims, clock)
+        (validate(silver), "raw")
+    }
   }
 
   /** Top ATMs by money moved (A1/O1, ref `glue_jobs/etl_job.py:147-158`). */

@@ -95,6 +95,22 @@ class PipelineSpec extends SparkSpec {
     assert(daily.count() == result.validation.distinctDays)
   }
 
+  test("QA fallback: silver parquet preferred, raw re-derivation identical") {
+    result // force run
+    val (fromSilver, src1) =
+      Validation.fromSilverOrRaw(spark, result.silverPath, inRoot, clock)
+    assert(src1 == "processed")
+    assert(fromSilver == result.validation)
+
+    // delete silver → the fallback must re-derive from raw CSVs and
+    // produce the IDENTICAL typed report (same rules, same clock)
+    val gone = Files.createTempDirectory("graft_qa_missing").toString + "/nope"
+    val (fromRaw, src2) = Validation.fromSilverOrRaw(spark, gone, inRoot, clock)
+    assert(src2 == "raw")
+    assert(fromRaw == result.validation,
+      s"fallback report must match the processed one:\n$fromRaw\nvs\n${result.validation}")
+  }
+
   test("rerun with a fresh _READY is idempotent (dynamic partition overwrite)") {
     result // force first run
     val before = spark.read.parquet(result.silverPath).count()
