@@ -4544,10 +4544,72 @@ object Relational2 {
       FROM lineitem
       """))
 
+  /** FUSED QA SUITE — the reference's "menos roundtrips" idea
+    * (ref `qa/validate_data_fast.py:119-170`) at engine grade: the
+    * q1 pricing summary AND the q5 range/quality checks computed in
+    * ONE lineitem scan. ROLLUP gives detail (`lvl=0`), per-returnflag
+    * subtotal (`lvl=1`), and global (`lvl=2`) levels from one pass;
+    * q1's ship-date predicate becomes a per-aggregate condition
+    * (COUNT/SUM over CASE WHEN) so differently-filtered checks fuse
+    * without a second scan. FusedQaSpec proves the lvl=0 slice is
+    * row-identical to q1 and the lvl=2 slice to q5, and that the plan
+    * reads the table exactly once — at 100 TB this is the difference
+    * between one pass over the fact table and one per QA query. */
+  val q115FusedQa: Q = Q(
+    "q115_fused_qa",
+    "fused QA: q1 pricing summary + q5 range checks in one scan (rollup + filtered aggs)",
+    (s, d) => {
+      val shipOk = col("l_shipdate") < lit(java.sql.Timestamp.valueOf("2001-09-02 00:00:00"))
+      def fsum(c: org.apache.spark.sql.Column) = sum(when(shipOk, c))
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          (grouping(col("l_returnflag")) + grouping(col("l_linestatus")))
+            .cast(LongType).as("lvl"),
+          count(lit(1)).as("n_rows"),
+          // --- q1 slice: ship-date filter as aggregate condition ---
+          count(when(shipOk, 1)).as("count_order"),
+          fsum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          fsum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          fsum(netD(col("l_extendedprice"), col("l_discount")))
+            .cast(DecimalType(38, 4)).cast(DoubleType).as("sum_disc_price"),
+          (fsum(dec(col("l_quantity"))).cast(DoubleType) /
+            count(when(shipOk, 1))).as("avg_qty"),
+          (fsum(dec(col("l_discount"), 6)).cast(DoubleType) /
+            count(when(shipOk, 1))).as("avg_disc"),
+          // --- q5 slice: unconditional range/quality checks ---
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_high_discount"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS lvl,
+             COUNT(*) AS n_rows,
+             COUNT(CASE WHEN l_shipdate < TIMESTAMP '2001-09-02 00:00:00' THEN 1 END) AS count_order,
+             CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '2001-09-02 00:00:00' THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '2001-09-02 00:00:00' THEN CAST(l_extendedprice AS DECIMAL(38,4)) END) AS DOUBLE) AS sum_base_price,
+             CAST(CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '2001-09-02 00:00:00' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))) END) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '2001-09-02 00:00:00' THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE)
+               / COUNT(CASE WHEN l_shipdate < TIMESTAMP '2001-09-02 00:00:00' THEN 1 END) AS avg_qty,
+             CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '2001-09-02 00:00:00' THEN CAST(l_discount AS DECIMAL(38,6)) END) AS DOUBLE)
+               / COUNT(CASE WHEN l_shipdate < TIMESTAMP '2001-09-02 00:00:00' THEN 1 END) AS avg_disc,
+             MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+             COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_discount,
+             COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
     q111PipeSyntax, q112ExecImmediate, q113SqlUdfs, q114TryFunctions,
+    q115FusedQa,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
