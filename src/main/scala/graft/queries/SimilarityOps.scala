@@ -1145,10 +1145,115 @@ object SimilarityOps {
       FROM grid GROUP BY np
       """))
 
+  /** FILTERED-RECALL SWEEP — s20's operating curve measured UNDER the
+    * s19 label predicate: per nprobe ∈ {1,2,3,4}, mean recall@3 of the
+    * filtered IVF probe against the exact filtered top-3. This is the
+    * table s19's nprobe=3 constant is justified by — filtered search
+    * loses candidates to the predicate inside each probed cell, so its
+    * recall floor sits below the unfiltered curve at the same nprobe
+    * and an operator reads THIS curve (not s20's) to size the knob.
+    *
+    * Same one-plan shape as s20: centroids, ranked cells, assignment,
+    * and the exact filtered top-3 compute once; each sweep point is a
+    * narrower filter on the ranked cells. Recall is monotone in nprobe
+    * by construction (candidates(np) ⊆ candidates(np+1), and anything
+    * outranking an exact-top-3 member would itself be exact-top-3) —
+    * FilteredRecallSpec asserts that invariant. */
+  val s21FilteredRecall: Q = Q(
+    "s21_filtered_recall",
+    "filtered-ANN operating curve: mean recall@3 under the label predicate per nprobe in {1,2,3,4}",
+    (s, d) => {
+      import graft.operators.IvfIndex
+      val e = Caching.cached(emb(s, d).select(col("vec_id"), col("label"), col("v")))
+      val vecs = e.select(col("vec_id"), col("v"))
+      val queries = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cent = IvfIndex.centroids(vecs, k = 16, iters = 2)
+      val wpc = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+      val pcr = cent.crossJoin(broadcast(queries))
+        .select(col("qid"), col("cid"), IvfIndex.dist2(col("qv"), col("cv")).as("d2"))
+        .withColumn("crn", row_number().over(wpc)).filter(col("crn") <= 4)
+        .select(col("qid"), col("cid"), col("crn"))
+      val asg = Caching.cached(IvfIndex.assign(vecs, cent))
+      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+      val exact = Caching.cached(
+        e.filter(col("label") === 1).crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
+          .select(col("qid"), col("vec_id")))
+      val perNprobe = Seq(1, 2, 3, 4).map { np =>
+        val ann = asg
+          .join(broadcast(pcr.filter(col("crn") <= np).drop("crn")), Seq("cid"))
+          .join(e, Seq("vec_id"))
+          .filter(col("label") === 1 && col("vec_id") =!= col("qid"))
+          .join(broadcast(queries), Seq("qid"))
+          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
+          .select(col("qid"), col("vec_id"))
+        val hits = ann.join(exact, Seq("qid", "vec_id"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        queries.select(col("qid")).join(hits, Seq("qid"), "left")
+          .na.fill(0L, Seq("n_hits"))
+          .agg(
+            expr("sum((1000000 * n_hits) DIV 3) DIV 16").as("mean_recall_ppm"),
+            sum(when(col("n_hits") === 3L, 1L).otherwise(0L)).as("n_perfect"))
+          .select(lit(np.toLong).as("nprobe"), col("mean_recall_ppm"),
+            col("n_perfect"))
+      }
+      perNprobe.reduce(_ union _)
+    },
+    Some(ivfOracleCtes + """,
+      vl AS (SELECT vec_id, label FROM embeddings),
+      qs AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 16),
+      pcr AS (SELECT qid, cid, crn FROM (
+               SELECT qs.qid AS qid, c2.cid AS cid,
+                      ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+                        list_dot_product(qs.qv, qs.qv) + list_dot_product(c2.cv, c2.cv)
+                          - 2 * list_dot_product(qs.qv, c2.cv), c2.cid) AS crn
+               FROM qs, c2) WHERE crn <= 4),
+      nps AS (SELECT 1 AS np UNION ALL SELECT 2
+              UNION ALL SELECT 3 UNION ALL SELECT 4),
+      ann AS (SELECT np, qid, vec_id FROM (
+                SELECT nps.np AS np, pcr.qid AS qid, e.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY nps.np, pcr.qid ORDER BY
+                         list_dot_product(e.v, qs.qv)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(qs.qv, qs.qv))) DESC,
+                         e.vec_id) AS rn
+                FROM nps JOIN pcr ON pcr.crn <= nps.np
+                  JOIN s2 ON s2.cid = pcr.cid
+                  JOIN v e ON e.vec_id = s2.vec_id
+                  JOIN vl ON vl.vec_id = e.vec_id
+                  JOIN qs ON qs.qid = pcr.qid
+                WHERE vl.label = 1 AND e.vec_id <> pcr.qid) WHERE rn <= 3),
+      ex AS (SELECT qid, vec_id FROM (
+               SELECT qs.qid AS qid, e.vec_id AS vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+                        list_dot_product(e.v, qs.qv)
+                          / (sqrt(list_dot_product(e.v, e.v))
+                             * sqrt(list_dot_product(qs.qv, qs.qv))) DESC,
+                        e.vec_id) AS rn
+               FROM qs JOIN v e ON e.vec_id <> qs.qid
+                 JOIN vl ON vl.vec_id = e.vec_id
+               WHERE vl.label = 1) WHERE rn <= 3),
+      hits AS (SELECT ann.np AS np, ann.qid AS qid, COUNT(*) AS n_hits
+               FROM ann JOIN ex ON ann.qid = ex.qid AND ann.vec_id = ex.vec_id
+               GROUP BY 1, 2),
+      grid AS (SELECT nps.np AS np, qs.qid AS qid,
+                      COALESCE(hits.n_hits, 0) AS n_hits
+               FROM nps CROSS JOIN qs
+               LEFT JOIN hits ON hits.np = nps.np AND hits.qid = qs.qid)
+      SELECT CAST(np AS BIGINT) AS nprobe,
+             CAST(SUM((1000000 * n_hits) // 3) // 16 AS BIGINT) AS mean_recall_ppm,
+             CAST(SUM(CASE WHEN n_hits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect
+      FROM grid GROUP BY np
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
     s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch, s14SqInt8,
     s15SemanticDedup, s16MmrTopK, s17RadiusSearch, s18AnnRecall,
-    s19FilteredAnn, s20NprobeSweep)
+    s19FilteredAnn, s20NprobeSweep, s21FilteredRecall)
 }
