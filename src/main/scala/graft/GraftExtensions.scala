@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // extended resolution rule ever sees the plan.
     ext.injectHintResolutionRule(session => graft.plans.SnapshotDmlRule(session))
     ext.injectResolutionRule(session => graft.plans.SnapshotDmlRule(session))
+    // graft.<ns>.<table> catalog reads: substitute the v2 relation with
+    // the DV-correct planner-integrated v1 plan (see GraftCatalog for
+    // why a native DSv2 Scan cannot carry deletion vectors)
+    ext.injectResolutionRule(session => graft.plans.GraftCatalogRelationRule(session))
     // SQL maintenance verbs (OPTIMIZE / VACUUM / RESTORE) on registered
     // commit-log tables — a delegating parser: three statement shapes
     // intercepted only for registered targets, everything else parses

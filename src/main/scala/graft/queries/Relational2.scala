@@ -4676,11 +4676,72 @@ object Relational2 {
       WHERE epoch_us(session_end) + 1800000000 <= wm_us
       """))
 
+  /** DSv2 CATALOG NAMESPACE READ — `SELECT … FROM graft_v2.<ns>.<t>`
+    * through [[graft.sources.GraftCatalog]]: a commit-log table is
+    * materialized from orders, rows are deleted merge-on-read
+    * (deletion vectors, zero file rewrites — asserted in-build), and
+    * the query reads BOTH the live snapshot and `VERSION AS OF` the
+    * pre-delete version through nothing but catalog-qualified SQL
+    * names. Graded against DuckDB recomputing each slice from the
+    * source table with/without the delete predicate — so the oracle
+    * catches a DV bypass (resurrected rows inflate `n`) AND a broken
+    * time travel (missing rows deflate the asof slice). The read path
+    * under the name is the planner-integrated v1 relation (see the
+    * [[graft.sources.GraftCatalog]] finding on why a native DSv2 scan
+    * cannot carry DVs). */
+  val q117CatalogRead: Q = Q(
+    "q117_catalog_read",
+    "DSv2 catalog namespace: DV-correct SELECT + VERSION AS OF via graft_v2.db.t",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root = java.nio.file.Files.createTempDirectory("graft_cat117").toString
+      val base = s"$root/db/orders"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_orderstatus", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_orderkey"), clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)
+      val vBefore = SnapshotLog.setProperties(s, base,
+        Map(SnapshotLog.PartColProp -> "o_orderstatus"))
+      SnapshotLog.deleteWhere(s, base, col("o_orderkey") % 7 === 0,
+        "o_orderstatus", deletionVectors = true)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val m = SnapshotLog.readManifest(fs, bp).get
+      require(m.dvs.nonEmpty && m.version == vBefore + 1,
+        "the delete must commit deletion vectors")
+      s.conf.set("spark.sql.catalog.graft_v2",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_v2.root", root)
+      s.sql(s"""
+        SELECT 'live' AS src, o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        FROM graft_v2.db.orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'asof' AS src, o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        FROM graft_v2.db.orders VERSION AS OF $vBefore GROUP BY o_orderstatus
+      """)
+    },
+    Some("""
+      SELECT 'live' AS src, o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'asof' AS src, o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderstatus
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
     q111PipeSyntax, q112ExecImmediate, q113SqlUdfs, q114TryFunctions,
-    q115FusedQa, q116StreamSessions,
+    q115FusedQa, q116StreamSessions, q117CatalogRead,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

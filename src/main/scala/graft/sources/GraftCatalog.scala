@@ -1,0 +1,213 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, NamespaceChange, SupportsNamespaces, Table, TableCapability,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A REAL multi-part namespace over commit-log tables: the DSv2
+  * `TableCatalog` that makes `SELECT … FROM graft.db.t` (and
+  * `VERSION AS OF` / `TIMESTAMP AS OF` time travel) resolve without any
+  * per-session `registerSnapshotLog` call. Directory-backed, the
+  * Iceberg-Hadoop-catalog shape: `spark.sql.catalog.graft =
+  * graft.sources.GraftCatalog` + `spark.sql.catalog.graft.root = <dir>`
+  * maps `graft.ns….t` to `<root>/ns…/t`, and a table is any directory
+  * there with a committed manifest.
+  *
+  * **The DV-safety finding this design answers** (the round-10 deferral,
+  * investigated): a NATIVE DSv2 read path cannot carry this format's
+  * deletion vectors. The DV mask is an ANTI-JOIN above the scan keyed on
+  * `_metadata.row_index` — a plan TRANSFORMATION, not a per-file filter
+  * — so it cannot live inside a `Scan`; and the `V1Scan` escape hatch
+  * returns a `BaseRelation with TableScan` that Spark plans as a
+  * `RowDataSourceScanExec` over an opaque RDD: no `_metadata.row_index`,
+  * no [[SnapshotFileIndex]] manifest pruning, no bucketed output
+  * partitioning, no whole-stage codegen'd columnar parquet scan. Spark's
+  * own file sources aren't V1Scan'd for the same reason — and Delta
+  * solves it exactly one way: an analyzer rule substitutes the v2
+  * relation with the planner-integrated v1 relation
+  * (`DeltaAnalysis`'s `DataSourceV2Relation` → `LogicalRelation`
+  * rewrite). [[graft.plans.GraftCatalogRelationRule]] is that rule here:
+  * it swaps each catalog relation for a FRESH [[SnapshotRelation]] plan
+  * (DV anti-join + manifest-pruned `FileSourceScanExec` + column-mapping
+  * rename), exprId-fresh per occurrence so self-joins stay sound.
+  *
+  * Failing closed: [[GraftSnapshotTable]] deliberately does NOT
+  * implement `SupportsRead`. Without the extension rule installed a
+  * SELECT fails analysis with a capability error instead of silently
+  * reading a DV-less byte-path — resurrection of deleted rows is the
+  * one outcome this catalog must never produce.
+  *
+  * Read-only by design: writes commit through [[SnapshotLog]]'s
+  * transactional writers (upsertBatch / deleteWhere / CTAS …), which is
+  * where the format's commit protocol lives; `CREATE/DROP/ALTER TABLE`
+  * through this catalog throw rather than imitate a second, weaker
+  * write path. External-table semantics, like the temp-view registry
+  * ([[Catalog.registerSnapshotLog]]) it upgrades.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null, s"catalog '$name' needs spark.sql.catalog.$name.root")
+    root = new Path(r)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirOf(ident: Identifier): Path =
+    new Path((ident.namespace() :+ ident.name()).foldLeft(root)(new Path(_, _)).toString)
+
+  private def isTable(p: Path): Boolean =
+    SnapshotLog.readManifest(fs, p).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = namespace.foldLeft(root)(new Path(_, _))
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(ns).filter(_.isDirectory).map(_.getPath)
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getName))
+      .sortBy(_.name())
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, None)
+
+  /** `VERSION AS OF <v>` resolution. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLongOption.getOrElse(
+      throw new NoSuchTableException(ident))))
+
+  /** `TIMESTAMP AS OF <ts>` resolution (`ts` arrives in MICROseconds). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val base = dirOf(ident).toString
+    val v = SnapshotLog.versionAsOfTime(spark, base, timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
+    load(ident, Some(v))
+  }
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val base = dirOf(ident)
+    val m = version match {
+      case Some(v) => SnapshotLog.readManifestAt(fs, base, v)
+      case None => SnapshotLog.readManifest(fs, base)
+    }
+    m.map(new GraftSnapshotTable(base.toString, version, _, ident))
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(dirOf(ident))
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables commit through SnapshotLog writers (upsertBatch / CTAS), " +
+        "not through the catalog — the commit protocol lives there")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "use SnapshotLog.setProperties / schema evolution commits")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "external-table semantics: drop via SQL DROP TABLE on the registered " +
+        "view, or delete the directory")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft tables are path-addressed")
+
+  // --- namespaces: the first-level (and nested) directories of root ---
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable)
+      .map(p => Array(p.getName)).sortBy(_.head)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val ns = namespace.foldLeft(root)(new Path(_, _))
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(ns).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable)
+      .map(p => namespace :+ p.getName).sortBy(_.last)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val ns = namespace.foldLeft(root)(new Path(_, _))
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> ns.toString).asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(namespace.foldLeft(root)(new Path(_, _)))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces are directories")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "delete the directory; the catalog never destroys data")
+}
+
+/** One commit-log table (optionally pinned at a version) as a DSv2
+  * `Table`. Schema and properties come from the manifest — zero data-file
+  * reads at resolution. NOT `SupportsRead` on purpose: reads happen via
+  * [[graft.plans.GraftCatalogRelationRule]]'s substitution to the
+  * DV-correct v1 plan (see [[GraftCatalog]]'s finding); without that
+  * rule a SELECT fails closed instead of bypassing deletion vectors. */
+final class GraftSnapshotTable(
+    val base: String,
+    val versionAsOf: Option[Long],
+    manifest: SnapshotLog.Manifest,
+    ident: Identifier) extends Table {
+
+  /** Partition column, when the table carries it as a property
+    * ([[SnapshotLog.PartColProp]]) — enables partition-predicate file
+    * pruning in the substituted plan; absent just means stats/bloom
+    * pruning only. */
+  def partCol: Option[String] = manifest.props.get(SnapshotLog.PartColProp)
+
+  override def name(): String =
+    (ident.namespace() :+ ident.name()).mkString(".") +
+      versionAsOf.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  override def schema(): StructType =
+    manifest.schema.getOrElse(dvCorrectPlan(SparkSession.active).schema)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+
+  override def properties(): util.Map[String, String] = manifest.props.asJava
+
+  /** The planner-integrated, DV-correct read — fresh exprIds per call so
+    * one query may reference the table several times (self-join). */
+  def dvCorrectPlan(spark: SparkSession): DataFrame =
+    SnapshotRelation.read(spark, base, versionAsOf, partCol)
+      .orElse(versionAsOf match {
+        // empty snapshot (all partitions deleted): schema-header frame
+        case Some(v) => SnapshotLog.readVersion(spark, base, v, partCol)
+        case None => SnapshotLog.read(spark, base, partCol)
+      })
+      .getOrElse(throw new IllegalStateException(
+        s"$base: manifest disappeared between resolution and planning"))
+}

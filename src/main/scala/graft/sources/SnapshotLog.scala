@@ -263,6 +263,15 @@ object SnapshotLog {
     * `deletedFileRetentionDuration`. Absent → the 24 h convention. */
   val VacuumRetentionProp = "graft.vacuum.retentionHours"
 
+  /** The table's partition column, carried as a TABLE PROPERTY so
+    * catalog consumers ([[GraftCatalog]]) and DML planning can learn
+    * it from the manifest alone instead of a caller argument — the
+    * "real deployment would carry this in table properties" note on
+    * [[Catalog.dmlTargets]], made real. Writers that know their
+    * partition column should `setProperties(… PartColProp -> col …)`
+    * once after the first commit. */
+  val PartColProp = "graft.partitionColumn"
+
   /** Bucketed-table properties: `graft.bucket.count = <n>` +
     * `graft.bucket.columns = <c1[,c2…]>` (logical names) make every
     * data-writing commit stage SPARK-BUCKETED files — rows

@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSessions, SparkSpec}
+
+/** The DSv2 catalog namespace, graded on the one property it exists
+  * for: `SELECT … FROM graft.ns.t` must read through the
+  * planner-integrated, deletion-vector-correct relation — and must
+  * fail closed (not resurrect rows) when the substitution rule is
+  * absent. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val s = GraftSessions.withExtensions(spark)
+
+  private lazy val root = {
+    val r = Files.createTempDirectory("graft_cat_root").toString
+    val base = r + "/db1/t1"
+    import s.implicits._
+    val rows = (1L to 300L).map(i => (i, i * 1.5, s"d${i % 3}"))
+      .toDF("id", "value", "day")
+    SnapshotLog.upsertBatch(s, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Seq("id"),
+      clusterBy = Nil, clusterFiles = 8, opCol = None, writeCdf = false)
+    SnapshotLog.setProperties(s, base, Map(SnapshotLog.PartColProp -> "day"))
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.root", r)
+    r
+  }
+  private lazy val base = root + "/db1/t1"
+
+  test("SELECT through the catalog namespace; DELETE's deletion vectors honored") {
+    root // force setup (registers the catalog confs)
+    assert(s.sql("SELECT COUNT(*) FROM graft.db1.t1").head.getLong(0) == 300)
+    val vBefore = SnapshotLog.readManifest(
+      new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration),
+      new Path(base)).get.version
+
+    // merge-on-read delete (DVs, no file rewrites)
+    SnapshotLog.deleteWhere(s, base, col("id") % 10 === 3, "day",
+      deletionVectors = true)
+
+    // the resurrect check: a catalog SELECT must see the DVs
+    assert(s.sql("SELECT COUNT(*) FROM graft.db1.t1").head.getLong(0) == 270)
+    assert(s.sql("SELECT COUNT(*) FROM graft.db1.t1 WHERE id % 10 = 3")
+      .head.getLong(0) == 0, "deleted rows resurrected through the catalog")
+
+    // time travel re-reads the pre-delete snapshot
+    assert(s.sql(s"SELECT COUNT(*) FROM graft.db1.t1 VERSION AS OF $vBefore")
+      .head.getLong(0) == 300)
+
+    // self-join through the catalog: fresh exprIds per occurrence
+    assert(s.sql(
+      """SELECT COUNT(*) FROM graft.db1.t1 a
+         JOIN graft.db1.t1 b ON a.id = b.id""").head.getLong(0) == 270)
+  }
+
+  test("catalog reads are planner-integrated: FileSourceScan with pushed filters") {
+    root // force setup
+    val qe = s.sql("SELECT id FROM graft.db1.t1 WHERE id = 5").queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("Scan parquet"), s"expected a v1 parquet scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(id), EqualTo(id,5)")
+      || p.contains("PushedFilters: [EqualTo(id,5)"), s"filter must push:\n$p")
+    assert(!p.contains("BatchScan"), "must not plan a DV-less v2 scan")
+  }
+
+  test("SHOW TABLES / namespaces resolve from the directory layout") {
+    root // force setup
+    val tables = s.sql("SHOW TABLES IN graft.db1").collect().map(_.getString(1))
+    assert(tables.contains("t1"))
+    val nss = s.sql("SHOW NAMESPACES IN graft").collect().map(_.getString(0))
+    assert(nss.contains("db1"))
+  }
+
+  test("without the substitution rule, reads fail closed (never DV-less)") {
+    root // force setup
+    // the base session has the catalog confs (shared SparkContext conf
+    // reads are per-session: set them here too) but NOT the extensions
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    val e = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM graft.db1.t1").collect()
+    }
+    assert(!e.isInstanceOf[IllegalStateException])
+  }
+}
