@@ -171,4 +171,52 @@ class ConcurrencyStressSpec extends SparkSpec {
     val m = SnapshotLog.readManifest(fs, bp).get
     assert(SnapshotLog.countRows(m).contains(got.size.toLong))
   }
+
+  /** The retention-boundary CONTRACT, exercised from the reader's side:
+    * a read that pins its snapshot before VACUUM must either complete
+    * with exactly that snapshot's rows (inside the retention window) or
+    * fail LOUDLY with a missing-file error (outside it) — silently
+    * wrong or partial results are the one forbidden outcome. The
+    * retention window is therefore the reader's LEASE: size
+    * `graft.vacuum.retentionHours` above the longest query (plus the
+    * time-travel horizon you promise), exactly Delta/Iceberg's
+    * deletedFileRetentionDuration contract. */
+  test("racing reader at the retention boundary: retention is the reader's lease") {
+    val base = Files.createTempDirectory("graft_vac_race").toString + "/tbl"
+    val bp = new Path(base)
+    def put(v: Double, batch: Long): Unit =
+      SnapshotLog.upsertBatch(spark, base,
+        (1L to 90L).map(i => (i, v, s"d${i % 3}")).toDF("id", "value", "day"),
+        Seq("id"), "id", "day", batchId = batch, maxRetries = 5,
+        statsCols = Seq("id"), clusterBy = Nil, clusterFiles = 4,
+        opCol = None, writeCdf = false)
+    put(1.0, 1)
+    // the reader pins v1 HERE: the plan's file list is fixed at build
+    val pinned = SnapshotRelation.read(spark, base, None, Some("day")).get
+    // writer rewrites every partition (v2) and expires v1's manifest —
+    // v1's files are now referenced by NO surviving root
+    put(2.0, 2)
+    SnapshotLog.expireVersions(spark, base, keepLast = 1)
+
+    // inside the window: default 24h retention keeps the young files;
+    // the pre-vacuum reader completes with exactly the v1 snapshot
+    assert(SnapshotLog.vacuum(spark, base) == 0L,
+      "retention must keep unreferenced-but-young files")
+    assert(pinned.agg(sum(col("value"))).head.getDouble(0) == 90.0)
+
+    // outside the window: retention 0 reclaims v1's files…
+    assert(SnapshotLog.vacuum(spark, base, retentionMs = 0L) > 0L)
+    // …and the still-pinned reader fails LOUDLY — never silently wrong
+    val e = intercept[Exception] { pinned.count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[java.io.FileNotFoundException]
+        || String.valueOf(c.getMessage).toLowerCase.contains("exist")),
+      s"expected a missing-file failure, got: $e")
+
+    // live reads are untouched throughout
+    val live = SnapshotLog.read(spark, base).get
+    assert(live.count() == 90 &&
+      live.agg(sum(col("value"))).head.getDouble(0) == 180.0)
+  }
 }
