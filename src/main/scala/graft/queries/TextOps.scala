@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Q
 import graft.core.{Caching, Tables}
-import graft.operators.{MinHashDedup, SimHash}
+import graft.operators.{MinHashDedup, PrefixSum, SimHash}
 
 /** Text-analysis and deduplication operators over the `documents` table —
   * the LLM-training-pipeline surface: exact dedup, content fingerprinting,
@@ -2695,7 +2695,65 @@ object TextOps {
       GROUP BY l.lang
       """))
 
+  /** GLOBAL SEQUENCE PACKING — d20's concat-and-chunk packing without
+    * d20's sharding compromise: d20 splits the corpus into (lang, shard)
+    * streams because a global token-order cumulative sum would plan a
+    * `SinglePartition` window (one task sees every row — the 100 TB
+    * serialization cliff). [[graft.operators.PrefixSum]] removes the
+    * compromise: range-partition by doc_id, O(partitions) partial sums
+    * collected as metadata, local windows plus offsets — the EXACT
+    * single-stream packing order (GPT-style: one corpus-wide token
+    * stream chunked into 512-token training sequences), bit-identical
+    * to the serial computation and fully parallel. Graded per SEQUENCE
+    * (fill, doc count, boundary-straddling docs, span) so the oracle
+    * checks the packing itself, not just per-doc offsets; PrefixSumSpec
+    * asserts the plan contains no SinglePartition exchange. */
+  val d39SequencePacking: Q = Q(
+    "d39_sequence_packing",
+    "global concat-and-chunk packing via distributed prefix sum: per-sequence fill stats",
+    (s, d) => {
+      val cap = 512L
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("\\S+")).cast(LongType).as("n_tok"))
+      PrefixSum.cumsum(toks, "doc_id", "n_tok", "cum_tok")
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          expr(s"(cum_tok - n_tok) DIV $cap").as("seq_id"),
+          expr(s"(cum_tok - 1) DIV $cap").as("end_seq"))
+        .groupBy(col("seq_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          min(col("doc_id")).as("first_doc"),
+          sum(when(col("end_seq") > col("seq_id"), 1L).otherwise(0L))
+            .as("n_straddling"),
+          max(col("end_seq") - col("seq_id")).as("max_span"))
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (SELECT doc_id, n_tok,
+                   SUM(n_tok) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_tok
+            FROM tk),
+      p AS (SELECT doc_id, n_tok,
+                   CAST((cum_tok - n_tok) // 512 AS BIGINT) AS seq_id,
+                   CAST((cum_tok - 1) // 512 AS BIGINT) AS end_seq
+            FROM c WHERE n_tok > 0)
+      SELECT seq_id, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+             MIN(doc_id) AS first_doc,
+             CAST(SUM(CASE WHEN end_seq > seq_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddling,
+             CAST(MAX(end_seq - seq_id) AS BIGINT) AS max_span
+      FROM p GROUP BY seq_id
+      """))
+
   val all: Seq[Q] = Seq(
+    d39SequencePacking,
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
     d27TrigramLm, d28SplitAssign, d29GopherRules, d30EditVerify,
     d31DsirWeights, d32NgramMine, d33Bm25, d34IncrementalDedup,
