@@ -2752,8 +2752,89 @@ object TextOps {
       FROM p GROUP BY seq_id
       """))
 
+  /** RETRIEVAL EVAL (MRR) — the graded metric on top of d33's BM25:
+    * for each single-term query, the reciprocal rank (exact, in ppm —
+    * `1e6 DIV rank`, no float log/division drift) of that query's
+    * ground-truth document in the BM25 ranking, where ground truth is
+    * the max-term-frequency doc (ties → min doc_id). Non-trivial by
+    * construction: BM25 length-normalizes, so the most term-dense doc
+    * is NOT automatically rank 1 — the gap between tf-rank and
+    * BM25-rank is precisely what the metric measures. The eval an
+    * operator watches when tuning k1/b or swapping rankers; same
+    * integer-ppm scoring as d33 so both engines rank identically.
+    *
+    * Scale shape: all work lives on the query-matching postings
+    * (df-bounded, not corpus-bounded); one exchange keyed on term
+    * serves both the ranking and ground-truth windows. */
+  val d40MrrEval: Q = Q(
+    "d40_mrr_eval",
+    "retrieval eval: exact reciprocal rank of the max-tf doc in each BM25 ranking",
+    (s, d) => {
+      val qTerms = Seq("spark", "vector", "stream", "merge")
+      val words = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("term"))
+        .filter(length(col("term")) >= 3)
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val avgdl = dl.agg((sum(col("dl")) / count(lit(1))).as("avgdl"))
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val tfs = words.filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfs = tfs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+      val tfn = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))
+      val wRank = Window.partitionBy(col("term")).orderBy(desc("c"), col("doc_id"))
+      val wRel = Window.partitionBy(col("term")).orderBy(desc("tf"), col("doc_id"))
+      tfs
+        .join(broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(n))
+        .crossJoin(broadcast(avgdl))
+        .select(col("term"), col("doc_id"), col("tf"),
+          floor(lit(1e6) * (idf * tfn)).as("c"))
+        .withColumn("rank_pos", row_number().over(wRank).cast(LongType))
+        .withColumn("rel_rn", row_number().over(wRel))
+        .filter(col("rel_rn") === 1)
+        .select(col("term"), col("doc_id").as("relevant_doc"),
+          col("rank_pos"), expr("1000000 DIV rank_pos").as("rr_ppm"))
+    },
+    Some(s"""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+        FROM documents),
+      w3 AS (SELECT doc_id, term FROM words WHERE length(term) >= 3),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM w3 GROUP BY doc_id),
+      ad AS (SELECT SUM(dl) / COUNT(*) AS avgdl FROM dl),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      tfs AS (SELECT doc_id, term, COUNT(*) AS tf FROM w3
+              WHERE term IN ('spark', 'vector', 'stream', 'merge')
+              GROUP BY 1, 2),
+      dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1),
+      sc AS (
+        SELECT tfs.term AS term, tfs.doc_id AS doc_id, tfs.tf AS tf,
+               CAST(floor(1000000 *
+                 (((n.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+                  ((tfs.tf * 2.2) /
+                   (tfs.tf + 1.2 * (0.25 + (0.75 * dl.dl) / ad.avgdl)))))
+                 AS BIGINT) AS c
+        FROM tfs
+        JOIN dfs USING (term)
+        JOIN dl ON dl.doc_id = tfs.doc_id, n, ad),
+      r AS (
+        SELECT term, doc_id, tf, c,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY c DESC, doc_id) AS rank_pos,
+               ROW_NUMBER() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS rel_rn
+        FROM sc)
+      SELECT term, doc_id AS relevant_doc,
+             CAST(rank_pos AS BIGINT) AS rank_pos,
+             CAST(1000000 // rank_pos AS BIGINT) AS rr_ppm
+      FROM r WHERE rel_rn = 1
+      """))
+
   val all: Seq[Q] = Seq(
-    d39SequencePacking,
+    d39SequencePacking, d40MrrEval,
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
     d27TrigramLm, d28SplitAssign, d29GopherRules, d30EditVerify,
     d31DsirWeights, d32NgramMine, d33Bm25, d34IncrementalDedup,
