@@ -59,6 +59,22 @@ class GraftCatalogSpec extends SparkSpec {
          JOIN graft.db1.t1 b ON a.id = b.id""").head.getLong(0) == 270)
   }
 
+  test("TIMESTAMP AS OF resolves through the commit clock") {
+    root // force setup (and the DV delete from the first test, if it ran)
+    val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = SnapshotLog.readManifest(fs, new Path(base)).get.version
+    // far-future timestamp resolves to the LIVE version's rows
+    val nLive = s.sql("SELECT COUNT(*) FROM graft.db1.t1").head.getLong(0)
+    assert(s.sql(
+      "SELECT COUNT(*) FROM graft.db1.t1 TIMESTAMP AS OF '2100-01-01 00:00:00'")
+      .head.getLong(0) == nLive, s"future-timestamp read must pin v$live")
+    // a pre-table timestamp has no version to resolve to
+    intercept[Exception] {
+      s.sql("SELECT * FROM graft.db1.t1 TIMESTAMP AS OF '1990-01-01 00:00:00'")
+        .collect()
+    }
+  }
+
   test("catalog reads are planner-integrated: FileSourceScan with pushed filters") {
     root // force setup
     val qe = s.sql("SELECT id FROM graft.db1.t1 WHERE id = 5").queryExecution
