@@ -4737,11 +4737,71 @@ object Relational2 {
       FROM orders GROUP BY o_orderstatus
       """))
 
+  /** ROW TRACKING end-to-end (Delta's row-id feature on the commit
+    * log): a tracked table's `_graft_row_id` must stay UNIQUE and
+    * STABLE through the lifecycle — graded here as phase-by-phase
+    * counts the oracle can state from the source data alone. The
+    * engine computes `n_preserved` as the semi-join of each phase's id
+    * set against the previous phase's (via time travel for the
+    * baseline), so a DV bypass, an id collision, or an OPTIMIZE that
+    * reassigned identity all surface as a count mismatch:
+    * after_delete must preserve exactly the surviving rows' ids, and
+    * after_optimize (which rewrites the DV-carrying partitions,
+    * materializing ids through the rewrite) must preserve ALL of
+    * them. See [[graft.sources.SnapshotLog.RowTrackingProp]]. */
+  val q118RowTracking: Q = Q(
+    "q118_row_tracking",
+    "row tracking: id uniqueness + preservation through DV delete and OPTIMIZE",
+    (s, d) => {
+      import graft.sources.{SnapshotLog, SnapshotRelation}
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_rt118").toString + "/part"
+      val rows = t(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_brand"))
+      SnapshotLog.upsertBatch(s, base, rows, Seq("p_partkey"),
+        "p_partkey", "p_brand", batchId = 1, maxRetries = 5,
+        statsCols = Seq("p_partkey"), clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)
+      val vEnable = SnapshotLog.setProperties(s, base,
+        Map(SnapshotLog.RowTrackingProp -> "true",
+          SnapshotLog.PartColProp -> "p_brand"))
+      def idsAt(v: Option[Long]) =
+        SnapshotRelation.read(s, base, v, Some("p_brand")).get
+          .select(col(SnapshotLog.RowIdCol).as("rid"))
+      val ids0 = idsAt(Some(vEnable))
+      SnapshotLog.deleteWhere(s, base, col("p_partkey") % 4 === 1, "p_brand",
+        deletionVectors = true)
+      val ids1 = idsAt(None)
+      require(SnapshotLog.optimizeTable(s, base, "p_brand", minFiles = 1) > 0,
+        "OPTIMIZE must rewrite the DV-carrying partitions")
+      val ids2 = idsAt(None)
+      def stat(name: String, ids: DataFrame, prev: DataFrame) =
+        ids.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("rid")).as("n_distinct_ids"))
+          .crossJoin(ids.join(prev, Seq("rid"), "left_semi")
+            .agg(count(lit(1)).as("n_preserved")))
+          .select(lit(name).as("phase"), col("n_rows"),
+            col("n_distinct_ids"), col("n_preserved"))
+      stat("initial", ids0, ids0)
+        .union(stat("after_delete", ids1, ids0))
+        .union(stat("after_optimize", ids2, ids1))
+    },
+    Some("""
+      WITH n AS (SELECT COUNT(*) AS n FROM part),
+      m AS (SELECT COUNT(*) AS m FROM part WHERE p_partkey % 4 <> 1)
+      SELECT 'initial' AS phase, n AS n_rows, n AS n_distinct_ids,
+             n AS n_preserved FROM n
+      UNION ALL
+      SELECT 'after_delete', m, m, m FROM m
+      UNION ALL
+      SELECT 'after_optimize', m, m, m FROM m
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
     q111PipeSyntax, q112ExecImmediate, q113SqlUdfs, q114TryFunctions,
-    q115FusedQa, q116StreamSessions, q117CatalogRead,
+    q115FusedQa, q116StreamSessions, q117CatalogRead, q118RowTracking,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

@@ -297,17 +297,28 @@ object SnapshotRelation {
         org.apache.spark.sql.catalyst.catalog.BucketSpec(
           n, cols.map(m.phys), Nil)
       }
+    // row-tracked tables read the MATERIALIZED id column too (files
+    // that predate a rewrite simply return null for it and fall back
+    // to base + row_index in the coalesce)
+    val dataSchema0 = SnapshotLog.physSchema(m, schema)
+    val dataSchema =
+      if (m.rowTracking) StructType(dataSchema0.fields :+
+        org.apache.spark.sql.types.StructField(
+          SnapshotLog.MatRowIdCol, LongType, nullable = true))
+      else dataSchema0
     val rel = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
-      dataSchema = SnapshotLog.physSchema(m, schema),
+      dataSchema = dataSchema,
       bucketSpec = bucket,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     val df0 = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(rel)
     (SnapshotLog.toLogical(
-      SnapshotLog.applyDvs(spark, bp, m, m.allFiles, df0), m), index)
+      SnapshotLog.applyDvs(spark, bp, m, m.allFiles,
+        SnapshotLog.attachRowIds(spark, bp, m, m.allFiles, df0))
+        .drop("__rt_file", "__rt_pos"), m), index)
   }
 
   /** Just the DataFrame — the everyday read path. */

@@ -34,6 +34,33 @@ class DeletionVectorSpec extends SparkSpec {
   private def fs(bp: Path) =
     bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  test("DV delete works on partition values needing URI escaping (#, space, %, +)") {
+    // regression: _metadata.file_path is a URI — the filesystem layer
+    // percent-encodes the on-disk dir name (itself already
+    // Spark-escaped), so the (file, position) join key must DECODE it
+    // or every DV/row-id lookup on such partitions misses silently
+    val base = Files.createTempDirectory("graft_dv_esc").toString + "/tbl"
+    val days = Seq("Brand#1", "a b", "p%x", "c+d")
+    val rows = (1L to 200L).map(i => (i, i * 1.0, days((i % 4).toInt)))
+      .toDF("id", "value", "day")
+    SnapshotLog.upsertBatch(spark, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Seq("id"),
+      clusterBy = Nil, clusterFiles = 8, opCol = None, writeCdf = false)
+    SnapshotLog.deleteWhere(spark, base, col("id") % 10 === 3, "day",
+      deletionVectors = true)
+    val got = SnapshotLog.read(spark, base).get
+    assert(got.count() == 180)
+    assert(got.filter(col("id") % 10 === 3).count() == 0,
+      "DV rows resurrected on an escaped partition value")
+    // row tracking over the same escaped layout: ids resolve (non-null)
+    SnapshotLog.setProperties(spark, base,
+      Map(SnapshotLog.RowTrackingProp -> "true"))
+    val ids = SnapshotRelation.read(spark, base, None, Some("day")).get
+      .select(col(SnapshotLog.RowIdCol))
+    assert(ids.filter(col(SnapshotLog.RowIdCol).isNull).count() == 0)
+    assert(ids.distinct().count() == 180)
+  }
+
   test("DV delete removes rows without rewriting any data file") {
     val (base, bp) = mkTable("graft_dv")
     val m1 = SnapshotLog.readManifest(fs(bp), bp).get
