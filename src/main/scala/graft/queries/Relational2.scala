@@ -4797,11 +4797,56 @@ object Relational2 {
       SELECT 'after_optimize', m, m, m FROM m
       """))
 
+  /** STREAM-STREAM INTERVAL JOIN at registry grade — the second
+    * streaming operator graded against a DuckDB recompute (q116 grades
+    * stateful sessionization; this grades the symmetric-hash join with
+    * event-time range bounds): same-user event pairs within a 30-minute
+    * tolerance, from two file-source streams of the events corpus. The
+    * inner time-interval join emits every match exactly once, and with
+    * the corpus landing in one micro-batch no row is watermark-late —
+    * so the emitted set equals the batch interval self-join the oracle
+    * states. `delta_s` mirrors Spark's timestamp→long cast (per-side
+    * floor to seconds) exactly. Scale shape: watermarks bound the
+    * join state to the 2 h horizon per side — without them a
+    * stream-stream join buffers both streams forever. */
+  val q119StreamIntervalJoin: Q = Q(
+    "q119_stream_interval_join",
+    "stream-stream interval join: same-user pairs within 30 min, DuckDB-graded",
+    (s, d) => {
+      import graft.streaming.EventStreams
+      val dir = java.nio.file.Files.createTempDirectory("graft_q119_src").toString
+      t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .filter(col("user_id").isNotNull && pmod(col("user_id"), lit(5L)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      def src = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+        .parquet(dir)
+      EventStreams.runToMemory(s,
+        EventStreams.intervalJoin(src, src, toleranceMinutes = 30),
+        "q119_pairs")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+        FROM events
+        WHERE user_id IS NOT NULL AND user_id % 5 = 0)
+      SELECT l.event_id AS l_id, r.event_id AS r_id,
+             l.user_id AS user_id,
+             epoch_us(r.ts) // 1000000 - epoch_us(l.ts) // 1000000 AS delta_s
+      FROM e l JOIN e r
+        ON l.user_id = r.user_id
+       AND r.ts >= l.ts
+       AND r.ts <= l.ts + INTERVAL 30 MINUTE
+       AND l.event_id <> r.event_id
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
     q111PipeSyntax, q112ExecImmediate, q113SqlUdfs, q114TryFunctions,
     q115FusedQa, q116StreamSessions, q117CatalogRead, q118RowTracking,
+    q119StreamIntervalJoin,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
