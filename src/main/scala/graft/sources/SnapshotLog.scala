@@ -3907,6 +3907,45 @@ object SnapshotLog {
     * every file carries one (−1 otherwise). O(versions) manifest
     * reads, zero data-file IO — an audit/debug surface, not a hot
     * path. */
+  /** INTEROP EXPORT (Delta's `GENERATE symlink_format_manifest`): write
+    * the LIVE snapshot's file list as Hive-symlink manifests —
+    * `_symlink_format_manifest/<partition value>/manifest`, one
+    * absolute file URI per line — so engines that speak the
+    * symlink-manifest contract (Presto/Trino/Athena-style external
+    * tables) can read the exact committed snapshot without
+    * understanding the commit log. Returns the number of partitions
+    * exported; the export is a plain read artifact and never
+    * participates in the commit protocol (re-generate after commits,
+    * exactly Delta's contract).
+    *
+    * Refused loudly on snapshots a file list CANNOT represent — a
+    * deletion-vector-carrying table would resurrect deleted rows
+    * through a symlink reader (Delta's GENERATE has the same
+    * restriction). Column-mapped tables export physical parquet names
+    * by design: the external reader sees what is on disk. */
+  def generateSymlinkManifest(spark: SparkSession, base: String): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    val m = readManifest(fs, bp).getOrElse(
+      sys.error(s"$base has no committed version to export"))
+    require(m.dvs.isEmpty,
+      s"$base carries deletion vectors — a symlink manifest cannot " +
+        "represent them (a reader would resurrect deleted rows); " +
+        "OPTIMIZE first to materialize the deletes")
+    val root = new Path(bp, "_symlink_format_manifest")
+    // wipe-and-rewrite: stale partition dirs from a previous export of
+    // since-dropped partitions must not survive
+    if (fs.exists(root)) fs.delete(root, true)
+    m.files.toSeq.sortBy(_._1).foreach { case (part, fls) =>
+      val out = fs.create(new Path(new Path(root, part), "manifest"), true)
+      try out.write(
+        fls.sorted.map(f => fs.makeQualified(new Path(bp, f)).toString)
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    m.files.size.toLong
+  }
+
   def history(spark: SparkSession, base: String): DataFrame = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
