@@ -68,6 +68,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val Generate =
+    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w`,\s]+?)\s*;?\s*""".r
   private val AnalyzeAll =
@@ -139,6 +141,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case History(view) if isTarget(view) =>
       SnapshotHistoryCommand(view)
+    case Generate(view) if isTarget(view) =>
+      SnapshotGenerateManifestCommand(view)
     case CloneStmt(db, name, kind, srcView, location) if isTarget(srcView) =>
       SnapshotCloneCommand(db, name, srcView, location,
         deep = kind.equalsIgnoreCase("DEEP"))
@@ -326,6 +330,22 @@ case class SnapshotHistoryCommand(view: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val (path, _) = SnapshotMaintenance.target(view)
     SnapshotLog.history(spark, path).collect().toSeq
+  }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE view` — Delta's interop
+  * verb: export the live snapshot's file list for Hive-symlink readers
+  * ([[SnapshotLog.generateSymlinkManifest]]; refuses on DV-carrying
+  * snapshots a file list cannot represent). */
+case class SnapshotGenerateManifestCommand(view: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("n_partitions", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, _) = SnapshotMaintenance.target(view)
+    Seq(Row("GENERATE symlink_format_manifest",
+      SnapshotLog.generateSymlinkManifest(spark, path)))
   }
 }
 

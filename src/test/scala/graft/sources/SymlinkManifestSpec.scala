@@ -46,6 +46,13 @@ class SymlinkManifestSpec extends SparkSpec {
     // OPTIMIZE materializes the deletes; export works again
     assert(SnapshotLog.optimizeTable(spark, base, "day", minFiles = 1) > 0)
     assert(SnapshotLog.generateSymlinkManifest(spark, base) == 3L)
+
+    // the SQL surface: GENERATE routes through the maintenance parser
+    val s = graft.GraftSessions.withExtensions(spark)
+    Catalog.registerSnapshotLog(s, "symlink", "t", base, Some("day"))
+    val row = s.sql("GENERATE symlink_format_manifest FOR TABLE symlink_t")
+      .collect().head
+    assert(row.getString(0).startsWith("GENERATE") && row.getLong(1) == 3L)
   }
 
 }
