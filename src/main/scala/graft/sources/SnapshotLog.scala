@@ -294,10 +294,14 @@ object SnapshotLog {
     * rewrites MATERIALIZE the ids into a physical column
     * ([[MatRowIdCol]]) first, exactly Delta's materialized-row-id
     * design, and reads coalesce(materialized, base + row_index).
-    * Upsert/update rewrites of a partition reassign the REWRITTEN
-    * rows' ids (v1 scope — Delta preserves those only with
-    * materialization on every write path); rows in untouched files
-    * never change ids. RowTrackingSpec grades each clause. */
+    * MERGE/upsert rewrites preserve ids BY KEY — an updated row keeps
+    * its identity, even across a partition move — via the same
+    * materialization (a (keys → id) side frame re-attaches to the
+    * merge output); only genuinely NEW keys allocate fresh ids. The
+    * predicate-rewrite paths (non-DV DELETE, UPDATE) reassign the
+    * rewritten rows (use DV deletes on tracked tables); rows in
+    * untouched files never change ids. RowTrackingSpec grades each
+    * clause. */
   val RowTrackingProp = "graft.rowTracking"
 
   /** Next unallocated row id (table-level counter, carried in props
@@ -1679,8 +1683,19 @@ object SnapshotLog {
         }
         if (!mergedAgainst.contains(
             (affectedState, m.colmap, m.dropped, identSnap, dvSnap))) {
+          val relFiles = affected.flatMap(p => m.files.getOrElse(p, Nil)).toSeq
+          // row-tracked tables preserve ids BY KEY through the merge:
+          // the affected rows' ids ride a (keys → id) side frame and
+          // re-attach to the merge output as the materialized column —
+          // an UPDATE keeps its row's identity (even across a
+          // partition move); INSERTs stay null and allocate fresh at
+          // commit. Kept OUT of baseSubset so the CDF pre/post schemas
+          // stay identical.
+          val baseIds: Option[DataFrame] =
+            if (!m.rowTracking || relFiles.isEmpty) None
+            else Some(readFilesWithRowIds(spark, bp, m, relFiles)
+              .select(keys.map(col) :+ col(RowIdCol).as(MatRowIdCol): _*))
           val baseSubset = {
-            val relFiles = affected.flatMap(p => m.files.getOrElse(p, Nil)).toSeq
             if (relFiles.isEmpty)
               changes.limit(0).select(targetFields.map(f => col(f.name)): _*)
             else {
@@ -1702,10 +1717,14 @@ object SnapshotLog {
           val (changesId, hwUpd) =
             applyIdentity(changes, m, enforceAlways = false)
           stagedHwU = hwUpd
-          val merged = (opCol match {
+          val merged0 = (opCol match {
             case None => graft.operators.MergeUpsert(baseSubset, changesId, keys)
             case Some(oc) => graft.operators.MergeUpsert.cdc(baseSubset, changesId, keys, oc)
           }).drop("merge_action")
+          val merged = baseIds match {
+            case None => merged0
+            case Some(ids) => merged0.join(ids, keys, "left")
+          }
           // staging dir unique per attempt: a concurrent writer that
           // picked the same (batchId, version) must never overwrite a
           // dir the race winner committed — a loser's orphan dir is

@@ -90,7 +90,7 @@ class RowTrackingSpec extends SparkSpec {
       "compaction must preserve ids and retire only the deleted row")
   }
 
-  test("upsert rewrite reassigns only rewritten partitions; others untouched") {
+  test("upsert preserves ids BY KEY: updates keep identity, inserts allocate fresh") {
     val base = Files.createTempDirectory("graft_rt3").toString + "/t"
     val rows = (1L to 90L).map(i => (i, 1.0, s"d${i % 3}")).toDF("id", "value", "day")
     SnapshotLog.upsertBatch(spark, base, rows, Seq("id"), "id", "day",
@@ -99,18 +99,29 @@ class RowTrackingSpec extends SparkSpec {
     SnapshotLog.setProperties(spark, base,
       Map(SnapshotLog.RowTrackingProp -> "true"))
     val before = ids(readT(base))
-    // touch ONLY partition d0 (keys ≡ 0 mod 3)
-    val change = Seq((3L, 9.9, "d0")).toDF("id", "value", "day")
+    // update key 3 (rewrites partition d0) and insert a NEW key 1003
+    val change = Seq((3L, 9.9, "d0"), (1003L, 1.0, "d0"))
+      .toDF("id", "value", "day")
     SnapshotLog.upsertBatch(spark, base, change, Seq("id"), "id", "day",
       batchId = 2, maxRetries = 5, statsCols = Seq("id"), clusterBy = Nil,
       clusterFiles = 4, opCol = None, writeCdf = false)
     val after = ids(readT(base))
-    assert(after.size == 90 && after.values.toSet.size == 90, "ids stay unique")
-    val untouched = before.keys.filter(_ % 3 != 0)
-    assert(untouched.forall(k => after(k) == before(k)),
-      "rows in partitions the upsert never touched must keep their ids")
-    // the rewritten partition's rows got FRESH ids (v1 scope, documented)
-    assert(before.keys.filter(_ % 3 == 0).forall(k => after(k) >= 90L),
-      "rewritten rows allocate above the prior high water")
+    assert(after.size == 91 && after.values.toSet.size == 91, "ids stay unique")
+    // EVERY pre-existing key keeps its id — the updated one included,
+    // and the whole rewritten partition with it
+    assert(before.forall { case (k, v) => after(k) == v },
+      "a keyed merge must preserve every surviving key's row id")
+    assert(after(1003L) >= 90L, "the inserted key allocates a fresh id")
+
+    // the id survives a partition MOVE (key 3 routed d0 → d2)
+    SnapshotLog.upsertBatch(spark, base,
+      Seq((3L, 5.5, "d2")).toDF("id", "value", "day"),
+      Seq("id"), "id", "day", batchId = 3, maxRetries = 5,
+      statsCols = Seq("id"), clusterBy = Nil, clusterFiles = 4,
+      opCol = None, writeCdf = false,
+      extraAffected = Seq("d0"))
+    val moved = ids(readT(base))
+    assert(moved(3L) == before(3L), "identity must survive a partition move")
+    assert(moved.size == 91 && moved.values.toSet.size == 91)
   }
 }
