@@ -4841,12 +4841,49 @@ object Relational2 {
        AND l.event_id <> r.event_id
       """))
 
+  /** LISTAGG (Spark 4's ordered string aggregation, SQL:2016
+    * `WITHIN GROUP`): per-region, the nation names concatenated in
+    * explicit order — deterministic because the within-group ORDER BY
+    * is total (unique names). The classic report/export surface; the
+    * grouped DISTINCT variant covers the other common call shape.
+    * Scale: a plain partial-aggregable shape (per-group buffers carry
+    * the group's values — bounded by group payload, the same contract
+    * as collect_list; not for billion-row groups). */
+  val q120ListAgg: Q = Q(
+    "q120_listagg",
+    "listagg within group: ordered + distinct string aggregation per region",
+    (s, d) => {
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          expr("listagg(n_name, ',') within group (order by n_name)")
+            .as("nations_asc"),
+          expr("listagg(n_name, '|') within group (order by n_name desc)")
+            .as("nations_desc"),
+          expr("listagg(distinct substring(n_name, 1, 1), '')" +
+            " within group (order by substring(n_name, 1, 1))")
+            .as("initials"),
+          count(lit(1)).as("n_nations"))
+    },
+    Some("""
+      SELECT r.r_name AS r_name,
+             string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_asc,
+             string_agg(n.n_name, '|' ORDER BY n.n_name DESC) AS nations_desc,
+             string_agg(DISTINCT substring(n.n_name, 1, 1), ''
+                        ORDER BY substring(n.n_name, 1, 1)) AS initials,
+             COUNT(*) AS n_nations
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
     q111PipeSyntax, q112ExecImmediate, q113SqlUdfs, q114TryFunctions,
     q115FusedQa, q116StreamSessions, q117CatalogRead, q118RowTracking,
-    q119StreamIntervalJoin,
+    q119StreamIntervalJoin, q120ListAgg,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
