@@ -44,7 +44,8 @@ class SymlinkManifestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("deletion vectors"))
     // OPTIMIZE materializes the deletes; export works again
-    assert(SnapshotLog.optimizeTable(spark, base, "day", minFiles = 1) > 0)
+    assert(SnapshotLog.optimizeTable(spark, base, "day", minFiles = 1,
+      statsCols = Seq("id")) > 0)
     assert(SnapshotLog.generateSymlinkManifest(spark, base) == 3L)
 
     // the SQL surface: GENERATE routes through the maintenance parser
@@ -53,6 +54,14 @@ class SymlinkManifestSpec extends SparkSpec {
     val row = s.sql("GENERATE symlink_format_manifest FOR TABLE symlink_t")
       .collect().head
     assert(row.getString(0).startsWith("GENERATE") && row.getLong(1) == 3L)
+
+    // DESCRIBE DETAIL: one-row manifest summary, no data scan
+    val det = s.sql("DESCRIBE DETAIL symlink_t").collect().head
+    assert(det.getString(0) == base)
+    assert(det.getLong(2) == 3L, "num_partitions")
+    assert(det.getLong(5) == 89L, "num_rows after the delete+optimize")
+    assert(det.getLong(6) == 0L, "DVs were materialized by OPTIMIZE")
+    assert(det.getLong(4) > 0L, "size_bytes from manifest stats")
   }
 
 }
