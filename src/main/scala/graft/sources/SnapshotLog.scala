@@ -3517,7 +3517,11 @@ object SnapshotLog {
         // one column-pruned scan of THIS version's files finds the
         // partitions holding matching rows (predicate pushdown skips
         // row groups whose footer bounds exclude it)
-        val lv = readVersion(spark, base, m.version).getOrElse(return None)
+        // row ids are read-side identity metadata — a rewrite that let
+        // them into the staged frame (or a legacy schema backfill)
+        // would turn them into a data column
+        val lv = readVersion(spark, base, m.version)
+          .map(_.drop(RowIdCol)).getOrElse(return None)
         val matched = matchRows(lv)
           .select(col(partCol).cast("string").as("__pv"))
           .distinct().collect().map(_.getString(0)).toSeq.sorted
@@ -3628,7 +3632,8 @@ object SnapshotLog {
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(return None)
       val version = math.max(m.version, currentVersion(fs, bp)) + 1
-      val lv = readVersion(spark, base, m.version).getOrElse(return None)
+      val lv = readVersion(spark, base, m.version)
+        .map(_.drop(RowIdCol)).getOrElse(return None)
       val bad = set.keySet -- lv.columns.toSet
       require(bad.isEmpty, s"updateWhere assigns non-existent columns: $bad")
       // one column-pruned scan: source partitions of matching rows and
@@ -3764,7 +3769,7 @@ object SnapshotLog {
     for {
       m1 <- readManifestAt(fs, bp, v1)
       m2 <- readManifestAt(fs, bp, v2)
-      b0 <- readVersion(spark, base, v2)
+      b0 <- readVersion(spark, base, v2).map(_.drop(RowIdCol))
     } yield {
       val changed = changedPartitions(m1, m2)
       def side(m: Manifest): DataFrame = {
@@ -3909,7 +3914,7 @@ object SnapshotLog {
       val feed =
         if (v == committed.min)
           readVersion(spark, base, v).map(df =>
-            df.withColumn("change_type", lit("insert")))
+            df.drop(RowIdCol).withColumn("change_type", lit("insert")))
         else diffVersions(spark, base, keys, v - 1, v)
       feed.map { f =>
         commitCdfVersion(fs, bp, v, f.withColumn("_commit_version", lit(v)))

@@ -124,4 +124,28 @@ class RowTrackingSpec extends SparkSpec {
     assert(moved(3L) == before(3L), "identity must survive a partition move")
     assert(moved.size == 91 && moved.values.toSet.size == 91)
   }
+
+  test("predicate DML on tracked tables never leaks the id column into data") {
+    val base = Files.createTempDirectory("graft_rt4").toString + "/t"
+    val rows = (1L to 60L).map(i => (i, 1.0, s"d${i % 3}")).toDF("id", "value", "day")
+    SnapshotLog.upsertBatch(spark, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Seq("id"), clusterBy = Nil,
+      clusterFiles = 4, opCol = None, writeCdf = false)
+    SnapshotLog.setProperties(spark, base,
+      Map(SnapshotLog.RowTrackingProp -> "true"))
+    // rewrite paths: non-DV delete + update (both re-stage survivors)
+    SnapshotLog.deleteWhere(spark, base, col("id") % 10 === 1, "day")
+    SnapshotLog.updateWhere(spark, base, col("id") === 2L,
+      Map("value" -> lit(7.0)), "day")
+    val t = readT(base)
+    // the logical schema is untouched; the id column is attach-derived
+    assert(t.columns.count(_ == SnapshotLog.RowIdCol) == 1)
+    assert(t.columns.toSeq.sorted ==
+      Seq(SnapshotLog.RowIdCol, "day", "id", "value"))
+    assert(t.count() == 54)
+    assert(t.filter(col("value") === 7.0).count() == 1)
+    // ids still unique (rewritten rows reassigned, documented)
+    assert(t.select(col(SnapshotLog.RowIdCol)).distinct().count() == 54)
+    assert(t.filter(col(SnapshotLog.RowIdCol).isNull).count() == 0)
+  }
 }
