@@ -70,8 +70,6 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val Generate =
     """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*""".r
-  private val DescribeDetail =
-    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val Analyze =
     """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w`,\s]+?)\s*;?\s*""".r
   private val AnalyzeAll =
@@ -145,8 +143,6 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotHistoryCommand(view)
     case Generate(view) if isTarget(view) =>
       SnapshotGenerateManifestCommand(view)
-    case DescribeDetail(view) if isTarget(view) =>
-      SnapshotDescribeDetailCommand(view)
     case CloneStmt(db, name, kind, srcView, location) if isTarget(srcView) =>
       SnapshotCloneCommand(db, name, srcView, location,
         deep = kind.equalsIgnoreCase("DEEP"))
@@ -334,39 +330,6 @@ case class SnapshotHistoryCommand(view: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val (path, _) = SnapshotMaintenance.target(view)
     SnapshotLog.history(spark, path).collect().toSeq
-  }
-}
-
-/** `DESCRIBE DETAIL view` — the one-row table summary (Delta's verb):
-  * location, current version, partition/file/byte/row totals, deleted
-  * (DV) rows, and the property bag — all answered from the ROOT
-  * manifest, never a data scan. */
-case class SnapshotDescribeDetailCommand(view: String)
-  extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("location", StringType, nullable = false)(),
-    AttributeReference("version", LongType, nullable = false)(),
-    AttributeReference("num_partitions", LongType, nullable = false)(),
-    AttributeReference("num_files", LongType, nullable = false)(),
-    AttributeReference("size_bytes", LongType, nullable = false)(),
-    AttributeReference("num_rows", LongType, nullable = false)(),
-    AttributeReference("num_deleted_rows", LongType, nullable = false)(),
-    AttributeReference("properties",
-      org.apache.spark.sql.types.MapType(StringType, StringType),
-      nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] = {
-    val (path, _) = SnapshotMaintenance.target(view)
-    val bp = new org.apache.hadoop.fs.Path(path)
-    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m = SnapshotLog.readManifest(fs, bp).getOrElse(
-      sys.error(s"$view has no committed version"))
-    val bytes = m.allFiles.flatMap(f =>
-      m.stats.get(f).flatMap(_.get(SnapshotLog.ByteSizeKey))
-        .flatMap(_._1.toLongOption)).sum
-    Seq(Row(path, m.version, m.files.size.toLong, m.allFiles.size.toLong,
-      bytes, SnapshotLog.countRows(m).getOrElse(-1L),
-      m.dvs.values.map(_.count).sum,
-      m.props))
   }
 }
 

@@ -55,13 +55,12 @@ class SymlinkManifestSpec extends SparkSpec {
       .collect().head
     assert(row.getString(0).startsWith("GENERATE") && row.getLong(1) == 3L)
 
-    // DESCRIBE DETAIL: one-row manifest summary, no data scan
+    // DESCRIBE DETAIL: one-row manifest summary tracks the lifecycle
     val det = s.sql("DESCRIBE DETAIL symlink_t").collect().head
-    assert(det.getString(0) == base)
-    assert(det.getLong(2) == 3L, "num_partitions")
-    assert(det.getLong(5) == 89L, "num_rows after the delete+optimize")
-    assert(det.getLong(6) == 0L, "DVs were materialized by OPTIMIZE")
-    assert(det.getLong(4) > 0L, "size_bytes from manifest stats")
+    assert(det.getString(0) == "graft-snapshot" && det.getString(1) == base)
+    assert(det.getLong(3) == 3L, "num_partitions")
+    assert(det.getLong(6) == 89L, "live rows after the delete+optimize")
+    assert(det.getLong(7) == 0L, "DVs were materialized by OPTIMIZE")
   }
 
 }
