@@ -4878,12 +4878,60 @@ object Relational2 {
       GROUP BY r.r_name
       """))
 
+  /** REPLACE WHERE end-to-end: the idempotent-backfill primitive
+    * ([[graft.sources.SnapshotLog.replaceWhere]]) — one commit deletes
+    * the predicate's region and inserts the batch, with Delta's
+    * batch-must-match-predicate constraint enforced. Run TWICE with
+    * the same slice to grade idempotence (a re-landed backfill must
+    * not duplicate), then aggregated per status against DuckDB
+    * recomputing the final state from the source table. */
+  val q121ReplaceWhere: Q = Q(
+    "q121_replace_where",
+    "REPLACE WHERE: atomic predicate-region replace, idempotent backfill",
+    (s, d) => {
+      import graft.sources.SnapshotLog
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_rw121").toString + "/orders"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      SnapshotLog.upsertBatch(s, base, orders, Seq("o_orderkey"),
+        "o_orderkey", "o_orderstatus", batchId = 1, maxRetries = 5,
+        statsCols = Seq("o_orderkey"), clusterBy = Nil, clusterFiles = 8,
+        opCol = None, writeCdf = false)
+      // the backfill slice: F-status orders with key % 3 = 0, repriced
+      val slice = orders.filter(col("o_orderstatus") === "F" &&
+          col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderstatus"))
+      SnapshotLog.replaceWhere(s, base, slice,
+        col("o_orderstatus") === "F", "o_orderstatus",
+        statsCols = Seq("o_orderkey"))
+      // idempotence: re-land the same slice; the region replaces again
+      SnapshotLog.replaceWhere(s, base, slice,
+        col("o_orderstatus") === "F", "o_orderstatus")
+      SnapshotLog.read(s, base).get
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsumD(col("o_totalprice")).as("total"))
+    },
+    Some("""
+      WITH fin AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 2, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM fin GROUP BY o_orderstatus
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
     q111PipeSyntax, q112ExecImmediate, q113SqlUdfs, q114TryFunctions,
     q115FusedQa, q116StreamSessions, q117CatalogRead, q118RowTracking,
-    q119StreamIntervalJoin, q120ListAgg,
+    q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

@@ -3568,6 +3568,130 @@ object SnapshotLog {
       s"deleteWhere lost $maxRetries commit races on $base")
   }
 
+  /** REPLACE WHERE (Delta's `INSERT INTO … REPLACE WHERE` /
+    * `option("replaceWhere", …)`): atomically, in ONE commit, delete
+    * every live row where `predicate` is TRUE and insert `rows` — the
+    * idempotent-backfill primitive (re-land a day/source/tenant slice:
+    * re-running replaces the slice again instead of duplicating it).
+    * Enforces Delta's default constraint up front: every incoming row
+    * must itself satisfy the predicate, or the "replaced" region and
+    * the inserted region would diverge silently.
+    *
+    * IO is O(affected partitions): one column-pruned scan finds the
+    * partitions holding matching rows; those ∪ the batch's partitions
+    * restage as survivors ∪ batch (a partition whose every row matched
+    * and receives no batch rows vanishes). Row-tracked tables keep
+    * survivors' ids through the rewrite (materialized, like OPTIMIZE).
+    * CDF emits the replaced rows as deletes and the batch as inserts
+    * in one feed version. Returns None when the table has no
+    * committed version. */
+  def replaceWhere(
+      spark: SparkSession,
+      base: String,
+      rows: DataFrame,
+      predicate: Column,
+      partCol: String,
+      maxRetries: Int = 5,
+      statsCols: Seq[String] = Nil,
+      writeCdf: Boolean = false): Option[DmlOutcome] = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
+    def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
+      val have = df.columns.toSet
+      df.select(to.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val batch = rows.persist()
+    try {
+      val violations =
+        batch.filter(!coalesce(predicate, lit(false))).count()
+      require(violations == 0L,
+        s"$violations source rows do not satisfy the REPLACE WHERE " +
+          "predicate — the replaced region and the insert would diverge")
+      val batchParts = batch.select(col(partCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      var attempt = 0
+      while (attempt < maxRetries) {
+        val m = readManifest(fs, bp).getOrElse(return None)
+        val version = math.max(m.version, currentVersion(fs, bp)) + 1
+        val lv = readVersion(spark, base, m.version)
+          .map(_.drop(RowIdCol)).getOrElse(return None)
+        val matchedParts = lv.filter(coalesce(predicate, lit(false)))
+          .select(col(partCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val affected = (matchedParts ++ batchParts).distinct.sorted
+        val preFiles = affected.flatMap(p => m.files.getOrElse(p, Nil))
+        // survivors keep their row ids through the rewrite (tracked
+        // tables): read with ids, carry as the materialized column
+        val preAll =
+          if (preFiles.isEmpty) lv.limit(0)
+          else if (m.rowTracking) readFilesWithRowIds(spark, bp, m, preFiles)
+          else readFiles(spark, bp, m, preFiles)
+        val mat =
+          if (!m.rowTracking) Nil
+          else Seq((if (preAll.columns.contains(RowIdCol)) col(RowIdCol)
+            else lit(null).cast("long")).as(MatRowIdCol))
+        val keepBase = preAll.filter(!coalesce(predicate, lit(false)))
+        val keepM =
+          if (mat.isEmpty) align(keepBase, lv.schema)
+          else {
+            // align + carry the id column (align alone would drop it)
+            val have = keepBase.columns.toSet
+            keepBase.select(lv.schema.fields.toSeq.map { f =>
+              if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            } ++ mat: _*)
+          }
+        val insM = align(batch, lv.schema)
+          .select(lv.schema.fieldNames.map(col).toSeq ++
+            (if (mat.isEmpty) Nil
+             else Seq(lit(null).cast("long").as(MatRowIdCol))): _*)
+        val out = keepM.unionByName(insM)
+        val rel =
+          s"data/r$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
+        val dir = new Path(bp, rel)
+        stagePartitioned(
+          toPhysical(out.withColumn("__p", col(partCol).cast("string")), m),
+          m, fs, dir)
+        val staged = listStaged(fs, dir, rel)
+        val stagedStats =
+          if (statsCols.isEmpty || staged.isEmpty)
+            Map.empty[String, Map[String, (String, String)]]
+          else fileStats(spark, fs, dir, rel, statsCols.map(m.phys))
+        val next = Manifest(
+          version,
+          (m.files -- affected) ++ staged.groupBy(_._1).map {
+            case (p, fls) => p -> fls.map(_._2).sorted
+          },
+          (m.stats -- preFiles) ++ mergeFileStats(sizeStats(staged), stagedStats),
+          m.blooms -- preFiles,
+          m.dvs -- preFiles,
+          m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
+          Some("REPLACE_WHERE"), m.constraints, m.txns, m.props,
+          m.colmap, m.dropped)
+        if (tryCommit(fs, bp, next)) {
+          if (cdfOn) {
+            val del = align(preAll.filter(coalesce(predicate, lit(false))), lv.schema)
+              .withColumn("change_type", lit("delete"))
+            val ins = align(batch, lv.schema)
+              .withColumn("change_type", lit("insert"))
+            commitCdfVersion(fs, bp, version,
+              del.unionByName(ins).withColumn("_commit_version", lit(version)))
+          }
+          val stagedParts = staged.map(_._1).toSet
+          return Some(DmlOutcome(version, metadataOnly = false,
+            affected.filterNot(stagedParts), affected.filter(stagedParts)))
+        }
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"replaceWhere lost $maxRetries commit races on $base")
+    } finally batch.unpersist()
+  }
+
   /** UPDATE every row where `predicate` is TRUE: each column in `set`
     * is replaced by its expression (evaluated over the OLD row, SQL
     * UPDATE semantics), cast back to the column's type; FALSE/NULL
