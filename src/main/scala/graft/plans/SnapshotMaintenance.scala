@@ -130,6 +130,11 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*CONVERT\s+TO\s+GRAFT_SNAPSHOT\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*`?([A-Za-z_]\w*)`?\s*\)\s+AS\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
+  // Delta's INSERT … REPLACE WHERE; the predicate runs up to the first
+  // top-level SELECT (Column-grammar predicates only — a predicate
+  // containing a subquery SELECT falls outside this surface)
+  private val InsertReplaceWhere =
+    """(?is)\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?\s*""".r
 
   private def isTarget(view: String): Boolean =
     Catalog.dmlTarget(view).isDefined
@@ -189,6 +194,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotShowPartitionsCommand(view)
     case Detail(view) if isTarget(view) =>
       SnapshotDetailCommand(view)
+    case InsertReplaceWhere(view, pred, query) if isTarget(view) =>
+      SnapshotReplaceWhereCommand(view, pred.trim, query.trim)
     case SyncIdentity(view) if isTarget(view) =>
       SnapshotSyncIdentityCommand(view)
     case AlterColType(view, colName, typeDdl) if isTarget(view) =>
@@ -599,6 +606,31 @@ case class SnapshotShowCreateCommand(view: String)
   * ([[graft.sources.SnapshotLog.truncateTable]]): the manifest
   * empties, txn watermarks survive (exactly-once must not reset),
   * old versions still time-travel to the data. */
+/** `INSERT INTO view REPLACE WHERE <pred> SELECT …` — Delta's atomic
+  * predicate-region backfill as SQL, over
+  * [[graft.sources.SnapshotLog.replaceWhere]] (one commit; the batch
+  * must itself satisfy the predicate). The source query parses and
+  * runs through Spark's own grammar. */
+case class SnapshotReplaceWhereCommand(
+    view: String, predSql: String, querySql: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_dropped_partitions", LongType, nullable = false)(),
+    AttributeReference("n_rewritten_partitions", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, partCol) = SnapshotMaintenance.target(view)
+    val out = SnapshotLog.replaceWhere(spark, path, spark.sql(querySql),
+      org.apache.spark.sql.functions.expr(predSql), partCol)
+      .getOrElse(sys.error(s"$view has no committed version"))
+    SnapshotDml.repin(spark, view)
+    Seq(Row("REPLACE WHERE", out.version,
+      out.droppedPartitions.size.toLong,
+      out.rewrittenPartitions.size.toLong))
+  }
+}
+
 case class SnapshotTruncateCommand(view: String)
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

@@ -68,6 +68,28 @@ class ReplaceWhereSpec extends SparkSpec {
     assert(feed.filter(col("change_type") === "insert").count() == 5)
   }
 
+  test("SQL surface: INSERT INTO view REPLACE WHERE pred SELECT ...") {
+    val (base, _) = mk("graft_rw5")
+    val s = graft.GraftSessions.withExtensions(spark)
+    val view = Catalog.registerSnapshotLog(s, "rw", "t", base, Some("day"))
+    // register on the EXTENSIONS session — temp views are session-scoped
+    s.createDataFrame((5001L to 5004L).map(i => (i, 8.0, "d2")))
+      .toDF("id", "value", "day")
+      .createOrReplaceTempView("rw_src")
+    val r = s.sql(
+      s"INSERT INTO $view REPLACE WHERE day = 'd2' SELECT * FROM rw_src")
+      .collect().head
+    assert(r.getString(0) == "REPLACE WHERE")
+    // the same view name immediately reads the new snapshot
+    assert(s.sql(s"SELECT COUNT(*) FROM $view WHERE day = 'd2'")
+      .head.getLong(0) == 4)
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 64)
+    // constraint violations surface through SQL too
+    intercept[Exception] {
+      s.sql(s"INSERT INTO $view REPLACE WHERE day = 'd0' SELECT * FROM rw_src")
+    }
+  }
+
   test("row-tracked survivors keep their ids through the replace") {
     val (base, _) = mk("graft_rw4")
     SnapshotLog.setProperties(spark, base,
