@@ -179,7 +179,8 @@ final class GraftSnapshotTable(
     val base: String,
     val versionAsOf: Option[Long],
     manifest: SnapshotLog.Manifest,
-    ident: Identifier) extends Table {
+    ident: Identifier) extends Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead {
 
   /** Partition column, when the table carries it as a property
     * ([[SnapshotLog.PartColProp]]) — enables partition-predicate file
@@ -194,8 +195,23 @@ final class GraftSnapshotTable(
   override def schema(): StructType =
     manifest.schema.getOrElse(dvCorrectPlan(SparkSession.active).schema)
 
+  // BATCH_READ is declared so Spark routes format("graft")/catalog
+  // reads down the v2 path AT ALL (capability-less tables fall back to
+  // the v1 loader and error out before the substitution rule can run);
+  // the ScanBuilder below still fails closed if the rule is absent.
   override def capabilities(): util.Set[TableCapability] =
-    util.Collections.emptySet()
+    util.Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new UnsupportedOperationException(
+      s"$base: graft tables read through the planner-integrated v1 " +
+        "relation — install graft.GraftExtensions " +
+        "(spark.sql.extensions=graft.GraftExtensions) so " +
+        "GraftCatalogRelationRule substitutes it. A native DSv2 scan " +
+        "would bypass deletion vectors (see GraftCatalog's scaladoc), " +
+        "so this path fails closed instead.")
 
   override def properties(): util.Map[String, String] = manifest.props.asJava
 

@@ -93,6 +93,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(nss.contains("db1"))
   }
 
+  test("format(\"graft\"): path-addressed reads with DV + time travel") {
+    root // force setup (table t1 has a DV delete from the first test)
+    val df = s.read.format("graft").load(base)
+    assert(df.count() == 270, "DVs must apply through format(\"graft\")")
+    assert(df.filter(col("id") % 10 === 3).count() == 0)
+    // time travel option: the version before the DV delete sees 300
+    val live = SnapshotLog.readManifest(
+      new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration),
+      new Path(base)).get.version
+    val v0 = s.read.format("graft")
+      .option("versionAsOf", (live - 1).toString).load(base)
+    assert(v0.count() == 300)
+    // the physical plan is the v1 substitution, not a DV-less BatchScan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan parquet") && !p.contains("BatchScan"), p)
+    // fail closed without the extension rule
+    intercept[Exception] {
+      spark.read.format("graft").load(base).collect()
+    }
+  }
+
   test("without the substitution rule, reads fail closed (never DV-less)") {
     root // force setup
     // the base session has the catalog confs (shared SparkContext conf
