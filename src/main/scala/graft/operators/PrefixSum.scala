@@ -43,10 +43,26 @@ object PrefixSum {
       df.repartitionByRange(partitions, col(orderCol))
         .withColumn(pid, spark_partition_id()))
     // O(partitions) driver-side offsets — exclusive scan of the
-    // partial sums in partition-id (= key-range) order
+    // partial sums in partition-id (= key-range) order. The same pass
+    // ENFORCES the precondition (free: range-partitioning co-locates
+    // equal keys, so per-partition null/dup counts see every
+    // violation): NULL or duplicate order keys make "cumulative in
+    // orderCol order" ambiguous — fail loudly, not silently. coalesce:
+    // a partition whose every value is NULL sums to SQL NULL, which is
+    // an offset contribution of 0, not an NPE.
     val partials = ranged.groupBy(col(pid))
-      .agg(sum(col(valueCol)).as("__ps_sum"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .agg(
+        coalesce(sum(col(valueCol)), lit(0L)).as("__ps_sum"),
+        count(when(col(orderCol).isNull, 1)).as("__ps_nulls"),
+        (count(col(orderCol)) - count_distinct(col(orderCol))).as("__ps_dups"))
+      .collect()
+      .map { r =>
+        require(r.getLong(2) == 0L,
+          s"PrefixSum: NULL values in order column '$orderCol'")
+        require(r.getLong(3) == 0L,
+          s"PrefixSum: duplicate values in order column '$orderCol'")
+        r.getInt(0) -> r.getLong(1)
+      }.sortBy(_._1)
     val offsets: Map[Int, Long] = partials
       .scanLeft((-1, 0L)) { case ((_, acc), (p, s)) => (p, acc + s) }
       .sliding(2).collect { case Array((_, off), (p, _)) => p -> off }

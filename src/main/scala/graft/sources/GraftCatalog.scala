@@ -42,11 +42,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (DV anti-join + manifest-pruned `FileSourceScanExec` + column-mapping
   * rename), exprId-fresh per occurrence so self-joins stay sound.
   *
-  * Failing closed: [[GraftSnapshotTable]] deliberately does NOT
-  * implement `SupportsRead`. Without the extension rule installed a
-  * SELECT fails analysis with a capability error instead of silently
-  * reading a DV-less byte-path — resurrection of deleted rows is the
-  * one outcome this catalog must never produce.
+  * Failing closed: [[GraftSnapshotTable]] declares `SupportsRead` +
+  * `BATCH_READ` ONLY so Spark routes the relation down the v2 path at
+  * all (capability-less tables fall back to the v1 loader and error
+  * before the substitution rule can run) — but its `newScanBuilder`
+  * THROWS. Without the extension rule installed a SELECT therefore
+  * fails at scan planning instead of silently reading a DV-less
+  * byte-path — resurrection of deleted rows is the one outcome this
+  * catalog must never produce.
   *
   * Read-only by design: writes commit through [[SnapshotLog]]'s
   * transactional writers (upsertBatch / deleteWhere / CTAS …), which is
@@ -171,10 +174,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 /** One commit-log table (optionally pinned at a version) as a DSv2
   * `Table`. Schema and properties come from the manifest — zero data-file
-  * reads at resolution. NOT `SupportsRead` on purpose: reads happen via
+  * reads at resolution. `SupportsRead` + `BATCH_READ` are declared only
+  * to get Spark to route reads down the v2 path; the actual read is
   * [[graft.plans.GraftCatalogRelationRule]]'s substitution to the
-  * DV-correct v1 plan (see [[GraftCatalog]]'s finding); without that
-  * rule a SELECT fails closed instead of bypassing deletion vectors. */
+  * DV-correct v1 plan (see [[GraftCatalog]]'s finding), and
+  * `newScanBuilder` throws, so without that rule a SELECT fails closed
+  * instead of bypassing deletion vectors. */
 final class GraftSnapshotTable(
     val base: String,
     val versionAsOf: Option[Long],

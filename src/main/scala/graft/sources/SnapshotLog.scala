@@ -3331,7 +3331,12 @@ object SnapshotLog {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
-    val live0 = read(spark, base).getOrElse(return None)
+    // row ids are read-side identity metadata, never a data column: on
+    // row-tracked tables read() exposes [[RowIdCol]], and every CDF
+    // feed below aligns to live0.schema — keeping the id here would
+    // leak an (always-null after align) identity column into the
+    // delete feed, diverging from the insert/merge/replaceWhere feeds
+    val live0 = read(spark, base).map(_.drop(RowIdCol)).getOrElse(return None)
     val partType = live0.schema(live0.schema.fieldIndex(partCol)).dataType
     // every predicate evaluation goes through these two: a Column
     // predicate filters directly; a [[PlanPredicate]] (subquery
@@ -4070,7 +4075,13 @@ object SnapshotLog {
     * deletion-vector-carrying table would resurrect deleted rows
     * through a symlink reader (Delta's GENERATE has the same
     * restriction). Column-mapped tables export physical parquet names
-    * by design: the external reader sees what is on disk. */
+    * by design: the external reader sees what is on disk. The same
+    * what-is-on-disk caveat applies to ROW-TRACKED tables: files
+    * written after an id-materializing rewrite (OPTIMIZE / REPLACE
+    * WHERE) physically carry the internal [[MatRowIdCol]]
+    * (`__graft_row_id_mat`) column, and a symlink reader will see it
+    * as a data column — external schemas should select columns
+    * explicitly or strip `__graft_*` names. */
   def generateSymlinkManifest(spark: SparkSession, base: String): Long = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)

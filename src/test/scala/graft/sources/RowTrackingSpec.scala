@@ -148,4 +148,26 @@ class RowTrackingSpec extends SparkSpec {
     assert(t.select(col(SnapshotLog.RowIdCol)).distinct().count() == 54)
     assert(t.filter(col(SnapshotLog.RowIdCol).isNull).count() == 0)
   }
+
+  test("delete CDF feeds on tracked tables exclude the id column (all three paths)") {
+    val base = Files.createTempDirectory("graft_rt5").toString + "/t"
+    val rows = (1L to 60L).map(i => (i, 1.0, s"d${i % 3}")).toDF("id", "value", "day")
+    SnapshotLog.upsertBatch(spark, base, rows, Seq("id"), "id", "day",
+      batchId = 1, maxRetries = 5, statsCols = Seq("id"), clusterBy = Nil,
+      clusterFiles = 4, opCol = None, writeCdf = false)
+    SnapshotLog.setProperties(spark, base,
+      Map(SnapshotLog.RowTrackingProp -> "true",
+        SnapshotLog.CdfProp -> "true"))
+    // row-rewrite path, DV path, partition-metadata path — each
+    // publishes a delete feed version; none may carry _graft_row_id
+    SnapshotLog.deleteWhere(spark, base, col("id") === 5L, "day")
+    SnapshotLog.deleteWhere(spark, base, col("id") === 6L, "day",
+      deletionVectors = true)
+    SnapshotLog.deleteWhere(spark, base, col("day") === "d2", "day")
+    val cdf = SnapshotLog.readCdf(spark, base).get
+    // d2 held 20 rows; id=5 (5 % 3 == 2) was already deleted → 19
+    assert(cdf.filter(col("change_type") === "delete").count() == 1 + 1 + 19)
+    assert(!cdf.columns.contains(SnapshotLog.RowIdCol),
+      s"CDF feed leaked the identity column: ${cdf.columns.mkString(",")}")
+  }
 }
