@@ -4926,12 +4926,102 @@ object Relational2 {
       FROM fin GROUP BY o_orderstatus
       """))
 
+  /** The WRITE half of the DSv2 surface end-to-end (round-12 headline):
+    * `df.write.format("graft")` (fresh-path create, then
+    * `option("replaceWhere", …)` overwrite), byte-level parity with the
+    * Scala-API-written twin, and CREATE TABLE / INSERT INTO /
+    * INSERT OVERWRITE / CTAS through [[graft.sources.GraftCatalog]] —
+    * every route funnels into SnapshotLog.tryCommit, and every facet is
+    * graded against a DuckDB recompute from the source data alone. */
+  val q122DsvWrite: Q = Q(
+    "q122_dsv2_write",
+    "DSv2 write surface: format save/replaceWhere, API parity, catalog CREATE/INSERT/CTAS",
+    (s0, d) => {
+      import graft.sources.{SnapshotLog, WriteIntoGraft}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root = java.nio.file.Files.createTempDirectory("graft_w122").toString
+      val baseA = s"$root/fmt/orders"
+      val baseB = s"$root/api/orders"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      // the same logical history through BOTH surfaces:
+      // v1 = full load, v2 = REPLACE WHERE of the F slice repriced ×2
+      val slice = orders.filter(col("o_orderstatus") === "F" &&
+          col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderstatus"))
+      orders.write.format("graft").partitionBy("o_orderstatus").save(baseA)
+      slice.write.format("graft").mode("overwrite")
+        .option(WriteIntoGraft.ReplaceWhereOption, "o_orderstatus = 'F'")
+        .save(baseA)
+      SnapshotLog.appendBatch(s, baseB, orders, "o_orderstatus", batchId = 0L,
+        propsAdd = Map(SnapshotLog.PartColProp -> "o_orderstatus"))
+      SnapshotLog.replaceWhere(s, baseB, slice,
+        col("o_orderstatus") === "F", "o_orderstatus")
+      val fmtV1 = s.read.format("graft").option("versionAsOf", "1").load(baseA)
+      val fmtLive = s.read.format("graft").load(baseA)
+      val apiLive = s.read.format("graft").load(baseB)
+      // catalog DDL/DML routes
+      s.conf.set("spark.sql.catalog.graft_w122",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_w122.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_w122.db")
+      orders.createOrReplaceTempView("q122_src")
+      s.sql("""CREATE TABLE graft_w122.db.t1
+               (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+               USING graft PARTITIONED BY (o_orderstatus)""")
+      s.sql("INSERT INTO graft_w122.db.t1 SELECT * FROM q122_src")
+      s.sql("""INSERT OVERWRITE graft_w122.db.t1
+               SELECT * FROM q122_src WHERE o_orderkey % 2 = 0""")
+      s.sql("""CREATE TABLE graft_w122.db.t2 USING graft
+               PARTITIONED BY (o_orderstatus)
+               AS SELECT * FROM q122_src WHERE o_orderstatus <> 'O'""")
+      def facet(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("total"))
+          .select(lit(name).as("phase"), col("n"), col("total"))
+      facet("save", fmtV1)
+        .union(facet("replace", fmtLive))
+        // parity: the format-written twin is row-identical to the
+        // API-written one (symmetric difference must be empty)
+        .union(fmtLive.exceptAll(apiLive).union(apiLive.exceptAll(fmtLive))
+          .agg(count(lit(1)).as("n"))
+          .select(lit("parity").as("phase"), col("n"),
+            lit(0.0).cast("double").as("total")))
+        .union(facet("insert_overwrite", s.table("graft_w122.db.t1")))
+        .union(facet("ctas", s.table("graft_w122.db.t2")))
+    },
+    Some("""
+      WITH repl AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 2, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+      SELECT 'save' AS phase, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM orders
+      UNION ALL
+      SELECT 'replace', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      FROM repl
+      UNION ALL
+      SELECT 'parity', 0, 0.0
+      UNION ALL
+      SELECT 'insert_overwrite', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'ctas', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      FROM orders WHERE o_orderstatus <> 'O'
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
     q111PipeSyntax, q112ExecImmediate, q113SqlUdfs, q114TryFunctions,
     q115FusedQa, q116StreamSessions, q117CatalogRead, q118RowTracking,
-    q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere,
+    q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere, q122DsvWrite,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

@@ -51,12 +51,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * byte-path — resurrection of deleted rows is the one outcome this
   * catalog must never produce.
   *
-  * Read-only by design: writes commit through [[SnapshotLog]]'s
-  * transactional writers (upsertBatch / deleteWhere / CTAS …), which is
-  * where the format's commit protocol lives; `CREATE/DROP/ALTER TABLE`
-  * through this catalog throw rather than imitate a second, weaker
-  * write path. External-table semantics, like the temp-view registry
-  * ([[Catalog.registerSnapshotLog]]) it upgrades.
+  * Writes go through the SAME commit protocol as the Scala API:
+  * `CREATE TABLE` / CTAS / `INSERT INTO` / `INSERT OVERWRITE` resolve
+  * to [[GraftSnapshotTable]]'s V1 write fallback, which funnels into
+  * [[SnapshotLog]]'s transactional writers (see [[WriteIntoGraft]]) —
+  * one choke point ([[SnapshotLog.tryCommit]]) for row-id allocation,
+  * constraints, CDF, and schema headers, never a second weaker write
+  * path. `ALTER TABLE`/`RENAME` still route through
+  * [[SnapshotLog.setProperties]] and friends.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -119,21 +121,49 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean = isTable(dirOf(ident))
 
+  /** Spark table properties the engine must not persist as graft table
+    * properties: they describe the catalog entry, not the table. */
+  private val reservedProps =
+    Set("provider", "location", "owner", "external", "is_managed_location")
+
+  /** `CREATE TABLE graft.ns.t (…) USING graft [PARTITIONED BY (c)]`
+    * and the create half of CTAS: commits an EMPTY version-1 manifest
+    * carrying the declared schema, partition column
+    * ([[SnapshotLog.PartColProp]]) and properties — through
+    * [[SnapshotLog.tryCommit]] like every write, so a racing creator
+    * loses cleanly. The data half of CTAS then arrives as a normal
+    * AppendData against the returned table (V1 write fallback, see
+    * [[WriteIntoGraft]]). */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables commit through SnapshotLog writers (upsertBatch / CTAS), " +
-        "not through the catalog — the commit protocol lives there")
+      properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    val partColT = WriteIntoGraft.partColOf(partitions)
+    partColT.foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"partition column '$c' is not in the table schema"))
+    val props = properties.asScala.toMap
+      .filterNot { case (k, _) => reservedProps(k.toLowerCase) } ++
+      partColT.map(SnapshotLog.PartColProp -> _)
+    if (!SnapshotLog.createTable(spark, dir.toString, schema, props))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toSeq)
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "use SnapshotLog.setProperties / schema evolution commits")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "external-table semantics: drop via SQL DROP TABLE on the registered " +
-        "view, or delete the directory")
+  /** DROP TABLE: managed-directory semantics (the catalog owns
+    * `<root>/ns/t`) — deletes the table directory, history included.
+    * Also the cleanup hook Spark calls when the data half of a
+    * non-atomic CTAS fails. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    isTable(dir) && fs.delete(dir, true)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft tables are path-addressed")
@@ -185,7 +215,8 @@ final class GraftSnapshotTable(
     val versionAsOf: Option[Long],
     manifest: SnapshotLog.Manifest,
     ident: Identifier) extends Table
-  with org.apache.spark.sql.connector.catalog.SupportsRead {
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   /** Partition column, when the table carries it as a property
     * ([[SnapshotLog.PartColProp]]) — enables partition-predicate file
@@ -200,12 +231,47 @@ final class GraftSnapshotTable(
   override def schema(): StructType =
     manifest.schema.getOrElse(dvCorrectPlan(SparkSession.active).schema)
 
+  /** Reported so `df.write.partitionBy(c)` against an existing table
+    * validates against the real layout (and DESCRIBE shows it). */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partCol.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+
   // BATCH_READ is declared so Spark routes format("graft")/catalog
   // reads down the v2 path AT ALL (capability-less tables fall back to
   // the v1 loader and error out before the substitution rule can run);
   // the ScanBuilder below still fails closed if the rule is absent.
-  override def capabilities(): util.Set[TableCapability] =
-    util.Collections.singleton(TableCapability.BATCH_READ)
+  // The write capabilities are REAL (V1 fallback into SnapshotLog's
+  // transactional writers — see [[WriteIntoGraft]]); ACCEPT_ANY_SCHEMA
+  // is declared only when the table opted into write-side schema
+  // evolution, so by-name/by-position enforcement stays Spark's job on
+  // every other table (Delta's autoMerge split).
+  override def capabilities(): util.Set[TableCapability] = {
+    // V1_BATCH_WRITE *without* BATCH_WRITE, exactly Delta's split:
+    // catalog writes (INSERT INTO / CTAS) pass TableCapabilityCheck via
+    // supportsAny(BATCH_WRITE, V1_BATCH_WRITE) and plan the V1
+    // fallback, while path-based DataFrameWriter saves — whose v2
+    // branch gates on a literal BATCH_WRITE membership test and throws
+    // on ErrorIfExists/Ignore modes — fall back wholesale to the
+    // CreatableRelationProvider route ([[GraftDataSource.createRelation]]),
+    // which supports all four SaveModes.
+    val caps = util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.TRUNCATE)
+    if (manifest.autoMerge) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      s"$base: cannot write to a time-traveled snapshot " +
+        s"(VERSION AS OF ${versionAsOf.get})")
+    new GraftWriteBuilder(base, partCol, info)
+  }
 
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)

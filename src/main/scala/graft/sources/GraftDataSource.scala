@@ -22,11 +22,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ([[graft.plans.GraftCatalogRelationRule]], injected by
   * `graft.GraftExtensions`). Without the extension a read fails closed
   * rather than bypassing deletion vectors. */
-final class GraftDataSource extends TableProvider with DataSourceRegister {
+final class GraftDataSource extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // true so the WRITE path hands us the incoming frame's schema and
+  // partitionBy transforms (that is how a fresh-path
+  // `df.write.format("graft").partitionBy(c).save(p)` learns its
+  // layout); reads without a committed manifest still fail in
+  // inferSchema below.
+  override def supportsExternalMetadata(): Boolean = true
 
   // Spark resolves a format() load by calling inferSchema THEN getTable
   // on the SAME provider instance with the same options — cache the
@@ -73,12 +79,92 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     }
   }
 
+  private def exists(options: CaseInsensitiveStringMap): Boolean = {
+    val base = Option(options.get("path")).getOrElse(
+      sys.error("format(\"graft\") needs a path: .load(<table dir>)"))
+    val spark = SparkSession.active
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotLog.readManifest(fs, bp).isDefined
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     load(options).schema()
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    load(new CaseInsensitiveStringMap(properties))
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    // no committed manifest + no time travel = a WRITE to a fresh
+    // path: resolve to the pending (write-only) table carrying the
+    // frame's schema and partitionBy transforms. Reads of fresh paths
+    // die earlier, in inferSchema.
+    if (options.get("versionAsOf") == null &&
+        options.get("timestampAsOf") == null && !exists(options))
+      new GraftPendingTable(options.get("path"), schema, partitioning)
+    else load(options)
+  }
+
+  /** The v1 create path: `SaveMode.ErrorIfExists` (the default) and
+    * `Ignore` never reach the v2 write plans — DataFrameWriter routes
+    * them here (Delta implements the same interface for the same
+    * reason). `partitionBy` columns arrive JSON-encoded under Spark's
+    * `__partition_columns` option key. */
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val base = parameters.getOrElse("path",
+      sys.error("format(\"graft\") needs a path: .save(<table dir>)"))
+    val spark = data.sparkSession
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableExists = SnapshotLog.readManifest(fs, bp).isDefined
+    // Spark's DataSourceUtils.encodePartitioningColumns: a JSON string
+    // array like ["day"] — parsed here structurally to avoid the
+    // private[sql] helper
+    val partHint = parameters.get("__partition_columns").flatMap { json =>
+      try {
+        val arr = org.json4s.jackson.JsonMethods.parse(json)
+          .asInstanceOf[org.json4s.JArray].arr
+          .map(_.asInstanceOf[org.json4s.JString].s)
+        require(arr.size <= 1,
+          "graft tables partition by exactly one identity column")
+        arr.headOption
+      } catch {
+        case e: Exception => sys.error(
+          s"cannot parse partition columns '$json': ${e.getMessage}")
+      }
+    }.orElse(parameters.get(WriteIntoGraft.PartitionColOption))
+    require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+      s"$base: cannot write to a time-traveled snapshot")
+    val replaceWhere = parameters.get(WriteIntoGraft.ReplaceWhereOption)
+    require(replaceWhere.isEmpty || mode == SaveMode.Overwrite,
+      s"option(\"${WriteIntoGraft.ReplaceWhereOption}\", …) requires " +
+        "mode overwrite — an append cannot replace")
+    (mode, tableExists) match {
+      case (SaveMode.ErrorIfExists, true) =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "TABLE_OR_VIEW_ALREADY_EXISTS",
+          messageParameters = Map("relationName" -> s"graft.`$base`"))
+      case (SaveMode.Ignore, true) => ()
+      case _ =>
+        WriteIntoGraft.run(base, data,
+          overwriteAll = mode == SaveMode.Overwrite && tableExists &&
+            replaceWhere.isEmpty,
+          replaceWhere = replaceWhere.filter(_ => tableExists)
+            .map(org.apache.spark.sql.functions.expr),
+          partColHint = partHint)
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext =
+        org.apache.spark.sql.SQLContext.getOrCreate(spark.sparkContext)
+      override def schema: StructType = data.schema
+    }
+  }
 }

@@ -1841,7 +1841,8 @@ object SnapshotLog {
       maxRetries: Int = 5,
       txn: Option[(String, Long)] = None,
       txnsAdd: Map[String, Long] = Map.empty,
-      writeCdf: Boolean = false): Long = {
+      writeCdf: Boolean = false,
+      propsAdd: Map[String, String] = Map.empty): Long = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val m0 = readManifest(fs, bp)
@@ -1936,7 +1937,10 @@ object SnapshotLog {
         Some(if (overwrite) "OVERWRITE" else "APPEND"),
         m.constraints,
         m.txns ++ allTxns,
-        m.props ++ stagedHw, m.colmap, m.dropped)
+        // propsAdd: caller-supplied property seeds (the DSv2 write
+        // surface stamps PartColProp on first write) — existing values
+        // win so a concurrent ALTER is never silently undone
+        propsAdd ++ m.props ++ stagedHw, m.colmap, m.dropped)
       if (tryCommit(fs, bp, next)) { committedV = version; replacedM = Some(m) }
       attempt += 1
     }
@@ -4352,6 +4356,29 @@ object SnapshotLog {
     }
     throw new IllegalStateException(
       s"ADD CONSTRAINT lost $maxRetries commit races on $base")
+  }
+
+  /** CREATE TABLE (empty, schema-first): commit an empty snapshot
+    * whose manifest carries the declared schema and properties — the
+    * catalog's `CREATE TABLE` / the first half of a non-atomic CTAS.
+    * Goes through [[tryCommit]] like every other commit, so a racing
+    * creator loses cleanly (returns false → table already exists).
+    * Refuses a base that already has ANY committed version: CREATE
+    * never clobbers history (use appendBatch/replaceWhere to write). */
+  def createTable(
+      spark: SparkSession,
+      base: String,
+      schema: org.apache.spark.sql.types.StructType,
+      props: Map[String, String] = Map.empty): Boolean = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    if (readManifest(fs, bp).isDefined) return false
+    val version = math.max(0L, currentVersion(fs, bp)) + 1
+    tryCommit(fs, bp, Manifest(
+      version, Map.empty,
+      schemaJson = Some(StructTypeNullable(schema)),
+      op = Some("CREATE TABLE"),
+      props = props))
   }
 
   /** SET (merge) table properties — metadata-only commit. An empty or

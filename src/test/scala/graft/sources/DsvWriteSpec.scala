@@ -1,0 +1,208 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSessions, SparkSpec}
+
+/** The WRITE half of the DSv2 surface: `df.write.format("graft")`,
+  * `option("replaceWhere", …)`, CTAS / INSERT INTO / INSERT OVERWRITE
+  * through the catalog — all of which must funnel into SnapshotLog's
+  * transactional writers (one commit protocol, not a weaker second
+  * path). Graded structurally: a table written through the format is
+  * indistinguishable (schema header, partition layout, properties,
+  * rows, feature behavior) from one written through the Scala API. */
+class DsvWriteSpec extends SparkSpec {
+
+  private lazy val s = GraftSessions.withExtensions(spark)
+  import scala.jdk.CollectionConverters._
+
+  private def rowsDf(n: Long): DataFrame = {
+    import s.implicits._
+    (1L to n).map(i => (i, i * 1.5, s"d${i % 3}")).toDF("id", "value", "day")
+  }
+
+  private def manifest(base: String): SnapshotLog.Manifest = {
+    val bp = new Path(base)
+    SnapshotLog.readManifest(
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration), bp).get
+  }
+
+  private def readT(base: String): DataFrame =
+    s.read.format("graft").load(base)
+
+  test("fresh-path save + partitionBy creates the table; append/overwrite modes") {
+    val base = Files.createTempDirectory("graft_w1").toString + "/t"
+    rowsDf(90).write.format("graft").partitionBy("day").save(base)
+    val m1 = manifest(base)
+    assert(m1.version == 1L)
+    assert(m1.props.get(SnapshotLog.PartColProp).contains("day"),
+      "first write must stamp the partition column property")
+    assert(m1.files.keySet == Set("d0", "d1", "d2"))
+    assert(readT(base).count() == 90)
+
+    // append — no partitionBy needed, the manifest knows the column
+    rowsDf(90).withColumn("id", col("id") + 1000)
+      .write.format("graft").mode("append").save(base)
+    assert(readT(base).count() == 180)
+
+    // full overwrite replaces the snapshot, keeps properties
+    rowsDf(30).write.format("graft").mode("overwrite").save(base)
+    val m3 = manifest(base)
+    assert(readT(base).count() == 30)
+    assert(m3.props.get(SnapshotLog.PartColProp).contains("day"))
+    assert(m3.op.contains("OVERWRITE"))
+
+    // history intact: version 1 still readable (time travel)
+    assert(s.read.format("graft").option("versionAsOf", "1")
+      .load(base).count() == 90)
+  }
+
+  test("replaceWhere overwrites exactly the predicate's region") {
+    val base = Files.createTempDirectory("graft_w2").toString + "/t"
+    rowsDf(90).write.format("graft").partitionBy("day").save(base)
+    val repl = rowsDf(9).filter(col("day") === "d1")
+      .withColumn("value", lit(-1.0))
+    repl.write.format("graft").mode("overwrite")
+      .option("replaceWhere", "day = 'd1'").save(base)
+    val t = readT(base)
+    assert(t.filter(col("day") === "d1").count() == 3)
+    assert(t.filter(col("day") === "d1" && col("value") =!= -1.0).count() == 0)
+    assert(t.filter(col("day") =!= "d1").count() == 60,
+      "rows outside the replaced region must survive untouched")
+    // a violating batch (rows outside the predicate) is rejected
+    val bad = intercept[Exception] {
+      rowsDf(9).write.format("graft").mode("overwrite")
+        .option("replaceWhere", "day = 'd1'").save(base)
+    }
+    assert(bad.getMessage.contains("REPLACE WHERE"))
+    // replaceWhere without overwrite mode is a contract violation
+    val modeErr = intercept[Exception] {
+      repl.write.format("graft").mode("append")
+        .option("replaceWhere", "day = 'd1'").save(base)
+    }
+    assert(modeErr.getMessage.contains("overwrite"))
+  }
+
+  test("written-through-format == written-through-API (structural parity)") {
+    val root = Files.createTempDirectory("graft_w3").toString
+    val viaFormat = root + "/fmt"
+    val viaApi = root + "/api"
+    val batch = rowsDf(120)
+    batch.write.format("graft").partitionBy("day").save(viaFormat)
+    SnapshotLog.appendBatch(s, viaApi, batch, "day", batchId = 0L,
+      propsAdd = Map(SnapshotLog.PartColProp -> "day"))
+    val (mf, ma) = (manifest(viaFormat), manifest(viaApi))
+    assert(mf.version == ma.version)
+    assert(mf.schemaJson == ma.schemaJson, "identical logical schema header")
+    assert(mf.files.keySet == ma.files.keySet, "identical partition layout")
+    assert(mf.files.map { case (p, fs) => p -> fs.size } ==
+      ma.files.map { case (p, fs) => p -> fs.size })
+    assert(mf.props == ma.props)
+    assert(mf.op == ma.op)
+    assert(readT(viaFormat).exceptAll(readT(viaApi)).isEmpty &&
+      readT(viaApi).exceptAll(readT(viaFormat)).isEmpty,
+      "identical rows")
+  }
+
+  test("CDF and row tracking flow through format writes") {
+    val base = Files.createTempDirectory("graft_w4").toString + "/t"
+    rowsDf(60).write.format("graft").partitionBy("day").save(base)
+    SnapshotLog.setProperties(s, base, Map(
+      SnapshotLog.CdfProp -> "true",
+      SnapshotLog.RowTrackingProp -> "true"))
+    rowsDf(60).withColumn("id", col("id") + 100)
+      .write.format("graft").mode("append").save(base)
+    val cdf = SnapshotLog.readCdf(s, base).get
+    assert(cdf.filter(col("change_type") === "insert").count() == 60,
+      "a format append on a CDF table must publish its feed")
+    // row ids are identity METADATA: the format read exposes the
+    // logical schema only (like Delta); the id column comes via the
+    // snapshot-relation API
+    val ids = SnapshotRelation.read(s, base, None, Some("day")).get
+      .select(col(SnapshotLog.RowIdCol))
+    assert(ids.distinct().count() == 120, "row ids allocated and unique")
+    // an appended CHECK constraint is enforced on the format path too
+    SnapshotLog.addConstraint(s, base, "pos_value", "value >= 0")
+    val err = intercept[Exception] {
+      rowsDf(3).withColumn("value", lit(-5.0))
+        .write.format("graft").mode("append").save(base)
+    }
+    assert(err.getMessage.toLowerCase.contains("constraint") ||
+      err.getMessage.contains("pos_value"))
+  }
+
+  test("writes to a time-traveled snapshot are rejected") {
+    val base = Files.createTempDirectory("graft_w5").toString + "/t"
+    rowsDf(30).write.format("graft").partitionBy("day").save(base)
+    rowsDf(30).write.format("graft").mode("append").save(base)
+    val err = intercept[Exception] {
+      rowsDf(3).write.format("graft").mode("append")
+        .option("versionAsOf", "1").save(base)
+    }
+    assert(err.getMessage.contains("time-traveled"))
+  }
+
+  test("a fresh-path write without any partition column fails with guidance") {
+    val base = Files.createTempDirectory("graft_w6").toString + "/t"
+    val err = intercept[Exception] {
+      rowsDf(9).write.format("graft").save(base)
+    }
+    assert(err.getMessage.contains("partition column"))
+    // option("partitionCol", …) is an accepted spelling
+    rowsDf(9).write.format("graft")
+      .option(WriteIntoGraft.PartitionColOption, "day").save(base)
+    assert(manifest(base).props.get(SnapshotLog.PartColProp).contains("day"))
+  }
+
+  test("CREATE TABLE / CTAS / INSERT INTO / INSERT OVERWRITE through the catalog") {
+    val root = Files.createTempDirectory("graft_wcat").toString
+    s.conf.set("spark.sql.catalog.graft_w", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_w.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_w.db")
+
+    // plain CREATE: empty v1 manifest, schema + partition col recorded
+    s.sql("""CREATE TABLE graft_w.db.t1 (id BIGINT, value DOUBLE, day STRING)
+             USING graft PARTITIONED BY (day)""")
+    val m1 = manifest(s"$root/db/t1")
+    assert(m1.version == 1L && m1.files.isEmpty)
+    assert(m1.props.get(SnapshotLog.PartColProp).contains("day"))
+    assert(m1.schema.get.fieldNames.toSeq == Seq("id", "value", "day"))
+    assert(s.sql("SELECT * FROM graft_w.db.t1").count() == 0)
+
+    // creating it again must fail
+    intercept[Exception] {
+      s.sql("CREATE TABLE graft_w.db.t1 (id BIGINT) USING graft")
+    }
+
+    // INSERT INTO (by position, casts applied)
+    rowsDf(30).createOrReplaceTempView("w_src")
+    s.sql("INSERT INTO graft_w.db.t1 SELECT id, value, day FROM w_src")
+    assert(s.sql("SELECT COUNT(*) FROM graft_w.db.t1").head.getLong(0) == 30)
+    s.sql("INSERT INTO graft_w.db.t1 SELECT id + 100, value, day FROM w_src")
+    assert(s.sql("SELECT COUNT(*) FROM graft_w.db.t1").head.getLong(0) == 60)
+
+    // INSERT OVERWRITE replaces the snapshot
+    s.sql("INSERT OVERWRITE graft_w.db.t1 SELECT id, value, day FROM w_src")
+    assert(s.sql("SELECT COUNT(*) FROM graft_w.db.t1").head.getLong(0) == 30)
+
+    // CTAS: create + data in one statement
+    s.sql("""CREATE TABLE graft_w.db.t2 USING graft PARTITIONED BY (day)
+             AS SELECT id, value, day FROM w_src WHERE day <> 'd2'""")
+    assert(s.sql("SELECT COUNT(*) FROM graft_w.db.t2").head.getLong(0) == 20)
+    assert(manifest(s"$root/db/t2").props
+      .get(SnapshotLog.PartColProp).contains("day"))
+    assert(s.sql("SHOW TABLES IN graft_w.db").collect()
+      .map(_.getString(1)).toSet == Set("t1", "t2"))
+
+    // DROP TABLE removes the directory (managed semantics)
+    s.sql("DROP TABLE graft_w.db.t2")
+    assert(!new java.io.File(s"$root/db/t2").exists())
+    assert(s.sql("SHOW TABLES IN graft_w.db").collect()
+      .map(_.getString(1)).toSet == Set("t1"))
+  }
+}
