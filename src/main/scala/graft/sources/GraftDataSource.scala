@@ -23,7 +23,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `graft.GraftExtensions`). Without the extension a read fails closed
   * rather than bypassing deletion vectors. */
 final class GraftDataSource extends TableProvider with DataSourceRegister
-  with org.apache.spark.sql.sources.CreatableRelationProvider {
+  with org.apache.spark.sql.sources.CreatableRelationProvider
+  with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -167,4 +168,31 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       override def schema: StructType = data.schema
     }
   }
+
+  // ---- spark.readStream.format("graft").load(path) ------------------
+  // The same v1 Source as the legacy `graft-commitlog` name, unified
+  // under the format (the resolver falls back here because the batch
+  // table declares no MICRO_BATCH_READ). Default = the ROW feed
+  // (table-schema rows of append commits, failing on change commits —
+  // Delta's contract); option("readChangeFeed", "true") = CDF rows;
+  // option("skipChangeCommits", "true") = skip change commits.
+  // Offsets are COMMIT VERSIONS either way.
+
+  override def sourceSchema(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), graft.streaming.CommitLogStream.schemaFor(
+      sqlContext.sparkSession, schema, parameters))
+
+  override def createSource(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    graft.streaming.CommitLogStream.sourceFor(
+      sqlContext.sparkSession, schema, parameters)
 }

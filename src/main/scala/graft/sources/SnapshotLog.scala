@@ -3981,6 +3981,18 @@ object SnapshotLog {
   private def cdfVName(v: Long) = f"v$v%011d"
 
   /** Versions with a materialized feed dir, ascending. */
+  /** The operation that committed version `v` ([[Manifest.op]]) — one
+    * root-manifest read, zero data IO. None on legacy manifests.
+    * Metadata plane: the streaming row-feed mode uses it to classify a
+    * commit as append vs change without opening its feed. */
+  def opAt(spark: SparkSession, base: String, v: Long): Option[String] = {
+    val bp = new Path(base)
+    rootText(fsFor(spark, bp), bp, v).flatMap(_.split("\n").iterator
+      .filter(_.startsWith(OpTag + "\t"))
+      .map(l => dec(l.substring(OpTag.length + 1)))
+      .nextOption())
+  }
+
   def cdfVersions(fs: FileSystem, base: Path): Seq[Long] = {
     val dir = cdfDir(base)
     if (!fs.exists(dir)) Nil

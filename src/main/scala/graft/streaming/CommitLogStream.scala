@@ -59,6 +59,48 @@ object CommitLogStream {
       StructField("change_type", StringType, nullable = true) :+
       StructField("_commit_version", LongType, nullable = true))
   }
+
+  /** Row-feed schema: the table columns alone (the manifest header is
+    * mandatory here — a row feed of a legacy table would have to guess
+    * which feed columns are data). */
+  def tableSchema(spark: SparkSession, base: String): StructType = {
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotLog.readManifest(fs, bp).flatMap(_.schema).getOrElse(
+      sys.error(s"streaming row feed needs a manifest schema at $base — " +
+        "commit through a schema-writing path first"))
+  }
+
+  /** Shared constructor for the v1 streaming sources registered under
+    * BOTH names (`graft` and the legacy `graft-commitlog`). */
+  def sourceFor(
+      spark: SparkSession,
+      schema: Option[StructType],
+      parameters: Map[String, String]): Source = {
+    val base = parameters.getOrElse("path",
+      sys.error("graft streaming needs .option(\"path\", <table dir>) or .load(<dir>)"))
+    val changeFeed = parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+    new CommitLogSource(spark, base,
+      schema.getOrElse(
+        if (changeFeed) cdfSchema(spark, base) else tableSchema(spark, base)),
+      parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(0),
+      parameters.get("startingVersion").map(_.toLong).getOrElse(1L),
+      changeFeed = changeFeed,
+      skipChangeCommits =
+        parameters.get("skipChangeCommits").exists(_.trim.toBoolean))
+  }
+
+  def schemaFor(
+      spark: SparkSession,
+      schema: Option[StructType],
+      parameters: Map[String, String]): StructType = {
+    val base = parameters.getOrElse("path",
+      sys.error("graft streaming needs .option(\"path\", <table dir>) or .load(<dir>)"))
+    schema.getOrElse(
+      if (parameters.get("readChangeFeed").exists(_.trim.toBoolean))
+        cdfSchema(spark, base)
+      else tableSchema(spark, base))
+  }
 }
 
 /** `spark.readStream.format(classOf[CommitLogSourceProvider].getName)
@@ -96,14 +138,32 @@ class CommitLogSourceProvider extends StreamSourceProvider with DataSourceRegist
   *        checkpoint) delivers — Delta's `startingVersion`. Catch-up
   *        from the table's whole history is the default (1); a
   *        restarted stream ignores this and resumes from its
-  *        checkpointed offset, exactly like Delta. */
+  *        checkpointed offset, exactly like Delta.
+  * @param changeFeed true = CDF rows (table columns + `change_type` +
+  *        `_commit_version`, Delta's `readChangeFeed`); false = the
+  *        ROW feed: table-schema rows of APPEND commits only — a
+  *        commit that changed existing data (DELETE/UPDATE/MERGE/
+  *        OVERWRITE/REPLACE) fails the stream unless
+  *        `skipChangeCommits` (Delta's contract: silently treating a
+  *        change as an append would double- or under-count downstream).
+  *        The commit class comes from the manifest's `#op` header —
+  *        metadata, no feed read.
+  * @param skipChangeCommits row-feed mode only: skip non-append
+  *        commits entirely instead of failing (Delta's
+  *        `skipChangeCommits`). */
 class CommitLogSource(
     spark: SparkSession,
     base: String,
     override val schema: StructType,
     maxVersionsPerBatch: Int = 0,
-    startingVersion: Long = 1L)
+    startingVersion: Long = 1L,
+    changeFeed: Boolean = true,
+    skipChangeCommits: Boolean = false)
   extends Source {
+
+  /** Commit classes whose feed is pure inserts — safe for the row
+    * feed. COPY INTO and streaming sinks commit as APPEND. */
+  private val AppendOps = Set("APPEND", "WRITE")
 
   private val bp = new Path(base)
   private def fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -148,8 +208,26 @@ class CommitLogSource(
     val hi = versionOf(end)
     // a replayed batch after restart re-establishes the watermark
     lastReturned = math.max(lastReturned, hi)
-    val versions = SnapshotLog.cdfVersions(fs, bp)
+    val versions0 = SnapshotLog.cdfVersions(fs, bp)
       .filter(v => v > lo && v <= hi)
+    val versions =
+      if (changeFeed) versions0
+      else {
+        // row-feed mode: classify each commit from its manifest header
+        // (metadata-only) — appends stream, change commits fail or
+        // skip per the option
+        val classed = versions0.map(v =>
+          v -> SnapshotLog.opAt(spark, base, v).getOrElse("UNKNOWN"))
+        val changes = classed.filterNot { case (_, op) => AppendOps(op) }
+        if (changes.nonEmpty && !skipChangeCommits)
+          throw new IllegalStateException(
+            s"$base: stream found non-append commit(s) " +
+              changes.map { case (v, op) => s"v$v=$op" }.mkString(", ") +
+              " — the row feed cannot represent changed rows; read with " +
+              "option(\"readChangeFeed\", \"true\") or skip them with " +
+              "option(\"skipChangeCommits\", \"true\")")
+        classed.collect { case (v, op) if AppendOps(op) => v }
+      }
     val batch =
       if (versions.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
