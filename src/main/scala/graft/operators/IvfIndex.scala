@@ -101,10 +101,18 @@ object IvfIndex {
   /** `iters` Lloyd refinements from the deterministic seed set
     * (vec_id < k). Returns the final centroids (cid, cv). */
   def centroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val seed = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+    refine(vecs, seed, iters)
+  }
+
+  /** `iters` distributed Lloyd refinements from an arbitrary centroid
+    * frame (cid, cv). Centroid update is the exact-decimal
+    * per-(cell, dim) mean — order-independent, bit-stable. */
+  def refine(vecs: DataFrame, cent0: DataFrame, iters: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    var cent = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast(IntegerType).as("cid"), col("v").as("cv"))
+    var cent = cent0
     (1 to iters).foreach { _ =>
       val updated = assign(vecs, cent)
         .join(vecs, "vec_id")
@@ -125,5 +133,92 @@ object IvfIndex {
       cent = rows.toSeq.toDF("cid", "cv")
     }
     cent
+  }
+
+  /** k-means||-style seeding (Bahmani et al.), DETERMINIZED for this
+    * engine's cross-engine reproducibility contract: where k-means||
+    * samples each point with probability ∝ its cost, this takes the
+    * `k·oversample` points FARTHEST from the current seed set each
+    * round (top-cost, ties on vec_id) — same effect (seeds spread to
+    * the mass the current set explains worst), no RNG. Then, exactly
+    * like k-means||, the oversampled candidate set — O(rounds·k·
+    * oversample) rows, tiny — is weighted by its assigned corpus mass
+    * and reduced to k seeds by a DRIVER-LOCAL weighted Lloyd, and the
+    * k seeds refine distributed for `iters` rounds.
+    *
+    * Scale shape: `rounds` corpus scans for seeding (each the same
+    * broadcast-argmin as [[assign]]), one for weighting, `iters` for
+    * refinement — the corpus is never collected; the driver only ever
+    * holds O(candidates·dim) doubles. Contrast first-k seeding
+    * ([[centroids]]): one fewer scan, but seeds are whatever the first
+    * k rows happen to be — IvfSeedQualitySpec measures the recall
+    * difference on the real corpus. */
+  def centroidsScalable(
+      vecs: DataFrame,
+      k: Int,
+      iters: Int,
+      rounds: Int = 3,
+      oversample: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val l = math.max(1, k * oversample)
+    // round 0: the single deterministic seed (lowest vec_id)
+    var cand: Seq[(Long, Seq[Double])] =
+      vecs.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    (1 to rounds).foreach { _ =>
+      val candDf = cand.toDF("cid", "cv")
+      val have = cand.map(_._1).toSet
+      val far = vecs.filter(!col("vec_id").isin(have.toSeq: _*))
+        .crossJoin(broadcast(candDf))
+        .select(col("vec_id"), col("v"), dist2(col("v"), col("cv")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("d2")).as("cost"), first(col("v")).as("v"))
+        .orderBy(desc("cost"), col("vec_id"))
+        .limit(l)
+        .select(col("vec_id"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      cand = (cand ++ far).sortBy(_._1)
+    }
+    // weight candidates by assigned corpus mass (one scan)
+    val candDf = cand.zipWithIndex
+      .map { case ((vid, v), i) => (i, vid, v) }.toDF("cid", "vid", "cv")
+    val wByCid = assign(vecs, candDf.select(col("cid"), col("cv")))
+      .groupBy(col("cid")).agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val weighted: Array[(Long, Array[Double], Double)] = cand.zipWithIndex.map {
+      case ((vid, v), i) => (vid, v.toArray, wByCid.getOrElse(i, 0L).toDouble)
+    }.toArray
+    // driver-local weighted Lloyd on the tiny candidate set: seeds are
+    // the k heaviest candidates (ties on vec_id), 10 rounds
+    val dim = weighted.head._2.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var seeds = weighted.sortBy { case (vid, _, w) => (-w, vid) }
+      .take(k).map(_._2.clone())
+    (1 to 10).foreach { _ =>
+      val sums = Array.fill(seeds.length)(new Array[Double](dim))
+      val mass = new Array[Double](seeds.length)
+      weighted.foreach { case (_, v, w) =>
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < seeds.length) {
+          val d = d2(v, seeds(j)); if (d < bestD) { bestD = d; best = j }; j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i) * w; i += 1 }
+        mass(best) += w
+      }
+      seeds = seeds.indices.map { j =>
+        if (mass(j) == 0.0) seeds(j)
+        else sums(j).map(_ / mass(j))
+      }.toArray
+    }
+    val seedDf = seeds.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toDF("cid", "cv")
+    refine(vecs, seedDf, iters)
   }
 }

@@ -148,7 +148,9 @@ object SnapshotLog {
       txns: Map[String, Long] = Map.empty,
       props: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
-      dropped: Set[String] = Set.empty) {
+      dropped: Set[String] = Set.empty,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty) {
     /** Physical parquet column for logical name `c`. */
     def phys(c: String): String = colmap.getOrElse(c, c)
     /** Physical names a NEW column may not claim: every live mapping
@@ -235,6 +237,37 @@ object SnapshotLog {
   /** Header line `#droppedcol <physical>` — one per tombstoned
     * physical column ([[Manifest.dropped]]). */
   private val DroppedTag = "#droppedcol"
+
+  /** Header line `#feature <name> <reader|writer>` — Delta-style TABLE
+    * FEATURES, the protocol gate. Stamped by [[tryCommit]] from the
+    * manifest's actual content (a DV-carrying commit requires the
+    * `deletionVectors` reader feature, etc.), and ENFORCED on both
+    * planes: a reader missing a required reader feature refuses the
+    * table at manifest parse ([[readManifestAt]]) instead of
+    * misreading it (resurrecting DV'd rows, exposing physical column
+    * names), and a writer missing a required writer feature refuses to
+    * commit ([[tryCommit]]) instead of corrupting invariants it cannot
+    * see (row-id high waters, constraint enforcement). Unlike the
+    * other `#`-header lines — which are deliberately grammar-invisible
+    * to older readers — this one is load-bearing for them: the
+    * `#feature` grammar itself predates every gated feature, so "old
+    * reader" means "knows `#feature`, lacks the named capability". */
+  private val FeatureTag = "#feature"
+
+  /** Reader features THIS engine implements. A manifest requiring
+    * anything else fails closed at read. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping")
+
+  /** Writer features THIS engine implements (a writer must also hold
+    * every reader feature — it reads before it writes). */
+  val SupportedWriterFeatures: Set[String] =
+    SupportedReaderFeatures ++ Set("rowTracking", "checkConstraints",
+      "identityColumns", "generatedColumns", "changeDataFeed", "bucketing")
+
+  /** Fail-closed protocol violation: the table requires a feature this
+    * engine (or a simulated older one) does not implement. */
+  final class ProtocolException(msg: String) extends RuntimeException(msg)
 
   /** The table property that turns on the change data feed for every
     * write path (Delta's `delta.enableChangeDataFeed`). */
@@ -741,6 +774,21 @@ object SnapshotLog {
         val droppedCols = text.split("\n").iterator
           .filter(_.startsWith(DroppedTag + "\t"))
           .map(l => dec(l.split("\t", 2)(1))).toSet
+        // protocol gate: refuse (don't misread) a table requiring a
+        // reader feature this engine lacks — see [[FeatureTag]]
+        val (readerFeats, writerFeats) = {
+          val fs0 = text.split("\n").iterator
+            .filter(_.startsWith(FeatureTag + "\t"))
+            .map { l => val a = l.split("\t", 3); (dec(a(1)), a(2)) }
+            .toSeq
+          (fs0.collect { case (n, "reader") => n }.toSet,
+            fs0.collect { case (n, "writer") => n }.toSet)
+        }
+        val missingR = readerFeats -- SupportedReaderFeatures
+        if (missingR.nonEmpty) throw new ProtocolException(
+          s"$base requires reader feature(s) this engine does not " +
+            s"implement: ${missingR.toSeq.sorted.mkString(", ")} — " +
+            "refusing to read rather than misread (upgrade the engine)")
         // sharded root: per-file lines live in immutable side files
         // (one hop — `#shard` per partition — or two on a two-level
         // root, `#sgroup` → `#shard`); load only the wanted
@@ -795,7 +843,8 @@ object SnapshotLog {
             })
         }.toMap
         Some(Manifest(v, files, stats, blooms, dvs, schemaJson, op,
-          constraints, txns, props, colmap, droppedCols))
+          constraints, txns, props, colmap, droppedCols,
+          readerFeats, writerFeats))
     }
   }
 
@@ -1278,14 +1327,54 @@ object SnapshotLog {
     m.copy(stats = enriched, props = m.props + (RowIdHighWaterProp -> hw.toString))
   }
 
+  /** Features the manifest's CONTENT requires of readers/writers —
+    * derived fresh on every commit (a table whose last DV was
+    * materialized away no longer needs the feature), never trusted
+    * from the caller. */
+  private def requiredFeatures(m: Manifest): (Set[String], Set[String]) = {
+    val reader =
+      (if (m.dvs.nonEmpty) Set("deletionVectors") else Set.empty[String]) ++
+        (if (m.colmap.nonEmpty || m.dropped.nonEmpty) Set("columnMapping")
+         else Set.empty[String])
+    val writer = reader ++
+      (if (m.rowTracking) Set("rowTracking") else Set.empty[String]) ++
+      (if (m.constraints.nonEmpty) Set("checkConstraints") else Set.empty[String]) ++
+      (if (m.identityCols.nonEmpty) Set("identityColumns") else Set.empty[String]) ++
+      (if (m.props.keys.exists(_.startsWith(GenColPrefix)))
+        Set("generatedColumns") else Set.empty[String]) ++
+      (if (m.cdfEnabled) Set("changeDataFeed") else Set.empty[String]) ++
+      (if (m.bucketSpec.isDefined) Set("bucketing") else Set.empty[String])
+    (reader, writer)
+  }
+
   def tryCommit(fs: FileSystem, base: Path, m0: Manifest): Boolean = {
+    // writer-side protocol gate: committing onto a table that requires
+    // a writer (or reader) feature this engine lacks would corrupt
+    // invariants it cannot see — read the gate from the PREVIOUS
+    // committed root directly so it cannot be lost through a caller's
+    // positional Manifest construction
+    prevRootText(fs, base, m0.version).foreach { prev =>
+      val req = prev.split("\n").iterator
+        .filter(_.startsWith(FeatureTag + "\t"))
+        .map { l => val a = l.split("\t", 3); (dec(a(1)), a(2)) }.toSeq
+      val missing =
+        (req.collect { case (n, "writer") => n }.toSet -- SupportedWriterFeatures) ++
+          (req.collect { case (n, "reader") => n }.toSet -- SupportedReaderFeatures)
+      if (missing.nonEmpty) throw new ProtocolException(
+        s"$base requires feature(s) this engine cannot write: " +
+          s"${missing.toSeq.sorted.mkString(", ")} — refusing to commit " +
+          "rather than corrupt state the features protect")
+    }
     val m = allocateRowBases(fs, base, m0)
     val dir = logDir(base)
     fs.mkdirs(dir)
     val target = new Path(dir, vName(m.version))
     if (fs.exists(target)) return false
+    val (needR, needW) = requiredFeatures(m)
     val header = m.schemaJson
       .map(j => s"$SchemaTag\t${enc(j)}\n").getOrElse("") +
+      (needR.toSeq.sorted.map(f => s"$FeatureTag\t${enc(f)}\treader\n") ++
+        needW.toSeq.sorted.map(f => s"$FeatureTag\t${enc(f)}\twriter\n")).mkString +
       m.op.map(o => s"$OpTag\t${enc(o)}\n").getOrElse("") +
       m.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
         s"$ConstraintTag\t${enc(n)}\t${enc(sql)}\n"

@@ -46,6 +46,13 @@ object Probe {
         println(f"[probe] $n best: ${times.min}%.2fs  (${times.map(t => f"$t%.2f").mkString(", ")})")
       } catch {
         case e: Throwable => println(s"[probe] $n FAILED: ${e.getMessage}")
+      } finally {
+        // ALL = the per-round pathology scan: drop each query's
+        // persisted intermediates so a 190-query sweep doesn't carry
+        // dead cached plans in storage memory (same hygiene as Verify).
+        // Comma-list mode deliberately KEEPS caches — it exists for
+        // interference experiments.
+        if (name == "ALL") spark.catalog.clearCache()
       }
     }
     spark.stop()

@@ -114,6 +114,25 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("manifest-stats planning: a small catalog table auto-broadcasts, AQE off") {
+    root // force setup
+    // no file listing, no footer reads: the relation's sizeInBytes
+    // synthesizes from the manifest's recorded byte lengths, so the
+    // STATIC planner (AQE off — no runtime re-plan to save us) must
+    // already know the by-name table is under the broadcast threshold
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val big = s.range(0, 200000).select(
+        (col("id") % 300 + 1).as("id"), col("id").as("payload"))
+      val joined = big.join(s.table("graft.db1.t1"), Seq("id"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"small catalog-name table must broadcast from manifest stats:\n$p")
+      assert(joined.count() > 0)
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("without the substitution rule, reads fail closed (never DV-less)") {
     root // force setup
     // the base session has the catalog confs (shared SparkContext conf
