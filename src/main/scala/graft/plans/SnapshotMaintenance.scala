@@ -507,42 +507,11 @@ case class SnapshotAddColumnsCommand(view: String, newCols: StructType)
     AttributeReference("columns", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (path, _) = SnapshotMaintenance.target(view)
-    val bp = new org.apache.hadoop.fs.Path(path)
-    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var attempt = 0
-    while (attempt < 5) {
-      val m = SnapshotLog.readManifest(fs, bp).getOrElse(
-        sys.error(s"$view has no committed version"))
-      val cur = m.schema.getOrElse(sys.error(
-        s"$view has no schema header (legacy manifest) — any write, or " +
-          "ANALYZE … COMPUTE STATISTICS, records one first"))
-      val dups = newCols.fieldNames.filter(n =>
-        cur.fieldNames.exists(_.equalsIgnoreCase(n)))
-      require(dups.isEmpty,
-        s"column(s) already exist on $view: ${dups.mkString(", ")}")
-      val evolved = StructType(
-        cur.fields ++ newCols.fields.map(_.copy(nullable = true)))
-      val version = math.max(m.version,
-        SnapshotLog.currentVersion(fs, bp)) + 1
-      // column mapping: a re-added name whose identity physical slot
-      // is tombstoned (DROP COLUMN) or claimed (RENAME target) maps
-      // to a FRESH physical name — old files' bytes under the old
-      // slot must never resurrect as the new column's values
-      val freshMap = newCols.fieldNames.toSeq
-        .filter(n => m.taintedPhys.contains(n))
-        .map(n => n -> s"${n}__c$version").toMap
-      if (SnapshotLog.tryCommit(fs, bp, m.copy(version = version,
-          schemaJson = Some(evolved.json), op = Some("ADD_COLUMNS"),
-          colmap = m.colmap ++ freshMap))) {
-        SnapshotDml.repin(spark, view)
-        return Seq(Row("ADD COLUMNS", version,
-          newCols.fields.map(f => s"${f.name} ${f.dataType.sql}")
-            .mkString(", ")))
-      }
-      attempt += 1
-    }
-    throw new IllegalStateException(
-      s"ADD COLUMNS lost 5 commit races on $view")
+    val version = SnapshotLog.addColumns(spark, path, newCols)
+    SnapshotDml.repin(spark, view)
+    Seq(Row("ADD COLUMNS", version,
+      newCols.fields.map(f => s"${f.name} ${f.dataType.sql}")
+        .mkString(", ")))
   }
 }
 

@@ -152,9 +152,45 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "use SnapshotLog.setProperties / schema evolution commits")
+  /** `ALTER TABLE graft.ns.t …` — routed to the SAME metadata commits
+    * the Scala API makes (one tryCommit each, versioned, RESTORE-able):
+    * SET/UNSET TBLPROPERTIES, ADD COLUMNS (nullable, appended), RENAME
+    * COLUMN (column mapping — zero files rewritten), DROP COLUMN
+    * (tombstone). Properties batch into one commit per statement;
+    * column changes commit one version each, like Delta. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val base = dirOf(ident).toString
+    if (!tableExists(ident))
+      throw new NoSuchTableException(ident)
+    val setProps = changes.collect {
+      case sp: TableChange.SetProperty => sp.property -> sp.value
+    }.toMap
+    if (setProps.nonEmpty) SnapshotLog.setProperties(spark, base, setProps)
+    val unsetProps = changes.collect {
+      case rp: TableChange.RemoveProperty => rp.property
+    }
+    if (unsetProps.nonEmpty) SnapshotLog.unsetProperties(spark, base, unsetProps)
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"graft tables have no nested columns to $what: ${fieldNames.mkString(".")}")
+      fieldNames.head
+    }
+    changes.foreach {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case ac: TableChange.AddColumn =>
+        SnapshotLog.addColumns(spark, base, StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            topLevel(ac.fieldNames(), "add"), ac.dataType, nullable = true))))
+      case rc: TableChange.RenameColumn =>
+        SnapshotLog.renameColumn(spark, base,
+          topLevel(rc.fieldNames(), "rename"), rc.newName())
+      case dc: TableChange.DeleteColumn =>
+        SnapshotLog.dropColumn(spark, base, topLevel(dc.fieldNames(), "drop"))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported on graft tables: $other")
+    }
+    loadTable(ident)
+  }
 
   /** DROP TABLE: managed-directory semantics (the catalog owns
     * `<root>/ns/t`) — deletes the table directory, history included.

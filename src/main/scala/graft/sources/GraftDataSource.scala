@@ -24,7 +24,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rather than bypassing deletion vectors. */
 final class GraftDataSource extends TableProvider with DataSourceRegister
   with org.apache.spark.sql.sources.CreatableRelationProvider
-  with org.apache.spark.sql.sources.StreamSourceProvider {
+  with org.apache.spark.sql.sources.StreamSourceProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -195,4 +196,49 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       : org.apache.spark.sql.execution.streaming.Source =
     graft.streaming.CommitLogStream.sourceFor(
       sqlContext.sparkSession, schema, parameters)
+
+  // ---- df.writeStream.format("graft").start(path) --------------------
+  // The exactly-once commit-log sink (graft.streaming.CommitLogSink —
+  // transaction watermarks make re-delivered micro-batches no-ops),
+  // unified under the format name. The partition column resolves like
+  // the batch write surface: existing table property, then
+  // `partitionBy(c)`, then the partCol/partitionCol options.
+
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val base = parameters.getOrElse("path",
+      sys.error("format(\"graft\") sink needs .start(<table dir>)"))
+    require(partitionColumns.size <= 1,
+      "graft tables partition by exactly one column")
+    val spark = sqlContext.sparkSession
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partCol = SnapshotLog.readManifest(fs, bp)
+      .flatMap(_.props.get(SnapshotLog.PartColProp))
+      .orElse(partitionColumns.headOption)
+      .orElse(parameters.get("partCol"))
+      .orElse(parameters.get(WriteIntoGraft.PartitionColOption))
+      .getOrElse(sys.error(
+        s"graft sink to $base needs a partition column: partitionBy(col), " +
+          s"option(\"partCol\", col), or the table property " +
+          SnapshotLog.PartColProp))
+    val keys = parameters.get("keys").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new graft.streaming.CommitLogSink(
+      path = base,
+      partCol = partCol,
+      keys = keys,
+      orderCol = parameters.get("orderCol"),
+      opCol = parameters.get("opCol"),
+      appIdOpt = parameters.get("appId"),
+      statsCols = parameters.get("statsCols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      writeCdf = parameters.get("cdf").exists(_.toBoolean),
+      autoCompactFiles = parameters.get("autoCompactFiles")
+        .map(_.toInt).getOrElse(0))
+  }
 }

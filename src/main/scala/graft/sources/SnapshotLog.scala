@@ -4526,6 +4526,47 @@ object SnapshotLog {
   }
 
   /** UNSET table properties by key — metadata-only commit. */
+  /** ADD COLUMNS — metadata-only schema evolution: the manifest's
+    * schema header widens (new fields nullable, appended), ZERO data
+    * files touched. Existing rows read the new columns as NULL
+    * (parquet backfills missing columns). A re-added name whose
+    * identity physical slot is tombstoned (DROP COLUMN) or claimed
+    * (RENAME target) maps to a FRESH physical name — old files' bytes
+    * under the old slot must never resurrect as the new column's
+    * values. Returns the committed version. */
+  def addColumns(
+      spark: SparkSession, base: String,
+      newCols: org.apache.spark.sql.types.StructType,
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"$base has no committed version"))
+      val cur = m.schema.getOrElse(sys.error(
+        s"$base has no schema header (legacy manifest) — any write, or " +
+          "ANALYZE … COMPUTE STATISTICS, records one first"))
+      val dups = newCols.fieldNames.filter(n =>
+        cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(dups.isEmpty,
+        s"column(s) already exist on $base: ${dups.mkString(", ")}")
+      val evolved = org.apache.spark.sql.types.StructType(
+        cur.fields ++ newCols.fields.map(_.copy(nullable = true)))
+      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val freshMap = newCols.fieldNames.toSeq
+        .filter(n => m.taintedPhys.contains(n))
+        .map(n => n -> s"${n}__c$version").toMap
+      if (tryCommit(fs, bp, m.copy(version = version,
+          schemaJson = Some(evolved.json), op = Some("ADD_COLUMNS"),
+          colmap = m.colmap ++ freshMap)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"ADD COLUMNS lost $maxRetries commit races on $base")
+  }
+
   def unsetProperties(
       spark: SparkSession, base: String, keys: Seq[String],
       maxRetries: Int = 5): Long = {

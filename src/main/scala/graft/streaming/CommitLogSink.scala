@@ -112,8 +112,12 @@ class CommitLogSink(
     val batch = GraftSqlShim.internalDf(
       spark, data.queryExecution.toRdd, data.schema, isStreaming = false)
     if (keys.isEmpty)
+      // propsAdd: a sink-created table records its partition column
+      // (existing values win inside appendBatch, so a concurrent ALTER
+      // is never undone)
       SnapshotLog.appendBatch(spark, path, batch, partCol, batchId,
-        overwrite = false, maxRetries = 5, txn = Some((appId, batchId)))
+        overwrite = false, maxRetries = 5, txn = Some((appId, batchId)),
+        propsAdd = Map(SnapshotLog.PartColProp -> partCol))
     else
       SnapshotLog.upsertBatch(spark, path, batch, keys,
         orderCol.getOrElse(keys.head), partCol, batchId,

@@ -205,4 +205,38 @@ class DsvWriteSpec extends SparkSpec {
     assert(s.sql("SHOW TABLES IN graft_w.db").collect()
       .map(_.getString(1)).toSet == Set("t1"))
   }
+
+  test("ALTER TABLE through the catalog: properties, add/rename/drop column") {
+    val root = Files.createTempDirectory("graft_walter").toString
+    s.conf.set("spark.sql.catalog.graft_wa", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_wa.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_wa.db")
+    rowsDf(30).createOrReplaceTempView("wa_src")
+    s.sql("""CREATE TABLE graft_wa.db.t USING graft PARTITIONED BY (day)
+             AS SELECT id, value, day FROM wa_src""")
+    val base = s"$root/db/t"
+
+    s.sql("ALTER TABLE graft_wa.db.t SET TBLPROPERTIES ('owner.team' = 'etl')")
+    assert(manifest(base).props.get("owner.team").contains("etl"))
+    s.sql("ALTER TABLE graft_wa.db.t UNSET TBLPROPERTIES ('owner.team')")
+    assert(!manifest(base).props.contains("owner.team"))
+
+    // ADD COLUMNS: metadata-only, existing rows read NULL
+    s.sql("ALTER TABLE graft_wa.db.t ADD COLUMNS (note STRING)")
+    val withNote = s.sql("SELECT * FROM graft_wa.db.t")
+    assert(withNote.columns.toSeq == Seq("id", "value", "day", "note"))
+    assert(withNote.filter(col("note").isNotNull).count() == 0)
+
+    // RENAME COLUMN: column mapping, zero files rewritten
+    val filesBefore = manifest(base).allFiles.toSet
+    s.sql("ALTER TABLE graft_wa.db.t RENAME COLUMN value TO amount")
+    assert(manifest(base).allFiles.toSet == filesBefore,
+      "a rename must not rewrite data files")
+    assert(s.sql("SELECT SUM(amount) FROM graft_wa.db.t").head.getDouble(0) > 0)
+
+    // DROP COLUMN: tombstone; the column disappears from reads
+    s.sql("ALTER TABLE graft_wa.db.t DROP COLUMN note")
+    assert(s.sql("SELECT * FROM graft_wa.db.t").columns.toSeq ==
+      Seq("id", "amount", "day"))
+  }
 }
