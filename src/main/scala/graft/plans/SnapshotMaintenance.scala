@@ -907,7 +907,11 @@ case class SnapshotDetailCommand(view: String)
     AttributeReference("n_deleted_rows", LongType, nullable = false)(),
     AttributeReference("partition_col", StringType, nullable = false)(),
     AttributeReference("n_constraints", LongType, nullable = false)(),
-    AttributeReference("n_txns", LongType, nullable = false)())
+    AttributeReference("n_txns", LongType, nullable = false)(),
+    // protocol table features the snapshot requires (comma-joined,
+    // sorted) — Delta's DESCRIBE DETAIL tableFeatures analog
+    AttributeReference("reader_features", StringType, nullable = false)(),
+    AttributeReference("writer_features", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val (path, partCol) = SnapshotMaintenance.target(view)
     val bp = new org.apache.hadoop.fs.Path(path)
@@ -924,7 +928,9 @@ case class SnapshotDetailCommand(view: String)
       m.files.size.toLong, m.allFiles.size.toLong, bytes,
       SnapshotLog.countRows(m).getOrElse(-1L),
       m.dvs.values.map(_.count).sum,
-      partCol, m.constraints.size.toLong, m.txns.size.toLong))
+      partCol, m.constraints.size.toLong, m.txns.size.toLong,
+      m.readerFeatures.toSeq.sorted.mkString(","),
+      m.writerFeatures.toSeq.sorted.mkString(",")))
   }
 }
 

@@ -5091,13 +5091,74 @@ object Relational2 {
       FROM appended
       """))
 
+  /** `ALTER TABLE graft.ns.t` through the DSv2 catalog, graded by what
+    * a reader sees afterwards: ADD COLUMNS backfills NULL on existing
+    * rows, RENAME COLUMN re-points the name with ZERO files rewritten
+    * (column mapping — the file-set identity is asserted in-engine),
+    * DROP COLUMN tombstones, and a post-ALTER write lands values into
+    * the renamed/added columns. The oracle recomputes the final state
+    * from the source data alone. */
+  val q124CatalogAlter: Q = Q(
+    "q124_catalog_alter",
+    "catalog ALTER TABLE: add/rename/drop column + post-ALTER write, reader-visible",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root = java.nio.file.Files.createTempDirectory("graft_a124").toString
+      s.conf.set("spark.sql.catalog.graft_a124",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_a124.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_a124.db")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .createOrReplaceTempView("a124_src")
+      s.sql("""CREATE TABLE graft_a124.db.t USING graft
+               PARTITIONED BY (o_orderstatus)
+               AS SELECT * FROM a124_src WHERE o_orderkey % 2 = 0""")
+      val base = s"$root/db/t"
+      val filesBefore = {
+        val bp = new org.apache.hadoop.fs.Path(base)
+        SnapshotLog.readManifest(
+          bp.getFileSystem(s.sparkContext.hadoopConfiguration), bp).get
+          .allFiles.toSet
+      }
+      s.sql("ALTER TABLE graft_a124.db.t ADD COLUMNS (note STRING)")
+      s.sql("ALTER TABLE graft_a124.db.t RENAME COLUMN o_totalprice TO price")
+      val filesAfter = {
+        val bp = new org.apache.hadoop.fs.Path(base)
+        SnapshotLog.readManifest(
+          bp.getFileSystem(s.sparkContext.hadoopConfiguration), bp).get
+          .allFiles.toSet
+      }
+      require(filesAfter == filesBefore,
+        "ADD COLUMNS + RENAME COLUMN must not rewrite a single data file")
+      // post-ALTER write: odd keys land with the NEW names
+      s.sql("""INSERT INTO graft_a124.db.t
+               SELECT o_orderkey, o_totalprice, o_orderstatus, 'late' AS note
+               FROM a124_src WHERE o_orderkey % 2 = 1""")
+      s.sql("ALTER TABLE graft_a124.db.t DROP COLUMN o_orderkey")
+      s.sql("""
+        SELECT o_orderstatus, coalesce(note, 'backfilled') AS note,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(price AS DECIMAL(38,4))) AS DOUBLE) AS total
+        FROM graft_a124.db.t GROUP BY o_orderstatus, coalesce(note, 'backfilled')
+      """)
+    },
+    Some("""
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 2 = 1 THEN 'late' ELSE 'backfilled' END AS note,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
     q111PipeSyntax, q112ExecImmediate, q113SqlUdfs, q114TryFunctions,
     q115FusedQa, q116StreamSessions, q117CatalogRead, q118RowTracking,
     q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere, q122DsvWrite,
-    q123FormatStream,
+    q123FormatStream, q124CatalogAlter,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

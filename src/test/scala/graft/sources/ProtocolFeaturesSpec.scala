@@ -108,5 +108,12 @@ class ProtocolFeaturesSpec extends SparkSpec {
     SnapshotLog.appendBatch(spark, base,
       Seq((99L, 9.9, "d0")).toDF("id", "value", "day"), "day", batchId = 2)
     assert(SnapshotLog.read(spark, base).get.count() == 31)
+    // DESCRIBE DETAIL surfaces the requirement (Delta's tableFeatures)
+    val s = graft.GraftSessions.withExtensions(spark)
+    val view = Catalog.registerSnapshotLog(s, "feat4", "t", base, Some("day"))
+    val det = s.sql(s"DESCRIBE DETAIL $view").collect().head
+    assert(det.getAs[String]("writer_features").split(",").toSet ==
+      Set("changeDataFeed", "checkConstraints", "rowTracking"))
+    assert(det.getAs[String]("reader_features") == "")
   }
 }
