@@ -57,11 +57,45 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def deepest(p: LogicalPlan): Option[String] = p match {
       case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
         Some(u.multipartIdentifier.head)
-      case _: UnresolvedRelation => None
+      case u: UnresolvedRelation => catalogDmlTarget(u.multipartIdentifier)
       case SubqueryAlias(ident, child) => deepest(child).orElse(Some(ident.name))
       case _ => None
     }
     deepest(table).filter(Catalog.dmlTarget(_).isDefined)
+  }
+
+  /** DML on a THREE-PART name through a configured [[graft.sources.GraftCatalog]]
+    * — `DELETE FROM graft.ns.t WHERE …` / UPDATE / MERGE — resolved to
+    * the same machinery the registered views use: the table directory
+    * and partition column come from the catalog + manifest
+    * ([[graft.sources.SnapshotLog.PartColProp]]), and the target
+    * registers on the fly (idempotent; the synthetic view the
+    * registration pins is an implementation detail — catalog reads
+    * keep going through the catalog). This rule fires at HINT
+    * resolution, before Spark's own relation resolution would turn
+    * the name into a v2 relation that only supports v2 row-level
+    * plans. */
+  private def catalogDmlTarget(parts: Seq[String]): Option[String] = {
+    if (parts.size < 3) return None
+    val gc = try {
+      spark.sessionState.catalogManager.catalog(parts.head) match {
+        case g: graft.sources.GraftCatalog => g
+        case _ => return None
+      }
+    } catch { case _: Exception => return None }
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      parts.tail.init.toArray, parts.last)
+    try {
+      gc.loadTable(ident) match {
+        case t: graft.sources.GraftSnapshotTable =>
+          t.partCol.map { pc =>
+            Catalog.registerSnapshotLog(spark,
+              ("graftcat__" + parts.init.mkString("__")).toLowerCase,
+              parts.last.toLowerCase, t.base, Some(pc))
+          }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
   }
 
   /** SQL text of `e` with attribute QUALIFIERS stripped: by the time

@@ -252,7 +252,28 @@ final class GraftSnapshotTable(
     manifest: SnapshotLog.Manifest,
     ident: Identifier) extends Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `TRUNCATE TABLE graft.ns.t` — delete-everything as ONE versioned
+    * commit: routed through [[SnapshotLog.deleteWhere]] with a TRUE
+    * predicate, which takes the partition-metadata fast path (every
+    * partition drops from the manifest, zero data files read or
+    * rewritten — unless the table publishes CDF, in which case the
+    * dropped rows feed as typed deletes, the same contract every other
+    * delete keeps). Schema, properties, constraints, and history all
+    * survive; RESTORE undoes it. */
+  override def truncateTable(): Boolean = {
+    require(versionAsOf.isEmpty,
+      s"$base: cannot truncate a time-traveled snapshot")
+    val spark = SparkSession.active
+    val pc = partCol.getOrElse(sys.error(
+      s"TRUNCATE on $base needs the ${SnapshotLog.PartColProp} table " +
+        "property (every write surface stamps it; ALTER TABLE … SET " +
+        "TBLPROPERTIES adds it to legacy tables)"))
+    SnapshotLog.deleteWhere(spark, base,
+      org.apache.spark.sql.functions.lit(true), pc).isDefined
+  }
 
   /** Partition column, when the table carries it as a property
     * ([[SnapshotLog.PartColProp]]) — enables partition-predicate file

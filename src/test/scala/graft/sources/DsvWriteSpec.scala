@@ -238,5 +238,37 @@ class DsvWriteSpec extends SparkSpec {
     s.sql("ALTER TABLE graft_wa.db.t DROP COLUMN note")
     assert(s.sql("SELECT * FROM graft_wa.db.t").columns.toSeq ==
       Seq("id", "amount", "day"))
+
+    // SQL row-level DML on the THREE-PART catalog name: routed through
+    // the same commit-log writers as the registered views
+    s.sql("DELETE FROM graft_wa.db.t WHERE id % 2 = 0")
+    assert(s.sql("SELECT COUNT(*) FROM graft_wa.db.t").head.getLong(0) == 15)
+    s.sql("UPDATE graft_wa.db.t SET amount = amount * 0 WHERE id = 1")
+    assert(s.sql(
+      "SELECT COUNT(*) FROM graft_wa.db.t WHERE amount = 0").head.getLong(0) == 1)
+    s.sql("""MERGE INTO graft_wa.db.t t USING
+               (SELECT id, value AS amount, day FROM wa_src WHERE id <= 4) s
+             ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+    assert(s.sql("SELECT COUNT(*) FROM graft_wa.db.t").head.getLong(0) == 17,
+      "MERGE upserts through the catalog name (2 updates, 2 inserts)")
+
+    // CREATE OR REPLACE TABLE: drop + recreate through the catalog
+    s.sql("""CREATE OR REPLACE TABLE graft_wa.db.t USING graft
+             PARTITIONED BY (day)
+             AS SELECT id, value, day FROM wa_src WHERE id <= 5""")
+    assert(s.sql("SELECT COUNT(*) FROM graft_wa.db.t").head.getLong(0) == 5)
+
+    // TRUNCATE: one metadata commit, schema/props/history survive
+    val vBefore = manifest(base).version
+    s.sql("TRUNCATE TABLE graft_wa.db.t")
+    assert(s.sql("SELECT COUNT(*) FROM graft_wa.db.t").head.getLong(0) == 0)
+    val mT = manifest(base)
+    assert(mT.files.isEmpty && mT.schema.isDefined &&
+      mT.props.get(SnapshotLog.PartColProp).contains("day"))
+    assert(mT.version == vBefore + 1, "TRUNCATE is one versioned commit")
+    assert(s.sql(s"SELECT COUNT(*) FROM graft_wa.db.t VERSION AS OF $vBefore")
+      .head.getLong(0) == 5, "history survives a TRUNCATE")
   }
 }
