@@ -5152,13 +5152,90 @@ object Relational2 {
       FROM orders GROUP BY 1, 2
       """))
 
+  /** Row-level SQL DML addressed by the THREE-PART catalog name —
+    * `DELETE FROM graft.ns.t` / `UPDATE` / `MERGE INTO` / `TRUNCATE`
+    * with no per-session view registration anywhere — graded against a
+    * DuckDB recompute of the same edits. The TRUNCATE facet also
+    * proves history survives (time travel back to the pre-truncate
+    * version). */
+  val q125CatalogDml: Q = Q(
+    "q125_catalog_dml",
+    "DELETE/UPDATE/MERGE/TRUNCATE on graft.ns.t catalog names",
+    (s0, d) => {
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root = java.nio.file.Files.createTempDirectory("graft_d125").toString
+      s.conf.set("spark.sql.catalog.graft_d125",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_d125.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_d125.db")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .createOrReplaceTempView("d125_src")
+      s.sql("""CREATE TABLE graft_d125.db.t USING graft
+               PARTITIONED BY (o_orderstatus)
+               AS SELECT * FROM d125_src""")
+      s.sql("DELETE FROM graft_d125.db.t WHERE o_orderkey % 7 = 0")
+      s.sql("""UPDATE graft_d125.db.t SET o_totalprice = o_totalprice * 2
+               WHERE o_orderstatus = 'O' AND o_orderkey % 5 = 0""")
+      s.sql("""MERGE INTO graft_d125.db.t t USING
+                 (SELECT o_orderkey + 900000000 AS o_orderkey,
+                         o_totalprice, o_orderstatus
+                  FROM d125_src WHERE o_orderkey % 97 = 0) s
+               ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+      // re-run the identical MERGE: now every source row MATCHES (the
+      // first run inserted them) and updates to the same values —
+      // exercises the matched branch and proves upsert idempotence
+      s.sql("""MERGE INTO graft_d125.db.t t USING
+                 (SELECT o_orderkey + 900000000 AS o_orderkey,
+                         o_totalprice, o_orderstatus
+                  FROM d125_src WHERE o_orderkey % 97 = 0) s
+               ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+      // TRUNCATE on a second table: live = 0, history intact
+      s.sql("""CREATE TABLE graft_d125.db.tt USING graft
+               PARTITIONED BY (o_orderstatus)
+               AS SELECT * FROM d125_src""")
+      s.sql("TRUNCATE TABLE graft_d125.db.tt")
+      val nLive = s.sql("SELECT COUNT(*) FROM graft_d125.db.tt")
+        .head.getLong(0)
+      val nBack = s.sql("SELECT COUNT(*) FROM graft_d125.db.tt VERSION AS OF 2")
+        .head.getLong(0)
+      s.sql(s"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        FROM graft_d125.db.t GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'truncated', $nLive, CAST($nBack AS DOUBLE)
+      """)
+    },
+    Some("""
+      WITH edited AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 900000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM edited GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'truncated', 0, (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders)
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
     q111PipeSyntax, q112ExecImmediate, q113SqlUdfs, q114TryFunctions,
     q115FusedQa, q116StreamSessions, q117CatalogRead, q118RowTracking,
     q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere, q122DsvWrite,
-    q123FormatStream, q124CatalogAlter,
+    q123FormatStream, q124CatalogAlter, q125CatalogDml,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,
