@@ -5201,7 +5201,9 @@ object Relational2 {
       s.sql("TRUNCATE TABLE graft_d125.db.tt")
       val nLive = s.sql("SELECT COUNT(*) FROM graft_d125.db.tt")
         .head.getLong(0)
-      val nBack = s.sql("SELECT COUNT(*) FROM graft_d125.db.tt VERSION AS OF 2")
+      // atomic CTAS (StagingTableCatalog): schema + data land as ONE
+      // commit — version 1 IS the full snapshot
+      val nBack = s.sql("SELECT COUNT(*) FROM graft_d125.db.tt VERSION AS OF 1")
         .head.getLong(0)
       s.sql(s"""
         SELECT o_orderstatus,

@@ -60,7 +60,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path. `ALTER TABLE`/`RENAME` still route through
   * [[SnapshotLog.setProperties]] and friends.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -158,6 +159,58 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * COLUMN (column mapping — zero files rewritten), DROP COLUMN
     * (tombstone). Properties batch into one commit per statement;
     * column changes commit one version each, like Delta. */
+  // ---- ATOMIC CTAS / RTAS (StagingTableCatalog, Delta's shape) -------
+  // Spark plans CREATE TABLE AS / REPLACE TABLE AS / CREATE OR REPLACE
+  // through stage* when the catalog is a StagingTableCatalog: the old
+  // table stays fully readable until the staged write's ONE tryCommit
+  // lands (no drop-then-recreate window), a failed query aborts with
+  // the table untouched (staged files are vacuum-reclaimable orphans),
+  // and REPLACE preserves table HISTORY — it commits a new version
+  // (time travel reaches back across it) instead of erasing the
+  // directory.
+
+  private def stage(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String],
+      mustNotExist: Boolean, mustExist: Boolean): GraftStagedTable = {
+    val dir = dirOf(ident)
+    val exists = isTable(dir)
+    if (mustNotExist && exists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+    if (mustExist && !exists) throw new NoSuchTableException(ident)
+    val partColT = WriteIntoGraft.partColOf(partitions)
+    partColT.foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"partition column '$c' is not in the table schema"))
+    val props = properties.asScala.toMap
+      .filterNot { case (k, _) => reservedProps(k.toLowerCase) } ++
+      partColT.map(SnapshotLog.PartColProp -> _)
+    new GraftStagedTable(spark, dir.toString, schema, partitions, props,
+      replaceExisting = exists)
+  }
+
+  override def stageCreate(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties,
+      mustNotExist = true, mustExist = false)
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties,
+      mustNotExist = false, mustExist = true)
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties,
+      mustNotExist = false, mustExist = false)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val base = dirOf(ident).toString
     if (!tableExists(ident))

@@ -199,6 +199,109 @@ final class GraftWriteBuilder(
   }
 }
 
+/** The staged table behind ATOMIC CTAS/RTAS
+  * ([[GraftCatalog.stageCreate]]/stageReplace/stageCreateOrReplace):
+  * the query's rows land through the normal transactional write —
+  * create = a version-1 append, replace = a full-snapshot OVERWRITE
+  * commit (history preserved; the pre-replace version stays time-
+  * travelable) — so "commit staged changes" is the same single
+  * `tryCommit` every write makes, and an aborted CTAS leaves either
+  * nothing (create) or the old table untouched (replace); staged data
+  * files of an aborted write are vacuum-reclaimable orphans.
+  *
+  * REPLACE property semantics (documented deviation from Delta's
+  * reset-everything): declared properties and the declared PARTITIONED
+  * BY override, undeclared existing properties survive — the format
+  * keeps bookkeeping properties (identity high-waters, row-id bases)
+  * whose erasure would corrupt the features they serve. Column-mapping
+  * state (renames/tombstones) RESETS on REPLACE — it belongs to the
+  * old schema world, and without the reset a new column re-using a
+  * once-renamed name would be rejected as a physical-slot collision;
+  * the pre-replace manifests keep their own colmap headers, so time
+  * travel across the replace reads the old versions correctly. */
+final class GraftStagedTable(
+    spark: SparkSession,
+    base: String,
+    declaredSchema: StructType,
+    transforms: Array[Transform],
+    declaredProps: Map[String, String],
+    replaceExisting: Boolean)
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+  with SupportsWrite {
+
+  private val partCol = WriteIntoGraft.partColOf(transforms)
+  @volatile private var wrote = false
+
+  override def name(): String = s"graft.`$base` (staged)"
+  override def schema(): StructType = declaredSchema
+  override def partitioning(): Array[Transform] = transforms
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.TRUNCATE)
+  override def properties(): util.Map[String, String] = declaredProps.asJava
+
+  // SupportsOverwrite because the atomic RTAS exec plans the staged
+  // write as truncate/overwrite-by-TRUE; the replace-vs-create
+  // distinction already lives in `replaceExisting`, so the filters
+  // carry no extra information here.
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwrite {
+      override def overwrite(filters: Array[Filter]): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: Dataset[Row], overwrite: Boolean): Unit = {
+              commitRows(data.toDF()); ()
+            }
+          }
+      }
+    }
+
+  private def commitRows(data: DataFrame): Unit = {
+    val pc = partCol.getOrElse(sys.error(
+      s"graft CTAS to $base needs PARTITIONED BY (exactly one column)"))
+    SnapshotLog.appendBatch(spark, base, data, pc, batchId = 0L,
+      overwrite = replaceExisting, propsAdd = declaredProps,
+      resetColumnState = replaceExisting)
+    reconcileProps()
+    wrote = true
+  }
+
+  /** Declared properties override on REPLACE (appendBatch's propsAdd
+    * is existing-wins by design — right for first-write stamping,
+    * wrong for an explicit REPLACE declaration). One extra metadata
+    * commit, only when something actually differs. */
+  private def reconcileProps(): Unit = if (replaceExisting) {
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = SnapshotLog.readManifest(fs, bp).map(_.props).getOrElse(Map.empty)
+    val diff = declaredProps.filter { case (k, v) => !cur.get(k).contains(v) }
+    if (diff.nonEmpty) SnapshotLog.setProperties(spark, base, diff)
+  }
+
+  /** A DDL-only CREATE/REPLACE (no AS SELECT) never calls insert —
+    * commit the declared empty shape here. */
+  override def commitStagedChanges(): Unit = if (!wrote) {
+    if (!replaceExisting) {
+      if (!SnapshotLog.createTable(spark, base, declaredSchema, declaredProps))
+        sys.error(s"$base: lost the create race")
+    } else {
+      import org.apache.spark.sql.functions.col
+      // REPLACE to the declared (possibly different) schema with no
+      // rows: an overwrite commit of an empty, schema-typed frame
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), declaredSchema)
+        .select(declaredSchema.fieldNames.map(col): _*)
+      commitRows(empty)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = ()
+}
+
 /** A graft table that does not exist yet, addressed for WRITING:
   * `df.write.format("graft").save(<fresh path>)` resolves here (the
   * provider has no manifest to build a [[GraftSnapshotTable]] from).

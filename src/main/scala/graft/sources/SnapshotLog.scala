@@ -1931,7 +1931,16 @@ object SnapshotLog {
       txn: Option[(String, Long)] = None,
       txnsAdd: Map[String, Long] = Map.empty,
       writeCdf: Boolean = false,
-      propsAdd: Map[String, String] = Map.empty): Long = {
+      propsAdd: Map[String, String] = Map.empty,
+      resetColumnState: Boolean = false): Long = {
+    // resetColumnState (REPLACE TABLE semantics, only with overwrite):
+    // the replaced snapshot's column-mapping state — renames and
+    // tombstones — belongs to the OLD schema world; the new files
+    // stage under identity mapping and the committed manifest starts
+    // clean. Historical manifests keep their own colmap headers, so
+    // time travel across the replace stays correct.
+    require(!resetColumnState || overwrite,
+      "resetColumnState is REPLACE semantics — requires overwrite")
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val m0 = readManifest(fs, bp)
@@ -1964,7 +1973,10 @@ object SnapshotLog {
     var replacedM: Option[Manifest] = None
     val allTxns = txnsAdd ++ txn
     while (committedV < 0 && attempt < maxRetries) {
-      val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
+      val m0Read = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
+      val m = if (resetColumnState)
+        m0Read.copy(colmap = Map.empty, dropped = Set.empty)
+      else m0Read
       // exactly-once gate (see upsertBatch): a fully-replayed batch
       // reports the version that already holds it. With MULTIPLE
       // watermark keys (COPY INTO passes one per source file) a
@@ -2030,7 +2042,10 @@ object SnapshotLog {
         // surface stamps PartColProp on first write) — existing values
         // win so a concurrent ALTER is never silently undone
         propsAdd ++ m.props ++ stagedHw, m.colmap, m.dropped)
-      if (tryCommit(fs, bp, next)) { committedV = version; replacedM = Some(m) }
+      // the replaced snapshot's CDF delete feed must read the OLD
+      // files under their OWN column mapping — keep the unstripped
+      // manifest for it
+      if (tryCommit(fs, bp, next)) { committedV = version; replacedM = Some(m0Read) }
       attempt += 1
     }
     if (committedV < 0) throw new IllegalStateException(

@@ -254,11 +254,19 @@ class DsvWriteSpec extends SparkSpec {
     assert(s.sql("SELECT COUNT(*) FROM graft_wa.db.t").head.getLong(0) == 17,
       "MERGE upserts through the catalog name (2 updates, 2 inserts)")
 
-    // CREATE OR REPLACE TABLE: drop + recreate through the catalog
+    // CREATE OR REPLACE TABLE: ATOMIC (StagingTableCatalog) — one
+    // overwrite commit, no drop-then-recreate window, history preserved
+    val vPreReplace = manifest(base).version
     s.sql("""CREATE OR REPLACE TABLE graft_wa.db.t USING graft
              PARTITIONED BY (day)
              AS SELECT id, value, day FROM wa_src WHERE id <= 5""")
     assert(s.sql("SELECT COUNT(*) FROM graft_wa.db.t").head.getLong(0) == 5)
+    assert(manifest(base).version > vPreReplace,
+      "REPLACE commits a new version instead of erasing the directory")
+    assert(s.sql(
+      s"SELECT COUNT(*) FROM graft_wa.db.t VERSION AS OF $vPreReplace")
+      .head.getLong(0) == 17,
+      "time travel reaches back across a REPLACE")
 
     // TRUNCATE: one metadata commit, schema/props/history survive
     val vBefore = manifest(base).version
