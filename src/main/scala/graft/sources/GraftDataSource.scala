@@ -44,12 +44,15 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
   // path Spark takes today) still resolves correctly.
   private var cached: Option[((String, Option[String], Option[String]), GraftSnapshotTable)] = None
 
-  private def load(options: CaseInsensitiveStringMap): GraftSnapshotTable = synchronized {
+  /** None iff the path has NO committed manifest (the fresh-path write
+    * case); time-travel to a version that never existed still errors
+    * loudly. Exactly one manifest load per resolution either way. */
+  private def loadOpt(options: CaseInsensitiveStringMap): Option[GraftSnapshotTable] = synchronized {
     val base = Option(options.get("path")).getOrElse(
       sys.error("format(\"graft\") needs a path: .load(<table dir>)"))
     val key = (base, Option(options.get("versionAsOf")),
       Option(options.get("timestampAsOf")))
-    cached.collect { case (k, t) if k == key => t }.getOrElse {
+    cached.collect { case (k, t) if k == key => Some(t) }.getOrElse {
       val spark = SparkSession.active
       val bp = new Path(base)
       val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -70,25 +73,23 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
               sys.error(s"$base has no version committed at or before $ts"))
           })
       val m = version match {
-        case Some(v) => SnapshotLog.readManifestAt(fs, bp, v)
+        case Some(v) =>
+          Some(SnapshotLog.readManifestAt(fs, bp, v).getOrElse(
+            sys.error(s"$base has no committed version $v")))
         case None => SnapshotLog.readManifest(fs, bp)
       }
-      val t = m.map(new GraftSnapshotTable(base, version, _,
-          Identifier.of(Array("graft"), base)))
-        .getOrElse(sys.error(s"$base has no committed graft manifest"))
-      cached = Some(key -> t)
-      t
+      m.map { mm =>
+        val t = new GraftSnapshotTable(base, version, mm,
+          Identifier.of(Array("graft"), base))
+        cached = Some(key -> t)
+        t
+      }
     }
   }
 
-  private def exists(options: CaseInsensitiveStringMap): Boolean = {
-    val base = Option(options.get("path")).getOrElse(
-      sys.error("format(\"graft\") needs a path: .load(<table dir>)"))
-    val spark = SparkSession.active
-    val bp = new Path(base)
-    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    SnapshotLog.readManifest(fs, bp).isDefined
-  }
+  private def load(options: CaseInsensitiveStringMap): GraftSnapshotTable =
+    loadOpt(options).getOrElse(sys.error(
+      s"${options.get("path")} has no committed graft manifest"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     load(options).schema()
@@ -98,14 +99,12 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    // no committed manifest + no time travel = a WRITE to a fresh
-    // path: resolve to the pending (write-only) table carrying the
-    // frame's schema and partitionBy transforms. Reads of fresh paths
-    // die earlier, in inferSchema.
-    if (options.get("versionAsOf") == null &&
-        options.get("timestampAsOf") == null && !exists(options))
-      new GraftPendingTable(options.get("path"), schema, partitioning)
-    else load(options)
+    // no committed manifest = a WRITE to a fresh path: resolve to the
+    // pending (write-only) table carrying the frame's schema and
+    // partitionBy transforms. Reads of fresh paths die earlier, in
+    // inferSchema; time travel on a fresh path errors inside loadOpt.
+    loadOpt(options).getOrElse(
+      new GraftPendingTable(options.get("path"), schema, partitioning))
   }
 
   /** The v1 create path: `SaveMode.ErrorIfExists` (the default) and
