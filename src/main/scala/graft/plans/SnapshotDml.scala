@@ -65,38 +65,16 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** DML on a THREE-PART name through a configured [[graft.sources.GraftCatalog]]
-    * — `DELETE FROM graft.ns.t WHERE …` / UPDATE / MERGE — resolved to
-    * the same machinery the registered views use: the table directory
-    * and partition column come from the catalog + manifest
-    * ([[graft.sources.SnapshotLog.PartColProp]]), and the target
-    * registers on the fly (idempotent; the synthetic view the
-    * registration pins is an implementation detail — catalog reads
-    * keep going through the catalog). This rule fires at HINT
-    * resolution, before Spark's own relation resolution would turn
-    * the name into a v2 relation that only supports v2 row-level
-    * plans. */
-  private def catalogDmlTarget(parts: Seq[String]): Option[String] = {
-    if (parts.size < 3) return None
-    val gc = try {
-      spark.sessionState.catalogManager.catalog(parts.head) match {
-        case g: graft.sources.GraftCatalog => g
-        case _ => return None
-      }
-    } catch { case _: Exception => return None }
-    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
-      parts.tail.init.toArray, parts.last)
-    try {
-      gc.loadTable(ident) match {
-        case t: graft.sources.GraftSnapshotTable =>
-          t.partCol.map { pc =>
-            Catalog.registerSnapshotLog(spark,
-              ("graftcat__" + parts.init.mkString("__")).toLowerCase,
-              parts.last.toLowerCase, t.base, Some(pc))
-          }
-        case _ => None
-      }
-    } catch { case _: Exception => None }
-  }
+    * — `DELETE FROM graft.ns.t WHERE …` / UPDATE / MERGE — resolved by
+    * [[Catalog.dmlTarget]]'s dotted-name fallback to the same machinery
+    * the registered views use (table directory + partition column from
+    * the catalog and manifest). This rule fires at HINT resolution,
+    * before Spark's own relation resolution would turn the name into a
+    * v2 relation that only supports v2 row-level plans; the deepest-
+    * match filter below then accepts the dotted name iff the fallback
+    * resolves it. */
+  private def catalogDmlTarget(parts: Seq[String]): Option[String] =
+    if (parts.size < 3) None else Some(parts.mkString("."))
 
   /** SQL text of `e` with attribute QUALIFIERS stripped: by the time
     * this rule fires, the analyzer may have resolved `id` to

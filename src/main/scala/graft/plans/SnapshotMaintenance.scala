@@ -59,15 +59,15 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   extends ParserInterface {
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z_]\w*)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][\w.]*)(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([A-Za-z_][\w.]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Restore =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreTs =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val History =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*""".r
   private val Generate =
     """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val Analyze =
@@ -83,9 +83,9 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   private val DropConstraint =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val ShowParts =
-    """(?is)\s*SHOW\s+PARTITIONS\s+([A-Za-z_]\w*)\s*;?\s*""".r
+    """(?is)\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*;?\s*""".r
   private val Detail =
-    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w.]*)\s*;?\s*""".r
   private val AddColumns =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val ExpireVersions =

@@ -158,7 +158,37 @@ object Catalog {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String, String)]()
 
   private[graft] def dmlTarget(viewName: String): Option[(String, String, String, String)] =
-    Option(dmlTargets.get(viewName))
+    Option(dmlTargets.get(viewName)).orElse(catalogTarget(viewName))
+
+  /** Fallback resolution for DOTTED names: `<cat>.<ns…>.<t>` where
+    * `<cat>` is a configured [[GraftCatalog]] — lets every maintenance
+    * verb (OPTIMIZE / VACUUM / RESTORE / DESCRIBE …) and DML statement
+    * address catalog tables directly, with the directory and partition
+    * column resolved from the catalog and manifest instead of a
+    * registration call. Single-part names never reach this (the
+    * registry map stays the only authority for them). */
+  private def catalogTarget(name: String): Option[(String, String, String, String)] = {
+    val parts = name.split("\\.").toSeq
+    if (parts.size < 3) return None
+    val spark = try SparkSession.getActiveSession.getOrElse(return None)
+      catch { case _: Exception => return None }
+    val gc = try {
+      spark.sessionState.catalogManager.catalog(parts.head) match {
+        case g: GraftCatalog => g
+        case _ => return None
+      }
+    } catch { case _: Exception => return None }
+    try {
+      gc.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.tail.init.toArray, parts.last)) match {
+        case t: GraftSnapshotTable =>
+          t.partCol.map(pc => (t.base, pc,
+            ("graftcat__" + parts.init.mkString("__")).toLowerCase,
+            parts.last.toLowerCase))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
 
   /** Crawl `root`: create database `db` if absent, register one external
     * table per qualifying first-level prefix. Idempotent; re-crawling

@@ -268,6 +268,19 @@ class DsvWriteSpec extends SparkSpec {
       .head.getLong(0) == 17,
       "time travel reaches back across a REPLACE")
 
+    // maintenance verbs on the DOTTED name: OPTIMIZE / DESCRIBE
+    // HISTORY / DESCRIBE DETAIL / SHOW PARTITIONS / VACUUM / RESTORE
+    assert(s.sql("DESCRIBE HISTORY graft_wa.db.t").count() >= 2)
+    val det = s.sql("DESCRIBE DETAIL graft_wa.db.t").collect().head
+    assert(det.getAs[String]("partition_col") == "day")
+    assert(s.sql("SHOW PARTITIONS graft_wa.db.t").count() > 0)
+    s.sql("OPTIMIZE graft_wa.db.t")
+    assert(s.sql("VACUUM graft_wa.db.t DRY RUN").count() == 1)
+    val vNow = manifest(base).version
+    s.sql(s"RESTORE TABLE graft_wa.db.t TO VERSION AS OF ${vNow - 1}")
+    assert(manifest(base).version == vNow + 1,
+      "RESTORE on the dotted name commits a rollback version")
+
     // TRUNCATE: one metadata commit, schema/props/history survive
     val vBefore = manifest(base).version
     s.sql("TRUNCATE TABLE graft_wa.db.t")
