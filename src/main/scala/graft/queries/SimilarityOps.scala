@@ -1250,10 +1250,50 @@ object SimilarityOps {
       FROM grid GROUP BY np
       """))
 
+  /** CLUSTER-BALANCED SAMPLING (the DataComp/SemDeDup-family
+    * diversity-sampling step): per IVF cell, keep the `n` vectors
+    * NEAREST the cell centroid (ties on vec_id) — a deterministic,
+    * semantically-spread subset whose per-cell quota caps any one
+    * mode's dominance. Scale shape: assignment is the broadcast-argmin
+    * scan, the rank is a per-cell window (cells are the partitions —
+    * no global sort), and the centroid join is a broadcast of O(k·dim).
+    * Graded as per-cell aggregates of the SELECTED sample, so a single
+    * rank flip anywhere breaks the hash. */
+  val s22ClusterSample: Q = Q(
+    "s22_cluster_sample",
+    "cluster-balanced sampling: nearest-3-to-centroid per IVF cell",
+    (s, d) => {
+      val (vecs, cent) = ivfParts(s, d)
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("d2"), col("vec_id"))
+      graft.operators.IvfIndex.assign(vecs, cent)
+        .join(vecs, "vec_id")
+        .join(broadcast(cent), "cid")
+        .select(col("cid"), col("vec_id"),
+          graft.operators.IvfIndex.dist2(col("v"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("cid").as("cell"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("vec_id")).as("sum_ids"),
+          min(col("vec_id")).as("min_id"))
+    },
+    Some(ivfOracleCtes + """,
+      ranked AS (
+        SELECT s2.cid, s2.vec_id,
+               row_number() OVER (PARTITION BY s2.cid ORDER BY
+                 list_dot_product(v.v, v.v) + list_dot_product(c2.cv, c2.cv)
+                   - 2 * list_dot_product(v.v, c2.cv), s2.vec_id) AS rn
+        FROM s2 JOIN v ON v.vec_id = s2.vec_id JOIN c2 ON c2.cid = s2.cid)
+      SELECT cid AS cell, COUNT(*) AS n_sampled,
+             CAST(SUM(vec_id) AS BIGINT) AS sum_ids, MIN(vec_id) AS min_id
+      FROM ranked WHERE rn <= 3 GROUP BY cid
+      """))
+
   val all: Seq[Q] = Seq(
     s1CosineTopK, s2KnnBatch, s3LshBuckets, s4AnnQuery, s5Centroids,
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
     s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch, s14SqInt8,
     s15SemanticDedup, s16MmrTopK, s17RadiusSearch, s18AnnRecall,
-    s19FilteredAnn, s20NprobeSweep, s21FilteredRecall)
+    s19FilteredAnn, s20NprobeSweep, s21FilteredRecall, s22ClusterSample)
 }

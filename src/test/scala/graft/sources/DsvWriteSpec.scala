@@ -206,6 +206,27 @@ class DsvWriteSpec extends SparkSpec {
       .map(_.getString(1)).toSet == Set("t1"))
   }
 
+  test("concurrent format appends: optimistic commits, no lost batch") {
+    val base = Files.createTempDirectory("graft_wconc").toString + "/t"
+    rowsDf(30).write.format("graft").partitionBy("day").save(base)
+    // racing appenders through the DSv2 surface — every batch must
+    // land exactly once (the commit loop retries lost races)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (1 to 4).map { i =>
+      Future {
+        rowsDf(30).withColumn("id", col("id") + i * 1000)
+          .write.format("graft").mode("append").save(base)
+      }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    val t = readT(base)
+    assert(t.count() == 150, "30 initial + 4 racing appends of 30")
+    assert(t.select(col("id")).distinct().count() == 150,
+      "no batch landed twice")
+  }
+
   test("ALTER TABLE through the catalog: properties, add/rename/drop column") {
     val root = Files.createTempDirectory("graft_walter").toString
     s.conf.set("spark.sql.catalog.graft_wa", classOf[GraftCatalog].getName)
