@@ -2833,8 +2833,63 @@ object TextOps {
       FROM r WHERE rel_rn = 1
       """))
 
+  /** HASHED-FEATURE LINEAR QUALITY SCORER — the fastText-family
+    * classifier shape every large curation pipeline runs (CCNet /
+    * DataComp quality filters), with the MODEL made deterministic so
+    * the DuckDB oracle reproduces it bit-exactly: features are word
+    * unigrams hashed into D=4096 buckets via md5 (both engines agree
+    * on md5 and on hex→int), and the weight of bucket j is the pure
+    * integer `(j·2654435761) mod 1000003 − 500001` (a Knuth-hash
+    * pseudo-random weight in ±500001 milli-units — the fixture for a
+    * trained model's coefficients). A document's raw score is the
+    * integer SUM over its token bag; kept = score > 0. Everything is
+    * exact integer arithmetic: no transcendental, no float fold order.
+    *
+    * Scale shape: one explode (tokens) → map-side partial SUM keyed by
+    * doc — the same one-exchange profile as d3; the "model" rides in
+    * the expression, zero driver state, zero broadcast. Swapping in
+    * real trained weights = joining a broadcast (bucket → weight)
+    * table instead of the closed-form expression. */
+  val d41HashClassifier: Q = Q(
+    "d41_hash_classifier",
+    "hashed-feature linear quality scorer (fastText shape), integer-exact",
+    (s, d) => {
+      val tok = explode(split(lower(col("text")), "[^a-z]+")).as("tok")
+      val j = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast(LongType) % 4096L
+      val w = (j * 2654435761L) % 1000003L - 500001L
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), tok)
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(w).as("raw"), count(lit(1)).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("raw") > 0, 1L).otherwise(0L)).as("n_kept"),
+          sum(col("raw")).as("sum_raw"),
+          sum(col("n_tokens")).as("n_tokens"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, tok
+        FROM documents,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(tok)
+        WHERE length(tok) > 0),
+      scored AS (
+        SELECT doc_id, lang,
+               SUM((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 4096)
+                     * 2654435761 % 1000003 - 500001) AS raw,
+               COUNT(*) AS n_tokens
+        FROM toks GROUP BY doc_id, lang)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN raw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(raw) AS BIGINT) AS sum_raw,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM scored GROUP BY lang
+      """))
+
   val all: Seq[Q] = Seq(
-    d39SequencePacking, d40MrrEval,
+    d39SequencePacking, d40MrrEval, d41HashClassifier,
     d24SubstringDedup, d25LineDedup, d26CurationPipeline,
     d27TrigramLm, d28SplitAssign, d29GopherRules, d30EditVerify,
     d31DsirWeights, d32NgramMine, d33Bm25, d34IncrementalDedup,
