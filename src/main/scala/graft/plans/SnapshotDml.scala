@@ -747,8 +747,14 @@ case class SnapshotMergeCommand(
         case (acc, (cond, cls)) => acc.when(cond, chain(cls))
       }
 
+      // unpartitioned target (partCol = ""): every row lives in the one
+      // hidden partition, so a "partition move" cannot exist — the
+      // old-partition column is only materialized for partitioned tables
+      val oldPartExpr =
+        if (partCol.isEmpty) lit(null).cast("string")
+        else col(s"__t_$partCol").cast("string")
       val changes0 = joined
-        .select(picked.as("__r"), col(s"__t_$partCol").cast("string").as("__old_p"))
+        .select(picked.as("__r"), oldPartExpr.as("__old_p"))
         .filter(col("__r").isNotNull)
         .select(tFields.map(f =>
           col("__r").getField(f.name).as(f.name)) :+
@@ -759,10 +765,12 @@ case class SnapshotMergeCommand(
         // the OLD partition too, or the old row would survive beside the
         // new one (the rewrite set is otherwise only the partitions the
         // change rows land in)
-        val movedParts = changes0
-          .filter(col("__old_p").isNotNull && col("__op") === "U" &&
-            !(col(partCol).cast("string") <=> col("__old_p")))
-          .select(col("__old_p")).distinct().collect().map(_.getString(0)).toSeq
+        val movedParts =
+          if (partCol.isEmpty) Nil
+          else changes0
+            .filter(col("__old_p").isNotNull && col("__op") === "U" &&
+              !(col(partCol).cast("string") <=> col("__old_p")))
+            .select(col("__old_p")).distinct().collect().map(_.getString(0)).toSeq
         val bp = new org.apache.hadoop.fs.Path(path)
         val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // batch ids are MONOTONE, derived from the table's own version

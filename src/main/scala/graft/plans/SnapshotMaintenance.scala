@@ -68,20 +68,26 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*""".r
+  // every verb regex accepts DOTTED names ([\w.]*) — resolution still
+  // gates on isTarget, whose catalogTarget fallback maps
+  // <cat>.<ns…>.<t> to the GraftCatalog directory; single-part names
+  // stay registry-only, so nothing Spark itself parses is shadowed
+  // (these verbs are outside Spark's grammar, except ALTER COLUMN TYPE
+  // where the interception deliberately supplies widening semantics)
   private val Generate =
-    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*""".r
+    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*""".r
   private val Analyze =
-    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w`,\s]+?)\s*;?\s*""".r
+    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w`,\s]+?)\s*;?\s*""".r
   private val AnalyzeAll =
-    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS\s+FOR\s+ALL\s+COLUMNS\s*;?\s*""".r
+    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+COMPUTE\s+STATISTICS\s+FOR\s+ALL\s+COLUMNS\s*;?\s*""".r
   private val BloomIndex =
-    """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+([A-Za-z_]\w*)\s*\(([\w`,\s]+?)\)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+([A-Za-z_][\w.]*)\s*\(([\w`,\s]+?)\)\s*;?\s*""".r
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+(SHALLOW|DEEP)\s+CLONE\s+([A-Za-z_]\w*)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraint =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val ShowParts =
     """(?is)\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*;?\s*""".r
   private val Detail =
@@ -89,7 +95,7 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   private val AddColumns =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*""".r
   private val ExpireVersions =
-    """(?is)\s*EXPIRE\s+VERSIONS\s+ON\s+([A-Za-z_]\w*)\s+KEEP\s+LAST\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*EXPIRE\s+VERSIONS\s+ON\s+([A-Za-z_][\w.]*)\s+KEEP\s+LAST\s+(\d+)\s*;?\s*""".r
   private val ShowCreate =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val Truncate =
@@ -117,24 +123,24 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
 
   private def unq(s: String): String = s.replace("''", "'")
   private val SyncIdentity =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SYNC\s+IDENTITY\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+SYNC\s+IDENTITY\s*;?\s*""".r
   // widening-only metadata retype; the delegate parses the type DDL
   // (commas inside DECIMAL(10,2) are its problem)
   private val AlterColType =
-    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+ALTER\s+COLUMN\s+`?([A-Za-z_]\w*)`?\s+TYPE\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ALTER\s+COLUMN\s+`?([A-Za-z_]\w*)`?\s+TYPE\s+(.+?)\s*;?\s*""".r
   private val Fsck =
-    """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+([A-Za-z_]\w*)(\s+DRY\s+RUN)?\s*;?\s*""".r
+    """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+([A-Za-z_][\w.]*)(\s+DRY\s+RUN)?\s*;?\s*""".r
   // CONVERT TO GRAFT_SNAPSHOT '<dir>' PARTITIONED BY (col) AS db.name
   // — in-place adoption of an existing parquet directory
   private val ConvertTo =
     """(?is)\s*CONVERT\s+TO\s+GRAFT_SNAPSHOT\s+'([^']+)'\s+PARTITIONED\s+BY\s*\(\s*`?([A-Za-z_]\w*)`?\s*\)\s+AS\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*;?\s*""".r
   private val CopyInto =
-    """(?is)\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*COPY\s+INTO\s+([A-Za-z_][\w.]*)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*""".r
   // Delta's INSERT … REPLACE WHERE; the predicate runs up to the first
   // top-level SELECT (Column-grammar predicates only — a predicate
   // containing a subquery SELECT falls outside this surface)
   private val InsertReplaceWhere =
-    """(?is)\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?\s*""".r
+    """(?is)\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.+?)\s*;?\s*""".r
 
   private def isTarget(view: String): Boolean =
     Catalog.dmlTarget(view).isDefined
@@ -289,6 +295,9 @@ case class SnapshotOptimizeCommand(
     // own semantics instead of a hand-rolled string compare)
     val selected: Option[Seq[String]] = where.map { w =>
       import spark.implicits._
+      require(partCol.nonEmpty,
+        s"OPTIMIZE WHERE on $view: the table is unpartitioned — " +
+          "there are no partition values to select; drop the WHERE")
       val picked = m0.files.keySet.toSeq.sorted.toDF(partCol)
         .filter(expr(w)).select(col(partCol)).as[String].collect().toSeq
       require(picked.nonEmpty,
@@ -560,7 +569,8 @@ case class SnapshotShowCreateCommand(view: String)
       .map { case (k, v) => s"'${q(k)}' = '${q(v)}'" }
     val ddl = new StringBuilder
     ddl ++= s"CREATE TABLE $view (\n$cols\n) USING graft_snapshot\n"
-    ddl ++= s"PARTITIONED BY ($partCol)\nLOCATION '${q(path)}'"
+    if (partCol.nonEmpty) ddl ++= s"PARTITIONED BY ($partCol)\n"
+    ddl ++= s"LOCATION '${q(path)}'"
     if (props.nonEmpty)
       ddl ++= props.mkString("\nTBLPROPERTIES (\n  ", ",\n  ", "\n)")
     ddl ++= ";"

@@ -5231,13 +5231,237 @@ object Relational2 {
       SELECT 'truncated', 0, (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders)
       """))
 
+  /** UNPARTITIONED graft tables (the round-12 verdict's top gap) —
+    * Delta's default table shape run through the WHOLE lifecycle with
+    * no partition column anywhere: fresh `save(path)` with no
+    * partitionBy, append, `replaceWhere` on a data predicate (no
+    * partition to scope it), DELETE/UPDATE/MERGE by catalog name, and
+    * OPTIMIZE folding the single hidden partition. In-engine gates pin
+    * the layout (manifest key = the one [[SnapshotLog.SinglePart]]
+    * bucket, `PartColProp` = the explicit "" marker) and that OPTIMIZE
+    * compacts; the oracle recomputes every phase from `orders` alone. */
+  val q126Unpartitioned: Q = Q(
+    "q126_unpartitioned",
+    "unpartitioned table lifecycle: save/append/replaceWhere/DML/OPTIMIZE",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root = java.nio.file.Files.createTempDirectory("graft_u126").toString
+      val base = s"$root/db/t"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      def manifest() = {
+        val bp = new org.apache.hadoop.fs.Path(base)
+        SnapshotLog.readManifest(
+          bp.getFileSystem(s.sparkContext.hadoopConfiguration), bp).get
+      }
+      // v1: full load, NO partitioning declared anywhere
+      orders.write.format("graft").save(base)
+      require(manifest().props.get(SnapshotLog.PartColProp)
+          .contains(SnapshotLog.NoPartCol),
+        "first write must stamp the explicit unpartitioned marker")
+      // v2: append a shifted slice (9e8 ≡ 0 mod 3, keeps the oracle's
+      // mod arithmetic aligned)
+      orders.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .write.format("graft").mode("append").save(base)
+      val appended = s.read.format("graft").load(base)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      // v3: replaceWhere over a DATA predicate — an unpartitioned
+      // table has nothing else to scope the backfill by
+      appended.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 3).as("o_totalprice"),
+          col("o_orderstatus"))
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "o_orderkey % 3 = 0").save(base)
+      require(manifest().files.keySet == Set(SnapshotLog.SinglePart),
+        "every write routes to the single hidden partition")
+      def facet(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("total"))
+          .select(lit(name).as("phase"), col("n"), col("total"))
+      val saveF = facet("save",
+        s.read.format("graft").option("versionAsOf", "1").load(base))
+      val appendF = facet("append",
+        s.read.format("graft").option("versionAsOf", "2").load(base))
+      val replaceF = facet("replace", s.read.format("graft").load(base))
+      // row-level DML by THREE-PART catalog name, partition column
+      // resolved as "" from the manifest — no view registration
+      s.conf.set("spark.sql.catalog.graft_u126",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_u126.root", root)
+      orders.createOrReplaceTempView("u126_src")
+      s.sql("DELETE FROM graft_u126.db.t WHERE o_orderkey % 7 = 0")
+      s.sql("""UPDATE graft_u126.db.t SET o_totalprice = o_totalprice + 1
+               WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0""")
+      s.sql("""MERGE INTO graft_u126.db.t t USING
+                 (SELECT o_orderkey + 800000000 AS o_orderkey,
+                         o_totalprice, o_orderstatus
+                  FROM u126_src WHERE o_orderkey % 97 = 0) s
+               ON t.o_orderkey = s.o_orderkey
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+      // OPTIMIZE folds the DML's accumulated files of the one bucket
+      val filesBefore = manifest().allFiles.size
+      s.sql("OPTIMIZE graft_u126.db.t")
+      require(manifest().allFiles.size <= filesBefore &&
+          manifest().allFiles.nonEmpty,
+        "OPTIMIZE must compact the single hidden partition")
+      saveF.union(appendF).union(replaceF)
+        .union(facet("final", s.sql("SELECT * FROM graft_u126.db.t")))
+    },
+    Some("""
+      WITH appended AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey + 900000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 101 = 0),
+      replaced AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 3
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM appended),
+      edited AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F' AND o_orderkey % 5 = 0
+                    THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM replaced WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey + 800000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT 'save' AS phase, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM orders
+      UNION ALL
+      SELECT 'append', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      FROM appended
+      UNION ALL
+      SELECT 'replace', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      FROM replaced
+      UNION ALL
+      SELECT 'final', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      FROM edited
+      """))
+
+  /** The REMAINING custom SQL verbs addressed by THREE-PART catalog
+    * name — zero view registrations anywhere (the round-12 verdict's
+    * item 2): ADD/DROP CONSTRAINT, ANALYZE, CREATE BLOOMFILTER INDEX,
+    * ALTER COLUMN TYPE, FSCK, SYNC IDENTITY, GENERATE, EXPIRE
+    * VERSIONS. Structural effects gate in-engine (constraint rejects a
+    * bad batch, stats/bloom land in the manifest, widening is
+    * reader-visible, expiry severs time travel); the data facets grade
+    * against a DuckDB recompute. */
+  val q127CatalogVerbs: Q = Q(
+    "q127_catalog_verbs",
+    "constraint/ANALYZE/bloom/widen/FSCK/EXPIRE lifecycle on graft.ns.t names",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val root = java.nio.file.Files.createTempDirectory("graft_v127").toString
+      s.conf.set("spark.sql.catalog.graft_v127",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_v127.root", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_v127.db")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .createOrReplaceTempView("v127_src")
+      s.sql("""CREATE TABLE graft_v127.db.t USING graft
+               PARTITIONED BY (o_orderstatus)
+               AS SELECT * FROM v127_src WHERE o_orderkey % 2 = 0""")
+      val base = s"$root/db/t"
+      def manifest() = {
+        val bp = new org.apache.hadoop.fs.Path(base)
+        SnapshotLog.readManifest(
+          bp.getFileSystem(s.sparkContext.hadoopConfiguration), bp).get
+      }
+      def facet(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("total"))
+          .select(lit(name).as("phase"), col("n"), col("total"))
+      val ctasF = facet("ctas", s.sql("SELECT * FROM graft_v127.db.t"))
+      // ADD CONSTRAINT on the dotted name gates every later write
+      s.sql("ALTER TABLE graft_v127.db.t ADD CONSTRAINT pos_price " +
+        "CHECK (o_totalprice > 0)")
+      val rejected =
+        try {
+          s.sql("""INSERT INTO graft_v127.db.t
+                   SELECT o_orderkey + 500000000, -1.0, o_orderstatus
+                   FROM v127_src WHERE o_orderkey % 2 = 1""")
+          false
+        } catch { case _: Exception => true }
+      require(rejected, "the dotted-name CHECK constraint must gate inserts")
+      s.sql("""INSERT INTO graft_v127.db.t
+               SELECT o_orderkey, o_totalprice + 10, o_orderstatus
+               FROM v127_src WHERE o_orderkey % 2 = 1""")
+      // ANALYZE + bloom index: metadata-only, manifest-visible
+      s.sql("ANALYZE TABLE graft_v127.db.t COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderkey")
+      require(manifest().stats.values.exists(_.contains("o_orderkey")),
+        "ANALYZE on the dotted name must land per-file bounds")
+      s.sql("CREATE BLOOMFILTER INDEX ON graft_v127.db.t (o_orderkey)")
+      require(manifest().blooms.nonEmpty,
+        "bloom index on the dotted name must land in the manifest")
+      // widening retype through the intercepted dotted verb
+      s.sql("ALTER TABLE graft_v127.db.t ADD COLUMNS (flag INT)")
+      s.sql("ALTER TABLE graft_v127.db.t ALTER COLUMN flag TYPE BIGINT")
+      require(s.sql("SELECT * FROM graft_v127.db.t").schema("flag")
+          .dataType == org.apache.spark.sql.types.LongType,
+        "ALTER COLUMN TYPE on the dotted name must widen reader-visibly")
+      s.sql("ALTER TABLE graft_v127.db.t DROP COLUMN flag")
+      // repair/maintenance verbs: FSCK dry-run clean, SYNC no-op (no
+      // identity columns), GENERATE exports the symlink manifest
+      assert(s.sql("FSCK REPAIR TABLE graft_v127.db.t DRY RUN")
+        .head.getLong(1) == 0L)
+      s.sql("ALTER TABLE graft_v127.db.t SYNC IDENTITY")
+      s.sql("GENERATE symlink_format_manifest FOR TABLE graft_v127.db.t")
+      require(new java.io.File(s"$base/_symlink_format_manifest").exists(),
+        "GENERATE on the dotted name must export the symlink manifest")
+      // EXPIRE severs time travel to all but the newest version
+      val vNow = manifest().version
+      s.sql("EXPIRE VERSIONS ON graft_v127.db.t KEEP LAST 1")
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val hfs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(SnapshotLog.readManifestAt(hfs, bp, 1L).isEmpty,
+        "EXPIRE VERSIONS must delete the expired manifests")
+      require(SnapshotLog.readManifestAt(hfs, bp, vNow).isDefined,
+        "the retained newest version survives expiry")
+      // DROP CONSTRAINT closes the loop: the once-rejected batch lands
+      s.sql("ALTER TABLE graft_v127.db.t DROP CONSTRAINT pos_price")
+      s.sql("""INSERT INTO graft_v127.db.t
+               SELECT o_orderkey + 500000000, -1.0, o_orderstatus
+               FROM v127_src WHERE o_orderkey % 97 = 0""")
+      ctasF.union(facet("final", s.sql("SELECT * FROM graft_v127.db.t")))
+    },
+    Some("""
+      WITH finalt AS (
+        SELECT o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_totalprice + 10, o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 1
+        UNION ALL
+        SELECT -1.0, o_orderstatus FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT 'ctas' AS phase, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 'final', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      FROM finalt
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
     q111PipeSyntax, q112ExecImmediate, q113SqlUdfs, q114TryFunctions,
     q115FusedQa, q116StreamSessions, q117CatalogRead, q118RowTracking,
     q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere, q122DsvWrite,
-    q123FormatStream, q124CatalogAlter, q125CatalogDml,
+    q123FormatStream, q124CatalogAlter, q125CatalogDml, q126Unpartitioned,
+    q127CatalogVerbs,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

@@ -127,8 +127,11 @@ object Catalog {
     // an EMPTY table (TRUNCATE, or a DELETE that drained every
     // partition) still pins: the schema-header empty frame replaces
     // the stale snapshot — only a never-committed path pins nothing
-    SnapshotRelation.read(spark, path, partCol = partCol)
-      .orElse(SnapshotLog.read(spark, path, partCol)) match {
+    // pruning wants a REAL column; "" (explicitly unpartitioned) still
+    // registers for DML below, it just has no partition predicates
+    val pruneCol = partCol.filter(_.nonEmpty)
+    SnapshotRelation.read(spark, path, partCol = pruneCol)
+      .orElse(SnapshotLog.read(spark, path, pruneCol)) match {
       case Some(df) => df.createOrReplaceTempView(viewName)
       case None => // claimed but never-committed table: nothing to pin
     }

@@ -144,8 +144,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"partition column '$c' is not in the table schema"))
     val props = properties.asScala.toMap
-      .filterNot { case (k, _) => reservedProps(k.toLowerCase) } ++
-      partColT.map(SnapshotLog.PartColProp -> _)
+      .filterNot { case (k, _) => reservedProps(k.toLowerCase) } +
+      // always stamped: "" (NoPartCol) = explicitly unpartitioned, so
+      // the first INSERT needs no layout hint either way
+      (SnapshotLog.PartColProp ->
+        partColT.getOrElse(SnapshotLog.NoPartCol))
     if (!SnapshotLog.createTable(spark, dir.toString, schema, props))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
@@ -184,8 +187,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"partition column '$c' is not in the table schema"))
     val props = properties.asScala.toMap
-      .filterNot { case (k, _) => reservedProps(k.toLowerCase) } ++
-      partColT.map(SnapshotLog.PartColProp -> _)
+      .filterNot { case (k, _) => reservedProps(k.toLowerCase) } +
+      (SnapshotLog.PartColProp ->
+        partColT.getOrElse(SnapshotLog.NoPartCol))
     new GraftStagedTable(spark, dir.toString, schema, partitions, props,
       replaceExisting = exists)
   }
@@ -215,6 +219,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val base = dirOf(ident).toString
     if (!tableExists(ident))
       throw new NoSuchTableException(ident)
+    // the manifest's partition column feeds RENAME/DROP COLUMN so their
+    // partition-column guard holds on this path too (renaming or
+    // dropping the layout column would orphan PartColProp and break
+    // every later write and prune)
+    val layoutCol = SnapshotLog.readManifest(fs, dirOf(ident))
+      .flatMap(_.props.get(SnapshotLog.PartColProp)).filter(_.nonEmpty)
     val setProps = changes.collect {
       case sp: TableChange.SetProperty => sp.property -> sp.value
     }.toMap
@@ -236,9 +246,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             topLevel(ac.fieldNames(), "add"), ac.dataType, nullable = true))))
       case rc: TableChange.RenameColumn =>
         SnapshotLog.renameColumn(spark, base,
-          topLevel(rc.fieldNames(), "rename"), rc.newName())
+          topLevel(rc.fieldNames(), "rename"), rc.newName(), layoutCol)
       case dc: TableChange.DeleteColumn =>
-        SnapshotLog.dropColumn(spark, base, topLevel(dc.fieldNames(), "drop"))
+        SnapshotLog.dropColumn(spark, base,
+          topLevel(dc.fieldNames(), "drop"), layoutCol)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported on graft tables: $other")
     }
@@ -320,10 +331,12 @@ final class GraftSnapshotTable(
     require(versionAsOf.isEmpty,
       s"$base: cannot truncate a time-traveled snapshot")
     val spark = SparkSession.active
+    // "" (unpartitioned) is a valid layout here — deleteWhere's TRUE
+    // predicate drops the single hidden partition metadata-only
     val pc = partCol.getOrElse(sys.error(
       s"TRUNCATE on $base needs the ${SnapshotLog.PartColProp} table " +
         "property (every write surface stamps it; ALTER TABLE … SET " +
-        "TBLPROPERTIES adds it to legacy tables)"))
+        "TBLPROPERTIES adds it to legacy tables — '' for unpartitioned)"))
     SnapshotLog.deleteWhere(spark, base,
       org.apache.spark.sql.functions.lit(true), pc).isDefined
   }
@@ -342,9 +355,11 @@ final class GraftSnapshotTable(
     manifest.schema.getOrElse(dvCorrectPlan(SparkSession.active).schema)
 
   /** Reported so `df.write.partitionBy(c)` against an existing table
-    * validates against the real layout (and DESCRIBE shows it). */
+    * validates against the real layout (and DESCRIBE shows it).
+    * Unpartitioned tables ([[SnapshotLog.NoPartCol]]) report none. */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partCol.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+    partCol.filter(_.nonEmpty)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
       .toArray
 
   // BATCH_READ is declared so Spark routes format("graft")/catalog
@@ -398,13 +413,16 @@ final class GraftSnapshotTable(
 
   /** The planner-integrated, DV-correct read — fresh exprIds per call so
     * one query may reference the table several times (self-join). */
-  def dvCorrectPlan(spark: SparkSession): DataFrame =
-    SnapshotRelation.read(spark, base, versionAsOf, partCol)
+  def dvCorrectPlan(spark: SparkSession): DataFrame = {
+    // pruning wants a REAL column; "" (unpartitioned) means none
+    val pruneCol = partCol.filter(_.nonEmpty)
+    SnapshotRelation.read(spark, base, versionAsOf, pruneCol)
       .orElse(versionAsOf match {
         // empty snapshot (all partitions deleted): schema-header frame
-        case Some(v) => SnapshotLog.readVersion(spark, base, v, partCol)
-        case None => SnapshotLog.read(spark, base, partCol)
+        case Some(v) => SnapshotLog.readVersion(spark, base, v, pruneCol)
+        case None => SnapshotLog.read(spark, base, pruneCol)
       })
       .getOrElse(throw new IllegalStateException(
         s"$base: manifest disappeared between resolution and planning"))
+  }
 }

@@ -40,8 +40,9 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
   // on the SAME provider instance with the same options — cache the
   // resolved table across the two so resolution costs one manifest
   // load (FS round-trip + parse), not two. Keyed by the relevant
-  // options: a provider instance reused with different options (not a
-  // path Spark takes today) still resolves correctly.
+  // options, and SCOPED to one resolution: getTable consumes the entry
+  // (see below), so a provider instance held across a write can never
+  // serve a pre-write snapshot on a later load.
   private var cached: Option[((String, Option[String], Option[String]), GraftSnapshotTable)] = None
 
   /** None iff the path has NO committed manifest (the fresh-path write
@@ -103,8 +104,13 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     // pending (write-only) table carrying the frame's schema and
     // partitionBy transforms. Reads of fresh paths die earlier, in
     // inferSchema; time travel on a fresh path errors inside loadOpt.
-    loadOpt(options).getOrElse(
+    val t = loadOpt(options).getOrElse(
       new GraftPendingTable(options.get("path"), schema, partitioning))
+    // resolution complete: drop the memoized manifest so a reused
+    // provider instance re-reads the log next time (a long-lived
+    // instance must never serve a stale snapshot after new commits)
+    synchronized { cached = None }
+    t
   }
 
   /** The v1 create path: `SaveMode.ErrorIfExists` (the default) and
@@ -216,15 +222,24 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     val spark = sqlContext.sparkSession
     val bp = new Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partCol = SnapshotLog.readManifest(fs, bp)
+    val declared = SnapshotLog.readManifest(fs, bp)
       .flatMap(_.props.get(SnapshotLog.PartColProp))
-      .orElse(partitionColumns.headOption)
+    val hinted = partitionColumns.headOption
       .orElse(parameters.get("partCol"))
       .orElse(parameters.get(WriteIntoGraft.PartitionColOption))
-      .getOrElse(sys.error(
-        s"graft sink to $base needs a partition column: partitionBy(col), " +
-          s"option(\"partCol\", col), or the table property " +
-          SnapshotLog.PartColProp))
+    // same mismatch guard as the batch surface: a stream declaring a
+    // partitioning that contradicts the table's layout fails at start,
+    // never silently writes under the old layout
+    (declared, hinted) match {
+      case (Some(d), Some(h)) if !h.equalsIgnoreCase(d) =>
+        sys.error(if (d.isEmpty)
+          s"graft table $base is unpartitioned — drop partitionBy('$h')"
+        else s"graft table $base is partitioned by '$d', not '$h'")
+      case _ => ()
+    }
+    // fresh path with no partitionBy: unpartitioned (single hidden
+    // partition), matching the batch write surface
+    val partCol = declared.orElse(hinted).getOrElse(SnapshotLog.NoPartCol)
     val keys = parameters.get("keys").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     new graft.streaming.CommitLogSink(

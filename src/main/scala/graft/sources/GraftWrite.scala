@@ -110,14 +110,35 @@ object WriteIntoGraft {
     val bp = new Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = SnapshotLog.readManifest(fs, bp)
-    val partCol = m.flatMap(_.props.get(SnapshotLog.PartColProp))
-      .orElse(partColHint)
-      .getOrElse(sys.error(
-        s"graft write to $base needs a partition column: partitionBy(col) " +
-          s"on a new table, PARTITIONED BY in CREATE TABLE, " +
+    // "" = explicitly unpartitioned (SnapshotLog.NoPartCol) — distinct
+    // from an absent property (legacy table, layout unknown)
+    val declared = m.flatMap(_.props.get(SnapshotLog.PartColProp))
+    // a caller hint that CONTRADICTS the table's declared layout fails
+    // loudly (Delta's partitioning-mismatch error) — silently writing
+    // partitionBy("other") under the old layout would corrupt
+    // partition-scoped rewrites
+    (declared, partColHint) match {
+      case (Some(d), Some(h)) if !h.equalsIgnoreCase(d) =>
+        throw new IllegalArgumentException(
+          if (d.isEmpty)
+            s"graft table $base is unpartitioned — cannot write it with " +
+              s"partitionBy('$h'); drop the partitioning or recreate the table"
+          else
+            s"graft table $base is partitioned by '$d' — cannot write it " +
+              s"with partitionBy('$h'); use the table's own partitioning " +
+              "or none")
+      case _ => ()
+    }
+    val partCol = declared.orElse(partColHint).getOrElse {
+      if (m.isEmpty) SnapshotLog.NoPartCol // fresh path, no partitionBy:
+                                           // unpartitioned (Delta default)
+      else sys.error(
+        s"graft write to $base: the table predates partition-column " +
+          s"stamping — declare the layout once with partitionBy(col), " +
           s"option(\"$PartitionColOption\", col), or the table property " +
-          s"${SnapshotLog.PartColProp}"))
-    require(data.columns.exists(_.equalsIgnoreCase(partCol)),
+          s"${SnapshotLog.PartColProp} ('' for unpartitioned)")
+    }
+    require(partCol.isEmpty || data.columns.exists(_.equalsIgnoreCase(partCol)),
       s"write batch lacks the partition column '$partCol' " +
         s"(batch columns: ${data.columns.mkString(", ")})")
     // first write stamps the partition column into the table's
@@ -188,11 +209,15 @@ final class GraftWriteBuilder(
             else Some(overwriteFilters.map(WriteIntoGraft.filterToColumn)
               .reduce(_ && _))
           val pred = replaceOpt.orElse(filterPred)
+          // user option first: an explicit partitionCol that contradicts
+          // the table's layout must reach run()'s mismatch guard, not be
+          // shadowed by the table-derived hint (which always agrees)
           WriteIntoGraft.run(base, data.toDF(),
             overwriteAll = pred.isEmpty && (overwriteAll || overwrite),
             replaceWhere = pred,
-            partColHint = tablePartCol.orElse(
-              Option(info.options.get(WriteIntoGraft.PartitionColOption))))
+            partColHint =
+              Option(info.options.get(WriteIntoGraft.PartitionColOption))
+                .orElse(tablePartCol))
           ()
         }
       }
@@ -261,8 +286,9 @@ final class GraftStagedTable(
     }
 
   private def commitRows(data: DataFrame): Unit = {
-    val pc = partCol.getOrElse(sys.error(
-      s"graft CTAS to $base needs PARTITIONED BY (exactly one column)"))
+    // no PARTITIONED BY = an unpartitioned table (single hidden
+    // partition), Delta's default CTAS shape
+    val pc = partCol.getOrElse(SnapshotLog.NoPartCol)
     SnapshotLog.appendBatch(spark, base, data, pc, batchId = 0L,
       overwrite = replaceExisting, propsAdd = declaredProps,
       resetColumnState = replaceExisting)

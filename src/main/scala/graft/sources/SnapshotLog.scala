@@ -308,6 +308,32 @@ object SnapshotLog {
     * once after the first commit. */
   val PartColProp = "graft.partitionColumn"
 
+  /** Sentinel partition-column NAME for UNPARTITIONED tables (Delta's
+    * most common table shape): the empty string. A manifest carrying
+    * `PartColProp -> ""` is EXPLICITLY unpartitioned — distinct from a
+    * legacy manifest with no property at all, whose layout is unknown
+    * and still needs a caller-supplied column. Every write primitive
+    * accepts it: rows route to the single hidden partition
+    * [[SinglePart]] (`partitionBy` on a constant), so the manifest,
+    * DML, OPTIMIZE, CDF, bucketing, and concurrency machinery all work
+    * unchanged — an unpartitioned table IS a one-partition table whose
+    * key no predicate can reference. */
+  val NoPartCol = ""
+
+  /** The one manifest partition key of an unpartitioned table. Never
+    * collides with a real table's keys: partitioned and unpartitioned
+    * layouts never mix under one manifest (the write surfaces refuse a
+    * partition-column change), and partition-predicate pruning only
+    * consults keys when a REAL partition column is declared. */
+  val SinglePart = "__all__"
+
+  /** Partition-routing expression: the canonical partition-value
+    * string a row files under — the real column for partitioned
+    * tables, the [[SinglePart]] constant for unpartitioned ones. The
+    * ONE seam all staging/affected-partition logic goes through. */
+  private def partRoute(partCol: String): Column =
+    if (partCol.isEmpty) lit(SinglePart) else col(partCol).cast("string")
+
   /** ROW TRACKING (Delta's row-id feature, the one table-format
     * capability the log still lacked): `graft.rowTracking = true` makes
     * every committed data file carry a BASE ROW ID in its manifest
@@ -1710,7 +1736,7 @@ object SnapshotLog {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .persist()
-    val affected = (changes.select(col(partCol).cast("string")).distinct()
+    val affected = (changes.select(partRoute(partCol)).distinct()
       .collect().map(_.getString(0)) ++ extraAffected).distinct.sorted
     // the table's live schema: the change stream's columns minus the
     // op column (which never lands in data files)
@@ -1834,7 +1860,7 @@ object SnapshotLog {
           // for multi-key) so each file covers a tight key range — the
           // layout that makes the recorded `statsCols` bounds actually
           // selective at read ([[filesForRange]]).
-          val toWrite0 = merged.withColumn("__p", col(partCol).cast("string"))
+          val toWrite0 = merged.withColumn("__p", partRoute(partCol))
           // range clustering and bucketing both dictate the file
           // layout — they cannot compose (a range-routed file spans
           // buckets, breaking the bucketed scan's file↔bucket map)
@@ -1953,7 +1979,7 @@ object SnapshotLog {
     val rows1 = m0.map(mm =>
       withIdentitySlots(applyGenerated(rows, mm), mm)).getOrElse(rows)
     val fields = rows1.schema.fields.toSeq
-    require(fields.exists(_.name.equalsIgnoreCase(partCol)),
+    require(partCol.isEmpty || fields.exists(_.name.equalsIgnoreCase(partCol)),
       s"append batch lacks partition column $partCol")
     var attempt = 0
     var committedV = -1L
@@ -2003,7 +2029,7 @@ object SnapshotLog {
         val (rows2, hwUpd) = applyIdentity(rows1, m, enforceAlways = true)
         stagedHw = hwUpd
         stagePartitioned(
-          toPhysical(rows2.withColumn("__p", col(partCol).cast("string")), m),
+          toPhysical(rows2.withColumn("__p", partRoute(partCol)), m),
           m, fs, dir)
         staged = listStaged(fs, dir, rel)
         // NULL-partition gate on the STAGED data — one pass, no query
@@ -2438,41 +2464,69 @@ object SnapshotLog {
     // sees exactly what a post-convert reader will see
     val df = spark.read.option("mergeSchema", "true")
       .parquet(listed.map(f => new Path(bp, f._1).toString): _*)
-    if (!df.columns.exists(_.equalsIgnoreCase(partCol))) sys.error(
-      s"partition column $partCol is not in the file contents of $base — " +
-        "this engine reads partition values from file CONTENTS, not " +
-        "directory names; rewrite once with the column carried " +
-        "(read with Spark partition discovery + CREATE TABLE … AS) " +
-        "and convert the rewrite")
-    val cols = (partCol +: statsCols.filterNot(_.equalsIgnoreCase(partCol)))
-    val aggs = statsAggs(cols)
-    val perFile = df.groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
-        val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
-        abs.stripPrefix(qBase).stripPrefix("/") ->
-          (Option(r.getString(1)), Option(r.getString(2)),
-            decodeBounds(r, cols))
-      }.toMap
-    val mixed = perFile.collect {
-      case (f, (mn, mx, _)) if mn.isEmpty || mn != mx => f
-    }.toSeq.sorted
-    if (mixed.nonEmpty) sys.error(
-      s"cannot convert $base in place: ${mixed.size} file(s) hold a NULL " +
-        s"or more than one $partCol value (partition-scoped rewrites " +
-        s"would corrupt them) — compact per partition first. First " +
-        s"offenders: ${mixed.take(5).mkString(", ")}")
-    val byPart = perFile.toSeq
-      .map { case (f, (mn, _, _)) => mn.get -> f }
-      .groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2).sorted }
+    if (partCol.nonEmpty && !df.columns.exists(_.equalsIgnoreCase(partCol)))
+      sys.error(
+        s"partition column $partCol is not in the file contents of $base — " +
+          "this engine reads partition values from file CONTENTS, not " +
+          "directory names; rewrite once with the column carried " +
+          "(read with Spark partition discovery + CREATE TABLE … AS) " +
+          "and convert the rewrite")
     val sizes = listed.toMap
-    val stats = perFile.map { case (f, (_, _, bounds)) =>
-      f -> (bounds ++ sizes.get(f).map(l =>
-        ByteSizeKey -> (l.toString, l.toString)))
-    }
+    // unpartitioned convert ([[NoPartCol]]): no layout contract to
+    // verify — every file files under the single hidden partition; the
+    // scan runs only when stats were requested
+    val (byPart, stats) =
+      if (partCol.isEmpty) {
+        val bounds: Map[String, Map[String, (String, String)]] =
+          if (statsCols.isEmpty) Map.empty
+          else {
+            val aggs = statsAggs(statsCols)
+            df.groupBy(input_file_name().as("__f"))
+              .agg(aggs.head, aggs.tail: _*)
+              .collect().map { r =>
+                val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+                abs.stripPrefix(qBase).stripPrefix("/") ->
+                  decodeBounds(r, statsCols)
+              }.toMap
+          }
+        (Map(SinglePart -> listed.map(_._1).sorted),
+          listed.map { case (f, l) =>
+            f -> (bounds.getOrElse(f, Map.empty) +
+              (ByteSizeKey -> (l.toString, l.toString)))
+          }.toMap)
+      } else {
+        val cols = (partCol +: statsCols.filterNot(_.equalsIgnoreCase(partCol)))
+        val aggs = statsAggs(cols)
+        val perFile = df.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+            abs.stripPrefix(qBase).stripPrefix("/") ->
+              (Option(r.getString(1)), Option(r.getString(2)),
+                decodeBounds(r, cols))
+          }.toMap
+        val mixed = perFile.collect {
+          case (f, (mn, mx, _)) if mn.isEmpty || mn != mx => f
+        }.toSeq.sorted
+        if (mixed.nonEmpty) sys.error(
+          s"cannot convert $base in place: ${mixed.size} file(s) hold a NULL " +
+            s"or more than one $partCol value (partition-scoped rewrites " +
+            s"would corrupt them) — compact per partition first. First " +
+            s"offenders: ${mixed.take(5).mkString(", ")}")
+        (perFile.toSeq
+          .map { case (f, (mn, _, _)) => mn.get -> f }
+          .groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2).sorted },
+          perFile.map { case (f, (_, _, bounds)) =>
+            f -> (bounds ++ sizes.get(f).map(l =>
+              ByteSizeKey -> (l.toString, l.toString)))
+          })
+      }
     val m = Manifest(1L, byPart, stats,
       schemaJson = Some(StructTypeNullable(df.schema)),
-      op = Some("CONVERT"))
+      op = Some("CONVERT"),
+      // stamp the layout so catalog/DSv2 consumers learn it from the
+      // manifest alone ("" = explicitly unpartitioned)
+      props = Map(PartColProp -> partCol))
     if (!tryCommit(fs, bp, m)) sys.error(
       s"CONVERT lost a commit race on $base — another writer claimed v1")
     1L
@@ -3282,7 +3336,7 @@ object SnapshotLog {
       }
       val df = readForRewrite(spark, bp, m, oldFiles)
       val flat = toPhysical(
-        df.withColumn("__p", col(partCol).cast("string")), m)
+        df.withColumn("__p", partRoute(partCol)), m)
       if (m.bucketSpec.isDefined) {
         // bucketed OPTIMIZE: re-route by the bucket columns (file
         // count per partition folds to <= numBuckets, each file one
@@ -3445,7 +3499,7 @@ object SnapshotLog {
     // leak an (always-null after align) identity column into the
     // delete feed, diverging from the insert/merge/replaceWhere feeds
     val live0 = read(spark, base).map(_.drop(RowIdCol)).getOrElse(return None)
-    val partType = live0.schema(live0.schema.fieldIndex(partCol)).dataType
+    lazy val partType = live0.schema(live0.schema.fieldIndex(partCol)).dataType
     // every predicate evaluation goes through these two: a Column
     // predicate filters directly; a [[PlanPredicate]] (subquery
     // conditions) delegates to its plan-level selectors
@@ -3476,7 +3530,11 @@ object SnapshotLog {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition.references.map(_.name).toSet
       }.getOrElse(Set.empty[String])
-      refs.forall(_.equalsIgnoreCase(partCol))
+      // unpartitioned table: only a reference-free (constant) predicate
+      // may take the metadata path — there is no column to evaluate
+      // against partition keys (TRUNCATE's literal TRUE still does)
+      if (partCol.isEmpty) refs.isEmpty
+      else refs.forall(_.equalsIgnoreCase(partCol))
     }
 
     def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
@@ -3498,9 +3556,13 @@ object SnapshotLog {
         // evaluate against the manifest's partition values only
         val parts = m.files.keySet.toSeq.sorted
         val dropped = {
-          val pdf = spark.createDataset(parts)(org.apache.spark.sql.Encoders.STRING)
+          val pdf0 = spark.createDataset(parts)(org.apache.spark.sql.Encoders.STRING)
             .toDF("__pv")
-            .select(col("__pv"), col("__pv").cast(partType).as(partCol))
+          // unpartitioned: the predicate is constant (refs empty), so
+          // no typed partition column to materialize
+          val pdf =
+            if (partCol.isEmpty) pdf0
+            else pdf0.select(col("__pv"), col("__pv").cast(partType).as(partCol))
           matchRows(pdf).select("__pv").collect().map(_.getString(0)).toSeq.sorted
         }
         if (dropped.isEmpty)
@@ -3636,7 +3698,7 @@ object SnapshotLog {
         val lv = readVersion(spark, base, m.version)
           .map(_.drop(RowIdCol)).getOrElse(return None)
         val matched = matchRows(lv)
-          .select(col(partCol).cast("string").as("__pv"))
+          .select(partRoute(partCol).as("__pv"))
           .distinct().collect().map(_.getString(0)).toSeq.sorted
         if (matched.isEmpty)
           return Some(DmlOutcome(m.version, metadataOnly = false, Nil, Nil))
@@ -3647,7 +3709,7 @@ object SnapshotLog {
           s"data/d$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
         val dir = new Path(bp, rel)
         stagePartitioned(
-          toPhysical(keep.withColumn("__p", col(partCol).cast("string")), m),
+          toPhysical(keep.withColumn("__p", partRoute(partCol)), m),
           m, fs, dir)
         val staged = listStaged(fs, dir, rel)
         val stagedStats =
@@ -3724,7 +3786,7 @@ object SnapshotLog {
       require(violations == 0L,
         s"$violations source rows do not satisfy the REPLACE WHERE " +
           "predicate — the replaced region and the insert would diverge")
-      val batchParts = batch.select(col(partCol).cast("string"))
+      val batchParts = batch.select(partRoute(partCol))
         .distinct().collect().map(_.getString(0)).toSeq
       var attempt = 0
       while (attempt < maxRetries) {
@@ -3733,7 +3795,7 @@ object SnapshotLog {
         val lv = readVersion(spark, base, m.version)
           .map(_.drop(RowIdCol)).getOrElse(return None)
         val matchedParts = lv.filter(coalesce(predicate, lit(false)))
-          .select(col(partCol).cast("string")).distinct()
+          .select(partRoute(partCol)).distinct()
           .collect().map(_.getString(0)).toSeq
         val affected = (matchedParts ++ batchParts).distinct.sorted
         val preFiles = affected.flatMap(p => m.files.getOrElse(p, Nil))
@@ -3767,7 +3829,7 @@ object SnapshotLog {
           s"data/r$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
         val dir = new Path(bp, rel)
         stagePartitioned(
-          toPhysical(out.withColumn("__p", col(partCol).cast("string")), m),
+          toPhysical(out.withColumn("__p", partRoute(partCol)), m),
           m, fs, dir)
         val staged = listStaged(fs, dir, rel)
         val stagedStats =
@@ -3896,10 +3958,10 @@ object SnapshotLog {
         }
       }
       val pairs = postImage(
-        matchRows(lv).withColumn("__gsrc", col(partCol).cast("string")),
+        matchRows(lv).withColumn("__gsrc", partRoute(partCol)),
         Seq(col("__gsrc")))
         .select(col("__gsrc").as("__src"),
-          col(partCol).cast("string").as("__dst"))
+          partRoute(partCol).as("__dst"))
         .distinct().collect()
       if (pairs.isEmpty)
         return Some(DmlOutcome(m.version, metadataOnly = false, Nil, Nil))
@@ -3936,7 +3998,7 @@ object SnapshotLog {
       val dir = new Path(bp, rel)
       stagePartitioned(
         toPhysical(kept.unionByName(updated)
-          .withColumn("__p", col(partCol).cast("string")), m),
+          .withColumn("__p", partRoute(partCol)), m),
         m, fs, dir)
       val staged = listStaged(fs, dir, rel)
       val stagedStats =

@@ -147,16 +147,37 @@ class DsvWriteSpec extends SparkSpec {
     assert(err.getMessage.contains("time-traveled"))
   }
 
-  test("a fresh-path write without any partition column fails with guidance") {
+  test("a fresh-path write without partitionBy creates an UNPARTITIONED table") {
     val base = Files.createTempDirectory("graft_w6").toString + "/t"
-    val err = intercept[Exception] {
-      rowsDf(9).write.format("graft").save(base)
-    }
-    assert(err.getMessage.contains("partition column"))
-    // option("partitionCol", …) is an accepted spelling
+    // Delta's default table shape: no partitioning required
+    rowsDf(9).write.format("graft").save(base)
+    val m = manifest(base)
+    assert(m.props.get(SnapshotLog.PartColProp).contains(SnapshotLog.NoPartCol),
+      "first write stamps the explicit unpartitioned marker")
+    assert(m.files.keySet == Set(SnapshotLog.SinglePart))
+    assert(readT(base).count() == 9)
+    // option("partitionCol", …) is still the accepted spelling for a
+    // PARTITIONED fresh-path write without partitionBy
+    val base2 = Files.createTempDirectory("graft_w6b").toString + "/t"
     rowsDf(9).write.format("graft")
-      .option(WriteIntoGraft.PartitionColOption, "day").save(base)
-    assert(manifest(base).props.get(SnapshotLog.PartColProp).contains("day"))
+      .option(WriteIntoGraft.PartitionColOption, "day").save(base2)
+    assert(manifest(base2).props.get(SnapshotLog.PartColProp).contains("day"))
+  }
+
+  test("partitionBy that contradicts the table's layout fails loudly") {
+    val base = Files.createTempDirectory("graft_w7").toString + "/t"
+    rowsDf(30).write.format("graft").partitionBy("day").save(base)
+    // Delta's partitioning-mismatch contract: never silently write the
+    // hinted layout under the old one
+    val err = intercept[Exception] {
+      rowsDf(3).write.format("graft").mode("append")
+        .option(WriteIntoGraft.PartitionColOption, "value").save(base)
+    }
+    assert(err.getMessage.contains("partitioned by 'day'"))
+    // matching hint is accepted
+    rowsDf(3).write.format("graft").mode("append")
+      .option(WriteIntoGraft.PartitionColOption, "DAY").save(base)
+    assert(readT(base).count() == 33)
   }
 
   test("CREATE TABLE / CTAS / INSERT INTO / INSERT OVERWRITE through the catalog") {

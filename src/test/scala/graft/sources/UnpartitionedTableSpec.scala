@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSessions, SparkSpec}
+
+/** UNPARTITIONED graft tables — Delta's most common table shape, and
+  * the round-12 verdict's top usability gap: `save(path)` with no
+  * partitionBy, `CREATE TABLE … USING graft` with no PARTITIONED BY.
+  * Internally a one-partition table (every row routes to the hidden
+  * [[SnapshotLog.SinglePart]] key), so the WHOLE surface — DML,
+  * OPTIMIZE, CDF, time travel, constraints, TRUNCATE, catalog DDL,
+  * streaming sink, convert — must work unchanged. Each test exercises
+  * one slice of that contract. */
+class UnpartitionedTableSpec extends SparkSpec {
+
+  private lazy val s = GraftSessions.withExtensions(spark)
+
+  private def rowsDf(n: Long): DataFrame = {
+    import s.implicits._
+    (1L to n).map(i => (i, i * 1.5, s"d${i % 3}")).toDF("id", "value", "day")
+  }
+
+  private def manifest(base: String): SnapshotLog.Manifest = {
+    val bp = new Path(base)
+    SnapshotLog.readManifest(
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration), bp).get
+  }
+
+  private def readT(base: String): DataFrame =
+    s.read.format("graft").load(base)
+
+  test("save / append / overwrite / time travel with no partition column") {
+    val base = Files.createTempDirectory("graft_u1").toString + "/t"
+    rowsDf(30).write.format("graft").save(base)
+    val m1 = manifest(base)
+    assert(m1.props.get(SnapshotLog.PartColProp)
+      .contains(SnapshotLog.NoPartCol))
+    assert(m1.files.keySet == Set(SnapshotLog.SinglePart),
+      "all rows under the single hidden partition")
+    assert(readT(base).count() == 30)
+    assert(readT(base).columns.toSeq == Seq("id", "value", "day"),
+      "the hidden partition key never leaks into the schema")
+
+    rowsDf(30).withColumn("id", col("id") + 100)
+      .write.format("graft").mode("append").save(base)
+    assert(readT(base).count() == 60)
+
+    rowsDf(10).write.format("graft").mode("overwrite").save(base)
+    assert(readT(base).count() == 10)
+    assert(s.read.format("graft").option("versionAsOf", "2")
+      .load(base).count() == 60, "time travel across the overwrite")
+
+    // declaring a partitioning against the unpartitioned layout fails
+    val err = intercept[Exception] {
+      rowsDf(3).write.format("graft").mode("append")
+        .partitionBy("day").save(base)
+    }
+    assert(err.getMessage.contains("unpartitioned"))
+  }
+
+  test("replaceWhere backfills a data-predicate region") {
+    val base = Files.createTempDirectory("graft_u2").toString + "/t"
+    rowsDf(30).write.format("graft").save(base)
+    val repl = rowsDf(30).filter(col("day") === "d1")
+      .withColumn("value", lit(-1.0))
+    repl.write.format("graft").mode("overwrite")
+      .option("replaceWhere", "day = 'd1'").save(base)
+    val t = readT(base)
+    assert(t.filter(col("day") === "d1" && col("value") =!= -1.0).count() == 0)
+    assert(t.filter(col("day") =!= "d1").count() == 20,
+      "rows outside the replaced region survive")
+    assert(t.count() == 30)
+  }
+
+  test("row-level DML, OPTIMIZE, TRUNCATE on a registered unpartitioned view") {
+    val base = Files.createTempDirectory("graft_u3").toString + "/t"
+    rowsDf(30).write.format("graft").save(base)
+    rowsDf(30).withColumn("id", col("id") + 100)
+      .write.format("graft").mode("append").save(base)
+    val view = Catalog.registerSnapshotLog(
+      s, "udb", "t", base, Some(SnapshotLog.NoPartCol))
+
+    s.sql(s"DELETE FROM $view WHERE id % 2 = 0")
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 30)
+
+    s.sql(s"UPDATE $view SET value = 0 WHERE id = 1")
+    assert(s.sql(s"SELECT COUNT(*) FROM $view WHERE value = 0")
+      .head.getLong(0) == 1)
+
+    rowsDf(4).createOrReplaceTempView("u3_src")
+    s.sql(s"""MERGE INTO $view t USING u3_src s ON t.id = s.id
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 32,
+      "2 odd ids matched (updated), 2 even ids inserted")
+
+    // OPTIMIZE folds the accumulated files of the single partition
+    val filesBefore = manifest(base).allFiles.size
+    assert(filesBefore > 1)
+    s.sql(s"OPTIMIZE $view")
+    assert(manifest(base).allFiles.size < filesBefore)
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 32)
+
+    // OPTIMIZE WHERE has no partition values to select — loud refusal
+    val werr = intercept[Exception] { s.sql(s"OPTIMIZE $view WHERE id > 0") }
+    assert(werr.getMessage.contains("unpartitioned"))
+
+    // TRUNCATE: metadata-only (the single partition drops), history intact
+    val vBefore = manifest(base).version
+    s.sql(s"TRUNCATE TABLE $view")
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 0)
+    assert(manifest(base).version == vBefore + 1)
+    assert(manifest(base).files.isEmpty)
+    assert(s.read.format("graft").option("versionAsOf", vBefore.toString)
+      .load(base).count() == 32)
+  }
+
+  test("CDF publishes inserts/deletes on an unpartitioned table") {
+    val base = Files.createTempDirectory("graft_u4").toString + "/t"
+    rowsDf(20).write.format("graft").save(base)
+    SnapshotLog.setProperties(s, base, Map(SnapshotLog.CdfProp -> "true"))
+    rowsDf(5).withColumn("id", col("id") + 500)
+      .write.format("graft").mode("append").save(base)
+    SnapshotLog.deleteWhere(s, base, col("id") > 501,
+      SnapshotLog.NoPartCol)
+    val cdf = SnapshotLog.readCdf(s, base).get
+    assert(cdf.filter(col("change_type") === "insert").count() == 5)
+    assert(cdf.filter(col("change_type") === "delete").count() == 4,
+      "ids 502..505 deleted as typed CDF rows")
+  }
+
+  test("catalog DDL without PARTITIONED BY: CREATE/CTAS/INSERT/REPLACE/DML") {
+    val root = Files.createTempDirectory("graft_ucat").toString
+    s.conf.set("spark.sql.catalog.graft_u", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_u.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_u.db")
+    rowsDf(30).createOrReplaceTempView("u_src")
+
+    // empty CREATE, then INSERT INTO
+    s.sql("CREATE TABLE graft_u.db.t1 (id BIGINT, value DOUBLE, day STRING) USING graft")
+    val m1 = manifest(s"$root/db/t1")
+    assert(m1.props.get(SnapshotLog.PartColProp)
+      .contains(SnapshotLog.NoPartCol))
+    s.sql("INSERT INTO graft_u.db.t1 SELECT id, value, day FROM u_src")
+    assert(s.sql("SELECT COUNT(*) FROM graft_u.db.t1").head.getLong(0) == 30)
+    assert(s.sql("SELECT * FROM graft_u.db.t1").columns.toSeq ==
+      Seq("id", "value", "day"))
+
+    // atomic CTAS without PARTITIONED BY
+    s.sql("""CREATE TABLE graft_u.db.t2 USING graft
+             AS SELECT id, value, day FROM u_src WHERE id <= 10""")
+    assert(s.sql("SELECT COUNT(*) FROM graft_u.db.t2").head.getLong(0) == 10)
+    assert(manifest(s"$root/db/t2").files.keySet ==
+      Set(SnapshotLog.SinglePart))
+
+    // INSERT OVERWRITE replaces the snapshot
+    s.sql("INSERT OVERWRITE graft_u.db.t2 SELECT id, value, day FROM u_src")
+    assert(s.sql("SELECT COUNT(*) FROM graft_u.db.t2").head.getLong(0) == 30)
+
+    // row-level DML on the dotted name (partCol resolved as "" from
+    // the manifest through catalogTarget)
+    s.sql("DELETE FROM graft_u.db.t2 WHERE id > 20")
+    assert(s.sql("SELECT COUNT(*) FROM graft_u.db.t2").head.getLong(0) == 20)
+    s.sql("UPDATE graft_u.db.t2 SET value = -1 WHERE id = 3")
+    assert(s.sql("SELECT COUNT(*) FROM graft_u.db.t2 WHERE value = -1")
+      .head.getLong(0) == 1)
+    s.sql("""MERGE INTO graft_u.db.t2 t USING
+               (SELECT id + 25 AS id, value, day FROM u_src WHERE id <= 2) s
+             ON t.id = s.id
+             WHEN NOT MATCHED THEN INSERT *""")
+    assert(s.sql("SELECT COUNT(*) FROM graft_u.db.t2").head.getLong(0) == 22)
+
+    // CREATE OR REPLACE from partitioned to unpartitioned and back:
+    // one atomic commit each, history preserved
+    s.sql("""CREATE OR REPLACE TABLE graft_u.db.t2 USING graft
+             PARTITIONED BY (day)
+             AS SELECT id, value, day FROM u_src WHERE id <= 6""")
+    val mRep = manifest(s"$root/db/t2")
+    assert(mRep.props.get(SnapshotLog.PartColProp).contains("day"))
+    assert(mRep.files.keySet.subsetOf(Set("d0", "d1", "d2")))
+    s.sql("""CREATE OR REPLACE TABLE graft_u.db.t2 USING graft
+             AS SELECT id, value, day FROM u_src WHERE id <= 4""")
+    val mRep2 = manifest(s"$root/db/t2")
+    assert(mRep2.props.get(SnapshotLog.PartColProp)
+      .contains(SnapshotLog.NoPartCol))
+    assert(mRep2.files.keySet == Set(SnapshotLog.SinglePart))
+    assert(s.sql("SELECT COUNT(*) FROM graft_u.db.t2").head.getLong(0) == 4)
+
+    // TRUNCATE via Spark's native TruncatableTable path
+    s.sql("TRUNCATE TABLE graft_u.db.t1")
+    assert(s.sql("SELECT COUNT(*) FROM graft_u.db.t1").head.getLong(0) == 0)
+  }
+
+  test("streaming sink to a fresh path with no partitioning") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_u5").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_u5ck").toString
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"), (3L, "c"))
+    val q = mem.toDF().toDF("id", "tag")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("appId", "u5")
+      .trigger(Trigger.AvailableNow())
+      .start(base)
+    q.awaitTermination(60000)
+    val m = manifest(base)
+    assert(m.props.get(SnapshotLog.PartColProp)
+      .contains(SnapshotLog.NoPartCol))
+    assert(m.files.keySet == Set(SnapshotLog.SinglePart))
+    assert(readT(base).count() == 3)
+  }
+
+  test("CONVERT TO graft_snapshot adopts an unpartitioned parquet dir in place") {
+    val dir = Files.createTempDirectory("graft_u6").toString + "/plain"
+    rowsDf(24).repartition(3).write.parquet(dir)
+    val v = SnapshotLog.convertInPlace(s, dir, SnapshotLog.NoPartCol,
+      statsCols = Seq("id"))
+    assert(v == 1L)
+    val m = manifest(dir)
+    assert(m.files.keySet == Set(SnapshotLog.SinglePart))
+    assert(m.props.get(SnapshotLog.PartColProp)
+      .contains(SnapshotLog.NoPartCol))
+    assert(readT(dir).count() == 24)
+    // harvested stats carry per-file id bounds (pruning-ready)
+    assert(m.stats.values.exists(_.contains("id")))
+    // the adopted table takes DML immediately
+    SnapshotLog.deleteWhere(s, dir, col("id") <= 4, SnapshotLog.NoPartCol)
+    assert(readT(dir).count() == 20)
+  }
+}
