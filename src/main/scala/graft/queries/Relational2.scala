@@ -4979,6 +4979,30 @@ object Relational2 {
       def facet(name: String, df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("total"))
           .select(lit(name).as("phase"), col("n"), col("total"))
+      // option("mergeSchema","true") — Delta's per-write evolution:
+      // without it the widened batch REJECTS (schema enforcement,
+      // gated in-engine); with it the new column lands and old rows
+      // read NULL. Graded as (n = NULL-backfilled originals,
+      // total = sum over evolved table).
+      val baseC = s"$root/fmt/merged"
+      orders.write.format("graft").partitionBy("o_orderstatus").save(baseC)
+      val widened = orders.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 700000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .withColumn("note", lit("late"))
+      val enforced =
+        try {
+          widened.write.format("graft").mode("append").save(baseC); false
+        } catch { case _: Exception => true }
+      require(enforced,
+        "a widened batch without mergeSchema must reject (schema enforcement)")
+      widened.write.format("graft").mode("append")
+        .option(WriteIntoGraft.MergeSchemaOption, "true").save(baseC)
+      val evolved = s.read.format("graft").load(baseC)
+      val mergeF = evolved
+        .agg(sum(when(col("note").isNull, 1L).otherwise(0L)).as("n"),
+          dsumD(col("o_totalprice")).as("total"))
+        .select(lit("merge_schema").as("phase"), col("n"), col("total"))
       facet("save", fmtV1)
         .union(facet("replace", fmtLive))
         // parity: the format-written twin is row-identical to the
@@ -4989,6 +5013,7 @@ object Relational2 {
             lit(0.0).cast("double").as("total")))
         .union(facet("insert_overwrite", s.table("graft_w122.db.t1")))
         .union(facet("ctas", s.table("graft_w122.db.t2")))
+        .union(mergeF)
     },
     Some("""
       WITH repl AS (
@@ -5014,6 +5039,13 @@ object Relational2 {
       SELECT 'ctas', COUNT(*),
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
       FROM orders WHERE o_orderstatus <> 'O'
+      UNION ALL
+      SELECT 'merge_schema', COUNT(*),
+             (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+              FROM (SELECT o_totalprice FROM orders
+                    UNION ALL
+                    SELECT o_totalprice FROM orders WHERE o_orderkey % 13 = 0) u)
+      FROM orders
       """))
 
   /** `spark.readStream.format("graft")` — the streaming read unified

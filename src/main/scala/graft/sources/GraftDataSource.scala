@@ -166,7 +166,9 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
             replaceWhere.isEmpty,
           replaceWhere = replaceWhere.filter(_ => tableExists)
             .map(org.apache.spark.sql.functions.expr),
-          partColHint = partHint)
+          partColHint = partHint,
+          mergeSchema = parameters.get(WriteIntoGraft.MergeSchemaOption)
+            .exists(_.trim.toBoolean))
     }
     new org.apache.spark.sql.sources.BaseRelation {
       override def sqlContext: org.apache.spark.sql.SQLContext =

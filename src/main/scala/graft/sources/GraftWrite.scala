@@ -46,6 +46,16 @@ object WriteIntoGraft {
     * `partitionBy(c)` on a fresh path is the idiomatic spelling. */
   val PartitionColOption = "partitionCol"
 
+  /** `option("mergeSchema", "true")` — Delta's per-write auto-merge
+    * spelling: a batch carrying columns the table lacks widens the
+    * schema (new columns nullable, existing rows read NULL) instead of
+    * failing. Without it — and without the table-level
+    * [[SnapshotLog.AutoMergeProp]] — an append/replaceWhere batch with
+    * unknown columns is REJECTED loudly (Delta's schema-enforcement
+    * contract); a full overwrite replaces the schema wholesale and
+    * needs no opt-in. */
+  val MergeSchemaOption = "mergeSchema"
+
   /** Single-column identity partitioning is the format's partition
     * model; reject anything else loudly at the boundary. */
   def partColOf(transforms: Array[Transform]): Option[String] =
@@ -105,7 +115,8 @@ object WriteIntoGraft {
       data: DataFrame,
       overwriteAll: Boolean,
       replaceWhere: Option[Column],
-      partColHint: Option[String]): Long = {
+      partColHint: Option[String],
+      mergeSchema: Boolean = false): Long = {
     val spark = data.sparkSession
     val bp = new Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,6 +152,32 @@ object WriteIntoGraft {
     require(partCol.isEmpty || data.columns.exists(_.equalsIgnoreCase(partCol)),
       s"write batch lacks the partition column '$partCol' " +
         s"(batch columns: ${data.columns.mkString(", ")})")
+    // schema ENFORCEMENT (Delta's contract): columns the table does not
+    // know are rejected unless the write opted into evolution — the
+    // per-write mergeSchema option or the table-level autoMergeSchema
+    // property. A full overwrite is exempt (it replaces the schema
+    // wholesale). With evolution on, the append path widens natively
+    // inside appendBatch; replaceWhere aligns to the LIVE schema, so
+    // the new columns are committed first (one extra metadata version).
+    val extras: Seq[org.apache.spark.sql.types.StructField] =
+      if (overwriteAll) Nil
+      else m.flatMap(_.schema).toSeq.flatMap { sc =>
+        data.schema.fields.toSeq.filterNot(f =>
+          sc.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      }
+    if (extras.nonEmpty) {
+      val mergeOk = mergeSchema || m.exists(_.autoMerge)
+      if (!mergeOk) throw new IllegalArgumentException(
+        s"graft table $base does not have column(s) " +
+          s"${extras.map(_.name).mkString(", ")} — write with " +
+          s"option(\"$MergeSchemaOption\", \"true\") (or set the " +
+          s"${SnapshotLog.AutoMergeProp} table property) to widen the " +
+          "schema, or drop the columns")
+      if (replaceWhere.isDefined)
+        SnapshotLog.addColumns(spark, base,
+          org.apache.spark.sql.types.StructType(
+            extras.map(_.copy(nullable = true)).toArray))
+    }
     // first write stamps the partition column into the table's
     // properties so later reads prune and later writes need no hint
     val propsAdd =
@@ -217,7 +254,10 @@ final class GraftWriteBuilder(
             replaceWhere = pred,
             partColHint =
               Option(info.options.get(WriteIntoGraft.PartitionColOption))
-                .orElse(tablePartCol))
+                .orElse(tablePartCol),
+            mergeSchema =
+              Option(info.options.get(WriteIntoGraft.MergeSchemaOption))
+                .exists(_.trim.toBoolean))
           ()
         }
       }
@@ -229,10 +269,13 @@ final class GraftWriteBuilder(
   * the query's rows land through the normal transactional write —
   * create = a version-1 append, replace = a full-snapshot OVERWRITE
   * commit (history preserved; the pre-replace version stays time-
-  * travelable) — so "commit staged changes" is the same single
-  * `tryCommit` every write makes, and an aborted CTAS leaves either
-  * nothing (create) or the old table untouched (replace); staged data
-  * files of an aborted write are vacuum-reclaimable orphans.
+  * travelable). The write exec's `insert` only CAPTURES the query
+  * plan; the data job and its one `tryCommit` both run inside
+  * `commitStagedChanges`, so `abortStagedChanges` at ANY earlier point
+  * genuinely leaves nothing committed (create) or the old table
+  * untouched (replace) — there is no post-write pre-commit abort
+  * window. Staged data files of an aborted/failed commit are
+  * vacuum-reclaimable orphans.
   *
   * REPLACE property semantics (documented deviation from Delta's
   * reset-everything): declared properties and the declared PARTITIONED
@@ -255,7 +298,10 @@ final class GraftStagedTable(
   with SupportsWrite {
 
   private val partCol = WriteIntoGraft.partColOf(transforms)
-  @volatile private var wrote = false
+  // the CTAS query's frame, captured by insert() and executed inside
+  // commitStagedChanges — deferral is what makes the abort clean
+  @volatile private var pending: Option[DataFrame] = None
+  @volatile private var aborted = false
 
   override def name(): String = s"graft.`$base` (staged)"
   override def schema(): StructType = declaredSchema
@@ -279,7 +325,7 @@ final class GraftStagedTable(
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: Dataset[Row], overwrite: Boolean): Unit = {
-              commitRows(data.toDF()); ()
+              pending = Some(data.toDF()); ()
             }
           }
       }
@@ -293,13 +339,12 @@ final class GraftStagedTable(
       overwrite = replaceExisting, propsAdd = declaredProps,
       resetColumnState = replaceExisting)
     reconcileProps()
-    wrote = true
   }
 
-  /** Declared properties override on REPLACE (appendBatch's propsAdd
-    * is existing-wins by design — right for first-write stamping,
-    * wrong for an explicit REPLACE declaration). One extra metadata
-    * commit, only when something actually differs. */
+  /** Declared properties land in the SAME commit on REPLACE
+    * (appendBatch's resetColumnState flips propsAdd to declared-wins),
+    * so this is a pure safety net — it commits only if something
+    * still differs, which no longer happens on the normal path. */
   private def reconcileProps(): Unit = if (replaceExisting) {
     val bp = new Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -308,24 +353,29 @@ final class GraftStagedTable(
     if (diff.nonEmpty) SnapshotLog.setProperties(spark, base, diff)
   }
 
-  /** A DDL-only CREATE/REPLACE (no AS SELECT) never calls insert —
-    * commit the declared empty shape here. */
-  override def commitStagedChanges(): Unit = if (!wrote) {
-    if (!replaceExisting) {
-      if (!SnapshotLog.createTable(spark, base, declaredSchema, declaredProps))
-        sys.error(s"$base: lost the create race")
-    } else {
-      import org.apache.spark.sql.functions.col
-      // REPLACE to the declared (possibly different) schema with no
-      // rows: an overwrite commit of an empty, schema-typed frame
-      val empty = spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), declaredSchema)
-        .select(declaredSchema.fieldNames.map(col): _*)
-      commitRows(empty)
+  /** THE one commit point: the captured CTAS frame (when the plan has
+    * a query) or the declared empty shape (DDL-only CREATE/REPLACE)
+    * lands here — nothing has touched the log before this runs, so an
+    * abort anywhere earlier is free. */
+  override def commitStagedChanges(): Unit = {
+    require(!aborted, s"$base: staged CTAS was aborted")
+    pending match {
+      case Some(df) => commitRows(df)
+      case None if !replaceExisting =>
+        if (!SnapshotLog.createTable(spark, base, declaredSchema, declaredProps))
+          sys.error(s"$base: lost the create race")
+      case None =>
+        import org.apache.spark.sql.functions.col
+        // REPLACE to the declared (possibly different) schema with no
+        // rows: an overwrite commit of an empty, schema-typed frame
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), declaredSchema)
+          .select(declaredSchema.fieldNames.map(col): _*)
+        commitRows(empty)
     }
   }
 
-  override def abortStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit = { aborted = true; pending = None }
 }
 
 /** A graft table that does not exist yet, addressed for WRITING:

@@ -2066,8 +2066,13 @@ object SnapshotLog {
         m.txns ++ allTxns,
         // propsAdd: caller-supplied property seeds (the DSv2 write
         // surface stamps PartColProp on first write) — existing values
-        // win so a concurrent ALTER is never silently undone
-        propsAdd ++ m.props ++ stagedHw, m.colmap, m.dropped)
+        // win so a concurrent ALTER is never silently undone. REPLACE
+        // (resetColumnState) inverts that: its propsAdd is an explicit
+        // DECLARATION that overrides collisions in the same commit
+        // (undeclared existing props — bookkeeping high-waters, row-id
+        // bases — still survive, the documented REPLACE semantics)
+        (if (resetColumnState) m.props ++ propsAdd
+         else propsAdd ++ m.props) ++ stagedHw, m.colmap, m.dropped)
       // the replaced snapshot's CDF delete feed must read the OLD
       // files under their OWN column mapping — keep the unstripped
       // manifest for it

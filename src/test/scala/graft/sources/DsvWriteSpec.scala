@@ -180,6 +180,72 @@ class DsvWriteSpec extends SparkSpec {
     assert(readT(base).count() == 33)
   }
 
+  test("mergeSchema: unknown columns reject without it, widen with it") {
+    val base = Files.createTempDirectory("graft_w8").toString + "/t"
+    rowsDf(30).write.format("graft").partitionBy("day").save(base)
+    val widened = rowsDf(6).withColumn("note", lit("late"))
+    // schema enforcement: extras without the opt-in fail loudly
+    val err = intercept[Exception] {
+      widened.write.format("graft").mode("append").save(base)
+    }
+    assert(err.getMessage.contains("mergeSchema"))
+    assert(readT(base).columns.toSeq == Seq("id", "value", "day"))
+    // Delta's per-write spelling widens the schema
+    widened.write.format("graft").mode("append")
+      .option(WriteIntoGraft.MergeSchemaOption, "true").save(base)
+    val t = readT(base)
+    assert(t.columns.toSeq == Seq("id", "value", "day", "note"))
+    assert(t.filter(col("note") === "late").count() == 6)
+    assert(t.filter(col("note").isNull).count() == 30,
+      "pre-evolution rows backfill NULL")
+    // replaceWhere + mergeSchema: new column committed, region replaced
+    val repl = rowsDf(9).filter(col("day") === "d1")
+      .withColumn("flag", lit(7L))
+    repl.write.format("graft").mode("overwrite")
+      .option("replaceWhere", "day = 'd1'")
+      .option(WriteIntoGraft.MergeSchemaOption, "true").save(base)
+    val t2 = readT(base)
+    assert(t2.columns.contains("flag"))
+    assert(t2.filter(col("day") === "d1").count() == 3)
+    assert(t2.filter(col("flag").isNotNull).count() == 3)
+  }
+
+  test("staged CTAS: abort before commit leaves NOTHING committed") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val base = Files.createTempDirectory("graft_w9").toString + "/t"
+    val staged = new GraftStagedTable(s, base, rowsDf(1).schema,
+      Array(Expressions.identity("day")), Map.empty,
+      replaceExisting = false)
+    // drive the V1 write the exec would: insert captures, nothing commits
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options() =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())
+      override def queryId(): String = "w9"
+      override def schema() = rowsDf(1).schema
+    }
+    staged.newWriteBuilder(info).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+      .toInsertableRelation.insert(rowsDf(30), overwrite = false)
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(SnapshotLog.readManifest(fs, bp).isEmpty,
+      "insert() must not commit — the data job is deferred to commitStagedChanges")
+    staged.abortStagedChanges()
+    assert(SnapshotLog.readManifest(fs, bp).isEmpty,
+      "an aborted CTAS leaves no committed version")
+    intercept[Exception] { staged.commitStagedChanges() }
+    // a fresh staging commits normally, data job included
+    val staged2 = new GraftStagedTable(s, base, rowsDf(1).schema,
+      Array(Expressions.identity("day")), Map.empty,
+      replaceExisting = false)
+    staged2.newWriteBuilder(info).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+      .toInsertableRelation.insert(rowsDf(30), overwrite = false)
+    staged2.commitStagedChanges()
+    assert(readT(base).count() == 30)
+  }
+
   test("CREATE TABLE / CTAS / INSERT INTO / INSERT OVERWRITE through the catalog") {
     val root = Files.createTempDirectory("graft_wcat").toString
     s.conf.set("spark.sql.catalog.graft_w", classOf[GraftCatalog].getName)
