@@ -5097,12 +5097,38 @@ object Relational2 {
       require(cdf.count() == SnapshotLog.readCdf(s, base).get.count(),
         "streamed CDF tail must deliver exactly the batch feed's rows")
       val rowFeed = s.read.parquet(s"$root/row_out")
+      // snapshot+tail bootstrap on a CDF-LESS table (the row feed's
+      // home turf): a fresh initialSnapshot stream delivers the
+      // snapshot as of start; a restart from the same checkpoint after
+      // a new append delivers ONLY the tail — together they must equal
+      // the batch recompute of the final table
+      val baseR = s"$root/orders_nocdf"
+      SnapshotLog.appendBatch(s, baseR, orders, "o_orderstatus", batchId = 1,
+        propsAdd = Map(SnapshotLog.PartColProp -> "o_orderstatus"))
+      def drainSnap(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("initialSnapshot", "true").load(baseR)
+          .writeStream
+          .option("checkpointLocation", s"$root/ck3")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              b.write.mode("append").parquet(s"$root/snap_out"); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      drainSnap()
+      SnapshotLog.appendBatch(s, baseR, slice, "o_orderstatus", batchId = 2)
+      drainSnap()
+      val snapTail = s.read.parquet(s"$root/snap_out")
       def facet(name: String, df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("total"))
           .select(lit(name).as("phase"), col("n"), col("total"))
       facet("cdf_insert", cdf.filter(col("change_type") === "insert"))
         .union(facet("cdf_delete", cdf.filter(col("change_type") === "delete")))
         .union(facet("row_feed", rowFeed))
+        .union(facet("snapshot_tail", snapTail))
     },
     Some("""
       WITH appended AS (
@@ -5119,6 +5145,10 @@ object Relational2 {
       FROM appended WHERE o_orderkey % 5 = 0
       UNION ALL
       SELECT 'row_feed', COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      FROM appended
+      UNION ALL
+      SELECT 'snapshot_tail', COUNT(*),
              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
       FROM appended
       """))

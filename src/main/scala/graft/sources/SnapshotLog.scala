@@ -4164,6 +4164,33 @@ object SnapshotLog {
       .nextOption())
   }
 
+  /** Rows a version's commit ADDED: the data files version `v` holds
+    * that its predecessor `prev` does not, read under v's manifest
+    * (column mapping of the day, aligned to v's schema header). The
+    * streaming ROW FEED's batch primitive — append commits stream
+    * straight from committed data files, no materialized `_cdf`
+    * required (Delta's row-feed contract: appends stream without CDF).
+    * `prev = None` treats every file as added (version 1, or an
+    * expired predecessor at the head of the committed list). Appends
+    * never carry DVs on their new files, so the plain file read IS the
+    * commit's insert set. */
+  def appendedRows(
+      spark: SparkSession, base: String,
+      prev: Option[Long], v: Long): Option[DataFrame] = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    readManifestAt(fs, bp, v).map { m =>
+      val prevFiles = prev.flatMap(readManifestAt(fs, bp, _))
+        .map(_.allFiles.toSet).getOrElse(Set.empty[String])
+      val added = m.allFiles.filterNot(prevFiles)
+      if (added.isEmpty)
+        m.schema.map(sc => spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), sc))
+          .getOrElse(spark.emptyDataFrame)
+      else alignToSchema(readFiles(spark, bp, m, added), m)
+    }
+  }
+
   def cdfVersions(fs: FileSystem, base: Path): Seq[Long] = {
     val dir = cdfDir(base)
     if (!fs.exists(dir)) Nil

@@ -72,7 +72,18 @@ object CommitLogStream {
   }
 
   /** Shared constructor for the v1 streaming sources registered under
-    * BOTH names (`graft` and the legacy `graft-commitlog`). */
+    * BOTH names (`graft` and the legacy `graft-commitlog`).
+    *
+    * `startingVersion` accepts a number or `"latest"` (Delta's
+    * tail-only mode: deliver nothing committed before the stream
+    * started). `initialSnapshot = true` (row feed only) bootstraps a
+    * new consumer in ONE stream: the first micro-batch carries the
+    * full DV-correct snapshot as of stream start, then the tail
+    * follows — a checkpointed restart never re-delivers the snapshot
+    * (it only applies when no start offset exists). A CHANGE-FEED
+    * stream on a table with neither CDF enabled nor any materialized
+    * feed fails fast here instead of silently delivering zero rows
+    * forever. */
   def sourceFor(
       spark: SparkSession,
       schema: Option[StructType],
@@ -80,14 +91,36 @@ object CommitLogStream {
     val base = parameters.getOrElse("path",
       sys.error("graft streaming needs .option(\"path\", <table dir>) or .load(<dir>)"))
     val changeFeed = parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (changeFeed &&
+        !SnapshotLog.readManifest(fs, bp).exists(_.cdfEnabled) &&
+        SnapshotLog.cdfVersions(fs, bp).isEmpty)
+      sys.error(s"$base: readChangeFeed stream needs the change feed — " +
+        s"set ${SnapshotLog.CdfProp} = true (or write with writeCdf) " +
+        "first; a CDF-less table would stream zero rows forever. The " +
+        "default ROW feed streams appends without CDF.")
+    val startingVersion = parameters.get("startingVersion").map(_.trim) match {
+      case Some(s0) if s0.equalsIgnoreCase("latest") =>
+        // tail-only: nothing committed before the stream started
+        SnapshotLog.committedVersions(fs, bp).lastOption.getOrElse(0L) + 1L
+      case Some(s0) => s0.toLong
+      case None => 1L
+    }
+    val initialSnapshot =
+      parameters.get("initialSnapshot").exists(_.trim.toBoolean)
+    require(!(initialSnapshot && changeFeed),
+      "initialSnapshot is a row-feed option — the change feed already " +
+        "carries the table's history as typed changes")
     new CommitLogSource(spark, base,
       schema.getOrElse(
         if (changeFeed) cdfSchema(spark, base) else tableSchema(spark, base)),
       parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(0),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(1L),
+      startingVersion,
       changeFeed = changeFeed,
       skipChangeCommits =
-        parameters.get("skipChangeCommits").exists(_.trim.toBoolean))
+        parameters.get("skipChangeCommits").exists(_.trim.toBoolean),
+      initialSnapshot = initialSnapshot)
   }
 
   def schemaFor(
@@ -150,7 +183,13 @@ class CommitLogSourceProvider extends StreamSourceProvider with DataSourceRegist
   *        metadata, no feed read.
   * @param skipChangeCommits row-feed mode only: skip non-append
   *        commits entirely instead of failing (Delta's
-  *        `skipChangeCommits`). */
+  *        `skipChangeCommits`).
+  * @param initialSnapshot row-feed mode only: a FRESH stream's first
+  *        batch is the full snapshot as of stream start (DV-correct,
+  *        version-pinned), then the tail follows — Delta's
+  *        initial-snapshot bootstrap. Checkpointed restarts never
+  *        re-deliver it (the snapshot path only fires when no start
+  *        offset exists). */
 class CommitLogSource(
     spark: SparkSession,
     base: String,
@@ -158,15 +197,32 @@ class CommitLogSource(
     maxVersionsPerBatch: Int = 0,
     startingVersion: Long = 1L,
     changeFeed: Boolean = true,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    initialSnapshot: Boolean = false)
   extends Source {
 
-  /** Commit classes whose feed is pure inserts — safe for the row
-    * feed. COPY INTO and streaming sinks commit as APPEND. */
-  private val AppendOps = Set("APPEND", "WRITE")
+  /** Commit classes whose manifest delta is pure inserts — safe for
+    * the row feed. COPY INTO and streaming sinks commit as APPEND;
+    * CONVERT's version 1 adopts every file as new rows. */
+  private val AppendOps = Set("APPEND", "WRITE", "CONVERT")
 
   private val bp = new Path(base)
   private def fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Offset source: the CHANGE feed tails materialized `_cdf` versions;
+    * the ROW feed tails COMMITTED MANIFEST versions directly, so it
+    * works on tables that never enabled CDF (Delta's contract — the
+    * round-12 ADVICE finding: the old `_cdf`-derived offsets made a
+    * CDF-less row feed silently deliver nothing forever). */
+  private def feedVersions: Seq[Long] =
+    if (changeFeed) SnapshotLog.cdfVersions(fs, bp)
+    else SnapshotLog.committedVersions(fs, bp)
+
+  /** Version the initial snapshot pins to — resolved ONCE at source
+    * construction (stream start). */
+  private val snapshotV: Option[Long] =
+    if (!initialSnapshot) None
+    else SnapshotLog.committedVersions(fs, bp).lastOption
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -183,19 +239,27 @@ class CommitLogSource(
     * window and stall `processAllAvailable`. */
   @volatile private var lastReturned: Long = startingVersion - 1L
 
-  /** Newest version with a materialized feed — the stream's high-water
-    * mark. Feeds publish by atomic rename AFTER their manifest commit,
-    * so a version never appears here before its data is complete.
+  /** Newest feed version — the stream's high-water mark. CDF feeds
+    * publish by atomic rename AFTER their manifest commit, and a
+    * manifest version is only listed once footer-complete, so a
+    * version never appears here before its data is whole.
     * `maxVersionsPerBatch` caps how far one micro-batch may advance —
     * the admission-control knob (Delta's maxFilesPerTrigger analog)
-    * that keeps a long catch-up from becoming one giant batch. */
+    * that keeps a long catch-up from becoming one giant batch. An
+    * initial-snapshot stream's first offer never lands BELOW the
+    * snapshot version (the snapshot must be one batch, not sliced by
+    * admission control). */
   override def getOffset: Option[Offset] = {
-    val vs = SnapshotLog.cdfVersions(fs, bp)
-    if (vs.isEmpty) None
-    else if (maxVersionsPerBatch <= 0) Some(LongOffset(vs.last))
+    val vs = feedVersions
+    if (vs.isEmpty) snapshotV.map(LongOffset(_))
     else {
-      val next = vs.filter(_ > lastReturned).take(maxVersionsPerBatch)
-      val off = if (next.isEmpty) lastReturned else next.last
+      val off0 =
+        if (maxVersionsPerBatch <= 0) vs.last
+        else {
+          val next = vs.filter(_ > lastReturned).take(maxVersionsPerBatch)
+          if (next.isEmpty) lastReturned else next.last
+        }
+      val off = math.max(off0, snapshotV.getOrElse(Long.MinValue))
       lastReturned = math.max(lastReturned, off)
       Some(LongOffset(off))
     }
@@ -204,21 +268,44 @@ class CommitLogSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // no checkpointed start = the stream's FIRST batch: begin at
     // startingVersion instead of the table's origin
-    val lo = start.map(versionOf).getOrElse(startingVersion - 1L)
+    val lo0 = start.map(versionOf).getOrElse(startingVersion - 1L)
     val hi = versionOf(end)
     // a replayed batch after restart re-establishes the watermark
     lastReturned = math.max(lastReturned, hi)
-    val versions0 = SnapshotLog.cdfVersions(fs, bp)
-      .filter(v => v > lo && v <= hi)
+    // initial snapshot applies only to the checkpoint-less FIRST batch:
+    // its rows are the snapshot at snapshotV, the tail then starts past
+    // that version. A restarted stream has a start offset and skips
+    // this branch entirely — no re-delivered snapshot.
+    val snapshotPart: Option[DataFrame] =
+      if (start.isEmpty) snapshotV.map { sv =>
+        SnapshotLog.readVersion(spark, base, sv).getOrElse(
+          sys.error(s"$base: snapshot version $sv expired mid-stream"))
+          .drop(graft.sources.SnapshotLog.RowIdCol)
+      } else None
+    val lo = snapshotPart.fold(lo0)(_ => math.max(lo0, snapshotV.get))
+    val versions0 = feedVersions.filter(v => v > lo && v <= hi)
     val versions =
       if (changeFeed) versions0
       else {
         // row-feed mode: classify each commit from its manifest header
-        // (metadata-only) — appends stream, change commits fail or
-        // skip per the option
+        // (metadata-only reads) — appends stream; commits that touched
+        // no data files at all (SET TBLPROPERTIES, ANALYZE, constraint
+        // and schema DDL) are silent no-ops; commits that rewrote or
+        // deleted data fail or skip per the option
+        val committed = SnapshotLog.committedVersions(fs, bp)
+        def untouched(v: Long): Boolean = {
+          val prev = committed.filter(_ < v).lastOption
+          val mv = SnapshotLog.readManifestAt(fs, bp, v)
+          val mp = prev.flatMap(SnapshotLog.readManifestAt(fs, bp, _))
+          (mv, mp) match {
+            case (Some(a), Some(b)) => a.files == b.files && a.dvs == b.dvs
+            case _ => false
+          }
+        }
         val classed = versions0.map(v =>
           v -> SnapshotLog.opAt(spark, base, v).getOrElse("UNKNOWN"))
-        val changes = classed.filterNot { case (_, op) => AppendOps(op) }
+        val changes = classed.filterNot { case (v, op) =>
+          AppendOps(op) || untouched(v) }
         if (changes.nonEmpty && !skipChangeCommits)
           throw new IllegalStateException(
             s"$base: stream found non-append commit(s) " +
@@ -228,18 +315,30 @@ class CommitLogSource(
               "option(\"skipChangeCommits\", \"true\")")
         classed.collect { case (v, op) if AppendOps(op) => v }
       }
-    val batch =
-      if (versions.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-      else {
+    def align(raw: org.apache.spark.sql.DataFrame) = {
+      val have = raw.columns.toSet
+      raw.select(schema.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val tail =
+      if (versions.isEmpty) empty
+      else if (changeFeed) {
         val dirs = versions.map(v => new Path(bp, f"_cdf/v$v%011d").toString)
-        val raw = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
-        val have = raw.columns.toSet
-        raw.select(schema.fields.toSeq.map { f =>
-          if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }: _*)
+        align(spark.read.option("mergeSchema", "true").parquet(dirs: _*))
+      } else {
+        // each append's rows are its manifest's file DELTA vs the
+        // previous COMMITTED version — works with or without CDF
+        val committed = SnapshotLog.committedVersions(fs, bp)
+        versions.map { v =>
+          val prev = committed.filter(_ < v).lastOption
+          align(SnapshotLog.appendedRows(spark, base, prev, v).getOrElse(empty))
+        }.reduce(_ unionByName _)
       }
+    val batch = snapshotPart.map(sp => align(sp).unionByName(tail)).getOrElse(tail)
     // v1 sources must hand MicroBatchExecution an isStreaming=true
     // frame (the engine asserts it); the constructor for that is
     // private[sql], reached through the compile-time shim so a moved

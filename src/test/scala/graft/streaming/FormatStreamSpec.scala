@@ -129,6 +129,114 @@ class FormatStreamSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, dst).get.count() == 4)
   }
 
+  /** Append WITHOUT any change feed — the table shape the row feed
+    * exists for (the round-12 ADVICE finding: `_cdf`-derived offsets
+    * made these tables stream nothing forever). */
+  private def appendNoCdf(base: String, batchId: Long,
+      rows: (Long, Double, String)*): Unit =
+    SnapshotLog.appendBatch(spark, base,
+      rows.toSeq.toDF("id", "value", "day"), "day", batchId = batchId,
+      propsAdd = Map(SnapshotLog.PartColProp -> "day"))
+
+  test("row feed streams a CDF-LESS table from its committed data files") {
+    val base = Files.createTempDirectory("graft_fstream4").toString + "/tbl"
+    appendNoCdf(base, 1, (1L, 1.0, "a"), (2L, 1.0, "b"))
+    appendNoCdf(base, 2, (3L, 2.0, "a"))
+    // a metadata-only commit mid-history must be a silent no-op for
+    // the row feed, never a "change commit" failure
+    SnapshotLog.setProperties(spark, base, Map("owner.team" -> "etl"))
+    appendNoCdf(base, 3, (4L, 3.0, "b"))
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = spark.readStream.format("graft").load(base)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select(col("id")).collect()
+          .foreach(r => got.add(java.lang.Long.valueOf(r.getLong(0))))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.asScala.toSeq.map(_.longValue).sorted == Seq(1L, 2L, 3L, 4L),
+      "appends stream straight from manifest file deltas, no _cdf anywhere")
+
+    // the CHANGE feed on the same table fails FAST (source creation on
+    // the stream thread — the first poll surfaces it, not a silent
+    // zero-row stream)
+    val err = intercept[Exception] {
+      val qc = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(base)
+        .writeStream.format("noop").start()
+      try qc.processAllAvailable() finally qc.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("change feed")))
+  }
+
+  test("startingVersion='latest' tails only post-start commits") {
+    val base = Files.createTempDirectory("graft_fstream5").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft_fstream5_ck").toString
+    appendNoCdf(base, 1, (1L, 1.0, "a"), (2L, 1.0, "b"))
+    appendNoCdf(base, 2, (3L, 2.0, "a"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "latest").load(base)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select(col("id")).collect()
+            .foreach(r => got.add(java.lang.Long.valueOf(r.getLong(0))))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    assert(got.isEmpty, "nothing committed before the stream started flows")
+    appendNoCdf(base, 3, (9L, 9.0, "b"))
+    runOnce()
+    assert(got.asScala.toSeq.map(_.longValue).sorted == Seq(9L),
+      "the restart resumes from the checkpoint and sees only the tail")
+  }
+
+  test("initialSnapshot bootstraps table + tail in one stream, once") {
+    val base = Files.createTempDirectory("graft_fstream6").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft_fstream6_ck").toString
+    appendNoCdf(base, 1, (1L, 1.0, "a"), (2L, 1.0, "b"))
+    appendNoCdf(base, 2, (3L, 2.0, "a"))
+    // a DELETE before stream start: the snapshot must be DV-correct
+    // (deleted row absent) even though the row feed could never
+    // represent the delete itself
+    SnapshotLog.deleteWhere(spark, base, col("id") === 2L, "day",
+      deletionVectors = true)
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("initialSnapshot", "true").load(base)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select(col("id")).collect()
+            .foreach(r => got.add(java.lang.Long.valueOf(r.getLong(0))))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    assert(got.asScala.toSeq.map(_.longValue).sorted == Seq(1L, 3L),
+      "first batch = the DV-correct snapshot (id 2 deleted), despite " +
+        "the delete commit predating the stream")
+    // restart + new append: the snapshot must NOT re-deliver
+    appendNoCdf(base, 4, (7L, 7.0, "b"))
+    runOnce()
+    assert(got.asScala.toSeq.map(_.longValue).sorted == Seq(1L, 3L, 7L),
+      "a checkpointed restart tails only — no second snapshot")
+  }
+
   test("readChangeFeed streams CDF rows equal to the batch feed") {
     val base = Files.createTempDirectory("graft_fstream3").toString + "/tbl"
     append(base, 1, (1L, 1.0, "a"), (2L, 1.0, "b"))
