@@ -32,9 +32,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Time each oracle SQL in DuckDB (best of 2) via the host python3;
-    * returns name → seconds, or empty on any failure. */
+    * returns name → (seconds, 1-min loadavg sampled as that query
+    * finished), or empty on any failure. The load stamp makes an
+    * oracle-side swing (r12's d6: 19.3 s vs 5.5 s across rounds)
+    * attributable from the artifact alone — the Spark side already
+    * carries per-pass load. */
   private def oracleTimes(
-      sfDir: String, queries: Seq[(String, String)]): Map[String, Double] =
+      sfDir: String, queries: Seq[(String, String)]): Map[String, (Double, Double)] =
     try {
       val spec = queries.map { case (n, sql) =>
         s""""$n": ${jsonStr(sql)}"""
@@ -43,7 +47,7 @@ object Bench {
       Files.write(specFile, spec.getBytes(StandardCharsets.UTF_8))
       val script =
         s"""
-import json, sys, time
+import json, os, sys, time
 try:
     import duckdb
 except ImportError:
@@ -64,7 +68,9 @@ for name, sql in json.load(open(sys.argv[1])).items():
             t0 = time.time()  # enough once and its noise floor is tiny
             con.sql(sql).fetchall()
             best = min(best, time.time() - t0)
-        out[name] = round(best, 4)
+        # loadavg at measurement time: the attribution signal for an
+        # oracle-side swing on this shared host
+        out[name] = [round(best, 4), round(os.getloadavg()[0], 2)]
     except Exception:
         pass
 print(json.dumps(out))
@@ -74,9 +80,12 @@ print(json.dumps(out))
       // hard cap so a pathological oracle can never hang the bench
       val out = scala.sys.process.Process(
         Seq("timeout", "900", "python3", scriptFile.toString, specFile.toString)).!!.trim
-      // minimal flat {"name": num, ...} parse — no JSON lib on the classpath
-      "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
-        .findAllMatchIn(out).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // minimal flat {"name": [sec, load], ...} parse — no JSON lib on
+      // the classpath
+      "\"([^\"]+)\"\\s*:\\s*\\[\\s*([0-9.eE+-]+)\\s*,\\s*([0-9.eE+-]+)\\s*\\]".r
+        .findAllMatchIn(out)
+        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+        .toMap
     } catch { case _: Exception => Map.empty }
 
   private def jsonStr(s: String): String =
@@ -215,10 +224,12 @@ print(json.dumps(out))
       k -> fmt(v.max / v.min)
     })
     val oracleJson = obj(
-      results.collect { case (k, _) if oracle.contains(k) => k -> fmt(oracle(k)) })
+      results.collect { case (k, _) if oracle.contains(k) => k -> fmt(oracle(k)._1) })
+    val oracleLoadJson = obj(
+      results.collect { case (k, _) if oracle.contains(k) => k -> fmt(oracle(k)._2) })
     val ratio = obj(results.collect {
-      case (k, v) if v > 0 && oracle.get(k).exists(_ > 0) =>
-        k -> fmt(v / oracle(k))
+      case (k, v) if v > 0 && oracle.get(k).exists(_._1 > 0) =>
+        k -> fmt(v / oracle(k)._1)
     })
     val total = results.map(_._2).filter(_ >= 0).sum
     val passes = obj(Seq(
@@ -235,7 +246,7 @@ print(json.dumps(out))
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""samples":$sampleJson,"spread":$spread,"isolated":$isolatedJson,""" +
-        s""""oracle_sec":$oracleJson,"ratio":$ratio,""" +
+        s""""oracle_sec":$oracleJson,"oracle_loadavg":$oracleLoadJson,"ratio":$ratio,""" +
         s""""passes":$passes,"micro":$microJson,""" +
         s""""cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir"}"""
     try {
@@ -245,7 +256,8 @@ print(json.dumps(out))
     } catch { case _: Exception => () }
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""isolated":$isolatedJson,"oracle_sec":$oracleJson,"ratio":$ratio,""" +
+        s""""isolated":$isolatedJson,"oracle_sec":$oracleJson,""" +
+        s""""oracle_loadavg":$oracleLoadJson,"ratio":$ratio,""" +
         s""""cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir",""" +
         s""""detail":"target/bench.json"}""")
     spark.stop()

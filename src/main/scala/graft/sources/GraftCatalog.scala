@@ -265,8 +265,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     isTable(dir) && fs.delete(dir, true)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft tables are path-addressed")
+  /** `ALTER TABLE graft.ns.a RENAME TO graft.ns2.b` — a directory move
+    * with history intact: the commit log, every versioned manifest,
+    * CDF dirs, and data files travel together, so time travel works
+    * unchanged under the new name and the old name stops resolving.
+    * On HDFS/local this is one metadata rename; on object stores the
+    * FileSystem layer makes it O(files) copies — the honest cost of a
+    * path-addressed format (Delta pays the same for path tables; its
+    * cheap rename is a metastore-pointer update this directory catalog
+    * deliberately doesn't have). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    val to = dirOf(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (newIdent.namespace() :+ newIdent.name()).toSeq)
+    if (!fs.exists(to.getParent) || !fs.getFileStatus(to.getParent).isDirectory)
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    if (!fs.rename(from, to)) sys.error(
+      s"rename $from -> $to failed at the filesystem layer")
+  }
 
   // --- namespaces: the first-level (and nested) directories of root ---
 

@@ -133,6 +133,36 @@ class GraftCatalogSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("RENAME TO moves the table with history intact; old name gone") {
+    root // force setup
+    import s.implicits._
+    val rbase = root + "/db1/rsrc"
+    val rows = (1L to 60L).map(i => (i, s"d${i % 2}")).toDF("id", "day")
+    SnapshotLog.appendBatch(s, rbase, rows, "day", batchId = 1,
+      propsAdd = Map(SnapshotLog.PartColProp -> "day"))
+    SnapshotLog.appendBatch(s, rbase,
+      rows.withColumn("id", col("id") + 100), "day", batchId = 2)
+
+    // the RENAME TO target is CATALOG-RELATIVE in Spark's grammar
+    s.sql("ALTER TABLE graft.db1.rsrc RENAME TO db1.rdst")
+    assert(s.sql("SELECT COUNT(*) FROM graft.db1.rdst").head.getLong(0) == 120,
+      "the new name reads the full table")
+    assert(s.sql("SELECT COUNT(*) FROM graft.db1.rdst VERSION AS OF 1")
+      .head.getLong(0) == 60,
+      "time travel reaches across the rename")
+    intercept[Exception] {
+      s.sql("SELECT COUNT(*) FROM graft.db1.rsrc").collect()
+    }
+    assert(!new java.io.File(rbase).exists(), "old directory gone")
+    // renaming ONTO an existing table refuses
+    rows.limit(1).write.format("graft").save(root + "/db1/rother")
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.db1.rdst RENAME TO db1.rother")
+    }
+    assert(s.sql("SELECT COUNT(*) FROM graft.db1.rdst").head.getLong(0) == 120,
+      "a refused rename leaves the source untouched")
+  }
+
   test("without the substitution rule, reads fail closed (never DV-less)") {
     root // force setup
     // the base session has the catalog confs (shared SparkContext conf
