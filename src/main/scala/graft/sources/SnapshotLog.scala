@@ -1373,7 +1373,16 @@ object SnapshotLog {
     (reader, writer)
   }
 
+  /** Global commit-race telemetry: every [[tryCommit]] call counts an
+    * attempt; every create-exclusive win counts a win. `attempts −
+    * wins` across a window = commit races lost (each of which the
+    * optimistic writers retried) — the number the multi-writer soak
+    * records. Process-wide and monotone; readers take deltas. */
+  val commitAttempts = new java.util.concurrent.atomic.AtomicLong(0L)
+  val commitWins = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def tryCommit(fs: FileSystem, base: Path, m0: Manifest): Boolean = {
+    commitAttempts.incrementAndGet()
     // writer-side protocol gate: committing onto a table that requires
     // a writer (or reader) feature this engine lacks would corrupt
     // invariants it cannot see — read the gate from the PREVIOUS
@@ -1508,22 +1517,59 @@ object SnapshotLog {
     val commitTs = math.max(System.currentTimeMillis(),
       prevRoot.flatMap(parseTs).map(_ + 1L).getOrElse(Long.MinValue))
     val text = header + s"$TsTag\t$commitTs\n" + txnPart + body + Footer + "\n"
-    val out: java.io.OutputStream =
-      try {
-        if (fs.getUri.getScheme == "file") {
-          // Hadoop local create(overwrite=false) is check-then-act;
-          // NIO CREATE_NEW is a single O_CREAT|O_EXCL syscall
-          java.nio.file.Files.newOutputStream(
-            java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath),
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
-        } else fs.create(target, false)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => return false
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+    // ATOMIC publication: the root must be COMPLETE-OR-ABSENT the
+    // instant its name exists. The previous protocol (create-exclusive
+    // claim, then stream the text) exposed incomplete claims, and the
+    // "allocate past an in-flight claim" liveness rule then let a fast
+    // writer commit v+k built from base v while the claimant of v+1
+    // was still writing — when that claimant finished, its commit was
+    // silently superseded (a LOST BATCH; the 30× multi-writer soak
+    // caught exactly this, one batch in 6.9M rows). Writing the full
+    // text to a hidden temp and publishing by hard LINK (local FS:
+    // link(2) is atomic create-exclusive WITH content) or rename
+    // (HDFS: atomic, false when the target exists) makes every visible
+    // root complete, so version allocation can never skip a live
+    // writer — only crashed writers leave .tmp orphans, which block
+    // nothing (currentVersion counts only v*.txt names).
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val tmp = new Path(dir,
+      s".tmp-${vName(m.version)}-${java.util.UUID.randomUUID.toString.take(8)}")
+    val won: Boolean =
+      if (fs.getUri.getScheme == "file") {
+        val tmpNio = java.nio.file.Paths.get(
+          fs.makeQualified(tmp).toUri.getPath)
+        val targetNio = java.nio.file.Paths.get(
+          fs.makeQualified(target).toUri.getPath)
+        java.nio.file.Files.write(tmpNio, bytes)
+        val ok =
+          try { java.nio.file.Files.createLink(targetNio, tmpNio); true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException =>
+              // exotic local FS without hard links: ATOMIC_MOVE would
+              // REPLACE an existing target (rename(2)), so re-check +
+              // move — the race window returns but only on filesystems
+              // the linking path cannot serve
+              if (java.nio.file.Files.exists(targetNio)) false
+              else {
+                try {
+                  java.nio.file.Files.move(tmpNio, targetNio,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                  true
+                } catch { case _: Exception => false }
+              }
+          }
+        java.nio.file.Files.deleteIfExists(tmpNio)
+        ok
+      } else {
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        val ok = !fs.exists(target) && fs.rename(tmp, target)
+        if (!ok) fs.delete(tmp, false)
+        ok
       }
-    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    true
+    if (won) commitWins.incrementAndGet()
+    won
   }
 
   /** Read the current snapshot (empty table → empty result needs a
@@ -4960,6 +5006,17 @@ object SnapshotLog {
           else if (n.startsWith("t")) txnRels.contains(n)
           else ptrRels.contains(n)
         if (!referenced && st.getModificationTime <= cutoff) {
+          if (!dryRun) fs.delete(st.getPath, false)
+          removed += 1
+        }
+      }
+    // crashed atomic-commit temps (`_log/.tmp-v…`): a writer that died
+    // between staging its root text and the link/rename publish —
+    // referenced by nothing, reclaim once aged
+    fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-"))
+      .foreach { st =>
+        if (st.getModificationTime <= cutoff) {
           if (!dryRun) fs.delete(st.getPath, false)
           removed += 1
         }

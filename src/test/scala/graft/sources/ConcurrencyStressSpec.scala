@@ -48,6 +48,120 @@ class ConcurrencyStressSpec extends SparkSpec {
     runStress("graft_race_shard", 10, sharded = true)
   }
 
+  test("atomic root publication: one winner per version, temps block nothing") {
+    // the lost-batch fix: a root is COMPLETE-OR-ABSENT the moment its
+    // name exists (hard-link publish), so version allocation can never
+    // skip a live writer mid-write
+    val base = Files.createTempDirectory("graft_atomic").toString + "/t"
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latch = new CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(8)
+    (0 until 8).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          latch.await()
+          val m = SnapshotLog.Manifest(1L,
+            Map(s"p$i" -> Seq(s"data/f$i.parquet")), op = Some("APPEND"))
+          if (SnapshotLog.tryCommit(fs, bp, m)) wins.incrementAndGet()
+          ()
+        }
+      })
+    }
+    latch.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    assert(wins.get() == 1, "exactly one same-version racer may win")
+    // the winner's root is complete and parseable; losers left at most
+    // aged temps, which block neither version allocation nor reads
+    assert(SnapshotLog.currentVersion(fs, bp) == 1L)
+    val m = SnapshotLog.readManifestAt(fs, bp, 1L)
+    assert(m.isDefined && m.get.files.size == 1)
+    val temps = fs.listStatus(new Path(bp, "_log"))
+      .map(_.getPath.getName).filter(_.startsWith(".tmp-"))
+    assert(temps.isEmpty, "non-crashed losers clean their temps")
+  }
+
+  test("format appenders race a DV deleter and OPTIMIZE: zero lost batches") {
+    // the WriterSoak shape at test scale (the 30× artifact is
+    // SOAK_WRITERS_r13.json): disjoint-range appends through the DSv2
+    // surface vs merge-on-read deletes of the INITIAL keys vs
+    // compaction — the final state is exactly recomputable whatever
+    // the interleaving
+    val s = graft.GraftSessions.withExtensions(spark)
+    val base = Files.createTempDirectory("graft_race3").toString + "/t"
+    val initial = (1L to 600L).map(i => (i, s"d${i % 3}")).toDF("id", "day")
+    initial.write.format("graft").partitionBy("day").save(base)
+    val attempts0 = SnapshotLog.commitAttempts.get()
+    val wins0 = SnapshotLog.commitWins.get()
+    val pool = Executors.newFixedThreadPool(6)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def submit(f: => Unit): Unit = {
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try f catch { case e: Throwable => errs.add(e) }
+      }); ()
+    }
+    (0 until 4).foreach { w =>
+      submit {
+        (0 until 3).foreach { b =>
+          val tag = (w * 3 + b + 1) * 10000L
+          (1L to 50L).map(i => (tag + i, s"d${i % 3}")).toDF("id", "day")
+            .write.format("graft").mode("append").save(base)
+        }
+      }
+    }
+    submit {
+      (0 until 3).foreach { r =>
+        SnapshotLog.deleteWhere(spark, base,
+          col("id") < 10000L && col("id") % 6 === r, "day",
+          deletionVectors = true, maxRetries = 50)
+      }
+    }
+    submit {
+      (0 until 2).foreach { _ =>
+        Thread.sleep(300)
+        SnapshotLog.optimizeTable(spark, base, "day", maxRetries = 50)
+      }
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS))
+    // retry exhaustion ("lost N races") is the one tolerated failure
+    // class — the soak's recovery is a serial replay; anything else
+    // fails the test
+    import scala.jdk.CollectionConverters._
+    val (tolerated, fatal) = errs.asScala.toSeq.partition(e =>
+      Option(e.getMessage).exists(_.contains("lost")))
+    assert(fatal.isEmpty, s"unexpected failures: ${fatal.take(3)}")
+    val deleted = initial.toDF("id", "day")
+      .filter(col("id") < 10000L && col("id") % 6 < 3).count()
+    if (tolerated.nonEmpty) {
+      // replay any batch that never landed (disjoint ranges = safe)
+      val present = s.read.format("graft").load(base)
+        .filter(col("id") >= 10000L)
+        .select((col("id") / 10000L).cast("long").as("tag"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      (1 to 12).filterNot(x => present(x.toLong)).foreach { x =>
+        (1L to 50L).map(i => (x * 10000L + i, s"d${i % 3}")).toDF("id", "day")
+          .write.format("graft").mode("append").save(base)
+      }
+    }
+    val t2 = s.read.format("graft").load(base)
+    assert(t2.count() == 600L - deleted + 12L * 50L,
+      "final count must equal the exact serial recompute")
+    val perTag = t2.filter(col("id") >= 10000L)
+      .groupBy((col("id") / 10000L).cast("long").as("tag")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1 to 12).forall(x => perTag.get(x.toLong).contains(50L)),
+      s"every batch lands exactly once: $perTag")
+    assert(t2.filter(col("id") < 10000L && col("id") % 6 < 3).count() == 0,
+      "OPTIMIZE racing the DV deleter must never resurrect deleted rows")
+    val retries = (SnapshotLog.commitAttempts.get() - attempts0) -
+      (SnapshotLog.commitWins.get() - wins0)
+    assert(retries >= 0)
+  }
+
   test("staged merge invalidated by a concurrent DV-only delete (no resurrection)") {
     // Deterministic replay of the one interleaving the racing threads
     // can only hit by luck: writer A stages its merge against manifest
