@@ -208,8 +208,15 @@ object Catalog {
     val registered =
       plain.filter(isTableDir(fs, _)).map(d =>
         registerExternal(spark, db, tableName(d.getName), d.toString)) ++
-        logTables.map(d =>
-          registerSnapshotLog(spark, db, tableName(d.getName), d.toString))
+        logTables.map { d =>
+          // every write surface stamps the partition column into the
+          // manifest ("" = unpartitioned) — a crawl can therefore
+          // register the table as a full SQL-DML target with no
+          // caller-supplied layout knowledge
+          val pc = SnapshotLog.readManifest(fs, d)
+            .flatMap(_.props.get(SnapshotLog.PartColProp))
+          registerSnapshotLog(spark, db, tableName(d.getName), d.toString, pc)
+        }
     registered.toSeq.sorted
   }
 

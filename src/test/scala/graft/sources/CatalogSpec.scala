@@ -166,6 +166,20 @@ class CatalogSpec extends SparkSpec {
     assert(afterDml == Set((2L, 99.0)), "re-crawl must surface DML results")
   }
 
+  test("crawl registers stamped tables as SQL-DML targets automatically") {
+    val root = Files.createTempDirectory("graft_cat_dml").toString
+    import spark.implicits._
+    // every write surface stamps PartColProp — a crawl needs no
+    // caller-supplied layout to make the table DML-addressable
+    val s = graft.GraftSessions.withExtensions(spark)
+    (1L to 30L).map(i => (i, s"d${i % 3}")).toDF("id", "day")
+      .write.format("graft").partitionBy("day").save(s"$root/t")
+    Catalog.crawl(s, root, "dmldb")
+    s.sql("DELETE FROM dmldb_t WHERE id % 2 = 0")
+    assert(s.sql("SELECT COUNT(*) FROM dmldb_t").head.getLong(0) == 15,
+      "crawled table takes SQL DML with zero registration calls")
+  }
+
   test("SQL WHERE on a crawled commit-log table prunes files from the manifest") {
     val root = Files.createTempDirectory("graft_cat_prune").toString
     import spark.implicits._
