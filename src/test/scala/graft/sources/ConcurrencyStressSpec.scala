@@ -83,6 +83,29 @@ class ConcurrencyStressSpec extends SparkSpec {
     assert(temps.isEmpty, "non-crashed losers clean their temps")
   }
 
+  test("a crashed commit temp blocks nothing; vacuum reclaims it") {
+    val s = graft.GraftSessions.withExtensions(spark)
+    val base = Files.createTempDirectory("graft_crashtmp").toString + "/t"
+    (1L to 30L).map(i => (i, s"d${i % 3}")).toDF("id", "day")
+      .write.format("graft").partitionBy("day").save(base)
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a writer that died between staging its root text and
+    // the atomic publish
+    val orphan = new Path(bp, "_log/.tmp-v00000000002-deadbeef")
+    val out = fs.create(orphan, true)
+    out.write("#schema\tpartial".getBytes); out.close()
+    // version allocation and reads ignore it entirely
+    assert(SnapshotLog.currentVersion(fs, bp) == 1L)
+    (31L to 40L).map(i => (i, s"d${i % 3}")).toDF("id", "day")
+      .write.format("graft").mode("append").save(base)
+    assert(SnapshotLog.currentVersion(fs, bp) == 2L)
+    assert(s.read.format("graft").load(base).count() == 40)
+    // vacuum with zero retention reclaims the orphan temp
+    SnapshotLog.vacuum(spark, base, retentionMs = 0L)
+    assert(!fs.exists(orphan), "aged commit temps are vacuum fodder")
+  }
+
   test("format appenders race a DV deleter and OPTIMIZE: zero lost batches") {
     // the WriterSoak shape at test scale (the 30× artifact is
     // SOAK_WRITERS_r13.json): disjoint-range appends through the DSv2
