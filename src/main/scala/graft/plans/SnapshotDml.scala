@@ -336,7 +336,7 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // (define, then load) the CTAS path cannot express
     case c: CreateTable
         if c.tableSpec.provider.exists(_.equalsIgnoreCase("graft_snapshot")) =>
-      (c.name, partColOf(c.partitioning)) match {
+      (c.name, partColOrUnpartitioned(c.partitioning)) match {
         case (UnresolvedIdentifier(nameParts, _), Some(pc)) =>
           // Delta-style column DDL maps straight onto the property
           // machinery: `GENERATED ALWAYS AS (expr)` →
@@ -367,7 +367,7 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // survives); on a missing table it creates
     case r: ReplaceTableAsSelect
         if r.tableSpec.provider.exists(_.equalsIgnoreCase("graft_snapshot")) =>
-      (r.name, partColOf(r.partitioning)) match {
+      (r.name, partColOrUnpartitioned(r.partitioning)) match {
         case (UnresolvedIdentifier(nameParts, _), Some(pc)) =>
           SnapshotReplaceCtasCommand(nameParts, pc, r.tableSpec.location,
             r.query, r.orCreate, r.tableSpec.properties)
@@ -437,7 +437,17 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   private def identityPartCol(c: CreateTableAsSelect): Option[String] =
-    partColOf(c.partitioning)
+    partColOrUnpartitioned(c.partitioning)
+
+  /** Some(col) for ONE identity transform, Some("" = NoPartCol) for NO
+    * partitioning clause (an unpartitioned table, Delta's default
+    * shape), None for anything else — which falls through to Spark's
+    * own loud unsupported-partitioning error. */
+  private def partColOrUnpartitioned(
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Option[String] =
+    if (partitioning.isEmpty) Some(SnapshotLog.NoPartCol)
+    else partColOf(partitioning)
 
   private def locationOf(c: CreateTableAsSelect): Option[String] =
     c.tableSpec.location
@@ -921,11 +931,12 @@ case class SnapshotCreateEmptyCommand(
       sys.error(s"snapshot table already exists at $path " +
         "(use CREATE TABLE IF NOT EXISTS to no-op)")
     }
-    require(tblSchema.fieldNames.exists(_.equalsIgnoreCase(partCol)),
+    require(partCol.isEmpty ||
+        tblSchema.fieldNames.exists(_.equalsIgnoreCase(partCol)),
       s"partition column $partCol is not among the declared columns")
     if (!SnapshotLog.tryCommit(fs, bp, SnapshotLog.Manifest(
         1L, Map.empty, schemaJson = Some(tblSchema.json), op = Some("CREATE"),
-        props = colProps)))
+        props = colProps + (SnapshotLog.PartColProp -> partCol))))
       sys.error(s"snapshot table at $path already has a version claim")
     Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
     Seq(Row("CREATE", 1L, true, 0L, 0L))
@@ -981,12 +992,22 @@ case class SnapshotReplaceCtasCommand(
     // could pass it yet still write NULLs)
     val partGenerated = SnapshotLog.readManifest(fs, bp)
       .exists(_.props.contains(SnapshotLog.GenColPrefix + partCol))
-    require(partGenerated || df.columns.exists(_.equalsIgnoreCase(partCol)),
+    require(partCol.isEmpty || partGenerated ||
+        df.columns.exists(_.equalsIgnoreCase(partCol)),
       s"partition column $partCol is not in the query output")
     val batchId =
       SnapshotLog.readManifest(fs, bp).map(_.version + 1).getOrElse(1L)
     val version = SnapshotLog.appendBatch(
-      spark, path, df, partCol, batchId, overwrite = true)
+      spark, path, df, partCol, batchId, overwrite = true,
+      propsAdd = Map(SnapshotLog.PartColProp -> partCol))
+    // a REPLACE may re-declare the layout; propsAdd is existing-wins
+    // (right for seeds, wrong for a declaration) — reconcile the rare
+    // layout change with one metadata commit
+    val stamped = SnapshotLog.readManifest(fs, bp)
+      .flatMap(_.props.get(SnapshotLog.PartColProp))
+    if (!stamped.contains(partCol))
+      SnapshotLog.setProperties(spark, path,
+        Map(SnapshotLog.PartColProp -> partCol))
     Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
     Seq(Row(if (exists) "REPLACE" else "CREATE_OR_REPLACE",
       version, false, 0L, 0L))
@@ -1025,7 +1046,7 @@ case class SnapshotCtasCommand(
         "(use CREATE TABLE IF NOT EXISTS to no-op)")
     }
     val df = org.apache.spark.sql.GraftSqlShim.ofRows(spark, query)
-    require(df.columns.exists(_.equalsIgnoreCase(partCol)),
+    require(partCol.isEmpty || df.columns.exists(_.equalsIgnoreCase(partCol)),
       s"CTAS partition column $partCol is not in the query output")
     // a TBLPROPERTIES clause commits as an empty v1 FIRST, so
     // property-driven write behavior (bucketing, identity, CDF,
@@ -1041,7 +1062,8 @@ case class SnapshotCtasCommand(
       sys.error(s"snapshot table at $path already has a version claim")
     // NULL partition values reject inside appendBatch against the
     // staged data — one execution of the query, no pre-check count
-    val version = SnapshotLog.appendBatch(spark, path, df, partCol, batchId = 1L)
+    val version = SnapshotLog.appendBatch(spark, path, df, partCol, batchId = 1L,
+      propsAdd = Map(SnapshotLog.PartColProp -> partCol))
     Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
     Seq(Row("CTAS", version, false, 0L, 0L))
   }

@@ -79,4 +79,46 @@ class CreateReplaceTableSpec extends SparkSpec {
     val old = SnapshotLog.readVersion(s, base, v1).get
     assert(old.count() == 20 && old.columns.contains("value"))
   }
+
+  test("graft_snapshot DDL without PARTITIONED BY: unpartitioned create/CTAS/replace") {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_create_unpart").toString
+    // empty DDL-first create, no partitioning clause
+    s.sql(s"""
+      CREATE TABLE crtu.t (id BIGINT, value DOUBLE)
+      USING graft_snapshot LOCATION '$root/t'
+    """)
+    val bp = new Path(s"$root/t")
+    val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(SnapshotLog.readManifest(fs, bp).get.props
+      .get(SnapshotLog.PartColProp).contains(SnapshotLog.NoPartCol))
+    s.sql("INSERT INTO crtu_t VALUES (1, 1.5), (2, 2.5)")
+    assert(s.sql("SELECT COUNT(*) FROM crtu_t").head.getLong(0) == 2)
+    assert(SnapshotLog.readManifest(fs, bp).get.files.keySet ==
+      Set(SnapshotLog.SinglePart))
+
+    // CTAS without PARTITIONED BY + the whole DML surface on the view
+    (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "value")
+      .createOrReplaceTempView("crtu_src")
+    s.sql(s"""
+      CREATE TABLE crtu.c USING graft_snapshot LOCATION '$root/c'
+      AS SELECT * FROM crtu_src
+    """)
+    assert(s.sql("SELECT COUNT(*) FROM crtu_c").head.getLong(0) == 20)
+    s.sql("DELETE FROM crtu_c WHERE id % 2 = 0")
+    s.sql("UPDATE crtu_c SET value = -1 WHERE id = 1")
+    assert(s.sql("SELECT COUNT(*) FROM crtu_c").head.getLong(0) == 10)
+    assert(s.sql("SELECT COUNT(*) FROM crtu_c WHERE value = -1")
+      .head.getLong(0) == 1)
+
+    // CREATE OR REPLACE flips the SAME path partitioned -> unpartitioned
+    s.sql(s"""
+      CREATE OR REPLACE TABLE crtu.c USING graft_snapshot LOCATION '$root/c'
+      AS SELECT id, value, CAST(id % 2 AS STRING) AS day FROM crtu_src
+    """)
+    assert(s.sql("SELECT COUNT(*) FROM crtu_c").head.getLong(0) == 20)
+    assert(SnapshotLog.readManifest(
+      fs, new Path(s"$root/c")).get.files.keySet ==
+      Set(SnapshotLog.SinglePart))
+  }
 }

@@ -220,6 +220,26 @@ class UnpartitionedTableSpec extends SparkSpec {
     assert(readT(base).count() == 3)
   }
 
+  test("OPTIMIZE byte target splits the single partition into bounded files") {
+    // the 100 TB-relevant path: an unpartitioned table must never fold
+    // to ONE file under compaction — the byte budget splits it
+    val base = Files.createTempDirectory("graft_u8").toString + "/t"
+    rowsDf(2000).write.format("graft").save(base)
+    rowsDf(2000).write.format("graft").mode("append").save(base)
+    rowsDf(2000).write.format("graft").mode("append").save(base)
+    val bytes = manifest(base).stats.values
+      .flatMap(_.get(SnapshotLog.ByteSizeKey)).flatMap(_._1.toLongOption).sum
+    // target ~ a third of the data: expect >= 2 output files
+    SnapshotLog.setProperties(s, base, Map(
+      SnapshotLog.OptimizeTargetProp -> math.max(bytes / 3, 1L).toString))
+    SnapshotLog.optimizeTable(s, base, SnapshotLog.NoPartCol)
+    val after = manifest(base)
+    val n = after.files(SnapshotLog.SinglePart).size
+    assert(n >= 2 && n <= 6,
+      s"byte budget must split the hidden partition (got $n files)")
+    assert(readT(base).count() == 6000)
+  }
+
   test("unpartitioned composes with bucketing: tagged files, bucketed scan") {
     val base = Files.createTempDirectory("graft_u7").toString + "/t"
     // declare buckets first (empty create), then land data through the
