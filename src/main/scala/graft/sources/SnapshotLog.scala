@@ -1517,6 +1517,13 @@ object SnapshotLog {
     val commitTs = math.max(System.currentTimeMillis(),
       prevRoot.flatMap(parseTs).map(_ + 1L).getOrElse(Long.MinValue))
     val text = header + s"$TsTag\t$commitTs\n" + txnPart + body + Footer + "\n"
+    // Store contract: this protocol needs atomic create-exclusive
+    // publication, which local FS (link(2)) and HDFS (rename) provide.
+    // Raw S3 provides neither — Delta needs an external LogStore
+    // (DynamoDB) there for exactly the same reason; running this
+    // format on S3 without a coordination layer gives last-writer-wins
+    // on the root, the documented limitation of every
+    // filesystem-arbitrated commit log.
     // ATOMIC publication: the root must be COMPLETE-OR-ABSENT the
     // instant its name exists. The previous protocol (create-exclusive
     // claim, then stream the text) exposed incomplete claims, and the
