@@ -5096,6 +5096,16 @@ object Relational2 {
       val cdf = s.read.parquet(s"$root/cdf_out")
       require(cdf.count() == SnapshotLog.readCdf(s, base).get.count(),
         "streamed CDF tail must deliver exactly the batch feed's rows")
+      // the BATCH readChangeFeed option (Delta's spelling) must agree
+      // with both the stream and the API read — and range correctly
+      val s2 = graft.GraftSessions.withExtensions(s)
+      require(s2.read.format("graft").option("readChangeFeed", "true")
+          .load(base).count() == cdf.count(),
+        "batch readChangeFeed == streamed feed")
+      require(s2.read.format("graft").option("readChangeFeed", "true")
+          .option("startingVersion", "3").option("endingVersion", "3")
+          .load(base).filter(col("change_type") =!= "delete").count() == 0,
+        "ranged readChangeFeed isolates the delete commit")
       val rowFeed = s.read.parquet(s"$root/row_out")
       // snapshot+tail bootstrap on a CDF-LESS table (the row feed's
       // home turf): a fresh initialSnapshot stream delivers the

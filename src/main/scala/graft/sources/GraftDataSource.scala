@@ -45,6 +45,27 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
   // serve a pre-write snapshot on a later load.
   private var cached: Option[((String, Option[String], Option[String]), GraftSnapshotTable)] = None
 
+  /** BATCH change-feed read — Delta's option spelling:
+    * `spark.read.format("graft").option("readChangeFeed","true")
+    * [.option("startingVersion", a)][.option("endingVersion", b)]
+    * .load(path)` (bounds inclusive). Resolves to a
+    * [[GraftChangeFeedTable]]; the actual read is the substitution
+    * rule's ranged feed plan, fail-closed like the snapshot read. */
+  private def changeFeedOpt(
+      options: CaseInsensitiveStringMap): Option[Table] = {
+    if (!Option(options.get("readChangeFeed")).exists(_.trim.toBoolean))
+      return None
+    val base = Option(options.get("path")).getOrElse(
+      sys.error("format(\"graft\") needs a path: .load(<table dir>)"))
+    require(!options.containsKey("versionAsOf") &&
+        !options.containsKey("timestampAsOf"),
+      s"$base: readChangeFeed takes startingVersion/endingVersion, " +
+        "not time-travel options")
+    Some(new GraftChangeFeedTable(base,
+      Option(options.get("startingVersion")).map(_.trim.toLong),
+      Option(options.get("endingVersion")).map(_.trim.toLong)))
+  }
+
   /** None iff the path has NO committed manifest (the fresh-path write
     * case); time-travel to a version that never existed still errors
     * loudly. Exactly one manifest load per resolution either way. */
@@ -93,13 +114,17 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       s"${options.get("path")} has no committed graft manifest"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    load(options).schema()
+    changeFeedOpt(options).map(_.schema()).getOrElse(load(options).schema())
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
+    changeFeedOpt(options).foreach { cf =>
+      synchronized { cached = None }
+      return cf
+    }
     // no committed manifest = a WRITE to a fresh path: resolve to the
     // pending (write-only) table carrying the frame's schema and
     // partitionBy transforms. Reads of fresh paths die earlier, in
@@ -168,7 +193,10 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
             .map(org.apache.spark.sql.functions.expr),
           partColHint = partHint,
           mergeSchema = parameters.get(WriteIntoGraft.MergeSchemaOption)
-            .exists(_.trim.toBoolean))
+            .exists(_.trim.toBoolean),
+          txn = WriteIntoGraft.txnOf(
+            parameters.get(WriteIntoGraft.TxnAppIdOption),
+            parameters.get(WriteIntoGraft.TxnVersionOption)))
     }
     new org.apache.spark.sql.sources.BaseRelation {
       override def sqlContext: org.apache.spark.sql.SQLContext =
@@ -256,5 +284,70 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       writeCdf = parameters.get("cdf").exists(_.toBoolean),
       autoCompactFiles = parameters.get("autoCompactFiles")
         .map(_.toInt).getOrElse(0))
+  }
+}
+
+/** A table's CHANGE FEED over a version range, as a read-only DSv2
+  * table — the batch half of Delta's `readChangeFeed` option (the
+  * streaming half lives in [[graft.streaming.CommitLogStream]]).
+  * Schema = table columns + `change_type` + `_commit_version`, typed
+  * from the manifest header with zero data-file reads. Same
+  * fail-closed design as [[GraftSnapshotTable]]: `newScanBuilder`
+  * throws, and [[graft.plans.GraftCatalogRelationRule]] substitutes
+  * [[feedPlan]] — a manifest-gated read of exactly the range's
+  * materialized feed dirs ([[SnapshotLog.readCdfRange]], which fails
+  * loudly on committed versions whose feed is missing rather than
+  * under-delivering changes). */
+final class GraftChangeFeedTable(
+    val base: String,
+    val startingVersion: Option[Long],
+    val endingVersion: Option[Long])
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String =
+    s"graft.`$base` CHANGES [${startingVersion.getOrElse("first")}, " +
+      s"${endingVersion.getOrElse("latest")}]"
+
+  override def schema(): StructType = {
+    val spark = SparkSession.active
+    val bp = new Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableSchema = SnapshotLog.readManifest(fs, bp).flatMap(_.schema)
+      .getOrElse(sys.error(
+        s"$base: readChangeFeed needs a committed manifest schema"))
+    StructType(tableSchema.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType))
+  }
+
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new UnsupportedOperationException(
+      s"$base: the change feed reads through the planner-integrated " +
+        "substitution — install graft.GraftExtensions " +
+        "(spark.sql.extensions=graft.GraftExtensions)")
+
+  /** The ranged feed, aligned to [[schema]] (older feed files may lack
+    * later columns; casts pin the declared types). */
+  def feedPlan(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val sc = schema()
+    val raw = SnapshotLog.readCdfRange(spark, base,
+        startingVersion, endingVersion)
+      .getOrElse(sys.error(
+        s"$base has no materialized change feed and no manifest schema"))
+    val have = raw.columns.toSet
+    raw.select(sc.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 }

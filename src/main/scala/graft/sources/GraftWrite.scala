@@ -46,6 +46,15 @@ object WriteIntoGraft {
     * `partitionBy(c)` on a fresh path is the idiomatic spelling. */
   val PartitionColOption = "partitionCol"
 
+  /** `option("txnAppId", id)` + `option("txnVersion", n)` — Delta's
+    * idempotent-writer options: the append commits a transaction
+    * watermark, and a replay of the same (appId, version) — a retried
+    * batch job, a crashed-and-rerun pipeline stage — is detected
+    * INSIDE the optimistic commit loop and becomes a no-op instead of
+    * a duplicate batch. Both or neither must be set. */
+  val TxnAppIdOption = "txnAppId"
+  val TxnVersionOption = "txnVersion"
+
   /** `option("mergeSchema", "true")` — Delta's per-write auto-merge
     * spelling: a batch carrying columns the table lacks widens the
     * schema (new columns nullable, existing rows read NULL) instead of
@@ -116,7 +125,8 @@ object WriteIntoGraft {
       overwriteAll: Boolean,
       replaceWhere: Option[Column],
       partColHint: Option[String],
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = data.sparkSession
     val bp = new Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -183,6 +193,10 @@ object WriteIntoGraft {
     val propsAdd =
       if (m.exists(_.props.contains(SnapshotLog.PartColProp))) Map.empty[String, String]
       else Map(SnapshotLog.PartColProp -> partCol)
+    require(txn.isEmpty || replaceWhere.isEmpty,
+      s"option(\"$TxnAppIdOption\") does not compose with replaceWhere — " +
+        "replaceWhere is already idempotent by construction (re-running " +
+        "replaces the same region again)")
     replaceWhere match {
       case Some(pred) =>
         m match {
@@ -201,9 +215,19 @@ object WriteIntoGraft {
       case None =>
         SnapshotLog.appendBatch(spark, base, data, partCol,
           batchId = 0L, overwrite = overwriteAll && m.isDefined,
-          propsAdd = propsAdd)
+          propsAdd = propsAdd, txn = txn)
     }
   }
+
+  /** Parse the txn option pair; both-or-neither enforced here so every
+    * write surface reports the same error. */
+  def txnOf(appId: Option[String], version: Option[String]): Option[(String, Long)] =
+    (appId, version) match {
+      case (Some(a), Some(v)) => Some((a, v.trim.toLong))
+      case (None, None) => None
+      case _ => sys.error(
+        s"options $TxnAppIdOption and $TxnVersionOption must be set together")
+    }
 }
 
 /** Per-write builder. Overwrite state arrives from the planner
@@ -257,7 +281,10 @@ final class GraftWriteBuilder(
                 .orElse(tablePartCol),
             mergeSchema =
               Option(info.options.get(WriteIntoGraft.MergeSchemaOption))
-                .exists(_.trim.toBoolean))
+                .exists(_.trim.toBoolean),
+            txn = WriteIntoGraft.txnOf(
+              Option(info.options.get(WriteIntoGraft.TxnAppIdOption)),
+              Option(info.options.get(WriteIntoGraft.TxnVersionOption))))
           ()
         }
       }

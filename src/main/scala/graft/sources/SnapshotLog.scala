@@ -4278,6 +4278,48 @@ object SnapshotLog {
       vs.map(v => new Path(cdfDir(bp), cdfVName(v)).toString): _*))
   }
 
+  /** Ranged batch feed read — Delta's `startingVersion`/`endingVersion`
+    * CDF options (both INCLUSIVE; absent bounds default to the feed's
+    * ends). Fails LOUDLY when the range contains committed versions
+    * without a materialized feed (silently skipping them would
+    * under-deliver changes; [[repairCdf]] backfills the gaps). An
+    * in-range set with no feed versions at all answers the empty frame
+    * in the feed schema. None iff the table has no feed AND no
+    * committed schema to type the empty frame with. */
+  def readCdfRange(
+      spark: SparkSession, base: String,
+      lo: Option[Long], hi: Option[Long]): Option[DataFrame] = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    val all = cdfVersions(fs, bp)
+    val committed = committedVersions(fs, bp)
+    // absent lower bound = the whole MATERIALIZED feed (readCdf
+    // semantics — a table that enabled CDF late reads its feed without
+    // tripping the gap check); an EXPLICIT startingVersion demands
+    // every committed version from there on have its feed
+    val l = lo.getOrElse(all.headOption.getOrElse(1L))
+    val h = hi.getOrElse(
+      math.max(all.lastOption.getOrElse(1L), committed.lastOption.getOrElse(1L)))
+    require(l <= h, s"startingVersion $l > endingVersion $h")
+    val have = all.filter(v => v >= l && v <= h)
+    val missing = committed.filter(v => v >= l && v <= h).toSet -- have.toSet
+    require(missing.isEmpty,
+      s"$base: committed version(s) ${missing.toSeq.sorted.take(10).mkString(", ")} " +
+        s"in [$l, $h] have no materialized change feed — enable " +
+        s"$CdfProp before writing, or backfill with repairCdf")
+    if (have.nonEmpty)
+      Some(spark.read.option("mergeSchema", "true").parquet(
+        have.map(v => new Path(cdfDir(bp), cdfVName(v)).toString): _*))
+    else readManifest(fs, bp).flatMap(_.schema).map { sc =>
+      val full = org.apache.spark.sql.types.StructType(sc.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), full)
+    }
+  }
+
   /** The feed as a STREAM: the built-in parquet file source tailing
     * `_cdf/v*` — new committed versions are picked up as new files on
     * the glob, offsets and exactly-once file tracking come from

@@ -210,6 +210,63 @@ class DsvWriteSpec extends SparkSpec {
     assert(t2.filter(col("flag").isNotNull).count() == 3)
   }
 
+  test("txnAppId/txnVersion: replayed format appends are no-ops") {
+    val base = Files.createTempDirectory("graft_w10").toString + "/t"
+    rowsDf(30).write.format("graft").partitionBy("day").save(base)
+    def appendTxn(v: Int, shift: Long): Unit =
+      rowsDf(10).withColumn("id", col("id") + shift)
+        .write.format("graft").mode("append")
+        .option(WriteIntoGraft.TxnAppIdOption, "job_w10")
+        .option(WriteIntoGraft.TxnVersionOption, v.toString)
+        .save(base)
+    appendTxn(1, 100)
+    assert(readT(base).count() == 40)
+    // the crashed-and-rerun batch: same (appId, version) — a no-op,
+    // even with different data
+    appendTxn(1, 900)
+    assert(readT(base).count() == 40, "a replayed txn version must no-op")
+    appendTxn(2, 200)
+    assert(readT(base).count() == 50)
+    // half-set options fail loudly
+    val err = intercept[Exception] {
+      rowsDf(1).write.format("graft").mode("append")
+        .option(WriteIntoGraft.TxnAppIdOption, "job_w10").save(base)
+    }
+    assert(err.getMessage.contains("together"))
+  }
+
+  test("batch readChangeFeed: ranged CDF through the format options") {
+    val base = Files.createTempDirectory("graft_w11").toString + "/t"
+    rowsDf(30).write.format("graft").partitionBy("day").save(base)
+    SnapshotLog.setProperties(s, base, Map(SnapshotLog.CdfProp -> "true"))
+    rowsDf(10).withColumn("id", col("id") + 100)
+      .write.format("graft").mode("append").save(base)       // v3, 10 inserts
+    SnapshotLog.deleteWhere(s, base, col("id") > 105, "day") // v4, 5 deletes
+    def feed(opts: (String, String)*): org.apache.spark.sql.DataFrame = {
+      val r = s.read.format("graft").option("readChangeFeed", "true")
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load(base)
+    }
+    // whole materialized feed (CDF enabled late: starts at v3)
+    val all = feed()
+    assert(all.columns.takeRight(2).toSeq ==
+      Seq("change_type", "_commit_version"))
+    assert(all.filter(col("change_type") === "insert").count() == 10)
+    assert(all.filter(col("change_type") === "delete").count() == 5)
+    // ranged: only the delete commit
+    val v4 = feed("startingVersion" -> "4")
+    assert(v4.count() == 5 &&
+      v4.filter(col("change_type") =!= "delete").count() == 0)
+    assert(feed("startingVersion" -> "3", "endingVersion" -> "3").count() == 10)
+    // an explicit range over pre-CDF commits fails loudly, never
+    // under-delivers
+    val gap = intercept[Exception] { feed("startingVersion" -> "1").collect() }
+    assert(gap.getMessage.contains("no materialized change feed"))
+    // composes with SQL over a temp view
+    feed("startingVersion" -> "3").createOrReplaceTempView("w11_cdf")
+    assert(s.sql("SELECT COUNT(DISTINCT _commit_version) FROM w11_cdf")
+      .head.getLong(0) == 2)
+  }
+
   test("staged CTAS: abort before commit leaves NOTHING committed") {
     import org.apache.spark.sql.connector.expressions.Expressions
     val base = Files.createTempDirectory("graft_w9").toString + "/t"
