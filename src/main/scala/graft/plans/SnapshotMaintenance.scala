@@ -83,7 +83,7 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   private val BloomIndex =
     """(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+([A-Za-z_][\w.]*)\s*\(([\w`,\s]+?)\)\s*;?\s*""".r
   private val CloneStmt =
-    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+(SHALLOW|DEEP)\s+CLONE\s+([A-Za-z_]\w*)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s+(SHALLOW|DEEP)\s+CLONE\s+([A-Za-z_][\w.]*)\s+LOCATION\s+'([^']+)'\s*;?\s*""".r
   private val AddConstraint =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraint =

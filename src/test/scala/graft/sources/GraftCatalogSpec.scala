@@ -163,6 +163,15 @@ class GraftCatalogSpec extends SparkSpec {
       "a refused rename leaves the source untouched")
   }
 
+  test("SHALLOW CLONE from a dotted catalog source") {
+    root // force setup
+    val loc = Files.createTempDirectory("graft_cloned").toString + "/c"
+    s.sql(s"CREATE TABLE clonedb.c1 SHALLOW CLONE graft.db1.t1 LOCATION '$loc'")
+    val n = s.sql("SELECT COUNT(*) FROM graft.db1.t1").head.getLong(0)
+    assert(s.sql("SELECT COUNT(*) FROM clonedb_c1").head.getLong(0) == n,
+      "the clone reads the source's snapshot by reference")
+  }
+
   test("without the substitution rule, reads fail closed (never DV-less)") {
     root // force setup
     // the base session has the catalog confs (shared SparkContext conf
