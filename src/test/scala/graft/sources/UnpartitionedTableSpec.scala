@@ -240,6 +240,30 @@ class UnpartitionedTableSpec extends SparkSpec {
     assert(readT(base).count() == 6000)
   }
 
+  test("OPTIMIZE ZORDER clusters the single partition; stats become selective") {
+    val base = Files.createTempDirectory("graft_u9").toString + "/t"
+    rowsDf(3000).orderBy(rand(7)).write.format("graft").save(base)
+    rowsDf(3000).orderBy(rand(8))
+      .withColumn("id", col("id") + 3000)
+      .write.format("graft").mode("append").save(base)
+    val view = Catalog.registerSnapshotLog(
+      s, "uz", "t", base, Some(SnapshotLog.NoPartCol))
+    s.sql(s"OPTIMIZE $view ZORDER BY (id)")
+    val m = manifest(base)
+    assert(m.files.keySet == Set(SnapshotLog.SinglePart))
+    // each clustered file covers a tight id range: the recorded bounds
+    // must be non-overlapping enough that a point predicate prunes to
+    // a strict subset of files
+    val bounds = m.files(SnapshotLog.SinglePart)
+      .flatMap(f => m.stats.get(f).flatMap(_.get("id")))
+    assert(bounds.size >= 2, s"ZORDER must record id bounds: ${m.stats}")
+    val hit = bounds.count { case (mn, mx) =>
+      mn.toLong <= 10L && 10L <= mx.toLong }
+    assert(hit < bounds.size,
+      s"id=10 must prune at least one clustered file ($bounds)")
+    assert(readT(base).count() == 6000)
+  }
+
   test("unpartitioned composes with bucketing: tagged files, bucketed scan") {
     val base = Files.createTempDirectory("graft_u7").toString + "/t"
     // declare buckets first (empty create), then land data through the
