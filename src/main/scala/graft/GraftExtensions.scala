@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.NativeDotRewrite)
     ext.injectOptimizerRule(_ => graft.plans.CosineFuseRewrite)
+    // COUNT(*)/MIN/MAX(partition col) answered from the commit-log
+    // manifest alone (Delta's OptimizeMetadataOnlyDeltaQuery shape) —
+    // see graft.plans.MetadataAggRewrite for the proof obligations
+    ext.injectOptimizerRule(_ => graft.plans.MetadataAggRewrite)
     // SQL DELETE/UPDATE/MERGE on registered commit-log tables (see
     // graft.plans.SnapshotDmlRule for why this is the honest seam).
     // Injected at HINT resolution — the batch that runs BEFORE main

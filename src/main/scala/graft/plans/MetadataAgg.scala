@@ -1,0 +1,128 @@
+package graft.plans
+
+import scala.annotation.tailrec
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+
+import graft.sources.{SnapshotFileIndex, SnapshotLog}
+
+/** Metadata-only aggregates over commit-log tables — the Iceberg
+  * snapshot-summary / Delta `OptimizeMetadataOnlyDeltaQuery` idea as an
+  * optimizer rule: a global `COUNT(*)` (and `MIN`/`MAX` of the exposed
+  * partition column) over a graft relation folds to a [[LocalRelation]]
+  * computed from the MANIFEST, so the job reads zero data files. At
+  * 100 TB that is a kilobyte metadata lookup replacing a 10^5-file
+  * scan; `SELECT COUNT(*) FROM t` and `df.count()` both hit it.
+  *
+  * Fires only when every piece is PROVEN from metadata:
+  *  - the child is the bare graft [[LogicalRelation]] under
+  *    cardinality-preserving `Project`s only — a deletion-vector
+  *    anti-join, row-tracking join, or any `Filter` breaks the shape
+  *    and the query keeps its normal plan (so DV-masked rows are never
+  *    double-counted: a DV table simply never matches);
+  *  - every live file carries a recorded row count
+  *    ([[SnapshotLog.countRows]]'s totality contract — partial
+  *    metadata degrades to a scan, never to a wrong number);
+  *  - `MIN`/`MAX` additionally require the typed partition exposure
+  *    ([[SnapshotFileIndex.partitionSchema]] non-empty: keys proven to
+  *    round-trip string↔type bit-exactly) and per-partition counts, so
+  *    keys of empty partitions (possible only via 0-row files — no
+  *    writer produces them, but a hand-edited manifest could) are
+  *    excluded from the extremes.
+  *
+  * Registered through [[graft.GraftExtensions]]; graded end-to-end by
+  * q129 and MetadataAggSpec. */
+object MetadataAggRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
+      rewrite(agg, aggExprs, child).getOrElse(agg)
+  }
+
+  /** The graft file index under cardinality-preserving Projects only,
+    * plus the alias substitution accumulated on the way down (output
+    * attribute → scan attribute). */
+  @tailrec
+  private def stripProjects(
+      p: LogicalPlan,
+      subst: Map[Long, Attribute]): Option[(SnapshotFileIndex, Seq[Attribute],
+      Map[Long, Attribute])] = p match {
+    case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+        if fs.location.isInstanceOf[SnapshotFileIndex] =>
+      Some((fs.location.asInstanceOf[SnapshotFileIndex], lr.output, subst))
+    case Project(list, ch) =>
+      // a Project never changes cardinality (COUNT is safe under ANY
+      // projection); for MIN/MAX lineage only simple attribute slots
+      // and aliases-of-attributes extend the substitution — anything
+      // else simply has no traceable lineage and the per-column check
+      // below refuses
+      val step: Map[Long, Attribute] = list.collect {
+        case a: Attribute => a.exprId.id -> a
+        case al @ Alias(a: Attribute, _) => al.exprId.id -> a
+      }.toMap
+      stripProjects(ch, subst.map { case (k, v) =>
+        k -> step.get(v.exprId.id).map(_.asInstanceOf[Attribute]).getOrElse(v)
+      } ++ step.filterNot { case (k, _) => subst.contains(k) })
+    case _ => None
+  }
+
+  private def rewrite(
+      agg: Aggregate,
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    // cheap structural pre-check before touching any metadata
+    val shapes = aggExprs.map {
+      case al @ Alias(AggregateExpression(f, Complete, false, None, _), _) =>
+        f match {
+          case Count(Seq(Literal(v, _))) if v != null => Some((al, "count", None))
+          case Min(a: Attribute) => Some((al, "min", Some(a)))
+          case Max(a: Attribute) => Some((al, "max", Some(a)))
+          case _ => None
+        }
+      case _ => None
+    }
+    if (shapes.exists(_.isEmpty)) return None
+    val wanted = shapes.flatten
+    stripProjects(child, Map.empty).flatMap { case (idx, relOut, subst) =>
+      val m = idx.manifest
+      lazy val cnt = SnapshotLog.countRows(m)
+      // the scan attribute of the exposed partition column, if any
+      val partAttr = idx.partitionSchema.headOption.flatMap(f =>
+        relOut.find(_.name == f.name))
+      def tracesToPartition(a: Attribute): Boolean = {
+        val resolved = subst.getOrElse(a.exprId.id, a)
+        partAttr.exists(_.exprId == resolved.exprId)
+      }
+      lazy val extremes: Option[(Any, Any)] = for {
+        (_, valueOf) <- idx.typedParts
+        perPart <- SnapshotLog.partitionCounts(m)
+        live = perPart.filter(_._2 > 0L).keys.toSeq if live.nonEmpty
+        dt = idx.partitionSchema.head.dataType
+      } yield {
+        val ord = TypeUtils.getInterpretedOrdering(dt)
+        val vs = live.map(valueOf)
+        (vs.min(ord), vs.max(ord))
+      }
+      val values = wanted.map {
+        case (_, "count", _) => cnt
+        case (_, kind, Some(a)) if tracesToPartition(a) =>
+          extremes.map(e => if (kind == "min") e._1 else e._2)
+        case _ => None
+      }
+      if (values.exists(_.isEmpty)) None
+      else Some(LocalRelation(
+        aggExprs.map(_.toAttribute),
+        Seq(InternalRow(values.map(_.get): _*))))
+    }
+  }
+}

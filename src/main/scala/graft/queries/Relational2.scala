@@ -5428,6 +5428,124 @@ object Relational2 {
     * bad batch, stats/bloom land in the manifest, widening is
     * reader-visible, expiry severs time travel); the data facets grade
     * against a DuckDB recompute. */
+  /** Dynamic partition pruning on a graft fact⋈dim join — the 100 TB
+    * fact-join-date-dim pattern. [[graft.sources.SnapshotRelation]]'s
+    * typed partition exposure makes the commit-log partition column a
+    * REAL Spark partition column, so Spark's own DPP plants a runtime
+    * IN-subquery partition filter fed from the dim's broadcast (Delta's
+    * dynamic file pruning behavior): only the dim-selected months'
+    * files are read, no engine-side read API in the loop. Structural
+    * gate in-engine (the scan must carry a DynamicPruningExpression);
+    * row correctness is the oracle's. */
+  val q128DppJoin: Q = Q(
+    "q128_dpp_join",
+    "dynamic partition pruning: month-partitioned fact ⋈ filtered month dim",
+    (s, d) => {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_dpp128").toString
+      val base = s"$root/fact"
+      val fact = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("omonth"))
+      graft.sources.SnapshotLog.appendBatch(s, base, fact, "omonth",
+        batchId = 1)
+      // file-backed month dim (an in-memory dim would constant-fold its
+      // filter away and give DPP nothing to latch onto)
+      val dimPath = s"$root/dim"
+      fact.select("omonth").distinct()
+        .withColumn("yr", substring(col("omonth"), 1, 4).cast("int"))
+        .withColumn("qtr",
+          expr("(cast(substring(omonth, 6, 2) as int) + 2) div 3"))
+        .write.parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
+      val rel = graft.sources.SnapshotRelation
+        .read(s, base, partCol = Some("omonth")).get
+      def joined = rel.join(dim, Seq("omonth"))
+        .filter(col("yr") === 1995 && col("qtr") === 2)
+      val probe = joined
+      probe.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(sc)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        }.flatten
+      val graftScan = scans(probe.queryExecution.executedPlan)
+        .find(_.relation.location
+          .isInstanceOf[graft.sources.SnapshotFileIndex])
+        .getOrElse(sys.error("no graft scan in the DPP join plan"))
+      require(graftScan.partitionFilters.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .DynamicPruningExpression])),
+        s"expected a dynamic partition-pruning filter on the graft " +
+          s"scan, got: ${graftScan.partitionFilters}")
+      joined.groupBy("omonth")
+        .agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("total"))
+        .orderBy("omonth")
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS omonth, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM orders
+      WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 2
+      GROUP BY 1 ORDER BY 1
+      """))
+
+  /** Metadata-only aggregates ([[graft.plans.MetadataAggRewrite]]):
+    * COUNT(*) and MIN/MAX of the exposed partition column over a graft
+    * table fold to a LocalRelation computed from the manifest — the
+    * executed plan contains NO file scan (gated structurally below).
+    * At 100 TB: `SELECT COUNT(*) FROM t` is a kilobyte metadata lookup
+    * instead of a 10^5-file scan. Requires the statsCols/ANALYZE
+    * write path (per-file row counts recorded) and the typed partition
+    * exposure; anything unproven keeps a normal scanning plan
+    * (MetadataAggSpec grades the refusal cases). */
+  val q129MetadataAgg: Q = Q(
+    "q129_metadata_agg",
+    "COUNT(*)/MIN/MAX(partition) folded to manifest metadata, scan-free plan",
+    (s0, d) => {
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_magg129").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      graft.sources.SnapshotLog.upsertBatch(s, base, orders,
+        Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 1,
+        maxRetries = 5, statsCols = Seq("o_totalprice"), clusterBy = Nil,
+        clusterFiles = 8, opCol = None, writeCdf = false)
+      val rel = graft.sources.SnapshotRelation
+        .read(s, base, partCol = Some("o_year")).get
+      val q = rel.agg(count(lit(1)).as("n"),
+        min(col("o_year")).as("first_year"),
+        max(col("o_year")).as("last_year"))
+      q.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(sc)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(qs.plan)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        }.flatten
+      require(scans(q.queryExecution.executedPlan).isEmpty,
+        "metadata aggregate must plan WITHOUT a file scan:\n" +
+          q.queryExecution.executedPlan.treeString)
+      q
+    },
+    Some("""
+      SELECT COUNT(*) AS n,
+             MIN(CAST(year(o_orderdate) AS VARCHAR)) AS first_year,
+             MAX(CAST(year(o_orderdate) AS VARCHAR)) AS last_year
+      FROM orders
+      """))
+
   val q127CatalogVerbs: Q = Q(
     "q127_catalog_verbs",
     "constraint/ANALYZE/bloom/widen/FSCK/EXPIRE lifecycle on graft.ns.t names",
@@ -5533,7 +5651,7 @@ object Relational2 {
     q115FusedQa, q116StreamSessions, q117CatalogRead, q118RowTracking,
     q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere, q122DsvWrite,
     q123FormatStream, q124CatalogAlter, q125CatalogDml, q126Unpartitioned,
-    q127CatalogVerbs,
+    q127CatalogVerbs, q128DppJoin, q129MetadataAgg,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

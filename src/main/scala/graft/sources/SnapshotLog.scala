@@ -1950,7 +1950,7 @@ object SnapshotLog {
           (m.files -- affected) ++ staged.groupBy(_._1).map {
             case (p, fls) => p -> fls.map(_._2).sorted
           },
-          (m.stats -- replaced) ++ mergeFileStats(sizeStats(staged), stagedStats),
+          (m.stats -- replaced) ++ mergeFileStats(sizeStats(fs, bp, staged), stagedStats),
           // rewritten files take their blooms with them; untouched
           // files keep theirs (conservative: bloom-less files are
           // never pruned, so staleness is impossible by construction)
@@ -2105,7 +2105,7 @@ object SnapshotLog {
         version,
         files,
         (if (overwrite) Map.empty[String, Map[String, (String, String)]]
-         else m.stats) ++ sizeStats(staged),
+         else m.stats) ++ sizeStats(fs, bp, staged),
         if (overwrite) Map.empty else m.blooms,
         if (overwrite) Map.empty else m.dvs,
         // legacy tables (no schema header) with surviving old files stay
@@ -2375,11 +2375,32 @@ object SnapshotLog {
   val ByteSizeKey = "__bytes"
 
   /** `ByteSizeKey` entries for freshly staged files. */
+  /** Per-staged-file bookkeeping entries every commit records for
+    * free: the byte length (from the staging listing — powers the
+    * zero-RPC FileStatus synthesis at plan time) and the ROW COUNT
+    * from the parquet footer — one driver-side footer read per NEW
+    * file, never a Spark job (the same O(new files) class as enabling
+    * row tracking or CONVERT). With counts total, [[countRows]] /
+    * [[partitionCounts]] — and the metadata-only COUNT(*) plan fold
+    * ([[graft.plans.MetadataAggRewrite]]) — work on every table, not
+    * just statsCols/ANALYZE ones. A failed footer read degrades to a
+    * count-less entry (metadata counts refuse, the commit proceeds). */
   private def sizeStats(
+      fs: FileSystem, base: Path,
       staged: Seq[(String, String, Long)]): Map[String, Map[String, (String, String)]] =
     staged.map { case (_, f, len) =>
-      f -> Map(ByteSizeKey -> (len.toString, len.toString))
+      f -> (Map(ByteSizeKey -> (len.toString, len.toString)) ++
+        footerCount(fs, base, f).map(n =>
+          RowCountKey -> (n.toString, n.toString)))
     }.toMap
+
+  private def footerCount(fs: FileSystem, base: Path, f: String): Option[Long] =
+    try {
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(base, f), fs.getConf))
+      try Some(rd.getRecordCount) finally rd.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deep per-file merge of two stats maps (right wins per column). */
   private def mergeFileStats(
@@ -3294,7 +3315,7 @@ object SnapshotLog {
       val newStatuses = fs.listStatus(dir).toSeq
         .filter(_.getPath.getName.endsWith(".parquet"))
       val newFiles = newStatuses.map(st => s"$rel/${st.getPath.getName}")
-      val newSizes = sizeStats(
+      val newSizes = sizeStats(fs, bp,
         newStatuses.map(st => (part, s"$rel/${st.getPath.getName}", st.getLen)))
       // compacted-away files take their stats entries with them; the
       // replacement file gets fresh bounds when statsCols is passed,
@@ -3453,7 +3474,7 @@ object SnapshotLog {
         (m.files -- need) ++ staged.groupBy(_._1).map {
           case (p, fls) => p -> fls.map(_._2).sorted
         },
-        (m.stats -- oldFiles) ++ mergeFileStats(sizeStats(staged), stagedStats),
+        (m.stats -- oldFiles) ++ mergeFileStats(sizeStats(fs, bp, staged), stagedStats),
         (m.blooms -- oldFiles) ++ newBlooms,
         m.dvs -- oldFiles,
         m.schemaJson,
@@ -3778,7 +3799,7 @@ object SnapshotLog {
           (m.files -- matched) ++ staged.groupBy(_._1).map {
             case (p, fls) => p -> fls.map(_._2).sorted
           },
-          (m.stats -- preFiles) ++ mergeFileStats(sizeStats(staged), stagedStats),
+          (m.stats -- preFiles) ++ mergeFileStats(sizeStats(fs, bp, staged), stagedStats),
           m.blooms -- preFiles,
           m.dvs -- preFiles,
           // this pass read the whole live table, so a legacy manifest
@@ -3899,7 +3920,7 @@ object SnapshotLog {
           (m.files -- affected) ++ staged.groupBy(_._1).map {
             case (p, fls) => p -> fls.map(_._2).sorted
           },
-          (m.stats -- preFiles) ++ mergeFileStats(sizeStats(staged), stagedStats),
+          (m.stats -- preFiles) ++ mergeFileStats(sizeStats(fs, bp, staged), stagedStats),
           m.blooms -- preFiles,
           m.dvs -- preFiles,
           m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
@@ -4067,7 +4088,7 @@ object SnapshotLog {
         (m.files -- affected) ++ staged.groupBy(_._1).map {
           case (p, fls) => p -> fls.map(_._2).sorted
         },
-        (m.stats -- preFiles) ++ mergeFileStats(sizeStats(staged), stagedStats),
+        (m.stats -- preFiles) ++ mergeFileStats(sizeStats(fs, bp, staged), stagedStats),
         m.blooms -- preFiles,
         m.dvs -- preFiles,
         m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
@@ -4250,6 +4271,32 @@ object SnapshotLog {
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
       .filter(_.startsWith("v")).map(_.stripPrefix("v").toLong).sorted
   }
+
+  /** Bytes a feed version will hand a streaming micro-batch — the
+    * admission-control weight behind `maxBytesPerBatch` (Delta's
+    * maxBytesPerTrigger). Change feed: the materialized `_cdf/v<N>`
+    * dir's parquet bytes (one listing). Row feed: the data files `v`
+    * holds that its predecessor does not, lengths from manifest stats
+    * ([[ByteSizeKey]]; one status RPC per stat-less legacy file).
+    * Metadata plane only — no data file is opened. */
+  def feedVersionBytes(
+      fs: FileSystem, base: Path, v: Long, changeFeed: Boolean): Long =
+    if (changeFeed) {
+      val d = new Path(cdfDir(base), cdfVName(v))
+      if (!fs.exists(d)) 0L
+      else fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    } else {
+      val prev = committedVersions(fs, base).filter(_ < v).lastOption
+      val prevFiles = prev.flatMap(readManifestAt(fs, base, _))
+        .map(_.allFiles.toSet).getOrElse(Set.empty[String])
+      readManifestAt(fs, base, v).map(m =>
+        m.allFiles.filterNot(prevFiles).map(f =>
+          m.stats.get(f).flatMap(_.get(ByteSizeKey))
+            .flatMap(_._1.toLongOption)
+            .getOrElse(fs.getFileStatus(new Path(base, f)).getLen)).sum)
+        .getOrElse(0L)
+    }
 
   /** Write one version's feed and publish it by rename; loses cleanly
     * (keeps the existing dir) if the version is already materialized —

@@ -5,14 +5,17 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or}
+  And, Attribute, BoundReference, Cast, EqualNullSafe, EqualTo, EvalMode,
+  Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
+  LessThanOrEqual, Literal, Or, Predicate => CatalystPredicate}
 import org.apache.spark.sql.execution.datasources.{
   FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{
-  ByteType, DataType, DateType, DecimalType, DoubleType, FloatType,
-  IntegerType, LongType, ShortType, StringType, StructType}
+  BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType, StringType, StructField,
+  StructType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /** [[SnapshotLog]] tables as FIRST-CLASS Spark relations: a custom
@@ -53,7 +56,8 @@ final class SnapshotFileIndex(
     base: Path,
     val manifest: SnapshotLog.Manifest,
     partCol: Option[String],
-    statuses: Map[String, FileStatus])
+    statuses: Map[String, FileStatus],
+    val typedParts: Option[(StructField, Map[String, Any])] = None)
   extends FileIndex {
 
   /** (selected, total) of the most recent `listFiles` — lets specs and
@@ -65,7 +69,16 @@ final class SnapshotFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(base)
 
-  override def partitionSchema: StructType = StructType(Nil)
+  /** Non-empty ONLY when [[SnapshotRelation.typedPartValues]] proved
+    * every manifest partition key round-trips string↔type exactly —
+    * then the partition column is a REAL Spark partition column:
+    * `FileSourceStrategy` routes its filters here as partitionFilters
+    * (and removes them from the post-scan filter, so [[listFiles]]
+    * must apply them EXACTLY, not exclusion-proof-only), and Spark's
+    * own dynamic partition pruning inserts runtime IN-subquery filters
+    * on fact⋈dim joins — the Delta/Hive DPP behavior. */
+  override def partitionSchema: StructType =
+    typedParts.map(tp => StructType(Seq(tp._1))).getOrElse(StructType(Nil))
 
   override def inputFiles: Array[String] =
     manifest.allFiles.map(f => new Path(base, f).toString).toArray
@@ -77,12 +90,53 @@ final class SnapshotFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val pruners = (partitionFilters ++ dataFilters).flatMap(compile)
     val all = manifest.allFiles
-    val live = all.filter(f => pruners.forall(_(f)))
-    lastPruned = Some((live.size, all.size))
-    Seq(PartitionDirectory(
-      InternalRow.empty, live.flatMap(statuses.get).toArray))
+    typedParts match {
+      case Some((field, valueOf)) =>
+        // Partition-only conjuncts evaluate EXACTLY against the typed
+        // partition value (the PartitioningAwareFileIndex contract —
+        // Spark has already removed them from the post-scan filter, so
+        // any shape, `pmod(p,2)=0` included, must prune precisely).
+        // Everything else keeps the exclusion-proof stats/bloom path.
+        val (pOnly, rest) = (partitionFilters ++ dataFilters)
+          .partition(f => f.deterministic && f.references.nonEmpty &&
+            f.references.forall(_.name == field.name))
+        val keep: InternalRow => Boolean =
+          if (pOnly.isEmpty) _ => true
+          else {
+            val bound = CatalystPredicate.createInterpreted(
+              pOnly.reduce(And).transform {
+                case _: Attribute =>
+                  BoundReference(0, field.dataType, field.nullable)
+              })
+            bound.initialize(0)
+            bound.eval
+          }
+        val pruners = rest.flatMap(compile)
+        val dirs = manifest.files.toSeq.sortBy(_._1).flatMap {
+          case (pv, fls) =>
+            // eligibility typed EVERY live key; a miss here would mean
+            // pruning silently drops a partition — fail loudly instead
+            val v = valueOf.getOrElse(pv, sys.error(
+              s"typed partition exposure lost key '$pv' — manifest " +
+                "changed under a live index"))
+            if (!keep(InternalRow(v))) None
+            else {
+              val live = fls.filter(f => pruners.forall(_(f)))
+              if (live.isEmpty) None
+              else Some(PartitionDirectory(
+                InternalRow(v), live.flatMap(statuses.get).toArray))
+            }
+        }
+        lastPruned = Some((dirs.map(_.files.size).sum, all.size))
+        dirs
+      case None =>
+        val pruners = (partitionFilters ++ dataFilters).flatMap(compile)
+        val live = all.filter(f => pruners.forall(_(f)))
+        lastPruned = Some((live.size, all.size))
+        Seq(PartitionDirectory(
+          InternalRow.empty, live.flatMap(statuses.get).toArray))
+    }
   }
 
   // ---- predicate compilation: Expression → file-may-match ---------------
@@ -272,6 +326,28 @@ object SnapshotRelation {
       spark.read.option("mergeSchema", "true")
         .parquet(m.allFiles.map(f => new Path(bp, f).toString): _*).schema
     }
+    // row-tracked tables read the MATERIALIZED id column too (files
+    // that predate a rewrite simply return null for it and fall back
+    // to base + row_index in the coalesce)
+    val dataSchema0 = SnapshotLog.physSchema(m, schema)
+    val dataSchema =
+      if (m.rowTracking) StructType(dataSchema0.fields :+
+        StructField(SnapshotLog.MatRowIdCol, LongType, nullable = true))
+      else dataSchema0
+    // the partition column: the caller's hint, else the manifest's own
+    // stamped layout — either way the PHYSICAL name (column mapping)
+    val physPart = partCol
+      .orElse(m.props.get(SnapshotLog.PartColProp))
+      .filter(_.nonEmpty).map(m.phys)
+    // Typed partition exposure (real Spark partition column → static
+    // pruning via FileSourceStrategy + dynamic partition pruning on
+    // joins). Only when provably exact; None degrades to the
+    // stats-pruned flat scan, never to wrong rows.
+    val typedParts = physPart.flatMap { pc =>
+      dataSchema.fields.find(_.name == pc)
+        .orElse(dataSchema.fields.find(_.name.equalsIgnoreCase(pc)))
+        .flatMap(f => typedPartValues(m, f).map(vals => (f, vals)))
+    }
     // the SCAN speaks physical parquet names (column mapping): the
     // file-index prunes on scan attributes — physical, matching the
     // manifest's stats/bloom keys — and a rename projection above the
@@ -280,7 +356,7 @@ object SnapshotRelation {
     // alias substitution), so pruning and PushedFilters survive
     // renames with zero data movement.
     val index = new SnapshotFileIndex(
-      spark, bp, m, partCol.map(m.phys), statuses)
+      spark, bp, m, physPart, statuses, typedParts)
     // a bucketed table's spec (see [[SnapshotLog.BucketCountProp]])
     // hands the scan `HashPartitioning(bucketCols, n)` output
     // partitioning, so a join of two same-bucketed snapshot tables
@@ -297,18 +373,15 @@ object SnapshotRelation {
         org.apache.spark.sql.catalyst.catalog.BucketSpec(
           n, cols.map(m.phys), Nil)
       }
-    // row-tracked tables read the MATERIALIZED id column too (files
-    // that predate a rewrite simply return null for it and fall back
-    // to base + row_index in the coalesce)
-    val dataSchema0 = SnapshotLog.physSchema(m, schema)
-    val dataSchema =
-      if (m.rowTracking) StructType(dataSchema0.fields :+
-        org.apache.spark.sql.types.StructField(
-          SnapshotLog.MatRowIdCol, LongType, nullable = true))
-      else dataSchema0
+    // With typed exposure the partition column's per-row value comes
+    // from the manifest key (cast back to the column type — proven
+    // bit-exact by typedPartValues), the parquet reader stops reading
+    // that column entirely, and the relation's user-visible schema
+    // keeps the data-schema column ORDER (mergeDataAndPartitionSchema
+    // keeps overlapped columns in data order).
     val rel = HadoopFsRelation(
       location = index,
-      partitionSchema = StructType(Nil),
+      partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = bucket,
       fileFormat = new ParquetFileFormat,
@@ -319,6 +392,47 @@ object SnapshotRelation {
       SnapshotLog.applyDvs(spark, bp, m, m.allFiles,
         SnapshotLog.attachRowIds(spark, bp, m, m.allFiles, df0))
         .drop("__rt_file", "__rt_pos"), m), index)
+  }
+
+  /** Typed values for every manifest partition key of `field` — the
+    * eligibility proof behind exposing the partition column as a REAL
+    * Spark partition column (see [[SnapshotFileIndex.partitionSchema]]).
+    *
+    * The manifest key is the writer's `CAST(col AS STRING)` of the
+    * row value ([[SnapshotLog]] `partRoute`); the scan will substitute
+    * the key CAST BACK to the column type for reading the column from
+    * the file, so exposure demands a bit-exact round trip:
+    * `cast(key AS T)` parses (TRY semantics) and `cast(back AS STRING)`
+    * reproduces the key verbatim, for every live key. That also makes
+    * key→value injective, so no two manifest partitions merge. Types
+    * whose string form is timezone- or locale-dependent (timestamps)
+    * or approximate (float/double scientific notation vs parquet bits)
+    * are excluded up front. Any doubt — a NULL-partition key from a
+    * legacy layout, the unpartitioned [[SnapshotLog.SinglePart]]
+    * bucket, an unparseable key — returns None and the table keeps the
+    * flat (still stats-pruned) scan. */
+  private[sources] def typedPartValues(
+      m: SnapshotLog.Manifest,
+      field: StructField): Option[Map[String, Any]] = {
+    val supported = field.dataType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+          BooleanType | DateType | _: DecimalType => true
+      case _ => false
+    }
+    val keys = m.files.keys.toSeq
+    if (!supported || keys.isEmpty ||
+        keys.contains(SnapshotLog.SinglePart) ||
+        keys.contains("__HIVE_DEFAULT_PARTITION__")) return None
+    val typed = keys.map { k =>
+      val v = Cast(Literal(UTF8String.fromString(k), StringType),
+        field.dataType, Some("UTC"), EvalMode.TRY).eval(null)
+      if (v == null) return None
+      val back = Cast(Literal(v, field.dataType), StringType,
+        Some("UTC"), EvalMode.TRY).eval(null)
+      if (back == null || back.toString != k) return None
+      k -> v
+    }
+    Some(typed.toMap)
   }
 
   /** Just the DataFrame — the everyday read path. */

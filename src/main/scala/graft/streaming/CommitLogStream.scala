@@ -120,7 +120,25 @@ object CommitLogStream {
       changeFeed = changeFeed,
       skipChangeCommits =
         parameters.get("skipChangeCommits").exists(_.trim.toBoolean),
-      initialSnapshot = initialSnapshot)
+      initialSnapshot = initialSnapshot,
+      maxBytesPerBatch =
+        parameters.get("maxBytesPerBatch").map(parseBytes).getOrElse(0L))
+  }
+
+  /** `maxBytesPerBatch` spellings: a plain byte count or a `k`/`m`/`g`
+    * suffix (Delta's maxBytesPerTrigger forms). */
+  def parseBytes(s0: String): Long = {
+    val s = s0.trim.toLowerCase
+    val (num, mult) = s.last match {
+      case 'k' => (s.dropRight(1), 1L << 10)
+      case 'm' => (s.dropRight(1), 1L << 20)
+      case 'g' => (s.dropRight(1), 1L << 30)
+      case _ => (s, 1L)
+    }
+    val n = num.toLongOption.getOrElse(
+      sys.error(s"maxBytesPerBatch: unparseable byte count '$s0'"))
+    require(n > 0, s"maxBytesPerBatch must be positive, got '$s0'")
+    n * mult
   }
 
   def schemaFor(
@@ -164,7 +182,9 @@ class CommitLogSourceProvider extends StreamSourceProvider with DataSourceRegist
       schema.getOrElse(
         CommitLogStream.cdfSchema(sqlContext.sparkSession, pathOf(parameters))),
       parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(0),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(1L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(1L),
+      maxBytesPerBatch = parameters.get("maxBytesPerBatch")
+        .map(CommitLogStream.parseBytes).getOrElse(0L))
 }
 
 /** @param startingVersion first commit version a FRESH stream (no
@@ -198,7 +218,8 @@ class CommitLogSource(
     startingVersion: Long = 1L,
     changeFeed: Boolean = true,
     skipChangeCommits: Boolean = false,
-    initialSnapshot: Boolean = false)
+    initialSnapshot: Boolean = false,
+    maxBytesPerBatch: Long = 0L)
   extends Source {
 
   /** Commit classes whose manifest delta is pure inserts — safe for
@@ -254,9 +275,30 @@ class CommitLogSource(
     if (vs.isEmpty) snapshotV.map(LongOffset(_))
     else {
       val off0 =
-        if (maxVersionsPerBatch <= 0) vs.last
+        if (maxVersionsPerBatch <= 0 && maxBytesPerBatch <= 0L) vs.last
         else {
-          val next = vs.filter(_ > lastReturned).take(maxVersionsPerBatch)
+          var next = vs.filter(_ > lastReturned)
+          if (maxVersionsPerBatch > 0) next = next.take(maxVersionsPerBatch)
+          // byte-weighted admission (Delta's maxBytesPerTrigger): stop
+          // BEFORE the version that would push the batch past the cap,
+          // but always admit at least one so the stream can't stall on
+          // a single oversized commit. Weights are metadata-plane
+          // ([[SnapshotLog.feedVersionBytes]]) — no data file opened.
+          if (maxBytesPerBatch > 0L && next.nonEmpty) {
+            var acc = 0L
+            val keep = Seq.newBuilder[Long]
+            var n = 0
+            val it = next.iterator
+            var stop = false
+            while (it.hasNext && !stop) {
+              val v = it.next()
+              val b = SnapshotLog.feedVersionBytes(fs, bp, v, changeFeed)
+              if (n == 0 || acc + b <= maxBytesPerBatch) {
+                keep += v; acc += b; n += 1
+              } else stop = true
+            }
+            next = keep.result()
+          }
           if (next.isEmpty) lastReturned else next.last
         }
       val off = math.max(off0, snapshotV.getOrElse(Long.MinValue))

@@ -1,0 +1,134 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{SnapshotLog, SnapshotRelation}
+
+/** [[MetadataAggRewrite]]: a global COUNT(*) (and MIN/MAX of the
+  * exposed partition column) over a graft relation folds to a
+  * LocalRelation from the manifest — zero data files read. Every
+  * unproven case must keep the normal plan and the exact answer. */
+class MetadataAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ext: SparkSession = graft.GraftSessions.withExtensions(spark)
+
+  /** rows with counts recorded (the statsCols write path). */
+  private def mkCounted(): String = {
+    val base = Files.createTempDirectory("graft_magg").toString + "/tbl"
+    val df = (0 until 500)
+      .map(i => (i.toLong, (i % 7).toString, i * 2.0)).toDF("id", "p", "v")
+    SnapshotLog.upsertBatch(spark, base, df, Seq("id"), "id", "p",
+      batchId = 1, maxRetries = 5, statsCols = Seq("v"), clusterBy = Nil,
+      clusterFiles = 4, opCol = None, writeCdf = false)
+    base
+  }
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[FileSourceScanExec] =
+    p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+    }.flatten
+
+  private def assertMetadataOnly(df: DataFrame): Unit = {
+    df.collect()
+    assert(scans(df.queryExecution.executedPlan).isEmpty,
+      s"expected a metadata-only plan, got:\n" +
+        df.queryExecution.executedPlan.treeString)
+  }
+
+  private def assertScans(df: DataFrame): Unit = {
+    df.collect()
+    assert(scans(df.queryExecution.executedPlan).nonEmpty,
+      "expected a normal scanning plan")
+  }
+
+  test("COUNT(*) and MIN/MAX(partition) fold to the manifest") {
+    val base = mkCounted()
+    val rel = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+    val q = rel.agg(count(lit(1)).as("n"), min("p").as("lo"), max("p").as("hi"))
+    val row = q.collect().head
+    assert(row.getLong(0) == 500 && row.getString(1) == "0" &&
+      row.getString(2) == "6")
+    assertMetadataOnly(q)
+    // Dataset.count() takes the same fold
+    val c = rel.groupBy().count()
+    assert(c.collect().head.getLong(0) == 500)
+    assertMetadataOnly(c)
+  }
+
+  test("a filter keeps the normal plan and the exact answer") {
+    val base = mkCounted()
+    val rel = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+    val q = rel.filter(col("id") < 100).agg(count(lit(1)).as("n"))
+    assert(q.collect().head.getLong(0) == 100)
+    assertScans(q)
+  }
+
+  test("MIN/MAX of a data column keeps the normal plan") {
+    val base = mkCounted()
+    val rel = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+    val q = rel.agg(min("v").as("lo"))
+    assert(q.collect().head.getDouble(0) == 0.0)
+    assertScans(q)
+  }
+
+  test("plain appends record footer counts -> COUNT(*) still folds") {
+    val base = Files.createTempDirectory("graft_magga").toString + "/tbl"
+    val df = (0 until 200).map(i => (i.toLong, (i % 3).toString))
+      .toDF("id", "p")
+    SnapshotLog.appendBatch(spark, base, df, "p", batchId = 1)
+    val rel = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+    val q = rel.agg(count(lit(1)).as("n"))
+    assert(q.collect().head.getLong(0) == 200)
+    assertMetadataOnly(q)
+  }
+
+  test("no recorded row counts (legacy convert) -> normal plan") {
+    // an unpartitioned CONVERT without statsCols adopts files with
+    // byte lengths only — countRows is None, the fold must refuse
+    val base = Files.createTempDirectory("graft_maggn").toString + "/tbl"
+    (0 until 200).map(i => (i.toLong, s"x$i")).toDF("id", "s")
+      .write.parquet(base)
+    SnapshotLog.convertInPlace(spark, base, SnapshotLog.NoPartCol)
+    val rel = SnapshotRelation.read(ext, base).get
+    val q = rel.agg(count(lit(1)).as("n"))
+    assert(q.collect().head.getLong(0) == 200)
+    assertScans(q)
+  }
+
+  test("deletion vectors break the shape -> DV-exact scan count") {
+    val base = mkCounted()
+    SnapshotLog.deleteWhere(spark, base, expr("id % 5 = 0"), "p",
+      deletionVectors = true)
+    val rel = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+    val q = rel.agg(count(lit(1)).as("n"))
+    assert(q.collect().head.getLong(0) == 400)
+    assertScans(q)
+  }
+
+  test("time travel folds against the pinned manifest") {
+    val base = mkCounted()
+    SnapshotLog.upsertBatch(spark,
+      base, Seq((9000L, "3", 1.0)).toDF("id", "p", "v"), Seq("id"), "id",
+      "p", batchId = 2, maxRetries = 5, statsCols = Seq("v"),
+      clusterBy = Nil, clusterFiles = 4, opCol = None, writeCdf = false)
+    val v1 = SnapshotRelation.read(ext, base, versionAsOf = Some(1L),
+      partCol = Some("p")).get
+    val q = v1.agg(count(lit(1)).as("n"))
+    assert(q.collect().head.getLong(0) == 500)
+    assertMetadataOnly(q)
+    val now = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+      .agg(count(lit(1)).as("n"))
+    assert(now.collect().head.getLong(0) == 501)
+  }
+}

@@ -399,14 +399,15 @@ class SnapshotLogSpec extends SparkSpec {
       clusterFiles = 16, opCol = None, writeCdf = false)
     assert(SnapshotLog.countRows(m).contains(4L))
     assert(SnapshotLog.partitionCounts(m).get.values.sum == 4L)
-    // a statsCols-less compaction leaves a count-less file: the ONLY
-    // safe answer is None (degrade to scan, never a wrong number)
+    // a statsCols-less compaction still records the footer ROW COUNT
+    // (free bookkeeping at every commit) — only the value BOUNDS go
+    // missing, so countability survives maintenance
     val day0 = m.files.keySet.min
     SnapshotLog.compactPartition(spark, base, day0)
-    assert(SnapshotLog.countRows(m).isEmpty)
-    assert(SnapshotLog.partitionCounts(m).isEmpty)
-    // the ANALYZE pass backfills stats for ONLY the stats-less file,
-    // metadata-only commit — countability restored without a rewrite
+    assert(SnapshotLog.countRows(m).contains(4L))
+    assert(SnapshotLog.partitionCounts(m).get.values.sum == 4L)
+    // the ANALYZE pass backfills bounds for ONLY the stats-less file,
+    // metadata-only commit — prunability restored without a rewrite
     val statsV = SnapshotLog.computeStats(spark, base, Seq("value"))
     assert(statsV > 0L)
     assert(SnapshotLog.countRows(m).contains(4L))

@@ -263,4 +263,52 @@ class FormatStreamSpec extends SparkSpec {
     assert(streamed == batch,
       "the streamed CDF tail must equal the batch change feed")
   }
+
+  test("maxBytesPerBatch: byte-weighted admission slices the catch-up") {
+    val base = Files.createTempDirectory("graft_fstream4").toString + "/tbl"
+    append(base, 1, (1L, 1.0, "a"), (2L, 1.0, "a"))
+    append(base, 2, (3L, 2.0, "b"))
+    append(base, 3, (4L, 3.0, "a"))
+
+    // a 1-byte cap can never fit a whole commit — the at-least-one
+    // rule must still admit exactly ONE version per micro-batch, so
+    // the 3-commit catch-up arrives as 3 batches with nothing lost
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream.format("graft")
+      .option("maxBytesPerBatch", "1").load(base)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches.add(df.select(col("id")).collect().map(_.getLong(0)).toSeq)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = batches.asScala.toSeq.filter(_.nonEmpty)
+    assert(got.size == 3, s"1-byte cap must slice per version, got $got")
+    assert(got.flatten.sorted == Seq(1L, 2L, 3L, 4L))
+
+    // a generous cap admits the whole catch-up as one batch
+    val all = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q2 = spark.readStream.format("graft")
+      .option("maxBytesPerBatch", "1g").load(base)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        all.add(df.select(col("id")).collect().map(_.getLong(0)).toSeq)
+        ()
+      }
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got2 = all.asScala.toSeq.filter(_.nonEmpty)
+    assert(got2.size == 1 && got2.head.sorted == Seq(1L, 2L, 3L, 4L),
+      s"1g cap must admit the whole catch-up at once, got $got2")
+
+    // spellings: suffixes parse, junk refuses loudly
+    assert(CommitLogStream.parseBytes("2m") == (2L << 20))
+    assert(CommitLogStream.parseBytes("1g") == (1L << 30))
+    assert(CommitLogStream.parseBytes("512") == 512L)
+    intercept[Exception] { CommitLogStream.parseBytes("lots") }
+    intercept[Exception] { CommitLogStream.parseBytes("-5m") }
+  }
 }
