@@ -21,6 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest alone (Delta's OptimizeMetadataOnlyDeltaQuery shape) —
     // see graft.plans.MetadataAggRewrite for the proof obligations
     ext.injectOptimizerRule(_ => graft.plans.MetadataAggRewrite)
+    // partition pruning THROUGH generated columns: a filter on the
+    // BASE column (ts) derives the implied predicate on its generated
+    // partition column (month = date_format(ts, ...)) — Delta's
+    // generated-column partition-filter derivation
+    ext.injectOptimizerRule(session =>
+      graft.plans.DerivePartitionFilter(session))
     // SQL DELETE/UPDATE/MERGE on registered commit-log tables (see
     // graft.plans.SnapshotDmlRule for why this is the honest seam).
     // Injected at HINT resolution — the batch that runs BEFORE main

@@ -59,6 +59,18 @@ object IvfIndex {
     * curve on the real corpus. At 100 TB the assignment is a
     * cell-partitioned table and a probe reads nprobe partitions; the
     * unprobed corpus is never touched. */
+  /** The `nprobe` centroid cells nearest the query vector (d2 order,
+    * cid tie-break) — the probe's cell-selection step, exposed so a
+    * PERSISTED index probe (s23: the assignment as a cid-partitioned
+    * graft table, probe = partition-pruned scan) selects exactly the
+    * cells the inline probe would. */
+  def nearestCells(cent: DataFrame, qv: DataFrame, nprobe: Int): DataFrame =
+    cent.crossJoin(broadcast(qv))
+      .select(col("cid"), dist2(col("qv"), col("cv")).as("d2"))
+      .orderBy(col("d2"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+
   def probe(
       vecs: DataFrame,
       cent: DataFrame,
@@ -66,11 +78,7 @@ object IvfIndex {
       nprobe: Int,
       k: Int): DataFrame = {
     val qv = vecs.filter(col("vec_id") === queryId).select(col("v").as("qv"))
-    val nearCells = cent.crossJoin(broadcast(qv))
-      .select(col("cid"), dist2(col("qv"), col("cv")).as("d2"))
-      .orderBy(col("d2"), col("cid"))
-      .limit(nprobe)
-      .select(col("cid"))
+    val nearCells = nearestCells(cent, qv, nprobe)
     assign(vecs, cent)
       .join(broadcast(nearCells), Seq("cid"))
       .filter(col("vec_id") =!= queryId)

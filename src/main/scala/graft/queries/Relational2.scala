@@ -5546,6 +5546,56 @@ object Relational2 {
       FROM orders
       """))
 
+  /** Partition pruning THROUGH generated columns
+    * ([[graft.plans.DerivePartitionFilter]], Delta's generated-column
+    * partition filters): the fact is partitioned by
+    * `omonth GENERATED ALWAYS AS date_format(o_orderdate, 'yyyy-MM')`
+    * and the query filters the raw TIMESTAMP — the rule derives the
+    * implied month bounds, the typed exposure prunes partitions, and
+    * the in-engine gate asserts files were actually skipped. The
+    * natural 100 TB layout: events partitioned by a date derived from
+    * their timestamp, pruned by timestamp predicates with no query
+    * rewrite. */
+  val q130GeneratedPruning: Q = Q(
+    "q130_generated_pruning",
+    "ts-range filter prunes generated month partitions, oracle-graded",
+    (s0, d) => {
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_gen130").toString + "/tbl"
+      val fact = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .withColumn("omonth", date_format(col("o_orderdate"), "yyyy-MM"))
+      graft.sources.SnapshotLog.appendBatch(s, base, fact, "omonth",
+        batchId = 1,
+        propsAdd = Map(
+          graft.sources.SnapshotLog.PartColProp -> "omonth",
+          graft.sources.SnapshotLog.GenColPrefix + "omonth" ->
+            "date_format(o_orderdate, 'yyyy-MM')"))
+      val (rel, idx) = graft.sources.SnapshotRelation
+        .applyWithIndex(s, base).get
+      val lo = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+      val q = rel
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .groupBy("omonth")
+        .agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("total"))
+        .orderBy("omonth")
+      val out = q.collect()
+      val (sel, tot) = idx.lastPruned.get
+      require(sel < tot && sel > 0,
+        s"generated-column derivation must prune partitions, kept $sel/$tot")
+      q
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS omonth, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+      GROUP BY 1 ORDER BY 1
+      """))
+
   val q127CatalogVerbs: Q = Q(
     "q127_catalog_verbs",
     "constraint/ANALYZE/bloom/widen/FSCK/EXPIRE lifecycle on graft.ns.t names",
@@ -5651,7 +5701,7 @@ object Relational2 {
     q115FusedQa, q116StreamSessions, q117CatalogRead, q118RowTracking,
     q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere, q122DsvWrite,
     q123FormatStream, q124CatalogAlter, q125CatalogDml, q126Unpartitioned,
-    q127CatalogVerbs, q128DppJoin, q129MetadataAgg,
+    q127CatalogVerbs, q128DppJoin, q129MetadataAgg, q130GeneratedPruning,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

@@ -280,6 +280,28 @@ object SimilarityOps {
              FROM v, c2),
       s2 AS (SELECT vec_id, cid FROM a2 WHERE rn = 1)"""
 
+  /** The probe's answer in the oracle dialect: nprobe=2 nearest cells
+    * of the s2 assignment, exact cosine top-5 within — shared by the
+    * inline probe (s8) and the persisted-index probe (s23), which must
+    * return the SAME rows through a different physical path. */
+  private val ivfProbeTail = """,
+      qv AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+      nc AS (SELECT c2.cid AS cid
+             FROM c2, qv
+             ORDER BY list_dot_product(qv.qv, qv.qv) + list_dot_product(c2.cv, c2.cv)
+                        - 2 * list_dot_product(qv.qv, c2.cv), c2.cid
+             LIMIT 2)
+      SELECT e.vec_id AS vec_id,
+             list_dot_product(e.v, qv.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.qv, qv.qv))) AS sim
+      FROM s2 JOIN nc ON s2.cid = nc.cid
+        JOIN v e ON e.vec_id = s2.vec_id
+        CROSS JOIN qv
+      WHERE e.vec_id <> 0
+      ORDER BY sim DESC, vec_id
+      LIMIT 5
+      """
+
   private def ivfParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val vecs = emb(s, d).select(col("vec_id"), col("v"))
     val cent = graft.operators.IvfIndex.centroids(vecs, k = 16, iters = 2)
@@ -315,23 +337,7 @@ object SimilarityOps {
       val (vecs, cent) = ivfParts(s, d)
       graft.operators.IvfIndex.probe(vecs, cent, queryId = 0L, nprobe = 2, k = 5)
     },
-    Some(ivfOracleCtes + """,
-      qv AS (SELECT v AS qv FROM v WHERE vec_id = 0),
-      nc AS (SELECT c2.cid AS cid
-             FROM c2, qv
-             ORDER BY list_dot_product(qv.qv, qv.qv) + list_dot_product(c2.cv, c2.cv)
-                        - 2 * list_dot_product(qv.qv, c2.cv), c2.cid
-             LIMIT 2)
-      SELECT e.vec_id AS vec_id,
-             list_dot_product(e.v, qv.qv)
-               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.qv, qv.qv))) AS sim
-      FROM s2 JOIN nc ON s2.cid = nc.cid
-        JOIN v e ON e.vec_id = s2.vec_id
-        CROSS JOIN qv
-      WHERE e.vec_id <> 0
-      ORDER BY sim DESC, vec_id
-      LIMIT 5
-      """))
+    Some(ivfOracleCtes + ivfProbeTail))
 
   /** Pre-normalized unit vectors: compute each vector's norm ONCE, store
     * the unit vector, and answer cosine queries with a bare dot product —
@@ -1259,6 +1265,48 @@ object SimilarityOps {
     * no global sort), and the centroid join is a broadcast of O(k·dim).
     * Graded as per-cell aggregates of the SELECTED sample, so a single
     * rank flip anywhere breaks the hash. */
+  /** The IVF index PERSISTED as a cid-partitioned graft table — the
+    * at-scale ANN serving layout the inline s8 probe's scaladoc
+    * promises: index build is a one-time pipeline step (assignment ⋈
+    * vectors committed under `PARTITIONED BY cid`), and a probe is a
+    * partition-PRUNED scan of the nprobe selected cells — the typed
+    * partition exposure turns `cid IN (probed cells)` into real file
+    * skipping, gated in-engine via `lastPruned`. Same answer as s8 by
+    * construction (same centroids, same cell selection, same exact
+    * cosine re-rank) — the oracle SQL is shared verbatim. Incremental
+    * growth is the normal table path: assign a new batch against the
+    * frozen centroids and `appendBatch` it into its cells. */
+  val s23PersistedIvf: Q = Q(
+    "s23_persisted_ivf",
+    "IVF index as a cid-partitioned graft table; probe = partition-pruned scan",
+    (s, d) => {
+      val (vecs, cent) = ivfParts(s, d)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s23").toString + "/ivf"
+      graft.sources.SnapshotLog.appendBatch(s, base,
+        graft.operators.IvfIndex.assign(vecs, cent).join(vecs, Seq("vec_id")),
+        "cid", batchId = 1,
+        propsAdd = Map(graft.sources.SnapshotLog.PartColProp -> "cid"))
+      val qv = vecs.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+      val cells = graft.operators.IvfIndex.nearestCells(cent, qv, nprobe = 2)
+        .collect().map(_.get(0).asInstanceOf[Number].intValue).toSeq
+      val (rel, idx) = graft.sources.SnapshotRelation
+        .applyWithIndex(s, base).get
+      def q = rel
+        .filter(col("cid").isin(cells: _*) && col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          GraftFunctions.cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(5)
+      q.collect()
+      val (sel, tot) = idx.lastPruned.get
+      require(sel < tot && sel > 0,
+        s"the probe must read only the probed cells' files, read $sel/$tot")
+      q
+    },
+    Some(ivfOracleCtes + ivfProbeTail))
+
   val s22ClusterSample: Q = Q(
     "s22_cluster_sample",
     "cluster-balanced sampling: nearest-3-to-centroid per IVF cell",
@@ -1295,5 +1343,6 @@ object SimilarityOps {
     s6EmbedNearDup, s7IvfCells, s8IvfQuery, s9UnitVecTopK,
     s10RandomProjection, s11PqAdc, s12IvfPq, s13IvfPqBatch, s14SqInt8,
     s15SemanticDedup, s16MmrTopK, s17RadiusSearch, s18AnnRecall,
-    s19FilteredAnn, s20NprobeSweep, s21FilteredRecall, s22ClusterSample)
+    s19FilteredAnn, s20NprobeSweep, s21FilteredRecall, s22ClusterSample,
+    s23PersistedIvf)
 }
