@@ -76,6 +76,38 @@ object MetadataAggRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Types whose `cast(x AS string)` round-trips bit-exactly — the
+    * same proof class as [[graft.sources.SnapshotRelation]]'s typed
+    * partition exposure (timestamps are timezone-dependent,
+    * float/double format-ambiguous: excluded). */
+  private def roundTripType(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+        org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.BooleanType |
+        org.apache.spark.sql.types.DateType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
+  private def parseExact(
+      s: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    val v = org.apache.spark.sql.catalyst.expressions.Cast(
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType),
+      dt, Some("UTC"),
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY).eval(null)
+    if (v == null) return None
+    val back = org.apache.spark.sql.catalyst.expressions.Cast(
+      Literal(v, dt), org.apache.spark.sql.types.StringType, Some("UTC"),
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY).eval(null)
+    if (back == null || back.toString != s) None else Some(v)
+  }
+
   private def rewrite(
       agg: Aggregate,
       aggExprs: Seq[NamedExpression],
@@ -99,10 +131,9 @@ object MetadataAggRewrite extends Rule[LogicalPlan] {
       // the scan attribute of the exposed partition column, if any
       val partAttr = idx.partitionSchema.headOption.flatMap(f =>
         relOut.find(_.name == f.name))
-      def tracesToPartition(a: Attribute): Boolean = {
-        val resolved = subst.getOrElse(a.exprId.id, a)
-        partAttr.exists(_.exprId == resolved.exprId)
-      }
+      def resolve(a: Attribute): Attribute = subst.getOrElse(a.exprId.id, a)
+      def tracesToPartition(a: Attribute): Boolean =
+        partAttr.exists(_.exprId == resolve(a).exprId)
       lazy val extremes: Option[(Any, Any)] = for {
         (_, valueOf) <- idx.typedParts
         perPart <- SnapshotLog.partitionCounts(m)
@@ -113,10 +144,33 @@ object MetadataAggRewrite extends Rule[LogicalPlan] {
         val vs = live.map(valueOf)
         (vs.min(ord), vs.max(ord))
       }
+      // MIN/MAX of a DATA column from the per-file stats bounds: the
+      // recorded bounds are the file's exact `cast(min/max(c) AS
+      // string)` (full values, never truncated), so when the column's
+      // type round-trips string↔type bit-exactly and EVERY live file
+      // carries bounds (an all-NULL-in-file column records none —
+      // refuse, don't guess), the table extreme is the extreme of the
+      // parsed bounds. DV tables never reach here (the anti-join
+      // breaks the structural match; a DV could hide the extreme row).
+      def statsExtreme(a: Attribute, kind: String): Option[Any] = {
+        val attr = resolve(a)
+        if (m.dvs.nonEmpty || m.allFiles.isEmpty) return None
+        if (!roundTripType(attr.dataType)) return None
+        val bounds = m.allFiles.map(f =>
+          m.stats.get(f).flatMap(_.get(attr.name)))
+        if (bounds.exists(_.isEmpty)) return None
+        val sides = bounds.flatten.map(b => if (kind == "min") b._1 else b._2)
+        val typed = sides.map(s => parseExact(s, attr.dataType))
+        if (typed.exists(_.isEmpty)) return None
+        val ord = TypeUtils.getInterpretedOrdering(attr.dataType)
+        Some(if (kind == "min") typed.flatten.min(ord)
+        else typed.flatten.max(ord))
+      }
       val values = wanted.map {
         case (_, "count", _) => cnt
         case (_, kind, Some(a)) if tracesToPartition(a) =>
           extremes.map(e => if (kind == "min") e._1 else e._2)
+        case (_, kind, Some(a)) => statsExtreme(a, kind)
         case _ => None
       }
       if (values.exists(_.isEmpty)) None

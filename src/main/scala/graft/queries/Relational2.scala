@@ -5516,13 +5516,19 @@ object Relational2 {
         year(col("o_orderdate")).cast(StringType).as("o_year"))
       graft.sources.SnapshotLog.upsertBatch(s, base, orders,
         Seq("o_orderkey"), "o_orderkey", "o_year", batchId = 1,
-        maxRetries = 5, statsCols = Seq("o_totalprice"), clusterBy = Nil,
+        maxRetries = 5, statsCols = Seq("o_totalprice", "o_orderkey"),
+        clusterBy = Nil,
         clusterFiles = 8, opCol = None, writeCdf = false)
       val rel = graft.sources.SnapshotRelation
         .read(s, base, partCol = Some("o_year")).get
+      // partition extremes fold from partition keys; the DATA-column
+      // extremes fold from the per-file stats bounds (exact full-value
+      // strings, round-trip-proven) — still zero files read
       val q = rel.agg(count(lit(1)).as("n"),
         min(col("o_year")).as("first_year"),
-        max(col("o_year")).as("last_year"))
+        max(col("o_year")).as("last_year"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
       q.collect()
       def scans(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
@@ -5542,7 +5548,9 @@ object Relational2 {
     Some("""
       SELECT COUNT(*) AS n,
              MIN(CAST(year(o_orderdate) AS VARCHAR)) AS first_year,
-             MAX(CAST(year(o_orderdate) AS VARCHAR)) AS last_year
+             MAX(CAST(year(o_orderdate) AS VARCHAR)) AS last_year,
+             MIN(o_orderkey) AS min_key,
+             MAX(o_orderkey) AS max_key
       FROM orders
       """))
 

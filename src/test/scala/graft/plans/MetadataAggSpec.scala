@@ -24,7 +24,8 @@ class MetadataAggSpec extends SparkSpec {
     val df = (0 until 500)
       .map(i => (i.toLong, (i % 7).toString, i * 2.0)).toDF("id", "p", "v")
     SnapshotLog.upsertBatch(spark, base, df, Seq("id"), "id", "p",
-      batchId = 1, maxRetries = 5, statsCols = Seq("v"), clusterBy = Nil,
+      batchId = 1, maxRetries = 5, statsCols = Seq("v", "id"),
+      clusterBy = Nil,
       clusterFiles = 4, opCol = None, writeCdf = false)
     base
   }
@@ -74,11 +75,33 @@ class MetadataAggSpec extends SparkSpec {
     assertScans(q)
   }
 
-  test("MIN/MAX of a data column keeps the normal plan") {
+  test("MIN/MAX of a LONG data column folds from stats bounds") {
+    val base = mkCounted()
+    val rel = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+    val q = rel.agg(min("id").as("lo"), max("id").as("hi"),
+      count(lit(1)).as("n"))
+    val row = q.collect().head
+    assert(row.getLong(0) == 0L && row.getLong(1) == 499L &&
+      row.getLong(2) == 500L)
+    assertMetadataOnly(q)
+  }
+
+  test("MIN/MAX of a DOUBLE column refuses (format-ambiguous bounds)") {
     val base = mkCounted()
     val rel = SnapshotRelation.read(ext, base, partCol = Some("p")).get
     val q = rel.agg(min("v").as("lo"))
     assert(q.collect().head.getDouble(0) == 0.0)
+    assertScans(q)
+  }
+
+  test("MIN/MAX without recorded bounds refuses (footer counts alone)") {
+    val base = Files.createTempDirectory("graft_maggb").toString + "/tbl"
+    val df = (5 until 105).map(i => (i.toLong, (i % 3).toString))
+      .toDF("id", "p")
+    SnapshotLog.appendBatch(spark, base, df, "p", batchId = 1)
+    val rel = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+    val q = rel.agg(min("id").as("lo"))
+    assert(q.collect().head.getLong(0) == 5L)
     assertScans(q)
   }
 
