@@ -5604,6 +5604,61 @@ object Relational2 {
       GROUP BY 1 ORDER BY 1
       """))
 
+  /** Dynamic partition overwrite
+    * ([[graft.sources.WriteIntoGraft.PartitionOverwriteModeOption]],
+    * Spark's `partitionOverwriteMode=dynamic`): `mode("overwrite")`
+    * replaces ONLY the partitions the batch writes — the standard
+    * daily-backfill shape (recompute one day, leave seven years
+    * untouched) with no predicate to spell. In-engine gate: untouched
+    * partitions keep their EXACT file lists (a metadata proof that no
+    * unrelated data was rewritten — at 100 TB this is a one-partition
+    * data job plus a kilobyte commit); rows are the oracle's. */
+  val q131DynamicOverwrite: Q = Q(
+    "q131_dynamic_overwrite",
+    "partitionOverwriteMode=dynamic: overwrite replaces only written partitions",
+    (s0, d) => {
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_dpo131").toString + "/tbl"
+      val orders3 = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      orders3.write.format("graft").partitionBy("o_orderstatus").save(base)
+      def manifest() = {
+        val bp = new org.apache.hadoop.fs.Path(base)
+        graft.sources.SnapshotLog.readManifest(
+          bp.getFileSystem(s.sparkContext.hadoopConfiguration), bp).get
+      }
+      val before = manifest()
+      // recompute ONLY the 'O' partition: halved keys, adjusted totals
+      orders3.filter(col("o_orderstatus") === "O" &&
+          col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 5).as("o_totalprice"),
+          col("o_orderstatus"))
+        .write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").save(base)
+      val after = manifest()
+      require(after.files.view.filterKeys(_ != "O").toMap ==
+          before.files.view.filterKeys(_ != "O").toMap,
+        "dynamic overwrite must leave untouched partitions' file " +
+          "lists byte-identical")
+      s.read.format("graft").load(base)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      WITH finalt AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus <> 'O'
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 5, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM finalt GROUP BY 1 ORDER BY 1
+      """))
+
   val q127CatalogVerbs: Q = Q(
     "q127_catalog_verbs",
     "constraint/ANALYZE/bloom/widen/FSCK/EXPIRE lifecycle on graft.ns.t names",
@@ -5710,6 +5765,7 @@ object Relational2 {
     q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere, q122DsvWrite,
     q123FormatStream, q124CatalogAlter, q125CatalogDml, q126Unpartitioned,
     q127CatalogVerbs, q128DppJoin, q129MetadataAgg, q130GeneratedPruning,
+    q131DynamicOverwrite,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,
     q40WindowSuite, q41GroupingSets, q42DatetimeScalars, q43ArgmaxStruct,
     q44NullScalars, q45Histogram, q46RegexStrings, q47IntersectAll,

@@ -196,7 +196,10 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
             .exists(_.trim.toBoolean),
           txn = WriteIntoGraft.txnOf(
             parameters.get(WriteIntoGraft.TxnAppIdOption),
-            parameters.get(WriteIntoGraft.TxnVersionOption)))
+            parameters.get(WriteIntoGraft.TxnVersionOption)),
+          dynamicPartitionOverwrite = WriteIntoGraft.dynamicOverwrite(
+            spark,
+            parameters.get(WriteIntoGraft.PartitionOverwriteModeOption)))
     }
     new org.apache.spark.sql.sources.BaseRelation {
       override def sqlContext: org.apache.spark.sql.SQLContext =

@@ -36,6 +36,29 @@ import org.apache.spark.sql.types.StructType
   */
 object WriteIntoGraft {
 
+  /** `option("partitionOverwriteMode", "dynamic")` — or the session
+    * conf `spark.sql.sources.partitionOverwriteMode` — with mode
+    * overwrite: replace ONLY the partitions the batch writes (Spark's
+    * INSERT OVERWRITE dynamic mode); untouched partitions keep their
+    * exact file lists. */
+  val PartitionOverwriteModeOption = "partitionOverwriteMode"
+
+  /** Resolve the overwrite mode: per-write option first, session conf
+    * second, static default — Spark's own precedence. Unknown
+    * spellings refuse. */
+  def dynamicOverwrite(
+      spark: SparkSession, opt: Option[String]): Boolean =
+    opt.map(_.trim.toLowerCase)
+      .getOrElse(spark.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "static")
+        .toLowerCase) match {
+      case "dynamic" => true
+      case "static" => false
+      case other => sys.error(
+        s"$PartitionOverwriteModeOption must be static or dynamic, " +
+          s"got '$other'")
+    }
+
   /** `option("replaceWhere", "<sql predicate>")` with mode overwrite —
     * Delta's idempotent-backfill option, routed to
     * [[SnapshotLog.replaceWhere]]. */
@@ -126,7 +149,8 @@ object WriteIntoGraft {
       replaceWhere: Option[Column],
       partColHint: Option[String],
       mergeSchema: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      dynamicPartitionOverwrite: Boolean = false): Long = {
     val spark = data.sparkSession
     val bp = new Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -162,6 +186,40 @@ object WriteIntoGraft {
     require(partCol.isEmpty || data.columns.exists(_.equalsIgnoreCase(partCol)),
       s"write batch lacks the partition column '$partCol' " +
         s"(batch columns: ${data.columns.mkString(", ")})")
+    // Spark's partitionOverwriteMode=dynamic: replace ONLY the
+    // partitions the batch writes. Expressed as a replaceWhere over
+    // the batch's OWN partition set — the batch is persisted so the
+    // set derivation and the staging see one evaluation, and the whole
+    // proven replace machinery (violation check, CDF typed deletes,
+    // row-id preservation, atomic commit, untouched partitions keep
+    // their exact file lists) applies unchanged. An unpartitioned
+    // table has no partitions to scope — dynamic degenerates to the
+    // normal full overwrite, Spark's own behavior.
+    require(!(dynamicPartitionOverwrite && replaceWhere.isDefined),
+      s"option(\"$ReplaceWhereOption\") and dynamic partition " +
+        "overwrite cannot combine — the predicate already scopes " +
+        "the replace (Delta's rule)")
+    if (dynamicPartitionOverwrite && overwriteAll && partCol.nonEmpty &&
+        m.isDefined) {
+      require(txn.isEmpty,
+        s"option(\"$TxnAppIdOption\") does not compose with dynamic " +
+          "partition overwrite — re-running replaces the same " +
+          "partitions again (already idempotent)")
+      val cached = data.persist()
+      try {
+        val parts = cached
+          .select(col(partCol).cast("string").as("__p"))
+          .distinct().collect()
+          .map(r => Option(r.getString(0)).getOrElse(sys.error(
+            s"batch writes NULL into partition column $partCol")))
+          .toSeq
+        // empty batch: Spark's dynamic overwrite replaces nothing
+        if (parts.isEmpty) return m.get.version
+        return run(base, cached, overwriteAll = false,
+          replaceWhere = Some(col(partCol).cast("string").isin(parts: _*)),
+          partColHint = partColHint, mergeSchema = mergeSchema)
+      } finally { cached.unpersist(); () }
+    }
     // schema ENFORCEMENT (Delta's contract): columns the table does not
     // know are rejected unless the write opted into evolution — the
     // per-write mergeSchema option or the table-level autoMergeSchema
@@ -284,7 +342,11 @@ final class GraftWriteBuilder(
                 .exists(_.trim.toBoolean),
             txn = WriteIntoGraft.txnOf(
               Option(info.options.get(WriteIntoGraft.TxnAppIdOption)),
-              Option(info.options.get(WriteIntoGraft.TxnVersionOption))))
+              Option(info.options.get(WriteIntoGraft.TxnVersionOption))),
+            dynamicPartitionOverwrite = WriteIntoGraft.dynamicOverwrite(
+              data.sparkSession,
+              Option(info.options.get(
+                WriteIntoGraft.PartitionOverwriteModeOption))))
           ()
         }
       }

@@ -371,6 +371,64 @@ class DsvWriteSpec extends SparkSpec {
       "no batch landed twice")
   }
 
+  test("dynamic partition overwrite replaces ONLY the batch's partitions") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_wdpo").toString + "/t"
+    rowsDf(90).write.format("graft").partitionBy("day").save(base)
+    val before = manifest(base)
+
+    // dynamic: a batch touching only d1 replaces only d1
+    val d1 = (1L to 10L).map(i => (i + 1000L, 0.5, "d1")).toDF("id", "value", "day")
+    d1.write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(base)
+    val after = manifest(base)
+    assert(after.files.view.filterKeys(_ != "d1").toMap ==
+      before.files.view.filterKeys(_ != "d1").toMap,
+      "untouched partitions must keep their exact file lists")
+    val t = readT(base)
+    assert(t.filter(col("day") === "d1").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == (1001L to 1010L))
+    assert(t.filter(col("day") =!= "d1").count() == 60)
+
+    // session-conf spelling, no option
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val d2 = Seq((2000L, 9.9, "d2")).toDF("id", "value", "day")
+      d2.write.format("graft").mode("overwrite").save(base)
+      assert(readT(base).filter(col("day") === "d2").count() == 1)
+      assert(readT(base).filter(col("day") === "d0").count() == 30,
+        "conf-driven dynamic overwrite must not touch other partitions")
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    // static (default) replaces the WHOLE table
+    d1.write.format("graft").mode("overwrite").save(base)
+    assert(readT(base).count() == 10)
+
+    // junk spelling refuses
+    intercept[Exception] {
+      d1.write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "sideways").save(base)
+    }
+    // replaceWhere + dynamic cannot combine
+    intercept[Exception] {
+      d1.write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("replaceWhere", "day = 'd1'").save(base)
+    }
+  }
+
+  test("dynamic overwrite on an unpartitioned table = full overwrite") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_wdpo2").toString + "/t"
+    (1L to 50L).map(i => (i, s"x$i")).toDF("id", "s")
+      .write.format("graft").save(base)
+    Seq((99L, "y")).toDF("id", "s")
+      .write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(base)
+    assert(readT(base).count() == 1, "no partitions to scope — Spark's " +
+      "dynamic mode degenerates to a full overwrite")
+  }
+
   test("ALTER TABLE through the catalog: properties, add/rename/drop column") {
     val root = Files.createTempDirectory("graft_walter").toString
     s.conf.set("spark.sql.catalog.graft_wa", classOf[GraftCatalog].getName)
