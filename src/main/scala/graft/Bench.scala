@@ -254,10 +254,20 @@ print(json.dumps(out))
       Files.createDirectories(out.getParent)
       Files.write(out, fullJson.getBytes(StandardCharsets.UTF_8))
     } catch { case _: Exception => () }
+    // BOTH sides' load/CPU ride the compact line (r13 verdict: an
+    // all-queries-slower round with host load 14 must be classifiable
+    // from the driver-visible artifact ALONE — spark_wall ≫
+    // spark_cpu/cores + high spark_loadavg = contention, not plan
+    // regression). Four passes → 12 short numbers; the window fits.
+    val sparkLoad = passMeta.map(p => fmt(p._1)).mkString("[", ",", "]")
+    val sparkCpu = passMeta.map(p => fmt(p._2)).mkString("[", ",", "]")
+    val sparkWall = passMeta.map(p => fmt(p._3)).mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""isolated":$isolatedJson,"oracle_sec":$oracleJson,""" +
         s""""oracle_loadavg":$oracleLoadJson,"ratio":$ratio,""" +
+        s""""spark_loadavg":$sparkLoad,"spark_cpu_sec":$sparkCpu,""" +
+        s""""spark_wall_sec":$sparkWall,""" +
         s""""cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir",""" +
         s""""detail":"target/bench.json"}""")
     spark.stop()

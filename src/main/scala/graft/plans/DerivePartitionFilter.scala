@@ -39,9 +39,16 @@ import graft.sources.{SnapshotFileIndex, SnapshotLog}
   * original conjunct always stays — the derived filter can only REMOVE
   * partitions that provably contain no matching row. Evaluation uses
   * the session timezone, the same clock the write path's
-  * `applyGenerated` used; like Delta, a deployment mixing session
-  * timezones should not declare timezone-dependent generated partition
-  * columns. */
+  * `applyGenerated` used; the write path stamps that timezone
+  * ([[SnapshotLog.GenTzProp]]) and derivation REFUSES when the reading
+  * session's differs — a mismatch on date_format/to_date/date_trunc
+  * shapes would silently prune partitions holding matching rows.
+  *
+  * The Filter may sit on the relation directly or above
+  * cardinality-preserving `Project`s (pruned/aliased reads): attribute
+  * lineage traces through simple projections, anything untraceable
+  * refuses. Multi-column layouts derive independently per generated
+  * partition column. */
 case class DerivePartitionFilter(spark: SparkSession)
   extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -52,36 +59,78 @@ case class DerivePartitionFilter(spark: SparkSession)
     Set("yyyy", "yyyy-MM", "yyyy-MM-dd", "yyyy-MM-dd HH")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case f @ Filter(cond,
-        lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _))
-        if fs.location.isInstanceOf[SnapshotFileIndex] &&
-          f.getTagValue(Derived).isEmpty =>
-      val out = derive(cond, lr.output,
-        fs.location.asInstanceOf[SnapshotFileIndex])
-        .map { extra => Filter(And(cond, extra), lr) }.getOrElse(f)
-      out.setTagValue(Derived, true)
-      out
+    case f @ Filter(cond, child) if f.getTagValue(Derived).isEmpty =>
+      strip(child, Map.empty) match {
+        case Some((relOut, idx, subst)) =>
+          val out = derive(cond, child.output, relOut, idx, subst)
+            .map { extra => Filter(And(cond, extra), child) }.getOrElse(f)
+          out.setTagValue(Derived, true)
+          out
+        case None => f
+      }
+  }
+
+  /** The graft file index under cardinality-preserving Projects only,
+    * plus the accumulated lineage (outer attribute id → scan
+    * attribute) — only bare attributes and aliases-of-attributes
+    * extend it; computed aliases have no traceable lineage and simply
+    * never resolve to a scan column below. */
+  @scala.annotation.tailrec
+  private def strip(
+      p: LogicalPlan,
+      subst: Map[Long, Attribute]): Option[(Seq[Attribute],
+      SnapshotFileIndex, Map[Long, Attribute])] = p match {
+    case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+        if fs.location.isInstanceOf[SnapshotFileIndex] =>
+      Some((lr.output, fs.location.asInstanceOf[SnapshotFileIndex], subst))
+    case org.apache.spark.sql.catalyst.plans.logical.Project(list, ch) =>
+      val step: Map[Long, Attribute] = list.collect {
+        case a: Attribute => a.exprId.id -> a
+        case al @ org.apache.spark.sql.catalyst.expressions
+            .Alias(a: Attribute, _) => al.exprId.id -> a
+      }.toMap
+      strip(ch, subst.map { case (k, v) =>
+        k -> step.getOrElse(v.exprId.id, v)
+      } ++ step.filterNot { case (k, _) => subst.contains(k) })
+    case _ => None
   }
 
   private def derive(
       cond: Expression,
-      output: Seq[Attribute],
-      idx: SnapshotFileIndex): Option[Expression] = {
+      visible: Seq[Attribute],
+      relOut: Seq[Attribute],
+      idx: SnapshotFileIndex,
+      subst: Map[Long, Attribute]): Option[Expression] = {
     val m = idx.manifest
-    for {
-      pField <- idx.partitionSchema.headOption // exposure active
-      pLogical <- m.props.get(SnapshotLog.PartColProp).filter(_.nonEmpty)
-      genSql <- SnapshotLog.generatedCols(m).collectFirst {
-        case (c, sql) if c.equalsIgnoreCase(pLogical) => sql }
-      pAttr <- output.find(_.name.equalsIgnoreCase(m.phys(pLogical)))
-      (baseLogical, mono, eval) <- parseGen(genSql, pField.dataType)
-      baseAttr <- output.find(_.name.equalsIgnoreCase(m.phys(baseLogical)))
-      if baseAttr.exprId != pAttr.exprId
-      derived = deriveConjuncts(cond, baseAttr, pAttr, mono, eval)
-      fresh = derived.filterNot(d =>
-        splitConjunctivePredicates(cond).exists(_.semanticEquals(d)))
-      if fresh.nonEmpty
-    } yield fresh.reduce(And)
+    // the writer's stamped generation timezone must match ours — a
+    // legacy table without the stamp keeps the documented caveat
+    val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
+    if (m.props.get(SnapshotLog.GenTzProp).exists(_ != sessionTz)) return None
+    val pFields = idx.partitionSchema.fields.toSeq // exposure active
+    if (pFields.isEmpty) return None
+    def traceToScan(a: Attribute): Attribute =
+      subst.getOrElse(a.exprId.id, a)
+    def outerFor(scan: Attribute): Option[Attribute] =
+      visible.find(v => traceToScan(v).exprId == scan.exprId)
+    val pcsLogical = SnapshotLog.partColsOf(
+      m.props.getOrElse(SnapshotLog.PartColProp, ""))
+    val conjuncts = pFields.flatMap { pField =>
+      (for {
+        pLogical <- pcsLogical.find(c => m.phys(c) == pField.name)
+        genSql <- SnapshotLog.generatedCols(m).collectFirst {
+          case (c, sql) if c.equalsIgnoreCase(pLogical) => sql }
+        pScan <- relOut.find(_.name.equalsIgnoreCase(m.phys(pLogical)))
+        pAttr <- outerFor(pScan)
+        (baseLogical, mono, eval) <- parseGen(genSql, pField.dataType)
+        baseScan <- relOut.find(_.name.equalsIgnoreCase(m.phys(baseLogical)))
+        baseAttr <- outerFor(baseScan)
+        if baseAttr.exprId != pAttr.exprId
+      } yield deriveConjuncts(cond, baseAttr, pAttr, mono, eval))
+        .getOrElse(Nil)
+    }
+    val fresh = conjuncts.filterNot(d =>
+      splitConjunctivePredicates(cond).exists(_.semanticEquals(d)))
+    if (fresh.isEmpty) None else Some(fresh.reduce(And))
   }
 
   /** Conjuncts implied on the partition attribute by bounds on the

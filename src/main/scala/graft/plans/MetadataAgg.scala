@@ -117,6 +117,7 @@ object MetadataAggRewrite extends Rule[LogicalPlan] {
       case al @ Alias(AggregateExpression(f, Complete, false, None, _), _) =>
         f match {
           case Count(Seq(Literal(v, _))) if v != null => Some((al, "count", None))
+          case Count(Seq(a: Attribute)) => Some((al, "countcol", Some(a)))
           case Min(a: Attribute) => Some((al, "min", Some(a)))
           case Max(a: Attribute) => Some((al, "max", Some(a)))
           case _ => None
@@ -128,21 +129,40 @@ object MetadataAggRewrite extends Rule[LogicalPlan] {
     stripProjects(child, Map.empty).flatMap { case (idx, relOut, subst) =>
       val m = idx.manifest
       lazy val cnt = SnapshotLog.countRows(m)
-      // the scan attribute of the exposed partition column, if any
-      val partAttr = idx.partitionSchema.headOption.flatMap(f =>
-        relOut.find(_.name == f.name))
+      // the scan attribute of each exposed partition column → its
+      // manifest-key COMPONENT index (multi-column layouts expose all)
+      val partIdxOf: Map[Long, Int] =
+        idx.partitionSchema.fields.toSeq.zipWithIndex.flatMap {
+          case (f, i) => relOut.find(_.name == f.name).map(_.exprId.id -> i)
+        }.toMap
       def resolve(a: Attribute): Attribute = subst.getOrElse(a.exprId.id, a)
-      def tracesToPartition(a: Attribute): Boolean =
-        partAttr.exists(_.exprId == resolve(a).exprId)
-      lazy val extremes: Option[(Any, Any)] = for {
+      def partIndexOf(a: Attribute): Option[Int] =
+        partIdxOf.get(resolve(a).exprId.id)
+      // typed component values of every NON-EMPTY live partition key
+      lazy val liveKeyValues: Option[Seq[Seq[Any]]] = for {
         (_, valueOf) <- idx.typedParts
         perPart <- SnapshotLog.partitionCounts(m)
         live = perPart.filter(_._2 > 0L).keys.toSeq if live.nonEmpty
-        dt = idx.partitionSchema.head.dataType
-      } yield {
-        val ord = TypeUtils.getInterpretedOrdering(dt)
-        val vs = live.map(valueOf)
-        (vs.min(ord), vs.max(ord))
+      } yield live.map(valueOf)
+      def partExtreme(i: Int, kind: String): Option[Any] =
+        liveKeyValues.map { ks =>
+          val dt = idx.partitionSchema.fields(i).dataType
+          val ord = TypeUtils.getInterpretedOrdering(dt)
+          val vs = ks.map(_(i))
+          if (kind == "min") vs.min(ord) else vs.max(ord)
+        }
+      // COUNT(col): the sum of per-file non-null counts, total or
+      // nothing (and never on a DV table) — countNonNull's contract.
+      // The attribute must be a genuine relation output for the same
+      // shadowed-alias reason statsExtreme requires it.
+      def nonNullCount(a: Attribute): Option[Any] = {
+        val attr = resolve(a)
+        if (!relOut.exists(_.exprId == attr.exprId)) return None
+        // an exposed partition column is non-null by construction
+        // (NULL routes to a key typed exposure refuses) — COUNT(p)
+        // equals COUNT(*) whenever the typed exposure is active
+        if (partIndexOf(a).isDefined && idx.typedParts.isDefined) cnt
+        else SnapshotLog.countNonNull(m, attr.name)
       }
       // MIN/MAX of a DATA column from the per-file stats bounds: the
       // recorded bounds are the file's exact `cast(min/max(c) AS
@@ -154,6 +174,13 @@ object MetadataAggRewrite extends Rule[LogicalPlan] {
       // breaks the structural match; a DV could hide the extreme row).
       def statsExtreme(a: Attribute, kind: String): Option[Any] = {
         val attr = resolve(a)
+        // the resolved attribute must be a GENUINE relation output — a
+        // computed alias shadowing a stats column's NAME (e.g.
+        // `withColumn("id", $"id" * 2)`) has no entry in `subst`, so
+        // `resolve` returns the alias attribute itself; matching stats
+        // by name would then fold the RAW column's bounds as if they
+        // were the computed value's. Refuse: keep the scanning plan.
+        if (!relOut.exists(_.exprId == attr.exprId)) return None
         if (m.dvs.nonEmpty || m.allFiles.isEmpty) return None
         if (!roundTripType(attr.dataType)) return None
         val bounds = m.allFiles.map(f =>
@@ -168,8 +195,9 @@ object MetadataAggRewrite extends Rule[LogicalPlan] {
       }
       val values = wanted.map {
         case (_, "count", _) => cnt
-        case (_, kind, Some(a)) if tracesToPartition(a) =>
-          extremes.map(e => if (kind == "min") e._1 else e._2)
+        case (_, "countcol", Some(a)) => nonNullCount(a)
+        case (_, kind, Some(a)) if partIndexOf(a).isDefined =>
+          partExtreme(partIndexOf(a).get, kind)
         case (_, kind, Some(a)) => statsExtreme(a, kind)
         case _ => None
       }

@@ -423,23 +423,28 @@ case class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def providerOf(c: CreateTableAsSelect): Option[String] =
     c.tableSpec.provider.map(_.toLowerCase)
 
-  /** The single identity-transform partition column of a CREATE/CTAS
-    * partitioning clause, via the PUBLIC connector Transform API (the
-    * case classes are private[sql]). */
+  /** The identity-transform partition column(s) of a CREATE/CTAS
+    * partitioning clause — comma-joined in declaration order for
+    * `PARTITIONED BY (y, m)` — via the PUBLIC connector Transform API
+    * (the case classes are private[sql]). None for any non-identity
+    * transform. */
   private def partColOf(
       partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform])
-      : Option[String] =
-    partitioning match {
-      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+      : Option[String] = {
+    val cols = partitioning.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
-        Some(t.references.head.fieldNames.head)
-      case _ => None
+        t.references.head.fieldNames.head
+      case _ => return None
     }
+    if (cols.map(_.toLowerCase).distinct.size != cols.size) None
+    else Some(cols.mkString(","))
+  }
 
   private def identityPartCol(c: CreateTableAsSelect): Option[String] =
     partColOrUnpartitioned(c.partitioning)
 
-  /** Some(col) for ONE identity transform, Some("" = NoPartCol) for NO
+  /** Some(cols) for identity transform(s), Some("" = NoPartCol) for NO
     * partitioning clause (an unpartitioned table, Delta's default
     * shape), None for anything else — which falls through to Spark's
     * own loud unsupported-partitioning error. */
@@ -759,10 +764,12 @@ case class SnapshotMergeCommand(
 
       // unpartitioned target (partCol = ""): every row lives in the one
       // hidden partition, so a "partition move" cannot exist — the
-      // old-partition column is only materialized for partitioned tables
+      // old-partition column is only materialized for partitioned
+      // tables (multi-column layouts use the same composite key the
+      // write path routes by)
       val oldPartExpr =
         if (partCol.isEmpty) lit(null).cast("string")
-        else col(s"__t_$partCol").cast("string")
+        else SnapshotLog.partitionKeyExpr(partCol, prefix = "__t_")
       val changes0 = joined
         .select(picked.as("__r"), oldPartExpr.as("__old_p"))
         .filter(col("__r").isNotNull)
@@ -779,7 +786,7 @@ case class SnapshotMergeCommand(
           if (partCol.isEmpty) Nil
           else changes0
             .filter(col("__old_p").isNotNull && col("__op") === "U" &&
-              !(col(partCol).cast("string") <=> col("__old_p")))
+              !(SnapshotLog.partitionKeyExpr(partCol) <=> col("__old_p")))
             .select(col("__old_p")).distinct().collect().map(_.getString(0)).toSeq
         val bp = new org.apache.hadoop.fs.Path(path)
         val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -931,9 +938,9 @@ case class SnapshotCreateEmptyCommand(
       sys.error(s"snapshot table already exists at $path " +
         "(use CREATE TABLE IF NOT EXISTS to no-op)")
     }
-    require(partCol.isEmpty ||
-        tblSchema.fieldNames.exists(_.equalsIgnoreCase(partCol)),
-      s"partition column $partCol is not among the declared columns")
+    SnapshotLog.partColsOf(partCol).foreach(pc => require(
+      tblSchema.fieldNames.exists(_.equalsIgnoreCase(pc)),
+      s"partition column $pc is not among the declared columns"))
     if (!SnapshotLog.tryCommit(fs, bp, SnapshotLog.Manifest(
         1L, Map.empty, schemaJson = Some(tblSchema.json), op = Some("CREATE"),
         props = colProps + (SnapshotLog.PartColProp -> partCol))))
@@ -990,11 +997,14 @@ case class SnapshotReplaceCtasCommand(
     // in the same single execution of the query (a pre-check count
     // here would run the source twice, and a non-deterministic source
     // could pass it yet still write NULLs)
-    val partGenerated = SnapshotLog.readManifest(fs, bp)
-      .exists(_.props.contains(SnapshotLog.GenColPrefix + partCol))
-    require(partCol.isEmpty || partGenerated ||
-        df.columns.exists(_.equalsIgnoreCase(partCol)),
-      s"partition column $partCol is not in the query output")
+    val declaredGen = SnapshotLog.readManifest(fs, bp)
+      .map(_.props.keySet.filter(_.startsWith(SnapshotLog.GenColPrefix))
+        .map(_.stripPrefix(SnapshotLog.GenColPrefix).toLowerCase))
+      .getOrElse(Set.empty)
+    SnapshotLog.partColsOf(partCol).foreach(pc => require(
+      declaredGen(pc.toLowerCase) ||
+        df.columns.exists(_.equalsIgnoreCase(pc)),
+      s"partition column $pc is not in the query output"))
     val batchId =
       SnapshotLog.readManifest(fs, bp).map(_.version + 1).getOrElse(1L)
     val version = SnapshotLog.appendBatch(
@@ -1046,8 +1056,9 @@ case class SnapshotCtasCommand(
         "(use CREATE TABLE IF NOT EXISTS to no-op)")
     }
     val df = org.apache.spark.sql.GraftSqlShim.ofRows(spark, query)
-    require(partCol.isEmpty || df.columns.exists(_.equalsIgnoreCase(partCol)),
-      s"CTAS partition column $partCol is not in the query output")
+    SnapshotLog.partColsOf(partCol).foreach(pc => require(
+      df.columns.exists(_.equalsIgnoreCase(pc)),
+      s"CTAS partition column $pc is not in the query output"))
     // a TBLPROPERTIES clause commits as an empty v1 FIRST, so
     // property-driven write behavior (bucketing, identity, CDF,
     // generated columns) applies to the CTAS data itself (landing

@@ -257,7 +257,11 @@ private object SnapshotMaintenance {
   def statsColsOf(m: SnapshotLog.Manifest): Seq[String] =
     (m.stats.values.flatMap(_.keys).toSet -
       SnapshotLog.RowCountKey - SnapshotLog.ByteSizeKey --
-      m.dropped).toSeq.sorted
+      m.dropped)
+      // bookkeeping keys are not columns: `__nn:<col>` carries the
+      // column's non-null count (the COUNT(col) fold's input)
+      .filterNot(_.startsWith("__nn:"))
+      .toSeq.sorted
 
   def target(view: String): (String, String) = {
     val (path, partCol, _, _) = Catalog.dmlTarget(view).getOrElse(
@@ -294,12 +298,23 @@ case class SnapshotOptimizeCommand(
     // one-column frame exists so the predicate resolves with Spark's
     // own semantics instead of a hand-rolled string compare)
     val selected: Option[Seq[String]] = where.map { w =>
+      import scala.jdk.CollectionConverters._
       import spark.implicits._
-      require(partCol.nonEmpty,
+      val pcs = SnapshotLog.partColsOf(partCol)
+      require(pcs.nonEmpty,
         s"OPTIMIZE WHERE on $view: the table is unpartitioned — " +
           "there are no partition values to select; drop the WHERE")
-      val picked = m0.files.keySet.toSeq.sorted.toDF(partCol)
-        .filter(expr(w)).select(col(partCol)).as[String].collect().toSeq
+      // manifest keys decomposed into one string column per declared
+      // partition column, so the predicate may reference any of them
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__pv",
+          org.apache.spark.sql.types.StringType) +:
+          pcs.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType)))
+      val rows = m0.files.keySet.toSeq.sorted.map(k => Row.fromSeq(
+        k +: SnapshotLog.partKeyComponents(k, pcs.size)))
+      val picked = spark.createDataFrame(rows.asJava, schema)
+        .filter(expr(w)).select(col("__pv")).as[String].collect().toSeq
       require(picked.nonEmpty,
         s"OPTIMIZE WHERE matched no partition of $view")
       picked

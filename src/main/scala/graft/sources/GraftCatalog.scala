@@ -140,7 +140,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): Table = {
     val dir = dirOf(ident)
     val partColT = WriteIntoGraft.partColOf(partitions)
-    partColT.foreach(c => require(
+    partColT.toSeq.flatMap(SnapshotLog.partColsOf).foreach(c => require(
       schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"partition column '$c' is not in the table schema"))
     val props = properties.asScala.toMap
@@ -183,7 +183,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         .TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     if (mustExist && !exists) throw new NoSuchTableException(ident)
     val partColT = WriteIntoGraft.partColOf(partitions)
-    partColT.foreach(c => require(
+    partColT.toSeq.flatMap(SnapshotLog.partColsOf).foreach(c => require(
       schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"partition column '$c' is not in the table schema"))
     val props = properties.asScala.toMap
@@ -250,6 +250,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case dc: TableChange.DeleteColumn =>
         SnapshotLog.dropColumn(spark, base,
           topLevel(dc.fieldNames(), "drop"), layoutCol)
+      case uc: TableChange.UpdateColumnType =>
+        // SQL-standard `ALTER TABLE t ALTER COLUMN c TYPE bigint` —
+        // the same lossless-widening machinery as the custom verb
+        // (int→long, float→double, decimal precision growth); anything
+        // else refuses inside widenColumnType
+        SnapshotLog.widenColumnType(spark, base,
+          topLevel(uc.fieldNames(), "retype"), uc.newDataType(), layoutCol)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change not supported on graft tables: $other")
     }
@@ -375,10 +382,11 @@ final class GraftSnapshotTable(
     manifest.schema.getOrElse(dvCorrectPlan(SparkSession.active).schema)
 
   /** Reported so `df.write.partitionBy(c)` against an existing table
-    * validates against the real layout (and DESCRIBE shows it).
+    * validates against the real layout (and DESCRIBE shows it) — one
+    * identity transform per declared column, declaration order.
     * Unpartitioned tables ([[SnapshotLog.NoPartCol]]) report none. */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partCol.filter(_.nonEmpty)
+    partCol.map(SnapshotLog.partColsOf).getOrElse(Nil)
       .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
       .toArray
 

@@ -164,9 +164,9 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
         val arr = org.json4s.jackson.JsonMethods.parse(json)
           .asInstanceOf[org.json4s.JArray].arr
           .map(_.asInstanceOf[org.json4s.JString].s)
-        require(arr.size <= 1,
-          "graft tables partition by exactly one identity column")
-        arr.headOption
+        // partitionBy(y, m): comma-joined, declaration order (the
+        // SnapshotLog.partColsOf multi-column spelling)
+        if (arr.isEmpty) None else Some(arr.mkString(","))
       } catch {
         case e: Exception => sys.error(
           s"cannot parse partition columns '$json': ${e.getMessage}")
@@ -199,7 +199,8 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
             parameters.get(WriteIntoGraft.TxnVersionOption)),
           dynamicPartitionOverwrite = WriteIntoGraft.dynamicOverwrite(
             spark,
-            parameters.get(WriteIntoGraft.PartitionOverwriteModeOption)))
+            parameters.get(WriteIntoGraft.PartitionOverwriteModeOption),
+            hasReplaceWhere = replaceWhere.exists(_ => tableExists)))
     }
     new org.apache.spark.sql.sources.BaseRelation {
       override def sqlContext: org.apache.spark.sql.SQLContext =
@@ -250,21 +251,23 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       : org.apache.spark.sql.execution.streaming.Sink = {
     val base = parameters.getOrElse("path",
       sys.error("format(\"graft\") sink needs .start(<table dir>)"))
-    require(partitionColumns.size <= 1,
-      "graft tables partition by exactly one column")
     val spark = sqlContext.sparkSession
     val bp = new Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val declared = SnapshotLog.readManifest(fs, bp)
       .flatMap(_.props.get(SnapshotLog.PartColProp))
-    val hinted = partitionColumns.headOption
+    // partitionBy(y, m): comma-joined, declaration order — the
+    // SnapshotLog.partColsOf multi-column spelling
+    val hinted = (if (partitionColumns.isEmpty) None
+      else Some(partitionColumns.mkString(",")))
       .orElse(parameters.get("partCol"))
       .orElse(parameters.get(WriteIntoGraft.PartitionColOption))
     // same mismatch guard as the batch surface: a stream declaring a
     // partitioning that contradicts the table's layout fails at start,
     // never silently writes under the old layout
+    def layout(s: String) = SnapshotLog.partColsOf(s).map(_.toLowerCase)
     (declared, hinted) match {
-      case (Some(d), Some(h)) if !h.equalsIgnoreCase(d) =>
+      case (Some(d), Some(h)) if layout(d) != layout(h) =>
         sys.error(if (d.isEmpty)
           s"graft table $base is unpartitioned — drop partitionBy('$h')"
         else s"graft table $base is partitioned by '$d', not '$h'")

@@ -44,19 +44,27 @@ object WriteIntoGraft {
   val PartitionOverwriteModeOption = "partitionOverwriteMode"
 
   /** Resolve the overwrite mode: per-write option first, session conf
-    * second, static default — Spark's own precedence. Unknown
-    * spellings refuse. */
+    * second, static default — Spark's own precedence. Unknown option
+    * spellings refuse. An EXPLICIT `replaceWhere` takes precedence
+    * over session-level dynamic (upstream's precedence: the predicate
+    * already scopes the replace), so only the per-write
+    * option=dynamic + replaceWhere combination reaches run()'s
+    * contradiction error — a session-wide
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` must not
+    * hard-fail every previously-working replaceWhere write. */
   def dynamicOverwrite(
-      spark: SparkSession, opt: Option[String]): Boolean =
-    opt.map(_.trim.toLowerCase)
-      .getOrElse(spark.conf
-        .get("spark.sql.sources.partitionOverwriteMode", "static")
-        .toLowerCase) match {
-      case "dynamic" => true
-      case "static" => false
-      case other => sys.error(
+      spark: SparkSession, opt: Option[String],
+      hasReplaceWhere: Boolean = false): Boolean =
+    opt.map(_.trim.toLowerCase) match {
+      case Some("dynamic") => true
+      case Some("static") => false
+      case Some(other) => sys.error(
         s"$PartitionOverwriteModeOption must be static or dynamic, " +
           s"got '$other'")
+      case None =>
+        !hasReplaceWhere && spark.conf
+          .get("spark.sql.sources.partitionOverwriteMode", "static")
+          .equalsIgnoreCase("dynamic")
     }
 
   /** `option("replaceWhere", "<sql predicate>")` with mode overwrite —
@@ -88,21 +96,28 @@ object WriteIntoGraft {
     * needs no opt-in. */
   val MergeSchemaOption = "mergeSchema"
 
-  /** Single-column identity partitioning is the format's partition
-    * model; reject anything else loudly at the boundary. */
-  def partColOf(transforms: Array[Transform]): Option[String] =
-    transforms.toSeq match {
-      case Seq() => None
+  /** Identity partitioning — one or SEVERAL columns
+    * (`PARTITIONED BY (y, m)`, Delta/Hive's compound layout) — is the
+    * format's partition model; reject any non-identity transform
+    * loudly at the boundary. Returns the comma-joined column list in
+    * declaration order (the [[SnapshotLog.partColsOf]] spelling that
+    * threads through every write/read/DML signature). */
+  def partColOf(transforms: Array[Transform]): Option[String] = {
+    if (transforms.isEmpty) return None
+    val cols = transforms.toSeq.map {
       // IdentityTransform is private[sql]; its public shape is
       // name() == "identity" over one single-part field reference
-      case Seq(id) if id.name == "identity" &&
+      case id if id.name == "identity" &&
           id.references.length == 1 &&
           id.references.head.fieldNames.length == 1 =>
-        Some(id.references.head.fieldNames.head)
+        id.references.head.fieldNames.head
       case other => throw new UnsupportedOperationException(
-        s"graft tables partition by exactly one identity column " +
-          s"(got: ${other.mkString(", ")})")
+        s"graft tables partition by identity column(s) only (got: $other)")
     }
+    require(cols.map(_.toLowerCase).distinct.size == cols.size,
+      s"duplicate partition column in (${cols.mkString(", ")})")
+    Some(cols.mkString(","))
+  }
 
   /** v1 `Filter` → `Column`, for `INSERT OVERWRITE … PARTITION`'s
     * static predicates (the planner hands them to
@@ -150,7 +165,8 @@ object WriteIntoGraft {
       partColHint: Option[String],
       mergeSchema: Boolean = false,
       txn: Option[(String, Long)] = None,
-      dynamicPartitionOverwrite: Boolean = false): Long = {
+      dynamicPartitionOverwrite: Boolean = false,
+      txnWithReplace: Boolean = false): Long = {
     val spark = data.sparkSession
     val bp = new Path(base)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -162,8 +178,11 @@ object WriteIntoGraft {
     // loudly (Delta's partitioning-mismatch error) — silently writing
     // partitionBy("other") under the old layout would corrupt
     // partition-scoped rewrites
+    def sameLayout(a: String, b: String): Boolean =
+      SnapshotLog.partColsOf(a).map(_.toLowerCase) ==
+        SnapshotLog.partColsOf(b).map(_.toLowerCase)
     (declared, partColHint) match {
-      case (Some(d), Some(h)) if !h.equalsIgnoreCase(d) =>
+      case (Some(d), Some(h)) if !sameLayout(d, h) =>
         throw new IllegalArgumentException(
           if (d.isEmpty)
             s"graft table $base is unpartitioned — cannot write it with " +
@@ -183,9 +202,10 @@ object WriteIntoGraft {
           s"option(\"$PartitionColOption\", col), or the table property " +
           s"${SnapshotLog.PartColProp} ('' for unpartitioned)")
     }
-    require(partCol.isEmpty || data.columns.exists(_.equalsIgnoreCase(partCol)),
-      s"write batch lacks the partition column '$partCol' " +
-        s"(batch columns: ${data.columns.mkString(", ")})")
+    SnapshotLog.partColsOf(partCol).foreach(pc => require(
+      data.columns.exists(_.equalsIgnoreCase(pc)),
+      s"write batch lacks the partition column '$pc' " +
+        s"(batch columns: ${data.columns.mkString(", ")})"))
     // Spark's partitionOverwriteMode=dynamic: replace ONLY the
     // partitions the batch writes. Expressed as a replaceWhere over
     // the batch's OWN partition set — the batch is persisted so the
@@ -201,23 +221,35 @@ object WriteIntoGraft {
         "the replace (Delta's rule)")
     if (dynamicPartitionOverwrite && overwriteAll && partCol.nonEmpty &&
         m.isDefined) {
-      require(txn.isEmpty,
-        s"option(\"$TxnAppIdOption\") does not compose with dynamic " +
-          "partition overwrite — re-running replaces the same " +
-          "partitions again (already idempotent)")
+      val pcs = SnapshotLog.partColsOf(partCol)
       val cached = data.persist()
       try {
-        val parts = cached
-          .select(col(partCol).cast("string").as("__p"))
+        // the batch's own partition set — one tuple per distinct
+        // combination under a multi-column layout
+        val parts: Seq[Seq[String]] = cached
+          .select(pcs.map(c => col(c).cast("string")): _*)
           .distinct().collect()
-          .map(r => Option(r.getString(0)).getOrElse(sys.error(
-            s"batch writes NULL into partition column $partCol")))
-          .toSeq
+          .map(r => pcs.indices.map { i =>
+            if (r.isNullAt(i)) sys.error(
+              s"batch writes NULL into partition column ${pcs(i)}")
+            r.getString(i)
+          }).toSeq
         // empty batch: Spark's dynamic overwrite replaces nothing
         if (parts.isEmpty) return m.get.version
+        val pred =
+          if (pcs.size == 1)
+            col(pcs.head).cast("string").isin(parts.map(_.head): _*)
+          else parts.map(vs => pcs.zip(vs).map { case (c, v) =>
+            col(c).cast("string") === lit(v) }.reduce(_ && _))
+            .reduce(_ || _)
+        // txn composes (idempotent-writer tokens are the standard
+        // guard for exactly this retried-backfill shape): it threads
+        // into the derived replaceWhere, whose optimistic loop
+        // no-ops a replayed (appId, version)
         return run(base, cached, overwriteAll = false,
-          replaceWhere = Some(col(partCol).cast("string").isin(parts: _*)),
-          partColHint = partColHint, mergeSchema = mergeSchema)
+          replaceWhere = Some(pred),
+          partColHint = partColHint, mergeSchema = mergeSchema,
+          txn = txn, txnWithReplace = true)
       } finally { cached.unpersist(); () }
     }
     // schema ENFORCEMENT (Delta's contract): columns the table does not
@@ -251,7 +283,7 @@ object WriteIntoGraft {
     val propsAdd =
       if (m.exists(_.props.contains(SnapshotLog.PartColProp))) Map.empty[String, String]
       else Map(SnapshotLog.PartColProp -> partCol)
-    require(txn.isEmpty || replaceWhere.isEmpty,
+    require(txn.isEmpty || replaceWhere.isEmpty || txnWithReplace,
       s"option(\"$TxnAppIdOption\") does not compose with replaceWhere — " +
         "replaceWhere is already idempotent by construction (re-running " +
         "replaces the same region again)")
@@ -264,7 +296,8 @@ object WriteIntoGraft {
             SnapshotLog.appendBatch(spark, base, data, partCol,
               batchId = 0L, overwrite = false, propsAdd = propsAdd)
           case Some(_) =>
-            val out = SnapshotLog.replaceWhere(spark, base, data, pred, partCol)
+            val out = SnapshotLog.replaceWhere(spark, base, data, pred, partCol,
+              txn = if (txnWithReplace) txn else None)
               .getOrElse(sys.error(
                 s"$base lost its committed version mid-write"))
             if (propsAdd.nonEmpty) SnapshotLog.setProperties(spark, base, propsAdd)
@@ -346,7 +379,8 @@ final class GraftWriteBuilder(
             dynamicPartitionOverwrite = WriteIntoGraft.dynamicOverwrite(
               data.sparkSession,
               Option(info.options.get(
-                WriteIntoGraft.PartitionOverwriteModeOption))))
+                WriteIntoGraft.PartitionOverwriteModeOption)),
+              hasReplaceWhere = pred.isDefined))
           ()
         }
       }

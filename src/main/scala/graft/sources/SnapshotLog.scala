@@ -286,6 +286,33 @@ object SnapshotLog {
     * metadata, so the definition rides RESTORE/CLONE like constraints. */
   val GenColPrefix = "graft.generated."
 
+  /** Session timezone the WRITER used when computing GENERATED
+    * partition columns — stamped on the first write against a
+    * generated-partition layout so
+    * [[graft.plans.DerivePartitionFilter]] can REFUSE derivation under
+    * a different reading timezone (a tz mismatch on
+    * date_format/to_date/date_trunc shapes would silently prune
+    * partitions that contain matching rows). Not under [[GenColPrefix]]
+    * — that namespace's suffixes ARE column names. */
+  val GenTzProp = "graft.generatedTimeZone"
+
+  /** The [[GenTzProp]] stamp a commit should add: set once, only when
+    * the layout routes by a GENERATED partition column and no stamp
+    * exists yet. `props` is the commit's EFFECTIVE property view
+    * (existing ++ incoming), so a first write that declares the
+    * generated column via propsAdd stamps in the same commit. */
+  private def genTzStamp(
+      spark: SparkSession, props: Map[String, String],
+      partCol: String): Map[String, String] = {
+    if (props.contains(GenTzProp)) return Map.empty
+    val pcs = partColsOf(partCol)
+    val genNames = props.keysIterator.filter(_.startsWith(GenColPrefix))
+      .map(_.stripPrefix(GenColPrefix))
+    if (genNames.exists(g => pcs.exists(_.equalsIgnoreCase(g))))
+      Map(GenTzProp -> spark.sessionState.conf.sessionLocalTimeZone)
+    else Map.empty
+  }
+
   /** Table property giving OPTIMIZE a per-file byte target: a
     * rewritten partition splits into ~ceil(bytes/target) files instead
     * of ONE. Folding a huge partition into a single file would
@@ -327,12 +354,77 @@ object SnapshotLog {
     * consults keys when a REAL partition column is declared. */
   val SinglePart = "__all__"
 
+  /** The declared partition COLUMN LIST behind a `partCol` spelling.
+    * One string threads through every signature; a MULTI-column
+    * identity layout (`PARTITIONED BY (y, m)`) spells it as the
+    * comma-joined list `"y,m"` in declaration order. Interpretation is
+    * centralized here and in [[partRoute]]/[[partKeyComponents]] — the
+    * empty string stays [[NoPartCol]] (unpartitioned). */
+  def partColsOf(partCol: String): Seq[String] =
+    if (partCol == null || partCol.trim.isEmpty) Nil
+    else partCol.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Per-component escaping inside a MULTI-column partition key: the
+    * components join with `/`, so a literal `/` (and the escape char
+    * `%` itself) percent-encode — `%`→`%25` first, then `/`→`%2F`,
+    * making key→components injective for any string values. Single-
+    * column keys stay the BARE canonical value (bit-compatible with
+    * every pre-existing manifest). */
+  private[sources] def encPartComp(s: String): String =
+    s.replace("%", "%25").replace("/", "%2F")
+  private[sources] def decPartComp(s: String): String =
+    s.replace("%2F", "/").replace("%25", "%")
+
+  /** Decompose a manifest partition key into its per-column canonical
+    * strings under an `n`-column layout. Fails loudly on a key that
+    * does not carry exactly `n` components — a manifest/layout mismatch
+    * must never silently prune or mis-route. */
+  def partKeyComponents(key: String, n: Int): Seq[String] =
+    if (n <= 1) Seq(key)
+    else {
+      val parts = key.split("/", -1).toSeq
+      require(parts.size == n,
+        s"partition key '$key' does not decompose into $n components")
+      parts.map(decPartComp)
+    }
+
   /** Partition-routing expression: the canonical partition-value
     * string a row files under — the real column for partitioned
-    * tables, the [[SinglePart]] constant for unpartitioned ones. The
-    * ONE seam all staging/affected-partition logic goes through. */
-  private def partRoute(partCol: String): Column =
-    if (partCol.isEmpty) lit(SinglePart) else col(partCol).cast("string")
+    * tables, the [[SinglePart]] constant for unpartitioned ones, and
+    * for multi-column layouts the `/`-joined per-component encoding
+    * (NULL in ANY component routes the row to the null key so the
+    * staged NULL gate still fires). The ONE seam all
+    * staging/affected-partition logic goes through. PUBLIC as
+    * [[partitionKeyExpr]] so DML planning (MERGE's partition-move
+    * detection) computes keys with the same encoding, optionally over
+    * prefixed column names. */
+  def partitionKeyExpr(partCol: String, prefix: String = ""): Column =
+    partColsOf(partCol) match {
+      case Nil => lit(SinglePart)
+      case Seq(c) => col(prefix + c).cast("string")
+      case cs =>
+        when(cs.map(c => col(prefix + c).isNull).reduce(_ || _),
+          lit(null).cast("string"))
+          .otherwise(concat_ws("/", cs.map(c =>
+            replace(replace(col(prefix + c).cast("string"),
+              lit("%"), lit("%25")), lit("/"), lit("%2F"))): _*))
+    }
+
+  private def partRoute(partCol: String): Column = partitionKeyExpr(partCol)
+
+  /** Typed per-column value expressions recovered from a canonical
+    * partition-key string column — the inverse of [[partRoute]], used
+    * by the partition-predicate metadata paths to evaluate user
+    * predicates against manifest keys. */
+  private def partKeyDecompose(
+      key: Column, cols: Seq[String],
+      types: Seq[org.apache.spark.sql.types.DataType]): Seq[Column] =
+    if (cols.size == 1) Seq(key.cast(types.head).as(cols.head))
+    else cols.indices.map { i =>
+      replace(replace(element_at(split(key, "/", -1), i + 1),
+        lit("%2F"), lit("/")), lit("%25"), lit("%"))
+        .cast(types(i)).as(cols(i))
+    }
 
   /** ROW TRACKING (Delta's row-id feature, the one table-format
     * capability the log still lacked): `graft.rowTracking = true` makes
@@ -691,17 +783,78 @@ object SnapshotLog {
     }
   }
 
+  /** The O(1) latest-version HINT (Delta's `_last_checkpoint` shape):
+    * one integer, rewritten best-effort after every commit win. A
+    * hint is NEVER trusted blindly — [[currentVersion]] validates it
+    * against the atomic version roots and probes forward; stale,
+    * corrupt, or missing hints degrade to the full `_log` listing,
+    * never to a wrong version. */
+  private def latestHintPath(base: Path) = new Path(logDir(base), "_latest")
+
+  private def writeLatestHint(fs: FileSystem, base: Path, v: Long): Unit =
+    try {
+      val tmp = new Path(logDir(base),
+        s".tmp-latest-${java.util.UUID.randomUUID.toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // advisory publish: rename-over (delete-then-rename where the FS
+      // refuses an existing target) — any torn/lost state is caught by
+      // read-side validation, so best-effort is safe here
+      fs.delete(latestHintPath(base), false)
+      if (!fs.rename(tmp, latestHintPath(base))) fs.delete(tmp, false)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Full-listing resolutions, counted so the scale spec can prove a
+    * hint-carrying table resolves O(1) (no O(#versions) listing). */
+  private[sources] val fullLogListings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Highest version NAME present (committed or in-flight), 0 when the
     * table does not exist yet. Writers allocate `currentVersion + 1` so
     * a crashed in-flight manifest never blocks the version chain;
-    * readers use [[readManifest]], which skips incomplete manifests. */
+    * readers use [[readManifest]], which skips incomplete manifests.
+    *
+    * Resolution is O(1) when the [[latestHintPath]] hint is present:
+    * version names are DENSE (every claim is previous-max + 1 and the
+    * atomic link/rename publication admits no gaps), so a validated
+    * hint plus forward existence probes finds the true maximum without
+    * listing `_log` — the 10^5-commit object-store listing stops being
+    * the read-path floor. Any doubt falls back to the listing. */
   def currentVersion(fs: FileSystem, base: Path): Long = {
     val dir = logDir(base)
-    if (!fs.exists(dir)) 0L
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
-      .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
-      .foldLeft(0L)(math.max)
+    val hinted: Option[Long] =
+      try {
+        val hp = latestHintPath(base)
+        if (!fs.exists(hp)) None
+        else {
+          val in = fs.open(hp)
+          val txt =
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
+            finally in.close()
+          txt.toLongOption
+            // validate against the atomic roots: the hinted version
+            // must actually exist (a corrupt/fabricated hint must not
+            // invent versions)
+            .filter(v => v > 0L && fs.exists(new Path(dir, vName(v))))
+            .map { v0 =>
+              // probe FORWARD past commits the hint missed (hint
+              // writes are best-effort and racy by design)
+              var v = v0
+              while (fs.exists(new Path(dir, vName(v + 1)))) v += 1
+              v
+            }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hinted.getOrElse {
+      fullLogListings.incrementAndGet()
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+        .map(n => n.stripPrefix("v").stripSuffix(".txt").toLong)
+        .foldLeft(0L)(math.max)
+    }
   }
 
   /** The manifest of the newest COMPLETE version, if any — scans down
@@ -1575,7 +1728,11 @@ object SnapshotLog {
         if (!ok) fs.delete(tmp, false)
         ok
       }
-    if (won) commitWins.incrementAndGet()
+    if (won) {
+      commitWins.incrementAndGet()
+      // O(1)-resolution hint; best-effort (see writeLatestHint)
+      writeLatestHint(fs, base, m.version)
+    }
     won
   }
 
@@ -1779,7 +1936,8 @@ object SnapshotLog {
     // partition routing; the merge path routes first — refuse rather
     // than route rows to the null partition
     m0.foreach(mm => require(
-      !mm.identityCols.exists(_._1.equalsIgnoreCase(partCol)),
+      !mm.identityCols.exists(ic => partColsOf(partCol)
+        .exists(_.equalsIgnoreCase(ic._1))),
       s"IDENTITY on partition column $partCol is not supported on the " +
         "merge path (append paths allocate before routing)"))
     val changes0g = m0.map(mm =>
@@ -1950,7 +2108,7 @@ object SnapshotLog {
           (m.files -- affected) ++ staged.groupBy(_._1).map {
             case (p, fls) => p -> fls.map(_._2).sorted
           },
-          (m.stats -- replaced) ++ mergeFileStats(sizeStats(fs, bp, staged), stagedStats),
+          (m.stats -- replaced) ++ mergeFileStats(sizeStats(spark, fs, bp, staged), stagedStats),
           // rewritten files take their blooms with them; untouched
           // files keep theirs (conservative: bloom-less files are
           // never pruned, so staleness is impossible by construction)
@@ -1968,7 +2126,8 @@ object SnapshotLog {
           Some(if (opCol.isDefined) "CDC" else "UPSERT"),
           m.constraints,
           m.txns ++ txn,
-          m.props ++ stagedHwU, m.colmap, m.dropped)
+          m.props ++ genTzStamp(spark, m.props, partCol) ++ stagedHwU,
+          m.colmap, m.dropped)
         onBeforeUpsertCommit()
         committed = tryCommit(fs, bp, next)
         if (committed) committedVersion = version
@@ -2032,8 +2191,9 @@ object SnapshotLog {
     val rows1 = m0.map(mm =>
       withIdentitySlots(applyGenerated(rows, mm), mm)).getOrElse(rows)
     val fields = rows1.schema.fields.toSeq
-    require(partCol.isEmpty || fields.exists(_.name.equalsIgnoreCase(partCol)),
-      s"append batch lacks partition column $partCol")
+    partColsOf(partCol).foreach(pc => require(
+      fields.exists(_.name.equalsIgnoreCase(pc)),
+      s"append batch lacks partition column $pc"))
     var attempt = 0
     var committedV = -1L
     var staged: Seq[(String, String, Long)] = Nil
@@ -2105,7 +2265,7 @@ object SnapshotLog {
         version,
         files,
         (if (overwrite) Map.empty[String, Map[String, (String, String)]]
-         else m.stats) ++ sizeStats(fs, bp, staged),
+         else m.stats) ++ sizeStats(spark, fs, bp, staged),
         if (overwrite) Map.empty else m.blooms,
         if (overwrite) Map.empty else m.dvs,
         // legacy tables (no schema header) with surviving old files stay
@@ -2124,8 +2284,10 @@ object SnapshotLog {
         // DECLARATION that overrides collisions in the same commit
         // (undeclared existing props — bookkeeping high-waters, row-id
         // bases — still survive, the documented REPLACE semantics)
-        (if (resetColumnState) m.props ++ propsAdd
-         else propsAdd ++ m.props) ++ stagedHw, m.colmap, m.dropped)
+        (if (resetColumnState)
+          m.props ++ genTzStamp(spark, m.props ++ propsAdd, partCol) ++ propsAdd
+         else (genTzStamp(spark, m.props ++ propsAdd, partCol) ++ propsAdd) ++
+           m.props) ++ stagedHw, m.colmap, m.dropped)
       // the replaced snapshot's CDF delete feed must read the OLD
       // files under their OWN column mapping — keep the unstripped
       // manifest for it
@@ -2385,17 +2547,54 @@ object SnapshotLog {
     * ([[graft.plans.MetadataAggRewrite]]) — work on every table, not
     * just statsCols/ANALYZE ones. A failed footer read degrades to a
     * count-less entry (metadata counts refuse, the commit proceeds). */
+  /** Above this many staged files, the per-file row-count footer sweep
+    * runs as a DISTRIBUTED job (one metadata RPC per file, in tasks)
+    * instead of sequential driver reads — a 10^4-file OPTIMIZE commit
+    * on an object store must not pay 10^4 sequential round trips of
+    * commit latency. Below it, job-launch overhead would dominate a
+    * handful of local reads. */
+  private val DistributedStatsThreshold = 16
+
+  /** Driver-side footer reads, counted for the scale contract's spec:
+    * a commit staging ≥ [[DistributedStatsThreshold]] files must not
+    * grow this. */
+  private[sources] val driverFooterReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def sizeStats(
-      fs: FileSystem, base: Path,
-      staged: Seq[(String, String, Long)]): Map[String, Map[String, (String, String)]] =
+      spark: SparkSession, fs: FileSystem, base: Path,
+      staged: Seq[(String, String, Long)]): Map[String, Map[String, (String, String)]] = {
+    val counts: Map[String, Option[Long]] =
+      if (staged.size < DistributedStatsThreshold)
+        staged.map { case (_, f, _) => f -> footerCount(fs, base, f) }.toMap
+      else {
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          fs.getConf)
+        val qBase = fs.makeQualified(base).toString
+        spark.sparkContext
+          .parallelize(staged.map(_._2),
+            math.min(staged.size, spark.sparkContext.defaultParallelism * 2))
+          .map { f =>
+            val cnt =
+              try {
+                val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                    new Path(qBase, f), hconf.value))
+                try Some(rd.getRecordCount) finally rd.close()
+              } catch { case scala.util.control.NonFatal(_) => None }
+            f -> cnt
+          }.collect().toMap
+      }
     staged.map { case (_, f, len) =>
       f -> (Map(ByteSizeKey -> (len.toString, len.toString)) ++
-        footerCount(fs, base, f).map(n =>
+        counts.getOrElse(f, None).map(n =>
           RowCountKey -> (n.toString, n.toString)))
     }.toMap
+  }
 
   private def footerCount(fs: FileSystem, base: Path, f: String): Option[Long] =
     try {
+      driverFooterReads.incrementAndGet()
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new Path(base, f), fs.getConf))
@@ -2442,14 +2641,16 @@ object SnapshotLog {
   }
 
   /** The shared stats aggregation: per-file min/max of `statsCols`
-    * plus the row count, over whatever file grouping the caller
-    * provides. Row layout: col 0 = file, cols 1..2n = min/max pairs,
-    * col 1+2n = count. */
+    * plus the row count and per-column NON-NULL counts, over whatever
+    * file grouping the caller provides. Row layout: col 0 = file,
+    * cols 1..2n = min/max pairs, col 1+2n = count, cols 2+2n..1+3n =
+    * non-null counts (appended last so existing index math holds). */
   private def statsAggs(statsCols: Seq[String]): Seq[Column] =
-    statsCols.flatMap(c => Seq(
+    (statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__mn_$c"),
       max(col(c)).cast("string").as(s"__mx_$c"))) :+
-      count(lit(1)).cast("string").as("__nrows")
+      count(lit(1)).cast("string").as("__nrows")) ++
+      statsCols.map(c => count(col(c)).cast("string").as(s"__nc_$c"))
 
   private def decodeBounds(
       r: Row, statsCols: Seq[String]): Map[String, (String, String)] = {
@@ -2458,8 +2659,21 @@ object SnapshotLog {
       val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
       if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
       else Some(c -> (r.getString(mnI), r.getString(mxI)))
-    }.toMap + (RowCountKey -> (n, n))
+    }.toMap ++ statsCols.zipWithIndex.flatMap { case (c, i) =>
+      // non-null count per column (count(col) is 0, never NULL, for an
+      // all-NULL file — recorded unconditionally when the row has the
+      // slot; rows from a pre-extension caller simply lack it)
+      val ncI = 2 + 2 * statsCols.size + i
+      if (r.size <= ncI || r.isNullAt(ncI)) None
+      else Some(NonNullCountKey(c) -> (r.getString(ncI), r.getString(ncI)))
+    } + (RowCountKey -> (n, n))
   }
+
+  /** Per-file stats key holding column `c`'s NON-NULL row count (the
+    * `(n, n)` shape [[RowCountKey]] uses) — lets `COUNT(c)` fold from
+    * metadata ([[graft.plans.MetadataAggRewrite]]). The `:` makes the
+    * key unspellable as a column name in the stats map's namespace. */
+  def NonNullCountKey(c: String): String = s"__nn:$c"
 
   /** One aggregation job over the staged files: per-file min/max of
     * `statsCols` (+ row count), keyed by rel path. Bounds are stored
@@ -2543,13 +2757,14 @@ object SnapshotLog {
     // sees exactly what a post-convert reader will see
     val df = spark.read.option("mergeSchema", "true")
       .parquet(listed.map(f => new Path(bp, f._1).toString): _*)
-    if (partCol.nonEmpty && !df.columns.exists(_.equalsIgnoreCase(partCol)))
+    partColsOf(partCol).filterNot(pc =>
+        df.columns.exists(_.equalsIgnoreCase(pc))).foreach(pc =>
       sys.error(
-        s"partition column $partCol is not in the file contents of $base — " +
+        s"partition column $pc is not in the file contents of $base — " +
           "this engine reads partition values from file CONTENTS, not " +
           "directory names; rewrite once with the column carried " +
           "(read with Spark partition discovery + CREATE TABLE … AS) " +
-          "and convert the rewrite")
+          "and convert the rewrite"))
     val sizes = listed.toMap
     // unpartitioned convert ([[NoPartCol]]): no layout contract to
     // verify — every file files under the single hidden partition; the
@@ -2574,28 +2789,42 @@ object SnapshotLog {
               (ByteSizeKey -> (l.toString, l.toString)))
           }.toMap)
       } else {
-        val cols = (partCol +: statsCols.filterNot(_.equalsIgnoreCase(partCol)))
+        val pcs = partColsOf(partCol)
+        val cols = pcs ++ statsCols.filterNot(c =>
+          pcs.exists(_.equalsIgnoreCase(c)))
         val aggs = statsAggs(cols)
+        // per-file min/max of EVERY partition column ride the one stats
+        // job: a file converts only when each component is single-valued
+        // and non-NULL (its min == max), and those values compose the
+        // manifest key exactly as partRoute would
         val perFile = df.groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect().map { r =>
             val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+            val comps = pcs.indices.map { i =>
+              val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+              (if (r.isNullAt(mnI)) None else Some(r.getString(mnI)),
+                if (r.isNullAt(mxI)) None else Some(r.getString(mxI)))
+            }
             abs.stripPrefix(qBase).stripPrefix("/") ->
-              (Option(r.getString(1)), Option(r.getString(2)),
-                decodeBounds(r, cols))
+              (comps, decodeBounds(r, cols))
           }.toMap
         val mixed = perFile.collect {
-          case (f, (mn, mx, _)) if mn.isEmpty || mn != mx => f
+          case (f, (comps, _))
+              if comps.exists { case (mn, mx) => mn.isEmpty || mn != mx } => f
         }.toSeq.sorted
         if (mixed.nonEmpty) sys.error(
           s"cannot convert $base in place: ${mixed.size} file(s) hold a NULL " +
             s"or more than one $partCol value (partition-scoped rewrites " +
             s"would corrupt them) — compact per partition first. First " +
             s"offenders: ${mixed.take(5).mkString(", ")}")
+        def keyOf(comps: Seq[(Option[String], Option[String])]): String =
+          if (pcs.size == 1) comps.head._1.get
+          else comps.map(c => encPartComp(c._1.get)).mkString("/")
         (perFile.toSeq
-          .map { case (f, (mn, _, _)) => mn.get -> f }
+          .map { case (f, (comps, _)) => keyOf(comps) -> f }
           .groupBy(_._1).map { case (p, fs0) => p -> fs0.map(_._2).sorted },
-          perFile.map { case (f, (_, _, bounds)) =>
+          perFile.map { case (f, (_, bounds)) =>
             f -> (bounds ++ sizes.get(f).map(l =>
               ByteSizeKey -> (l.toString, l.toString)))
           })
@@ -2789,6 +3018,19 @@ object SnapshotLog {
     if (ns.exists(_.isEmpty)) None else Some(ns.flatten.sum)
   }
 
+  /** Table-wide COUNT(col) — non-null rows of `column` (PHYSICAL
+    * name) — from the per-file [[NonNullCountKey]] stats alone; same
+    * totality contract as [[countRows]], plus a DV refusal: a deletion
+    * vector can mask non-null rows, and its cardinality says nothing
+    * about WHICH, so any DV on the table degrades to a scan. */
+  def countNonNull(m: Manifest, column: String): Option[Long] = {
+    if (m.dvs.nonEmpty) return None
+    val ns = m.allFiles.map(f =>
+      m.stats.get(f).flatMap(_.get(NonNullCountKey(column)))
+        .flatMap(_._1.toLongOption))
+    if (ns.exists(_.isEmpty)) None else Some(ns.flatten.sum)
+  }
+
   /** Per-partition COUNT(*) from the manifest alone; same totality
     * contract as [[countRows]]. */
   def partitionCounts(m: Manifest): Option[Map[String, Long]] = {
@@ -2893,7 +3135,8 @@ object SnapshotLog {
         sys.error(s"no such column: $from"))
       require(!sc.fields.exists(_.name.equalsIgnoreCase(to)),
         s"column $to already exists")
-      require(!partCol.exists(_.equalsIgnoreCase(field.name)),
+      require(!partCol.exists(pc => partColsOf(pc)
+        .exists(_.equalsIgnoreCase(field.name))),
         s"cannot rename partition column ${field.name}")
       constraintsReferencing(m, field.name).foreach(n => sys.error(
         s"constraint $n references ${field.name}; drop it first"))
@@ -2951,7 +3194,8 @@ object SnapshotLog {
           "write, or ANALYZE … COMPUTE STATISTICS, records one first"))
       val field = sc.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
         sys.error(s"no such column: $name"))
-      require(!partCol.exists(_.equalsIgnoreCase(field.name)),
+      require(!partCol.exists(pc => partColsOf(pc)
+        .exists(_.equalsIgnoreCase(field.name))),
         s"cannot drop partition column ${field.name}")
       require(sc.fields.length > 1, "cannot drop the only column")
       constraintsReferencing(m, field.name).foreach(n => sys.error(
@@ -3036,7 +3280,8 @@ object SnapshotLog {
         s"only widening conversions are metadata-only: " +
           s"${field.dataType.sql} -> ${to.sql} is not " +
           "(CREATE OR REPLACE rewrites)")
-      require(!partCol.exists(_.equalsIgnoreCase(field.name)),
+      require(!partCol.exists(pc => partColsOf(pc)
+        .exists(_.equalsIgnoreCase(field.name))),
         s"cannot retype partition column ${field.name}")
       require(!m.bucketSpec.exists(_._2.exists(_.equalsIgnoreCase(field.name))),
         s"cannot retype bucket column ${field.name} — the murmur3 bucket " +
@@ -3315,7 +3560,7 @@ object SnapshotLog {
       val newStatuses = fs.listStatus(dir).toSeq
         .filter(_.getPath.getName.endsWith(".parquet"))
       val newFiles = newStatuses.map(st => s"$rel/${st.getPath.getName}")
-      val newSizes = sizeStats(fs, bp,
+      val newSizes = sizeStats(spark, fs, bp,
         newStatuses.map(st => (part, s"$rel/${st.getPath.getName}", st.getLen)))
       // compacted-away files take their stats entries with them; the
       // replacement file gets fresh bounds when statsCols is passed,
@@ -3474,7 +3719,7 @@ object SnapshotLog {
         (m.files -- need) ++ staged.groupBy(_._1).map {
           case (p, fls) => p -> fls.map(_._2).sorted
         },
-        (m.stats -- oldFiles) ++ mergeFileStats(sizeStats(fs, bp, staged), stagedStats),
+        (m.stats -- oldFiles) ++ mergeFileStats(sizeStats(spark, fs, bp, staged), stagedStats),
         (m.blooms -- oldFiles) ++ newBlooms,
         m.dvs -- oldFiles,
         m.schemaJson,
@@ -3578,7 +3823,9 @@ object SnapshotLog {
     // leak an (always-null after align) identity column into the
     // delete feed, diverging from the insert/merge/replaceWhere feeds
     val live0 = read(spark, base).map(_.drop(RowIdCol)).getOrElse(return None)
-    lazy val partType = live0.schema(live0.schema.fieldIndex(partCol)).dataType
+    val pcs = partColsOf(partCol)
+    lazy val partTypes = pcs.map(c =>
+      live0.schema(live0.schema.fieldIndex(c)).dataType)
     // every predicate evaluation goes through these two: a Column
     // predicate filters directly; a [[PlanPredicate]] (subquery
     // conditions) delegates to its plan-level selectors
@@ -3611,16 +3858,27 @@ object SnapshotLog {
       }.getOrElse(Set.empty[String])
       // unpartitioned table: only a reference-free (constant) predicate
       // may take the metadata path — there is no column to evaluate
-      // against partition keys (TRUNCATE's literal TRUE still does)
-      if (partCol.isEmpty) refs.isEmpty
-      else refs.forall(_.equalsIgnoreCase(partCol))
+      // against partition keys (TRUNCATE's literal TRUE still does).
+      // Multi-column layouts qualify when every reference is SOME
+      // declared partition column (any subset — each key decomposes to
+      // all component values, so evaluation is exact).
+      if (pcs.isEmpty) refs.isEmpty
+      else refs.forall(r => pcs.exists(_.equalsIgnoreCase(r)))
     }
 
     def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
-      val have = df.columns.toSet
+      val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
       df.select(to.fields.toSeq.map { f =>
-        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        have.get(f.name) match {
+          // same type modulo nullability: no cast — Spark refuses an
+          // array<t, containsNull=true> -> containsNull=false cast,
+          // and values are unchanged either way
+          case Some(dt) if org.apache.spark.sql.types.DataType
+              .equalsIgnoreNullability(dt, f.dataType) =>
+            col(f.name).as(f.name)
+          case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }: _*)
     }
     def absFiles(m: Manifest, parts: Seq[String]): Seq[String] =
@@ -3640,8 +3898,9 @@ object SnapshotLog {
           // unpartitioned: the predicate is constant (refs empty), so
           // no typed partition column to materialize
           val pdf =
-            if (partCol.isEmpty) pdf0
-            else pdf0.select(col("__pv"), col("__pv").cast(partType).as(partCol))
+            if (pcs.isEmpty) pdf0
+            else pdf0.select(col("__pv") +:
+              partKeyDecompose(col("__pv"), pcs, partTypes): _*)
           matchRows(pdf).select("__pv").collect().map(_.getString(0)).toSeq.sorted
         }
         if (dropped.isEmpty)
@@ -3799,7 +4058,7 @@ object SnapshotLog {
           (m.files -- matched) ++ staged.groupBy(_._1).map {
             case (p, fls) => p -> fls.map(_._2).sorted
           },
-          (m.stats -- preFiles) ++ mergeFileStats(sizeStats(fs, bp, staged), stagedStats),
+          (m.stats -- preFiles) ++ mergeFileStats(sizeStats(spark, fs, bp, staged), stagedStats),
           m.blooms -- preFiles,
           m.dvs -- preFiles,
           // this pass read the whole live table, so a legacy manifest
@@ -3847,15 +4106,24 @@ object SnapshotLog {
       partCol: String,
       maxRetries: Int = 5,
       statsCols: Seq[String] = Nil,
-      writeCdf: Boolean = false): Option[DmlOutcome] = {
+      writeCdf: Boolean = false,
+      txn: Option[(String, Long)] = None): Option[DmlOutcome] = {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
     def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
-      val have = df.columns.toSet
+      val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
       df.select(to.fields.toSeq.map { f =>
-        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        have.get(f.name) match {
+          // same type modulo nullability: no cast — Spark refuses an
+          // array<t, containsNull=true> -> containsNull=false cast,
+          // and values are unchanged either way
+          case Some(dt) if org.apache.spark.sql.types.DataType
+              .equalsIgnoreNullability(dt, f.dataType) =>
+            col(f.name).as(f.name)
+          case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }: _*)
     }
     val batch = rows.persist()
@@ -3870,6 +4138,14 @@ object SnapshotLog {
       var attempt = 0
       while (attempt < maxRetries) {
         val m = readManifest(fs, bp).getOrElse(return None)
+        // idempotent-writer gate (appendBatch's contract): a replayed
+        // (appId, version) — a retried dynamic-overwrite backfill —
+        // reports the version that already holds it instead of
+        // replacing the same region twice
+        txn.foreach { case (a, v) =>
+          if (m.txns.get(a).exists(_ >= v))
+            return Some(DmlOutcome(m.version, metadataOnly = true, Nil, Nil))
+        }
         val version = math.max(m.version, currentVersion(fs, bp)) + 1
         val lv = readVersion(spark, base, m.version)
           .map(_.drop(RowIdCol)).getOrElse(return None)
@@ -3920,11 +4196,11 @@ object SnapshotLog {
           (m.files -- affected) ++ staged.groupBy(_._1).map {
             case (p, fls) => p -> fls.map(_._2).sorted
           },
-          (m.stats -- preFiles) ++ mergeFileStats(sizeStats(fs, bp, staged), stagedStats),
+          (m.stats -- preFiles) ++ mergeFileStats(sizeStats(spark, fs, bp, staged), stagedStats),
           m.blooms -- preFiles,
           m.dvs -- preFiles,
           m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),
-          Some("REPLACE_WHERE"), m.constraints, m.txns, m.props,
+          Some("REPLACE_WHERE"), m.constraints, m.txns ++ txn, m.props,
           m.colmap, m.dropped)
         if (tryCommit(fs, bp, next)) {
           if (cdfOn) {
@@ -3999,10 +4275,18 @@ object SnapshotLog {
         .getOrElse(df.filter(!coalesce(predicate, lit(false))))
 
     def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
-      val have = df.columns.toSet
+      val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
       df.select(to.fields.toSeq.map { f =>
-        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        have.get(f.name) match {
+          // same type modulo nullability: no cast — Spark refuses an
+          // array<t, containsNull=true> -> containsNull=false cast,
+          // and values are unchanged either way
+          case Some(dt) if org.apache.spark.sql.types.DataType
+              .equalsIgnoreNullability(dt, f.dataType) =>
+            col(f.name).as(f.name)
+          case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }: _*)
     }
 
@@ -4088,7 +4372,7 @@ object SnapshotLog {
         (m.files -- affected) ++ staged.groupBy(_._1).map {
           case (p, fls) => p -> fls.map(_._2).sorted
         },
-        (m.stats -- preFiles) ++ mergeFileStats(sizeStats(fs, bp, staged), stagedStats),
+        (m.stats -- preFiles) ++ mergeFileStats(sizeStats(spark, fs, bp, staged), stagedStats),
         m.blooms -- preFiles,
         m.dvs -- preFiles,
         m.schemaJson.orElse(Some(StructTypeNullable(lv.schema))),

@@ -57,7 +57,7 @@ final class SnapshotFileIndex(
     val manifest: SnapshotLog.Manifest,
     partCol: Option[String],
     statuses: Map[String, FileStatus],
-    val typedParts: Option[(StructField, Map[String, Any])] = None)
+    val typedParts: Option[(Seq[StructField], Map[String, Seq[Any]])] = None)
   extends FileIndex {
 
   /** (selected, total) of the most recent `listFiles` — lets specs and
@@ -67,18 +67,27 @@ final class SnapshotFileIndex(
   private val partValueOf: Map[String, String] =
     manifest.files.toSeq.flatMap { case (p, fs) => fs.map(_ -> p) }.toMap
 
+  /** The declared partition columns (PHYSICAL names, declaration
+    * order) — one entry for single-column layouts, several for
+    * `PARTITIONED BY (y, m)`; [[partAllows]] compares a predicate's
+    * column against its manifest-key COMPONENT by position. */
+  private val partColSeq: Seq[String] =
+    partCol.map(SnapshotLog.partColsOf).getOrElse(Nil)
+
   override def rootPaths: Seq[Path] = Seq(base)
 
   /** Non-empty ONLY when [[SnapshotRelation.typedPartValues]] proved
     * every manifest partition key round-trips string↔type exactly —
-    * then the partition column is a REAL Spark partition column:
-    * `FileSourceStrategy` routes its filters here as partitionFilters
+    * then the partition columns are REAL Spark partition columns:
+    * `FileSourceStrategy` routes their filters here as partitionFilters
     * (and removes them from the post-scan filter, so [[listFiles]]
     * must apply them EXACTLY, not exclusion-proof-only), and Spark's
     * own dynamic partition pruning inserts runtime IN-subquery filters
-    * on fact⋈dim joins — the Delta/Hive DPP behavior. */
+    * on fact⋈dim joins — the Delta/Hive DPP behavior. Multi-column
+    * layouts expose every component, so a filter on EITHER column (or
+    * both) prunes. */
   override def partitionSchema: StructType =
-    typedParts.map(tp => StructType(Seq(tp._1))).getOrElse(StructType(Nil))
+    typedParts.map(tp => StructType(tp._1)).getOrElse(StructType(Nil))
 
   override def inputFiles: Array[String] =
     manifest.allFiles.map(f => new Path(base, f).toString).toArray
@@ -92,22 +101,24 @@ final class SnapshotFileIndex(
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val all = manifest.allFiles
     typedParts match {
-      case Some((field, valueOf)) =>
+      case Some((fields, valueOf)) =>
         // Partition-only conjuncts evaluate EXACTLY against the typed
-        // partition value (the PartitioningAwareFileIndex contract —
+        // partition values (the PartitioningAwareFileIndex contract —
         // Spark has already removed them from the post-scan filter, so
         // any shape, `pmod(p,2)=0` included, must prune precisely).
         // Everything else keeps the exclusion-proof stats/bloom path.
+        val names = fields.map(_.name)
         val (pOnly, rest) = (partitionFilters ++ dataFilters)
           .partition(f => f.deterministic && f.references.nonEmpty &&
-            f.references.forall(_.name == field.name))
+            f.references.forall(r => names.contains(r.name)))
         val keep: InternalRow => Boolean =
           if (pOnly.isEmpty) _ => true
           else {
             val bound = CatalystPredicate.createInterpreted(
               pOnly.reduce(And).transform {
-                case _: Attribute =>
-                  BoundReference(0, field.dataType, field.nullable)
+                case a: Attribute =>
+                  val i = names.indexOf(a.name)
+                  BoundReference(i, fields(i).dataType, fields(i).nullable)
               })
             bound.initialize(0)
             bound.eval
@@ -117,15 +128,15 @@ final class SnapshotFileIndex(
           case (pv, fls) =>
             // eligibility typed EVERY live key; a miss here would mean
             // pruning silently drops a partition — fail loudly instead
-            val v = valueOf.getOrElse(pv, sys.error(
+            val vs = valueOf.getOrElse(pv, sys.error(
               s"typed partition exposure lost key '$pv' — manifest " +
                 "changed under a live index"))
-            if (!keep(InternalRow(v))) None
+            if (!keep(InternalRow(vs: _*))) None
             else {
               val live = fls.filter(f => pruners.forall(_(f)))
               if (live.isEmpty) None
               else Some(PartitionDirectory(
-                InternalRow(v), live.flatMap(statuses.get).toArray))
+                InternalRow(vs: _*), live.flatMap(statuses.get).toArray))
             }
         }
         lastPruned = Some((dirs.map(_.files.size).sum, all.size))
@@ -245,7 +256,16 @@ final class SnapshotFileIndex(
     }
 
   private def partAllows(c: String, f: String, p: String => Boolean): Boolean =
-    !partCol.contains(c) || partValueOf.get(f).forall(p)
+    partColSeq.indexOf(c) match {
+      case -1 => true
+      case i => partValueOf.get(f).forall { key =>
+        // exclusion-proof path: a key that does not decompose under
+        // the declared layout (manifest/layout drift) keeps the file
+        scala.util.Try(
+          SnapshotLog.partKeyComponents(key, partColSeq.size)(i))
+          .toOption.forall(p)
+      }
+    }
 
   private def eqPruner(
       c: String, v: Any, t: DataType): Option[String => Boolean] = {
@@ -334,19 +354,28 @@ object SnapshotRelation {
       if (m.rowTracking) StructType(dataSchema0.fields :+
         StructField(SnapshotLog.MatRowIdCol, LongType, nullable = true))
       else dataSchema0
-    // the partition column: the caller's hint, else the manifest's own
-    // stamped layout — either way the PHYSICAL name (column mapping)
-    val physPart = partCol
+    // the partition column(s): the caller's hint, else the manifest's
+    // own stamped layout — either way PHYSICAL names (column mapping);
+    // multi-column layouts arrive comma-joined and keep declaration
+    // order (the manifest key's component order)
+    val physPartCols: Seq[String] = partCol
       .orElse(m.props.get(SnapshotLog.PartColProp))
-      .filter(_.nonEmpty).map(m.phys)
-    // Typed partition exposure (real Spark partition column → static
+      .map(SnapshotLog.partColsOf).getOrElse(Nil)
+      .map(m.phys)
+    val physPart: Option[String] =
+      if (physPartCols.isEmpty) None else Some(physPartCols.mkString(","))
+    // Typed partition exposure (real Spark partition columns → static
     // pruning via FileSourceStrategy + dynamic partition pruning on
-    // joins). Only when provably exact; None degrades to the
-    // stats-pruned flat scan, never to wrong rows.
-    val typedParts = physPart.flatMap { pc =>
-      dataSchema.fields.find(_.name == pc)
-        .orElse(dataSchema.fields.find(_.name.equalsIgnoreCase(pc)))
-        .flatMap(f => typedPartValues(m, f).map(vals => (f, vals)))
+    // joins). Only when provably exact — every declared column must
+    // resolve in the data schema; None degrades to the stats-pruned
+    // flat scan, never to wrong rows.
+    val typedParts = {
+      val fields = physPartCols.flatMap { pc =>
+        dataSchema.fields.find(_.name == pc)
+          .orElse(dataSchema.fields.find(_.name.equalsIgnoreCase(pc)))
+      }
+      if (fields.isEmpty || fields.size != physPartCols.size) None
+      else typedPartValues(m, fields).map(vals => (fields, vals))
     }
     // the SCAN speaks physical parquet names (column mapping): the
     // file-index prunes on scan attributes — physical, matching the
@@ -394,43 +423,53 @@ object SnapshotRelation {
         .drop("__rt_file", "__rt_pos"), m), index)
   }
 
-  /** Typed values for every manifest partition key of `field` — the
-    * eligibility proof behind exposing the partition column as a REAL
-    * Spark partition column (see [[SnapshotFileIndex.partitionSchema]]).
+  /** Typed values for every manifest partition key of `fields` — the
+    * eligibility proof behind exposing the partition column(s) as REAL
+    * Spark partition columns (see [[SnapshotFileIndex.partitionSchema]]).
     *
     * The manifest key is the writer's `CAST(col AS STRING)` of the
-    * row value ([[SnapshotLog]] `partRoute`); the scan will substitute
-    * the key CAST BACK to the column type for reading the column from
-    * the file, so exposure demands a bit-exact round trip:
-    * `cast(key AS T)` parses (TRY semantics) and `cast(back AS STRING)`
-    * reproduces the key verbatim, for every live key. That also makes
-    * key→value injective, so no two manifest partitions merge. Types
+    * row value ([[SnapshotLog]] `partRoute`) — for multi-column
+    * layouts the `/`-joined per-component encoding; the scan will
+    * substitute each component CAST BACK to its column type for
+    * reading the column from the file, so exposure demands a bit-exact
+    * round trip: `cast(comp AS T)` parses (TRY semantics) and
+    * `cast(back AS STRING)` reproduces the component verbatim, for
+    * every live key and every component. That also makes
+    * key→values injective, so no two manifest partitions merge. Types
     * whose string form is timezone- or locale-dependent (timestamps)
     * or approximate (float/double scientific notation vs parquet bits)
     * are excluded up front. Any doubt — a NULL-partition key from a
     * legacy layout, the unpartitioned [[SnapshotLog.SinglePart]]
-    * bucket, an unparseable key — returns None and the table keeps the
-    * flat (still stats-pruned) scan. */
+    * bucket, an unparseable key, a key that does not decompose into
+    * the declared component count — returns None and the table keeps
+    * the flat (still stats-pruned) scan. */
   private[sources] def typedPartValues(
       m: SnapshotLog.Manifest,
-      field: StructField): Option[Map[String, Any]] = {
-    val supported = field.dataType match {
+      fields: Seq[StructField]): Option[Map[String, Seq[Any]]] = {
+    val supported = fields.nonEmpty && fields.forall(_.dataType match {
       case StringType | ByteType | ShortType | IntegerType | LongType |
           BooleanType | DateType | _: DecimalType => true
       case _ => false
-    }
+    })
     val keys = m.files.keys.toSeq
     if (!supported || keys.isEmpty ||
         keys.contains(SnapshotLog.SinglePart) ||
         keys.contains("__HIVE_DEFAULT_PARTITION__")) return None
+    val n = fields.size
     val typed = keys.map { k =>
-      val v = Cast(Literal(UTF8String.fromString(k), StringType),
-        field.dataType, Some("UTC"), EvalMode.TRY).eval(null)
-      if (v == null) return None
-      val back = Cast(Literal(v, field.dataType), StringType,
-        Some("UTC"), EvalMode.TRY).eval(null)
-      if (back == null || back.toString != k) return None
-      k -> v
+      val comps =
+        try SnapshotLog.partKeyComponents(k, n)
+        catch { case _: IllegalArgumentException => return None }
+      val vs = fields.zip(comps).map { case (field, c) =>
+        val v = Cast(Literal(UTF8String.fromString(c), StringType),
+          field.dataType, Some("UTC"), EvalMode.TRY).eval(null)
+        if (v == null) return None
+        val back = Cast(Literal(v, field.dataType), StringType,
+          Some("UTC"), EvalMode.TRY).eval(null)
+        if (back == null || back.toString != c) return None
+        v
+      }
+      k -> vs
     }
     Some(typed.toMap)
   }

@@ -260,6 +260,14 @@ class CommitLogSource(
     * window and stall `processAllAvailable`. */
   @volatile private var lastReturned: Long = startingVersion - 1L
 
+  /** Per-version byte weights, memoized — a committed version's feed
+    * bytes are immutable, so each candidate is weighed (two manifest
+    * reads on the row path) exactly ONCE per source lifetime instead
+    * of on every getOffset poll: a long catch-up would otherwise pay
+    * O(pending²) driver metadata reads. */
+  private val versionBytes =
+    scala.collection.concurrent.TrieMap.empty[Long, Long]
+
   /** Newest feed version — the stream's high-water mark. CDF feeds
     * publish by atomic rename AFTER their manifest commit, and a
     * manifest version is only listed once footer-complete, so a
@@ -292,7 +300,8 @@ class CommitLogSource(
             var stop = false
             while (it.hasNext && !stop) {
               val v = it.next()
-              val b = SnapshotLog.feedVersionBytes(fs, bp, v, changeFeed)
+              val b = versionBytes.getOrElseUpdate(v,
+                SnapshotLog.feedVersionBytes(fs, bp, v, changeFeed))
               if (n == 0 || acc + b <= maxBytesPerBatch) {
                 keep += v; acc += b; n += 1
               } else stop = true

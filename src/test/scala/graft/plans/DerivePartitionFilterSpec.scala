@@ -69,6 +69,50 @@ class DerivePartitionFilterSpec extends SparkSpec {
     assert(sel == tot, "no derivation -> no partition pruning")
   }
 
+  test("derivation works through cardinality-preserving Projects") {
+    val base = mkTable("date_format(ts, 'yyyy-MM')")
+    val (df, idx) = SnapshotRelation.applyWithIndex(ext, base).get
+    // projected-then-filtered: the scan is pruned/aliased before the
+    // filter — the rule must trace lineage through the Project instead
+    // of matching only Filter-directly-over-relation
+    val q = df.select(col("id").as("ident"), col("ts"), col("month"))
+      .filter(col("ts") >= lit(ts(3, 1)) && col("ts") < lit(ts(5, 1)))
+    val got = q.select("ident").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (for (m <- 3 to 4; d <- 1 to 20) yield m * 100L + d).sorted
+    assert(got == want)
+    val (sel, tot) = idx.lastPruned.get
+    assert(sel <= tot / 2,
+      s"projected shape should still prune 2 of 6 months, kept $sel/$tot")
+    // a COMPUTED ts (shifted) must NOT derive — lineage is untraceable
+    val q2 = df.select(col("id"),
+      (col("ts") + expr("INTERVAL 40 DAYS")).as("ts"), col("month"))
+      .filter(col("ts") >= lit(ts(3, 1)))
+    assert(q2.count() == 100,
+      "months 2..6 rows shifted by 40 days pass the filter")
+    val (sel2, tot2) = idx.lastPruned.get
+    assert(sel2 == tot2, "computed base column -> no derivation")
+  }
+
+  test("a reading session timezone differing from the stamp refuses derivation") {
+    val base = mkTable("date_format(ts, 'yyyy-MM')")
+    // the write stamped UTC (the suite's session tz)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val m = SnapshotLog.readManifest(
+      bp.getFileSystem(ext.sparkContext.hadoopConfiguration), bp).get
+    assert(m.props.get(SnapshotLog.GenTzProp).contains("UTC"),
+      s"writer stamped its generation timezone, got ${m.props.get(SnapshotLog.GenTzProp)}")
+    val before = ext.conf.get("spark.sql.session.timeZone")
+    try {
+      ext.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+      val (df, idx) = SnapshotRelation.applyWithIndex(ext, base).get
+      val q = df.filter(col("ts") >= lit(ts(3, 1)) && col("ts") < lit(ts(5, 1)))
+      assert(q.count() == 40, "results stay exact under any timezone")
+      val (sel, tot) = idx.lastPruned.get
+      assert(sel == tot,
+        s"tz mismatch must refuse derivation (pruned $sel/$tot)")
+    } finally ext.conf.set("spark.sql.session.timeZone", before)
+  }
+
   test("year() generation prunes an int partition column") {
     val base = Files.createTempDirectory("graft_genyr").toString + "/tbl"
     val rows = for (y <- 2020 to 2023; d <- 1 to 10)

@@ -139,6 +139,76 @@ class MetadataAggSpec extends SparkSpec {
     assertScans(q)
   }
 
+  test("computed alias shadowing a stats column refuses (wrong-fold guard)") {
+    // withColumn("id", id*2) re-uses the NAME of a column with recorded
+    // bounds; a name-keyed stats lookup would fold the RAW column's
+    // max (499) as if it were the doubled value — the fold must refuse
+    // and the scanning plan must answer 998
+    val base = mkCounted()
+    val rel = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+    val q = rel.withColumn("id", col("id") * 2)
+      .agg(max("id").as("hi"), min("id").as("lo"))
+    val row = q.collect().head
+    assert(row.getLong(0) == 998L && row.getLong(1) == 0L)
+    assertScans(q)
+    // a PLAIN rename keeps traceable lineage and still folds
+    val q2 = rel.withColumnRenamed("id", "ident")
+      .agg(max("ident").as("hi"))
+    assert(q2.collect().head.getLong(0) == 499L)
+    assertMetadataOnly(q2)
+  }
+
+  test("COUNT(col) folds from per-file non-null counts; refuses without them") {
+    val base = Files.createTempDirectory("graft_maggc").toString + "/tbl"
+    // v is NULL on multiples of 10 → COUNT(v) = 450 ≠ COUNT(*) = 500
+    val df = (0 until 500).map(i => (i.toLong, (i % 7).toString,
+      if (i % 10 == 0) None else Some(i * 2.0))).toDF("id", "p", "v")
+    SnapshotLog.upsertBatch(spark, base, df, Seq("id"), "id", "p",
+      batchId = 1, maxRetries = 5, statsCols = Seq("v", "id"),
+      clusterBy = Nil, clusterFiles = 4, opCol = None, writeCdf = false)
+    val rel = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+    val q = rel.agg(count(col("v")).as("nv"), count(col("id")).as("ni"),
+      count(lit(1)).as("n"))
+    val row = q.collect().head
+    assert(row.getLong(0) == 450L && row.getLong(1) == 500L &&
+      row.getLong(2) == 500L)
+    assertMetadataOnly(q)
+    // COUNT(partition col): non-null by construction under typed
+    // exposure — folds to COUNT(*)
+    val qp = rel.agg(count(col("p")).as("np"))
+    assert(qp.collect().head.getLong(0) == 500L)
+    assertMetadataOnly(qp)
+    // a column with no recorded non-null counts (written pre-extension
+    // / without statsCols) refuses: append a batch with NO statsCols
+    SnapshotLog.appendBatch(spark, base,
+      Seq((9999L, "1", 5.0)).toDF("id", "p", "v"), "p", batchId = 2)
+    val rel2 = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+    val q2 = rel2.agg(count(col("v")).as("nv"))
+    assert(q2.collect().head.getLong(0) == 451L)
+    assertScans(q2)
+    // a computed alias under COUNT(col) refuses too (nullity changes)
+    val q3 = rel.withColumn("v", lit(null).cast("double"))
+      .agg(count(col("v")).as("nv"))
+    assert(q3.collect().head.getLong(0) == 0L)
+    assertScans(q3)
+  }
+
+  test("COUNT(col) refuses on a DV table (a vector can mask non-null rows)") {
+    val base = Files.createTempDirectory("graft_maggd").toString + "/tbl"
+    val df = (0 until 300).map(i => (i.toLong, (i % 5).toString,
+      if (i % 3 == 0) None else Some(i.toDouble))).toDF("id", "p", "v")
+    SnapshotLog.upsertBatch(spark, base, df, Seq("id"), "id", "p",
+      batchId = 1, maxRetries = 5, statsCols = Seq("v"),
+      clusterBy = Nil, clusterFiles = 4, opCol = None, writeCdf = false)
+    SnapshotLog.deleteWhere(spark, base, expr("id % 2 = 0"), "p",
+      deletionVectors = true)
+    val rel = SnapshotRelation.read(ext, base, partCol = Some("p")).get
+    val q = rel.agg(count(col("v")).as("nv"))
+    assert(q.collect().head.getLong(0) == 100L,
+      "150 odd survivors, of which ids ≡0 mod 3 (odd multiples of 3) are NULL")
+    assertScans(q)
+  }
+
   test("time travel folds against the pinned manifest") {
     val base = mkCounted()
     SnapshotLog.upsertBatch(spark,

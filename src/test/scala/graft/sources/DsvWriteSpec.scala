@@ -417,6 +417,49 @@ class DsvWriteSpec extends SparkSpec {
     }
   }
 
+  test("replaceWhere wins over session-level dynamic; txn composes with dynamic") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_wdpo3").toString + "/t"
+    rowsDf(90).write.format("graft").partitionBy("day").save(base)
+
+    // session-wide dynamic must NOT hard-fail an explicit replaceWhere
+    // (upstream precedence: the predicate already scopes the replace) —
+    // only the per-write option=dynamic combination is a contradiction
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val repl = (1L to 5L).map(i => (i + 3000L, -1.0, "d0"))
+        .toDF("id", "value", "day")
+      repl.write.format("graft").mode("overwrite")
+        .option("replaceWhere", "day = 'd0'").save(base)
+      val t = readT(base)
+      assert(t.filter(col("day") === "d0").count() == 5,
+        "replaceWhere executed under session-level dynamic")
+      assert(t.count() == 65)
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    // idempotent-writer tokens compose with dynamic overwrite: the
+    // standard guard for a retried foreachBatch backfill
+    val d1 = (1L to 10L).map(i => (i + 5000L, 0.5, "d1")).toDF("id", "value", "day")
+    d1.write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("txnAppId", "backfill").option("txnVersion", "7").save(base)
+    assert(readT(base).filter(col("day") === "d1").count() == 10)
+    val vAfter = manifest(base).version
+    // the replay: same (appId, version) — must no-op, not replace again
+    val d1b = (1L to 3L).map(i => (i + 9000L, 9.9, "d1")).toDF("id", "value", "day")
+    d1b.write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("txnAppId", "backfill").option("txnVersion", "7").save(base)
+    assert(manifest(base).version == vAfter, "replayed txn no-ops")
+    assert(readT(base).filter(col("day") === "d1").select("id")
+      .collect().map(_.getLong(0)).min == 5001L)
+    // a NEW txn version executes
+    d1b.write.format("graft").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("txnAppId", "backfill").option("txnVersion", "8").save(base)
+    assert(readT(base).filter(col("day") === "d1").count() == 3)
+  }
+
   test("dynamic overwrite on an unpartitioned table = full overwrite") {
     import s.implicits._
     val base = Files.createTempDirectory("graft_wdpo2").toString + "/t"

@@ -172,6 +172,38 @@ class GraftCatalogSpec extends SparkSpec {
       "the clone reads the source's snapshot by reference")
   }
 
+  test("DSv2 UpdateColumnType routes through the widening machinery") {
+    root // force setup
+    import s.implicits._
+    val r2 = Files.createTempDirectory("graft_cat_uct").toString
+    s.conf.set("spark.sql.catalog.graft_uct", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_uct.root", r2)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_uct.db")
+    s.sql("CREATE TABLE graft_uct.db.t (id BIGINT, flag INT) USING graft")
+    s.sql("INSERT INTO graft_uct.db.t VALUES (1, 7), (2, 9)")
+    // the DSv2 TableChange path directly — not the custom-verb parse
+    val cat = s.sessionState.catalogManager.catalog("graft_uct")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "t")
+    cat.alterTable(ident,
+      org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+        Array("flag"), org.apache.spark.sql.types.LongType))
+    val tdf = s.sql("SELECT * FROM graft_uct.db.t")
+    assert(tdf.schema("flag").dataType == org.apache.spark.sql.types.LongType,
+      "SQL-standard spelling must widen reader-visibly")
+    assert(tdf.select(sum("flag")).head.getLong(0) == 16L)
+    // a NARROWING retype still refuses inside the shared machinery
+    val err = intercept[Exception] {
+      cat.alterTable(ident,
+        org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+          Array("flag"), org.apache.spark.sql.types.IntegerType))
+    }
+    assert(err.getMessage.toLowerCase.contains("widen") ||
+      err.getMessage.toLowerCase.contains("lossless") ||
+      err.getMessage.toLowerCase.contains("cannot"))
+  }
+
   test("without the substitution rule, reads fail closed (never DV-less)") {
     root // force setup
     // the base session has the catalog confs (shared SparkContext conf
