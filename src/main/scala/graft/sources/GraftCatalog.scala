@@ -235,15 +235,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (unsetProps.nonEmpty) SnapshotLog.unsetProperties(spark, base, unsetProps)
     def topLevel(fieldNames: Array[String], what: String): String = {
       require(fieldNames.length == 1,
-        s"graft tables have no nested columns to $what: ${fieldNames.mkString(".")}")
+        s"cannot $what nested field ${fieldNames.mkString(".")} — " +
+          "without NESTED column mapping a re-added same-name subfield " +
+          "would resurrect the old field's bytes from pre-change files; " +
+          "nested ADD is supported, nested rename/drop/retype refuse")
       fieldNames.head
     }
     changes.foreach {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case ac: TableChange.AddColumn if ac.fieldNames().length > 1 =>
+        // nested add-column evolution: metadata-only, older files read
+        // the new subfield as NULL
+        SnapshotLog.addNestedColumn(spark, base, ac.fieldNames().toSeq,
+          org.apache.spark.sql.types.StructField(
+            ac.fieldNames().last, ac.dataType, nullable = true))
       case ac: TableChange.AddColumn =>
         SnapshotLog.addColumns(spark, base, StructType(Seq(
           org.apache.spark.sql.types.StructField(
-            topLevel(ac.fieldNames(), "add"), ac.dataType, nullable = true))))
+            ac.fieldNames().head, ac.dataType, nullable = true))))
       case rc: TableChange.RenameColumn =>
         SnapshotLog.renameColumn(spark, base,
           topLevel(rc.fieldNames(), "rename"), rc.newName(), layoutCol)

@@ -872,6 +872,27 @@ object SnapshotLog {
       .sorted
   }
 
+  /** The version a commit built on a base manifest at `mVersion` must
+    * claim: `mVersion + 1`, skipping only provably-DEAD claims
+    * (visible-but-footerless roots, which only pre-atomic-publication
+    * writers could leave — post-r13 publication is complete-or-absent,
+    * so a footerless visible root is never a live writer). NEVER
+    * allocates past a COMMITTED version: the old
+    * `max(m.version, currentVersion) + 1` could jump past a commit
+    * that landed between the manifest read and the version
+    * computation, and the create-exclusive claim at the jumped-to
+    * number then SUCCEEDED with the stale base — silently dropping the
+    * interleaved commit's batch (caught by CommitScaleSpec's 4-writer
+    * race: 21 versions, 19 rows). With base+1 allocation the claim
+    * itself enforces base freshness: a racer's commit makes our number
+    * exist, our claim fails, and the retry re-reads the live manifest. */
+  private def nextVersion(fs: FileSystem, base: Path, mVersion: Long): Long = {
+    var v = mVersion + 1
+    while (fs.exists(new Path(logDir(base), vName(v))) &&
+        rootText(fs, base, v).isEmpty) v += 1
+    v
+  }
+
   def readManifest(fs: FileSystem, base: Path): Option[Manifest] =
     readManifest(fs, base, None)
 
@@ -1347,16 +1368,51 @@ object SnapshotLog {
     * through a mergeSchema scan) disappear. Identity when the
     * manifest has no schema header (legacy tables keep their footer
     * union). */
+  /** Conform `src` (whatever shape a mergeSchema footer read produced)
+    * to `target`: leaf types cast, STRUCT fields matched by name
+    * (case-insensitive) with MISSING subfields filled as typed NULLs —
+    * the read-side contract of nested add-column evolution, where
+    * files older than the ADD simply lack the new subfield (a plain
+    * `cast` refuses struct shapes of different arity). Arrays of
+    * structs conform element-wise; source nullness is preserved. */
+  private[sources] def conform(
+      src: Column,
+      srcType: org.apache.spark.sql.types.DataType,
+      target: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    (srcType, target) match {
+      case (a, b) if DataType.equalsIgnoreNullability(a, b) => src
+      case (s: StructType, t: StructType) =>
+        val fields = t.fields.toSeq.map { tf =>
+          s.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+            case Some(sf) =>
+              conform(src.getField(sf.name), sf.dataType, tf.dataType).as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }
+        when(src.isNull, lit(null).cast(t)).otherwise(struct(fields: _*))
+      case (ArrayType(se, _), ArrayType(te, _)) =>
+        transform(src, x => conform(x, se, te))
+      case (_, t) => src.cast(t)
+    }
+  }
+
+  /** [[conform]] keyed off a frame's own column types — the shared
+    * body of every schema-align helper. */
+  private def conformTo(
+      df: DataFrame,
+      f: org.apache.spark.sql.types.StructField): Column =
+    df.schema.fields.find(_.name == f.name) match {
+      case Some(sf) => conform(col(f.name), sf.dataType, f.dataType).as(f.name)
+      case None => lit(null).cast(f.dataType).as(f.name)
+    }
+
   private def alignToSchema(
       df: DataFrame, m: Manifest, extra: Seq[Column] = Nil): DataFrame =
     m.schema match {
       case None => if (extra.isEmpty) df else df.select(col("*") +: extra: _*)
       case Some(sc) =>
-        val have = df.columns.toSet
-        df.select(sc.fields.toSeq.map { f =>
-          if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        } ++ extra: _*)
+        df.select(sc.fields.toSeq.map(f => conformTo(df, f)) ++ extra: _*)
     }
 
   /** A maintenance rewrite's read: row-tracked tables read their ids
@@ -1998,7 +2054,7 @@ object SnapshotLog {
               .getOrElse(changes), m, base)
         // allocate past any in-flight/crashed claim, not just past the
         // newest COMPLETE manifest, or a dead claim blocks the chain
-        val version = math.max(m.version, currentVersion(fs, bp)) + 1
+        val version = nextVersion(fs, bp, m.version)
         val affectedState: Map[String, Seq[String]] =
           affected.iterator.map(p => p -> m.files.getOrElse(p, Nil)).toMap
         val identSnap =
@@ -2231,7 +2287,7 @@ object SnapshotLog {
             s"committed on $base — batch contents are stale; re-diff " +
             "against the live manifest and retry with the remainder")
       }
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (attempt == 0) enforceConstraints(rows1, m, base)
       val identSnap = m.props.filter(_._1.startsWith(IdentityHighWaterPrefix))
       if (staged.isEmpty ||
@@ -2616,6 +2672,27 @@ object SnapshotLog {
     * backfill NULL). A same-name TYPE change yields None: the commit
     * drops the schema header and readers fall back to the footer
     * mergeSchema read, which owns compatibility judgment. */
+  /** Is a batch's `fresh` type readable UNDER the prior declared
+    * type — equal modulo nullability, or (structs, recursively) a
+    * SUBSET of the prior's fields with compatible types? A batch
+    * written before a nested add-column simply lacks the new subfield;
+    * the schema header must keep the evolved shape instead of
+    * degrading to the footer union. */
+  private def readableUnder(
+      fresh: org.apache.spark.sql.types.DataType,
+      prior: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    (fresh, prior) match {
+      case (a, b) if DataType.equalsIgnoreNullability(a, b) => true
+      case (fs: StructType, ps: StructType) =>
+        fs.fields.forall(ff => ps.fields.exists(pf =>
+          pf.name.equalsIgnoreCase(ff.name) &&
+            readableUnder(ff.dataType, pf.dataType)))
+      case (ArrayType(fe, _), ArrayType(pe, _)) => readableUnder(fe, pe)
+      case _ => false
+    }
+  }
+
   private def evolveSchema(
       prior: Option[String],
       fresh: org.apache.spark.sql.types.StructType): Option[String] = {
@@ -2628,7 +2705,8 @@ object SnapshotLog {
           val freshByName = fresh.fields.map(f => f.name -> f).toMap
           val kept = p.fields.map { f =>
             freshByName.get(f.name) match {
-              case Some(nf) if nf.dataType != f.dataType => return None
+              case Some(nf) if !readableUnder(nf.dataType, f.dataType) =>
+                return None
               case _ => f.copy(nullable = true)
             }
           }
@@ -2874,7 +2952,7 @@ object SnapshotLog {
         }
       }.toMap
       if (upd.isEmpty) return 0L
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp, m.copy(version = version,
           props = m.props ++ upd, op = Some("SYNC_IDENTITY"))))
         return version
@@ -2911,7 +2989,7 @@ object SnapshotLog {
       val goneSet = gone.toSet
       val files2 = m.files.view.mapValues(_.filterNot(goneSet)).toMap
         .filter(_._2.nonEmpty)
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp, m.copy(version = version,
           files = files2,
           stats = m.stats -- gone,
@@ -2987,7 +3065,7 @@ object SnapshotLog {
           .parquet(m.allFiles.map(f => new Path(bp, f).toString): _*).schema))
         catch { case _: Exception => None }
       }
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp,
           Manifest(version, m.files, merged, m.blooms, m.dvs, schemaJson,
             Some("STATS"), m.constraints, m.txns, m.props, m.colmap, m.dropped)))
@@ -3089,7 +3167,7 @@ object SnapshotLog {
       val files = m.allFiles
       if (files.isEmpty) return 0L
       val built = computeBlooms(spark, fs, bp, files, cols.map(m.phys), fpp)
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp,
           m.copy(version = version, blooms = m.blooms ++ built,
             op = Some("BLOOMS"))))
@@ -3154,7 +3232,7 @@ object SnapshotLog {
         if (f.name == field.name) f.copy(name = to) else f))
       val colmap = (m.colmap - field.name) ++
         (if (phys == to) Map.empty[String, String] else Map(to -> phys))
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp, m.copy(version = version,
           schemaJson = Some(StructTypeNullable(evolved)),
           op = Some("RENAME_COLUMN"), colmap = colmap)))
@@ -3211,7 +3289,7 @@ object SnapshotLog {
           s"(UNSET $IdentityPrefix${field.name} first)")
       val evolved = org.apache.spark.sql.types.StructType(
         sc.fields.filterNot(_.name == field.name))
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp, m.copy(version = version,
           schemaJson = Some(StructTypeNullable(evolved)),
           op = Some("DROP_COLUMN"),
@@ -3305,7 +3383,7 @@ object SnapshotLog {
       val blooms2 =
         if (integral) m.blooms
         else m.blooms.map { case (f, cs) => f -> (cs - phys) }
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp, m.copy(version = version,
           schemaJson = Some(StructTypeNullable(evolved)),
           op = Some("ALTER_COLUMN_TYPE"),
@@ -3337,7 +3415,7 @@ object SnapshotLog {
       val m = readManifest(fs, bp).getOrElse(
         sys.error(s"no committed version at $base"))
       if (m.allFiles.isEmpty) return m.version
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp, m.copy(version = version,
           files = Map.empty, stats = Map.empty, blooms = Map.empty,
           dvs = Map.empty, op = Some("TRUNCATE")))) {
@@ -3522,7 +3600,7 @@ object SnapshotLog {
             bucketsCompact(files, manifestBytesOf(m), optimizeTargetOf(m))
            else files.size <= 1)))
         return 0L
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       // staging dir unique per attempt AND partition: two concurrent
       // compactions reading the same manifest compute the same target
       // version — keyed only by version they would overwrite each
@@ -3634,7 +3712,7 @@ object SnapshotLog {
           else fls.size >= math.max(minFiles, 2))
       }
       if (need.isEmpty) return 0L
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       val rel =
         s"data/o$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
       val dir = new Path(bp, rel)
@@ -3866,21 +3944,10 @@ object SnapshotLog {
       else refs.forall(r => pcs.exists(_.equalsIgnoreCase(r)))
     }
 
-    def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
-      val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      df.select(to.fields.toSeq.map { f =>
-        have.get(f.name) match {
-          // same type modulo nullability: no cast — Spark refuses an
-          // array<t, containsNull=true> -> containsNull=false cast,
-          // and values are unchanged either way
-          case Some(dt) if org.apache.spark.sql.types.DataType
-              .equalsIgnoreNullability(dt, f.dataType) =>
-            col(f.name).as(f.name)
-          case Some(_) => col(f.name).cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
-        }
-      }: _*)
-    }
+    // conform, not cast: tolerates nullability-only differences and
+    // struct-arity gaps from nested add-column evolution
+    def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame =
+      df.select(to.fields.toSeq.map(f => conformTo(df, f)): _*)
     def absFiles(m: Manifest, parts: Seq[String]): Seq[String] =
       parts.flatMap(p => m.files.getOrElse(p, Nil))
         .map(f => new Path(bp, f).toString)
@@ -3888,7 +3955,7 @@ object SnapshotLog {
     var attempt = 0
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(return None)
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (partitionOnly) {
         // evaluate against the manifest's partition values only
         val parts = m.files.keySet.toSeq.sorted
@@ -4111,21 +4178,10 @@ object SnapshotLog {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
-    def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
-      val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      df.select(to.fields.toSeq.map { f =>
-        have.get(f.name) match {
-          // same type modulo nullability: no cast — Spark refuses an
-          // array<t, containsNull=true> -> containsNull=false cast,
-          // and values are unchanged either way
-          case Some(dt) if org.apache.spark.sql.types.DataType
-              .equalsIgnoreNullability(dt, f.dataType) =>
-            col(f.name).as(f.name)
-          case Some(_) => col(f.name).cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
-        }
-      }: _*)
-    }
+    // conform, not cast: tolerates nullability-only differences and
+    // struct-arity gaps from nested add-column evolution
+    def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame =
+      df.select(to.fields.toSeq.map(f => conformTo(df, f)): _*)
     val batch = rows.persist()
     try {
       val violations =
@@ -4146,7 +4202,7 @@ object SnapshotLog {
           if (m.txns.get(a).exists(_ >= v))
             return Some(DmlOutcome(m.version, metadataOnly = true, Nil, Nil))
         }
-        val version = math.max(m.version, currentVersion(fs, bp)) + 1
+        val version = nextVersion(fs, bp, m.version)
         val lv = readVersion(spark, base, m.version)
           .map(_.drop(RowIdCol)).getOrElse(return None)
         val matchedParts = lv.filter(coalesce(predicate, lit(false)))
@@ -4167,14 +4223,11 @@ object SnapshotLog {
         val keepBase = preAll.filter(!coalesce(predicate, lit(false)))
         val keepM =
           if (mat.isEmpty) align(keepBase, lv.schema)
-          else {
+          else
             // align + carry the id column (align alone would drop it)
-            val have = keepBase.columns.toSet
-            keepBase.select(lv.schema.fields.toSeq.map { f =>
-              if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-              else lit(null).cast(f.dataType).as(f.name)
-            } ++ mat: _*)
-          }
+            keepBase.select(
+              lv.schema.fields.toSeq.map(f => conformTo(keepBase, f)) ++
+                mat: _*)
         val insM = align(batch, lv.schema)
           .select(lv.schema.fieldNames.map(col).toSeq ++
             (if (mat.isEmpty) Nil
@@ -4274,26 +4327,15 @@ object SnapshotLog {
       matcher.map(_.keeps(df))
         .getOrElse(df.filter(!coalesce(predicate, lit(false))))
 
-    def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame = {
-      val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      df.select(to.fields.toSeq.map { f =>
-        have.get(f.name) match {
-          // same type modulo nullability: no cast — Spark refuses an
-          // array<t, containsNull=true> -> containsNull=false cast,
-          // and values are unchanged either way
-          case Some(dt) if org.apache.spark.sql.types.DataType
-              .equalsIgnoreNullability(dt, f.dataType) =>
-            col(f.name).as(f.name)
-          case Some(_) => col(f.name).cast(f.dataType).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
-        }
-      }: _*)
-    }
+    // conform, not cast: tolerates nullability-only differences and
+    // struct-arity gaps from nested add-column evolution
+    def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame =
+      df.select(to.fields.toSeq.map(f => conformTo(df, f)): _*)
 
     var attempt = 0
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(return None)
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       val lv = readVersion(spark, base, m.version)
         .map(_.drop(RowIdCol)).getOrElse(return None)
       val bad = set.keySet -- lv.columns.toSet
@@ -4983,7 +5025,7 @@ object SnapshotLog {
       val live = readSnapshot(spark, bp, m, None)
       enforceConstraints(live, m.copy(constraints = Map(name -> checkSql)),
         base)
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp, m.copy(version = version,
           constraints = m.constraints + (name -> checkSql),
           op = Some("ADD_CONSTRAINT"))))
@@ -5009,7 +5051,7 @@ object SnapshotLog {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     if (readManifest(fs, bp).isDefined) return false
-    val version = math.max(0L, currentVersion(fs, bp)) + 1
+    val version = nextVersion(fs, bp, 0L)
     tryCommit(fs, bp, Manifest(
       version, Map.empty,
       schemaJson = Some(StructTypeNullable(schema)),
@@ -5050,7 +5092,7 @@ object SnapshotLog {
         sys.error("IDENTITY columns must be declared while the table " +
           s"is empty — $base already has data whose values the " +
           "high-water mark cannot account for")
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp, m.copy(version = version,
           props = m.props ++ kvs, op = Some("SET_TBLPROPERTIES"))))
         return version
@@ -5088,13 +5130,67 @@ object SnapshotLog {
         s"column(s) already exist on $base: ${dups.mkString(", ")}")
       val evolved = org.apache.spark.sql.types.StructType(
         cur.fields ++ newCols.fields.map(_.copy(nullable = true)))
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       val freshMap = newCols.fieldNames.toSeq
         .filter(n => m.taintedPhys.contains(n))
         .map(n => n -> s"${n}__c$version").toMap
       if (tryCommit(fs, bp, m.copy(version = version,
           schemaJson = Some(evolved.json), op = Some("ADD_COLUMNS"),
           colmap = m.colmap ++ freshMap)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"ADD COLUMNS lost $maxRetries commit races on $base")
+  }
+
+  /** ADD a NESTED field — `ALTER TABLE t ADD COLUMNS (s.x INT)`:
+    * the parent path must resolve to a (possibly nested) struct, the
+    * new leaf appends nullable, and the commit is metadata-only —
+    * files older than the ADD simply lack the subfield and read it as
+    * NULL (the parquet clipped-schema contract; [[conform]] fills the
+    * gap on internal rewrite reads). RENAME/DROP of nested fields stay
+    * refused: without nested column mapping, a re-added same-name
+    * subfield would resurrect the dropped field's bytes from old files
+    * — the same hazard that makes Delta gate nested drops behind
+    * column mapping. */
+  def addNestedColumn(
+      spark: SparkSession, base: String,
+      path: Seq[String], field: org.apache.spark.sql.types.StructField,
+      maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(path.size >= 2, "addNestedColumn needs a nested path " +
+      "(parent.field); use addColumns for top-level columns")
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"$base has no committed version"))
+      val cur = m.schema.getOrElse(sys.error(
+        s"$base has no schema header (legacy manifest) — any write, or " +
+          "ANALYZE … COMPUTE STATISTICS, records one first"))
+      def addAt(st: StructType, p: Seq[String]): StructType = p match {
+        case Seq(leaf) =>
+          require(!st.fieldNames.exists(_.equalsIgnoreCase(leaf)),
+            s"field '$leaf' already exists at ${path.init.mkString(".")}")
+          StructType(st.fields :+
+            StructField(leaf, field.dataType, nullable = true))
+        case step +: rest =>
+          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(step))
+          require(i >= 0, s"no such column: $step (of ${path.mkString(".")})")
+          st.fields(i).dataType match {
+            case inner: StructType =>
+              StructType(st.fields.updated(i,
+                st.fields(i).copy(dataType = addAt(inner, rest))))
+            case other => sys.error(
+              s"$step is $other, not a struct — cannot add a nested field")
+          }
+      }
+      val evolved = addAt(cur, path)
+      val version = nextVersion(fs, bp, m.version)
+      if (tryCommit(fs, bp, m.copy(version = version,
+          schemaJson = Some(evolved.json), op = Some("ADD_COLUMNS"))))
         return version
       attempt += 1
     }
@@ -5111,7 +5207,7 @@ object SnapshotLog {
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(
         sys.error(s"$base has no committed version"))
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp, m.copy(version = version,
           props = m.props -- keys, op = Some("UNSET_TBLPROPERTIES"))))
         return version
@@ -5133,7 +5229,7 @@ object SnapshotLog {
         sys.error(s"$base has no committed version"))
       require(m.constraints.contains(name),
         s"no constraint named $name on $base")
-      val version = math.max(m.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, m.version)
       if (tryCommit(fs, bp, m.copy(version = version,
           constraints = m.constraints - name,
           op = Some("DROP_CONSTRAINT"))))
@@ -5165,7 +5261,7 @@ object SnapshotLog {
       val cur = readManifest(fs, bp).getOrElse(
         sys.error(s"$base has no committed version"))
       if (cur.version == toVersion) return toVersion // already there
-      val version = math.max(cur.version, currentVersion(fs, bp)) + 1
+      val version = nextVersion(fs, bp, cur.version)
       // txn watermarks must NEVER move backwards (a rolled-back
       // watermark would make a restarting stream re-apply batches the
       // table already absorbed) — merge key-wise max with the current

@@ -132,7 +132,10 @@ class CommitScaleSpec extends SparkSpec {
     threads.foreach(_.start()); threads.foreach(_.join())
     assert(failed.get == null, s"a racing writer died: ${failed.get}")
     val v = SnapshotLog.currentVersion(fs, bp)
-    assert(v == 21L, s"1 + 20 racing commits, dense claims, got $v")
+    def logNames = fs.listStatus(new Path(base, "_log"))
+      .map(_.getPath.getName).filter(_.startsWith("v")).sorted.toSeq
+    assert(v == 21L,
+      s"1 + 20 racing commits, dense claims, got $v; log=${logNames.mkString(",")}")
     assert(SnapshotLog.read(spark, base).get.count() == 21L)
   }
 }
