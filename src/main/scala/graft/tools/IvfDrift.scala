@@ -30,8 +30,12 @@ object IvfDrift {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    graft.functions.GraftFunctions.register(spark)
     val vecs = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("v")).persist()
+      .select(col("vec_id"),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)).as("v"))
+      .persist()
     val n = vecs.count()
     // build on the first 10% of ids; the drift is everything else,
     // appended as 10 key-shifted tranches of the remaining mass
@@ -75,7 +79,7 @@ object IvfDrift {
     def f(d: Double): String = BigDecimal(d)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val json =
-      s"""{"corpus_vectors":${n + 10 * (n - cut)},"built_on":$cut,""" +
+      s"""{"corpus_vectors":${cut + 10 * (n - cut)},"built_on":$cut,""" +
         s""""appended_tranches":10,"nprobe":2,"k":10,""" +
         s""""recall_frozen":${f(recallFrozen)},""" +
         s""""recall_reclustered":${f(recallReclustered)},""" +
