@@ -21,10 +21,20 @@ import graft.sources.{SnapshotLog, SnapshotRelation}
   *    centroids from the CURRENT corpus (Lloyd iterations seeded by
   *    the stored set), re-assigns, and rewrites ONLY the touched
   *    cells through the proven replaceWhere machinery (a cell whose
-  *    membership is unchanged keeps its exact file list). The
-  *    centroid table then commits the new set — two commits, index
-  *    first, so a concurrent probe sees either the old consistent
-  *    pair or the new one after its centroid read.
+  *    membership is unchanged keeps its exact file list). The two
+  *    tables commit separately, so the pair is NOT atomic: a probe
+  *    racing the recluster (or a crash between the commits) can see
+  *    the NEW assignments under the OLD centroids — degraded probe
+  *    recall, never wrong rows. The window is made detectable and
+  *    repairable by a token handshake: the recluster stamps
+  *    [[PendingProp]] on the index BEFORE rewriting, the centroid
+  *    commit carries the matching [[TokenProp]], and the stamp is
+  *    cleared only after both land. [[repairIfPending]] (run
+  *    automatically at the start of every recluster, and callable by
+  *    any operator) detects a dangling stamp and re-derives a
+  *    CONSISTENT centroid set — each cell's exact member mean, the
+  *    Lloyd M-step of the stored assignment — so a crashed recluster
+  *    never leaves the degraded pairing permanent.
   *  - [[recallAtK]]: the quality gauge — mean recall@k of the
   *    persisted probe vs exact brute force over a query sample.
   *
@@ -72,11 +82,75 @@ object IvfMaintenance {
         new org.apache.hadoop.fs.Path(base)).lastOption.getOrElse(0L) + 1L)
   }
 
+  /** Index-table property naming the centroid-commit token the NEXT
+    * centroid overwrite must carry — stamped before the index rewrite,
+    * cleared after the centroid table lands. While it dangles, the
+    * pair may be mixed (new assignments, old centroids). */
+  val PendingProp = "graft.ivf.pendingCentroids"
+
+  /** Centroid-table property carrying the token of the recluster (or
+    * repair) that committed the current set. */
+  val TokenProp = "graft.ivf.centroidToken"
+
+  private def indexProps(spark: SparkSession, base: String): Map[String, String] = {
+    val bp = new org.apache.hadoop.fs.Path(base)
+    SnapshotLog.readManifest(
+      bp.getFileSystem(spark.sparkContext.hadoopConfiguration), bp)
+      .map(_.props).getOrElse(Map.empty)
+  }
+
+  /** True when the index carries a dangling [[PendingProp]] whose
+    * token the centroid table does not carry — i.e. a recluster died
+    * (or is racing) between its two commits and probes may pair new
+    * assignments with old centroids. */
+  def halfApplied(spark: SparkSession, base: String): Boolean =
+    indexProps(spark, base).get(PendingProp).exists(tok =>
+      !indexProps(spark, centroidsPath(base)).get(TokenProp).contains(tok))
+
+  /** Detect-and-repair the half-applied window: when [[PendingProp]]
+    * dangles, re-derive each cell's centroid as the EXACT member mean
+    * of the stored assignment (the Lloyd M-step — consistent with the
+    * assignment by construction), commit it with the pending token,
+    * and clear the stamp. Returns true when a repair (or a stale-stamp
+    * clear) was performed. Idempotent; safe to call any time. */
+  def repairIfPending(spark: SparkSession, base: String): Boolean =
+    indexProps(spark, base).get(PendingProp) match {
+      case None => false
+      case Some(tok) =>
+        if (!indexProps(spark, centroidsPath(base)).get(TokenProp).contains(tok)) {
+          val idx = readIndex(spark, base)
+          val cent = idx
+            .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+            .groupBy(col("cid"), col("pos"))
+            .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+              .cast("double") / count(lit(1))).as("mu"))
+            .groupBy(col("cid"))
+            .agg(transform(
+              sort_array(collect_list(struct(col("pos"), col("mu")))),
+              _.getField("mu")).as("cv"))
+          SnapshotLog.appendBatch(spark, centroidsPath(base), cent,
+            SnapshotLog.NoPartCol, batchId = 0L, overwrite = true,
+            resetColumnState = true,
+            propsAdd = Map(TokenProp -> tok,
+              SnapshotLog.PartColProp -> SnapshotLog.NoPartCol))
+        }
+        SnapshotLog.unsetProperties(spark, base, Seq(PendingProp))
+        true
+    }
+
   /** Re-derive centroids from the CURRENT corpus (Lloyd `iters` seeded
     * by the stored set), re-assign, rewrite only the TOUCHED cells.
     * Returns (moved rows, touched cells) — (0, 0) = the index was
-    * already converged and nothing committed. */
+    * already converged and nothing committed.
+    *
+    * Crash contract: the index rewrite and the centroid overwrite are
+    * SEPARATE commits; between them (crash or concurrent probe) the
+    * table pair is mixed — new assignments under old centroids, a
+    * recall degradation, never wrong rows. The [[PendingProp]] stamp
+    * makes that window detectable, and [[repairIfPending]] (also run
+    * here, first) heals it deterministically. */
   def recluster(spark: SparkSession, base: String, iters: Int): (Long, Long) = {
+    repairIfPending(spark, base)
     val idx = readIndex(spark, base)
     val vecs = idx.select(col("vec_id"), col("v"))
     val cent1 = IvfIndex.refine(vecs, readCentroids(spark, base), iters)
@@ -101,13 +175,19 @@ object IvfMaintenance {
         .join(newAsg.filter(col("new_cid").isin(touched: _*))
           .select(col("vec_id"), col("new_cid").as("cid")), Seq("vec_id"))
         .select(idx.columns.map(col): _*)
+      // token handshake around the two commits (see the class doc):
+      // stamp → rewrite index → commit centroids with token → clear
+      val tok = java.util.UUID.randomUUID.toString
+      SnapshotLog.setProperties(spark, base, Map(PendingProp -> tok))
       SnapshotLog.replaceWhere(spark, base, batch,
         col("cid").isin(touched: _*), "cid")
         .getOrElse(sys.error(s"$base lost its committed version mid-recluster"))
-      // centroids commit second: a probe racing the recluster reads
-      // either the pre-recluster pair or, after this lands, the new one
       SnapshotLog.appendBatch(spark, centroidsPath(base), cent1,
-        SnapshotLog.NoPartCol, batchId = 0L, overwrite = true)
+        SnapshotLog.NoPartCol, batchId = 0L, overwrite = true,
+        resetColumnState = true,
+        propsAdd = Map(TokenProp -> tok,
+          SnapshotLog.PartColProp -> SnapshotLog.NoPartCol))
+      SnapshotLog.unsetProperties(spark, base, Seq(PendingProp))
       (movedRows, touched.size.toLong)
     } finally { moves.unpersist(); () }
   }

@@ -45,6 +45,7 @@ import graft.sources.{Catalog, SnapshotLog}
   *   ALTER TABLE <view> ADD COLUMNS (<name> <type> [, ...])
   *   ALTER TABLE <view> RENAME COLUMN <a> TO <b>
   *   ALTER TABLE <view> DROP COLUMN <c>
+  *   ALTER TABLE <view> REPARTITION BY (<cols>)   -- partition evolution
   *   TRUNCATE TABLE <view>
   *   DROP TABLE [IF EXISTS] <view> [PURGE]
   *   SHOW CREATE TABLE <view>
@@ -104,6 +105,9 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)(\s+PURGE)?\s*;?\s*""".r
   private val RenameColumn =
     """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+RENAME\s+COLUMN\s+`?([A-Za-z_]\w*)`?\s+TO\s+`?([A-Za-z_]\w*)`?\s*;?\s*""".r
+  // partition evolution: empty list () = un-partition for new writes
+  private val Repartition =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+REPARTITION\s+BY\s*\(\s*([\w`,\s]*?)\s*\)\s*;?\s*""".r
   // parens anchored as a MATCHED pair (an unbalanced `(c` or `c)` falls
   // through to the delegate instead of silently parsing); the paren
   // form accepts a multi-column list
@@ -173,6 +177,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
       SnapshotAddColumnsCommand(view, delegate.parseTableSchema(colsDdl))
     case RenameColumn(view, from, to) if isTarget(view) =>
       SnapshotRenameColumnCommand(view, from, to)
+    case Repartition(view, cols) if isTarget(view) =>
+      SnapshotRepartitionCommand(view, splitCols(cols))
     case DropColumn(view, list, bare) if isTarget(view) =>
       SnapshotDropColumnCommand(view,
         Option(list).map(splitCols).getOrElse(Seq(bare)))
@@ -556,6 +562,33 @@ case class SnapshotExpireVersionsCommand(view: String, keepLast: Int)
     val expired = SnapshotLog.expireVersions(spark, path, keepLast)
     Seq(Row("EXPIRE VERSIONS", expired.size.toLong,
       expired.lastOption.getOrElse(-1L)))
+  }
+}
+
+/** `ALTER TABLE view REPARTITION BY (c1[, c2…])` — the SQL surface
+  * for [[graft.sources.SnapshotLog.repartitionTable]] (partition
+  * evolution, Iceberg spec-v2 semantics): a METADATA-ONLY layout
+  * change — zero files move; existing partitions stay keyed under
+  * their original layout, new writes route under the new one, and
+  * rewrites migrate incrementally. `REPARTITION BY ()` un-partitions
+  * the table for new writes. The registration (and any catalog
+  * caller) re-resolves the layout from the manifest; the registry
+  * entry is refreshed here so follow-up SQL DML routes by the NEW
+  * layout immediately. */
+case class SnapshotRepartitionCommand(view: String, cols: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val newPartCol = cols.mkString(",")
+    val (path, _, db, name) = Catalog.dmlTarget(view).getOrElse(
+      sys.error(s"$view is not a registered snapshot-DML target"))
+    val v = SnapshotLog.repartitionTable(spark, path, newPartCol)
+    // refresh the registration's cached layout + re-pin the view so
+    // follow-up DML on the same name routes by the new layout
+    Catalog.registerSnapshotLog(spark, db, name, path, Some(newPartCol))
+    Seq(Row("REPARTITION", v))
   }
 }
 

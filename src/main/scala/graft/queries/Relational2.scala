@@ -5869,6 +5869,98 @@ object Relational2 {
       FROM kept GROUP BY status ORDER BY status
       """))
 
+  /** PARTITION EVOLUTION lifecycle (round-14 verdict item #1), graded
+    * at the oracle: an o_orderstatus-partitioned table repartitions to
+    * o_orderpriority as a METADATA-ONLY commit (gated: zero files
+    * moved), a post-evolution slice appends under the NEW layout, the
+    * mixed manifest prunes per-key under each key's OWN layout
+    * (gated), a row DELETE crosses the layout boundary (matching rows
+    * live in both generations), and OPTIMIZE migrates every legacy
+    * partition (gated) before the final read. The oracle recomputes
+    * the surviving content from `orders` directly — the layout must
+    * never change results. At 100 TB: re-partitioning by rewrite is a
+    * full-table shuffle; this is ONE manifest write, with migration
+    * amortized into rewrites that were going to happen anyway
+    * (Iceberg spec-v2 semantics). */
+  val q134PartitionEvolution: Q = Q(
+    "q134_partition_evolution",
+    "partition evolution: metadata-only repartition / mixed-layout reads+pruning / DML across the boundary / OPTIMIZE migration",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_pe134").toString + "/tbl"
+      val orders4 = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      def manifest() = {
+        val bp = new org.apache.hadoop.fs.Path(base)
+        SnapshotLog.readManifest(
+          bp.getFileSystem(s.sparkContext.hadoopConfiguration), bp).get
+      }
+      // v1: status layout
+      orders4.write.format("graft").partitionBy("o_orderstatus").save(base)
+      val mBefore = manifest()
+      // v2: REPARTITION to priority — metadata-only, gated
+      SnapshotLog.repartitionTable(s, base, "o_orderpriority")
+      val mEvo = manifest()
+      require(mEvo.files == mBefore.files,
+        "partition evolution must move ZERO data files")
+      require(mEvo.op.contains("REPARTITION") &&
+        mEvo.legacyKeys == mBefore.files.keySet,
+        "every pre-evolution key is tagged legacy")
+      require(mEvo.readerFeatures.contains("partitionEvolution"),
+        "the mixed state must gate evolution-unaware readers out")
+      // v3: append routes under the NEW layout
+      orders4.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus"), col("o_orderpriority"))
+        .write.format("graft").mode("append").save(base)
+      require(manifest().files.keySet.exists(k => !mBefore.files.contains(k)),
+        "appended rows must land under priority keys")
+      // mixed-manifest pruning: a status predicate prunes the OTHER
+      // legacy statuses; priority-layout files keep (their keys say
+      // nothing about status)
+      val (rel, idx) = graft.sources.SnapshotRelation
+        .applyWithIndex(s, base).get
+      rel.filter(col("o_orderstatus") === "O")
+        .write.mode("overwrite").format("noop").save()
+      val (sel, tot) = idx.lastPruned.get
+      require(sel < tot && sel > 0,
+        s"per-layout pruning must fire on the mixed manifest ($sel/$tot)")
+      // v4: a row DELETE whose matches live in BOTH layout generations
+      val delOut = SnapshotLog.deleteWhere(s, base,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 5 === 0,
+        "o_orderpriority").get
+      require(!delOut.metadataOnly, "mixed layout forces the row path")
+      // v5: OPTIMIZE migrates the remaining legacy partitions
+      SnapshotLog.optimizeTable(s, base, "o_orderpriority")
+      val mFinal = manifest()
+      require(mFinal.legacyKeys.isEmpty,
+        "OPTIMIZE must migrate every legacy key to the current layout")
+      require(!mFinal.readerFeatures.contains("partitionEvolution"),
+        "a fully-migrated table stops demanding the feature")
+      s.read.format("graft").load(base)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH appended AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 900000000, o_totalprice, o_orderstatus,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 101 = 0),
+      kept AS (
+        SELECT * FROM appended
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0))
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM kept GROUP BY 1 ORDER BY 1
+      """))
+
   val q127CatalogVerbs: Q = Q(
     "q127_catalog_verbs",
     "constraint/ANALYZE/bloom/widen/FSCK/EXPIRE lifecycle on graft.ns.t names",
@@ -5974,7 +6066,7 @@ object Relational2 {
     q115FusedQa, q116StreamSessions, q117CatalogRead, q118RowTracking,
     q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere, q122DsvWrite,
     q123FormatStream, q124CatalogAlter, q125CatalogDml, q126Unpartitioned,
-    q132MultiPartition, q133NestedEvolution,
+    q132MultiPartition, q133NestedEvolution, q134PartitionEvolution,
     q127CatalogVerbs, q128DppJoin, q129MetadataAgg, q130GeneratedPruning,
     q131DynamicOverwrite,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * by CREATE-EXCLUSIVE on its final name (O_EXCL locally, the
   * namenode's atomic create on HDFS, conditional PUT on object
   * stores) with a footer line marking completeness — a footer-less
-  * manifest reads as absent ([[readManifest]] falls back, writers
-  * allocate past it). Orphaned data files from a crashed commit are
+  * manifest reads as absent ([[readManifest]] falls back; version
+  * allocation is strictly base+1 over the newest COMPLETE root, see
+  * [[nextVersion]] — publication is atomic, so no incomplete claim
+  * ever occupies a version name). Orphaned data files from a crashed commit are
   * simply never referenced ([[vacuum]] reclaims them, outside a
   * retention window protecting in-flight writers). Create-refusal on
   * an existing name doubles as optimistic concurrency: a lost race
@@ -198,6 +200,26 @@ object SnapshotLog {
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       if cs.nonEmpty
     } yield (n, cs)
+    /** Historical partition layouts by spec id (partition evolution —
+      * see [[PartSpecPrefix]]); empty for never-evolved tables. */
+    def partSpecHistory: Map[Int, String] = props.toSeq.collect {
+      case (k, v) if k.startsWith(PartSpecPrefix) =>
+        k.stripPrefix(PartSpecPrefix).toIntOption.map(_ -> v)
+    }.flatten.toMap
+    /** The layout partition key `k` was written under, when it differs
+      * from the current one (see [[KeySpecPrefix]]); None = current. */
+    def keyLayout(k: String): Option[String] =
+      props.get(KeySpecPrefix + k).flatMap(_.toIntOption)
+        .flatMap(partSpecHistory.get)
+    /** Live partition keys written under a layout OTHER than the
+      * current declared one — non-empty exactly while the table is in
+      * the mixed-layout state partition evolution creates and
+      * OPTIMIZE/rewrites migrate away. */
+    def legacyKeys: Set[String] = {
+      val cur = props.get(PartColProp)
+      files.keySet.filter(k => keyLayout(k).exists(l =>
+        !cur.exists(c => sameLayout(c, l))))
+    }
     def allFiles: Seq[String] = files.values.flatten.toSeq.sorted
     def schema: Option[org.apache.spark.sql.types.StructType] =
       schemaJson.flatMap(j =>
@@ -257,7 +279,7 @@ object SnapshotLog {
   /** Reader features THIS engine implements. A manifest requiring
     * anything else fails closed at read. */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping")
+    Set("deletionVectors", "columnMapping", "partitionEvolution")
 
   /** Writer features THIS engine implements (a writer must also hold
     * every reader feature — it reads before it writes). */
@@ -300,17 +322,38 @@ object SnapshotLog {
     * the layout routes by a GENERATED partition column and no stamp
     * exists yet. `props` is the commit's EFFECTIVE property view
     * (existing ++ incoming), so a first write that declares the
-    * generated column via propsAdd stamps in the same commit. */
+    * generated column via propsAdd stamps in the same commit.
+    *
+    * ENFORCED once stamped: a later writer whose session timezone
+    * differs from the stamp REFUSES the write (mirroring the read-side
+    * refusal in [[graft.plans.DerivePartitionFilter]]) — it would
+    * compute generated partition values under a different clock than
+    * every existing partition, and a reader whose timezone matches the
+    * stamp would then pass the derivation gate and silently prune
+    * partitions that contain matching rows. */
   private def genTzStamp(
       spark: SparkSession, props: Map[String, String],
       partCol: String): Map[String, String] = {
-    if (props.contains(GenTzProp)) return Map.empty
     val pcs = partColsOf(partCol)
-    val genNames = props.keysIterator.filter(_.startsWith(GenColPrefix))
-      .map(_.stripPrefix(GenColPrefix))
-    if (genNames.exists(g => pcs.exists(_.equalsIgnoreCase(g))))
-      Map(GenTzProp -> spark.sessionState.conf.sessionLocalTimeZone)
-    else Map.empty
+    val routesByGenerated = props.keysIterator
+      .filter(_.startsWith(GenColPrefix)).map(_.stripPrefix(GenColPrefix))
+      .exists(g => pcs.exists(_.equalsIgnoreCase(g)))
+    props.get(GenTzProp) match {
+      case Some(stamp) =>
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        if (routesByGenerated && tz != stamp) throw new IllegalStateException(
+          s"writer session timezone '$tz' differs from the table's " +
+            s"stamped generation timezone '$stamp' ($GenTzProp) — " +
+            "generated partition values would be computed under a " +
+            "different clock than the existing partitions, and a reader " +
+            "matching the stamp could silently prune partitions holding " +
+            s"matching rows; set spark.sql.session.timeZone=$stamp")
+        Map.empty
+      case None =>
+        if (routesByGenerated)
+          Map(GenTzProp -> spark.sessionState.conf.sessionLocalTimeZone)
+        else Map.empty
+    }
   }
 
   /** Table property giving OPTIMIZE a per-file byte target: a
@@ -334,6 +377,32 @@ object SnapshotLog {
     * partition column should `setProperties(… PartColProp -> col …)`
     * once after the first commit. */
   val PartColProp = "graft.partitionColumn"
+
+  /** Property-key prefix registering a HISTORICAL partition layout
+    * under partition evolution (`graft.partspec.<id> = <colsSpec>`) —
+    * the Iceberg spec-v2 idea: changing a table's partitioning is a
+    * METADATA commit ([[repartitionTable]]); files written under an
+    * older layout stay exactly where they are, keyed in the manifest
+    * under their ORIGINAL layout's keys, each tagged by a
+    * [[KeySpecPrefix]] property pointing at its spec id here. The
+    * CURRENT layout always lives in [[PartColProp]] (no id). */
+  val PartSpecPrefix = "graft.partspec."
+
+  /** Property-key prefix tagging one live partition KEY with the spec
+    * id of the layout it was written under
+    * (`graft.keyspec.<key> = <id>`) — present ONLY for keys whose
+    * layout differs from the current one. Maintained automatically:
+    * [[repartitionTable]] stamps them, every rewrite that migrates a
+    * legacy partition to the current layout sheds them
+    * ([[tryCommit]] prunes tags whose key left the manifest), and
+    * RESTORE/CLONE carry them with the rest of the properties. */
+  val KeySpecPrefix = "graft.keyspec."
+
+  /** Same declared partition-column list (order-sensitive,
+    * case-insensitive) — the layout-identity test partition evolution
+    * uses everywhere. */
+  private[sources] def sameLayout(a: String, b: String): Boolean =
+    partColsOf(a).map(_.toLowerCase) == partColsOf(b).map(_.toLowerCase)
 
   /** Sentinel partition-column NAME for UNPARTITIONED tables (Delta's
     * most common table shape): the empty string. A manifest carrying
@@ -411,6 +480,185 @@ object SnapshotLog {
     }
 
   private def partRoute(partCol: String): Column = partitionKeyExpr(partCol)
+
+  /** PARTITION EVOLUTION (Iceberg spec-v2 semantics): change the
+    * table's declared partition layout as a METADATA-ONLY commit —
+    * zero data files touched. Existing partitions stay keyed under
+    * the layout they were written with (each key tagged via
+    * [[KeySpecPrefix]], the outgoing layout registered under
+    * [[PartSpecPrefix]]); new writes route under the new layout; reads
+    * prune each key under its OWN layout
+    * ([[SnapshotFileIndex]]) and DML computes affected partitions
+    * under EVERY live layout ([[matchedKeysAllLayouts]]), so results
+    * stay exact across the boundary. Rewrites (OPTIMIZE, DML touching
+    * a legacy partition) re-route rows under the CURRENT layout —
+    * the migration path; once no legacy key remains the table is
+    * single-layout again and the `partitionEvolution` feature demand
+    * disappears. Time travel to a pre-evolution version reads under
+    * the old layout (the properties are versioned), and RESTORE rolls
+    * the layout back with them.
+    *
+    * Evolving to `""` ([[NoPartCol]]) un-partitions the table for new
+    * writes; evolving an undeclared-layout legacy table refuses (the
+    * existing keys' layout would be unknowable). Returns the committed
+    * version (the current one when the layout is already `newPartCol`).
+    *
+    * Scale: the commit is O(live partitions) metadata (one tag per
+    * key). At 100 TB the point is precisely that NO data moves —
+    * re-partitioning by rewrite would be a full-table shuffle; this is
+    * one manifest write, and migration happens incrementally through
+    * rewrites that were going to happen anyway. */
+  def repartitionTable(
+      spark: SparkSession, base: String, newPartCol: String,
+      maxRetries: Int = 5): Long = {
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"no committed version at $base"))
+      val cur = m.props.getOrElse(PartColProp, sys.error(
+        s"$base does not declare $PartColProp — partition evolution " +
+          "needs a declared layout (set the property once, '' for " +
+          "unpartitioned)"))
+      if (sameLayout(cur, newPartCol)) return m.version
+      val sc = m.schema.getOrElse(sys.error(
+        "partition evolution needs a schema header (legacy manifest) — " +
+          "any write records one first"))
+      partColsOf(newPartCol).foreach { c =>
+        require(sc.fields.exists(_.name.equalsIgnoreCase(c)),
+          s"no such column: $c (new partition layout '$newPartCol')")
+      }
+      // register the OUTGOING layout in the spec history, reusing its
+      // id when this spelling was current once before (A → B → A)
+      val hist = m.partSpecHistory
+      val curId = hist.collectFirst { case (id, l) if sameLayout(l, cur) => id }
+        .getOrElse(if (hist.isEmpty) 0 else hist.keys.max + 1)
+      // untagged live keys were written under the outgoing layout;
+      // keys tagged with the INCOMING layout become current again and
+      // shed their tag
+      val newTags = m.files.keySet
+        .filterNot(k => m.props.contains(KeySpecPrefix + k))
+        .map(k => (KeySpecPrefix + k) -> curId.toString).toMap
+      val retag = m.props.keysIterator.filter(_.startsWith(KeySpecPrefix))
+        .filter(k => m.props.get(k).flatMap(_.toIntOption).flatMap(hist.get)
+          .exists(l => sameLayout(l, newPartCol))).toSeq
+      val props0 = (m.props -- retag) ++ newTags +
+        ((PartSpecPrefix + curId.toString) -> cur) +
+        (PartColProp -> partColsOf(newPartCol).mkString(","))
+      // a generated new partition column stamps its generation
+      // timezone now (and enforces a mismatch against an existing
+      // stamp), not at the first write — readers may derive before one
+      val props = props0 ++ genTzStamp(spark, props0, newPartCol)
+      val version = nextVersion(fs, bp, m.version)
+      if (tryCommit(fs, bp, m.copy(version = version, props = props,
+          op = Some("REPARTITION")))) return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"REPARTITION lost $maxRetries commit races on $base")
+  }
+
+  /** The current layout plus every legacy layout with live keys in
+    * `m` — the layouts a DML affected-set computation must consider. */
+  private def liveLayouts(m: Manifest, partCol: String): Seq[String] = {
+    val legacy = m.files.keySet.toSeq.flatMap(k => m.keyLayout(k))
+      .distinct.filterNot(l => sameLayout(l, partCol))
+    partCol +: legacy
+  }
+
+  /** On an EVER-EVOLVED table (any partition-evolution property
+    * present), a caller-supplied layout that contradicts the declared
+    * current one refuses loudly: a stale caller (e.g. a registration
+    * that cached the pre-evolution column) routing rows under the old
+    * layout would corrupt partition-scoped rewrites. Never-evolved
+    * tables keep the historical trust-the-caller contract. */
+  private def requireCurrentLayout(m: Manifest, partCol: String): Unit =
+    if (m.props.keysIterator.exists(k =>
+        k.startsWith(PartSpecPrefix) || k.startsWith(KeySpecPrefix)))
+      m.props.get(PartColProp).foreach { declared =>
+        require(sameLayout(declared, partCol),
+          s"caller partition layout '$partCol' does not match the " +
+            s"table's current layout '$declared' (the table's " +
+            "partitioning evolved) — resolve the layout from the " +
+            s"manifest's $PartColProp")
+      }
+
+  /** Every column any LIVE layout references: the declared current one
+    * plus legacy layouts still holding keys — schema surgery
+    * (RENAME/DROP COLUMN) on these would break key decomposition and
+    * affected-set computation across the evolution boundary. */
+  private def liveLayoutCols(m: Manifest): Seq[String] =
+    (m.props.get(PartColProp).toSeq ++
+      m.files.keySet.toSeq.flatMap(k => m.keyLayout(k)))
+      .flatMap(partColsOf).distinct
+
+  /** Distinct partition keys of `df`'s rows under EVERY live layout of
+    * `m` — the DML affected-set computation that stays correct across
+    * partition evolution: a matching row living in a legacy partition
+    * is found by computing its key under THAT partition's layout, not
+    * the current one. For the current layout all keys count (a
+    * destination partition may not exist yet); for a legacy layout
+    * only keys the manifest actually tracks under it. ONE job
+    * regardless of layout count (all key expressions evaluate in a
+    * single projection). Refuses when a legacy layout references a
+    * column the live frame no longer carries — DROP COLUMN guards this
+    * can't normally happen. */
+  private def matchedKeysAllLayouts(
+      df: DataFrame, m: Manifest, partCol: String): Seq[String] = {
+    val layouts = liveLayouts(m, partCol)
+    val cols = layouts.zipWithIndex.map { case (l, i) =>
+      partColsOf(l).foreach(c => require(
+        df.columns.exists(_.equalsIgnoreCase(c)),
+        s"legacy partition layout '$l' references column $c, absent " +
+          "from the live schema — cannot compute its affected partitions"))
+      partitionKeyExpr(l).as(s"__pv$i")
+    }
+    val rows = df.select(cols: _*).distinct().collect()
+    layouts.zipWithIndex.flatMap { case (l, i) =>
+      val vals = rows.iterator.map(_.getString(i)).filter(_ != null)
+      if (sameLayout(l, partCol)) vals.toSeq
+      else {
+        val keys = m.files.keySet.filter(k =>
+          m.keyLayout(k).exists(kl => sameLayout(kl, l)))
+        vals.filter(keys).toSeq
+      }
+    }.distinct.sorted
+  }
+
+  /** Replace `removed`'s manifest entries with the staged layout,
+    * APPENDING into any partition the removal did not cover: under
+    * partition evolution a rewrite's rows can route into a
+    * current-layout partition that was not part of the affected set
+    * (legacy-partition migration), and wholesale `++` would silently
+    * drop that partition's existing files. Pre-evolution behavior
+    * (staged ⊆ removed) is byte-identical. */
+  private def spliceStaged(
+      files: Map[String, Seq[String]], removed: Iterable[String],
+      stagedByPart: Map[String, Seq[String]]): Map[String, Seq[String]] = {
+    val kept = files -- removed
+    kept ++ stagedByPart.map { case (p, fls) =>
+      p -> (kept.getOrElse(p, Nil) ++ fls).sorted }
+  }
+
+  /** Refuse a staged write that lands files under a partition KEY the
+    * manifest still tracks under a DIFFERENT (legacy) layout — merging
+    * the two entries would pair one key string with two layouts.
+    * Data-dependent and vanishingly rare (a current-layout key string
+    * equal to a surviving legacy key); OPTIMIZE migrates the legacy
+    * partition out of the way. `removed` keys are exempt — their
+    * legacy entry (and tag) leaves the manifest in this very commit. */
+  private def requireNoLegacyCollision(
+      m: Manifest, partCol: String, stagedKeys: Iterable[String],
+      removed: Set[String] = Set.empty): Unit = {
+    val bad = stagedKeys.filterNot(removed).filter(k =>
+      m.keyLayout(k).exists(l => !sameLayout(l, partCol)))
+    require(bad.isEmpty,
+      s"staged partition key(s) ${bad.mkString(", ")} collide with " +
+        "legacy-layout manifest entries of the same name (partition " +
+        "evolution) — OPTIMIZE the legacy partition(s) to migrate them " +
+        "to the current layout first")
+  }
 
   /** Typed per-column value expressions recovered from a canonical
     * partition-key string column — the inverse of [[partRoute]], used
@@ -1374,25 +1622,47 @@ object SnapshotLog {
     * the read-side contract of nested add-column evolution, where
     * files older than the ADD simply lack the new subfield (a plain
     * `cast` refuses struct shapes of different arity). Arrays of
-    * structs conform element-wise; source nullness is preserved. */
+    * structs conform element-wise; source nullness is preserved.
+    *
+    * `strict` is the USER-BATCH mode ([[replaceWhere]] and the
+    * surfaces routing through it): a SOURCE struct field absent from
+    * the target errors loudly instead of silently discarding its data
+    * — missing-tolerance (NULL backfill) is the evolution feature,
+    * extra-tolerance would be silent data loss (Delta's schema
+    * enforcement refuses the same batch without mergeSchema). The
+    * read-side aligns stay non-strict: dropping columns a footer scan
+    * surfaced beyond the live schema is exactly their job. */
   private[sources] def conform(
       src: Column,
       srcType: org.apache.spark.sql.types.DataType,
-      target: org.apache.spark.sql.types.DataType): Column = {
+      target: org.apache.spark.sql.types.DataType,
+      strict: Boolean = false,
+      path: String = ""): Column = {
     import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
     (srcType, target) match {
       case (a, b) if DataType.equalsIgnoreNullability(a, b) => src
       case (s: StructType, t: StructType) =>
+        if (strict) {
+          val extra = s.fields.map(_.name).toSeq.filterNot(n =>
+            t.fields.exists(_.name.equalsIgnoreCase(n)))
+          if (extra.nonEmpty) sys.error(
+            s"batch carries struct field(s) ${extra.mkString(", ")} at " +
+              s"'${if (path.isEmpty) "<root>" else path}' that do not exist " +
+              "in the target schema — refusing to silently discard their " +
+              "data (ALTER TABLE to add the field first; missing target " +
+              "fields still backfill NULL)")
+        }
         val fields = t.fields.toSeq.map { tf =>
           s.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
             case Some(sf) =>
-              conform(src.getField(sf.name), sf.dataType, tf.dataType).as(tf.name)
+              conform(src.getField(sf.name), sf.dataType, tf.dataType,
+                strict, s"$path${tf.name}.").as(tf.name)
             case None => lit(null).cast(tf.dataType).as(tf.name)
           }
         }
         when(src.isNull, lit(null).cast(t)).otherwise(struct(fields: _*))
       case (ArrayType(se, _), ArrayType(te, _)) =>
-        transform(src, x => conform(x, se, te))
+        transform(src, x => conform(x, se, te, strict, path + "[]."))
       case (_, t) => src.cast(t)
     }
   }
@@ -1401,9 +1671,11 @@ object SnapshotLog {
     * body of every schema-align helper. */
   private def conformTo(
       df: DataFrame,
-      f: org.apache.spark.sql.types.StructField): Column =
+      f: org.apache.spark.sql.types.StructField,
+      strict: Boolean = false): Column =
     df.schema.fields.find(_.name == f.name) match {
-      case Some(sf) => conform(col(f.name), sf.dataType, f.dataType).as(f.name)
+      case Some(sf) => conform(col(f.name), sf.dataType, f.dataType,
+        strict, f.name + ".").as(f.name)
       case None => lit(null).cast(f.dataType).as(f.name)
     }
 
@@ -1526,6 +1798,11 @@ object SnapshotLog {
     * production leaves it a no-op. */
   private[sources] var onBeforeUpsertCommit: () => Unit = () => ()
 
+  /** Test seam: runs inside [[optimizeTable]] immediately before each
+    * commit attempt — the window where a concurrent committer forces
+    * the conflict-narrowed retry. Production leaves it a no-op. */
+  private[sources] var onBeforeOptimizeCommit: () => Unit = () => ()
+
   /** A data file's row count: manifest stats when present, else one
     * parquet footer read (the fallback that makes enabling row
     * tracking on a stats-less table possible — O(new files) driver
@@ -1570,7 +1847,13 @@ object SnapshotLog {
     val reader =
       (if (m.dvs.nonEmpty) Set("deletionVectors") else Set.empty[String]) ++
         (if (m.colmap.nonEmpty || m.dropped.nonEmpty) Set("columnMapping")
-         else Set.empty[String])
+         else Set.empty[String]) ++
+        // mixed-layout manifests gate READERS too: an evolution-unaware
+        // reader would decompose legacy keys under the current layout
+        // and silently mis-prune (tryCommit prunes stale tags first, so
+        // presence of any tag means live legacy keys)
+        (if (m.props.keysIterator.exists(_.startsWith(KeySpecPrefix)))
+          Set("partitionEvolution") else Set.empty[String])
     val writer = reader ++
       (if (m.rowTracking) Set("rowTracking") else Set.empty[String]) ++
       (if (m.constraints.nonEmpty) Set("checkConstraints") else Set.empty[String]) ++
@@ -1590,8 +1873,22 @@ object SnapshotLog {
   val commitAttempts = new java.util.concurrent.atomic.AtomicLong(0L)
   val commitWins = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def tryCommit(fs: FileSystem, base: Path, m0: Manifest): Boolean = {
+  def tryCommit(fs: FileSystem, base: Path, m00: Manifest): Boolean = {
     commitAttempts.incrementAndGet()
+    // partition-evolution hygiene: a layout tag whose key left the
+    // manifest (the partition migrated to the current layout, was
+    // deleted, or the table was overwritten) is dead weight AND would
+    // keep demanding the reader feature — prune here, the single
+    // commit gate, so every committed manifest's tags are exactly its
+    // live legacy keys. (Safe: every commit path builds from a FULL
+    // manifest read — partition-pruned reads never feed commits.)
+    val m0 = {
+      val stale = m00.props.keysIterator
+        .filter(_.startsWith(KeySpecPrefix))
+        .filter(k => !m00.files.contains(k.stripPrefix(KeySpecPrefix)))
+        .toSeq
+      if (stale.isEmpty) m00 else m00.copy(props = m00.props -- stale)
+    }
     // writer-side protocol gate: committing onto a table that requires
     // a writer (or reader) feature this engine lacks would corrupt
     // invariants it cannot see — read the gate from the PREVIOUS
@@ -2038,6 +2335,7 @@ object SnapshotLog {
     try {
       while (!committed && attempt < maxRetries) {
         val m = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
+        requireCurrentLayout(m, partCol)
         // exactly-once gate: a replayed (appId, batchId) is already in
         // the table — nothing to do. Re-checked on EVERY retry, so a
         // concurrent duplicate writer that wins the commit race makes
@@ -2055,17 +2353,25 @@ object SnapshotLog {
         // allocate past any in-flight/crashed claim, not just past the
         // newest COMPLETE manifest, or a dead claim blocks the chain
         val version = nextVersion(fs, bp, m.version)
+        // mixed layout (partition evolution): rows with matching merge
+        // keys may live in ANY legacy partition (their keys there are
+        // unknowable from the change batch) — fold every legacy key
+        // into the affected set; the rewrite restages those rows under
+        // the current layout, migrating the partitions as a side effect
+        val affectedAll: Seq[String] =
+          if (m.legacyKeys.isEmpty) affected.toSeq
+          else (affected ++ m.legacyKeys).distinct.sorted.toSeq
         val affectedState: Map[String, Seq[String]] =
-          affected.iterator.map(p => p -> m.files.getOrElse(p, Nil)).toMap
+          affectedAll.iterator.map(p => p -> m.files.getOrElse(p, Nil)).toMap
         val identSnap =
           m.props.filter(_._1.startsWith(IdentityHighWaterPrefix))
         val dvSnap: Map[String, Dv] = {
-          val fls = affected.flatMap(p => m.files.getOrElse(p, Nil)).toSet
+          val fls = affectedAll.flatMap(p => m.files.getOrElse(p, Nil)).toSet
           m.dvs.filter { case (f, _) => fls(f) }
         }
         if (!mergedAgainst.contains(
             (affectedState, m.colmap, m.dropped, identSnap, dvSnap))) {
-          val relFiles = affected.flatMap(p => m.files.getOrElse(p, Nil)).toSeq
+          val relFiles = affectedAll.flatMap(p => m.files.getOrElse(p, Nil)).toSeq
           // row-tracked tables preserve ids BY KEY through the merge:
           // the affected rows' ids ride a (keys → id) side frame and
           // re-attach to the merge output as the materialized column —
@@ -2158,12 +2464,14 @@ object SnapshotLog {
           mergedAgainst = Some(
             (affectedState, m.colmap, m.dropped, identSnap, dvSnap))
         }
-        val replaced = affected.flatMap(p => m.files.getOrElse(p, Nil))
+        val replaced = affectedAll.flatMap(p => m.files.getOrElse(p, Nil))
+        val stagedByPart = staged.groupBy(_._1)
+          .map { case (p, fls) => p -> fls.map(_._2).sorted }
+        requireNoLegacyCollision(m, partCol, stagedByPart.keys,
+          affectedAll.toSet)
         val next = Manifest(
           version,
-          (m.files -- affected) ++ staged.groupBy(_._1).map {
-            case (p, fls) => p -> fls.map(_._2).sorted
-          },
+          spliceStaged(m.files, affectedAll, stagedByPart),
           (m.stats -- replaced) ++ mergeFileStats(sizeStats(spark, fs, bp, staged), stagedStats),
           // rewritten files take their blooms with them; untouched
           // files keep theirs (conservative: bloom-less files are
@@ -2176,7 +2484,7 @@ object SnapshotLog {
           // did NOT rewrite keeps reading by footer mergeSchema — those
           // files may hold columns the change stream never saw, and a
           // header built from the batch alone would hide them
-          if (m.schemaJson.isEmpty && (m.files -- affected).nonEmpty) None
+          if (m.schemaJson.isEmpty && (m.files -- affectedAll).nonEmpty) None
           else evolveSchema(m.schemaJson,
             org.apache.spark.sql.types.StructType(targetFields.toArray)),
           Some(if (opCol.isDefined) "CDC" else "UPSERT"),
@@ -2269,6 +2577,11 @@ object SnapshotLog {
     val allTxns = txnsAdd ++ txn
     while (committedV < 0 && attempt < maxRetries) {
       val m0Read = readManifest(fs, bp).getOrElse(Manifest(0L, Map.empty))
+      // a REPLACE that explicitly redeclares the layout (propsAdd) is
+      // the one legitimate way to write an evolved table under a
+      // different partitioning — everything else must match
+      if (!(resetColumnState && propsAdd.contains(PartColProp)))
+        requireCurrentLayout(m0Read, partCol)
       val m = if (resetColumnState)
         m0Read.copy(colmap = Map.empty, dropped = Set.empty)
       else m0Read
@@ -2312,6 +2625,10 @@ object SnapshotLog {
       }
       val stagedByPart = staged.groupBy(_._1)
         .map { case (p, fls) => p -> fls.map(_._2).sorted }
+      // overwrite replaces every partition (legacy keys and their tags
+      // leave with it) — only the append merge can collide
+      if (!overwrite)
+        requireNoLegacyCollision(m, partCol, stagedByPart.keys)
       val files =
         if (overwrite) stagedByPart
         else m.files ++ stagedByPart.map { case (p, fls) =>
@@ -3216,6 +3533,12 @@ object SnapshotLog {
       require(!partCol.exists(pc => partColsOf(pc)
         .exists(_.equalsIgnoreCase(field.name))),
         s"cannot rename partition column ${field.name}")
+      // partition evolution: the declared layout AND any legacy layout
+      // still holding live keys pin their columns (affected-set
+      // computation and key decomposition reference them by name)
+      require(!liveLayoutCols(m).exists(_.equalsIgnoreCase(field.name)),
+        s"cannot rename ${field.name} — a current or legacy partition " +
+          "layout references it")
       constraintsReferencing(m, field.name).foreach(n => sys.error(
         s"constraint $n references ${field.name}; drop it first"))
       generatedEntangled(m, field.name).foreach(g => sys.error(
@@ -3275,6 +3598,9 @@ object SnapshotLog {
       require(!partCol.exists(pc => partColsOf(pc)
         .exists(_.equalsIgnoreCase(field.name))),
         s"cannot drop partition column ${field.name}")
+      require(!liveLayoutCols(m).exists(_.equalsIgnoreCase(field.name)),
+        s"cannot drop ${field.name} — a current or legacy partition " +
+          "layout references it")
       require(sc.fields.length > 1, "cannot drop the only column")
       constraintsReferencing(m, field.name).foreach(n => sys.error(
         s"constraint $n references ${field.name}; drop it first"))
@@ -3698,110 +4024,167 @@ object SnapshotLog {
     val bp = new Path(base)
     val fs = fsFor(spark, bp)
     var attempt = 0
+    // CONFLICT-NARROWED retries (the multi-writer soak's OPTIMIZE
+    // latency tail was recompute cost, not contention itself): the
+    // staged rewrite replaces EXACTLY the files it read, so a lost
+    // commit race invalidates it only when a racer removed/rewrote one
+    // of THOSE files (or moved the column mapping / schema / DV state
+    // under it). A concurrent APPEND — even into a partition being
+    // compacted — leaves the staged output valid: the retry splices
+    // METADATA-ONLY, removing the read files and adding the staged
+    // ones beside the racer's (Delta's disjoint-file conflict rule),
+    // instead of re-running the whole rewrite per lost race.
+    var staged: Seq[(String, String, Long)] = Nil
+    var stagedOld: Map[String, Seq[String]] = Map.empty // part -> files READ
+    var stagedStatsC: Map[String, Map[String, (String, String)]] = Map.empty
+    var stagedBloomsC: Map[String, Map[String, String]] = Map.empty
+    var stagedDvs: Map[String, Dv] = Map.empty
+    var stagedColmap: Map[String, String] = Map.empty
+    var stagedDropped: Set[String] = Set.empty
+    var stagedSchema: Option[String] = None
+    var stagedTarget: Option[Long] = None
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(return 0L)
+      requireCurrentLayout(m, partCol)
       val targetBytes = optimizeTargetOf(m)
-      val need = m.files.keySet.toSeq.sorted.filter { p =>
-        val fls = m.files(p)
-        fls.exists(m.dvs.contains) ||
-          (if (m.bucketSpec.isDefined)
-            // bucketed steady state is one file PER BUCKET — or, with a
-            // byte target, ceil(bucketBytes/target) files; only a bucket
-            // over its budget (or an untagged file) fragments
-            !bucketsCompact(fls, manifestBytesOf(m), targetBytes)
-          else fls.size >= math.max(minFiles, 2))
+      val canReuse = staged.nonEmpty && {
+        val fset = stagedOld.values.flatten.toSet
+        stagedOld.forall { case (p, fls) =>
+          val live = m.files.getOrElse(p, Nil).toSet
+          fls.forall(live)
+        } &&
+          m.dvs.filter { case (f, _) => fset(f) } == stagedDvs &&
+          m.colmap == stagedColmap && m.dropped == stagedDropped &&
+          m.schemaJson == stagedSchema && targetBytes == stagedTarget
       }
-      if (need.isEmpty) return 0L
-      val version = nextVersion(fs, bp, m.version)
-      val rel =
-        s"data/o$version-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
-      val dir = new Path(bp, rel)
-      val oldFiles = need.flatMap(p => m.files.getOrElse(p, Nil))
-      // one job: read the fragmented partitions through their DVs.
-      // Without a byte target each partition folds to ONE file (hash
-      // distribution routes its rows to one task); with
-      // [[OptimizeTargetProp]] set, a deterministic content-hash salt
-      // splits each partition into ~ceil(bytes/target) output files —
-      // best-effort (salt groups sharing a task merge), bounded by
-      // [1, n]. Partition byte totals come from the manifest's
-      // `__bytes` rollups — pure metadata, no extra scan; a partition
-      // with any size-less legacy file falls back to the single fold.
-      val saltsOf: Map[String, Int] = targetBytes match {
-        case None => Map.empty
-        case Some(t) => need.map { p =>
-          val sizes = m.files(p).flatMap(f =>
-            m.stats.get(f).flatMap(_.get(ByteSizeKey))
-              .flatMap(_._1.toLongOption))
-          p -> (if (sizes.size != m.files(p).size) 1
-                else math.max(1, math.ceil(sizes.sum.toDouble / t).toInt))
-        }.toMap
-      }
-      val df = readForRewrite(spark, bp, m, oldFiles)
-      val flat = toPhysical(
-        df.withColumn("__p", partRoute(partCol)), m)
-      if (m.bucketSpec.isDefined) {
-        // bucketed OPTIMIZE: re-route by the bucket columns (file
-        // count per partition folds to <= numBuckets, each file one
-        // tagged bucket). With a byte target, buckets whose budget
-        // wants >1 file are soft-split by a content-hash salt into
-        // several files ALL carrying the same bucket tag (which the
-        // bucketed scan groups back into one bucket partition) —
-        // rows still never cross buckets.
-        val saltsPB: Map[String, Int] = targetBytes match {
+      if (!canReuse) {
+        // legacy-layout partitions (partition evolution) always
+        // qualify: OPTIMIZE re-routes their rows under the CURRENT
+        // layout — the incremental migration path that returns the
+        // table to a single layout without a dedicated full rewrite
+        val legacy = m.legacyKeys
+        val need = m.files.keySet.toSeq.sorted.filter { p =>
+          val fls = m.files(p)
+          legacy(p) || fls.exists(m.dvs.contains) ||
+            (if (m.bucketSpec.isDefined)
+              // bucketed steady state is one file PER BUCKET — or, with
+              // a byte target, ceil(bucketBytes/target) files; only a
+              // bucket over its budget (or an untagged file) fragments
+              !bucketsCompact(fls, manifestBytesOf(m), targetBytes)
+            else fls.size >= math.max(minFiles, 2))
+        }
+        if (need.isEmpty) return 0L
+        val rel =
+          s"data/o${m.version + 1}-a$attempt-${java.util.UUID.randomUUID.toString.take(8)}"
+        val dir = new Path(bp, rel)
+        val oldFiles = need.flatMap(p => m.files.getOrElse(p, Nil))
+        // one job: read the fragmented partitions through their DVs.
+        // Without a byte target each partition folds to ONE file (hash
+        // distribution routes its rows to one task); with
+        // [[OptimizeTargetProp]] set, a deterministic content-hash salt
+        // splits each partition into ~ceil(bytes/target) output files —
+        // best-effort (salt groups sharing a task merge), bounded by
+        // [1, n]. Partition byte totals come from the manifest's
+        // `__bytes` rollups — pure metadata, no extra scan; a partition
+        // with any size-less legacy file falls back to the single fold.
+        val saltsOf: Map[String, Int] = targetBytes match {
           case None => Map.empty
-          case Some(t) => need.iterator.flatMap { p =>
-            m.files(p).groupBy(bucketIdOf).collect {
-              case (Some(bid), g) =>
-                val sizes = g.flatMap(manifestBytesOf(m)(_))
-                val k =
-                  if (sizes.size != g.size) 1
-                  else math.max(1, math.ceil(sizes.sum.toDouble / t).toInt)
-                s"$p\u0000$bid" -> k
-            }.filter(_._2 > 1)
+          case Some(t) => need.map { p =>
+            val sizes = m.files(p).flatMap(f =>
+              m.stats.get(f).flatMap(_.get(ByteSizeKey))
+                .flatMap(_._1.toLongOption))
+            p -> (if (sizes.size != m.files(p).size) 1
+                  else math.max(1, math.ceil(sizes.sum.toDouble / t).toInt))
           }.toMap
         }
-        if (saltsPB.isEmpty) stagePartitioned(flat, m, fs, dir)
-        else stageBucketedSplit(flat, m, fs, dir, need, saltsPB)
-      } else {
-      val routed =
-        if (saltsOf.values.forall(_ <= 1)) flat.repartition(col("__p"))
-        else {
-          val dataCols = flat.columns.filter(_ != "__p").toSeq
-          // one task per intended output file: an EXPLICIT task count
-          // (AQE would coalesce a tiny exchange back into one task and
-          // undo the split) sized to the file budget, range-routed so
-          // distinct (partition, salt) groups land in distinct tasks
-          val nTasks = math.max(saltsOf.values.map(_.toLong).sum, 1L)
-            .min(100000L).toInt
-          flat.withColumn("__salt",
-              pmod(xxhash64(struct(dataCols.map(col): _*)),
-                coalesce(element_at(typedLit(saltsOf), col("__p")), lit(1))
-                  .cast("long")))
-            .repartitionByRange(nTasks, col("__p"), col("__salt"))
-            .drop("__salt")
+        val df = readForRewrite(spark, bp, m, oldFiles)
+        val flat = toPhysical(
+          df.withColumn("__p", partRoute(partCol)), m)
+        if (m.bucketSpec.isDefined) {
+          // bucketed OPTIMIZE: re-route by the bucket columns (file
+          // count per partition folds to <= numBuckets, each file one
+          // tagged bucket). With a byte target, buckets whose budget
+          // wants >1 file are soft-split by a content-hash salt into
+          // several files ALL carrying the same bucket tag (which the
+          // bucketed scan groups back into one bucket partition) —
+          // rows still never cross buckets.
+          val saltsPB: Map[String, Int] = targetBytes match {
+            case None => Map.empty
+            case Some(t) => need.iterator.flatMap { p =>
+              m.files(p).groupBy(bucketIdOf).collect {
+                case (Some(bid), g) =>
+                  val sizes = g.flatMap(manifestBytesOf(m)(_))
+                  val k =
+                    if (sizes.size != g.size) 1
+                    else math.max(1, math.ceil(sizes.sum.toDouble / t).toInt)
+                  s"$p\u0000$bid" -> k
+              }.filter(_._2 > 1)
+            }.toMap
+          }
+          if (saltsPB.isEmpty) stagePartitioned(flat, m, fs, dir)
+          else stageBucketedSplit(flat, m, fs, dir, need, saltsPB)
+        } else {
+          val routed =
+            if (saltsOf.values.forall(_ <= 1)) flat.repartition(col("__p"))
+            else {
+              val dataCols = flat.columns.filter(_ != "__p").toSeq
+              // one task per intended output file: an EXPLICIT task
+              // count (AQE would coalesce a tiny exchange back into one
+              // task and undo the split) sized to the file budget,
+              // range-routed so distinct (partition, salt) groups land
+              // in distinct tasks
+              val nTasks = math.max(saltsOf.values.map(_.toLong).sum, 1L)
+                .min(100000L).toInt
+              flat.withColumn("__salt",
+                  pmod(xxhash64(struct(dataCols.map(col): _*)),
+                    coalesce(element_at(typedLit(saltsOf), col("__p")), lit(1))
+                      .cast("long")))
+                .repartitionByRange(nTasks, col("__p"), col("__salt"))
+                .drop("__salt")
+            }
+          routed.write.partitionBy("__p").parquet(dir.toString)
         }
-      routed.write.partitionBy("__p").parquet(dir.toString)
+        staged = listStaged(fs, dir, rel)
+        stagedStatsC =
+          if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
+          else fileStats(spark, fs, dir, rel,
+            statsCols.filterNot(m.dropped.contains))
+        val bloomCols = oldFiles.flatMap(f =>
+          m.blooms.getOrElse(f, Map.empty).keys).distinct
+          .filterNot(m.dropped.contains)
+        stagedBloomsC = computeBlooms(
+          spark, fs, bp, staged.map(_._2), bloomCols, 0.03)
+        stagedOld = need.iterator.map(p => p -> m.files.getOrElse(p, Nil)).toMap
+        val fset = oldFiles.toSet
+        stagedDvs = m.dvs.filter { case (f, _) => fset(f) }
+        stagedColmap = m.colmap; stagedDropped = m.dropped
+        stagedSchema = m.schemaJson; stagedTarget = targetBytes
       }
-      val staged = listStaged(fs, dir, rel)
-      val stagedStats =
-        if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
-        else fileStats(spark, fs, dir, rel,
-          statsCols.filterNot(m.dropped.contains))
-      val bloomCols = oldFiles.flatMap(f =>
-        m.blooms.getOrElse(f, Map.empty).keys).distinct
-        .filterNot(m.dropped.contains)
-      val newBlooms = computeBlooms(
-        spark, fs, bp, staged.map(_._2), bloomCols, 0.03)
+      // commit against the LIVE manifest: remove exactly the files the
+      // rewrite read (a partition emptied of them drops its key —
+      // migration), keep any racer-appended files, add the staged ones
+      val version = nextVersion(fs, bp, m.version)
+      val oldFiles = stagedOld.values.flatten.toSeq
+      val afterRemoval = stagedOld.foldLeft(m.files) { case (acc, (p, fls)) =>
+        val rest = acc.getOrElse(p, Nil).filterNot(fls.toSet)
+        if (rest.isEmpty) acc - p else acc.updated(p, rest)
+      }
+      val stagedByPart = staged.groupBy(_._1)
+        .map { case (p, fls) => p -> fls.map(_._2).sorted }
+      // a rewritten LEGACY partition's rows route under the current
+      // layout — splice-append into possibly-untouched partitions
+      requireNoLegacyCollision(m, partCol, stagedByPart.keys,
+        stagedOld.keySet.filterNot(afterRemoval.contains))
       val next = Manifest(
         version,
-        (m.files -- need) ++ staged.groupBy(_._1).map {
-          case (p, fls) => p -> fls.map(_._2).sorted
-        },
-        (m.stats -- oldFiles) ++ mergeFileStats(sizeStats(spark, fs, bp, staged), stagedStats),
-        (m.blooms -- oldFiles) ++ newBlooms,
+        afterRemoval ++ stagedByPart.map { case (p, fls) =>
+          p -> (afterRemoval.getOrElse(p, Nil) ++ fls).sorted },
+        (m.stats -- oldFiles) ++ mergeFileStats(sizeStats(spark, fs, bp, staged), stagedStatsC),
+        (m.blooms -- oldFiles) ++ stagedBloomsC,
         m.dvs -- oldFiles,
         m.schemaJson,
         Some("OPTIMIZE"), m.constraints, m.txns, m.props, m.colmap, m.dropped)
+      onBeforeOptimizeCommit()
       if (tryCommit(fs, bp, next)) return version
       attempt += 1
     }
@@ -3955,8 +4338,14 @@ object SnapshotLog {
     var attempt = 0
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(return None)
+      requireCurrentLayout(m, partCol)
       val version = nextVersion(fs, bp, m.version)
-      if (partitionOnly) {
+      // mixed-layout tables (partition evolution) skip the
+      // partition-metadata fast path: legacy keys do not decompose
+      // under the current layout, and matching rows inside legacy
+      // partitions need a row-level plan anyway (the DV path below
+      // stays valid — deletion vectors are file-level)
+      if (partitionOnly && m.legacyKeys.isEmpty) {
         // evaluate against the manifest's partition values only
         val parts = m.files.keySet.toSeq.sorted
         val dropped = {
@@ -4102,9 +4491,10 @@ object SnapshotLog {
         // would turn them into a data column
         val lv = readVersion(spark, base, m.version)
           .map(_.drop(RowIdCol)).getOrElse(return None)
-        val matched = matchRows(lv)
-          .select(partRoute(partCol).as("__pv"))
-          .distinct().collect().map(_.getString(0)).toSeq.sorted
+        // affected partitions under EVERY live layout: a matching row
+        // in a legacy (pre-evolution) partition is keyed under its own
+        // layout — the current-layout key alone would miss it
+        val matched = matchedKeysAllLayouts(matchRows(lv), m, partCol)
         if (matched.isEmpty)
           return Some(DmlOutcome(m.version, metadataOnly = false, Nil, Nil))
         val preFiles = matched.flatMap(p => m.files.getOrElse(p, Nil))
@@ -4117,14 +4507,18 @@ object SnapshotLog {
           toPhysical(keep.withColumn("__p", partRoute(partCol)), m),
           m, fs, dir)
         val staged = listStaged(fs, dir, rel)
+        val stagedByPart = staged.groupBy(_._1)
+          .map { case (p, fls) => p -> fls.map(_._2).sorted }
+        // survivors of a rewritten LEGACY partition restaged under the
+        // current layout (migration) — splice-append, never replace an
+        // untouched partition's entry
+        requireNoLegacyCollision(m, partCol, stagedByPart.keys, matched.toSet)
         val stagedStats =
           if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
           else fileStats(spark, fs, dir, rel, statsCols.map(m.phys))
         val next = Manifest(
           version,
-          (m.files -- matched) ++ staged.groupBy(_._1).map {
-            case (p, fls) => p -> fls.map(_._2).sorted
-          },
+          spliceStaged(m.files, matched, stagedByPart),
           (m.stats -- preFiles) ++ mergeFileStats(sizeStats(spark, fs, bp, staged), stagedStats),
           m.blooms -- preFiles,
           m.dvs -- preFiles,
@@ -4179,9 +4573,14 @@ object SnapshotLog {
     val fs = fsFor(spark, bp)
     val cdfOn = writeCdf || readManifest(fs, bp).exists(_.cdfEnabled)
     // conform, not cast: tolerates nullability-only differences and
-    // struct-arity gaps from nested add-column evolution
+    // struct-arity gaps from nested add-column evolution. The USER
+    // BATCH aligns strict: an extra nested subfield the target schema
+    // lacks errors instead of silently discarding its data; survivors
+    // (the table's own files) align non-strict as everywhere else.
     def align(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame =
       df.select(to.fields.toSeq.map(f => conformTo(df, f)): _*)
+    def alignBatch(df: DataFrame, to: org.apache.spark.sql.types.StructType): DataFrame =
+      df.select(to.fields.toSeq.map(f => conformTo(df, f, strict = true)): _*)
     val batch = rows.persist()
     try {
       val violations =
@@ -4194,6 +4593,7 @@ object SnapshotLog {
       var attempt = 0
       while (attempt < maxRetries) {
         val m = readManifest(fs, bp).getOrElse(return None)
+        requireCurrentLayout(m, partCol)
         // idempotent-writer gate (appendBatch's contract): a replayed
         // (appId, version) — a retried dynamic-overwrite backfill —
         // reports the version that already holds it instead of
@@ -4205,9 +4605,10 @@ object SnapshotLog {
         val version = nextVersion(fs, bp, m.version)
         val lv = readVersion(spark, base, m.version)
           .map(_.drop(RowIdCol)).getOrElse(return None)
-        val matchedParts = lv.filter(coalesce(predicate, lit(false)))
-          .select(partRoute(partCol)).distinct()
-          .collect().map(_.getString(0)).toSeq
+        // matching rows in legacy (pre-evolution) partitions key under
+        // their own layout — compute the affected set under every one
+        val matchedParts = matchedKeysAllLayouts(
+          lv.filter(coalesce(predicate, lit(false))), m, partCol)
         val affected = (matchedParts ++ batchParts).distinct.sorted
         val preFiles = affected.flatMap(p => m.files.getOrElse(p, Nil))
         // survivors keep their row ids through the rewrite (tracked
@@ -4228,7 +4629,7 @@ object SnapshotLog {
             keepBase.select(
               lv.schema.fields.toSeq.map(f => conformTo(keepBase, f)) ++
                 mat: _*)
-        val insM = align(batch, lv.schema)
+        val insM = alignBatch(batch, lv.schema)
           .select(lv.schema.fieldNames.map(col).toSeq ++
             (if (mat.isEmpty) Nil
              else Seq(lit(null).cast("long").as(MatRowIdCol))): _*)
@@ -4240,15 +4641,16 @@ object SnapshotLog {
           toPhysical(out.withColumn("__p", partRoute(partCol)), m),
           m, fs, dir)
         val staged = listStaged(fs, dir, rel)
+        val stagedByPart = staged.groupBy(_._1)
+          .map { case (p, fls) => p -> fls.map(_._2).sorted }
+        requireNoLegacyCollision(m, partCol, stagedByPart.keys, affected.toSet)
         val stagedStats =
           if (statsCols.isEmpty || staged.isEmpty)
             Map.empty[String, Map[String, (String, String)]]
           else fileStats(spark, fs, dir, rel, statsCols.map(m.phys))
         val next = Manifest(
           version,
-          (m.files -- affected) ++ staged.groupBy(_._1).map {
-            case (p, fls) => p -> fls.map(_._2).sorted
-          },
+          spliceStaged(m.files, affected, stagedByPart),
           (m.stats -- preFiles) ++ mergeFileStats(sizeStats(spark, fs, bp, staged), stagedStats),
           m.blooms -- preFiles,
           m.dvs -- preFiles,
@@ -4259,7 +4661,7 @@ object SnapshotLog {
           if (cdfOn) {
             val del = align(preAll.filter(coalesce(predicate, lit(false))), lv.schema)
               .withColumn("change_type", lit("delete"))
-            val ins = align(batch, lv.schema)
+            val ins = alignBatch(batch, lv.schema)
               .withColumn("change_type", lit("insert"))
             commitCdfVersion(fs, bp, version,
               del.unionByName(ins).withColumn("_commit_version", lit(version)))
@@ -4335,6 +4737,11 @@ object SnapshotLog {
     var attempt = 0
     while (attempt < maxRetries) {
       val m = readManifest(fs, bp).getOrElse(return None)
+      requireCurrentLayout(m, partCol)
+      // generated PARTITION columns recompute below under the session
+      // clock — enforce the stamped generation timezone (throws on
+      // mismatch; the returned first-write stamp is append-path business)
+      genTzStamp(spark, m.props, partCol)
       val version = nextVersion(fs, bp, m.version)
       val lv = readVersion(spark, base, m.version)
         .map(_.drop(RowIdCol)).getOrElse(return None)
@@ -4362,17 +4769,30 @@ object SnapshotLog {
           }
         }
       }
-      val pairs = postImage(
-        matchRows(lv).withColumn("__gsrc", partRoute(partCol)),
-        Seq(col("__gsrc")))
-        .select(col("__gsrc").as("__src"),
-          partRoute(partCol).as("__dst"))
-        .distinct().collect()
-      if (pairs.isEmpty)
+      val affected: Seq[String] =
+        if (m.legacyKeys.isEmpty) {
+          val pairs = postImage(
+            matchRows(lv).withColumn("__gsrc", partRoute(partCol)),
+            Seq(col("__gsrc")))
+            .select(col("__gsrc").as("__src"),
+              partRoute(partCol).as("__dst"))
+            .distinct().collect()
+          (pairs.map(_.getString(0)) ++ pairs.map(_.getString(1)))
+            .distinct.sorted.toSeq
+        } else {
+          // mixed layout (partition evolution): SOURCE partitions under
+          // every live layout (a matching row in a legacy partition is
+          // keyed under its own layout), DESTINATIONS under the current
+          // one (the rewrite routes there — migration)
+          val matchedLv = matchRows(lv)
+          val src = matchedKeysAllLayouts(matchedLv, m, partCol)
+          val dst = postImage(matchedLv, Nil)
+            .select(partRoute(partCol).as("__dst")).distinct()
+            .collect().iterator.map(_.getString(0)).filter(_ != null).toSeq
+          (src ++ dst).distinct.sorted
+        }
+      if (affected.isEmpty)
         return Some(DmlOutcome(m.version, metadataOnly = false, Nil, Nil))
-      val affected =
-        (pairs.map(_.getString(0)) ++ pairs.map(_.getString(1)))
-          .distinct.sorted.toSeq
       val preFiles = affected.flatMap(p => m.files.getOrElse(p, Nil))
       val pre = align(readFiles(spark, bp, m, preFiles), lv.schema)
       val updated = postImage(matchRows(pre), Nil)
@@ -4406,14 +4826,15 @@ object SnapshotLog {
           .withColumn("__p", partRoute(partCol)), m),
         m, fs, dir)
       val staged = listStaged(fs, dir, rel)
+      val stagedByPart = staged.groupBy(_._1)
+        .map { case (p, fls) => p -> fls.map(_._2).sorted }
+      requireNoLegacyCollision(m, partCol, stagedByPart.keys, affected.toSet)
       val stagedStats =
         if (statsCols.isEmpty || staged.isEmpty) Map.empty[String, Map[String, (String, String)]]
         else fileStats(spark, fs, dir, rel, statsCols.map(m.phys))
       val next = Manifest(
         version,
-        (m.files -- affected) ++ staged.groupBy(_._1).map {
-          case (p, fls) => p -> fls.map(_._2).sorted
-        },
+        spliceStaged(m.files, affected, stagedByPart),
         (m.stats -- preFiles) ++ mergeFileStats(sizeStats(spark, fs, bp, staged), stagedStats),
         m.blooms -- preFiles,
         m.dvs -- preFiles,

@@ -57,7 +57,8 @@ final class SnapshotFileIndex(
     val manifest: SnapshotLog.Manifest,
     partCol: Option[String],
     statuses: Map[String, FileStatus],
-    val typedParts: Option[(Seq[StructField], Map[String, Seq[Any]])] = None)
+    val typedParts: Option[(Seq[StructField], Map[String, Seq[Any]])] = None,
+    keyLayouts: Map[String, Seq[String]] = Map.empty)
   extends FileIndex {
 
   /** (selected, total) of the most recent `listFiles` — lets specs and
@@ -255,15 +256,23 @@ final class SnapshotFileIndex(
       case _ => true
     }
 
+  /** Partition-value exclusion proof for column `c` on file `f` —
+    * evaluated under the file's OWN layout: under partition evolution
+    * (`keyLayouts` non-empty) each legacy key decomposes by the layout
+    * it was written with, and a key whose layout does not include `c`
+    * at all simply keeps the file (its files may hold any value of
+    * `c`; only stats/blooms can exclude them). */
   private def partAllows(c: String, f: String, p: String => Boolean): Boolean =
-    partColSeq.indexOf(c) match {
-      case -1 => true
-      case i => partValueOf.get(f).forall { key =>
-        // exclusion-proof path: a key that does not decompose under
-        // the declared layout (manifest/layout drift) keeps the file
-        scala.util.Try(
-          SnapshotLog.partKeyComponents(key, partColSeq.size)(i))
-          .toOption.forall(p)
+    partValueOf.get(f).forall { key =>
+      val cols = keyLayouts.getOrElse(key, partColSeq)
+      cols.indexOf(c) match {
+        case -1 => true
+        case i =>
+          // exclusion-proof path: a key that does not decompose under
+          // its layout (manifest/layout drift) keeps the file
+          scala.util.Try(
+            SnapshotLog.partKeyComponents(key, cols.size)(i))
+            .toOption.forall(p)
       }
     }
 
@@ -364,6 +373,17 @@ object SnapshotRelation {
       .map(m.phys)
     val physPart: Option[String] =
       if (physPartCols.isEmpty) None else Some(physPartCols.mkString(","))
+    // Partition evolution: per-key layout (PHYSICAL names) for every
+    // live key written under a non-current layout. While any exists,
+    // typed exposure is OFF (a single partitionSchema cannot describe
+    // two layouts, and a legacy key typed under the current layout
+    // would prune wrongly) — pruning degrades to the per-key
+    // exclusion-proof path in [[SnapshotFileIndex.partAllows]], which
+    // evaluates each key under its OWN layout.
+    val keyLayouts: Map[String, Seq[String]] = m.files.keySet.iterator
+      .flatMap(k => m.keyLayout(k).map(l =>
+        k -> SnapshotLog.partColsOf(l).map(m.phys)))
+      .toMap
     // Typed partition exposure (real Spark partition columns → static
     // pruning via FileSourceStrategy + dynamic partition pruning on
     // joins). Only when provably exact — every declared column must
@@ -374,7 +394,8 @@ object SnapshotRelation {
         dataSchema.fields.find(_.name == pc)
           .orElse(dataSchema.fields.find(_.name.equalsIgnoreCase(pc)))
       }
-      if (fields.isEmpty || fields.size != physPartCols.size) None
+      if (fields.isEmpty || fields.size != physPartCols.size ||
+          keyLayouts.nonEmpty) None
       else typedPartValues(m, fields).map(vals => (fields, vals))
     }
     // the SCAN speaks physical parquet names (column mapping): the
@@ -385,7 +406,7 @@ object SnapshotRelation {
     // alias substitution), so pruning and PushedFilters survive
     // renames with zero data movement.
     val index = new SnapshotFileIndex(
-      spark, bp, m, physPart, statuses, typedParts)
+      spark, bp, m, physPart, statuses, typedParts, keyLayouts)
     // a bucketed table's spec (see [[SnapshotLog.BucketCountProp]])
     // hands the scan `HashPartitioning(bucketCols, n)` output
     // partitioning, so a join of two same-bucketed snapshot tables
@@ -454,7 +475,11 @@ object SnapshotRelation {
     val keys = m.files.keys.toSeq
     if (!supported || keys.isEmpty ||
         keys.contains(SnapshotLog.SinglePart) ||
-        keys.contains("__HIVE_DEFAULT_PARTITION__")) return None
+        keys.contains("__HIVE_DEFAULT_PARTITION__") ||
+        // partition evolution: a mixed-layout manifest never exposes
+        // typed partition columns (defense in depth — the caller
+        // already gates on it)
+        m.legacyKeys.nonEmpty) return None
     val n = fields.size
     val typed = keys.map { k =>
       val comps =

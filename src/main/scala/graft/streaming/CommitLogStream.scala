@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{
+  ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions._
@@ -220,7 +222,7 @@ class CommitLogSource(
     skipChangeCommits: Boolean = false,
     initialSnapshot: Boolean = false,
     maxBytesPerBatch: Long = 0L)
-  extends Source {
+  extends Source with SupportsTriggerAvailableNow {
 
   /** Commit classes whose manifest delta is pure inserts — safe for
     * the row feed. COPY INTO and streaming sinks commit as APPEND;
@@ -279,7 +281,10 @@ class CommitLogSource(
     * snapshot version (the snapshot must be one batch, not sliced by
     * admission control). */
   override def getOffset: Option[Offset] = {
-    val vs = feedVersions
+    // under Trigger.AvailableNow, versions past the prepared bound are
+    // invisible to THIS run (the next one's business) — filtering here
+    // keeps the lastReturned watermark consistent with what is offered
+    val vs = feedVersions.filter(v => availableNowBound.forall(v <= _))
     if (vs.isEmpty) snapshotV.map(LongOffset(_))
     else {
       val off0 =
@@ -315,6 +320,57 @@ class CommitLogSource(
       Some(LongOffset(off))
     }
   }
+
+  // ---- Trigger.AvailableNow (SupportsTriggerAvailableNow) --------------
+  //
+  // WITHOUT this trait, Spark wraps a V1 source in
+  // AvailableNowSourceWrapper, which captures getOffset ONCE at stream
+  // start as "everything available". Under admission control
+  // (maxVersionsPerBatch / maxBytesPerBatch) that captured offset is
+  // only the FIRST capped slice — the run delivers one batch and
+  // terminates believing it caught up, silently dropping the rest of
+  // the backfill (spec-pinned in CommitLogStreamSpec). Implementing
+  // the trait directly (Delta's own pattern: a V1 Source that is also
+  // SupportsAdmissionControl) makes the engine drive batch after
+  // capped batch until the HIGH-WATER captured here, then terminate.
+
+  /** Newest feed version at AvailableNow stream start — the bound this
+    * run must reach, then stop at (commits landing after the prepare
+    * are the NEXT run's business). None outside AvailableNow. */
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val newest = math.max(
+      feedVersions.lastOption.getOrElse(Long.MinValue),
+      snapshotV.getOrElse(Long.MinValue))
+    availableNowBound =
+      if (newest == Long.MinValue) Some(startingVersion - 1L)
+      else Some(newest)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def versionOfV2(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  /** Admission-controlled poll (the engine calls this instead of
+    * [[getOffset]] once the trait is present): our caps live inside
+    * [[getOffset]], which under AvailableNow also clamps to the
+    * prepared bound — so the run walks capped batch after capped
+    * batch up to the high-water, then terminates. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    // absorb the engine's restart offset — recovery may poll before
+    // the replayed getBatch re-establishes the watermark
+    Option(startOffset).foreach(o =>
+      lastReturned = math.max(lastReturned, versionOfV2(o)))
+    getOffset.map(o => LongOffset(versionOf(o))).orNull
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    feedVersions.lastOption.map(LongOffset(_)).orNull
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // no checkpointed start = the stream's FIRST batch: begin at

@@ -107,4 +107,52 @@ class IvfReclusterSpec extends SparkSpec {
     if (moved2 == 0L)
       assert(manifest(base).version == vAfter, "no-op commits nothing")
   }
+
+  test("a recluster crash between the two commits is detected and repaired") {
+    val base = Files.createTempDirectory("graft_ivfc").toString + "/ivf"
+    IvfMaintenance.build(s, base, blob(0L, 80, homeCenters), k = 4, iters = 2)
+    (1 to 2).foreach(i => IvfMaintenance.append(s, base,
+      blob(1000L * i, 80, driftCenters)))
+    val centPath = IvfMaintenance.centroidsPath(base)
+    val centOld = SnapshotLog.read(s, centPath).get.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    assert(!IvfMaintenance.halfApplied(s, base))
+
+    // a full recluster, then reproduce its crash window exactly: the
+    // index rewrite landed, the centroid commit did NOT — roll the
+    // centroid table back to the pre-recluster set (no token) and
+    // leave the pending stamp dangling
+    val (moved, _) = IvfMaintenance.recluster(s, base, iters = 2)
+    assert(moved > 0L)
+    SnapshotLog.appendBatch(s, centPath, centOld.toDF("cid", "cv"),
+      SnapshotLog.NoPartCol, batchId = 99L, overwrite = true,
+      resetColumnState = true)
+    SnapshotLog.unsetProperties(s, centPath, Seq(IvfMaintenance.TokenProp))
+    SnapshotLog.setProperties(s, base,
+      Map(IvfMaintenance.PendingProp -> "crash-token"))
+    assert(IvfMaintenance.halfApplied(s, base),
+      "the mixed window must be detectable")
+    // the mixed pair still answers (degraded recall, never wrong rows)
+    val queries = blob(50000L, 8, driftCenters)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val recallMixed = IvfMaintenance.recallAtK(s, base, queries,
+      nprobe = 1, k = 10)
+
+    // repair: centroids re-derived as each cell's exact member mean —
+    // consistent with the stored assignment by construction
+    assert(IvfMaintenance.repairIfPending(s, base))
+    assert(!IvfMaintenance.halfApplied(s, base))
+    assert(manifest(base).props.get(IvfMaintenance.PendingProp).isEmpty)
+    assert(manifest(centPath).props
+      .get(IvfMaintenance.TokenProp).contains("crash-token"))
+    val recallRepaired = IvfMaintenance.recallAtK(s, base, queries,
+      nprobe = 1, k = 10)
+    assert(recallRepaired >= recallMixed,
+      s"repair must not regress recall ($recallMixed -> $recallRepaired)")
+    assert(recallRepaired >= 0.85,
+      s"repaired pair should probe near the reclustered quality, " +
+        s"got $recallRepaired")
+    // repair is idempotent / no-op when nothing dangles
+    assert(!IvfMaintenance.repairIfPending(s, base))
+  }
 }

@@ -163,6 +163,41 @@ class GeneratedColumnsSpec extends SparkSpec {
       == "d0", "insert star must recompute day")
   }
 
+  test("a writer under a different session timezone refuses once the generation tz is stamped") {
+    import s.implicits._
+    val (base, bp, fs, _) = mk("tzguard")
+    // the first post-declaration write stamps the writer's session tz
+    SnapshotLog.upsertBatch(s, base, Seq((400L, 1.0)).toDF("id", "value"),
+      Seq("id"), "id", "day", batchId = 2, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 2, opCol = None, writeCdf = false)
+    assert(SnapshotLog.readManifest(fs, bp).get
+      .props.get(SnapshotLog.GenTzProp).contains("UTC"))
+    val before = s.conf.get("spark.sql.session.timeZone")
+    try {
+      s.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+      // a mismatched writer REFUSES (it would compute generated
+      // partition values under a different clock than every existing
+      // partition — the write-side mirror of the derivation refusal)
+      val e = intercept[Exception] {
+        SnapshotLog.upsertBatch(s, base, Seq((401L, 2.0)).toDF("id", "value"),
+          Seq("id"), "id", "day", batchId = 3, maxRetries = 5, statsCols = Nil,
+          clusterBy = Nil, clusterFiles = 2, opCol = None, writeCdf = false)
+      }
+      assert(e.getMessage.contains("timezone"), e.getMessage)
+      // UPDATE recomputes generated partition values too — same refusal
+      val e2 = intercept[Exception] {
+        SnapshotLog.updateWhere(s, base, col("id") === 400L,
+          Map("value" -> lit(9.0)), "day")
+      }
+      assert(e2.getMessage.contains("timezone"), e2.getMessage)
+    } finally s.conf.set("spark.sql.session.timeZone", before)
+    // back under the stamped tz, writes flow again
+    SnapshotLog.upsertBatch(s, base, Seq((401L, 2.0)).toDF("id", "value"),
+      Seq("id"), "id", "day", batchId = 4, maxRetries = 5, statsCols = Nil,
+      clusterBy = Nil, clusterFiles = 2, opCol = None, writeCdf = false)
+    assert(SnapshotLog.read(s, base).get.filter(col("id") === 401L).count() == 1)
+  }
+
   test("CDC delete markers are exempt from generated-column validation") {
     import s.implicits._
     val (base, _, _, _) = mk("cdc")

@@ -160,4 +160,42 @@ class NestedColumnSpec extends SparkSpec {
     assert(t2.filter(col("p") === "1" && col("o.addr.city").isNull)
       .count() == 0, "pre-ADD subfields survive the conform")
   }
+
+  test("a batch with an EXTRA nested subfield refuses instead of silently dropping it") {
+    val base = Files.createTempDirectory("graft_nest_extra").toString + "/t"
+    mkStructDf(12).write.format("graft").partitionBy("p").save(base)
+    // the batch's struct carries a subfield the table schema lacks —
+    // aligning it away would be silent data loss (Delta refuses the
+    // same batch without mergeSchema); the replace must error loudly
+    // and commit NOTHING
+    val extra = (0 until 3).map(i => (i.toLong, (s"x$i", i, i * 9)))
+      .toDF("id", "meta")
+      .select(col("id"),
+        struct(col("meta._1").as("name"), col("meta._2").as("score"),
+          col("meta._3").as("bonus")).as("meta"),
+        lit("0").as("p"))
+    val vBefore = manifest(base).version
+    val e = intercept[Exception] {
+      SnapshotLog.replaceWhere(s, base, extra, col("p") === "0", "p")
+    }
+    assert(e.getMessage.contains("bonus"), e.getMessage)
+    assert(manifest(base).version == vBefore, "failed replace must not commit")
+    // the dynamic-partition-overwrite surface routes through the same
+    // strict align
+    val e2 = intercept[Exception] {
+      extra.write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").save(base)
+    }
+    assert(e2.getMessage.contains("bonus"), e2.getMessage)
+    // MISSING subfields still backfill NULL (the evolution feature the
+    // strictness must not break)
+    val missing = (20 until 23).map(i => (i.toLong, s"m$i"))
+      .toDF("id", "nm")
+      .select(col("id"), struct(col("nm").as("name")).as("meta"),
+        lit("0").as("p"))
+    SnapshotLog.replaceWhere(s, base, missing, col("p") === "0", "p").get
+    val t = SnapshotLog.read(s, base).get
+    assert(t.filter(col("p") === "0").count() == 3)
+    assert(t.filter(col("id") === 20L).select("meta.score").head.isNullAt(0))
+  }
 }

@@ -1,0 +1,307 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSessions, SparkSpec}
+
+/** PARTITION EVOLUTION (Iceberg spec-v2 semantics) — the round-14
+  * verdict's top item: `repartitionTable` changes the declared layout
+  * as a METADATA-ONLY commit; files written under the old layout stay
+  * keyed under it (tagged via `graft.keyspec.*`), new writes route
+  * under the new one, reads prune each key under its OWN layout, DML
+  * computes affected partitions under EVERY live layout, and rewrites
+  * (OPTIMIZE, DML) migrate legacy partitions to the current layout
+  * incrementally. Covers: the metadata commit, mixed reads, per-layout
+  * pruning, row/partition-predicate DELETE, UPDATE with partition
+  * moves, MERGE, OPTIMIZE migration + feature-demand retirement, time
+  * travel, RESTORE, A→B→A re-evolution, unpartitioned→partitioned,
+  * and the refusal guards. */
+class PartitionEvolutionSpec extends SparkSpec {
+
+  private lazy val s = GraftSessions.withExtensions(spark)
+
+  /** 80 rows: day ∈ {d1..d4} (20 each), region ∈ {east, west} (by id
+    * parity), v = id * 10. */
+  private def rowsDf(n: Int = 80, idOff: Int = 0): DataFrame = {
+    import s.implicits._
+    (0 until n).map { i =>
+      val id = i + idOff
+      (id.toLong, f"2024-01-${1 + i % 4}%02d",
+        if (id % 2 == 0) "east" else "west", id.toLong * 10)
+    }.toDF("id", "day", "region", "v")
+  }
+
+  private def manifest(base: String): SnapshotLog.Manifest = {
+    val bp = new Path(base)
+    SnapshotLog.readManifest(
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration), bp).get
+  }
+
+  private def readT(base: String): DataFrame =
+    s.read.format("graft").load(base)
+
+  private def dayKeys = Set("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+
+  /** day-partitioned table, then evolved to region — the mixed state
+    * every test starts from. */
+  private def mkEvolved(): String = {
+    val base = Files.createTempDirectory("graft_pe").toString + "/t"
+    rowsDf().write.format("graft").partitionBy("day").save(base)
+    SnapshotLog.repartitionTable(s, base, "region")
+    base
+  }
+
+  test("evolution is a metadata-only commit: zero files move") {
+    val base = Files.createTempDirectory("graft_pe1").toString + "/t"
+    rowsDf().write.format("graft").partitionBy("day").save(base)
+    val m0 = manifest(base)
+    assert(m0.props(SnapshotLog.PartColProp) == "day")
+    val v = SnapshotLog.repartitionTable(s, base, "region")
+    val m1 = manifest(base)
+    assert(m1.version == v && m1.op.contains("REPARTITION"))
+    assert(m1.files == m0.files, "evolution must not touch a single file")
+    assert(m1.props(SnapshotLog.PartColProp) == "region")
+    assert(m1.partSpecHistory == Map(0 -> "day"))
+    assert(m1.legacyKeys == dayKeys)
+    // every legacy key carries its layout; mixed state demands the
+    // reader feature (fail-closed against evolution-unaware engines)
+    dayKeys.foreach(k => assert(m1.keyLayout(k).contains("day")))
+    assert(m1.readerFeatures.contains("partitionEvolution"))
+    // idempotent: evolving to the current layout is a no-op
+    assert(SnapshotLog.repartitionTable(s, base, "region") == v)
+    // content unchanged
+    assert(readT(base).count() == 80)
+  }
+
+  test("appends route under the new layout; mixed reads are exact") {
+    val base = mkEvolved()
+    rowsDf(20, idOff = 100).write.format("graft").mode("append").save(base)
+    val m = manifest(base)
+    assert(m.files.keySet == dayKeys ++ Set("east", "west"))
+    assert(m.legacyKeys == dayKeys)
+    val df = readT(base)
+    assert(df.count() == 100)
+    assert(df.groupBy("region").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("east" -> 50, "west" -> 50))
+    assert(df.agg(sum("v")).head.getLong(0) ==
+      (0 until 80).map(_ * 10L).sum + (100 until 120).map(_ * 10L).sum)
+  }
+
+  test("pruning is per-layout on a mixed manifest") {
+    val base = mkEvolved()
+    rowsDf(20, idOff = 100).write.format("graft").mode("append").save(base)
+    val m = manifest(base)
+    val legacyFiles = dayKeys.toSeq.map(k => k -> m.files(k).size).toMap
+    val newFiles = Seq("east", "west").map(k => m.files(k).size).sum
+    val (df, idx) = SnapshotRelation.applyWithIndex(s, base).get
+    // mixed layout: typed exposure must be OFF (a single partition
+    // schema cannot describe two layouts) — pruning is exclusion-proof
+    assert(idx.partitionSchema.isEmpty)
+    // a day predicate prunes the OTHER legacy day partitions; files
+    // under the region layout are kept by partition logic (their keys
+    // say nothing about day — stats may still exclude some)
+    val d1 = df.filter(col("day") === "2024-01-01")
+    assert(d1.count() === 20 + 5) // 20 legacy + 5 of the appended batch
+    val (sel, tot) = idx.lastPruned.get
+    assert(tot == legacyFiles.values.sum + newFiles)
+    assert(sel <= legacyFiles("2024-01-01") + newFiles,
+      s"other legacy days must prune: kept $sel of $tot")
+    // a region predicate prunes the new-layout partition, keeps legacy
+    val e1 = df.filter(col("region") === "east")
+    assert(e1.count() === 50)
+    val (sel2, _) = idx.lastPruned.get
+    assert(sel2 <= legacyFiles.values.sum + m.files("east").size,
+      s"west must prune: kept $sel2 of $tot")
+  }
+
+  test("row-predicate DELETE crosses the boundary and migrates") {
+    val base = mkEvolved()
+    rowsDf(20, idOff = 100).write.format("graft").mode("append").save(base)
+    // ids 0..9 live in legacy day partitions, 100..104 in region ones
+    val doomed = (0L until 10L) ++ (100L until 105L)
+    val out = SnapshotLog.deleteWhere(s, base,
+      col("id").isin(doomed: _*), "region").get
+    assert(!out.metadataOnly)
+    val df = readT(base)
+    assert(df.count() == 100 - 15)
+    assert(df.filter(col("id").isin(doomed: _*)).count() == 0)
+    // the rewritten legacy partitions' survivors were re-routed under
+    // the CURRENT layout — migration: every day key that held a doomed
+    // row is gone, its tag pruned with it
+    val m = manifest(base)
+    val touchedDays = rowsDf().filter(col("id") < 10)
+      .select("day").distinct().collect().map(_.getString(0)).toSet
+    touchedDays.foreach { k =>
+      assert(!m.files.contains(k), s"legacy partition $k should have migrated")
+      assert(!m.props.contains(SnapshotLog.KeySpecPrefix + k),
+        s"stale keyspec tag for $k must be pruned")
+    }
+    // survivors landed under region keys, nothing lost
+    assert(df.agg(sum("v")).head.getLong(0) ==
+      ((0 until 80) ++ (100 until 120)).filterNot(i =>
+        doomed.contains(i.toLong)).map(_ * 10L).sum)
+  }
+
+  test("partition-predicate DELETE on a mixed table takes the row path and stays exact") {
+    val base = mkEvolved()
+    rowsDf(20, idOff = 100).write.format("graft").mode("append").save(base)
+    // region is the CURRENT partition column, but east rows also live
+    // inside every legacy day partition — a metadata drop of the east
+    // key alone would silently keep those
+    val out = SnapshotLog.deleteWhere(s, base, col("region") === "east", "region").get
+    assert(!out.metadataOnly, "mixed layout must force the row path")
+    val df = readT(base)
+    assert(df.count() == 50)
+    assert(df.filter(col("region") === "east").count() == 0)
+  }
+
+  test("UPDATE with a partition move crosses the boundary") {
+    val base = mkEvolved()
+    // move every east row with id < 6 to west (rows live in legacy
+    // partitions only) and bump v
+    val out = SnapshotLog.updateWhere(s, base,
+      col("region") === "east" && col("id") < 6,
+      Map("region" -> lit("west"), "v" -> (col("v") + 1)), "region").get
+    assert(!out.metadataOnly)
+    val df = readT(base)
+    assert(df.count() == 80)
+    assert(df.filter(col("id").isin(0L, 2L, 4L) &&
+      col("region") === "west" && col("v") === col("id") * 10 + 1).count() == 3)
+    assert(df.filter(col("region") === "east" && col("id") < 6).count() == 0)
+  }
+
+  test("MERGE on a mixed table finds keys in legacy partitions (no duplicates)") {
+    val base = mkEvolved()
+    import s.implicits._
+    // id 3 lives in a legacy day partition; the merge batch routes it
+    // under region — without legacy-aware affected sets this would
+    // duplicate the key
+    val changes = Seq((3L, "2024-01-04", "west", 999L))
+      .toDF("id", "day", "region", "v")
+    SnapshotLog.upsertBatch(s, base, changes, "id", "v", "region", batchId = 7L)
+    val df = readT(base)
+    assert(df.filter(col("id") === 3).count() == 1, "merge must not duplicate")
+    assert(df.filter(col("id") === 3).head.getLong(3) == 999L)
+    assert(df.count() == 80)
+    // the merge rewrote every legacy partition (conservative affected
+    // set) — the table is fully migrated as a side effect
+    assert(manifest(base).legacyKeys.isEmpty)
+  }
+
+  test("OPTIMIZE migrates legacy partitions and retires the feature demand") {
+    val base = mkEvolved()
+    rowsDf(20, idOff = 100).write.format("graft").mode("append").save(base)
+    val before = readT(base).orderBy("id").collect().toSeq
+    val v = SnapshotLog.optimizeTable(s, base, "region")
+    assert(v > 0)
+    val m = manifest(base)
+    assert(m.legacyKeys.isEmpty, "OPTIMIZE must migrate every legacy key")
+    assert(m.files.keySet == Set("east", "west"))
+    assert(m.props.keySet.forall(!_.startsWith(SnapshotLog.KeySpecPrefix)))
+    assert(!m.readerFeatures.contains("partitionEvolution"),
+      "a fully-migrated table must stop demanding the feature")
+    assert(readT(base).orderBy("id").collect().toSeq == before,
+      "OPTIMIZE is content-preserving")
+    // single-layout again: typed exposure returns
+    val (_, idx) = SnapshotRelation.applyWithIndex(s, base).get
+    assert(idx.partitionSchema.fieldNames.toSeq == Seq("region"))
+  }
+
+  test("time travel reads pre-evolution versions under the old layout; RESTORE rolls back") {
+    val base = Files.createTempDirectory("graft_pe_tt").toString + "/t"
+    rowsDf().write.format("graft").partitionBy("day").save(base)
+    val v0 = manifest(base).version
+    SnapshotLog.repartitionTable(s, base, "region")
+    rowsDf(20, idOff = 100).write.format("graft").mode("append").save(base)
+    // the pinned old version still reads (and with day typed-exposed)
+    val (dfOld, idxOld) = SnapshotRelation
+      .applyWithIndex(s, base, versionAsOf = Some(v0)).get
+    assert(dfOld.count() == 80)
+    assert(idxOld.partitionSchema.fieldNames.toSeq == Seq("day"))
+    // RESTORE to pre-evolution: the layout (and tag-free props) roll
+    // back with the manifest
+    SnapshotLog.restoreTable(s, base, v0)
+    val m = manifest(base)
+    assert(m.props(SnapshotLog.PartColProp) == "day")
+    assert(m.props.keySet.forall(!_.startsWith(SnapshotLog.KeySpecPrefix)))
+    assert(m.legacyKeys.isEmpty)
+    assert(readT(base).count() == 80)
+  }
+
+  test("A → B → A re-evolution: returning keys shed their tags") {
+    val base = mkEvolved() // day → region
+    rowsDf(20, idOff = 100).write.format("graft").mode("append").save(base)
+    SnapshotLog.repartitionTable(s, base, "day") // back to day
+    val m = manifest(base)
+    assert(m.props(SnapshotLog.PartColProp) == "day")
+    assert(m.partSpecHistory == Map(0 -> "day", 1 -> "region"))
+    // day keys are current again (untagged); east/west are now legacy
+    assert(m.legacyKeys == Set("east", "west"))
+    dayKeys.foreach(k =>
+      assert(!m.props.contains(SnapshotLog.KeySpecPrefix + k)))
+    assert(m.keyLayout("east").contains("region"))
+    assert(readT(base).count() == 100)
+    // and a delete still finds rows in BOTH legacy generations
+    SnapshotLog.deleteWhere(s, base, col("id") === 100L, "day")
+    assert(readT(base).count() == 99)
+  }
+
+  test("unpartitioned → partitioned: the __all__ blob is a legacy partition") {
+    val base = Files.createTempDirectory("graft_pe_up").toString + "/t"
+    rowsDf().write.format("graft").save(base) // unpartitioned
+    assert(manifest(base).props(SnapshotLog.PartColProp) == "")
+    SnapshotLog.repartitionTable(s, base, "day")
+    val m1 = manifest(base)
+    assert(m1.legacyKeys == Set(SnapshotLog.SinglePart))
+    rowsDf(20, idOff = 100).write.format("graft").mode("append").save(base)
+    assert(manifest(base).files.keySet == dayKeys + SnapshotLog.SinglePart)
+    assert(readT(base).count() == 100)
+    // a delete must reach inside the blob
+    SnapshotLog.deleteWhere(s, base, col("id") === 5L, "day").get
+    assert(readT(base).count() == 99)
+    // OPTIMIZE shatters the blob into day partitions
+    SnapshotLog.optimizeTable(s, base, "day")
+    val m2 = manifest(base)
+    assert(m2.files.keySet == dayKeys && m2.legacyKeys.isEmpty)
+    assert(readT(base).count() == 99)
+  }
+
+  test("refusal guards: unknown column, undeclared layout, schema surgery on layout columns") {
+    val base = Files.createTempDirectory("graft_pe_g").toString + "/t"
+    rowsDf().write.format("graft").partitionBy("day").save(base)
+    val e1 = intercept[Exception] {
+      SnapshotLog.repartitionTable(s, base, "nope") }
+    assert(e1.getMessage.contains("no such column"))
+    SnapshotLog.repartitionTable(s, base, "region")
+    // a legacy layout column can be neither dropped nor renamed while
+    // its keys live — decomposition would break
+    val e2 = intercept[Exception] { SnapshotLog.dropColumn(s, base, "day") }
+    assert(e2.getMessage.contains("layout"))
+    val e3 = intercept[Exception] {
+      SnapshotLog.renameColumn(s, base, "day", "dia") }
+    assert(e3.getMessage.contains("layout"))
+    // after migration both are allowed again
+    SnapshotLog.optimizeTable(s, base, "region")
+    SnapshotLog.renameColumn(s, base, "day", "dia")
+    assert(readT(base).columns.contains("dia"))
+  }
+
+  test("replaceWhere on a mixed table replaces matching legacy rows too") {
+    val base = mkEvolved()
+    import s.implicits._
+    // replace ALL east rows (they live only in legacy partitions) with
+    // a 2-row batch
+    val batch = Seq((500L, "2024-01-01", "east", 1L), (501L, "2024-01-02", "east", 2L))
+      .toDF("id", "day", "region", "v")
+    SnapshotLog.replaceWhere(s, base, batch, col("region") === "east", "region").get
+    val df = readT(base)
+    assert(df.filter(col("region") === "east").count() == 2)
+    assert(df.count() == 40 + 2) // 40 west survivors + batch
+  }
+}

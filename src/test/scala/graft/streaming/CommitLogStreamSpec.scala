@@ -176,4 +176,66 @@ class CommitLogStreamSpec extends SparkSpec {
       !all.exists(_ < 3L),
       s"restart must deliver only version 4 once, got $all")
   }
+
+  test("Trigger.AvailableNow catch-up terminates under both admission caps") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_clstream_an").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft_clstream_an_ck").toString
+    (1 to 6).foreach(i => upsert(base, i, (i.toLong, i.toLong, "a")))
+
+    // one entry per micro-batch: the versions it carried
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    def runAvailableNow(opts: Map[String, String]): Boolean = {
+      val reader = spark.readStream
+        .format(classOf[CommitLogSourceProvider].getName)
+        .option("path", base)
+      opts.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val vs = df.select("_commit_version").collect()
+            .map(_.getLong(0)).toSet
+          if (vs.nonEmpty) batches.add(vs)
+          ()
+        }
+        .start()
+      // the whole point of AvailableNow: the query ENDS on its own —
+      // a version-capped source that keeps re-offering its last offset
+      // would hang here, which is exactly the backfill bug to pin
+      q.awaitTermination(180000L)
+    }
+
+    // version-capped catch-up: 6 pending commits at 2/batch = 3 slices
+    assert(runAvailableNow(Map("maxVersionsPerBatch" -> "2")),
+      "AvailableNow must terminate under maxVersionsPerBatch")
+    val sliced = batches.toArray(Array.empty[Set[Long]]).toSeq
+    assert(sliced.flatten.toSet == (1L to 6L).toSet,
+      s"catch-up must deliver every commit exactly once, got $sliced")
+    assert(sliced.map(_.size).sum == 6, s"no version delivered twice: $sliced")
+    assert(sliced.size == 3 && sliced.forall(_.size == 2),
+      s"admission control must slice 6 versions into 3 two-version " +
+        s"batches, got ${sliced.map(_.size)}")
+
+    // nothing new: an immediate re-run delivers zero rows and terminates
+    batches.clear()
+    assert(runAvailableNow(Map("maxVersionsPerBatch" -> "2")),
+      "an up-to-date AvailableNow run must terminate immediately")
+    assert(batches.isEmpty, s"no new commits → no rows, got $batches")
+
+    // byte-capped catch-up: a 1-byte cap admits exactly one version per
+    // batch (the at-least-one rule keeps it from stalling), and the
+    // checkpointed restart resumes past the already-delivered history
+    (7 to 9).foreach(i => upsert(base, i, (i.toLong, i.toLong, "a")))
+    batches.clear()
+    assert(runAvailableNow(Map("maxBytesPerBatch" -> "1")),
+      "AvailableNow must terminate under maxBytesPerBatch")
+    val byteSliced = batches.toArray(Array.empty[Set[Long]]).toSeq
+    assert(byteSliced.flatten.toSet == Set(7L, 8L, 9L),
+      s"restart must deliver exactly the new commits, got $byteSliced")
+    assert(byteSliced.size == 3 && byteSliced.forall(_.size == 1),
+      s"a tiny byte cap admits one version per batch, got " +
+        s"${byteSliced.map(_.size)}")
+  }
 }
