@@ -57,7 +57,11 @@ tables = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 con = duckdb.connect()
 for t in tables:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    # the driver corpus ships single files; an exploded corpus
+    # (graft.tools.Explode) is a Spark-written DIRECTORY per table
+    p = f"{sf}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 out = {}
 for name, sql in json.load(open(sys.argv[1])).items():
     try:

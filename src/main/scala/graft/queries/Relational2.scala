@@ -5613,6 +5613,160 @@ object Relational2 {
       GROUP BY 1 ORDER BY 1
       """))
 
+  /** NESTED COLUMN MAPPING (round-14 verdict item #2), graded at the
+    * oracle: a struct field RENAMES as a metadata-only commit (gated:
+    * zero files rewritten — the dotted colmap entry re-points the
+    * logical name at the unchanged physical subfield), old and new
+    * shape slices append, a subfield is DROPPED and a same-name field
+    * RE-ADDED — the re-add maps to a FRESH physical slot (gated), so
+    * the dropped bytes can never resurrect: the oracle's
+    * `n_flagged = 0` would MISMATCH if any old value leaked through.
+    * A row DELETE then rewrites across every shape boundary. At
+    * 100 TB: renaming/dropping a field inside an event-payload struct
+    * without rewriting exabytes — Delta gates the same ops behind
+    * column mapping. */
+  val q136NestedMapping: Q = Q(
+    "q136_nested_mapping",
+    "nested column mapping: metadata-only subfield rename/drop, resurrection-proof re-add, DML across shapes",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_nm136").toString + "/tbl"
+      val orders = t(s, d, "orders")
+      def shaped(df: org.apache.spark.sql.DataFrame, amtName: String) =
+        df.select(col("o_orderkey").as("id"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as(amtName)).as("meta"),
+          (col("o_orderkey") % 4).cast("string").as("p"))
+      shaped(orders.filter(col("o_orderkey") % 2 === 0), "price")
+        .write.format("graft").partitionBy("p").save(base)
+      def manifest() = {
+        val bp = new org.apache.hadoop.fs.Path(base)
+        SnapshotLog.readManifest(
+          bp.getFileSystem(s.sparkContext.hadoopConfiguration), bp).get
+      }
+      // metadata-only nested RENAME: price -> amt
+      val filesBefore = manifest().allFiles
+      SnapshotLog.renameNestedColumn(s, base, Seq("meta", "price"), "amt")
+      require(manifest().allFiles == filesBefore,
+        "nested RENAME must rewrite zero files")
+      require(manifest().colmap == Map("meta.amt" -> "price"),
+        s"dotted colmap entry expected, got ${manifest().colmap}")
+      // a NEW-shape slice appends under the renamed name
+      shaped(orders.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L), "amt")
+        .write.format("graft").mode("append").save(base)
+      // flag lifecycle: add, populate via one slice, DROP, re-ADD —
+      // the re-added slot must be fresh (resurrection-proof)
+      SnapshotLog.addNestedColumn(s, base, Seq("meta", "flag"),
+        org.apache.spark.sql.types.StructField("flag",
+          org.apache.spark.sql.types.IntegerType))
+      orders.filter(col("o_orderkey") % 103 === 0)
+        .select((col("o_orderkey") + 800000000L).as("id"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_totalprice").as("amt"),
+            (col("o_orderkey") % 7).cast("int").as("flag")).as("meta"),
+          ((col("o_orderkey") + 800000000L) % 4).cast("string").as("p"))
+        .write.format("graft").mode("append").save(base)
+      SnapshotLog.dropNestedColumn(s, base, Seq("meta", "flag"))
+      SnapshotLog.addNestedColumn(s, base, Seq("meta", "flag"),
+        org.apache.spark.sql.types.StructField("flag",
+          org.apache.spark.sql.types.IntegerType))
+      require(manifest().colmap.get("meta.flag").exists(_ != "flag"),
+        "re-added subfield must map to a fresh physical slot")
+      // a row DELETE rewrites across every shape boundary
+      SnapshotLog.deleteWhere(s, base,
+        col("meta.status") === "F" && col("id") % 5 === 0, "p")
+      s.read.format("graft").load(base)
+        .groupBy(col("meta.status").as("status"))
+        .agg(count(lit(1)).as("n"),
+          dsumD(col("meta.amt")).as("total"),
+          count(col("meta.flag")).as("n_flagged"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH appended AS (
+        SELECT o_orderkey AS id, o_orderstatus AS status,
+               o_totalprice AS amt
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey + 900000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 101 = 0
+        UNION ALL
+        SELECT o_orderkey + 800000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 103 = 0),
+      kept AS (
+        SELECT * FROM appended WHERE NOT (status = 'F' AND id % 5 = 0))
+      SELECT status, COUNT(*) AS n,
+             CAST(SUM(CAST(amt AS DECIMAL(38,4))) AS DOUBLE) AS total,
+             CAST(0 AS BIGINT) AS n_flagged
+      FROM kept GROUP BY 1 ORDER BY 1
+      """))
+
+  /** COMPOUND generated partitioning (round-14 verdict item #7): a
+    * `(oy, om)` layout where BOTH columns are GENERATED from the same
+    * timestamp (`year(o_orderdate)`, `date_format(o_orderdate,
+    * 'yyyy-MM')`), queried with a raw o_orderdate range — the
+    * derivation rule must plant conjuncts on BOTH partition columns
+    * (gated by inspecting the optimized filter's references) and the
+    * typed exposure must prune to the touched cells (gated by
+    * lastPruned). The oracle recomputes from `orders` with the bare
+    * timestamp predicate. At 100 TB this is the canonical
+    * year/month event layout: every ts-range query prunes at both
+    * levels with no query rewrite. */
+  val q135CompoundGenerated: Q = Q(
+    "q135_compound_generated",
+    "(y, m) both GENERATED from one timestamp: a raw ts range derives and prunes on both",
+    (s0, d) => {
+      import graft.sources.SnapshotLog
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_cg135").toString + "/tbl"
+      val fact = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .withColumn("oy", year(col("o_orderdate")))
+        .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+      SnapshotLog.appendBatch(s, base, fact, "oy,om", batchId = 1,
+        propsAdd = Map(
+          SnapshotLog.PartColProp -> "oy,om",
+          SnapshotLog.GenColPrefix + "oy" -> "year(o_orderdate)",
+          SnapshotLog.GenColPrefix + "om" ->
+            "date_format(o_orderdate, 'yyyy-MM')"))
+      val (rel, idx) = graft.sources.SnapshotRelation
+        .applyWithIndex(s, base).get
+      require(idx.partitionSchema.fieldNames.toSeq == Seq("oy", "om"),
+        "both generated columns must typed-expose")
+      val lo = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+      val q = rel
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .groupBy(col("oy"), col("om"))
+        .agg(count(lit(1)).as("n"), dsumD(col("o_totalprice")).as("total"))
+        .orderBy(col("om"))
+      // BOTH components must appear in the derived filter
+      val refs = q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.references.map(_.name).toSet
+      }.flatten.toSet
+      require(refs.contains("oy") && refs.contains("om"),
+        s"derivation must plant conjuncts on both components, got $refs")
+      q.collect()
+      val (sel, tot) = idx.lastPruned.get
+      require(sel < tot && sel > 0 && sel <= tot / 10,
+        s"3 months of ~7 years must prune hard, kept $sel/$tot")
+      q
+    },
+    Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS oy,
+             strftime(o_orderdate, '%Y-%m') AS om, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+      GROUP BY 1, 2 ORDER BY om
+      """))
+
   /** Dynamic partition overwrite
     * ([[graft.sources.WriteIntoGraft.PartitionOverwriteModeOption]],
     * Spark's `partitionOverwriteMode=dynamic`): `mode("overwrite")`
@@ -6067,6 +6221,7 @@ object Relational2 {
     q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere, q122DsvWrite,
     q123FormatStream, q124CatalogAlter, q125CatalogDml, q126Unpartitioned,
     q132MultiPartition, q133NestedEvolution, q134PartitionEvolution,
+    q135CompoundGenerated, q136NestedMapping,
     q127CatalogVerbs, q128DppJoin, q129MetadataAgg, q130GeneratedPruning,
     q131DynamicOverwrite,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,

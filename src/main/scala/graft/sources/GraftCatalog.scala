@@ -236,9 +236,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     def topLevel(fieldNames: Array[String], what: String): String = {
       require(fieldNames.length == 1,
         s"cannot $what nested field ${fieldNames.mkString(".")} — " +
-          "without NESTED column mapping a re-added same-name subfield " +
-          "would resurrect the old field's bytes from pre-change files; " +
-          "nested ADD is supported, nested rename/drop/retype refuse")
+          "retype is widening-only and defined for top-level columns")
       fieldNames.head
     }
     changes.foreach {
@@ -253,12 +251,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         SnapshotLog.addColumns(spark, base, StructType(Seq(
           org.apache.spark.sql.types.StructField(
             ac.fieldNames().head, ac.dataType, nullable = true))))
+      case rc: TableChange.RenameColumn if rc.fieldNames().length > 1 =>
+        // nested column mapping: metadata-only rename of a subfield
+        SnapshotLog.renameNestedColumn(spark, base,
+          rc.fieldNames().toSeq, rc.newName())
       case rc: TableChange.RenameColumn =>
         SnapshotLog.renameColumn(spark, base,
-          topLevel(rc.fieldNames(), "rename"), rc.newName(), layoutCol)
+          rc.fieldNames().head, rc.newName(), layoutCol)
+      case dc: TableChange.DeleteColumn if dc.fieldNames().length > 1 =>
+        // nested column mapping: metadata-only tombstone of a subfield
+        SnapshotLog.dropNestedColumn(spark, base, dc.fieldNames().toSeq)
       case dc: TableChange.DeleteColumn =>
         SnapshotLog.dropColumn(spark, base,
-          topLevel(dc.fieldNames(), "drop"), layoutCol)
+          dc.fieldNames().head, layoutCol)
       case uc: TableChange.UpdateColumnType =>
         // SQL-standard `ALTER TABLE t ALTER COLUMN c TYPE bigint` —
         // the same lossless-widening machinery as the custom verb

@@ -155,9 +155,15 @@ object SnapshotLog {
       writerFeatures: Set[String] = Set.empty) {
     /** Physical parquet column for logical name `c`. */
     def phys(c: String): String = colmap.getOrElse(c, c)
-    /** Physical names a NEW column may not claim: every live mapping
-      * target plus every tombstone. */
-    def taintedPhys: Set[String] = colmap.values.toSet ++ dropped
+    /** TOP-LEVEL physical names a NEW column may not claim: every
+      * live top-level mapping target plus every top-level tombstone.
+      * NESTED entries (dotted keys/paths — nested column mapping) are
+      * scoped to their parent struct and checked there
+      * ([[SnapshotLog.scopeTainted]]); a nested leaf named `x` must
+      * not block an unrelated top-level `x`. */
+    def taintedPhys: Set[String] =
+      colmap.collect { case (k, v) if !k.contains('.') => v }.toSet ++
+        dropped.filterNot(_.contains('.'))
     /** Change-data-feed enabled at the TABLE level (see [[props]]). */
     def cdfEnabled: Boolean =
       props.get(CdfProp).exists(_.trim.equalsIgnoreCase("true"))
@@ -1456,6 +1462,163 @@ object SnapshotLog {
         .drop("__rt_file", "__rt_pos"), m)
   }
 
+  // ---- NESTED column mapping -------------------------------------------
+  //
+  // [[Manifest.colmap]] keys may be DOTTED LOGICAL PATHS ("meta.nm");
+  // the value is always the leaf's PHYSICAL field name within its
+  // parent struct. [[Manifest.dropped]] entries may be DOTTED PHYSICAL
+  // paths. Top-level entries keep their original meaning bit-for-bit,
+  // so pre-existing manifests parse and behave unchanged. The path
+  // separator is '.', which Spark nested references use anyway; a
+  // top-level column with a literal dot in its name is outside this
+  // feature (the same limitation Spark's own nested handling has).
+  // Arrays of structs map their ELEMENT fields under the array's own
+  // path (no extra segment) — the Delta convention.
+
+  /** Any mapping or tombstone STRICTLY BELOW logical path `lp` /
+    * physical path `pp` — the trigger for rebuilding a struct column
+    * instead of passing it through. */
+  private def nestedStateUnder(m: Manifest, lp: String, pp: String): Boolean = {
+    val lpfx = lp + "."
+    val ppfx = pp + "."
+    m.colmap.keysIterator.exists(_.startsWith(lpfx)) ||
+      m.dropped.exists(_.startsWith(ppfx))
+  }
+
+  /** PHYSICAL dotted path of a LOGICAL dotted path: each segment maps
+    * through the colmap entry of its growing logical prefix. */
+  private[sources] def physPathOf(m: Manifest, logPath: String): String = {
+    val segs = logPath.split("\\.").toSeq
+    segs.foldLeft(("", List.empty[String])) { case ((pfx, acc), seg) =>
+      val lp = if (pfx.isEmpty) seg else s"$pfx.$seg"
+      (lp, m.colmap.getOrElse(lp, seg) :: acc)
+    }._2.reverse.mkString(".")
+  }
+
+  /** Is physical subfield name `name` claimed or tombstoned within the
+    * struct at logical path `parentLog`? The nested analog of
+    * [[Manifest.taintedPhys]] — a re-added same-name subfield must map
+    * to a fresh physical slot or the dropped bytes resurrect. */
+  private[sources] def scopeTainted(
+      m: Manifest, parentLog: String, name: String): Boolean = {
+    val pfx = parentLog + "."
+    m.colmap.exists { case (k, v) =>
+      k.startsWith(pfx) && !k.stripPrefix(pfx).contains('.') && v == name
+    } || m.dropped.contains(physPathOf(m, parentLog) + "." + name)
+  }
+
+  /** The PHYSICAL type of a LOGICAL type rooted at `logPath`: subfield
+    * names rename recursively through the mapping; shape unchanged
+    * (tombstoned slots are absent from the logical type already). */
+  private def physTypeOf(
+      m: Manifest, dt: org.apache.spark.sql.types.DataType,
+      logPath: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val lp = s"$logPath.${f.name}"
+        f.copy(name = m.colmap.getOrElse(lp, f.name),
+          dataType = physTypeOf(m, f.dataType, lp))
+      })
+      case ArrayType(e, n) => ArrayType(physTypeOf(m, e, logPath), n)
+      case other => other
+    }
+  }
+
+  /** The LOGICAL type of a PHYSICAL type rooted at (logPath, physPath):
+    * names invert through each scope's mapping, tombstoned physical
+    * subpaths disappear. */
+  private def logicalTypeOf(
+      m: Manifest, dt: org.apache.spark.sql.types.DataType,
+      logPath: String, physPath: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    dt match {
+      case st: StructType =>
+        val pfx = logPath + "."
+        val inv = m.colmap.collect {
+          case (k, v) if k.startsWith(pfx) &&
+              !k.stripPrefix(pfx).contains('.') =>
+            (v, k.stripPrefix(pfx))
+        }
+        StructType(st.fields.toSeq.flatMap { f =>
+          val pp = s"$physPath.${f.name}"
+          if (m.dropped(pp)) None
+          else {
+            val ln = inv.getOrElse(f.name, f.name)
+            Some(f.copy(name = ln,
+              dataType = logicalTypeOf(m, f.dataType, s"$logPath.$ln", pp)))
+          }
+        })
+      case ArrayType(e, n) =>
+        ArrayType(logicalTypeOf(m, e, logPath, physPath), n)
+      case other => other
+    }
+  }
+
+  /** Rebuild a LOGICAL-shaped column into its PHYSICAL shape when any
+    * nested mapping/tombstone lives below it; identity otherwise.
+    * Source nullness is preserved (the struct rebuild would otherwise
+    * turn a NULL struct into a struct of NULLs). */
+  private def toPhysicalCol(
+      m: Manifest, src: Column,
+      dt: org.apache.spark.sql.types.DataType, logPath: String): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    dt match {
+      case st: StructType
+          if nestedStateUnder(m, logPath, physPathOf(m, logPath)) =>
+        val fields = st.fields.toSeq.map { f =>
+          val lp = s"$logPath.${f.name}"
+          if (!m.colmap.contains(lp) && scopeTainted(m, logPath, f.name))
+            sys.error(s"subfield '$lp' collides with a renamed/dropped " +
+              "physical slot; re-add it via ALTER TABLE ADD COLUMNS")
+          toPhysicalCol(m, src.getField(f.name), f.dataType, lp)
+            .as(m.colmap.getOrElse(lp, f.name))
+        }
+        when(src.isNull, lit(null).cast(physTypeOf(m, st, logPath)))
+          .otherwise(struct(fields: _*))
+      case ArrayType(st: StructType, _)
+          if nestedStateUnder(m, logPath, physPathOf(m, logPath)) =>
+        transform(src, x => toPhysicalCol(m, x, st, logPath))
+      case _ => src
+    }
+  }
+
+  /** Inverse of [[toPhysicalCol]]: a PHYSICAL-shaped column back to its
+    * LOGICAL shape — subfields rename back, tombstoned physical
+    * subpaths are projected away (resurrection-proofing: downstream
+    * schema alignment matches by name). */
+  private def toLogicalCol(
+      m: Manifest, src: Column,
+      physDt: org.apache.spark.sql.types.DataType,
+      logPath: String, physPath: String): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    physDt match {
+      case st: StructType if nestedStateUnder(m, logPath, physPath) =>
+        val pfx = logPath + "."
+        val inv = m.colmap.collect {
+          case (k, v) if k.startsWith(pfx) &&
+              !k.stripPrefix(pfx).contains('.') =>
+            (v, k.stripPrefix(pfx))
+        }
+        val fields = st.fields.toSeq.flatMap { f =>
+          val pp = s"$physPath.${f.name}"
+          if (m.dropped(pp)) None
+          else {
+            val ln = inv.getOrElse(f.name, f.name)
+            Some(toLogicalCol(m, src.getField(f.name), f.dataType,
+              s"$logPath.$ln", pp).as(ln))
+          }
+        }
+        when(src.isNull,
+          lit(null).cast(logicalTypeOf(m, st, logPath, physPath)))
+          .otherwise(struct(fields: _*))
+      case ArrayType(st: StructType, _)
+          if nestedStateUnder(m, logPath, physPath) =>
+        transform(src, x => toLogicalCol(m, x, st, logPath, physPath))
+      case _ => src
+    }
+  }
+
   /** Rename a frame's LOGICAL data columns to their PHYSICAL parquet
     * names — the last step before any staged data write, so files on
     * disk always carry physical names regardless of renames
@@ -1464,19 +1627,23 @@ object SnapshotLog {
     * whose identity name is tombstoned or claimed as another column's
     * physical target fails fast — silently writing it would alias
     * dropped/renamed bytes (evolution of such a name goes through
-    * ALTER TABLE ADD COLUMNS, which assigns a fresh physical name). */
+    * ALTER TABLE ADD COLUMNS, which assigns a fresh physical name).
+    * NESTED mappings/tombstones rebuild the struct recursively
+    * ([[toPhysicalCol]]). */
   private[sources] def toPhysical(df: DataFrame, m: Manifest): DataFrame =
     if (m.colmap.isEmpty && m.dropped.isEmpty) df
     else {
       val tainted = m.taintedPhys
-      df.select(df.columns.toSeq.map { c =>
+      df.select(df.schema.fields.toSeq.map { f =>
+        val c = f.name
+        val body = toPhysicalCol(m, col(c), f.dataType, c)
         m.colmap.get(c) match {
-          case Some(p) => col(c).as(p)
+          case Some(p) => body.as(p)
           case None =>
             if (tainted(c) && !c.startsWith("__")) sys.error(
               s"column '$c' collides with a renamed/dropped physical " +
                 "column; re-add it via ALTER TABLE ADD COLUMNS")
-            col(c)
+            body.as(c)
         }
       }: _*)
     }
@@ -1702,34 +1869,41 @@ object SnapshotLog {
 
   /** Inverse of [[toPhysical]] on a scanned frame: physical parquet
     * names back to the logical schema's names. Non-mapped columns
-    * (including scan bookkeeping like `__f`/`__pos`) pass through. */
+    * (including scan bookkeeping like `__f`/`__pos`) pass through.
+    * NESTED mappings/tombstones rebuild the struct ([[toLogicalCol]]). */
   private[sources] def toLogical(df: DataFrame, m: Manifest): DataFrame =
     if (m.colmap.isEmpty && m.dropped.isEmpty) df
     else {
-      val inv = m.colmap.map(_.swap)
+      val inv = m.colmap.collect {
+        case (k, v) if !k.contains('.') => (v, k) }
       // a TOMBSTONED physical slot must not surface under its old name:
       // downstream schema alignment matches by name, and a re-added
       // logical column of that name would silently adopt the dropped
       // bytes (resurrection) — dropping the slot here is what makes
       // DROP COLUMN semantically a delete, not a hide
-      val cols = df.columns.toSeq.flatMap { c =>
+      val cols = df.schema.fields.toSeq.flatMap { f =>
+        val c = f.name
         inv.get(c) match {
-          case Some(l) => Some(col(c).as(l))
+          case Some(l) =>
+            Some(toLogicalCol(m, col(c), f.dataType, l, c).as(l))
           case None if m.dropped(c) => None
-          case None => Some(col(c))
+          case None =>
+            Some(toLogicalCol(m, col(c), f.dataType, c, c).as(c))
         }
       }
       df.select(cols: _*)
     }
 
-  /** The manifest's logical schema with every field renamed to its
-    * physical parquet name — what the file scan itself must use. */
+  /** The manifest's logical schema with every field (nested included)
+    * renamed to its physical parquet name — what the file scan itself
+    * must use. */
   private[sources] def physSchema(
       m: Manifest,
       sc: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     if (m.colmap.isEmpty) sc
     else org.apache.spark.sql.types.StructType(
-      sc.fields.map(f => f.copy(name = m.phys(f.name))))
+      sc.fields.map(f => f.copy(name = m.phys(f.name),
+        dataType = physTypeOf(m, f.dataType, f.name))))
 
   /** Atomically publish `m` as version `m.version` by CREATE-EXCLUSIVE
     * on the final name. Returns false when that version already exists —
@@ -5570,11 +5744,11 @@ object SnapshotLog {
     * new leaf appends nullable, and the commit is metadata-only —
     * files older than the ADD simply lack the subfield and read it as
     * NULL (the parquet clipped-schema contract; [[conform]] fills the
-    * gap on internal rewrite reads). RENAME/DROP of nested fields stay
-    * refused: without nested column mapping, a re-added same-name
-    * subfield would resurrect the dropped field's bytes from old files
-    * — the same hazard that makes Delta gate nested drops behind
-    * column mapping. */
+    * gap on internal rewrite reads). A re-added name whose identity
+    * physical slot is tombstoned or claimed WITHIN THE PARENT STRUCT
+    * ([[scopeTainted]]) maps to a fresh physical name — old files'
+    * bytes under the old slot must never resurrect (the same rule
+    * top-level [[addColumns]] enforces, scoped per struct). */
   def addNestedColumn(
       spark: SparkSession, base: String,
       path: Seq[String], field: org.apache.spark.sql.types.StructField,
@@ -5610,13 +5784,159 @@ object SnapshotLog {
       }
       val evolved = addAt(cur, path)
       val version = nextVersion(fs, bp, m.version)
+      // resurrection-proof physical slot: a tainted identity name maps
+      // to a fresh physical name within the parent struct
+      val parentLog = path.init.mkString(".")
+      val leafLog = path.mkString(".")
+      val freshMap =
+        if (scopeTainted(m, parentLog, path.last))
+          Map(leafLog -> s"${path.last}__c$version")
+        else Map.empty[String, String]
       if (tryCommit(fs, bp, m.copy(version = version,
-          schemaJson = Some(evolved.json), op = Some("ADD_COLUMNS"))))
+          schemaJson = Some(evolved.json), op = Some("ADD_COLUMNS"),
+          colmap = m.colmap ++ freshMap)))
         return version
       attempt += 1
     }
     throw new IllegalStateException(
       s"ADD COLUMNS lost $maxRetries commit races on $base")
+  }
+
+  /** RENAME a NESTED field (`meta.name → meta.nm`) as a METADATA-ONLY
+    * commit via NESTED column mapping: the logical schema renames the
+    * leaf and a dotted-path colmap entry re-points it at the UNCHANGED
+    * physical subfield — zero files rewritten; deeper mappings and
+    * tombstones under the renamed path re-key with it. Refused
+    * conservatively when a CHECK constraint or GENERATED column
+    * references the path's TOP-LEVEL column (their stored SQL could
+    * address the old nested name). Delta gates the same operation
+    * behind column mapping. */
+  def renameNestedColumn(
+      spark: SparkSession, base: String,
+      path: Seq[String], to: String,
+      maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types.StructType
+    require(path.size >= 2, "renameNestedColumn needs a nested path " +
+      "(parent.field); use renameColumn for top-level columns")
+    require(!to.contains('.') && to.nonEmpty, s"invalid field name '$to'")
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"$base has no committed version"))
+      val cur = m.schema.getOrElse(sys.error(
+        "nested RENAME needs a schema header (legacy manifest) — any " +
+          "write records one first"))
+      constraintsReferencing(m, path.head).foreach(n => sys.error(
+        s"constraint $n references ${path.head}; drop it first"))
+      generatedEntangled(m, path.head).foreach(g => sys.error(
+        s"GENERATED column $g involves ${path.head}; UNSET it first"))
+      def renameAt(st: StructType, p: Seq[String]): StructType = p match {
+        case Seq(leaf) =>
+          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(leaf))
+          require(i >= 0, s"no such field: ${path.mkString(".")}")
+          require(!st.fieldNames.exists(_.equalsIgnoreCase(to)),
+            s"field '$to' already exists at ${path.init.mkString(".")}")
+          StructType(st.fields.updated(i, st.fields(i).copy(name = to)))
+        case step +: rest =>
+          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(step))
+          require(i >= 0, s"no such column: $step (of ${path.mkString(".")})")
+          st.fields(i).dataType match {
+            case inner: StructType =>
+              StructType(st.fields.updated(i,
+                st.fields(i).copy(dataType = renameAt(inner, rest))))
+            case other => sys.error(
+              s"$step is $other, not a struct — cannot rename inside it")
+          }
+      }
+      val evolved = renameAt(cur, path)
+      val oldLog = path.mkString(".")
+      val newLog = (path.init :+ to).mkString(".")
+      // the physical leaf stays what it was (mapped or identity)
+      val physLeaf = m.colmap.getOrElse(oldLog, path.last)
+      // deeper mappings keyed under the renamed path re-key with it
+      val rekeyed = m.colmap.map {
+        case (k, v) if k == oldLog => (newLog, v)
+        case (k, v) if k.startsWith(oldLog + ".") =>
+          (newLog + k.stripPrefix(oldLog), v)
+        case kv => kv
+      }
+      val colmap =
+        if (physLeaf == to) rekeyed - newLog
+        else rekeyed + (newLog -> physLeaf)
+      val version = nextVersion(fs, bp, m.version)
+      if (tryCommit(fs, bp, m.copy(version = version,
+          schemaJson = Some(StructTypeNullable(evolved)),
+          op = Some("RENAME_COLUMN"), colmap = colmap)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"nested RENAME COLUMN lost $maxRetries commit races on $base")
+  }
+
+  /** DROP a NESTED field as a METADATA-ONLY commit: the logical schema
+    * loses the leaf and its PHYSICAL dotted path is tombstoned — the
+    * bytes stay in the files, the scan schema never requests them
+    * again, and a later re-ADD of the same name maps to a fresh
+    * physical slot ([[addNestedColumn]]'s [[scopeTainted]] rule) so
+    * the dropped values can never resurrect. Time travel to a pre-drop
+    * version still reads the field; RESTORE brings it back. */
+  def dropNestedColumn(
+      spark: SparkSession, base: String,
+      path: Seq[String],
+      maxRetries: Int = 5): Long = {
+    import org.apache.spark.sql.types.StructType
+    require(path.size >= 2, "dropNestedColumn needs a nested path " +
+      "(parent.field); use dropColumn for top-level columns")
+    val bp = new Path(base)
+    val fs = fsFor(spark, bp)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val m = readManifest(fs, bp).getOrElse(
+        sys.error(s"$base has no committed version"))
+      val cur = m.schema.getOrElse(sys.error(
+        "nested DROP needs a schema header (legacy manifest) — any " +
+          "write records one first"))
+      constraintsReferencing(m, path.head).foreach(n => sys.error(
+        s"constraint $n references ${path.head}; drop it first"))
+      generatedEntangled(m, path.head).foreach(g => sys.error(
+        s"GENERATED column $g involves ${path.head}; UNSET it first"))
+      def dropAt(st: StructType, p: Seq[String]): StructType = p match {
+        case Seq(leaf) =>
+          require(st.fieldNames.exists(_.equalsIgnoreCase(leaf)),
+            s"no such field: ${path.mkString(".")}")
+          require(st.fields.length > 1,
+            s"cannot drop the only field of ${path.init.mkString(".")}")
+          StructType(st.fields.filterNot(_.name.equalsIgnoreCase(leaf)))
+        case step +: rest =>
+          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(step))
+          require(i >= 0, s"no such column: $step (of ${path.mkString(".")})")
+          st.fields(i).dataType match {
+            case inner: StructType =>
+              StructType(st.fields.updated(i,
+                st.fields(i).copy(dataType = dropAt(inner, rest))))
+            case other => sys.error(
+              s"$step is $other, not a struct — cannot drop inside it")
+          }
+      }
+      val evolved = dropAt(cur, path)
+      val logPath = path.mkString(".")
+      val physPath = physPathOf(m, logPath)
+      // the dropped subtree's own mappings die with it
+      val colmap = m.colmap.filterNot { case (k, _) =>
+        k == logPath || k.startsWith(logPath + ".") }
+      val version = nextVersion(fs, bp, m.version)
+      if (tryCommit(fs, bp, m.copy(version = version,
+          schemaJson = Some(StructTypeNullable(evolved)),
+          op = Some("DROP_COLUMN"), colmap = colmap,
+          dropped = m.dropped + physPath)))
+        return version
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"nested DROP COLUMN lost $maxRetries commit races on $base")
   }
 
   def unsetProperties(

@@ -128,4 +128,71 @@ class DerivePartitionFilterSpec extends SparkSpec {
     val (sel, tot) = idx.lastPruned.get
     assert(sel <= tot / 2, s"2 of 4 years should survive, $sel/$tot")
   }
+
+  /** The derived conjuncts of a plan's Filter nodes, by referenced
+    * column name — direct evidence of WHICH partition columns derived. */
+  private def filterRefs(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSet
+    }.flatten.toSet
+
+  test("compound (y, m) layout: BOTH generated columns derive from one ts range") {
+    val base = Files.createTempDirectory("graft_genym").toString + "/tbl"
+    val rows = for (y <- 2023 to 2024; mth <- 1 to 6; d <- 1 to 5)
+      yield ((y.toLong * 10000 + mth * 100 + d),
+        Timestamp.valueOf(f"$y-$mth%02d-$d%02d 12:00:00"))
+    val df = rows.toDF("id", "ts")
+      .withColumn("y", year(col("ts")))
+      .withColumn("m", date_format(col("ts"), "yyyy-MM"))
+    SnapshotLog.appendBatch(spark, base, df, "y,m", batchId = 1,
+      propsAdd = Map(SnapshotLog.PartColProp -> "y,m",
+        SnapshotLog.GenColPrefix + "y" -> "year(ts)",
+        SnapshotLog.GenColPrefix + "m" -> "date_format(ts, 'yyyy-MM')"))
+    val (rel, idx) = SnapshotRelation.applyWithIndex(ext, base).get
+    assert(idx.partitionSchema.fieldNames.toSeq == Seq("y", "m"))
+    val q = rel.filter(
+      col("ts") >= lit(Timestamp.valueOf("2024-02-01 00:00:00")) &&
+        col("ts") < lit(Timestamp.valueOf("2024-04-01 00:00:00")))
+    // BOTH partition columns must appear in the derived filter — not
+    // just the one whose pruning happens to subsume the other
+    val refs = filterRefs(q)
+    assert(refs.contains("y") && refs.contains("m"),
+      s"both components must derive, filter references $refs")
+    val got = q.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (for (mth <- 2 to 3; d <- 1 to 5)
+      yield 2024L * 10000 + mth * 100 + d).sorted
+    assert(got == want, "compound derivation must not change results")
+    val (sel, tot) = idx.lastPruned.get
+    // 12 (y, m) cells; 3 survive — Feb, Mar, and the April cell the
+    // NON-STRICT derived upper bound keeps (f is flat within a month,
+    // so `ts < Apr 1` can only derive `m <= '2024-04'`; the row filter
+    // then excludes April's rows exactly)
+    assert(sel <= tot / 4, s"3 of 12 cells should survive ($sel/$tot)")
+  }
+
+  test("compound layout with a NON-derivable component still derives the other") {
+    val base = Files.createTempDirectory("graft_genym2").toString + "/tbl"
+    val rows = for (y <- 2023 to 2024; mth <- 1 to 6; d <- 1 to 5)
+      yield ((y.toLong * 10000 + mth * 100 + d),
+        Timestamp.valueOf(f"$y-$mth%02d-$d%02d 12:00:00"))
+    // m = month(ts) is NOT monotone in ts — range derivation must
+    // refuse it per-column while y = year(ts) still derives
+    val df = rows.toDF("id", "ts")
+      .withColumn("y", year(col("ts")))
+      .withColumn("m", month(col("ts")))
+    SnapshotLog.appendBatch(spark, base, df, "y,m", batchId = 1,
+      propsAdd = Map(SnapshotLog.PartColProp -> "y,m",
+        SnapshotLog.GenColPrefix + "y" -> "year(ts)",
+        SnapshotLog.GenColPrefix + "m" -> "month(ts)"))
+    val (rel, idx) = SnapshotRelation.applyWithIndex(ext, base).get
+    val q = rel.filter(
+      col("ts") >= lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    val refs = filterRefs(q)
+    assert(refs.contains("y") && !refs.contains("m"),
+      s"only the monotone component may derive a range, got $refs")
+    assert(q.count() == 30, "per-column refusal must not change results")
+    val (sel, tot) = idx.lastPruned.get
+    assert(sel <= tot / 2, s"2023's 6 cells should prune ($sel/$tot)")
+  }
 }

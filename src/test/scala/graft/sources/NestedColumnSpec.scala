@@ -101,13 +101,18 @@ class NestedColumnSpec extends SparkSpec {
       .option("versionAsOf", vBefore.toString).load(base)
     assert(old.select("meta.*").columns.toSeq == Seq("name", "score"))
 
-    // nested rename/drop/retype refuse with the mapping rationale
-    val e1 = intercept[Exception] {
-      s.sql("ALTER TABLE graft_n.db.t RENAME COLUMN meta.score TO points") }
-    assert(e1.getMessage.contains("nested"))
-    val e2 = intercept[Exception] {
-      s.sql("ALTER TABLE graft_n.db.t DROP COLUMN meta.score") }
-    assert(e2.getMessage.contains("nested"))
+    // nested RENAME/DROP are supported via nested column mapping
+    // (round-15; dedicated tests below) — retype stays refused
+    s.sql("ALTER TABLE graft_n.db.t RENAME COLUMN meta.score TO points")
+    assert(s.sql("SELECT * FROM graft_n.db.t").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("points"))
+    s.sql("ALTER TABLE graft_n.db.t RENAME COLUMN meta.points TO score")
+    val eRetype = intercept[Exception] {
+      s.sql("ALTER TABLE graft_n.db.t ALTER COLUMN meta.score TYPE BIGINT") }
+    assert(eRetype.getMessage.contains("nested") ||
+      eRetype.getMessage.contains("retype") ||
+      eRetype.getMessage.contains("meta"))
     // duplicate / missing-parent adds refuse
     val e3 = intercept[Exception] {
       s.sql("ALTER TABLE graft_n.db.t ADD COLUMNS (meta.rank INT)") }
@@ -159,6 +164,100 @@ class NestedColumnSpec extends SparkSpec {
     assert(t2.filter(col("o.addr.geo").isNotNull).count() == 3)
     assert(t2.filter(col("p") === "1" && col("o.addr.city").isNull)
       .count() == 0, "pre-ADD subfields survive the conform")
+  }
+
+  test("nested RENAME: metadata-only via column mapping, reads and writes rename-aware") {
+    val base = Files.createTempDirectory("graft_nest_ren").toString + "/t"
+    mkStructDf(12).write.format("graft").partitionBy("p").save(base)
+    val filesBefore = manifest(base).allFiles
+    SnapshotLog.renameNestedColumn(s, base, Seq("meta", "name"), "nm")
+    val m1 = manifest(base)
+    assert(m1.allFiles == filesBefore, "nested RENAME rewrites nothing")
+    assert(m1.colmap == Map("meta.nm" -> "name"),
+      s"dotted colmap entry expected, got ${m1.colmap}")
+    // reads surface the NEW name over the OLD physical bytes
+    val t1 = SnapshotLog.read(s, base).get
+    val metaT = t1.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaT.fieldNames.toSeq == Seq("nm", "score"))
+    assert(t1.filter(col("meta.nm") === "n3").count() == 1)
+    // appends carry the NEW logical shape; on disk files keep the
+    // physical name (old and new files union under one scan schema)
+    (100 until 103).map(i => (i.toLong, (s"n$i", i * 2)))
+      .toDF("id", "meta")
+      .select(col("id"),
+        struct(col("meta._1").as("nm"), col("meta._2").as("score")).as("meta"),
+        (col("id") % 3).cast("string").as("p"))
+      .write.format("graft").mode("append").save(base)
+    val t2 = SnapshotLog.read(s, base).get
+    assert(t2.count() == 15)
+    assert(t2.filter(col("meta.nm") === "n100").count() == 1)
+    assert(t2.filter(col("meta.nm").isNull).count() == 0)
+    // a rewrite (row DELETE) conforms across the rename boundary
+    SnapshotLog.deleteWhere(s, base, col("meta.nm") === "n5", "p").get
+    val t3 = SnapshotLog.read(s, base).get
+    assert(t3.count() == 14 && t3.filter(col("meta.nm") === "n5").count() == 0)
+    // time travel to the pre-rename version answers with the OLD name
+    val (dfOld) = SnapshotRelation.read(s, base, versionAsOf = Some(1L)).get
+    assert(dfOld.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("name", "score"))
+  }
+
+  test("nested DROP + same-name re-ADD: the dropped bytes never resurrect") {
+    val base = Files.createTempDirectory("graft_nest_drop").toString + "/t"
+    mkStructDf(12).write.format("graft").partitionBy("p").save(base)
+    val filesBefore = manifest(base).allFiles
+    SnapshotLog.dropNestedColumn(s, base, Seq("meta", "score"))
+    val m1 = manifest(base)
+    assert(m1.allFiles == filesBefore, "nested DROP rewrites nothing")
+    assert(m1.dropped == Set("meta.score"))
+    val t1 = SnapshotLog.read(s, base).get
+    assert(t1.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("name"), "the field is gone from reads")
+    // re-ADD the same name: must claim a FRESH physical slot
+    SnapshotLog.addNestedColumn(s, base, Seq("meta", "score"),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.IntegerType))
+    val m2 = manifest(base)
+    assert(m2.colmap.keySet == Set("meta.score") &&
+      m2.colmap("meta.score") != "score",
+      s"re-added field must map to a fresh physical slot, got ${m2.colmap}")
+    val t2 = SnapshotLog.read(s, base).get
+    assert(t2.filter(col("meta.score").isNotNull).count() == 0,
+      "old files' dropped bytes must read as NULL, never resurrect")
+    // new writes land values in the fresh slot and read back
+    (200 until 203).map(i => (i.toLong, (s"n$i", i * 7)))
+      .toDF("id", "meta")
+      .select(col("id"),
+        struct(col("meta._1").as("name"), col("meta._2").as("score")).as("meta"),
+        (col("id") % 3).cast("string").as("p"))
+      .write.format("graft").mode("append").save(base)
+    val t3 = SnapshotLog.read(s, base).get
+    assert(t3.filter(col("meta.score") === 1400).count() == 1)
+    assert(t3.filter(col("id") < 100 && col("meta.score").isNotNull).count() == 0)
+    // a rewrite (OPTIMIZE) materializes the removal without reviving it
+    SnapshotLog.optimizeTable(s, base, "p", minFiles = 1)
+    val t4 = SnapshotLog.read(s, base).get
+    assert(t4.filter(col("id") < 100 && col("meta.score").isNotNull).count() == 0)
+    assert(t4.filter(col("meta.score") === 1400).count() == 1)
+  }
+
+  test("nested rename/drop through the SQL catalog surface") {
+    val root = Files.createTempDirectory("graft_nest_sql").toString
+    s.conf.set("spark.sql.catalog.graft_nm", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_nm.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_nm.db")
+    val base = s"$root/db/t"
+    mkStructDf(9).write.format("graft").partitionBy("p").save(base)
+    s.sql("ALTER TABLE graft_nm.db.t RENAME COLUMN meta.name TO label")
+    assert(s.sql("SELECT meta.label FROM graft_nm.db.t WHERE id = 4")
+      .head.getString(0) == "n4")
+    s.sql("ALTER TABLE graft_nm.db.t DROP COLUMN meta.score")
+    val metaT = s.sql("SELECT * FROM graft_nm.db.t").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaT.fieldNames.toSeq == Seq("label"))
   }
 
   test("a batch with an EXTRA nested subfield refuses instead of silently dropping it") {
