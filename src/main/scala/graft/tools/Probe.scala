@@ -15,6 +15,7 @@ object Probe {
     val name = args(0)
     val sfDir = args.lift(1).filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
     val explain = args.contains("--explain")
+    val decompose = args.contains("--decompose")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,15 +36,49 @@ object Probe {
     targets.foreach { n =>
       val q = Registry.byName(n)
       try {
-        val df = q.build(spark, sfDir)
-        if (explain) df.explain("formatted")
-        val runs = if (name == "ALL") 2 else 3
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          df.write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
+        if (decompose) {
+          // Floor decomposition (round-14 verdict item 8): where does a
+          // small query's ~1s wall go? Phases, each timed cold in a
+          // fresh Dataset so earlier phases aren't amortized away:
+          //   build   — DataFrame construction + analysis (resolution)
+          //   plan    — optimization + physical planning + AQE prep
+          //             (forcing executedPlan)
+          //   first   — first noop execution: codegen compile + stage
+          //             scheduling + execute
+          //   warm×3  — repeat executions of the SAME Dataset (codegen
+          //             cache hit): the irreducible execute floor Bench
+          //             reports via min-of-passes
+          // first − warm ≈ codegen+setup; warm ≈ scan+shuffle+task
+          // overhead. Three cold repetitions to see variance.
+          (1 to 3).foreach { rep =>
+            val t0 = System.nanoTime()
+            val df = q.build(spark, sfDir)
+            val tBuild = (System.nanoTime() - t0) / 1e6
+            val t1 = System.nanoTime()
+            df.queryExecution.executedPlan // force analyze+optimize+plan
+            val tPlan = (System.nanoTime() - t1) / 1e6
+            val t2 = System.nanoTime()
+            df.write.mode("overwrite").format("noop").save()
+            val tFirst = (System.nanoTime() - t2) / 1e6
+            val warm = (1 to 3).map { _ =>
+              val t3 = System.nanoTime()
+              df.write.mode("overwrite").format("noop").save()
+              (System.nanoTime() - t3) / 1e6
+            }
+            println(f"[decompose] $n rep$rep build=$tBuild%.0fms plan=$tPlan%.0fms " +
+              f"first=$tFirst%.0fms warm=${warm.min}%.0fms (${warm.map(w => f"$w%.0f").mkString(",")})")
+          }
+        } else {
+          val df = q.build(spark, sfDir)
+          if (explain) df.explain("formatted")
+          val runs = if (name == "ALL") 2 else 3
+          val times = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            df.write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[probe] $n best: ${times.min}%.2fs  (${times.map(t => f"$t%.2f").mkString(", ")})")
         }
-        println(f"[probe] $n best: ${times.min}%.2fs  (${times.map(t => f"$t%.2f").mkString(", ")})")
       } catch {
         case e: Throwable => println(s"[probe] $n FAILED: ${e.getMessage}")
       } finally {
