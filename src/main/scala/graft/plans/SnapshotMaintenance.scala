@@ -69,6 +69,11 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*""".r
+  // single-part names only (no dots): a registered view is the one
+  // surface that PINS a snapshot and so can go stale; Spark's own
+  // REFRESH TABLE on catalog names must keep its native meaning
+  private val RefreshV =
+    """(?is)\s*REFRESH\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s*;?\s*""".r
   // every verb regex accepts DOTTED names ([\w.]*) — resolution still
   // gates on isTarget, whose catalogTarget fallback maps
   // <cat>.<ns…>.<t> to the GraftCatalog directory; single-part names
@@ -156,6 +161,8 @@ class SnapshotMaintenanceParser(delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case History(view) if isTarget(view) =>
       SnapshotHistoryCommand(view)
+    case RefreshV(view) if isTarget(view) =>
+      SnapshotRefreshCommand(view)
     case Generate(view) if isTarget(view) =>
       SnapshotGenerateManifestCommand(view)
     case CloneStmt(db, name, kind, srcView, location) if isTarget(srcView) =>
@@ -562,6 +569,37 @@ case class SnapshotExpireVersionsCommand(view: String, keepLast: Int)
     val expired = SnapshotLog.expireVersions(spark, path, keepLast)
     Seq(Row("EXPIRE VERSIONS", expired.size.toLong,
       expired.lastOption.getOrElse(-1L)))
+  }
+}
+
+/** `REFRESH [TABLE] view` — re-pin a REGISTERED snapshot view at the
+  * table's LIVE committed version. Registration pins a snapshot
+  * (`createOrReplaceTempView` stores the analyzed plan), and only
+  * view-routed SQL DML re-pins it — so a write through any OTHER
+  * surface (`df.write.format("graft")`, the Scala API, another
+  * engine, or an out-of-band `repartitionTable`) leaves the view
+  * serving the pinned (stale) snapshot. This is the standard Spark
+  * remedy spelled the standard way: one statement, the view tracks
+  * the live table again. The partition layout is re-resolved from
+  * the LIVE manifest ([[graft.sources.SnapshotLog.PartColProp]]) —
+  * not the registration's cached value — so a refresh after an
+  * out-of-band partition evolution also heals the DML routing
+  * registry. Returns (operation, version re-pinned at). */
+case class SnapshotRefreshCommand(view: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (path, storedPartCol, db, name) = Catalog.dmlTarget(view).getOrElse(
+      sys.error(s"$view is not a registered snapshot-DML target"))
+    val bp = new org.apache.hadoop.fs.Path(path)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = SnapshotLog.readManifest(fs, bp).getOrElse(
+      sys.error(s"$view has no committed version at $path"))
+    val partCol = m.props.getOrElse(SnapshotLog.PartColProp, storedPartCol)
+    Catalog.registerSnapshotLog(spark, db, name, path, Some(partCol))
+    Seq(Row("REFRESH", m.version))
   }
 }
 

@@ -6213,6 +6213,79 @@ object Relational2 {
       FROM finalt
       """))
 
+  /** REFRESH TABLE — the staleness contract of registered views and
+    * its standard SQL remedy. `Catalog.registerSnapshotLog` PINS a
+    * snapshot (the temp view stores the analyzed plan); view-routed
+    * SQL DML re-pins, but a write through any other surface — the
+    * Scala API, `df.write.format("graft")`, another engine, an
+    * out-of-band partition evolution — leaves the view serving the
+    * pinned version. `REFRESH [TABLE] view`
+    * ([[graft.plans.SnapshotRefreshCommand]]) re-pins at the LIVE
+    * committed version and re-resolves the partition layout from the
+    * manifest, healing DML routing after evolution. The lifecycle:
+    * v1 = odd orderkeys; out-of-band append of the evens (view still
+    * counts the odds — require-graded); REFRESH (view counts all);
+    * out-of-band REPARTITION to o_orderstatus + REFRESH; view-routed
+    * DELETE on the now-mixed manifest stays exact. The emitted rows
+    * are the surviving per-year state, recomputed relationally by
+    * the oracle. */
+  val q137RefreshPin: Q = Q(
+    "q137_refresh_pin",
+    "REFRESH TABLE re-pins a registered view at the live version",
+    (s0, d) => {
+      import graft.sources.{Catalog, SnapshotLog}
+      val s = graft.GraftSessions.withExtensions(s0)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_refresh137").toString + "/tbl"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("o_year"))
+      val odd = orders.filter(col("o_orderkey") % 2 === 1)
+      val nOdd = odd.count()
+      val nAll = orders.count()
+      SnapshotLog.appendBatch(s, base, odd, "o_year", batchId = 1,
+        propsAdd = Map(SnapshotLog.PartColProp -> "o_year"))
+      val view = Catalog.registerSnapshotLog(s, "q137", "orders", base,
+        Some("o_year"))
+      // out-of-band append (Scala API): the registered view must NOT
+      // move — registration pins a snapshot by design
+      SnapshotLog.appendBatch(s, base,
+        orders.filter(col("o_orderkey") % 2 === 0), "o_year", batchId = 2)
+      require(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == nOdd,
+        "a registered view must keep serving its pinned snapshot")
+      val r = s.sql(s"REFRESH TABLE $view").collect().head
+      require(r.getString(0) == "REFRESH",
+        s"REFRESH must route through the snapshot command: $r")
+      require(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == nAll,
+        "REFRESH must re-pin the view at the live version")
+      // out-of-band partition evolution; REFRESH re-resolves the
+      // layout so view-routed DML routes by the NEW layout and stays
+      // exact on the mixed (legacy o_year keys + current) manifest
+      SnapshotLog.repartitionTable(s, base, "o_orderstatus")
+      s.sql(s"REFRESH $view").collect()
+      s.sql(s"DELETE FROM $view WHERE o_orderkey % 7 = 0")
+      val nDel = orders.filter(col("o_orderkey") % 7 === 0).count()
+      require(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0)
+        == nAll - nDel, "post-evolution DML through the refreshed view " +
+        "must stay exact across the layout boundary")
+      s.sql(s"""
+        SELECT o_year, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS total
+        FROM $view GROUP BY o_year
+      """)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR) AS o_year
+        FROM orders)
+      SELECT o_year, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS total
+      FROM base WHERE o_orderkey % 7 <> 0 GROUP BY o_year
+      """))
+
   val all: Seq[Q] = Seq(
     q103BucketedJoin, q104Convert, q105MergeSubquery, q106Identity,
     q107RecursiveCte, q108TypeWidening, q109DeepClone, q110Variant,
@@ -6221,7 +6294,7 @@ object Relational2 {
     q119StreamIntervalJoin, q120ListAgg, q121ReplaceWhere, q122DsvWrite,
     q123FormatStream, q124CatalogAlter, q125CatalogDml, q126Unpartitioned,
     q132MultiPartition, q133NestedEvolution, q134PartitionEvolution,
-    q135CompoundGenerated, q136NestedMapping,
+    q135CompoundGenerated, q136NestedMapping, q137RefreshPin,
     q127CatalogVerbs, q128DppJoin, q129MetadataAgg, q130GeneratedPruning,
     q131DynamicOverwrite,
     q36Percentiles, q37CorrelatedSubquery, q38WordExplode, q39Pivot,

@@ -303,6 +303,29 @@ class SqlMaintenanceSpec extends SparkSpec {
       s.sql(s"RESTORE $view TO TIMESTAMP AS OF '1999-01-01'"))
   }
 
+  test("REFRESH TABLE re-pins a registered view at the live version") {
+    import s.implicits._
+    val (base, bp, view) = mkTable("graft_sqlrefresh", "maint5")
+    assert(s.table(view).count() == 300L)
+    // out-of-band append (Scala API, not the view): the pinned view
+    // must NOT move — registration pins a snapshot by design
+    SnapshotLog.appendBatch(s, base,
+      (1000L to 1049L).map(i => (i, i * 1.5, s"d${i % 3}"))
+        .toDF("id", "value", "day"), "day", batchId = 9)
+    assert(s.table(view).count() == 300L, "view pins its snapshot")
+    val r = s.sql(s"REFRESH TABLE $view").collect()
+    assert(r.head.getString(0) == "REFRESH")
+    assert(s.table(view).count() == 350L, "REFRESH re-pins at live")
+    // bare REFRESH spelling works too; idempotent
+    s.sql(s"REFRESH $view").collect()
+    assert(s.table(view).count() == 350L)
+    // REFRESH on an unregistered name keeps Spark's own semantics
+    // (native REFRESH TABLE on a temp view succeeds as a no-op)
+    (1L to 3L).toDF("x").createOrReplaceTempView("plain_tv")
+    s.sql("REFRESH TABLE plain_tv").collect()
+    assert(s.table("plain_tv").count() == 3L)
+  }
+
   test("everything the interceptor does not claim delegates untouched") {
     val (_, _, view) = mkTable("graft_sqldelegate", "maint4")
     // the verbs on an UNREGISTERED name keep Spark's own parse error
