@@ -272,6 +272,33 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(readT(base).count() == 99)
   }
 
+  test("SHALLOW CLONE of a mixed table: layout tags carry; lives diverge") {
+    val base = mkEvolved() // day → region, mixed manifest
+    rowsDf(20, idOff = 100).write.format("graft").mode("append").save(base)
+    val dst = Files.createTempDirectory("graft_pe_cl").toString + "/c"
+    SnapshotLog.cloneTable(s, base, dst)
+    val mc = manifest(dst)
+    // the keyspec/partspec properties clone wholesale — the clone's
+    // mixed manifest decomposes per-key exactly like the source's
+    assert(mc.legacyKeys == dayKeys, mc.legacyKeys.toString)
+    assert(mc.partSpecHistory.values.exists(_ == "day"))
+    assert(readT(dst).count() == 100)
+    assert(readT(dst).filter(col("region") === "east").count() ==
+      readT(base).filter(col("region") === "east").count())
+    // the clone migrates COPY-ON-WRITE: its OPTIMIZE re-routes rows
+    // into its OWN data dir; the source stays mixed and untouched
+    SnapshotLog.optimizeTable(s, dst, "region")
+    assert(manifest(dst).legacyKeys.isEmpty)
+    assert(manifest(dst).files.keySet == Set("east", "west"))
+    assert(manifest(base).legacyKeys == dayKeys,
+      "the source must stay mixed after the clone migrates")
+    assert(readT(dst).count() == 100 && readT(base).count() == 100)
+    // and the clone can keep evolving independently
+    SnapshotLog.repartitionTable(s, dst, "day")
+    assert(manifest(dst).props(SnapshotLog.PartColProp) == "day")
+    assert(manifest(base).props(SnapshotLog.PartColProp) == "region")
+  }
+
   test("refusal guards: unknown column, undeclared layout, schema surgery on layout columns") {
     val base = Files.createTempDirectory("graft_pe_g").toString + "/t"
     rowsDf().write.format("graft").partitionBy("day").save(base)
