@@ -22,7 +22,40 @@ object Tables {
   private val scanPartsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Scan + the local-corpus rebalance (see below) — the right call for
+    * consumers that run per-row compute (regex, array HOFs, vector math)
+    * straight off the scan: the rebalance spreads that compute across
+    * the session's cores when the corpus ships as one row group. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name,
+      rebalance = Some(df => df.repartition(df.sparkSession.sparkContext.defaultParallelism)))
+
+  /** Scan with NO rebalance: for consumers whose first downstream
+    * operator is itself an exchange (groupBy/shuffle join/window) or a
+    * broadcast join feeding one. There the blanket round-robin
+    * repartition is a pure extra shuffle — the decode is serial either
+    * way on a single-row-group file, the partial aggregation/map-side
+    * join fuses into the scan stage, and the operator's own exchange
+    * parallelizes everything downstream. On a real multi-file (100 TB)
+    * layout `apply` already skips the rebalance, so `raw` and `apply`
+    * plan identically there; locally `raw` is one exchange cheaper. */
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name, rebalance = None)
+
+  /** Scan rebalanced BY KEY instead of round-robin: for consumers whose
+    * next exchange-requiring operator clusters by `keys` (an equi-join
+    * or groupBy on them). The rebalance then *doubles as* that
+    * operator's exchange (hash partitioning on a prefix of the
+    * clustering keys satisfies its distribution), instead of paying
+    * round-robin + the operator's own shuffle back to back. Only keys
+    * with enough distinct values to fill the session's cores qualify —
+    * a low-cardinality key would skew the rebalance itself. */
+  def keyed(spark: SparkSession, dir: String, name: String, keys: String*): DataFrame =
+    load(spark, dir, name, rebalance = Some(df => df.repartition(keys.map(col): _*)))
+
+  private def load(
+      spark: SparkSession, dir: String, name: String,
+      rebalance: Option[DataFrame => DataFrame]): DataFrame = {
     // events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark rejects
     // outright — PARQUET_TYPE_ILLEGAL — so we read it as epoch-nanos long and
     // convert) and, in newer corpus drops, as TIMESTAMP(MICROS) isAdjustedToUTC
@@ -55,10 +88,14 @@ object Tables {
     // (100 TB) layout the condition is false and this is a no-op, which
     // is exactly right: there a blanket repartition would be a needless
     // full-table shuffle.
-    val scanParts: Int = scanPartsCache.computeIfAbsent(
-      s"$dir/$name", _ => df.rdd.getNumPartitions)
-    val target = spark.sparkContext.defaultParallelism
-    if (factTables(name) && scanParts * 4 < target) df.repartition(target) else df
+    rebalance match {
+      case Some(f) if factTables(name) =>
+        val scanParts: Int = scanPartsCache.computeIfAbsent(
+          s"$dir/$name", _ => df.rdd.getNumPartitions)
+        val target = spark.sparkContext.defaultParallelism
+        if (scanParts * 4 < target) f(df) else df
+      case _ => df
+    }
   }
 
   /** Tables large enough that downstream compute wants full parallelism;

@@ -39,17 +39,30 @@ import org.apache.spark.sql.types._
 object ConnectedComponents {
 
   /** One large-star + small-star alternation over a canonical (hi → lo)
-    * edge set; output is again canonical, self-loop-free, distinct. */
-  private def alternate(e: DataFrame): DataFrame = {
+    * edge set; output is again canonical, self-loop-free, distinct.
+    *
+    * Exchange plan (r15): each star phase repartitions its edge set by
+    * the star center ONCE — that single exchange feeds both the min
+    * aggregation (complete, in place) and the neighborhood join
+    * (co-partitioned, exchange-free; the repartition subtree is shared,
+    * so ReuseExchange materializes it once). The previous shape paid a
+    * partial-agged exchange for the min AND a full exchange for the
+    * join — strictly more shuffled bytes, since the join exchange
+    * always carries the whole neighborhood anyway. The intermediate
+    * `large.distinct()` is dropped: duplicates cannot change min() and
+    * the round's final distinct dedups the output set, so the iterate
+    * is the same SET function of its input. 6 exchanges/round → 3. */
+  private def alternate(e: DataFrame, numParts: Int): DataFrame = {
     // large-star over the symmetric neighborhood of every node
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(numParts, col("a"))
     val minsL = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
       .select(col("a"), least(col("a"), col("mb")).as("m"))
     // (v, m(u)) for v ∈ Γ(u), v > u; v > u ≥ m keeps hi→lo orientation
     val large = sym.join(minsL, "a")
       .filter(col("b") > col("a"))
       .select(col("b").as("a"), col("m").as("b"))
-      .distinct()
+      .repartition(numParts, col("a"))
     // small-star: per hi endpoint u, N = {b} are exactly the smaller
     // neighbors; connect u and N \ {min} to min(N)
     val minsS = large.groupBy(col("a")).agg(min(col("b")).as("m"))
@@ -103,10 +116,11 @@ object ConnectedComponents {
     }
     var prev = sig(e)
 
+    val numParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val next = alternate(e).localCheckpoint()
+      val next = alternate(e, numParts).localCheckpoint()
       val nextSig = sig(next)
       e = next
       converged = nextSig == prev

@@ -39,6 +39,11 @@ object Relational {
     "q1_pricing_summary",
     "scan+filter+groupBy/agg: count/sum/avg with exact decimal sums",
     (s, d) => {
+      // rebalanced scan, MEASURED against Tables.raw (r15): six exact
+      // decimal aggregates per row are the dominant cost here, and the
+      // rebalance parallelizes them (raw: 1.42s serial partial agg;
+      // rebalanced: 1.21s) — unlike the cheap-agg queries (q3/q5/q21)
+      // where raw wins by dropping the extra exchange
       t(s, d, "lineitem")
         .filter(col("l_shipdate") < lit(Timestamp.valueOf("2001-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -71,7 +76,9 @@ object Relational {
     "q2_top_customers",
     "broadcast inner join + groupBy + orderBy/limit (top-k)",
     (s, d) => {
-      val o = t(s, d, "orders")
+      // raw scan: broadcast join + partial agg both fuse into the scan
+      // stage; only the per-customer merge exchange remains
+      val o = Tables.raw(s, d, "orders")
       val c = t(s, d, "customer")
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
@@ -95,7 +102,8 @@ object Relational {
     "q3_daily_summary",
     "to_date derived column + groupBy day: count/sum/min/max/avg",
     (s, d) =>
-      t(s, d, "orders")
+      // raw scan: partial agg fuses into the scan stage (agg-first shape)
+      Tables.raw(s, d, "orders")
         .groupBy(to_date(col("o_orderdate")).as("order_day"))
         .agg(
           count(lit(1)).as("n_orders"),
@@ -119,7 +127,7 @@ object Relational {
     "q4_scalar_counts",
     "global scalar aggregate: COUNT(*) vs COUNT(col), COUNT(DISTINCT)",
     (s, d) =>
-      t(s, d, "events").agg(
+      Tables.raw(s, d, "events").agg(
         count(lit(1)).as("n_rows"),
         count(col("user_id")).as("n_user"),
         count(col("props")).as("n_props"),
@@ -141,7 +149,7 @@ object Relational {
     "q5_range_check",
     "min/max range check, conditional COUNT(CASE WHEN), COUNT(DISTINCT)",
     (s, d) =>
-      t(s, d, "lineitem").agg(
+      Tables.raw(s, d, "lineitem").agg(
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         min(col("l_extendedprice")).as("min_price"),
@@ -162,6 +170,9 @@ object Relational {
     "q6_multi_distinct",
     "single-pass combined quality agg with two+ distinct aggregates",
     (s, d) =>
+      // rebalanced scan, measured (r15): the 3-way Expand + wide distinct
+      // partial state is per-row heavy — raw's serial scan stage loses
+      // more than the saved exchange (1.36s raw vs 1.27s rebalanced)
       t(s, d, "lineitem").agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_partkey")).as("n_parts"),
@@ -186,7 +197,7 @@ object Relational {
       def bucket(status: String) =
         sum(when(col("o_orderstatus") === status, dec(col("o_totalprice")))
           .otherwise(dec(lit(0)))).cast(DoubleType)
-      t(s, d, "orders")
+      Tables.raw(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(
           bucket("F").as("fulfilled_total"),
@@ -211,7 +222,7 @@ object Relational {
     "q8_supplier_ranking",
     "join + groupBy + full ORDER BY (ranking table)",
     (s, d) => {
-      val li = t(s, d, "lineitem")
+      val li = Tables.raw(s, d, "lineitem")
       val sup = t(s, d, "supplier")
       li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
@@ -245,7 +256,7 @@ object Relational {
     "q10_rownum_ranking",
     "ROW_NUMBER() OVER (ORDER BY ...) on aggregated ranking",
     (s, d) => {
-      val li = t(s, d, "lineitem")
+      val li = Tables.raw(s, d, "lineitem")
       val sup = t(s, d, "supplier")
       val agg = li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
@@ -294,7 +305,8 @@ object Relational {
     (s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
-      t(s, d, "orders")
+      // keyed rebalance doubles as the window's per-customer exchange
+      Tables.keyed(s, d, "orders", "o_custkey")
         .select(
           col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           sum(dec(col("o_totalprice"))).over(
@@ -322,7 +334,7 @@ object Relational {
     "left_semi join (EXISTS)",
     (s, d) => {
       val c = t(s, d, "customer")
-      val o = t(s, d, "orders")
+      val o = Tables.raw(s, d, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))
     },
@@ -337,7 +349,7 @@ object Relational {
     "left_anti join (NOT EXISTS)",
     (s, d) => {
       val c = t(s, d, "customer")
-      val o = t(s, d, "orders")
+      val o = Tables.raw(s, d, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     },
@@ -416,8 +428,13 @@ object Relational {
       val r = t(s, d, "region")
       val n = t(s, d, "nation")
       val c = t(s, d, "customer")
-      val o = t(s, d, "orders")
-      val li = t(s, d, "lineitem")
+      // keyed rebalance: the local single-row-group corpus needs one
+      // spread-out exchange anyway — hash it on the join key so it IS
+      // the fact-fact join's exchange (round-robin would pay this
+      // shuffle AND the join's own hash shuffle back to back); at scale
+      // the rebalance is a no-op and the join exchanges normally
+      val o = Tables.keyed(s, d, "orders", "o_orderkey")
+      val li = Tables.keyed(s, d, "lineitem", "l_orderkey")
       // two-level aggregate instead of countDistinct: pre-grouping by
       // (group keys, o_orderkey) makes the distinct a plain count and
       // — the scale win — removes the Expand that would DOUBLE every
@@ -454,7 +471,7 @@ object Relational {
     "q20_json_group",
     "get_json_object + cast + groupBy",
     (s, d) =>
-      t(s, d, "events")
+      Tables.raw(s, d, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n_events"), dsumD(col("value")).as("total_value")),
@@ -473,7 +490,8 @@ object Relational {
     "q21_hourly_events",
     "date/hour bucketing + groupBy over events",
     (s, d) =>
-      t(s, d, "events")
+      // raw scan: bucketing exprs + partial agg fuse into the scan stage
+      Tables.raw(s, d, "events")
         .groupBy(
           to_date(col("ts")).as("event_day"),
           hour(col("ts")).cast(LongType).as("event_hour"),
@@ -526,7 +544,7 @@ object Relational {
     "q23_top_lineitems",
     "ORDER BY ... DESC LIMIT k (top-k)",
     (s, d) =>
-      t(s, d, "lineitem")
+      Tables.raw(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
         .limit(20),
@@ -561,7 +579,7 @@ object Relational {
     "q24_cte_report",
     "CTE + UNION ALL report; identical SQL text on Spark and the oracle",
     (s, d) => {
-      t(s, d, "orders").createOrReplaceTempView("orders")
+      Tables.raw(s, d, "orders").createOrReplaceTempView("orders")
       s.sql(q24Sql)
     },
     Some(q24Sql))
@@ -571,7 +589,7 @@ object Relational {
     "q25_rollup",
     "GROUP BY ROLLUP(status, priority) with subtotal rows",
     (s, d) =>
-      t(s, d, "orders")
+      Tables.raw(s, d, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), dsumD(col("o_totalprice")).as("total_price")),
     Some("""
@@ -592,13 +610,24 @@ object Relational {
     "as-of join events→orders (latest order at or before event ts)",
     (s, d) => {
       // Right side deduped to one row per (custkey, ts): max orderkey wins —
-      // makes the as-of pick deterministic in both engines.
-      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
-        .orderBy(desc("o_orderkey"))
-      val orders = t(s, d, "orders")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
-      val events = t(s, d, "events")
+      // makes the as-of pick deterministic in both engines. Implemented as
+      // an argmax AGGREGATE (max over a struct led by the unique
+      // o_orderkey — same winning row as the ROW_NUMBER() DESC window,
+      // no ties possible): partial aggregation runs map-side, and the
+      // keyed rebalance on o_custkey doubles as the agg's exchange
+      // (hash(custkey) clusters (custkey, orderdate)), so the dedup
+      // costs zero extra shuffles where the window form paid one
+      // full-width exchange + sort of every order row.
+      val orders = Tables.keyed(s, d, "orders", "o_custkey")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("__top"))
+        .select(
+          col("o_custkey"), col("o_orderdate"),
+          col("__top.o_orderkey").as("o_orderkey"),
+          col("__top.o_totalprice").as("o_totalprice"))
+      // raw scan: the event side's first operator is the as-of union's
+      // window exchange — a round-robin rebalance before it is wasted
+      val events = Tables.raw(s, d, "events")
         .select(col("event_id"), col("user_id"), col("ts"))
       AsOfJoin.leftAsOf(
         left = events, right = orders,
@@ -650,7 +679,7 @@ object Relational {
     "q28_cube",
     "GROUP BY CUBE(returnflag, linestatus)",
     (s, d) =>
-      t(s, d, "lineitem")
+      Tables.raw(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_items"), dsumD(col("l_quantity")).as("total_qty")),
     Some("""
@@ -713,7 +742,7 @@ object Relational {
     "q31_two_phase_distinct",
     "skew-safe two-phase COUNT(DISTINCT user) per event_type",
     (s, d) =>
-      t(s, d, "events")
+      Tables.raw(s, d, "events")
         .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_distinct_users")),
@@ -769,7 +798,9 @@ object Relational {
     "q33_session_agg",
     "session_window(ts, 30 min) per user: start, size, exact value sum",
     (s, d) =>
-      t(s, d, "events")
+      // raw scan: the session agg's own per-user exchange is the first
+      // operator; a round-robin rebalance before it is a second shuffle
+      Tables.raw(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), dsumD(col("value")).as("total_value"))
         .select(
@@ -821,7 +852,7 @@ object Relational {
       // with a partial-agged shuffle, then count exactly AND sketch over
       // the already-distinct pairs — the HLL registers are identical on
       // a deduplicated input, so the estimate is unchanged
-      t(s, d, "events")
+      Tables.raw(s, d, "events")
         // group over ALL events (a NULL user_id row keeps its event_type
         // group alive with n_users=0, matching COUNT(DISTINCT) semantics),
         // then count only the non-null deduplicated pairs

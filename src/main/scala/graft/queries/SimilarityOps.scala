@@ -38,7 +38,11 @@ object SimilarityOps {
 
   private def emb(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    t(s, d, "embeddings")
+    // keyed rebalance: vec_id is unique so the hash spread parallelizes
+    // vector math exactly like round-robin would, and every downstream
+    // vec_id join/groupBy (signature agg, vector attach, index joins)
+    // reuses the partitioning instead of paying its own exchange
+    Tables.keyed(s, d, "embeddings", "vec_id")
       .select(col("vec_id"), col("label"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
   }
 

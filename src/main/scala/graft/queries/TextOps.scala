@@ -265,10 +265,23 @@ object TextOps {
         Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_rare"))
       .select(col("doc_id"), col("n_sh"), (col("n_sh") - col("n_rare")).as("n_stop"))
+    // Pair-path exchanges are CHAINED on the doc keys (r15): the cached
+    // shingle table is hash(doc_id)-partitioned, so every join against
+    // it (docStats lookups, exact verify) is exchange-free on the sh
+    // side, and the pair side is repartitioned by doc_a ONCE — that one
+    // exchange simultaneously satisfies the pair-count aggregation
+    // (hash(doc_a) clusters (doc_a, doc_b)) and the doc_a stats join.
+    // Map-side partial aggregation is lost for the pair count, but it
+    // was a no-op anyway: a pair's rows live in DIFFERENT shingle-hash
+    // partitions (one per shared shingle), so partials almost never met
+    // two rows of the same pair.
+    val numParts = sh.sparkSession.sessionState.conf.numShufflePartitions
     // channel 1: rare-shingle equi-join with exact shared-rare count
     val candRare = rare.as("a")
       .join(rare.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .repartition(numParts, col("doc_a"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_rare"))
     val ub = least(
       col("n_shared_rare") + least(col("stop_a"), col("stop_b")),
@@ -287,7 +300,10 @@ object TextOps {
     val candFp = fp.as("fa")
       .join(fp.as("fb"), col("fa.fp") === col("fb.fp") && col("fa.doc_id") < col("fb.doc_id"))
       .select(col("fa.doc_id").as("doc_a"), col("fb.doc_id").as("doc_b"))
-    val cand = prunedRare.union(candFp).distinct()
+    // one repartition dedups the union (hash(doc_a) clusters the pair
+    // key) AND feeds the doc_a verify join exchange-free
+    val cand = prunedRare.union(candFp)
+      .repartition(numParts, col("doc_a")).distinct()
     // exact verify: surviving pairs can still be numerous — shuffle
     // joins against the compact shingle-array table, not broadcasts
     cand
@@ -350,7 +366,7 @@ object TextOps {
   val d6NgramJaccard: Q = Q(
     "d6_ngram_jaccard",
     "near-dup pairs by word-trigram Jaccard ≥ 0.5 via capped shingle equi-join",
-    (s, d) => jaccardPairs(t(s, d, "documents"), DefaultDfCap),
+    (s, d) => jaccardPairs(Tables.raw(s, d, "documents"), DefaultDfCap),
     Some(s"""
       WITH $shinglesSql,
       ${cappedPairsSql(DefaultDfCap)}
@@ -407,7 +423,7 @@ object TextOps {
   val d7MinHashLsh: Q = Q(
     "d7_minhash_lsh",
     "MinHash signatures + LSH banding → near-dup candidate pairs",
-    (s, d) => MinHashDedup.candidatePairs(shingles(t(s, d, "documents"))),
+    (s, d) => MinHashDedup.candidatePairs(shingles(Tables.raw(s, d, "documents"))),
     Some(d7OracleSql),
     headline = true)
 
@@ -1087,7 +1103,7 @@ object TextOps {
     "d19_contamination",
     "eval-set n-gram contamination: shared-trigram counts per training doc",
     (s, d) => {
-      val sh = Caching.cached(shingles(t(s, d, "documents")))
+      val sh = Caching.cached(shingles(Tables.raw(s, d, "documents")))
       val e = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       val evalShingles = e.filter(col("doc_id") % 20 === 0)
         .select(col("s")).distinct()
@@ -2491,7 +2507,7 @@ object TextOps {
     (s, d) => {
       // ONE shingle pipeline feeds both channels: truth (exact Jaccard)
       // and candidates (LSH) share the same cached shingled frame
-      val sh = Caching.cached(shingles(t(s, d, "documents")))
+      val sh = Caching.cached(shingles(Tables.raw(s, d, "documents")))
       val truth = jaccardPairsFromShingles(sh, DefaultDfCap)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("__t"))
       val cand = MinHashDedup.candidatePairs(sh)
@@ -2591,7 +2607,7 @@ object TextOps {
     "d37_incremental_neardup",
     "incremental near-dup: batch MinHash bands probe the standing corpus index",
     (s, d) => {
-      val bt = MinHashDedup.bandTable(shingles(t(s, d, "documents")))
+      val bt = MinHashDedup.bandTable(shingles(Tables.raw(s, d, "documents")))
       val isBatch = pmod(col("doc_id"), lit(10L)) === 0
       val batch = bt.filter(isBatch).select(col("doc_id").as("bid"), col("b"))
       val corpus = bt.filter(!isBatch)
