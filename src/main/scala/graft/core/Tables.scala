@@ -51,7 +51,15 @@ object Tables {
     * with enough distinct values to fill the session's cores qualify —
     * a low-cardinality key would skew the rebalance itself. */
   def keyed(spark: SparkSession, dir: String, name: String, keys: String*): DataFrame =
-    load(spark, dir, name, rebalance = Some(df => df.repartition(keys.map(col): _*)))
+    // The partition count is PINNED (REPARTITION_BY_NUM semantics): an
+    // unpinned keyed repartition is AQE-coalescible, and AQE's byte-based
+    // coalescing only sees the (small) pre-exchange bytes — it cannot see
+    // post-exchange compute amplification (regex/explode/decode), so it
+    // happily coalesced a 10M-row gram-generation stage onto one task
+    // (measured: d27 2.2 s → 8.7 s). The whole point of this rebalance is
+    // the compute spread; pin it.
+    load(spark, dir, name, rebalance = Some(df =>
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys.map(col): _*)))
 
   private def load(
       spark: SparkSession, dir: String, name: String,

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   * join+agg passes — no driver-side data; only the O(1) convergence
   * signature (edge count + hash sum) crosses to the driver.
   *
-  * Each round ends in an eager `localCheckpoint`: the alternation
+  * Each round ends in a `localCheckpoint`: the alternation
   * references the previous edge set through several operators, and
   * without lineage truncation the logical plan grows per round and
   * Catalyst re-analysis goes super-linear — caching alone does not
@@ -52,17 +52,21 @@ object ConnectedComponents {
     * `large.distinct()` is dropped: duplicates cannot change min() and
     * the round's final distinct dedups the output set, so the iterate
     * is the same SET function of its input. 6 exchanges/round → 3. */
-  private def alternate(e: DataFrame, numParts: Int): DataFrame = {
-    // large-star over the symmetric neighborhood of every node
+  private def alternate(e: DataFrame): DataFrame = {
+    // large-star over the symmetric neighborhood of every node.
+    // repartition WITHOUT a pinned count: AQE coalesces the tiny
+    // late-round edge sets to few tasks (a pinned count would hold
+    // every round at full shuffle-partition width), and both consumers
+    // hang off the same exchange so coalescing stays consistent.
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .repartition(numParts, col("a"))
+      .repartition(col("a"))
     val minsL = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
       .select(col("a"), least(col("a"), col("mb")).as("m"))
     // (v, m(u)) for v ∈ Γ(u), v > u; v > u ≥ m keeps hi→lo orientation
     val large = sym.join(minsL, "a")
       .filter(col("b") > col("a"))
       .select(col("b").as("a"), col("m").as("b"))
-      .repartition(numParts, col("a"))
+      .repartition(col("a"))
     // small-star: per hi endpoint u, N = {b} are exactly the smaller
     // neighbors; connect u and N \ {min} to min(N)
     val minsS = large.groupBy(col("a")).agg(min(col("b")).as("m"))
@@ -102,7 +106,7 @@ object ConnectedComponents {
     var e = e0.select(
       greatest(col("a"), col("b")).as("a"),
       least(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
 
     // convergence signature: (count, 64-bit hash XOR) — set-equality
     // check in one tiny agg instead of a per-round anti-join (XOR, not
@@ -116,11 +120,14 @@ object ConnectedComponents {
     }
     var prev = sig(e)
 
-    val numParts = edges.sparkSession.sessionState.conf.numShufflePartitions
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val next = alternate(e, numParts).localCheckpoint()
+      // LAZY checkpoint: the convergence-signature aggregation right
+      // below is the round's one action — it materializes the
+      // checkpoint as a side effect, so each round launches one job
+      // instead of two (eager checkpoint + signature scan)
+      val next = alternate(e).localCheckpoint(eager = false)
       val nextSig = sig(next)
       e = next
       converged = nextSig == prev

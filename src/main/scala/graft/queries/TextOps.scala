@@ -21,7 +21,26 @@ import graft.operators.{MinHashDedup, PrefixSum, SimHash}
   */
 object TextOps {
 
-  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+  /** documents loads rebalance BY doc_id (r15): the hash spread
+    * parallelizes per-row text compute exactly like round-robin (the
+    * key is unique), and every per-document aggregation, join or
+    * window downstream (token stats, tf/dl aggs, d24/d25 payload
+    * rejoins, typed mapPartitions seams that re-key by doc_id) reuses
+    * the partitioning instead of paying its own exchange. Other
+    * tables keep the plain rebalance. */
+  private def t(s: SparkSession, d: String, n: String) =
+    if (n == "documents") Tables.keyed(s, d, n, "doc_id") else Tables(s, d, n)
+
+  /** Pinned per-document rebalance for compute-heavy seams (codec
+    * decode, tokenize-then-aggregate): hash(doc_id) at FULL core width.
+    * Pinned because an unpinned keyed repartition is AQE-coalescible and
+    * byte-based coalescing cannot see post-exchange compute
+    * amplification (measured on d27: the gram-generation stage collapsed
+    * to one task). Collapses with the keyed scan rebalance into a single
+    * exchange. */
+  private def byDoc(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
 
   /** Whitespace-normalized lowercase text — the dedup key. */
   private def norm(c: Column): Column =
@@ -180,7 +199,7 @@ object TextOps {
     * rebalance of raw text ahead of a large fan-out. */
   private[graft] def shingles(docs: DataFrame): DataFrame =
     docs
-      .repartition(col("doc_id"))
+      .transform(byDoc)
       // The explode-of-1-element-array is a deliberate Generate barrier:
       // without it CollapseProject inlines the split into every element of
       // the transform lambda below (re-running the regex per shingle), and
@@ -508,7 +527,7 @@ object TextOps {
       import s.implicits._
       import graft.multimodal.Multimodal
       val media = t(s, d, "documents")
-        .repartition(col("doc_id"))
+        .transform(byDoc)
         .select(
           col("doc_id").as("media_id"),
           lit("image").as("kind"),
@@ -837,7 +856,7 @@ object TextOps {
     (s, d) => {
       val sigs = SimHash.signatures(
         t(s, d, "documents")
-          .repartition(col("doc_id"))
+          .transform(byDoc)
           .select(col("doc_id"), split(norm(col("text")), " ").as("w")))
       val bands = (0 until 4).map { j =>
         struct(
@@ -892,7 +911,7 @@ object TextOps {
       import s.implicits._
       import graft.multimodal.Multimodal
       val media = t(s, d, "documents")
-        .repartition(col("doc_id"))
+        .transform(byDoc)
         .select(
           col("doc_id").as("media_id"),
           lit("video").as("kind"),
@@ -979,7 +998,7 @@ object TextOps {
     "within-doc top-trigram repetition ratio (Gopher-style quality rule)",
     (s, d) => {
       val toks = t(s, d, "documents")
-        .repartition(col("doc_id"))
+        .transform(byDoc)
         .select(col("doc_id"), explode(array(split(norm(col("text")), " "))).as("w"))
         .select(
           col("doc_id"),
@@ -1036,7 +1055,7 @@ object TextOps {
       import s.implicits._
       import graft.multimodal.Multimodal
       val media = t(s, d, "documents")
-        .repartition(col("doc_id"))
+        .transform(byDoc)
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -1152,7 +1171,7 @@ object TextOps {
       import s.implicits._
       import graft.multimodal.Multimodal
       val media = t(s, d, "documents")
-        .repartition(col("doc_id"))
+        .transform(byDoc)
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -1205,7 +1224,7 @@ object TextOps {
       import s.implicits._
       import graft.multimodal.Multimodal
       val media = t(s, d, "documents")
-        .repartition(col("doc_id"))
+        .transform(byDoc)
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -1280,7 +1299,7 @@ object TextOps {
       import s.implicits._
       import graft.multimodal.Multimodal
       val hashed = t(s, d, "documents")
-        .repartition(col("doc_id"))
+        .transform(byDoc)
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -1343,7 +1362,7 @@ object TextOps {
       import s.implicits._
       import graft.multimodal.Multimodal
       val hashed = t(s, d, "documents")
-        .repartition(col("doc_id"))
+        .transform(byDoc)
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -1409,7 +1428,7 @@ object TextOps {
       import s.implicits._
       import graft.multimodal.Multimodal
       val media = t(s, d, "documents")
-        .repartition(col("doc_id"))
+        .transform(byDoc)
         .select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           it.map { id =>
@@ -1735,7 +1754,7 @@ object TextOps {
     "exact cross-doc substring dedup: k-char windows, merged excision spans",
     (s, d) => {
       val k = 40
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = Tables.keyed(s, d, "documents", "doc_id")  // doc_id joins/windows reuse the rebalance (r15).select(col("doc_id"), col("text"))
       // (doc_id, pos, h) — the window text is hashed map-side and never
       // survives to an exchange; only the 8-byte hash is shuffled.
       val w0 = substrWindowHashes(docs, k)
@@ -1835,7 +1854,7 @@ object TextOps {
     (s, d) => {
       val minLen = 5
       val minDocs = 3
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = Tables.keyed(s, d, "documents", "doc_id")  // doc_id joins/windows reuse the rebalance (r15).select(col("doc_id"), col("text"))
       val l0 = docs
         .select(col("doc_id"),
           posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
@@ -1980,7 +1999,11 @@ object TextOps {
   /** Normalized docs with ≥ 3 chars — the trigram-LM training/scoring
     * corpus (shared by d27 and d31). */
   private def lmDocs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    // keyed rebalance (r15): the normalize regex still spreads across
+    // cores (hash on unique doc_id), and every per-document aggregation
+    // over the cached gram relation (d27/d31 scoring) completes in
+    // place instead of paying its own exchange
+    Tables.keyed(s, d, "documents", "doc_id")
       .select(col("doc_id"), norm(col("text")).as("nt"))
       .filter(length(col("nt")) >= 3)
 
@@ -2010,10 +2033,14 @@ object TextOps {
     "d27_trigram_lm",
     "char-trigram LM familiarity score (integer-quantized CCNet-style quality)",
     (s, d) => {
-      val docs = lmDocs(s, d)
-      def grams(df: DataFrame): DataFrame = charGrams(df)
-      val model = broadcast(trigramModel(grams(docs)))
-      grams(docs)
+      // gram relation cached (r15): its three consumers (c3 twice inside
+      // the model build, then the scoring pass) otherwise re-run the
+      // normalize+explode+substring pipeline three times — the same
+      // persist barrier d31 already uses, and the identical plan means
+      // d27/d31 share one cache entry when run in one session
+      val grams = Caching.cached(charGrams(lmDocs(s, d)))
+      val model = broadcast(trigramModel(grams))
+      grams
         .join(model, "g")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_trigrams"),

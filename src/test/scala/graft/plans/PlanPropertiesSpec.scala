@@ -98,6 +98,9 @@ class PlanPropertiesSpec extends SparkSpec {
   test("q55: RANGE frame plans one window over one intrinsic exchange") {
     val p = finalPlan("q55_trailing_window")
     assert(p.contains("RangeFrame"), "value-based frame expected")
+    // (in the spec session the corpus rebalance never fires —
+    // scanParts*4 !< 4 — so the window plans its own single exchange;
+    // under the bench session the keyed rebalance doubles as it)
     assert(count(p, "ENSURE_REQUIREMENTS") == 1, p)
   }
 
