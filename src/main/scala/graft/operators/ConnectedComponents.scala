@@ -99,14 +99,22 @@ object ConnectedComponents {
       col(srcCol).cast(LongType).as("a"),
       col(dstCol).cast(LongType).as("b"))
       .filter(col("a") =!= col("b"))
-    val nodes = e0.select(col("a")).union(e0.select(col("b")))
-      .distinct().select(col("a").as("node"))
 
     // canonical hi → lo orientation
     var e = e0.select(
       greatest(col("a"), col("b")).as("a"),
       least(col("a"), col("b")).as("b"))
       .distinct().localCheckpoint(eager = false)
+
+    // Node set DERIVED FROM THE CHECKPOINTED canonical edges, not from
+    // e0 (r15): the canonicalization keeps exactly e0's endpoint set
+    // (every edge has two distinct nodes, both preserved), and reading
+    // the checkpoint avoids re-running the whole upstream edge pipeline
+    // — candidate generation can cost seconds — a second time when the
+    // final labelling join executes.
+    val initial = e
+    val nodes = initial.select(col("a")).union(initial.select(col("b")))
+      .distinct().select(col("a").as("node"))
 
     // convergence signature: (count, 64-bit hash XOR) — set-equality
     // check in one tiny agg instead of a per-round anti-join (XOR, not
