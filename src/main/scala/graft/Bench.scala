@@ -247,12 +247,17 @@ print(json.dumps(out))
     // fields — per-query best, isolated floor, oracle comparison), and the
     // full record (samples, spread, per-pass load/cpu/wall, micro) goes to
     // target/bench.json for anyone who wants the raw evidence.
+    // "cpus" is the HONORED core count (local[$cpus] + shuffle
+    // partitions), not availableProcessors(): a low-core run
+    // (SPARK_GRAFT_CPUS=8 on a 32-core host) must self-report 8 —
+    // r15's BENCH_c8 artifact said 32 while running local[8].
+    // host_cpus keeps the hardware context.
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""samples":$sampleJson,"spread":$spread,"isolated":$isolatedJson,""" +
         s""""oracle_sec":$oracleJson,"oracle_loadavg":$oracleLoadJson,"ratio":$ratio,""" +
         s""""passes":$passes,"micro":$microJson,""" +
-        s""""cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir"}"""
+        s""""cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       Files.createDirectories(out.getParent)
@@ -272,7 +277,7 @@ print(json.dumps(out))
         s""""oracle_loadavg":$oracleLoadJson,"ratio":$ratio,""" +
         s""""spark_loadavg":$sparkLoad,"spark_cpu_sec":$sparkCpu,""" +
         s""""spark_wall_sec":$sparkWall,""" +
-        s""""cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir",""" +
+        s""""cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors()},"sf":"$sfDir",""" +
         s""""detail":"target/bench.json"}""")
     spark.stop()
   }

@@ -116,6 +116,7 @@ object GraftFunctions {
   val NfcName = "graft_nfc"
   val BloomAggName = "graft_bloom_agg"
   val BloomContainName = "graft_might_contain"
+  val TopKName = "graft_topk"
 
   /** Idempotent per-session registration via the function registry —
     * the expressions then resolve in both the Column DSL and plain SQL
@@ -155,6 +156,9 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1))
     }
+    reg(TopKName) { exprs =>
+      TopKAgg(exprs(0), exprs(1), exprs(2), exprs(3)).toAggregateExpression()
+    }
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
@@ -169,4 +173,14 @@ object GraftFunctions {
 
   /** Codegen'd Unicode NFC normalization (requires [[register]]). */
   def nfc(c: Column): Column = call_function(NfcName, c)
+
+  /** Bounded top-k partial aggregate ([[TopKAgg]]; requires
+    * [[register]]): per group, the k best (key, id) pairs under
+    * `orderBy(asc ? key : desc(key), id)` as a best-first
+    * `array<struct<key, id>>` — the O(k)-state replacement for a
+    * `row_number() <= k` window. */
+  def topk(key: Column, id: Column, k: Int, asc: Boolean): Column =
+    call_function(TopKName, key, id,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(asc))
 }

@@ -72,7 +72,14 @@ object SimilarityOps {
       """))
 
   /** Batch kNN: top-3 neighbors for every label-0 query vector.
-    * Query side broadcast; ranking via partitioned window. */
+    * Query side broadcast; ranking via the bounded top-k partial
+    * aggregate ([[graft.functions.TopKAgg]]) — the row_number window
+    * it replaces shuffled and sorted ALL Q·N candidate sims full-width;
+    * the aggregate keeps O(k) map-side state per query, so the exchange
+    * carries ≤ Q·k·(partitions) heap entries instead of the whole
+    * similarity set (the r15 verdict's #1 at-scale shuffle killer).
+    * Ordering (desc sim, NaN-safe, ties on neighbor_id) is the window's
+    * total order exactly — TopKAggSpec pins the equivalence. */
   val s2KnnBatch: Q = Q(
     "s2_knn_batch",
     "brute-force kNN: top-3 cosine neighbors per label-0 query",
@@ -80,13 +87,15 @@ object SimilarityOps {
       val e = emb(s, d)
       val q = e.filter(col("label") === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), col("neighbor_id"))
       e.select(col("vec_id").as("neighbor_id"), col("v"))
         .crossJoin(broadcast(q))
         .filter(col("neighbor_id") =!= col("q_id"))
         .select(col("q_id"), col("neighbor_id"), cosine(col("v"), col("qv")).as("sim"))
-        .withColumn("rank_pos", row_number().over(w).cast(LongType))
-        .filter(col("rank_pos") <= 3)
+        .groupBy(col("q_id"))
+        .agg(GraftFunctions.topk(col("sim"), col("neighbor_id"), 3, asc = false).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")).as(Seq("p", "st")))
+        .select(col("q_id"), col("st.id").as("neighbor_id"),
+          col("st.key").as("sim"), (col("p") + 1).cast(LongType).as("rank_pos"))
     },
     Some("""
       WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE label = 0),
@@ -568,29 +577,34 @@ object SimilarityOps {
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"))
       val adc = PqIndex.adcBatch(queries, 64, cbs, members.join(codes, Seq("vec_id")))
-      val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
-      val shortlist = adc
-        .withColumn("__rn", row_number().over(wAdc)).filter(col("__rn") <= 50)
-        .select(col("qid"), col("vec_id"))
-      val wD2 = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
-      val reranked = shortlist
-        .join(e, Seq("vec_id")).join(broadcast(queries), Seq("qid"))
-        .select(col("qid"), col("vec_id"),
-          IvfIndex.dist2(col("v"), col("qv")).as("d2"))
-        .withColumn("__rn", row_number().over(wD2)).filter(col("__rn") <= 10)
-        .select(col("qid"), col("vec_id"))
+      // bounded top-k aggregates (TopKAgg, ascending distance) instead
+      // of the row_number windows — same total order, O(k) map-side
+      // state (see s2); the exact side ranked the full Q·N d2 set.
+      def topAsc(df: DataFrame, keyCol: String, k: Int): DataFrame = df
+        .groupBy(col("qid"))
+        .agg(GraftFunctions.topk(col(keyCol), col("vec_id"), k, asc = true).as("tk"))
+        .select(col("qid"), explode(col("tk.id")).as("vec_id"))
+      val shortlist = topAsc(adc, "adc", 50)
+      val reranked = topAsc(
+        shortlist
+          .join(e, Seq("vec_id")).join(broadcast(queries), Seq("qid"))
+          .select(col("qid"), col("vec_id"),
+            IvfIndex.dist2(col("v"), col("qv")).as("d2")),
+        "d2", 10)
       // exact top-10 per query, batched the same way (s2_knn_batch shape)
-      val exact = e.crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          IvfIndex.dist2(col("v"), col("qv")).as("d2"))
-        .withColumn("__rn", row_number().over(wD2)).filter(col("__rn") <= 10)
-        .select(col("qid"), col("vec_id"))
-      val hits = reranked.intersect(exact).count()
-      val n = e.count()
-      import s.implicits._
-      Seq((n, 16L, hits >= 48))
-        .toDF("n_vectors", "n_queries", "recall_ok")
+      val exact = topAsc(
+        e.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            IvfIndex.dist2(col("v"), col("qv")).as("d2")),
+        "d2", 10)
+      // the recall grade is computed INSIDE the returned plan (it was a
+      // driver-side intersect+count at DataFrame-construction time —
+      // work the timed region never saw); same rows, same values.
+      e.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(reranked.intersect(exact).agg(count(lit(1)).as("hits")))
+        .select(col("n_vectors"), lit(16L).as("n_queries"),
+          (col("hits") >= 48L).as("recall_ok"))
     },
     Some("""
       SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -942,19 +956,22 @@ object SimilarityOps {
       val queries = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val cent = IvfIndex.centroids(e, k = 16, iters = 2)
-      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
-      val ann = IvfIndex.assign(e, cent)
+      // bounded top-k aggregate instead of the row_number window: the
+      // exact side ranked the full Q·N sim set through one full-width
+      // exchange+sort; the aggregate partial-aggregates to ≤ 5 rows per
+      // (partition, query) map-side (TopKAgg — same total order).
+      def top5(sims: DataFrame): DataFrame = sims
+        .groupBy(col("qid"))
+        .agg(GraftFunctions.topk(col("sim"), col("vec_id"), 5, asc = false).as("tk"))
+        .select(col("qid"), explode(col("tk.id")).as("vec_id"))
+      val ann = top5(IvfIndex.assign(e, cent)
         .join(broadcast(IvfIndex.probeBatch(queries, cent, nprobe = 2)), Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .join(e, Seq("vec_id")).join(broadcast(queries), Seq("qid"))
-        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
-        .select(col("qid"), col("vec_id"))
-      val exact = e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim")))
+      val exact = top5(e.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
-        .select(col("qid"), col("vec_id"))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim")))
       val hits = ann.join(exact, Seq("qid", "vec_id"))
         .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
       queries.select(col("qid")).join(hits, Seq("qid"), "left")
@@ -1020,16 +1037,19 @@ object SimilarityOps {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val cent = IvfIndex.centroids(vecs, k = 16, iters = 2)
-      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+      // bounded top-k aggregate (TopKAgg) instead of the row_number
+      // window — same total order, O(k) map-side state (see s2).
       IvfIndex.assign(vecs, cent)
         .join(broadcast(IvfIndex.probeBatch(queries, cent, nprobe = 3)), Seq("cid"))
         .join(e, Seq("vec_id"))
         .filter(col("label") === 1 && col("vec_id") =!= col("qid"))
         .join(broadcast(queries), Seq("qid"))
         .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
-        .withColumn("rank_pos", row_number().over(w).cast(LongType))
-        .filter(col("rank_pos") <= 3)
-        .select(col("qid"), col("vec_id"), col("sim"), col("rank_pos"))
+        .groupBy(col("qid"))
+        .agg(GraftFunctions.topk(col("sim"), col("vec_id"), 3, asc = false).as("tk"))
+        .select(col("qid"), posexplode(col("tk")).as(Seq("p", "st")))
+        .select(col("qid"), col("st.id").as("vec_id"), col("st.key").as("sim"),
+          (col("p") + 1).cast(LongType).as("rank_pos"))
     },
     Some(ivfOracleCtes + """,
       vl AS (SELECT vec_id, label FROM embeddings),
@@ -1086,21 +1106,22 @@ object SimilarityOps {
         .withColumn("crn", row_number().over(wpc)).filter(col("crn") <= 4)
         .select(col("qid"), col("cid"), col("crn"))
       val asg = Caching.cached(IvfIndex.assign(e, cent))
-      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+      // bounded top-k aggregate (TopKAgg) instead of the row_number
+      // window — same total order, O(k) map-side state (see s2).
+      def top5(sims: DataFrame): DataFrame = sims
+        .groupBy(col("qid"))
+        .agg(GraftFunctions.topk(col("sim"), col("vec_id"), 5, asc = false).as("tk"))
+        .select(col("qid"), explode(col("tk.id")).as("vec_id"))
       val exact = Caching.cached(
-        e.crossJoin(broadcast(queries))
+        top5(e.crossJoin(broadcast(queries))
           .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
-          .select(col("qid"), col("vec_id")))
+          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))))
       val perNprobe = Seq(1, 2, 4).map { np =>
-        val ann = asg
+        val ann = top5(asg
           .join(broadcast(pcr.filter(col("crn") <= np).drop("crn")), Seq("cid"))
           .filter(col("vec_id") =!= col("qid"))
           .join(e, Seq("vec_id")).join(broadcast(queries), Seq("qid"))
-          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
-          .select(col("qid"), col("vec_id"))
+          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim")))
         val hits = ann.join(exact, Seq("qid", "vec_id"))
           .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
         queries.select(col("qid")).join(hits, Seq("qid"), "left")
@@ -1185,22 +1206,23 @@ object SimilarityOps {
         .withColumn("crn", row_number().over(wpc)).filter(col("crn") <= 4)
         .select(col("qid"), col("cid"), col("crn"))
       val asg = Caching.cached(IvfIndex.assign(vecs, cent))
-      val w = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("vec_id"))
+      // bounded top-k aggregate (TopKAgg) instead of the row_number
+      // window — same total order, O(k) map-side state (see s2).
+      def top3(sims: DataFrame): DataFrame = sims
+        .groupBy(col("qid"))
+        .agg(GraftFunctions.topk(col("sim"), col("vec_id"), 3, asc = false).as("tk"))
+        .select(col("qid"), explode(col("tk.id")).as("vec_id"))
       val exact = Caching.cached(
-        e.filter(col("label") === 1).crossJoin(broadcast(queries))
+        top3(e.filter(col("label") === 1).crossJoin(broadcast(queries))
           .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
-          .select(col("qid"), col("vec_id")))
+          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))))
       val perNprobe = Seq(1, 2, 3, 4).map { np =>
-        val ann = asg
+        val ann = top3(asg
           .join(broadcast(pcr.filter(col("crn") <= np).drop("crn")), Seq("cid"))
           .join(e, Seq("vec_id"))
           .filter(col("label") === 1 && col("vec_id") =!= col("qid"))
           .join(broadcast(queries), Seq("qid"))
-          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
-          .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
-          .select(col("qid"), col("vec_id"))
+          .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim")))
         val hits = ann.join(exact, Seq("qid", "vec_id"))
           .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
         queries.select(col("qid")).join(hits, Seq("qid"), "left")
@@ -1316,19 +1338,22 @@ object SimilarityOps {
     "cluster-balanced sampling: nearest-3-to-centroid per IVF cell",
     (s, d) => {
       val (vecs, cent) = ivfParts(s, d)
-      val w = Window.partitionBy(col("cid"))
-        .orderBy(col("d2"), col("vec_id"))
+      // bounded top-k aggregate (TopKAgg, ascending d2) instead of the
+      // corpus-width row_number window: the sample stats then come
+      // straight off the ≤ 3-element array — ONE partial aggregation
+      // where the window shape exchanged+sorted every corpus row by cid
+      // and re-aggregated the survivors (same total order; see s2).
       graft.operators.IvfIndex.assign(vecs, cent)
         .join(vecs, "vec_id")
         .join(broadcast(cent), "cid")
         .select(col("cid"), col("vec_id"),
           graft.operators.IvfIndex.dist2(col("v"), col("cv")).as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .groupBy(col("cid").as("cell"))
-        .agg(count(lit(1)).as("n_sampled"),
-          sum(col("vec_id")).as("sum_ids"),
-          min(col("vec_id")).as("min_id"))
+        .groupBy(col("cid"))
+        .agg(GraftFunctions.topk(col("d2"), col("vec_id"), 3, asc = true).as("tk"))
+        .select(col("cid").as("cell"),
+          size(col("tk")).cast(LongType).as("n_sampled"),
+          aggregate(col("tk.id"), lit(0L), (a, x) => a + x).as("sum_ids"),
+          array_min(col("tk.id")).as("min_id"))
     },
     Some(ivfOracleCtes + """,
       ranked AS (

@@ -1754,7 +1754,9 @@ object TextOps {
     "exact cross-doc substring dedup: k-char windows, merged excision spans",
     (s, d) => {
       val k = 40
-      val docs = Tables.keyed(s, d, "documents", "doc_id")  // doc_id joins/windows reuse the rebalance (r15).select(col("doc_id"), col("text"))
+      // doc_id joins/windows reuse the keyed rebalance (r15)
+      val docs = Tables.keyed(s, d, "documents", "doc_id")
+        .select(col("doc_id"), col("text"))
       // (doc_id, pos, h) — the window text is hashed map-side and never
       // survives to an exchange; only the 8-byte hash is shuffled.
       val w0 = substrWindowHashes(docs, k)
@@ -1854,7 +1856,9 @@ object TextOps {
     (s, d) => {
       val minLen = 5
       val minDocs = 3
-      val docs = Tables.keyed(s, d, "documents", "doc_id")  // doc_id joins/windows reuse the rebalance (r15).select(col("doc_id"), col("text"))
+      // doc_id joins/windows reuse the keyed rebalance (r15)
+      val docs = Tables.keyed(s, d, "documents", "doc_id")
+        .select(col("doc_id"), col("text"))
       val l0 = docs
         .select(col("doc_id"),
           posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
