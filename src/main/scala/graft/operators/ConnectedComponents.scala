@@ -120,27 +120,32 @@ object ConnectedComponents {
     // check in one tiny agg instead of a per-round anti-join (XOR, not
     // SUM: uniform 64-bit hashes overflow an ANSI sum; the edge set is
     // distinct so XOR cancellation can't occur)
-    def sig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(
-        count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head
+    def sigDf(df: DataFrame): DataFrame = df.agg(
+      count(lit(1)).as("c"),
+      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L)).as("h"))
+    def sigOf(r: org.apache.spark.sql.Row): (Long, Long) =
       (r.getLong(0), r.getLong(1))
-    }
-    var prev = sig(e)
+    var prev = sigOf(sigDf(e).head)
 
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      // LAZY checkpoint: the convergence-signature aggregation right
-      // below is the round's one action — it materializes the
-      // checkpoint as a side effect, so each round launches one job
-      // instead of two (eager checkpoint + signature scan)
-      val next = alternate(e).localCheckpoint(eager = false)
-      val nextSig = sig(next)
-      e = next
-      converged = nextSig == prev
-      prev = nextSig
-      i += 1
+      // TWO alternations per driver action (r16): both LAZY checkpoints
+      // materialize inside the one job that computes both signatures —
+      // a union of two 1-row aggs, collected in child order — so the
+      // consecutive-signature convergence check is exactly the old
+      // per-round one while the action/job count halves. alternate() is
+      // idempotent at the fixpoint (a star set maps to itself), so the
+      // at-most-one extra alternation a 2-stride can run is a no-op
+      // over the tiny converged edge set.
+      val n1 = alternate(e).localCheckpoint(eager = false)
+      val n2 = alternate(n1).localCheckpoint(eager = false)
+      val sigs = sigDf(n1).unionAll(sigDf(n2)).collect()
+      val (s1, s2) = (sigOf(sigs(0)), sigOf(sigs(1)))
+      if (s1 == prev) { e = n1; converged = true }
+      else if (s2 == s1) { e = n2; converged = true }
+      else { e = n2; prev = s2 }
+      i += 2
     }
     if (!converged) {
       throw new IllegalStateException(

@@ -2205,9 +2205,13 @@ object TextOps {
     "d30_edit_verify",
     "Levenshtein verify of d6 candidates: confirmed near-dups at <= 20% edit ratio",
     (s, d) => {
-      val docs = t(s, d, "documents")
+      // cached: the normalized 500-char prefix relation feeds BOTH
+      // sides of the pair join — one regex-normalize pass over the
+      // corpus instead of two (guide §5 within-query reuse); the
+      // cached frame is O(docs × 500 chars), tiny at any SF
+      val docs = Caching.cached(t(s, d, "documents")
         .select(col("doc_id"),
-          substring(norm(col("text")), 1, 500).as("p"))
+          substring(norm(col("text")), 1, 500).as("p")))
       val pairs = d6NgramJaccard.build(s, d)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
       pairs

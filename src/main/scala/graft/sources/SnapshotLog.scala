@@ -2614,7 +2614,20 @@ object SnapshotLog {
           require(clusterBy.isEmpty || m.bucketSpec.isEmpty,
             "clusterBy/ZORDER is incompatible with a bucketed table")
           val toWrite =
-            if (clusterBy.isEmpty) toWrite0
+            // Plain merge path (no clusterBy layout, no per-file stats):
+            // REBALANCE by the partition value before the write (guide
+            // §6). Unhinted, the merge's shuffle-partition distribution
+            // fans out as (tasks × partition values) files — q76's
+            // 25-value table staged ~800 ≈20-row files per commit, each
+            // listed and re-read by the NEXT commit. AQE's rebalance
+            // coalesces small partition values to one file and splits
+            // large ones at the advisory size, so local commits stop
+            // churning tiny files and at-scale files land in the
+            // 64MB–1GB band. Stats/cluster layouts are left exactly as
+            // routed — file-skip-graded tables keep their geometry.
+            if (clusterBy.isEmpty && statsCols.isEmpty)
+              toWrite0.hint("rebalance", col("__p"))
+            else if (clusterBy.isEmpty) toWrite0
             else {
               val (df, sortCol) =
                 if (clusterBy.size == 1) (toWrite0, col(clusterBy.head))
@@ -2784,8 +2797,17 @@ object SnapshotLog {
         val dir = new Path(bp, rel)
         val (rows2, hwUpd) = applyIdentity(rows1, m, enforceAlways = true)
         stagedHw = hwUpd
+        // REBALANCE by partition value before the write (guide §6, same
+        // as the merge path): without it an append fans out as (source
+        // tasks × partition values) files. Appends record no per-file
+        // column stats (no statsCols parameter exists here), so no
+        // pruning geometry is disturbed; identity values are
+        // content-hash-sharded and partitioning-independent. Cross-batch
+        // fragmentation still accrues (each append commits its own
+        // files) — compaction keeps its job.
         stagePartitioned(
-          toPhysical(rows2.withColumn("__p", partRoute(partCol)), m),
+          toPhysical(rows2.withColumn("__p", partRoute(partCol)), m)
+            .hint("rebalance", col("__p")),
           m, fs, dir)
         staged = listStaged(fs, dir, rel)
         // NULL-partition gate on the STAGED data — one pass, no query

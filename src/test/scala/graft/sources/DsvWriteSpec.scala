@@ -542,10 +542,16 @@ class DsvWriteSpec extends SparkSpec {
     assert(s.sql("SHOW PARTITIONS graft_wa.db.t").count() > 0)
     s.sql("OPTIMIZE graft_wa.db.t")
     assert(s.sql("VACUUM graft_wa.db.t DRY RUN").count() == 1)
+    // restore to an EXPLICIT version (the 17-row pre-replace snapshot):
+    // vNow-1 was only the replace version while OPTIMIZE always
+    // committed a fold; since r16's staged-write rebalance the replace
+    // lands one file per partition and OPTIMIZE can legitimately no-op
     val vNow = manifest(base).version
-    s.sql(s"RESTORE TABLE graft_wa.db.t TO VERSION AS OF ${vNow - 1}")
+    s.sql(s"RESTORE TABLE graft_wa.db.t TO VERSION AS OF $vPreReplace")
     assert(manifest(base).version == vNow + 1,
       "RESTORE on the dotted name commits a rollback version")
+    assert(s.sql("SELECT COUNT(*) FROM graft_wa.db.t").head.getLong(0) == 17,
+      "restore reinstates the pre-replace snapshot")
 
     // TRUNCATE: one metadata commit, schema/props/history survive
     val vBefore = manifest(base).version
@@ -556,6 +562,6 @@ class DsvWriteSpec extends SparkSpec {
       mT.props.get(SnapshotLog.PartColProp).contains("day"))
     assert(mT.version == vBefore + 1, "TRUNCATE is one versioned commit")
     assert(s.sql(s"SELECT COUNT(*) FROM graft_wa.db.t VERSION AS OF $vBefore")
-      .head.getLong(0) == 5, "history survives a TRUNCATE")
+      .head.getLong(0) == 17, "history survives a TRUNCATE")
   }
 }

@@ -20,14 +20,15 @@ class OptimizeTargetSizeSpec extends SparkSpec {
   test("byte target splits the fold; absent target keeps the one-file fold") {
     import s.implicits._
     val base = Files.createTempDirectory("graft_opt_target").toString + "/tbl"
-    // several upserts fragment one partition
+    // several APPENDS fragment one partition (since r16 the merge path
+    // rebalances its staged write to ~one file per partition value, so
+    // repeated upserts into one day converge to one file — appends keep
+    // each batch's files, the deliberate fragmentation)
     (1L to 4L).foreach { b =>
       val rows = (1L to 500L)
         .map(i => (b * 10000 + i, s"payload_${b}_$i" * 8, "d0"))
         .toDF("id", "text", "day")
-      SnapshotLog.upsertBatch(s, base, rows, Seq("id"), "id", "day",
-        batchId = b, maxRetries = 5, statsCols = Nil,
-        clusterBy = Nil, clusterFiles = 2, opCol = None, writeCdf = false)
+      SnapshotLog.appendBatch(s, base, rows, "day", batchId = b)
     }
     val bp = new Path(base)
     val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -43,12 +44,12 @@ class OptimizeTargetSizeSpec extends SparkSpec {
     assert(m1.files("d0").size == 1)
     assert(SnapshotLog.read(s, base).get.count() == totalRows)
 
-    // fragment again, then optimize under a quarter-of-total target
+    // fragment again (append: an upsert would rebalance the whole
+    // partition back to one file and optimize would see nothing to
+    // fold), then optimize under a quarter-of-total target
     val more = (1L to 500L).map(i => (50000 + i, s"x$i" * 8, "d0"))
       .toDF("id", "text", "day")
-    SnapshotLog.upsertBatch(s, base, more, Seq("id"), "id", "day",
-      batchId = 9, maxRetries = 5, statsCols = Nil,
-      clusterBy = Nil, clusterFiles = 2, opCol = None, writeCdf = false)
+    SnapshotLog.appendBatch(s, base, more, "day", batchId = 9)
     val view = Catalog.registerSnapshotLog(s, "optt", "t1", base, Some("day"))
     s.sql(s"ALTER TABLE $view SET TBLPROPERTIES " +
       s"('${SnapshotLog.OptimizeTargetProp}' = '${math.max(bytes / 4, 1)}')")

@@ -178,13 +178,17 @@ class SnapshotLogSpec extends SparkSpec {
 
   test("compaction shrinks a partition's file list without changing content") {
     val base = Files.createTempDirectory("graft_snaplog_compact").toString + "/tbl"
-    // three upsert batches into the same day → 3+ files in one partition
+    // one upsert + two APPENDS into the same day → 3 files in one
+    // partition (a merge REWRITES the partition, and since r16 the
+    // staged merge write is rebalanced to ~one file per partition
+    // value, so repeated upserts no longer leave task-fanout fragments
+    // — appends are the deliberate fragmentation)
     SnapshotLog.upsertBatch(spark, base, mkChanges((1, 1, "a", 10.0)),
       key = "user_id", orderCol = "ts", partCol = "day", batchId = 1)
-    SnapshotLog.upsertBatch(spark, base, mkChanges((2, 2, "a", 20.0)),
-      key = "user_id", orderCol = "ts", partCol = "day", batchId = 2)
-    SnapshotLog.upsertBatch(spark, base, mkChanges((3, 3, "a", 30.0)),
-      key = "user_id", orderCol = "ts", partCol = "day", batchId = 3)
+    SnapshotLog.appendBatch(spark, base, mkChanges((2, 2, "a", 20.0)),
+      "day", batchId = 2)
+    SnapshotLog.appendBatch(spark, base, mkChanges((3, 3, "a", 30.0)),
+      "day", batchId = 3)
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m3 = SnapshotLog.readManifest(fs, new Path(base)).get
     val day = m3.files.keySet.head

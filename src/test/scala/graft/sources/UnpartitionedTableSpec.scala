@@ -100,12 +100,21 @@ class UnpartitionedTableSpec extends SparkSpec {
     assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 32,
       "2 odd ids matched (updated), 2 even ids inserted")
 
+    // insert a fresh batch (through the view — a path-level append is
+    // invisible to the registered table's cached relation) so the table
+    // holds >1 file: the MERGE above rewrote the whole (single)
+    // partition, and since r16 the merge staging rebalances to ~one
+    // file per partition value — appends are the deliberate
+    // fragmentation OPTIMIZE then folds
+    s.sql(s"INSERT INTO $view SELECT id + 900, value, day FROM u3_src WHERE id <= 2")
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 34)
+
     // OPTIMIZE folds the accumulated files of the single partition
     val filesBefore = manifest(base).allFiles.size
     assert(filesBefore > 1)
     s.sql(s"OPTIMIZE $view")
     assert(manifest(base).allFiles.size < filesBefore)
-    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 32)
+    assert(s.sql(s"SELECT COUNT(*) FROM $view").head.getLong(0) == 34)
 
     // OPTIMIZE WHERE has no partition values to select — loud refusal
     val werr = intercept[Exception] { s.sql(s"OPTIMIZE $view WHERE id > 0") }
@@ -118,7 +127,7 @@ class UnpartitionedTableSpec extends SparkSpec {
     assert(manifest(base).version == vBefore + 1)
     assert(manifest(base).files.isEmpty)
     assert(s.read.format("graft").option("versionAsOf", vBefore.toString)
-      .load(base).count() == 32)
+      .load(base).count() == 34)
   }
 
   test("CDF publishes inserts/deletes on an unpartitioned table") {
